@@ -1,0 +1,171 @@
+"""Exact ratecv resampling on device.
+
+The reference resamples through C ``audioop.ratecv`` — a stateful DDA
+linear interpolator (SURVEY.md §8; exact recurrence documented in
+``goldref.pcm.ratecv``).  Here the same recurrence is evaluated as a
+**closed-form gather** on device, fully vectorized — no sequential loop:
+
+    output k gathers input frames ``i_k-1`` / ``i_k-2`` where
+    ``i_k = ceil((k*inrate - d0) / outrate)`` and blends them at weight
+    ``d_k = d0 + i_k*outrate - k*inrate``.
+
+For widths 1/2 the emission is provably ``floor(S / outrate)`` in the
+*sample* domain with ``S = prev*d + cur*(outrate-d)`` whenever the reduced
+``outrate < 2**(32-8w)`` (derivation: the 32-bit-domain trunc-toward-zero
+followed by the arithmetic narrowing shift collapses to a single floor
+division) — pure int32, bit-exact to audioop, VPU-friendly.  Width 4 and
+pathological reduced rates fall back to the int64 host oracle.
+
+Chunked/streaming use carries ``(d, prev, cur)`` state exactly like
+audioop, so scan-over-chunks output is bit-identical to whole-buffer
+output (verified property, SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goldref import pcm as _gold
+from . import pcm as dpcm
+
+
+class RatecvState(NamedTuple):
+    """Resampler carry in the *sample* domain (not audioop's 32-bit domain)."""
+    d: int
+    prev: np.ndarray  # [nchannels] int
+    cur: np.ndarray   # [nchannels] int
+
+    def to_audioop(self, width: int) -> Tuple[int, Tuple[Tuple[int, int], ...]]:
+        sh = 32 - 8 * width
+        return (int(self.d), tuple(
+            (int(p) << sh, int(c) << sh) for p, c in zip(self.prev, self.cur)))
+
+    @classmethod
+    def initial(cls, nchannels: int, outrate_reduced: int) -> "RatecvState":
+        return cls(-outrate_reduced,
+                   np.zeros(nchannels, np.int32), np.zeros(nchannels, np.int32))
+
+
+def _reduce(inrate: int, outrate: int) -> Tuple[int, int]:
+    if inrate <= 0 or outrate <= 0:
+        raise ValueError("sampling rates must be > 0")
+    g = math.gcd(inrate, outrate)
+    return inrate // g, outrate // g
+
+
+def nframes_out(nframes_in: int, inrate: int, outrate: int,
+                d0: Optional[int] = None) -> int:
+    inr, outr = _reduce(inrate, outrate)
+    if d0 is None:
+        d0 = -outr
+    kmax = nframes_in * outr + d0
+    return 0 if kmax < 0 else kmax // inr + 1
+
+
+@functools.partial(jax.jit, static_argnames=("inr", "outr", "d0", "nout"))
+def _ratecv_kernel(x: jax.Array, prev0: jax.Array, cur0: jax.Array,
+                   *, inr: int, outr: int, d0: int, nout: int):
+    """x: [L, ch] int8/int16. Returns (y [nout, ch], prev_end, cur_end)."""
+    L = x.shape[0]
+    xi = x.astype(jnp.int32)
+    p0 = prev0.astype(jnp.int32)
+    c0 = cur0.astype(jnp.int32)
+    k = jnp.arange(nout, dtype=jnp.int32)
+    # ceil((k*inr - d0)/outr) via floor-div identity
+    ik = -((d0 - k * inr) // outr)
+    dk = d0 + ik * outr - k * inr
+    cur_idx = ik - 1
+    prev_idx = ik - 2
+    safe = lambda idx: jnp.clip(idx, 0, max(L - 1, 0))
+    cur = jnp.where(cur_idx[:, None] >= 0, xi[safe(cur_idx)], c0[None, :])
+    prev = jnp.where(prev_idx[:, None] >= 0, xi[safe(prev_idx)],
+                     jnp.where(prev_idx[:, None] == -1, c0[None, :], p0[None, :]))
+    s = prev * dk[:, None] + cur * (outr - dk[:, None])
+    y = (s // outr).astype(x.dtype)
+    if L >= 2:
+        prev_end, cur_end = xi[L - 2], xi[L - 1]
+    elif L == 1:
+        prev_end, cur_end = c0, xi[0]
+    else:
+        prev_end, cur_end = p0, c0
+    return y, prev_end.astype(x.dtype), cur_end.astype(x.dtype)
+
+
+def _max_segment(inr: int, outr: int) -> int:
+    # Keep k*inr and i*outr well inside int32.
+    return max(1, min((1 << 30) // max(inr, 1), (1 << 30) // max(outr, 1)))
+
+
+def resample(
+    x: np.ndarray,
+    inrate: int,
+    outrate: int,
+    state: Optional[RatecvState] = None,
+    width: Optional[int] = None,
+) -> Tuple[np.ndarray, RatecvState]:
+    """Resample [n, ch] int samples from inrate to outrate, audioop-exact.
+
+    Widths 1/2 run the closed-form int32 gather on device; width 4 (and
+    reduced outrates >= 2**(32-8w)) use the int64 host oracle.  Returns the
+    output array and the carry state for chunked streaming.
+    """
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if width is None:
+        width = x.dtype.itemsize
+    inr, outr = _reduce(inrate, outrate)
+    if state is None:
+        state = RatecvState.initial(nch, outr)
+
+    if width == 4 or outr >= (1 << (32 - 8 * width)):
+        frag = _gold.tobytes(x.reshape(-1), width)
+        out, st = _gold.ratecv(frag, width, nch, inr, outr, state.to_audioop(width))
+        y = _gold.frombytes(out, width).reshape(-1, nch)
+        sh = 32 - 8 * width
+        prev = np.array([p >> sh for p, _ in st[1]], dtype=x.dtype)
+        cur = np.array([c >> sh for _, c in st[1]], dtype=x.dtype)
+        return y, RatecvState(st[0], prev, cur)
+
+    seg = _max_segment(inr, outr)
+    outs = []
+    d, prev, cur = state.d, np.asarray(state.prev, x.dtype), np.asarray(state.cur, x.dtype)
+    for s0 in range(0, max(len(x), 1), seg):
+        xs = x[s0:s0 + seg]
+        L = len(xs)
+        kmax = L * outr + d
+        nout = 0 if kmax < 0 else kmax // inr + 1
+        y, prev_j, cur_j = _ratecv_kernel(
+            jnp.asarray(xs), jnp.asarray(prev), jnp.asarray(cur),
+            inr=inr, outr=outr, d0=int(d), nout=int(nout))
+        outs.append(np.asarray(y))
+        prev, cur = np.asarray(prev_j), np.asarray(cur_j)
+        d = d + L * outr - nout * inr
+        if L == 0:
+            break
+    y = np.concatenate(outs, axis=0) if outs else np.zeros((0, nch), x.dtype)
+    return y, RatecvState(int(d), prev, cur)
+
+
+def resample_jax(x: jax.Array, inrate: int, outrate: int) -> jax.Array:
+    """Whole-buffer device resample for jit pipelines (widths 1/2, [n, ch]).
+
+    Stateless (fresh stream), static output length; stays on device.
+    """
+    inr, outr = _reduce(inrate, outrate)
+    if outr >= (1 << (32 - 8 * x.dtype.itemsize)):
+        raise ValueError("reduced outrate too large for the int32 device path")
+    L = x.shape[0]
+    nch = x.shape[1]
+    nout = nframes_out(L, inr, outr)
+    zeros = jnp.zeros((nch,), x.dtype)
+    y, _, _ = _ratecv_kernel(x, zeros, zeros, inr=inr, outr=outr,
+                             d0=-outr, nout=nout)
+    return y

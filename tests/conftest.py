@@ -2,23 +2,33 @@
 
 The suite runs JAX on CPU with 8 virtual devices so that sharding/pjit paths
 are exercised without TPU hardware (the driver separately dry-runs the
-multi-chip path and benches on the real chip).  The env vars must be set
-before jax is imported anywhere.
+multi-chip path and benches on the real chip).
+
+Note: this machine's sitecustomize registers the experimental `axon` TPU
+platform and forces ``jax_platforms=axon,cpu`` (jax is already imported at
+interpreter start), so we must override via ``jax.config.update`` — the
+backend itself initializes lazily, which also means XLA_FLAGS set here is
+still honored.
 """
 
 import os
-import sys
 
-if "jax" not in sys.modules:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
-import numpy as np
-import pytest
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu"
 
 
 @pytest.fixture
