@@ -15,3 +15,4 @@ bit-exact for integer PCM ops, bit-exact for float32-spec ops, and ≤1 LSB at
 """
 
 from . import pcm  # noqa: F401
+from . import sample  # noqa: F401

@@ -1,0 +1,458 @@
+"""Golden-oracle ``Sample``: the op-level behavioral spec.
+
+Host-side numpy implementation of the reference's ``synthplayer.sample.Sample``
+op set (SURVEY.md §3.1 row 2, §3.2).  Because the mounted reference is a
+tombstone, the semantics written down here — in each method's docstring — ARE
+the contract; ``synthesizer_tpu.sample.Sample`` (the device implementation)
+is tested against this class: bit-exact for integer/arrangement ops and
+single-product scaling ops, ≤1 LSB for gain-ramp ops (fades/envelope/LFO pan,
+where backend FMA contraction is permitted).
+
+Numeric conventions (shared with the device implementation):
+
+* frames: signed int8/int16/int32 for widths 1/2/4, shape [nframes, nch];
+* float-factor scaling: IEEE float32 product, floor, clamp;
+* gain ramps (fades, ADSR, pan LFO): gains computed in float32 with the
+  formulas documented on each method;
+* mixing: element-wise saturating add at the sample's width (audioop.add);
+* width conversion: shift semantics (audioop.lin2lin);
+* resampling: audioop.ratecv recurrence (goldref.pcm.ratecv).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator, Optional, Union
+
+import numpy as np
+
+from . import pcm
+
+_DTYPES = {1: np.int8, 2: np.int16, 4: np.int32}
+MAXVAL = {1: 127, 2: 32767, 4: 2147483647}
+MINVAL = {1: -128, 2: -32768, 4: -2147483648}
+
+
+def _f32(x) -> np.float32:
+    return np.float32(x)
+
+
+def _floor_clamp(v_f32: np.ndarray, width: int) -> np.ndarray:
+    v = np.floor(v_f32.astype(np.float64))
+    return np.clip(v, MINVAL[width], MAXVAL[width]).astype(_DTYPES[width])
+
+
+class Sample:
+    """PCM buffer with chainable in-place DSP ops (oracle implementation)."""
+
+    def __init__(self, frames: np.ndarray, samplerate: int, samplewidth: int,
+                 nchannels: int, name: str = ""):
+        frames = np.asarray(frames, dtype=_DTYPES[samplewidth])
+        if frames.ndim == 1:
+            frames = frames.reshape(-1, nchannels)
+        assert frames.shape[1] == nchannels
+        self.frames = frames
+        self.samplerate = int(samplerate)
+        self.samplewidth = int(samplewidth)
+        self.nchannels = int(nchannels)
+        self.name = name
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_raw_frames(cls, frames: bytes, samplewidth: int, samplerate: int,
+                        nchannels: int, name: str = "") -> "Sample":
+        a = pcm.frombytes(frames, samplewidth).reshape(-1, nchannels)
+        return cls(a, samplerate, samplewidth, nchannels, name)
+
+    def copy(self) -> "Sample":
+        return Sample(self.frames.copy(), self.samplerate, self.samplewidth,
+                      self.nchannels, self.name)
+
+    # -- introspection ------------------------------------------------------
+
+    @property
+    def nframes(self) -> int:
+        return self.frames.shape[0]
+
+    @property
+    def duration(self) -> float:
+        return self.nframes / self.samplerate
+
+    @property
+    def maxvalue(self) -> int:
+        return MAXVAL[self.samplewidth]
+
+    def view_frame_data(self) -> bytes:
+        return pcm.tobytes(self.frames.reshape(-1), self.samplewidth)
+
+    def _n(self, seconds: float) -> int:
+        """Seconds -> frame count: int truncation (reference convention)."""
+        return int(seconds * self.samplerate)
+
+    # -- scaling ------------------------------------------------------------
+
+    def amplify(self, factor: float) -> "Sample":
+        """Scale all samples: floor(f32(v) * f32(factor)), clamp."""
+        v = self.frames.astype(np.float32) * _f32(factor)
+        self.frames = _floor_clamp(v, self.samplewidth)
+        return self
+
+    def amplify_max(self) -> "Sample":
+        """Amplify to full scale: factor = maxval / peak (no-op if silent).
+
+        The factor is the float64 quotient narrowed to f32 (device parity).
+        """
+        peak = pcm.max_(self.view_frame_data(), self.samplewidth)
+        if peak == 0:
+            return self
+        return self.amplify(np.float32(self.maxvalue / peak))
+
+    def invert(self) -> "Sample":
+        """Multiply by -1 (mul semantics: -MIN clamps to MAX)."""
+        return self.amplify(-1.0)
+
+    def bias(self, amount: int) -> "Sample":
+        """Add a DC offset with wrap-around (audioop.bias)."""
+        frag = pcm.bias(self.view_frame_data(), self.samplewidth, int(amount))
+        self.frames = pcm.frombytes(frag, self.samplewidth).reshape(-1, self.nchannels)
+        return self
+
+    # -- arrangement --------------------------------------------------------
+
+    def clip(self, start_seconds: float, end_seconds: float) -> "Sample":
+        """Keep only [start, end) (frame indices truncate from seconds)."""
+        a, b = self._n(start_seconds), self._n(end_seconds)
+        self.frames = self.frames[a:b]
+        return self
+
+    def cut(self, start_seconds: float, end_seconds: float) -> "Sample":
+        """Remove [start, end)."""
+        a, b = self._n(start_seconds), self._n(end_seconds)
+        self.frames = np.concatenate([self.frames[:a], self.frames[b:]], axis=0)
+        return self
+
+    def split(self, seconds: float) -> "Sample":
+        """Truncate self at ``seconds``; return the chopped-off tail."""
+        n = self._n(seconds)
+        tail = Sample(self.frames[n:].copy(), self.samplerate, self.samplewidth,
+                      self.nchannels, self.name)
+        self.frames = self.frames[:n]
+        return tail
+
+    def add_silence(self, seconds: float, at_start: bool = False) -> "Sample":
+        """Append (or prepend) silence."""
+        z = np.zeros((self._n(seconds), self.nchannels), self.frames.dtype)
+        parts = [z, self.frames] if at_start else [self.frames, z]
+        self.frames = np.concatenate(parts, axis=0)
+        return self
+
+    def join(self, other: "Sample") -> "Sample":
+        """Append another sample (formats must match)."""
+        assert (other.samplerate, other.samplewidth, other.nchannels) == \
+               (self.samplerate, self.samplewidth, self.nchannels)
+        self.frames = np.concatenate([self.frames, other.frames], axis=0)
+        return self
+
+    def reverse(self) -> "Sample":
+        """Reverse frame order (channels stay in place)."""
+        self.frames = self.frames[::-1].copy()
+        return self
+
+    def delay(self, seconds: float, keep_length: bool = False) -> "Sample":
+        """Shift audio later in time by prepending silence; with
+        ``keep_length`` the result is trimmed back to the original length.
+        Negative seconds shift earlier (cut from the start, optionally
+        padding the end to keep length)."""
+        n = self._n(abs(seconds))
+        if seconds >= 0:
+            self.add_silence(seconds, at_start=True)
+            if keep_length and n > 0:
+                self.frames = self.frames[:-n] if n <= self.nframes else self.frames[:0]
+        else:
+            self.frames = self.frames[n:]
+            if keep_length:
+                self.add_silence(abs(seconds))
+        return self
+
+    # -- fades & envelopes (gain ramps, f32 spec) ---------------------------
+
+    def fadein(self, seconds: float, start_volume: float = 0.0) -> "Sample":
+        """Linear fade-in over the first ``seconds``:
+        gain_i = start + (1-start) * (i / nfade), f32, floor, clamp."""
+        n = min(self._n(seconds), self.nframes)
+        if n <= 0:
+            return self
+        i = np.arange(n, dtype=np.float32)
+        g = _f32(start_volume) + (_f32(1.0) - _f32(start_volume)) * (i / _f32(n))
+        head = self.frames[:n].astype(np.float32) * g[:, None]
+        self.frames = np.concatenate(
+            [_floor_clamp(head, self.samplewidth), self.frames[n:]], axis=0)
+        return self
+
+    def fadeout(self, seconds: float, target_volume: float = 0.0) -> "Sample":
+        """Linear fade-out over the last ``seconds``:
+        gain_j = target + (1-target) * ((nfade-1-j) / nfade), f32."""
+        n = min(self._n(seconds), self.nframes)
+        if n <= 0:
+            return self
+        j = np.arange(n, dtype=np.float32)
+        g = _f32(target_volume) + (_f32(1.0) - _f32(target_volume)) * \
+            ((_f32(n) - _f32(1.0) - j) / _f32(n))
+        tail = self.frames[self.nframes - n:].astype(np.float32) * g[:, None]
+        self.frames = np.concatenate(
+            [self.frames[:self.nframes - n], _floor_clamp(tail, self.samplewidth)], axis=0)
+        return self
+
+    def envelope(self, attack: float, decay: float, sustainlevel: float,
+                 release: float) -> "Sample":
+        """Apply an ADSR gain curve over the whole buffer (f32):
+
+        t = i / samplerate;
+        attack:  g = t/attack                      for t < attack
+        decay:   g = 1 + (sustain-1)*(t-attack)/decay
+        sustain: g = sustainlevel
+        release: over the final ``release`` seconds, g *= (dur-t)/release
+        """
+        n = self.nframes
+        g = adsr_gains(n, self.samplerate, attack, decay, sustainlevel, release)
+        v = self.frames.astype(np.float32) * g[:, None]
+        self.frames = _floor_clamp(v, self.samplewidth)
+        return self
+
+    def modulate_amp(self, modulator) -> "Sample":
+        """Per-sample amplitude modulation.
+
+        ``modulator`` may be a float32 gain array (frames-long, applied to all
+        channels), another Sample (gains = f32(v)/f32(maxval)), or any object
+        with ``gains(n)`` returning f32 gains (oscillators).
+        """
+        g = _modulator_gains(modulator, self.nframes)
+        v = self.frames.astype(np.float32) * g[:, None]
+        self.frames = _floor_clamp(v, self.samplewidth)
+        return self
+
+    # -- mixing -------------------------------------------------------------
+
+    def mix(self, other: "Sample", other_seconds: Optional[float] = None,
+            pad_shortest: bool = True) -> "Sample":
+        """Saturating element-wise add of another sample from t=0.
+
+        ``other_seconds`` clips the other sample first; with ``pad_shortest``
+        the result has the longer duration (shorter padded with silence),
+        otherwise the other is clipped to self's length.
+        """
+        return self.mix_at(0.0, other, other_seconds, pad_shortest=pad_shortest)
+
+    def mix_at(self, seconds: float, other: "Sample",
+               other_seconds: Optional[float] = None,
+               pad_shortest: bool = True) -> "Sample":
+        """Saturating add of ``other`` starting at ``seconds``."""
+        assert (other.samplerate, other.samplewidth, other.nchannels) == \
+               (self.samplerate, self.samplewidth, self.nchannels)
+        ofr = other.frames
+        if other_seconds is not None:
+            ofr = ofr[:other._n(other_seconds)]
+        start = self._n(seconds)
+        end = start + len(ofr)
+        if end > self.nframes:
+            if pad_shortest:
+                pad = np.zeros((end - self.nframes, self.nchannels), self.frames.dtype)
+                self.frames = np.concatenate([self.frames, pad], axis=0)
+            else:
+                ofr = ofr[:max(0, self.nframes - start)]
+                end = start + len(ofr)
+        region = self.frames[start:end]
+        mixed = pcm.frombytes(
+            pcm.add(pcm.tobytes(region.reshape(-1), self.samplewidth),
+                    pcm.tobytes(ofr.reshape(-1), self.samplewidth),
+                    self.samplewidth),
+            self.samplewidth).reshape(-1, self.nchannels)
+        out = self.frames.copy()
+        out[start:end] = mixed
+        self.frames = out
+        return self
+
+    def echo(self, length: float, amount: int, delay: float, decay: float) -> "Sample":
+        """Feed-forward echo: result is ``length`` seconds long; echo k
+        (k=1..amount) is the original scaled by f32(decay**k) (floor/clamp)
+        mixed in (saturating) at offset k*delay seconds."""
+        orig = self.copy()
+        total = self._n(length)
+        if total > self.nframes:
+            self.add_silence((total - self.nframes) / self.samplerate)
+        else:
+            self.frames = self.frames[:total]
+        gain = 1.0
+        for k in range(1, amount + 1):
+            gain *= decay
+            copy_k = orig.copy().amplify(gain)
+            self.mix_at(k * delay, copy_k, pad_shortest=False)
+        return self
+
+    # -- format conversion ---------------------------------------------------
+
+    def make_32bit(self, scale_amplitude: bool = True) -> "Sample":
+        """Convert to 32-bit width.  With ``scale_amplitude`` values are
+        widened by shift (lin2lin, x65536 for 16-bit); without, the numeric
+        values are preserved (headroom mode for overflow-free mixing)."""
+        if self.samplewidth == 4:
+            return self
+        if scale_amplitude:
+            frag = pcm.lin2lin(self.view_frame_data(), self.samplewidth, 4)
+            self.frames = pcm.frombytes(frag, 4).reshape(-1, self.nchannels)
+        else:
+            self.frames = self.frames.astype(np.int32)
+        self.samplewidth = 4
+        return self
+
+    def make_16bit(self, maximize_amplitude: bool = True) -> "Sample":
+        """Convert to 16-bit, optionally amplifying to full scale first."""
+        if maximize_amplitude:
+            self.amplify_max()
+        if self.samplewidth != 2:
+            frag = pcm.lin2lin(self.view_frame_data(), self.samplewidth, 2)
+            self.frames = pcm.frombytes(frag, 2).reshape(-1, self.nchannels)
+            self.samplewidth = 2
+        return self
+
+    def resample(self, samplerate: int) -> "Sample":
+        """Exact ratecv resample to a new rate (pitch preserved)."""
+        if samplerate == self.samplerate:
+            return self
+        frag, _ = pcm.ratecv(self.view_frame_data(), self.samplewidth,
+                             self.nchannels, self.samplerate, samplerate, None)
+        self.frames = pcm.frombytes(frag, self.samplewidth).reshape(-1, self.nchannels)
+        self.samplerate = samplerate
+        return self
+
+    def speed(self, speed: float) -> "Sample":
+        """Change playback speed (and pitch): ratecv from rate*speed to rate,
+        keeping the sample's samplerate metadata."""
+        if speed == 1.0:
+            return self
+        frag, _ = pcm.ratecv(self.view_frame_data(), self.samplewidth,
+                             self.nchannels, int(self.samplerate * speed),
+                             self.samplerate, None)
+        self.frames = pcm.frombytes(frag, self.samplewidth).reshape(-1, self.nchannels)
+        return self
+
+    def mono(self, left_factor: float = 1.0, right_factor: float = 1.0) -> "Sample":
+        """Stereo -> mono: floor(L*lf + R*rf) f32, clamp."""
+        if self.nchannels == 1:
+            return self
+        a = self.frames.astype(np.float32)
+        v = a[:, 0] * _f32(left_factor) + a[:, 1] * _f32(right_factor)
+        self.frames = _floor_clamp(v, self.samplewidth)[:, None]
+        self.nchannels = 1
+        return self
+
+    def stereo(self, left_factor: float = 1.0, right_factor: float = 1.0) -> "Sample":
+        """Mono -> stereo: per-channel floor(v*f), clamp."""
+        if self.nchannels == 2:
+            return self
+        a = self.frames.astype(np.float32)[:, 0]
+        out = np.empty((self.nframes, 2), np.float64)
+        out[:, 0] = np.floor(a * _f32(left_factor)).astype(np.float64)
+        out[:, 1] = np.floor(a * _f32(right_factor)).astype(np.float64)
+        self.frames = np.clip(out, MINVAL[self.samplewidth],
+                              MAXVAL[self.samplewidth]).astype(self.frames.dtype)
+        self.nchannels = 2
+        return self
+
+    def stereo_mix(self, other: "Sample", other_channel: str,
+                   other_mix_factor: float = 1.0) -> "Sample":
+        """Mix a mono sample into one channel ('L'/'R') of this stereo sample
+        (other scaled by f32 factor with floor, then saturating add)."""
+        assert other_channel in ("L", "R") and other.nchannels == 1
+        if self.nchannels == 1:
+            self.stereo()
+        scaled = other.copy().amplify(other_mix_factor)
+        ch = 0 if other_channel == "L" else 1
+        n = min(self.nframes, scaled.nframes)
+        col = self.frames[:n, ch]
+        mixed = pcm.frombytes(
+            pcm.add(pcm.tobytes(col, self.samplewidth),
+                    pcm.tobytes(scaled.frames[:n, 0], self.samplewidth),
+                    self.samplewidth), self.samplewidth)
+        out = self.frames.copy()
+        out[:n, ch] = mixed
+        self.frames = out
+        return self
+
+    def pan(self, amount: float = 0.0, lfo=None) -> "Sample":
+        """Pan a stereo sample (balance law, no center attenuation):
+        left gain = min(1, 1-amount), right gain = min(1, 1+amount), f32.
+        With ``lfo`` (f32 per-frame amounts in [-1, 1]) gains vary per frame.
+        Mono samples are converted to stereo first."""
+        if self.nchannels == 1:
+            self.stereo()
+        if lfo is None:
+            la = np.float32(min(1.0, 1.0 - amount))
+            ra = np.float32(min(1.0, 1.0 + amount))
+            a = self.frames.astype(np.float32)
+            out = np.empty_like(a)
+            out[:, 0] = a[:, 0] * la
+            out[:, 1] = a[:, 1] * ra
+            self.frames = _floor_clamp(out, self.samplewidth)
+        else:
+            amt = _modulator_gains(lfo, self.nframes)
+            la = np.minimum(np.float32(1.0), np.float32(1.0) - amt)
+            ra = np.minimum(np.float32(1.0), np.float32(1.0) + amt)
+            a = self.frames.astype(np.float32)
+            out = np.empty_like(a)
+            out[:, 0] = a[:, 0] * la
+            out[:, 1] = a[:, 1] * ra
+            self.frames = _floor_clamp(out, self.samplewidth)
+        return self
+
+    # -- chunking ------------------------------------------------------------
+
+    def chunked_frame_data(self, chunksize_frames: int, repeat: bool = False) -> Iterator[bytes]:
+        """Yield raw frame bytes in fixed-size chunks (last one short unless
+        repeating, in which case the stream wraps around forever)."""
+        n = self.nframes
+        if repeat:
+            i = 0
+            while True:
+                idx = (np.arange(i, i + chunksize_frames) % max(n, 1))
+                yield pcm.tobytes(self.frames[idx].reshape(-1), self.samplewidth)
+                i = (i + chunksize_frames) % max(n, 1)
+        else:
+            for i in range(0, n, chunksize_frames):
+                yield pcm.tobytes(self.frames[i:i + chunksize_frames].reshape(-1),
+                                  self.samplewidth)
+
+
+def adsr_gains(n: int, samplerate: int, attack: float, decay: float,
+               sustain_level: float, release: float) -> np.ndarray:
+    """f32 ADSR gain curve over n samples (formula mirrored on device)."""
+    i = np.arange(n, dtype=np.float32)
+    t = i / np.float32(samplerate)
+    a = np.float32(max(attack, 0.0))
+    d = np.float32(max(decay, 0.0))
+    r = np.float32(max(release, 0.0))
+    s = np.float32(sustain_level)
+    dur = np.float32(n / samplerate)
+    g = np.ones_like(t)
+    if a > 0:
+        g = np.minimum(g, t / max(a, np.float32(1e-30)))
+    in_decay = (t >= a) & (t < a + d)
+    g = np.where(in_decay, np.float32(1.0) + (s - np.float32(1.0)) * (t - a) / max(d, np.float32(1e-30)), g)
+    g = np.where(t >= a + d, s, g)
+    in_rel = t >= dur - r
+    rel_gain = g * (dur - t) / max(r, np.float32(1e-30)) if r > 0 else g
+    g = np.where(in_rel, rel_gain, g)
+    return np.maximum(g, np.float32(0.0))
+
+
+def _modulator_gains(modulator, n: int) -> np.ndarray:
+    if isinstance(modulator, Sample):
+        g = modulator.frames[:, 0].astype(np.float32) / _f32(MAXVAL[modulator.samplewidth])
+    elif hasattr(modulator, "gains"):
+        g = np.asarray(modulator.gains(n), dtype=np.float32)
+    else:
+        g = np.asarray(modulator, dtype=np.float32)
+    if len(g) < n:
+        g = np.concatenate([g, np.ones(n - len(g), np.float32)])
+    return g[:n]
