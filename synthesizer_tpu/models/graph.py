@@ -1,0 +1,352 @@
+"""Device lowering of oscillator patch specs.
+
+Turns a ``models.spec`` patch tree into a single fused JAX step function
+
+    step(state, n0) -> (f32 values[blocksize], new_state)
+
+which renders one fixed-size block of samples at absolute offset ``n0``.
+Whole renders run the step under ``lax.scan`` in one jit (control on host,
+chunks on device — SURVEY.md §7); realtime streams call the jitted step
+block by block.  Results are block-size invariant by construction: phase
+accumulators and FM integrals are integer (wrapping u32), delay/echo tails
+are carried exactly, envelopes/LFOs are closed-form in the absolute sample
+index.
+
+This replaces the reference's per-sample Python generator DAG
+(``synthplayer/oscillators.py``, SURVEY.md §4.1 hot loop) with one compiled
+program per patch structure.  Numeric contract: ``goldref.osc``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Iterator, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import spec as S
+
+_TWO_PI = np.float32(2.0 * math.pi)
+_TWO_NEG32 = np.float32(2.0 ** -32)
+
+State = Any
+StepFn = Callable[[State, jax.Array], Tuple[jax.Array, State]]
+
+
+def _phase_x(p: jax.Array) -> jax.Array:
+    return p.astype(jnp.float32) * _TWO_NEG32
+
+
+def _triangle(x: jax.Array) -> jax.Array:
+    four = jnp.float32(4.0)
+    return jnp.where(x < 0.25, four * x,
+                     jnp.where(x < 0.75, jnp.float32(2.0) - four * x,
+                               four * x - four))
+
+
+def _noise_values(idx: jax.Array, seed: int) -> jax.Array:
+    x = idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + jnp.uint32(seed & 0xFFFFFFFF)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -23) - jnp.float32(1.0)
+
+
+def _wave_values(node: S.Osc, p: jax.Array, sr: int, n_abs: jax.Array,
+                 pwm_vals) -> jax.Array:
+    k = node.kind
+    if k == "sine":
+        return jnp.sin(_TWO_PI * _phase_x(p))
+    if k == "triangle":
+        return _triangle(_phase_x(p))
+    if k == "square":
+        return jnp.where(p < jnp.uint32(1 << 31), jnp.float32(1.0), jnp.float32(-1.0))
+    if k == "sawtooth":
+        return jnp.float32(2.0) * _phase_x(p) - jnp.float32(1.0)
+    if k == "pulse":
+        if pwm_vals is not None:
+            w = jnp.clip(pwm_vals, jnp.float32(1.0 / 65536.0),
+                         jnp.float32(1.0 - 1.0 / 65536.0))
+            wu = (w * jnp.float32(4294967296.0)).astype(jnp.uint32)
+        else:
+            w = min(max(node.pulse_width, 1.0 / 65536.0), 1.0 - 1.0 / 65536.0)
+            wu = jnp.uint32(int(np.float32(w) * 4294967296.0) & 0xFFFFFFFF)
+        return jnp.where(p < wu, jnp.float32(1.0), jnp.float32(-1.0))
+    if k == "square_h":
+        acc = jnp.zeros(p.shape, jnp.float32)
+        for i in range(node.num_harmonics):
+            kk = 2 * i + 1
+            pk = p * jnp.uint32(kk)
+            acc = acc + jnp.sin(_TWO_PI * _phase_x(pk)) / jnp.float32(kk)
+        return acc
+    if k == "sawtooth_h":
+        acc = jnp.zeros(p.shape, jnp.float32)
+        for kk in range(1, node.num_harmonics + 1):
+            pk = p * jnp.uint32(kk)
+            term = jnp.sin(_TWO_PI * _phase_x(pk)) / jnp.float32(kk)
+            acc = acc + (term if kk % 2 == 1 else -term)
+        return acc
+    if k == "harmonics":
+        acc = jnp.zeros(p.shape, jnp.float32)
+        for ratio, amp in node.harmonics:
+            if float(ratio).is_integer():
+                pk = p * jnp.uint32(int(ratio))
+                acc = acc + jnp.float32(amp) * jnp.sin(_TWO_PI * _phase_x(pk))
+            else:
+                acc = acc + jnp.float32(amp) * jnp.sin(
+                    _TWO_PI * (jnp.float32(ratio) * _phase_x(p)))
+        return acc
+    if k == "white_noise":
+        hold = max(1, int(round(sr / node.frequency))) if node.frequency > 0 else 1
+        idx = (n_abs // jnp.int32(hold)).astype(jnp.uint32)
+        return _noise_values(idx, node.seed)
+    if k == "semicircle":
+        x = _phase_x(p)
+        one = jnp.float32(1.0)
+        up = jnp.sqrt(jnp.maximum(jnp.float32(0.0),
+                                  one - (jnp.float32(4.0) * x - one) ** 2))
+        dn = -jnp.sqrt(jnp.maximum(jnp.float32(0.0),
+                                   one - (jnp.float32(4.0) * x - jnp.float32(3.0)) ** 2))
+        return jnp.where(x < 0.5, up, dn)
+    if k == "pointy":
+        t = _triangle(_phase_x(p))
+        return t * t * t
+    raise ValueError(f"unknown waveform {k}")
+
+
+def lower(node: S.Node, samplerate: int, blocksize: int) -> Tuple[State, StepFn]:
+    """Recursively lower a spec tree to (init_state, step)."""
+    B = blocksize
+
+    if isinstance(node, S.Const):
+        def step(state, n0):
+            return jnp.full((B,), jnp.float32(node.value)), state
+        return (), step
+
+    if isinstance(node, S.Linear):
+        def step(state, n0):
+            n = (n0 + jnp.arange(B, dtype=jnp.int32)).astype(jnp.float32)
+            v = jnp.float32(node.start) + n * jnp.float32(node.increase)
+            return jnp.clip(v, jnp.float32(node.min_value), jnp.float32(node.max_value)), state
+        return (), step
+
+    if isinstance(node, S.Osc):
+        inc0 = S.phase_increment(node.frequency, samplerate)
+        p0 = S.phase_offset(node.phase)
+        pwm_init, pwm_step = (None, None)
+        if node.kind == "pulse" and node.pwm_lfo is not None:
+            pwm_init, pwm_step = lower(node.pwm_lfo, samplerate, blocksize)
+
+        if node.fm_lfo is None:
+            def step(state, n0):
+                pwm_state = state
+                n = n0 + jnp.arange(B, dtype=jnp.int32)
+                p = jnp.uint32(p0) + n.astype(jnp.uint32) * jnp.uint32(inc0)
+                pwm_vals = None
+                if pwm_step is not None:
+                    pwm_vals, pwm_state = pwm_step(pwm_state, n0)
+                w = _wave_values(node, p, samplerate, n, pwm_vals)
+                out = jnp.float32(node.bias) + jnp.float32(node.amplitude) * w
+                return out, pwm_state
+            return (pwm_init if pwm_step is not None else ()), step
+
+        fm_init, fm_step = lower(node.fm_lfo, samplerate, blocksize)
+
+        def step(state, n0):
+            phase, fm_state, pwm_state = state
+            fm, fm_state = fm_step(fm_state, n0)
+            base = jnp.float32(np.float32(np.uint32(inc0)))
+            inc_f = base * (jnp.float32(1.0) + fm)
+            inc_f = jnp.clip(inc_f, jnp.float32(-(2**31 - 256)), jnp.float32(2**31 - 256))
+            inc = inc_f.astype(jnp.int32).astype(jnp.uint32)
+            csum = jnp.cumsum(inc)
+            p = phase + csum - inc            # exclusive cumsum
+            new_phase = phase + csum[-1]
+            n = n0 + jnp.arange(B, dtype=jnp.int32)
+            pwm_vals = None
+            if pwm_step is not None:
+                pwm_vals, pwm_state = pwm_step(pwm_state, n0)
+            w = _wave_values(node, p, samplerate, n, pwm_vals)
+            out = jnp.float32(node.bias) + jnp.float32(node.amplitude) * w
+            return out, (new_phase, fm_state, pwm_state)
+
+        init = (jnp.uint32(p0), fm_init, pwm_init if pwm_step is not None else ())
+        return init, step
+
+    if isinstance(node, S.Envelope):
+        src_init, src_step = lower(node.source, samplerate, blocksize)
+
+        def step(state, n0):
+            v, state = src_step(state, n0)
+            n = n0 + jnp.arange(B, dtype=jnp.int32)
+            g = envelope_gains_device(n, samplerate, node)
+            return v * g, state
+        return src_init, step
+
+    if isinstance(node, S.Mix):
+        lowered = [lower(s, samplerate, blocksize) for s in node.sources]
+
+        def step(state, n0):
+            acc = jnp.zeros((B,), jnp.float32)
+            new_states = []
+            for (_, st_fn), st in zip(lowered, state):
+                v, st2 = st_fn(st, n0)
+                acc = acc + v
+                new_states.append(st2)
+            return acc, tuple(new_states)
+        return tuple(init for init, _ in lowered), step
+
+    if isinstance(node, S.AmpMod):
+        a_init, a_step = lower(node.source, samplerate, blocksize)
+        m_init, m_step = lower(node.modulator, samplerate, blocksize)
+
+        def step(state, n0):
+            sa, sm = state
+            va, sa = a_step(sa, n0)
+            vm, sm = m_step(sm, n0)
+            return va * vm, (sa, sm)
+        return (a_init, m_init), step
+
+    if isinstance(node, S.Delay):
+        d = int(round(node.seconds * samplerate))
+        src_init, src_step = lower(node.source, samplerate, blocksize)
+        if d <= 0:
+            return src_init, src_step
+
+        def step(state, n0):
+            tail, sstate = state
+            v, sstate = src_step(sstate, n0)
+            buf = jnp.concatenate([tail, v])
+            return buf[:B], (buf[-d:], sstate)
+        return (jnp.zeros((d,), jnp.float32), src_init), step
+
+    if isinstance(node, S.Echo):
+        d_after = int(round(node.after * samplerate))
+        d_delay = int(round(node.delay * samplerate))
+        dmax = d_after + node.amount * d_delay
+        gains = []
+        g = 1.0
+        for _ in range(node.amount):
+            g *= node.decay
+            gains.append(np.float32(g))
+        src_init, src_step = lower(node.source, samplerate, blocksize)
+        if dmax <= 0:
+            return src_init, src_step
+
+        def step(state, n0):
+            tail, sstate = state
+            v, sstate = src_step(sstate, n0)
+            buf = jnp.concatenate([tail, v])       # [dmax + B]
+            out = v
+            for k, gk in enumerate(gains, start=1):
+                dk = d_after + k * d_delay
+                out = out + jnp.float32(gk) * jax.lax.dynamic_slice_in_dim(
+                    buf, dmax - dk, B)
+            return out, (buf[-dmax:], sstate)
+        return (jnp.zeros((dmax,), jnp.float32), src_init), step
+
+    if isinstance(node, S.Clip):
+        src_init, src_step = lower(node.source, samplerate, blocksize)
+
+        def step(state, n0):
+            v, state = src_step(state, n0)
+            return jnp.clip(v, jnp.float32(node.minimum), jnp.float32(node.maximum)), state
+        return src_init, step
+
+    if isinstance(node, S.Abs):
+        src_init, src_step = lower(node.source, samplerate, blocksize)
+
+        def step(state, n0):
+            v, state = src_step(state, n0)
+            return jnp.abs(v), state
+        return src_init, step
+
+    if isinstance(node, S.Null):
+        return lower(node.source, samplerate, blocksize)
+
+    raise TypeError(f"unknown spec node {type(node)}")
+
+
+def envelope_gains_device(n: jax.Array, samplerate: int, e: S.Envelope) -> jax.Array:
+    t = n.astype(jnp.float32) / jnp.float32(samplerate)
+    a = np.float32(max(e.attack, 0.0))
+    d = np.float32(max(e.decay, 0.0))
+    s = np.float32(max(e.sustain, 0.0))
+    r = np.float32(max(e.release, 0.0))
+    sl = np.float32(e.sustain_level)
+    t2, t3, t4 = a + d, a + d + s, a + d + s + r
+    g = jnp.where(t < a, t / max(a, np.float32(1e-30)),
+        jnp.where(t < t2, jnp.float32(1.0) + (sl - np.float32(1.0)) * (t - a) / max(d, np.float32(1e-30)),
+        jnp.where(t < t3, sl,
+        jnp.where(t < t4, sl * (t4 - t) / max(r, np.float32(1e-30)),
+                  jnp.float32(0.0)))))
+    return jnp.maximum(g, jnp.float32(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Whole-patch rendering
+# ---------------------------------------------------------------------------
+
+_render_cache: dict = {}
+
+
+def render_patch(node: S.Node, nsamples: int, samplerate: int,
+                 blocksize: int = 8192) -> jax.Array:
+    """Render samples [0, nsamples) of a patch on device -> f32[nsamples].
+
+    One jitted scan over fixed-size blocks; compiled once per
+    (patch structure, nsamples, samplerate, blocksize).
+    """
+    key = (node, nsamples, samplerate, blocksize)
+    fn = _render_cache.get(key)
+    if fn is None:
+        nblocks = -(-nsamples // blocksize)
+        init, step = lower(node, samplerate, blocksize)
+
+        @jax.jit
+        def fn():
+            def body(carry, i):
+                v, carry = step(carry, i * blocksize)
+                return carry, v
+            _, out = jax.lax.scan(body, init, jnp.arange(nblocks, dtype=jnp.int32))
+            return out.reshape(-1)[:nsamples]
+        _render_cache[key] = fn
+    else:
+        pass
+    return _render_cache[key]()
+
+
+def block_stream(node: S.Node, samplerate: int,
+                 blocksize: int = 512) -> Iterator[np.ndarray]:
+    """Host generator of f32 blocks (the reference's ``Oscillator.blocks()``
+    pull model): device renders block k while the host consumes block k-1."""
+    init, step = lower(node, samplerate, blocksize)
+    jstep = jax.jit(step)
+    state = init
+    n0 = 0
+    pending = None
+    while True:
+        vals, state = jstep(state, jnp.int32(n0))
+        n0 += blocksize
+        if pending is not None:
+            yield np.asarray(pending)
+        pending = vals
+
+
+def to_int_device(values: jax.Array, samplewidth: int) -> jax.Array:
+    """f32 [-1,1] -> int samples: clip(rint(v * maxval)) (nearest-even)."""
+    maxval = {1: 127.0, 2: 32767.0, 4: 2147483647.0}[samplewidth]
+    dt = {1: jnp.int8, 2: jnp.int16, 4: jnp.int32}[samplewidth]
+    v = jnp.rint(values * jnp.float32(maxval))
+    if samplewidth == 4:
+        hi = jnp.float32(2147483648.0)
+        return jnp.where(v >= hi, jnp.int32(2**31 - 1),
+                         jnp.where(v < -hi, jnp.int32(-2**31),
+                                   jnp.clip(v, -hi, hi - 128).astype(jnp.int32)))
+    return jnp.clip(v, {1: -128, 2: -32768}[samplewidth],
+                    {1: 127, 2: 32767}[samplewidth]).astype(dt)

@@ -1,0 +1,297 @@
+"""User-facing oscillator graph — API parity with the reference.
+
+Rebuild of ``synthplayer/oscillators.py`` (SURVEY.md §3.1 row 4): every
+oscillator/filter is an object whose ``blocks()`` method yields fixed-size
+blocks of float samples, and modulators/filters wrap other oscillators, so a
+patch is a DAG.  Unlike the reference's per-sample Python generators, these
+classes are thin declarative shells: constructing one just builds a
+``models.spec`` node, and ``blocks()`` lowers the whole patch DAG to a single
+fused device program (``models.graph``) that renders a block per step.
+
+The ``Fast*`` variants exist in the reference because its modulatable path
+was slow; here the no-modulation case automatically uses closed-form phase,
+so they are exact aliases kept for API compatibility.
+
+Blocks are numpy float32 arrays (the reference yielded Python lists; arrays
+are a strict superset for every documented use).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import params
+from .models import graph as G
+from .models import spec as S
+
+__all__ = [
+    "Oscillator", "Sine", "Triangle", "Square", "SquareH", "Sawtooth",
+    "SawtoothH", "Pulse", "Harmonics", "WhiteNoise", "Linear", "Semicircle",
+    "Pointy", "FastSine", "FastTriangle", "FastSquare", "FastSawtooth",
+    "FastPulse", "FastSemicircle", "FastPointy", "EnvelopeFilter",
+    "MixingFilter", "AmpModulationFilter", "DelayFilter", "EchoFilter",
+    "ClipFilter", "AbsFilter", "NullFilter",
+]
+
+
+class Oscillator:
+    """Base: a declarative patch node bound to a samplerate."""
+
+    def __init__(self, spec_node: S.Node, samplerate: int):
+        self.spec = spec_node
+        self.samplerate = int(samplerate)
+
+    def blocks(self, blocksize: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Yield successive float32 blocks of samples (endless)."""
+        bs = blocksize or params.norm_osc_blocksize
+        yield from G.block_stream(self.spec, self.samplerate, bs)
+
+    def render(self, nsamples: int, blocksize: int = 8192):
+        """Render the first ``nsamples`` on device -> f32 jax array."""
+        return G.render_patch(self.spec, nsamples, self.samplerate, blocksize)
+
+    # Sample.modulate_amp / Sample.pan(lfo=...) hook
+    def gains(self, nsamples: int):
+        return self.render(nsamples)
+
+    @property
+    def duration(self) -> Optional[float]:
+        """Finite length in seconds if the patch self-terminates, else None."""
+        end = _end_time(self.spec)
+        return end
+
+    def __iter__(self):
+        return self.blocks()
+
+
+def _end_time(node: S.Node) -> Optional[float]:
+    if isinstance(node, S.Envelope):
+        if node.stop_at_end:
+            return node.end_time
+        return _end_time(node.source)
+    for attr in ("source",):
+        if hasattr(node, attr):
+            return _end_time(getattr(node, attr))
+    if isinstance(node, S.Mix):
+        ends = [_end_time(s) for s in node.sources]
+        ends = [e for e in ends if e is not None]
+        return max(ends) if ends else None
+    return None
+
+
+def _sr(samplerate: Optional[int]) -> int:
+    return samplerate or params.norm_samplerate
+
+
+def _child(osc) -> Optional[S.Node]:
+    if osc is None:
+        return None
+    if isinstance(osc, Oscillator):
+        return osc.spec
+    return osc  # already a spec node
+
+
+# ---------------------------------------------------------------------------
+# Waveform oscillators
+# ---------------------------------------------------------------------------
+
+class Sine(Oscillator):
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("sine", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo)), _sr(samplerate))
+
+
+class Triangle(Oscillator):
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("triangle", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo)), _sr(samplerate))
+
+
+class Square(Oscillator):
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("square", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo)), _sr(samplerate))
+
+
+class Sawtooth(Oscillator):
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("sawtooth", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo)), _sr(samplerate))
+
+
+class SquareH(Oscillator):
+    """Square from odd-harmonic additive synthesis (bandlimited-ish)."""
+    def __init__(self, frequency: float, num_harmonics: int = 16,
+                 amplitude: float = 1.0, phase: float = 0.0, bias: float = 0.0,
+                 fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("square_h", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo), num_harmonics=num_harmonics),
+                         _sr(samplerate))
+
+
+class SawtoothH(Oscillator):
+    """Sawtooth from harmonic additive synthesis."""
+    def __init__(self, frequency: float, num_harmonics: int = 16,
+                 amplitude: float = 1.0, phase: float = 0.0, bias: float = 0.0,
+                 fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("sawtooth_h", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo), num_harmonics=num_harmonics),
+                         _sr(samplerate))
+
+
+class Pulse(Oscillator):
+    """Pulse/PWM oscillator; ``pwm_lfo`` values (0..1) drive the duty cycle."""
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, pulse_width: float = 0.1,
+                 fm_lfo: Optional[Oscillator] = None,
+                 pwm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("pulse", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo), pwm_lfo=_child(pwm_lfo),
+                               pulse_width=pulse_width), _sr(samplerate))
+
+
+class Harmonics(Oscillator):
+    """Arbitrary partial list: harmonics = [(ratio, amplitude), ...]."""
+    def __init__(self, frequency: float,
+                 harmonics: Sequence[Tuple[float, float]],
+                 amplitude: float = 1.0, phase: float = 0.0, bias: float = 0.0,
+                 fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("harmonics", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo),
+                               harmonics=tuple((float(r), float(a)) for r, a in harmonics)),
+                         _sr(samplerate))
+
+
+class WhiteNoise(Oscillator):
+    """Sample-and-hold white noise; a new random value ``frequency`` times/s."""
+    def __init__(self, frequency: float = 0.0, amplitude: float = 1.0,
+                 bias: float = 0.0, seed: int = 0,
+                 samplerate: Optional[int] = None):
+        sr = _sr(samplerate)
+        super().__init__(S.Osc("white_noise", frequency or sr, amplitude,
+                               0.0, bias, seed=seed), sr)
+
+
+class Semicircle(Oscillator):
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("semicircle", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo)), _sr(samplerate))
+
+
+class Pointy(Oscillator):
+    """Cubed-triangle 'pointy' wave."""
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("pointy", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo)), _sr(samplerate))
+
+
+class Linear(Oscillator):
+    """Ramp LFO: start + n*increase, clipped to [min_value, max_value]."""
+    def __init__(self, start: float, increase: float = 0.0,
+                 min_value: float = -1.0e6, max_value: float = 1.0e6,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Linear(start, increase, min_value, max_value),
+                         _sr(samplerate))
+
+
+# Fast* variants: in the reference these are the non-modulatable fast paths;
+# here the engine picks closed-form phase automatically, so they are aliases.
+FastSine = Sine
+FastTriangle = Triangle
+FastSquare = Square
+FastSawtooth = Sawtooth
+FastPulse = Pulse
+FastSemicircle = Semicircle
+FastPointy = Pointy
+
+
+# ---------------------------------------------------------------------------
+# Filter / wrapper oscillators
+# ---------------------------------------------------------------------------
+
+class EnvelopeFilter(Oscillator):
+    """ADSR envelope around a source (sustain is a duration; with
+    ``stop_at_end`` the block stream terminates after the release)."""
+    def __init__(self, source: Oscillator, attack: float, decay: float,
+                 sustain: float, sustain_level: float, release: float,
+                 stop_at_end: bool = False):
+        super().__init__(S.Envelope(source.spec, attack, decay, sustain,
+                                    sustain_level, release, stop_at_end),
+                         source.samplerate)
+
+    def blocks(self, blocksize: Optional[int] = None) -> Iterator[np.ndarray]:
+        bs = blocksize or params.norm_osc_blocksize
+        node = self.spec
+        stream = G.block_stream(node, self.samplerate, bs)
+        if not node.stop_at_end:
+            yield from stream
+            return
+        total = int(node.end_time * self.samplerate) + 1
+        for i, block in enumerate(stream):
+            if i * bs >= total:
+                return
+            yield block
+
+
+class MixingFilter(Oscillator):
+    """Sum any number of sources."""
+    def __init__(self, *sources: Oscillator):
+        assert sources
+        super().__init__(S.Mix(tuple(s.spec for s in sources)),
+                         sources[0].samplerate)
+
+
+class AmpModulationFilter(Oscillator):
+    """Ring/amplitude modulation: source * modulator."""
+    def __init__(self, source: Oscillator, modulator: Oscillator):
+        super().__init__(S.AmpMod(source.spec, modulator.spec), source.samplerate)
+
+
+class DelayFilter(Oscillator):
+    """Time-shift the source later by ``seconds`` (zeros before)."""
+    def __init__(self, source: Oscillator, seconds: float):
+        super().__init__(S.Delay(source.spec, seconds), source.samplerate)
+
+
+class EchoFilter(Oscillator):
+    """Feed-forward echos: ``amount`` copies, first after ``after`` seconds,
+    then every ``delay`` seconds, each attenuated by ``decay``."""
+    def __init__(self, source: Oscillator, after: float, amount: int,
+                 delay: float, decay: float):
+        super().__init__(S.Echo(source.spec, after, amount, delay, decay),
+                         source.samplerate)
+
+
+class ClipFilter(Oscillator):
+    def __init__(self, source: Oscillator, minimum: float = -1.0,
+                 maximum: float = 1.0):
+        super().__init__(S.Clip(source.spec, minimum, maximum), source.samplerate)
+
+
+class AbsFilter(Oscillator):
+    def __init__(self, source: Oscillator):
+        super().__init__(S.Abs(source.spec), source.samplerate)
+
+
+class NullFilter(Oscillator):
+    def __init__(self, source: Oscillator):
+        super().__init__(S.Null(source.spec), source.samplerate)
