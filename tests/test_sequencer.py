@@ -1,0 +1,133 @@
+"""Sequencer: batched device mixdown vs the oracle's per-hit mix_at loop
+(the reference algorithm, SURVEY.md §4.2), plus .ini parsing and streaming
+== offline invariance.  Covers benchmark config 3's op set.
+"""
+
+import numpy as np
+import pytest
+
+import goldref.sample as gs
+from synthesizer_tpu import Sample, WaveSynth
+from synthesizer_tpu.sequencer import Song
+
+SR = 44100
+
+
+def make_instruments():
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    kick = synth.sine(60.0, 0.12, amplitude=0.9).fadeout(0.08).stereo()
+    snare = synth.white_noise(duration=0.08, amplitude=0.5, seed=3).fadeout(0.05).stereo()
+    hat = synth.white_noise(duration=0.03, amplitude=0.3, seed=4).fadeout(0.02).stereo()
+    bass = synth.triangle(110.0, 0.2, amplitude=0.7).fadeout(0.15).stereo()
+    return {"kick": kick, "snare": snare, "hat": hat, "bass": bass}
+
+
+def make_song():
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    for name, smp in make_instruments().items():
+        song.add_instrument(name, smp)
+    song.add_pattern("a", {
+        "kick":  "x... x... x... x...",
+        "snare": ".... x... .... x...",
+        "hat":   "x.x. x.x. x.x. x.x.",
+        "bass":  "x... .... ..x. ....",
+    })
+    song.add_pattern("b", {
+        "kick":  "x.x. x... x.x. x...",
+        "hat":   "xxxx xxxx xxxx xxxx",
+    })
+    song.pattern_sequence = ["a", "b", "a"]
+    return song
+
+
+def oracle_mix(song: Song, total_frames: int) -> np.ndarray:
+    """Reference algorithm: widened per-hit mix_at loop via goldref."""
+    out = gs.Sample(np.zeros((total_frames, 2), np.int32), SR, 4, 2)
+    sched = song.compile_schedule()
+    for inst_i, start in sched.hits:
+        arr = song.instruments[sched.instruments[inst_i]].get_frame_array()
+        g = gs.Sample(arr.astype(np.int32), SR, 4, 2)
+        out.mix_at(start / SR, g, pad_shortest=False)
+    return out.frames
+
+
+def test_mix_matches_oracle_loop():
+    song = make_song()
+    mixed = song.mix(normalize=False)
+    want32 = oracle_mix(song, mixed.nframes)
+    want = np.clip(want32, -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(mixed.get_frame_array(), want)
+
+
+def test_mix_normalized_full_scale():
+    song = make_song()
+    mixed = song.mix(normalize=True)
+    assert mixed.samplewidth == 2
+    peak = np.abs(mixed.get_frame_array().astype(np.int64)).max()
+    assert peak >= 32000  # amplified to (near) full scale
+
+
+def test_streaming_equals_offline():
+    song = make_song()
+    offline = song.mix(normalize=False)
+    chunks = [c.get_frame_array() for c in song.mix_generator(chunk_frames=1000)]
+    got = np.concatenate(chunks)
+    want = offline.get_frame_array()[:len(got)]
+    np.testing.assert_array_equal(got, want)
+    assert abs(len(got) - song.compile_schedule().total_frames) < 1000
+
+
+def test_ini_roundtrip(tmp_path):
+    instdir = tmp_path / "samples"
+    instdir.mkdir()
+    for name, smp in make_instruments().items():
+        smp.write_wav(str(instdir / f"{name}.wav"))
+    ini = tmp_path / "song.ini"
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a b a
+
+[paths]
+samples = samples/
+
+[instruments]
+kick = kick.wav
+snare = snare.wav
+hat = hat.wav
+bass = bass.wav
+
+[pattern.a]
+kick  = x... x... x... x...
+snare = .... x... .... x...
+hat   = x.x. x.x. x.x. x.x.
+bass  = x... .... ..x. ....
+
+[pattern.b]
+kick = x.x. x... x.x. x...
+hat  = xxxx xxxx xxxx xxxx
+""")
+    song = Song.from_ini(str(ini))
+    assert song.bpm == 240 and song.pattern_sequence == ["a", "b", "a"]
+    ref = make_song().mix(normalize=False)
+    got = song.mix(normalize=False)
+    np.testing.assert_array_equal(got.get_frame_array(), ref.get_frame_array())
+
+
+def test_config3_sixteen_track_mixdown():
+    """Benchmark config 3: 16-track mixdown exercising mix/mix_at +
+    resample/amplify/fadein/fadeout ops."""
+    synth = WaveSynth(samplerate=22050, samplewidth=2)
+    total = Sample.from_raw_frames(b"", 2, SR, 2)
+    last_len = 0
+    for t in range(16):
+        s = synth.sine(100.0 + 50 * t, 0.25, amplitude=0.4)
+        s.resample(SR).amplify(0.5 + 0.02 * t).fadein(0.02).fadeout(0.05).stereo()
+        last_len = s.nframes
+        total.mix_at(0.05 * t, s)
+    assert total.nframes == int(0.05 * 15 * SR) + last_len
+    a = total.get_frame_array().astype(np.int64)
+    assert a.max() <= 32767 and a.min() >= -32768  # saturating mix stayed in range

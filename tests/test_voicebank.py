@@ -1,0 +1,114 @@
+"""VoiceBank batched render vs per-patch oracle rendering.
+
+Each bank voice must match the equivalent single-patch spec (rendered by the
+goldref oracle) within 1 LSB at 16-bit; the bank's stereo mixdown must match
+the sum of individually rendered voices; chunking must not affect output.
+"""
+
+import numpy as np
+import pytest
+
+import goldref.osc as go
+from synthesizer_tpu.models import spec as S
+from synthesizer_tpu.models.voicebank import Voice, VoiceBank, pack_voices
+
+SR = 44100
+
+
+def oracle_voice(v: Voice, n: int) -> np.ndarray:
+    """Render one Voice via the oracle spec graph -> stereo f32 [n, 2]."""
+    # fm=None for fm_depth==0: the bank uses the exact closed-form phase for
+    # unmodulated voices (Const(0) would force the f32-rounded increment path)
+    fm = None
+    if v.fm_depth != 0.0:
+        fm = S.Osc("sine", v.fm_frequency, amplitude=v.fm_depth, phase=v.fm_phase)
+    kw = {}
+    if v.wave == "pulse":
+        kw["pulse_width"] = v.pulse_width
+    if v.wave == "harmonics":
+        kw["harmonics"] = tuple((float(i + 1), float(a)) for i, a in enumerate(v.harmonics))
+    if v.wave == "white_noise":
+        kw["seed"] = v.seed
+        osc = S.Osc(v.wave, SR, v.amplitude, v.phase, v.bias, **kw)
+    else:
+        osc = S.Osc(v.wave, v.frequency, v.amplitude, v.phase, v.bias,
+                    fm_lfo=fm, **kw)
+    gate = int(v.duration * SR) / SR
+    sus = max(gate - v.attack - v.decay, 0.0)
+    env = S.Envelope(osc, v.attack, v.decay, sus, v.sustain_level, v.release)
+    mono = go.render_oracle(env, n, SR)
+    total = v.attack + v.decay + sus + v.release
+    t = np.arange(n) / SR
+    mono = np.where(t < total, mono, 0.0).astype(np.float32)
+    lg = np.float32(min(1.0, 1.0 - v.pan))
+    rg = np.float32(min(1.0, 1.0 + v.pan))
+    return np.stack([mono * lg, mono * rg], axis=1)
+
+
+VOICES = [
+    Voice("sine", 440.0, amplitude=0.3, pan=-0.5, duration=0.3),
+    Voice("triangle", 220.0, amplitude=0.25, pan=0.5, duration=0.3, phase=0.2),
+    Voice("square", 110.0, amplitude=0.2, duration=0.25),
+    Voice("sawtooth", 330.0, amplitude=0.2, duration=0.25, pan=0.3),
+    Voice("pulse", 165.0, amplitude=0.2, pulse_width=0.3, duration=0.3),
+    Voice("semicircle", 550.0, amplitude=0.2, duration=0.2),
+    Voice("pointy", 660.0, amplitude=0.2, duration=0.2, pan=-0.2),
+    Voice("sine", 880.0, amplitude=0.3, fm_frequency=6.0, fm_depth=0.02,
+          duration=0.3),
+    Voice("harmonics", 110.0, amplitude=0.3, harmonics=[1.0, 0.5, 0.25, 0.125],
+          duration=0.3),
+    Voice("white_noise", 0.0, amplitude=0.15, duration=0.2, seed=9),
+]
+
+
+def test_bank_matches_oracle_sum():
+    n = SR // 4
+    vp = pack_voices(VOICES, SR, num_harmonics=8)
+    bank = VoiceBank(vp.base_inc.shape[0], SR, chunk_frames=2048, num_harmonics=8)
+    got = np.asarray(bank.render_song(vp, n))
+    want = np.zeros((n, 2), np.float32)
+    for v in VOICES:
+        want = want + oracle_voice(v, n)
+    got16 = np.clip(np.rint(got * 32767.0), -32768, 32767)
+    want16 = np.clip(np.rint(want * 32767.0), -32768, 32767)
+    d = np.abs(got16 - want16).max()
+    assert d <= len(VOICES), f"max diff {d}"  # <=1 LSB per voice before the sum
+
+
+def test_bank_chunk_invariance():
+    vp = pack_voices(VOICES, SR, num_harmonics=8)
+    n = 12000
+    a = np.asarray(VoiceBank(0, SR, chunk_frames=512, num_harmonics=8).render_song(vp, n))
+    b = np.asarray(VoiceBank(0, SR, chunk_frames=4096, num_harmonics=8).render_song(vp, n))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bank_streaming_matches_offline():
+    vp = pack_voices(VOICES, SR, num_harmonics=8)
+    bank = VoiceBank(0, SR, chunk_frames=1024, num_harmonics=8)
+    off = np.asarray(bank.render_song(vp, 8 * 1024))
+    carry = bank.init_carry(vp)
+    outs = []
+    for i in range(8):
+        stereo, carry = bank.render_chunk(vp, carry, i * 1024)
+        outs.append(np.asarray(stereo))
+    np.testing.assert_array_equal(np.concatenate(outs), off)
+
+
+def test_start_offset_and_silence_before():
+    v = [Voice("sine", 440.0, amplitude=0.5, start=0.1, duration=0.1)]
+    vp = pack_voices(v, SR)
+    bank = VoiceBank(0, SR, chunk_frames=1024)
+    out = np.asarray(bank.render_song(vp, SR // 2))
+    pre = out[:int(0.1 * SR) - 1]
+    assert np.abs(pre).max() == 0.0
+    active = out[int(0.11 * SR):int(0.15 * SR)]
+    assert np.abs(active).max() > 0.1
+
+
+def test_to_int16_saturates():
+    bank = VoiceBank(0, SR)
+    x = np.array([[2.0, -2.0], [0.5, -0.5]], np.float32)
+    y = np.asarray(bank.to_int16(x))
+    assert y[0, 0] == 32767 and y[0, 1] == -32768
+    assert y[1, 0] == 16384 or y[1, 0] == 16383  # rint(16383.5) even -> 16384
