@@ -15,3 +15,8 @@ from . import params  # noqa: F401
 from .sample import Sample, LevelMeter  # noqa: F401
 from .synth import WaveSynth, key_freq, note_freq  # noqa: F401
 from . import oscillators  # noqa: F401
+from .playback import Output, RealTimeMixer  # noqa: F401
+from .streaming import (AudiofileToWavStream, SampleStream,  # noqa: F401
+                        StreamMixer, VolumeFilter, EndlessFramesFilter)
+from .sequencer import Song  # noqa: F401
+from .models.voicebank import Voice, VoiceBank, pack_voices  # noqa: F401

@@ -1,0 +1,294 @@
+"""Streaming layer: decode, chunked sample streams, realtime stream mixing.
+
+Rebuild of ``synthplayer/streaming.py`` (SURVEY.md §3.1 row 7, §4.4):
+
+* ``AudiofileToWavStream`` — decode any audio file to a PCM WAV pipe.  WAV
+  (and raw PCM) files stream natively; other formats spawn an ffmpeg (or
+  oggdec) subprocess when the binary exists — this machine has neither
+  (SURVEY.md §8), so the subprocess path is present but exercised only when
+  available.
+* ``SampleStream`` — iterate a WAV stream as fixed-size device Samples.
+* ``EndlessFramesFilter`` — pad a finished stream with endless silence.
+* ``VolumeFilter`` — per-stream volume (device amplify per chunk).
+* ``StreamMixer`` — mix N live streams into timestamped chunks in realtime
+  (the jukebox crossfade engine); chunk addition runs on device.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+import subprocess
+import wave
+from typing import BinaryIO, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from . import params
+from .sample import Sample
+
+__all__ = ["AudiofileToWavStream", "SampleStream", "EndlessFramesFilter",
+           "VolumeFilter", "StreamMixer", "StreamingError"]
+
+
+class StreamingError(Exception):
+    pass
+
+
+def _ffmpeg_path() -> Optional[str]:
+    return shutil.which("ffmpeg")
+
+
+def _ffprobe_path() -> Optional[str]:
+    return shutil.which("ffprobe")
+
+
+class AudiofileToWavStream(io.RawIOBase):
+    """Read any audio file as a WAV stream of normalized PCM.
+
+    WAV files in the target format pass through; other WAVs are converted
+    in-memory (via Sample); everything else is piped through ffmpeg/oggdec
+    when present (``ffprobe_info`` exposes the probe result).
+    """
+
+    def __init__(self, filename: str, samplerate: int = 0, nchannels: int = 0,
+                 samplewidth: int = 0, hqresample: bool = True,
+                 startfrom: float = 0.0, duration: float = 0.0):
+        super().__init__()
+        self.filename = filename
+        self.samplerate = samplerate or params.norm_samplerate
+        self.nchannels = nchannels or params.norm_nchannels
+        self.samplewidth = samplewidth or params.norm_samplewidth
+        self.hqresample = hqresample
+        self.startfrom = startfrom
+        self.duration = duration
+        self._stream: Optional[BinaryIO] = None
+        self._proc: Optional[subprocess.Popen] = None
+        self.format_probe = None
+        if filename.lower().endswith((".wav", ".wave")):
+            self._open_wav()
+        else:
+            self._open_ffmpeg()
+
+    def _target_format_ok(self, w: wave.Wave_read) -> bool:
+        return (w.getframerate() == self.samplerate
+                and w.getnchannels() == self.nchannels
+                and w.getsampwidth() == self.samplewidth
+                and not self.startfrom and not self.duration)
+
+    def _open_wav(self) -> None:
+        with wave.open(self.filename, "rb") as w:
+            ok = self._target_format_ok(w)
+        if ok:
+            self._stream = open(self.filename, "rb")
+            return
+        # normalize via the device Sample pipeline, emit an in-memory WAV
+        smp = Sample(wave_file=self.filename)
+        if self.startfrom or self.duration:
+            end = (self.startfrom + self.duration) if self.duration else smp.duration
+            smp.clip(self.startfrom, end)
+        smp.resample(self.samplerate)
+        if self.samplewidth != smp.samplewidth:
+            if self.samplewidth == 2:
+                smp.make_16bit(maximize_amplitude=False)
+            else:
+                smp.make_32bit(scale_amplitude=True)
+        if self.nchannels == 2:
+            smp.stereo()
+        elif self.nchannels == 1 and smp.nchannels == 2:
+            smp.mono()
+        bio = io.BytesIO()
+        smp.write_wav(bio)
+        bio.seek(0)
+        self._stream = bio
+
+    def _open_ffmpeg(self) -> None:
+        ffmpeg = _ffmpeg_path()
+        if ffmpeg is None:
+            raise StreamingError(
+                f"cannot decode {self.filename!r}: no ffmpeg available "
+                "and file is not WAV")
+        if _ffprobe_path():
+            try:
+                out = subprocess.run(
+                    [_ffprobe_path(), "-v", "quiet", "-print_format", "json",
+                     "-show_format", "-show_streams", self.filename],
+                    capture_output=True, check=True).stdout
+                self.format_probe = json.loads(out)
+            except Exception:
+                self.format_probe = None
+        codec = {1: "pcm_u8", 2: "pcm_s16le", 4: "pcm_s32le"}[self.samplewidth]
+        cmd = [ffmpeg, "-v", "quiet"]
+        if self.startfrom:
+            cmd += ["-ss", str(self.startfrom)]
+        cmd += ["-i", self.filename]
+        if self.duration:
+            cmd += ["-t", str(self.duration)]
+        cmd += ["-ar", str(self.samplerate), "-ac", str(self.nchannels),
+                "-acodec", codec, "-f", "wav", "-"]
+        self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+        self._stream = self._proc.stdout
+
+    def read(self, size: int = -1) -> bytes:
+        return self._stream.read(size)
+
+    def readable(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        if self._stream is not None:
+            self._stream.close()
+        if self._proc is not None:
+            self._proc.terminate()
+            self._proc.wait()
+        super().close()
+
+
+class SampleStream:
+    """Iterate a WAV stream (or file) as fixed-size Samples.
+
+    The WAV header is parsed once; chunks become device-resident Samples.
+    """
+
+    def __init__(self, wav_stream: Union[str, BinaryIO, AudiofileToWavStream],
+                 frames_per_chunk: int = 0):
+        self.frames_per_chunk = frames_per_chunk or params.norm_frames_per_chunk
+        self._own = isinstance(wav_stream, str)
+        self._wav = wave.open(wav_stream, "rb")
+        self.samplerate = self._wav.getframerate()
+        self.nchannels = self._wav.getnchannels()
+        self.samplewidth = self._wav.getsampwidth()
+
+    def __iter__(self) -> Iterator[Sample]:
+        return self
+
+    def __next__(self) -> Sample:
+        frames = self._wav.readframes(self.frames_per_chunk)
+        if not frames:
+            raise StopIteration
+        return Sample.from_raw_frames(frames, self.samplewidth,
+                                      self.samplerate, self.nchannels)
+
+    def close(self) -> None:
+        self._wav.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class EndlessFramesFilter:
+    """Wrap a sample stream so it yields silence chunks forever after the
+    source ends (keeps StreamMixer timing alive)."""
+
+    def __init__(self, stream: Iterator[Sample], frames_per_chunk: int = 0,
+                 samplerate: int = 0, nchannels: int = 0, samplewidth: int = 0):
+        self.stream = stream
+        self.frames_per_chunk = frames_per_chunk or params.norm_frames_per_chunk
+        self.samplerate = samplerate or getattr(stream, "samplerate", params.norm_samplerate)
+        self.nchannels = nchannels or getattr(stream, "nchannels", params.norm_nchannels)
+        self.samplewidth = samplewidth or getattr(stream, "samplewidth", params.norm_samplewidth)
+        self._ended = False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Sample:
+        if not self._ended:
+            try:
+                return next(self.stream)
+            except StopIteration:
+                self._ended = True
+        n = self.frames_per_chunk * self.nchannels
+        silence = np.zeros(n, dtype={1: np.int8, 2: np.int16, 4: np.int32}[self.samplewidth])
+        return Sample.from_raw_frames(silence.tobytes(), self.samplewidth,
+                                      self.samplerate, self.nchannels)
+
+
+class VolumeFilter:
+    """Per-stream volume: device amplify on every chunk."""
+
+    def __init__(self, stream: Iterator[Sample], volume: float = 1.0):
+        self.stream = stream
+        self.volume = volume
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Sample:
+        return next(self.stream).amplify(self.volume)
+
+
+class StreamMixer:
+    """Mix N live sample streams into timestamped chunks in realtime.
+
+    Yields ``(timestamp_seconds, Sample)`` tuples; streams can be added and
+    removed while running (two-deck crossfading, SURVEY.md §4.4).  All
+    stream chunks must share the normalized format.
+    """
+
+    def __init__(self, streams: List[Iterator[Sample]] = (),
+                 endless: bool = False, samplerate: int = 0, nchannels: int = 0,
+                 samplewidth: int = 0, frames_per_chunk: int = 0):
+        self.samplerate = samplerate or params.norm_samplerate
+        self.nchannels = nchannels or params.norm_nchannels
+        self.samplewidth = samplewidth or params.norm_samplewidth
+        self.frames_per_chunk = frames_per_chunk or params.norm_frames_per_chunk
+        self.endless = endless
+        self.timestamp = 0.0
+        self._streams: List[Iterator[Sample]] = []
+        for s in streams:
+            self.add_stream(s)
+
+    def add_stream(self, stream: Iterator[Sample], endless: bool = False):
+        if endless:
+            stream = EndlessFramesFilter(stream, self.frames_per_chunk,
+                                         self.samplerate, self.nchannels,
+                                         self.samplewidth)
+        self._streams.append(stream)
+        return stream
+
+    def remove_stream(self, stream) -> None:
+        if stream in self._streams:
+            self._streams.remove(stream)
+
+    def close(self) -> None:
+        for s in list(self._streams):
+            closer = getattr(s, "close", None)
+            if closer:
+                closer()
+        self._streams.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self) -> Iterator[Tuple[float, Sample]]:
+        chunk_dur = self.frames_per_chunk / self.samplerate
+        while self.endless or self._streams:
+            mixed: Optional[Sample] = None
+            for stream in list(self._streams):
+                try:
+                    chunk = next(stream)
+                except StopIteration:
+                    self.remove_stream(stream)
+                    continue
+                if chunk.nframes < self.frames_per_chunk:
+                    chunk.add_silence(
+                        (self.frames_per_chunk - chunk.nframes) / self.samplerate)
+                if mixed is None:
+                    mixed = chunk.copy()
+                else:
+                    mixed.mix(chunk)
+            if mixed is None:
+                z = np.zeros(self.frames_per_chunk * self.nchannels, np.int16)
+                mixed = Sample.from_raw_frames(z.tobytes(), self.samplewidth,
+                                               self.samplerate, self.nchannels)
+            yield self.timestamp, mixed
+            self.timestamp += chunk_dur
