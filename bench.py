@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Benchmark: 64-voice stereo song mixdown on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": realtime_factor, "unit": "x_realtime",
+   "vs_baseline": ..., plus secondary fields}
+
+The headline metric follows BASELINE.json: realtime factor (audio seconds
+rendered per wall second) for a 64-voice stereo mixdown, with
+Msamples/sec/chip (voice-samples = voices x frames) reported alongside.
+Baseline: the pure-Python reference plays a handful of streams at ~1x
+realtime (BASELINE.md), so vs_baseline == the realtime factor itself.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_song(nvoices: int, duration: float, samplerate: int):
+    """A dense 64-voice synth song: chords/arps across all waveforms with
+    FM on a third of the voices and harmonic stacks on an eighth."""
+    from synthesizer_tpu.models.voicebank import Voice
+
+    waves = ["sine", "triangle", "square", "sawtooth", "pulse",
+             "semicircle", "pointy", "harmonics"]
+    voices = []
+    for i in range(nvoices):
+        w = waves[i % len(waves)]
+        note_len = 0.25 + (i % 7) * 0.05
+        voices.append(Voice(
+            wave=w,
+            frequency=55.0 * (2 ** ((i % 36) / 12.0)),
+            amplitude=0.5 / 8,
+            pan=((i % 17) - 8) / 8.0,
+            start=(i / nvoices) * (duration - 1.0),
+            duration=min(note_len * 8, duration / 2),
+            attack=0.01, decay=0.05, sustain_level=0.7, release=0.1,
+            fm_frequency=5.0 + (i % 5) if i % 3 == 0 else 0.0,
+            fm_depth=0.015 if i % 3 == 0 else 0.0,
+            harmonics=[1.0, 0.5, 0.33, 0.25, 0.2, 0.16, 0.14, 0.125]
+            if w == "harmonics" else (),
+            seed=i,
+        ))
+    return voices
+
+
+def main() -> None:
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synthesizer_tpu.models.voicebank import VoiceBank, pack_voices
+
+    samplerate = 44100
+    nvoices = 64
+    duration = 60.0
+    chunk = 32768
+    nharm = 8
+
+    total_frames = int(duration * samplerate)
+    voices = build_song(nvoices, duration, samplerate)
+    vp, layout = pack_voices(voices, samplerate, num_harmonics=nharm,
+                             sort_by_wave=True)
+    bank = VoiceBank.for_voices(voices, samplerate, chunk_frames=chunk,
+                                num_harmonics=nharm, layout=layout,
+                                nvoices=layout.nvoices)
+    nchunks = -(-total_frames // chunk)
+
+    # NOTE: block_until_ready() is async on the experimental axon platform,
+    # so every timed run is synchronized by materializing a device-side
+    # checksum scalar on host (this also keeps the 21 MB song out of the
+    # timed path — host WAV export is I/O, not render).
+    @functools.partial(jax.jit, static_argnames=("nchunks",))
+    def render_sum(vp, nchunks):
+        out = bank._song_fn(vp, nchunks)
+        return jnp.mean(jnp.abs(bank.to_int16(out).astype(jnp.float32)))
+
+    # warmup / compile (axon: first jit in a process also pays a one-time
+    # platform bootstrap of 1-4 minutes)
+    t0 = time.perf_counter()
+    checksum = float(np.asarray(render_sum(vp, nchunks=nchunks)))
+    compile_and_first = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        checksum = float(np.asarray(render_sum(vp, nchunks=nchunks)))
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    out = bank.to_int16(bank.render_song(vp, total_frames))
+
+    rtf = duration / elapsed
+    voice_msamples = layout.nvoices * total_frames / elapsed / 1e6
+    out_msamples = total_frames / elapsed / 1e6
+
+    dev = jax.devices()[0]
+    peak = int(np.abs(np.asarray(out)).max())
+    print(json.dumps({
+        "metric": "realtime_factor_64voice_stereo_mixdown",
+        "value": round(rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf, 1),
+        "voice_msamples_per_sec_per_chip": round(voice_msamples, 1),
+        "output_msamples_per_sec_per_chip": round(out_msamples, 2),
+        "audio_seconds": duration,
+        "render_seconds": round(elapsed, 4),
+        "compile_plus_first_run_seconds": round(compile_and_first, 2),
+        "nvoices": layout.nvoices,
+        "chunk_frames": chunk,
+        "device": str(dev),
+        "peak_int16": peak,
+        "checksum": checksum,
+    }))
+
+
+if __name__ == "__main__":
+    main()

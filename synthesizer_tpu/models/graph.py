@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import spec as S
+from ..ops.trig import cos_turns, sin_turns
 
 _TWO_PI = np.float32(2.0 * math.pi)
 _TWO_NEG32 = np.float32(2.0 ** -32)
@@ -61,7 +62,7 @@ def _wave_values(node: S.Osc, p: jax.Array, sr: int, n_abs: jax.Array,
                  pwm_vals) -> jax.Array:
     k = node.kind
     if k == "sine":
-        return jnp.sin(_TWO_PI * _phase_x(p))
+        return sin_turns(_phase_x(p))
     if k == "triangle":
         return _triangle(_phase_x(p))
     if k == "square":
@@ -82,13 +83,13 @@ def _wave_values(node: S.Osc, p: jax.Array, sr: int, n_abs: jax.Array,
         for i in range(node.num_harmonics):
             kk = 2 * i + 1
             pk = p * jnp.uint32(kk)
-            acc = acc + jnp.sin(_TWO_PI * _phase_x(pk)) / jnp.float32(kk)
+            acc = acc + sin_turns(_phase_x(pk)) / jnp.float32(kk)
         return acc
     if k == "sawtooth_h":
         acc = jnp.zeros(p.shape, jnp.float32)
         for kk in range(1, node.num_harmonics + 1):
             pk = p * jnp.uint32(kk)
-            term = jnp.sin(_TWO_PI * _phase_x(pk)) / jnp.float32(kk)
+            term = sin_turns(_phase_x(pk)) / jnp.float32(kk)
             acc = acc + (term if kk % 2 == 1 else -term)
         return acc
     if k == "harmonics":
@@ -96,7 +97,7 @@ def _wave_values(node: S.Osc, p: jax.Array, sr: int, n_abs: jax.Array,
         for ratio, amp in node.harmonics:
             if float(ratio).is_integer():
                 pk = p * jnp.uint32(int(ratio))
-                acc = acc + jnp.float32(amp) * jnp.sin(_TWO_PI * _phase_x(pk))
+                acc = acc + jnp.float32(amp) * sin_turns(_phase_x(pk))
             else:
                 acc = acc + jnp.float32(amp) * jnp.sin(
                     _TWO_PI * (jnp.float32(ratio) * _phase_x(p)))

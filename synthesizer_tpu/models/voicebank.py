@@ -4,16 +4,28 @@ This is the TPU-first replacement for the reference's per-voice generator
 pipeline (BASELINE.json north_star: "batched, fused … render whole voice
 banks per chunk").  A bank holds V uniform voices described by parameter
 *arrays* (structure-of-arrays); one fused device program renders a whole
-[V, chunk] block per step: DDS phase accumulation (u32), sine-LFO FM,
-waveform evaluation, per-voice ADSR from note start/duration, equal-gain
-pan, and the stereo mixdown as a [N, V] x [V, 2] matmul (MXU).  Long renders
-scan over chunks with a single carried array (the per-voice FM phase
-accumulator), so output is chunk-size invariant.
+[V, chunk] block per step: DDS phase accumulation (u32), closed-form
+sine-LFO FM, waveform evaluation, per-voice ADSR from note start/duration,
+equal-gain pan, and the stereo mixdown as a [N, V] x [V, 2] matmul (MXU).
 
-Numeric spec matches ``models.spec`` with ``fm_lfo = Const(0)`` when a
-voice's FM depth is zero: the per-sample increment is
-``int32(clamp(f32(base_inc) * (1 + depth*sin(fm_phase))))`` (see
-tests/test_voicebank.py for the oracle equivalence).
+The render is **stateless**: every block is a pure function of the absolute
+sample index, so chunk size never affects output and streaming equals
+offline by construction.  FM uses the exact discrete geometric-sum phase:
+
+    p_n = p0 + inc*n + inc*d*S_n,
+    S_n = sum_{k<n} sin(2*pi*(b k + phi))
+        = (cos(2*pi*phi - pi*b) - cos(2*pi*(b n + phi) - pi*b)) / (2 sin(pi*b))
+
+(the constants R = 1/(2 sin(pi b)) and C0 = cos(2 pi phi - pi b) are
+precomputed per voice on host in f64).  This is the exact sum of the real-
+valued per-sample increments — no cumsum, no carried integral.  The lazy
+oscillator API (models.graph) keeps the reference-compatible per-sample
+integer FM spec; the bank is the performance engine with this documented
+closed form (tests/test_voicebank.py pins it against an f64 numpy twin).
+
+For speed, ``pack_voices(..., sort_by_wave=True)`` orders voices into
+per-(waveform, has-FM) groups so each group evaluates only its own waveform
+(a mixed 8-waveform bank pays for 1 waveform per voice, not 8).
 
 Voice waveforms: 0=sine 1=triangle 2=square 3=sawtooth 4=pulse 5=semicircle
 6=pointy 7=white_noise 8=harmonics (integer partials 1..H with per-voice
@@ -25,13 +37,14 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import spec as S
+from ..ops.trig import cos_turns, sin_turns
 
 _TWO_PI = np.float32(2.0 * math.pi)
 _TWO_NEG32 = np.float32(2.0 ** -32)
@@ -40,6 +53,7 @@ WAVE_IDS = {
     "sine": 0, "triangle": 1, "square": 2, "sawtooth": 3, "pulse": 4,
     "semicircle": 5, "pointy": 6, "white_noise": 7, "harmonics": 8,
 }
+ALL_WAVES = (0, 1, 2, 3, 4, 5, 6, 7, 8)
 
 
 class VoiceParams(NamedTuple):
@@ -60,6 +74,8 @@ class VoiceParams(NamedTuple):
     fm_inc: jax.Array      # u32 FM LFO increment
     fm_phase0: jax.Array   # u32
     fm_depth: jax.Array    # f32 (0 = no FM)
+    fm_r: jax.Array        # f32 R = 1/(2 sin(pi b)), 0 when no FM
+    fm_c0: jax.Array       # f32 C0 = cos(2 pi phi - pi b)
     pulse_width: jax.Array  # f32
     seed: jax.Array        # u32 noise seed
     harm_amps: jax.Array   # f32 [V, H] partial amplitudes (wave id 8)
@@ -88,15 +104,76 @@ class Voice:
     harmonics: Sequence[float] = ()   # partial amps for wave="harmonics"
 
 
+@dataclasses.dataclass(frozen=True)
+class BankLayout:
+    """Static voice grouping: tuple of (wave_id, has_fm, start, count)."""
+    groups: Tuple[Tuple[int, bool, int, int], ...]
+    nvoices: int
+    num_harmonics: int
+
+    @classmethod
+    def ungrouped(cls, nvoices: int, num_harmonics: int,
+                  used_waves: Tuple[int, ...] = ALL_WAVES,
+                  use_fm: bool = True) -> "BankLayout":
+        # a single mixed group: per-voice waveform select, FM optional
+        return cls(((-1, use_fm, 0, nvoices),), nvoices, num_harmonics)
+
+
+def _fm_constants(fm_inc: int, fm_phase0: int) -> Tuple[float, float]:
+    b = fm_inc / 4294967296.0
+    phi = fm_phase0 / 4294967296.0
+    if fm_inc == 0:
+        return 0.0, 0.0
+    r = 1.0 / (2.0 * math.sin(math.pi * b))
+    c0 = math.cos(2.0 * math.pi * phi - math.pi * b)
+    return r, c0
+
+
 def pack_voices(voices: Sequence[Voice], samplerate: int,
-                num_harmonics: int = 8, pad_to: int = 8) -> VoiceParams:
+                num_harmonics: int = 8, pad_to: int = 8,
+                sort_by_wave: bool = False):
     """Pack host voice descriptions into device parameter arrays.
 
-    Pads the voice count up to a multiple of ``pad_to`` with silent voices
-    (amp 0) so shapes stay friendly to tiling and sharding.
+    Pads the voice count up to a multiple of ``pad_to`` with silent voices.
+    With ``sort_by_wave`` the voices are ordered into per-(waveform, has_fm)
+    groups, each padded to ``pad_to``, and a (VoiceParams, BankLayout) pair
+    is returned (the grouped fast path); otherwise just VoiceParams.
     """
-    v = len(voices)
-    V = max(pad_to, -(-v // pad_to) * pad_to)
+    silent = Voice(amplitude=0.0, frequency=0.0, duration=0.0)
+
+    if sort_by_wave:
+        # group by waveform only: FM (if any voice in the group uses it) is
+        # cheap closed-form per group, while a finer (wave, fm) split would
+        # double the padding for mixed banks
+        keyed = sorted(range(len(voices)), key=lambda i: WAVE_IDS[voices[i].wave])
+        ordered: list = []
+        groups: list = []
+        i = 0
+        while i < len(keyed):
+            v0 = voices[keyed[i]]
+            wid = WAVE_IDS[v0.wave]
+            members = []
+            while i < len(keyed) and WAVE_IDS[voices[keyed[i]].wave] == wid:
+                members.append(voices[keyed[i]])
+                i += 1
+            has_fm = any(v.fm_depth != 0.0 for v in members)
+            start = len(ordered)
+            npad = -len(members) % pad_to
+            members = members + [dataclasses.replace(silent, wave=v0.wave)] * npad
+            ordered.extend(members)
+            groups.append((wid, has_fm, start, len(members)))
+        vp = _pack_flat(ordered, samplerate, num_harmonics)
+        return vp, BankLayout(tuple(groups), len(ordered), num_harmonics)
+
+    npad = -len(voices) % pad_to
+    ordered = list(voices) + [silent] * max(npad, pad_to - len(voices)
+                                            if len(voices) < pad_to else npad)
+    return _pack_flat(ordered, samplerate, num_harmonics)
+
+
+def _pack_flat(voices: Sequence[Voice], samplerate: int,
+               num_harmonics: int) -> VoiceParams:
+    V = len(voices)
     H = num_harmonics
 
     def arr(fn, dtype):
@@ -105,7 +182,14 @@ def pack_voices(voices: Sequence[Voice], samplerate: int,
             out[i] = fn(vc)
         return jnp.asarray(out)
 
-    harm = np.zeros((V, H), np.float32)
+    fm_r = np.zeros(V, np.float32)
+    fm_c0 = np.zeros(V, np.float32)
+    for i, vc in enumerate(voices):
+        inc = S.phase_increment(vc.fm_frequency, samplerate)
+        r, c0 = _fm_constants(inc, S.phase_offset(vc.fm_phase))
+        fm_r[i], fm_c0[i] = r, c0
+
+    harm = np.zeros((V, max(H, 1)), np.float32)
     for i, vc in enumerate(voices):
         for j, a in enumerate(vc.harmonics[:H]):
             harm[i, j] = a
@@ -125,6 +209,8 @@ def pack_voices(voices: Sequence[Voice], samplerate: int,
         fm_inc=arr(lambda x: S.phase_increment(x.fm_frequency, samplerate), np.uint32),
         fm_phase0=arr(lambda x: S.phase_offset(x.fm_phase), np.uint32),
         fm_depth=arr(lambda x: x.fm_depth, np.float32),
+        fm_r=jnp.asarray(fm_r),
+        fm_c0=jnp.asarray(fm_c0),
         pulse_width=arr(lambda x: min(max(x.pulse_width, 1.0 / 65536.0),
                                       1.0 - 1.0 / 65536.0), np.float32),
         seed=arr(lambda x: x.seed & 0xFFFFFFFF, np.uint32),
@@ -133,7 +219,7 @@ def pack_voices(voices: Sequence[Voice], samplerate: int,
 
 
 # ---------------------------------------------------------------------------
-# Waveform evaluation (vectorized over [V, N])
+# Waveform evaluation
 # ---------------------------------------------------------------------------
 
 def _phase_x(p):
@@ -157,42 +243,74 @@ def _noise(idx, seed):
     return (x >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -23) - jnp.float32(1.0)
 
 
-def _wave_select(p: jax.Array, vp: VoiceParams, n: jax.Array,
-                 num_harmonics: int) -> jax.Array:
-    """Evaluate all bank waveforms at phases p [V, N] and select by id."""
+def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
+    """Evaluate a single statically-known waveform at phases p [v, N]."""
     x = _phase_x(p)
     one = jnp.float32(1.0)
-    sine = jnp.sin(_TWO_PI * x)
-    tri = _triangle(x)
-    square = jnp.where(p < jnp.uint32(1 << 31), one, -one)
-    saw = jnp.float32(2.0) * x - one
-    wu = (vp.pulse_width[:, None] * jnp.float32(4294967296.0)).astype(jnp.uint32)
-    pulse = jnp.where(p < wu, one, -one)
-    up = jnp.sqrt(jnp.maximum(jnp.float32(0.0), one - (jnp.float32(4.0) * x - one) ** 2))
-    dn = -jnp.sqrt(jnp.maximum(jnp.float32(0.0), one - (jnp.float32(4.0) * x - jnp.float32(3.0)) ** 2))
-    semi = jnp.where(x < 0.5, up, dn)
-    pointy = tri * tri * tri
-    noise = _noise(n[None, :].astype(jnp.uint32), vp.seed)  # sample/hold = off (per sample)
-
-    wid = vp.wave[:, None]
-    out = jnp.where(wid == 0, sine,
-          jnp.where(wid == 1, tri,
-          jnp.where(wid == 2, square,
-          jnp.where(wid == 3, saw,
-          jnp.where(wid == 4, pulse,
-          jnp.where(wid == 5, semi,
-          jnp.where(wid == 6, pointy, noise)))))))
-    if num_harmonics > 0:
-        acc = jnp.zeros_like(sine)
+    if wid == 0:
+        return sin_turns(x)
+    if wid == 1:
+        return _triangle(x)
+    if wid == 2:
+        return jnp.where(p < jnp.uint32(1 << 31), one, -one)
+    if wid == 3:
+        return jnp.float32(2.0) * x - one
+    if wid == 4:
+        wu = (vp.pulse_width[:, None] * jnp.float32(4294967296.0)).astype(jnp.uint32)
+        return jnp.where(p < wu, one, -one)
+    if wid == 5:
+        up = jnp.sqrt(jnp.maximum(jnp.float32(0.0),
+                                  one - (jnp.float32(4.0) * x - one) ** 2))
+        dn = -jnp.sqrt(jnp.maximum(jnp.float32(0.0),
+                                   one - (jnp.float32(4.0) * x - jnp.float32(3.0)) ** 2))
+        return jnp.where(x < 0.5, up, dn)
+    if wid == 6:
+        t = _triangle(x)
+        return t * t * t
+    if wid == 7:
+        return _noise(n[None, :].astype(jnp.uint32), vp.seed)
+    if wid == 8:
+        acc = jnp.zeros(p.shape, jnp.float32)
         for k in range(1, num_harmonics + 1):
             pk = p * jnp.uint32(k)
-            acc = acc + vp.harm_amps[:, k - 1][:, None] * jnp.sin(_TWO_PI * _phase_x(pk))
-        out = jnp.where(wid == 8, acc, out)
-    return out
+            acc = acc + vp.harm_amps[:, k - 1][:, None] * sin_turns(_phase_x(pk))
+        return acc
+    raise ValueError(f"bad wave id {wid}")
+
+
+def _wave_select(p, vp: VoiceParams, n, num_harmonics: int,
+                 used_waves: tuple = ALL_WAVES):
+    """Per-voice waveform select (mixed group): computes every used family."""
+    used = tuple(w for w in used_waves if w != 8 or num_harmonics > 0)
+    wid = vp.wave[:, None]
+    out = None
+    for w in used:
+        vals = _one_wave(w, p, vp, n, num_harmonics)
+        out = vals if out is None else jnp.where(wid == w, vals, out)
+    return out if out is not None else jnp.zeros(p.shape, jnp.float32)
+
+
+def _phases(vp: VoiceParams, n, use_fm: bool):
+    """Closed-form DDS phases [v, N] for absolute frames n [N]."""
+    nu = n[None, :].astype(jnp.uint32)
+    p = vp.phase0[:, None] + nu * vp.base_inc[:, None]
+    if not use_fm:
+        return p
+    # exact discrete FM integral (module docstring): delta = inc*d*S_n
+    fm_phase = vp.fm_phase0[:, None] + nu * vp.fm_inc[:, None]
+    x_half = _phase_x(fm_phase - (vp.fm_inc[:, None] >> 1))
+    s_n = (vp.fm_c0[:, None] - cos_turns(x_half)) * vp.fm_r[:, None]
+    delta = vp.base_inc.astype(jnp.float32)[:, None] * vp.fm_depth[:, None] * s_n
+    # wrap to [-2^31, 2^31) before the integer cast (phase is modular)
+    q = delta * jnp.float32(2.0 ** -32)
+    frac = q - jnp.rint(q)
+    dunits = (frac * jnp.float32(4294967296.0)).astype(jnp.int32).astype(jnp.uint32)
+    has_fm = ((vp.fm_depth != 0.0) & (vp.fm_inc != 0))[:, None]
+    return jnp.where(has_fm, p + dunits, p)
 
 
 def _adsr(n: jax.Array, vp: VoiceParams, samplerate: int) -> jax.Array:
-    """Per-voice ADSR gain at absolute frames n [N] -> [V, N] (f32).
+    """Per-voice ADSR gain at absolute frames n [N] -> [v, N] (f32).
 
     Sustain duration = max(0, gate/sr - attack - decay); release follows the
     gate; outside [start, start+total) the gain is 0.
@@ -218,80 +336,92 @@ def _adsr(n: jax.Array, vp: VoiceParams, samplerate: int) -> jax.Array:
     return jnp.maximum(g, jnp.float32(0.0))
 
 
-def render_block(vp: VoiceParams, fm_phase_carry: jax.Array, n0: jax.Array,
-                 blocksize: int, samplerate: int, num_harmonics: int):
-    """Render one [V, blocksize] block -> (stereo f32 [blocksize, 2], carry').
+def _slice_params(vp: VoiceParams, start: int, count: int) -> VoiceParams:
+    return VoiceParams(*(f[start:start + count] for f in vp))
 
-    ``fm_phase_carry`` [V] u32 is the carrier phase accumulator (used when
-    fm_depth != 0; voices without FM use the exact closed form).
+
+def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
+                 samplerate: int, num_harmonics: int,
+                 layout: Optional[BankLayout] = None,
+                 used_waves: tuple = ALL_WAVES, use_fm: bool = True):
+    """Render one block -> stereo f32 [blocksize, 2] (stateless, pure in n0).
+
+    With a grouped ``layout`` each (waveform, fm) group evaluates only its
+    own waveform; otherwise the mixed-group select path is used.
     """
     n = n0 + jnp.arange(blocksize, dtype=jnp.int32)
-
-    # FM: per-sample increments, integer-accumulated (chunk invariant)
-    fm_phase = vp.fm_phase0[:, None] + n[None, :].astype(jnp.uint32) * vp.fm_inc[:, None]
-    fm = vp.fm_depth[:, None] * jnp.sin(_TWO_PI * _phase_x(fm_phase))
-    base = vp.base_inc.astype(jnp.float32)[:, None]
-    inc_f = jnp.clip(base * (jnp.float32(1.0) + fm),
-                     jnp.float32(-(2**31 - 256)), jnp.float32(2**31 - 256))
-    inc = inc_f.astype(jnp.int32).astype(jnp.uint32)
-    csum = jnp.cumsum(inc, axis=1)
-    p_fm = fm_phase_carry[:, None] + csum - inc
-    new_carry = fm_phase_carry + csum[:, -1]
-
-    # No FM: exact closed form
-    p_exact = vp.phase0[:, None] + n[None, :].astype(jnp.uint32) * vp.base_inc[:, None]
-    has_fm = (vp.fm_depth != 0.0)[:, None]
-    p = jnp.where(has_fm, p_fm, p_exact)
-    new_carry = jnp.where(vp.fm_depth != 0.0, new_carry, fm_phase_carry)
-
-    w = _wave_select(p, vp, n, num_harmonics)
-    v = vp.bias[:, None] + vp.amp[:, None] * w
-    env = _adsr(n, vp, samplerate)
-    sig = v * env                                  # [V, N]
-
-    # Equal-gain pan (balance law) -> stereo mix as a [N, V] x [V, 2] matmul
-    lg = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - vp.pan)
-    rg = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + vp.pan)
-    gains = jnp.stack([lg, rg], axis=1)            # [V, 2]
-    stereo = jnp.dot(sig.T, gains, preferred_element_type=jnp.float32)  # [N, 2]
-    return stereo, new_carry
+    if layout is None:
+        layout = BankLayout.ungrouped(vp.wave.shape[0], num_harmonics,
+                                      used_waves, use_fm)
+    sigs = []
+    gains = []
+    for (wid, has_fm, start, count) in layout.groups:
+        sub = _slice_params(vp, start, count)
+        p = _phases(sub, n, has_fm)
+        if wid < 0:
+            w = _wave_select(p, sub, n, num_harmonics, used_waves)
+        else:
+            w = _one_wave(wid, p, sub, n, num_harmonics)
+        v = sub.bias[:, None] + sub.amp[:, None] * w
+        env = _adsr(n, sub, samplerate)
+        sigs.append(v * env)
+        lg = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - sub.pan)
+        rg = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + sub.pan)
+        gains.append(jnp.stack([lg, rg], axis=1))
+    sig = jnp.concatenate(sigs, axis=0)        # [V, N]
+    g = jnp.concatenate(gains, axis=0)         # [V, 2]
+    return jnp.dot(sig.T, g, preferred_element_type=jnp.float32)
 
 
 class VoiceBank:
     """Compiled batched renderer for a fixed (V, chunk, samplerate) shape."""
 
     def __init__(self, nvoices: int, samplerate: int = 44100,
-                 chunk_frames: int = 8192, num_harmonics: int = 8):
+                 chunk_frames: int = 8192, num_harmonics: int = 8,
+                 used_waves: tuple = ALL_WAVES, use_fm: bool = True,
+                 layout: Optional[BankLayout] = None):
         self.nvoices = nvoices
         self.samplerate = samplerate
         self.chunk_frames = chunk_frames
         self.num_harmonics = num_harmonics
+        self.used_waves = tuple(sorted(used_waves))
+        self.use_fm = use_fm
+        self.layout = layout
 
         cf, sr, H = chunk_frames, samplerate, num_harmonics
+        uw, uf, ly = self.used_waves, use_fm, layout
 
         @jax.jit
-        def chunk_fn(vp: VoiceParams, carry, n0):
-            return render_block(vp, carry, n0, cf, sr, H)
+        def chunk_fn(vp: VoiceParams, n0):
+            return render_block(vp, n0, cf, sr, H, ly, uw, uf)
 
         self._chunk_fn = chunk_fn
 
         @functools.partial(jax.jit, static_argnames=("nchunks",))
         def song_fn(vp: VoiceParams, nchunks: int):
-            def body(carry, i):
-                stereo, carry = render_block(vp, carry, i * cf, cf, sr, H)
-                return carry, stereo
-            init = jnp.zeros((vp.base_inc.shape[0],), jnp.uint32) + vp.phase0
-            _, out = jax.lax.scan(body, init, jnp.arange(nchunks, dtype=jnp.int32))
+            def body(_, i):
+                return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf)
+            _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, 2)
 
         self._song_fn = song_fn
 
-    def init_carry(self, vp: VoiceParams) -> jax.Array:
-        return vp.phase0
+    @classmethod
+    def for_voices(cls, voices: Sequence[Voice], samplerate: int = 44100,
+                   chunk_frames: int = 8192, num_harmonics: int = 8,
+                   layout: Optional[BankLayout] = None,
+                   nvoices: Optional[int] = None) -> "VoiceBank":
+        """Bank statically specialized to the waveforms/FM these voices use."""
+        used = tuple(sorted({WAVE_IDS[v.wave] for v in voices})) or (0,)
+        use_fm = any(v.fm_depth != 0.0 for v in voices)
+        if 8 not in used:
+            num_harmonics = 0
+        return cls(nvoices or len(voices), samplerate, chunk_frames,
+                   num_harmonics, used_waves=used, use_fm=use_fm, layout=layout)
 
-    def render_chunk(self, vp: VoiceParams, carry, n0: int):
-        """One streaming chunk: (stereo f32 [chunk, 2], carry')."""
-        return self._chunk_fn(vp, carry, jnp.int32(n0))
+    def render_chunk(self, vp: VoiceParams, n0: int) -> jax.Array:
+        """One streaming chunk: stereo f32 [chunk, 2] (stateless)."""
+        return self._chunk_fn(vp, jnp.int32(n0))
 
     def render_song(self, vp: VoiceParams, total_frames: int) -> jax.Array:
         """Offline mixdown: stereo f32 [total_frames, 2] in one jitted scan."""

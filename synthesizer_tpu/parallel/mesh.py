@@ -1,0 +1,87 @@
+"""Voice-axis data parallelism over a device mesh.
+
+The reference is single-process/single-node (SURVEY.md §3.4); the TPU-native
+scaling axis is the *voice bank*: voices shard trivially as data parallelism
+over ICI, and the only collective is one ``psum`` of each chunk's [N, 2]
+stereo partial mix.  This module provides the mesh plumbing used by the
+driver's ``dryrun_multichip`` and by multi-chip offline renders.
+
+Layout: every ``VoiceParams`` leaf is sharded on its leading (voice) axis
+with ``PartitionSpec('voices')``; per-voice FM phase carries stay sharded
+across the whole scan; the psum rides ICI once per chunk (bytes per chunk =
+N * 2 * 4, tiny next to the per-device compute).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.voicebank import VoiceParams, render_block
+
+AXIS = "voices"
+
+
+def voice_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D mesh over the voice axis.
+
+    Prefers the default backend's devices; falls back to the CPU backend
+    when more devices are requested than the default platform has (the
+    virtual-device test/dry-run path)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            devices = jax.devices("cpu")
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)}")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_voice_params(vp: VoiceParams, mesh: Mesh) -> VoiceParams:
+    """Place every parameter array with its leading axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), vp)
+
+
+def render_song_sharded(vp: VoiceParams, total_frames: int,
+                        samplerate: int = 44100, chunk_frames: int = 8192,
+                        num_harmonics: int = 8,
+                        mesh: Optional[Mesh] = None) -> jax.Array:
+    """Offline mixdown with the voice axis sharded over the mesh.
+
+    Each device scans the song's chunks over its local voice shard; the
+    stereo partial mixes are psum'ed across the mesh.  Output is replicated
+    f32 [total_frames, 2] and matches the single-device render (up to f32
+    summation order across shards).
+    """
+    if mesh is None:
+        mesh = voice_mesh()
+    nchunks = -(-total_frames // chunk_frames)
+    V = vp.base_inc.shape[0]
+    ndev = mesh.devices.size
+    if V % ndev:
+        raise ValueError(f"voice count {V} not divisible by mesh size {ndev}")
+
+    vp = shard_voice_params(vp, mesh)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS),), out_specs=P())
+    def run(vp_shard: VoiceParams) -> jax.Array:
+        def body(_, i):
+            stereo = render_block(vp_shard, i * chunk_frames, chunk_frames,
+                                  samplerate, num_harmonics)
+            return 0, jax.lax.psum(stereo, AXIS)
+        _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
+        return out.reshape(-1, 2)
+
+    return run(vp)[:total_frames]

@@ -1,48 +1,81 @@
-"""VoiceBank batched render vs per-patch oracle rendering.
+"""VoiceBank batched render vs oracle rendering.
 
-Each bank voice must match the equivalent single-patch spec (rendered by the
-goldref oracle) within 1 LSB at 16-bit; the bank's stereo mixdown must match
-the sum of individually rendered voices; chunking must not affect output.
+Non-FM bank voices must match the equivalent single-patch spec (rendered by
+the goldref oracle) within 1 LSB at 16-bit.  FM voices follow the bank's
+documented closed-form discrete-integral phase (module docstring of
+models.voicebank) and are pinned against an independent float64 numpy twin.
+The bank is stateless: chunk size and streaming cannot affect output.
 """
+
+import math
 
 import numpy as np
 import pytest
 
 import goldref.osc as go
 from synthesizer_tpu.models import spec as S
-from synthesizer_tpu.models.voicebank import Voice, VoiceBank, pack_voices
+from synthesizer_tpu.models.voicebank import (BankLayout, Voice, VoiceBank,
+                                              pack_voices)
 
 SR = 44100
 
 
 def oracle_voice(v: Voice, n: int) -> np.ndarray:
-    """Render one Voice via the oracle spec graph -> stereo f32 [n, 2]."""
-    # fm=None for fm_depth==0: the bank uses the exact closed-form phase for
-    # unmodulated voices (Const(0) would force the f32-rounded increment path)
-    fm = None
+    """Render one Voice -> stereo f32 [n, 2] via the goldref patch oracle
+    (non-FM voices) or the closed-form f64 FM twin."""
     if v.fm_depth != 0.0:
-        fm = S.Osc("sine", v.fm_frequency, amplitude=v.fm_depth, phase=v.fm_phase)
-    kw = {}
-    if v.wave == "pulse":
-        kw["pulse_width"] = v.pulse_width
-    if v.wave == "harmonics":
-        kw["harmonics"] = tuple((float(i + 1), float(a)) for i, a in enumerate(v.harmonics))
-    if v.wave == "white_noise":
-        kw["seed"] = v.seed
-        osc = S.Osc(v.wave, SR, v.amplitude, v.phase, v.bias, **kw)
+        mono = _fm_twin(v, n)
+        g = go.envelope_gains(np.arange(n), SR, _env_spec(v))
+        mono = (mono * g).astype(np.float32)
     else:
-        osc = S.Osc(v.wave, v.frequency, v.amplitude, v.phase, v.bias,
-                    fm_lfo=fm, **kw)
-    gate = int(v.duration * SR) / SR
-    sus = max(gate - v.attack - v.decay, 0.0)
-    env = S.Envelope(osc, v.attack, v.decay, sus, v.sustain_level, v.release)
-    mono = go.render_oracle(env, n, SR)
-    total = v.attack + v.decay + sus + v.release
+        kw = {}
+        if v.wave == "pulse":
+            kw["pulse_width"] = v.pulse_width
+        if v.wave == "harmonics":
+            kw["harmonics"] = tuple((float(i + 1), float(a))
+                                    for i, a in enumerate(v.harmonics))
+        if v.wave == "white_noise":
+            kw["seed"] = v.seed
+            osc = S.Osc(v.wave, SR, v.amplitude, v.phase, v.bias, **kw)
+        else:
+            osc = S.Osc(v.wave, v.frequency, v.amplitude, v.phase, v.bias, **kw)
+        env = S.Envelope(osc, *_env_args(v))
+        mono = go.render_oracle(env, n, SR)
+    total = sum(_env_args(v)[:3]) + _env_args(v)[4]
     t = np.arange(n) / SR
     mono = np.where(t < total, mono, 0.0).astype(np.float32)
     lg = np.float32(min(1.0, 1.0 - v.pan))
     rg = np.float32(min(1.0, 1.0 + v.pan))
     return np.stack([mono * lg, mono * rg], axis=1)
+
+
+def _env_args(v: Voice):
+    gate = int(v.duration * SR) / SR
+    sus = max(gate - v.attack - v.decay, 0.0)
+    return (v.attack, v.decay, sus, v.sustain_level, v.release)
+
+
+def _env_spec(v: Voice):
+    a, d, s, sl, r = _env_args(v)
+    return S.Envelope(S.Const(0.0), a, d, s, sl, r)
+
+
+def _fm_twin(v: Voice, n: int) -> np.ndarray:
+    """f64 closed-form FM phase: p_n = p0 + inc*n + inc*d*S_n."""
+    inc = S.phase_increment(v.frequency, SR)
+    finc = S.phase_increment(v.fm_frequency, SR)
+    p0 = S.phase_offset(v.phase)
+    fp0 = S.phase_offset(v.fm_phase)
+    b = finc / 2**32
+    phi = fp0 / 2**32
+    k = np.arange(n, dtype=np.float64)
+    s_n = ((math.cos(2 * math.pi * phi - math.pi * b)
+            - np.cos(2 * np.pi * (b * k + phi) - math.pi * b))
+           / (2 * math.sin(math.pi * b)))
+    p = (p0 + inc * k + inc * v.fm_depth * s_n) % 2**32
+    x = p / 2**32
+    assert v.wave == "sine"
+    return (v.bias + v.amplitude * np.sin(2 * np.pi * x)).astype(np.float32)
 
 
 VOICES = [
@@ -61,18 +94,36 @@ VOICES = [
 ]
 
 
+def _oracle_sum(n):
+    want = np.zeros((n, 2), np.float32)
+    for v in VOICES:
+        want = want + oracle_voice(v, n)
+    return want
+
+
 def test_bank_matches_oracle_sum():
     n = SR // 4
     vp = pack_voices(VOICES, SR, num_harmonics=8)
     bank = VoiceBank(vp.base_inc.shape[0], SR, chunk_frames=2048, num_harmonics=8)
     got = np.asarray(bank.render_song(vp, n))
-    want = np.zeros((n, 2), np.float32)
-    for v in VOICES:
-        want = want + oracle_voice(v, n)
+    want = _oracle_sum(n)
     got16 = np.clip(np.rint(got * 32767.0), -32768, 32767)
     want16 = np.clip(np.rint(want * 32767.0), -32768, 32767)
     d = np.abs(got16 - want16).max()
     assert d <= len(VOICES), f"max diff {d}"  # <=1 LSB per voice before the sum
+
+
+def test_grouped_layout_matches_oracle_sum():
+    n = SR // 4
+    vp, layout = pack_voices(VOICES, SR, num_harmonics=8, sort_by_wave=True)
+    bank = VoiceBank.for_voices(VOICES, SR, chunk_frames=2048,
+                                num_harmonics=8, layout=layout,
+                                nvoices=layout.nvoices)
+    got = np.asarray(bank.render_song(vp, n))
+    want = _oracle_sum(n)
+    got16 = np.clip(np.rint(got * 32767.0), -32768, 32767)
+    want16 = np.clip(np.rint(want * 32767.0), -32768, 32767)
+    assert np.abs(got16 - want16).max() <= len(VOICES)
 
 
 def test_bank_chunk_invariance():
@@ -87,11 +138,7 @@ def test_bank_streaming_matches_offline():
     vp = pack_voices(VOICES, SR, num_harmonics=8)
     bank = VoiceBank(0, SR, chunk_frames=1024, num_harmonics=8)
     off = np.asarray(bank.render_song(vp, 8 * 1024))
-    carry = bank.init_carry(vp)
-    outs = []
-    for i in range(8):
-        stereo, carry = bank.render_chunk(vp, carry, i * 1024)
-        outs.append(np.asarray(stereo))
+    outs = [np.asarray(bank.render_chunk(vp, i * 1024)) for i in range(8)]
     np.testing.assert_array_equal(np.concatenate(outs), off)
 
 
@@ -111,4 +158,4 @@ def test_to_int16_saturates():
     x = np.array([[2.0, -2.0], [0.5, -0.5]], np.float32)
     y = np.asarray(bank.to_int16(x))
     assert y[0, 0] == 32767 and y[0, 1] == -32768
-    assert y[1, 0] == 16384 or y[1, 0] == 16383  # rint(16383.5) even -> 16384
+    assert y[1, 0] in (16383, 16384)
