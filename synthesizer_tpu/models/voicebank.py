@@ -419,15 +419,41 @@ class VoiceBank:
         return cls(nvoices or len(voices), samplerate, chunk_frames,
                    num_harmonics, used_waves=used, use_fm=use_fm, layout=layout)
 
-    def render_chunk(self, vp: VoiceParams, n0: int) -> jax.Array:
+    def render_chunk(self, vp: VoiceParams, n0: int,
+                     engine: str = "xla") -> jax.Array:
         """One streaming chunk: stereo f32 [chunk, 2] (stateless)."""
+        if engine == "pallas":
+            from ..ops.kernels import render_stereo_pallas
+            return render_stereo_pallas(vp, n0, nframes=self.chunk_frames,
+                                        samplerate=self.samplerate,
+                                        layout=self._pallas_layout())
         return self._chunk_fn(vp, jnp.int32(n0))
 
-    def render_song(self, vp: VoiceParams, total_frames: int) -> jax.Array:
-        """Offline mixdown: stereo f32 [total_frames, 2] in one jitted scan."""
+    def render_song(self, vp: VoiceParams, total_frames: int,
+                    engine: str = "xla") -> jax.Array:
+        """Offline mixdown: stereo f32 [total_frames, 2].
+
+        engine="xla": one jitted scan over chunks (default).
+        engine="pallas": the fused Mosaic kernel (ops.kernels) — one
+        pallas_call with a sequential grid over tiles; requires a grouped
+        layout (pack_voices(sort_by_wave=True)).
+        """
+        if engine == "pallas":
+            from ..ops.kernels import render_stereo_pallas
+            return render_stereo_pallas(vp, 0, nframes=total_frames,
+                                        samplerate=self.samplerate,
+                                        layout=self._pallas_layout(),
+                                        tile=min(self.chunk_frames, 8192))
         nchunks = -(-total_frames // self.chunk_frames)
         out = self._song_fn(vp, nchunks)
         return out[:total_frames]
+
+    def _pallas_layout(self) -> BankLayout:
+        if self.layout is None or any(g[0] < 0 for g in self.layout.groups):
+            raise ValueError(
+                "the pallas engine needs a grouped layout: build the bank "
+                "with pack_voices(..., sort_by_wave=True)")
+        return self.layout
 
     def to_int16(self, stereo_f32: jax.Array,
                  master_gain: float = 1.0) -> jax.Array:
