@@ -26,7 +26,7 @@ import numpy as np
 
 from . import params
 from .sample import Sample
-from .utils import wavio
+from .utils import native, wavio
 
 __all__ = ["Output", "RealTimeMixer", "best_api"]
 
@@ -271,7 +271,11 @@ class RealTimeMixer:
             elif len(parts) == 1:
                 yield parts[0]
             else:
-                yield np.asarray(_mix_chunks(jnp.asarray(np.stack(parts))))
+                # realtime chunks are tiny (33 ms): per-chunk device dispatch
+                # latency would dominate, so the K-way saturating add runs in
+                # the native pcmops library (bulk DSP stays on device)
+                yield native.mix_k_i16(parts).reshape(
+                    self.chunk_frames, self.nchannels)
 
 
 # ---------------------------------------------------------------------------
