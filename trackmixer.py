@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""trackmixer — CLI pattern sequencer / song mixer.
+
+Rebuild of the reference's top-level ``trackmixer.py`` app (SURVEY.md §3.1
+row 8): load an ``.ini`` song, then either mix it offline to a WAV (the
+whole song compiles to one batched device render) or play it streaming,
+with an interactive REPL for auditioning patterns.
+
+Usage:
+    python trackmixer.py song.ini                 # interactive REPL
+    python trackmixer.py song.ini -o out.wav      # offline mixdown
+    python trackmixer.py song.ini --play          # stream the whole song
+"""
+
+from __future__ import annotations
+
+import argparse
+import cmd
+import sys
+import time
+
+from synthesizer_tpu import LevelMeter, Output, Song
+from synthesizer_tpu import params
+
+
+def mix_to_wav(song: Song, outfile: str, normalize: bool = True) -> None:
+    t0 = time.perf_counter()
+    mixed = song.mix(normalize=normalize)
+    mixed.write_wav(outfile)
+    dt = time.perf_counter() - t0
+    print(f"mixed {mixed.duration:.2f}s of audio in {dt:.3f}s "
+          f"({mixed.duration / dt:.0f}x realtime) -> {outfile}")
+
+
+def play_streaming(song: Song, with_meter: bool = True) -> None:
+    meter = LevelMeter() if with_meter else None
+    with Output(samplerate=song.samplerate, nchannels=song.nchannels,
+                mixing="sequential") as out:
+        for chunk in song.mix_generator():
+            out.play_sample(chunk)
+            if meter:
+                meter.update(chunk)
+                meter.print(bar_width=50)
+        out.wait_all_played(timeout=60.0)
+    if meter:
+        print()
+
+
+class TrackmixerRepl(cmd.Cmd):
+    intro = ("Track mixer.  Commands: patterns, play <pattern>, mix [file], "
+             "stream, info, quit")
+    prompt = "mix> "
+
+    def __init__(self, song: Song, ini_file: str):
+        super().__init__()
+        self.song = song
+        self.ini_file = ini_file
+
+    def do_info(self, _):
+        """Show song metadata."""
+        s = self.song
+        print(f"song: {self.ini_file}")
+        print(f"bpm {s.bpm}, {s.ticks} ticks/beat, "
+              f"{len(s.instruments)} instruments, "
+              f"{len(s.patterns)} patterns, sequence: {' '.join(s.pattern_sequence)}")
+
+    def do_patterns(self, _):
+        """List patterns and their tracks."""
+        for name, pat in self.song.patterns.items():
+            print(f"[pattern.{name}]")
+            for inst, ticks in pat.items():
+                print(f"  {inst:10s} {ticks}")
+
+    def do_play(self, arg):
+        """play <pattern> — render one pattern and play/write it."""
+        name = arg.strip()
+        if name not in self.song.patterns:
+            print(f"unknown pattern {name!r}; try 'patterns'")
+            return
+        sub = Song()
+        sub.bpm, sub.ticks = self.song.bpm, self.song.ticks
+        sub.instruments = self.song.instruments
+        sub.samplerate, sub.nchannels = self.song.samplerate, self.song.nchannels
+        sub.patterns = {name: self.song.patterns[name]}
+        sub.pattern_sequence = [name]
+        sample = sub.mix(normalize=False)
+        with Output(samplerate=sample.samplerate, nchannels=sample.nchannels,
+                    mixing="sequential") as out:
+            out.play_sample(sample)
+            out.wait_all_played(timeout=30.0)
+        print(f"played pattern {name} ({sample.duration:.2f}s)")
+
+    def do_mix(self, arg):
+        """mix [file.wav] — offline mixdown of the whole song."""
+        outfile = arg.strip() or "mixdown.wav"
+        mix_to_wav(self.song, outfile)
+
+    def do_stream(self, _):
+        """Stream the whole song through the playback engine."""
+        play_streaming(self.song)
+
+    def do_quit(self, _):
+        """Exit."""
+        return True
+
+    do_EOF = do_quit
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("song", help="song .ini file")
+    ap.add_argument("-o", "--output", help="mix offline to this WAV and exit")
+    ap.add_argument("--play", action="store_true",
+                    help="stream the whole song and exit")
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="skip peak normalization in offline mixdown")
+    args = ap.parse_args(argv)
+
+    song = Song.from_ini(args.song)
+    if args.output:
+        mix_to_wav(song, args.output, normalize=not args.no_normalize)
+        return 0
+    if args.play:
+        play_streaming(song)
+        return 0
+    TrackmixerRepl(song, args.song).cmdloop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
