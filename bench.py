@@ -71,27 +71,45 @@ def main() -> None:
                                 nvoices=layout.nvoices)
     nchunks = -(-total_frames // chunk)
 
-    # NOTE: block_until_ready() is async on the experimental axon platform,
-    # so every timed run is synchronized by materializing a device-side
-    # checksum scalar on host (this also keeps the 21 MB song out of the
-    # timed path — host WAV export is I/O, not render).
-    @functools.partial(jax.jit, static_argnames=("nchunks",))
-    def render_sum(vp, nchunks):
-        out = bank._song_fn(vp, nchunks)
-        return jnp.mean(jnp.abs(bank.to_int16(out).astype(jnp.float32)))
+    # Timing methodology for the experimental axon platform (measured):
+    #   * block_until_ready() is async -> sync via host materialization of a
+    #     device checksum scalar;
+    #   * one host<->device sync costs ~30 ms through the loopback relay
+    #     regardless of payload, so a single render call is latency-bound,
+    #     not compute-bound.  The render time is therefore measured by
+    #     chaining K data-dependent full-song renders inside ONE jit call
+    #     (phase perturbed by the previous checksum so XLA cannot CSE them)
+    #     and fitting the slope between K=1 and K=9.  Both numbers are
+    #     reported: "value" is the per-render (compute) realtime factor,
+    #     "single_call_x_realtime" includes the relay sync.
+    @functools.partial(jax.jit, static_argnames=("k", "nchunks"))
+    def rep_render(vp, k, nchunks):
+        def body(c, _):
+            vp2 = vp._replace(phase0=vp.phase0 + c.astype(jnp.uint32))
+            out = bank._song_fn(vp2, nchunks)
+            s = jnp.mean(jnp.abs(bank.to_int16(out).astype(jnp.float32)))
+            return (s * 0) + s % 1, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return c
 
     # warmup / compile (axon: first jit in a process also pays a one-time
     # platform bootstrap of 1-4 minutes)
     t0 = time.perf_counter()
-    checksum = float(np.asarray(render_sum(vp, nchunks=nchunks)))
+    checksum = float(np.asarray(rep_render(vp, k=1, nchunks=nchunks)))
     compile_and_first = time.perf_counter() - t0
+    float(np.asarray(rep_render(vp, k=9, nchunks=nchunks)))  # compile k=9
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        checksum = float(np.asarray(render_sum(vp, nchunks=nchunks)))
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
+    def best(k):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(rep_render(vp, k=k, nchunks=nchunks))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t9 = best(1), best(9)
+    elapsed = max((t9 - t1) / 8.0, 1e-9)      # per-render compute time
+    single_call = t1
     out = bank.to_int16(bank.render_song(vp, total_frames))
 
     rtf = duration / elapsed
@@ -108,7 +126,9 @@ def main() -> None:
         "voice_msamples_per_sec_per_chip": round(voice_msamples, 1),
         "output_msamples_per_sec_per_chip": round(out_msamples, 2),
         "audio_seconds": duration,
-        "render_seconds": round(elapsed, 4),
+        "render_seconds": round(elapsed, 5),
+        "single_call_x_realtime": round(duration / single_call, 1),
+        "single_call_seconds": round(single_call, 4),
         "compile_plus_first_run_seconds": round(compile_and_first, 2),
         "nvoices": layout.nvoices,
         "chunk_frames": chunk,

@@ -362,22 +362,28 @@ class Sample:
             self._samplewidth = 2
         return self
 
+    def _ratecv(self, inrate: int, outrate: int) -> jax.Array:
+        """Exact ratecv; stays on device when the int32 path applies."""
+        import math as _math
+        g = _math.gcd(inrate, outrate)
+        outr = outrate // g
+        if self._samplewidth <= 2 and outr < (1 << (32 - 8 * self._samplewidth)):
+            return dresample.resample_jax(self._data, inrate, outrate)
+        y, _ = dresample.resample(np.asarray(self._data), inrate, outrate,
+                                  width=self._samplewidth)
+        return jnp.asarray(y)
+
     def resample(self, samplerate: int) -> "Sample":
         if samplerate == self._samplerate:
             return self
-        y, _ = dresample.resample(np.asarray(self._data), self._samplerate,
-                                  samplerate, width=self._samplewidth)
-        self._data = jnp.asarray(y)
+        self._data = self._ratecv(self._samplerate, samplerate)
         self._samplerate = samplerate
         return self
 
     def speed(self, speed: float) -> "Sample":
         if speed == 1.0:
             return self
-        y, _ = dresample.resample(np.asarray(self._data),
-                                  int(self._samplerate * speed),
-                                  self._samplerate, width=self._samplewidth)
-        self._data = jnp.asarray(y)
+        self._data = self._ratecv(int(self._samplerate * speed), self._samplerate)
         return self
 
     def mono(self, left_factor: float = 1.0, right_factor: float = 1.0) -> "Sample":
