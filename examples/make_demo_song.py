@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Generate the demo song assets: drum/instrument WAVs + song .ini.
+
+The reference shipped a samples/ directory with demo WAVs and pattern-song
+definitions for trackmixer (SURVEY.md §1).  This script synthesizes an
+equivalent kit with the framework itself (no binary assets in the repo) and
+writes a playable demo song:
+
+    python examples/make_demo_song.py [outdir]
+    python trackmixer.py outdir/demo.ini -o demo.wav
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from synthesizer_tpu import Sample, WaveSynth, oscillators as osc  # noqa: E402
+
+SR = 44100
+
+
+def make_kit(outdir: str) -> None:
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    os.makedirs(outdir, exist_ok=True)
+
+    # kick: descending sine thump
+    sweep = osc.Sine(55.0, amplitude=0.9,
+                     fm_lfo=osc.Linear(0.0, -4e-5, min_value=-0.7),
+                     samplerate=SR)
+    kick = synth.render_oscillator(
+        osc.EnvelopeFilter(sweep, 0.002, 0.18, 0.0, 0.3, 0.05), 0.25, "kick")
+    kick.amplify(1.2).fadeout(0.05).stereo().write_wav(os.path.join(outdir, "kick.wav"))
+
+    # snare: noise burst + 180 Hz body
+    body = osc.Triangle(180.0, amplitude=0.4, samplerate=SR)
+    noise = osc.WhiteNoise(amplitude=0.5, seed=11, samplerate=SR)
+    snare = synth.render_oscillator(
+        osc.EnvelopeFilter(osc.MixingFilter(body, noise),
+                           0.001, 0.12, 0.0, 0.2, 0.03), 0.16, "snare")
+    snare.fadeout(0.05).stereo().write_wav(os.path.join(outdir, "snare.wav"))
+
+    # closed hat: short bright noise
+    hat = synth.white_noise(duration=0.05, amplitude=0.35, seed=7)
+    hat.fadeout(0.04).stereo().write_wav(os.path.join(outdir, "hat.wav"))
+
+    # open hat
+    ohat = synth.white_noise(duration=0.22, amplitude=0.3, seed=8)
+    ohat.fadeout(0.2).stereo().write_wav(os.path.join(outdir, "openhat.wav"))
+
+    # bass pluck
+    pluck = osc.EnvelopeFilter(
+        osc.Harmonics(82.4, [(1, 0.7), (2, 0.35), (3, 0.18)], samplerate=SR),
+        0.004, 0.25, 0.0, 0.3, 0.05)
+    synth.render_oscillator(pluck, 0.3, "bass").stereo().write_wav(
+        os.path.join(outdir, "bass.wav"))
+
+    # stab chord
+    stab = osc.EnvelopeFilter(
+        osc.MixingFilter(
+            osc.Sawtooth(220.0, amplitude=0.2, samplerate=SR),
+            osc.Sawtooth(277.2, amplitude=0.2, samplerate=SR),
+            osc.Sawtooth(329.6, amplitude=0.2, samplerate=SR)),
+        0.005, 0.2, 0.0, 0.4, 0.08)
+    synth.render_oscillator(stab, 0.3, "stab").stereo().write_wav(
+        os.path.join(outdir, "stab.wav"))
+
+
+SONG_INI = """\
+; demo song for synthesizer_tpu trackmixer
+[song]
+bpm = 128
+ticks = 4
+patterns = intro main main fill main main outro
+
+[paths]
+samples = .
+
+[instruments]
+kick = kick.wav
+snare = snare.wav
+hat = hat.wav
+openhat = openhat.wav
+bass = bass.wav
+stab = stab.wav
+
+[pattern.intro]
+hat   = x.x. x.x. x.x. x.x.
+kick  = x... .... x... ....
+
+[pattern.main]
+kick  = x... x... x... x...
+snare = .... x... .... x...
+hat   = x.x. x.x. x.x. x.xx
+bass  = x... ..x. x... ..x.
+stab  = .... .... x... ....
+
+[pattern.fill]
+kick  = x... x... x... xxxx
+snare = .... x... .x.x xxxx
+hat   = x.x. x.x. x.x. ....
+openhat = .... .... .... x...
+
+[pattern.outro]
+kick  = x... .... x... ....
+openhat = x... .... .... ....
+bass  = x... .... ..x. ....
+"""
+
+
+def main() -> None:
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "demo_song"
+    make_kit(outdir)
+    with open(os.path.join(outdir, "demo.ini"), "w") as f:
+        f.write(SONG_INI)
+    print(f"wrote demo kit + demo.ini to {outdir}/")
+    print(f"try:  python trackmixer.py {outdir}/demo.ini -o demo.wav")
+
+
+if __name__ == "__main__":
+    main()
