@@ -99,14 +99,14 @@ class Sample:
         return self
 
     def amplify_max(self) -> "Sample":
-        """Amplify to full scale: factor = maxval / peak (no-op if silent).
-
-        The factor is the float64 quotient narrowed to f32 (device parity).
-        """
+        """Amplify to full scale: factor = f32(maxval) / f32(peak), a single-
+        precision division (device parity: the factor is computed in-graph
+        on device, so the whole op stages without a host sync).  No-op if
+        silent."""
         peak = pcm.max_(self.view_frame_data(), self.samplewidth)
         if peak == 0:
             return self
-        return self.amplify(np.float32(self.maxvalue / peak))
+        return self.amplify(np.float32(self.maxvalue) / np.float32(peak))
 
     def invert(self) -> "Sample":
         """Multiply by -1 (mul semantics: -MIN clamps to MAX)."""
@@ -275,17 +275,19 @@ class Sample:
 
     def echo(self, length: float, amount: int, delay: float, decay: float) -> "Sample":
         """Feed-forward echo: result is ``length`` seconds long; echo k
-        (k=1..amount) is the original scaled by f32(decay**k) (floor/clamp)
-        mixed in (saturating) at offset k*delay seconds."""
+        (k=1..amount) is the original scaled by the f32 cumulative product
+        decay_k = f32(decay_{k-1} * f32(decay)) (floor/clamp) mixed in
+        (saturating) at offset k*delay seconds.  The gain recurrence is
+        single-precision so the device can stage it in-graph."""
         orig = self.copy()
         total = self._n(length)
         if total > self.nframes:
             self.add_silence((total - self.nframes) / self.samplerate)
         else:
             self.frames = self.frames[:total]
-        gain = 1.0
+        gain = np.float32(1.0)
         for k in range(1, amount + 1):
-            gain *= decay
+            gain = np.float32(gain * np.float32(decay))
             copy_k = orig.copy().amplify(gain)
             self.mix_at(k * delay, copy_k, pad_shortest=False)
         return self

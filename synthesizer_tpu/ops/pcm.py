@@ -82,7 +82,7 @@ def lin2lin(a: jax.Array, newwidth: int) -> jax.Array:
 # Float32-spec scaling ops
 # ---------------------------------------------------------------------------
 
-def _floor_clamp(v_f32: jax.Array, width: int, dtype) -> jax.Array:
+def floor_clamp(v_f32: jax.Array, width: int, dtype) -> jax.Array:
     v = jnp.floor(v_f32)
     if width < 4:
         out = jnp.clip(v, np.float32(MINVAL[width]), np.float32(MAXVAL[width])).astype(jnp.int32)
@@ -102,7 +102,7 @@ def mul_floor(a: jax.Array, factor: jax.Array) -> jax.Array:
     """audioop.mul under the f32 spec: floor(f32(a) * f32(factor)), clamp."""
     w = width_of(a)
     prod = a.astype(jnp.float32) * jnp.asarray(factor, jnp.float32)
-    return _floor_clamp(prod, w, a.dtype)
+    return floor_clamp(prod, w, a.dtype)
 
 
 @jax.jit
@@ -111,7 +111,7 @@ def gain_apply(a: jax.Array, gains: jax.Array) -> jax.Array:
     floor(f32(a) * f32(gain)), clamp.  ``gains`` broadcasts against ``a``."""
     w = width_of(a)
     prod = a.astype(jnp.float32) * gains.astype(jnp.float32)
-    return _floor_clamp(prod, w, a.dtype)
+    return floor_clamp(prod, w, a.dtype)
 
 
 @jax.jit
@@ -129,7 +129,7 @@ def to_mono(a: jax.Array, lfactor: jax.Array, rfactor: jax.Array) -> jax.Array:
     af = a.astype(jnp.float32)
     v = af[..., 0] * jnp.asarray(lfactor, jnp.float32) \
         + af[..., 1] * jnp.asarray(rfactor, jnp.float32)
-    return _floor_clamp(v, w, a.dtype)[..., None]
+    return floor_clamp(v, w, a.dtype)[..., None]
 
 
 @jax.jit
@@ -137,8 +137,8 @@ def to_stereo(a: jax.Array, lfactor: jax.Array, rfactor: jax.Array) -> jax.Array
     """[n, 1] -> [n, 2]: per-channel floor(v*f), clamp (audioop.tostereo)."""
     w = width_of(a)
     af = a.astype(jnp.float32)[..., 0]
-    l = _floor_clamp(af * jnp.asarray(lfactor, jnp.float32), w, a.dtype)
-    r = _floor_clamp(af * jnp.asarray(rfactor, jnp.float32), w, a.dtype)
+    l = floor_clamp(af * jnp.asarray(lfactor, jnp.float32), w, a.dtype)
+    r = floor_clamp(af * jnp.asarray(rfactor, jnp.float32), w, a.dtype)
     return jnp.stack([l, r], axis=-1)
 
 

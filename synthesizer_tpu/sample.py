@@ -2,19 +2,28 @@
 
 TPU-native rebuild of the reference's ``synthplayer/sample.py`` (SURVEY.md
 §3.1 rows 2-3): an immutable-metadata, rebindable-buffer PCM sample whose
-~30 chainable ops run as jitted XLA programs over an int array held in
-device memory (HBM).  The numeric contract for every op is defined by
-``goldref.sample.Sample`` (see that module's docstring for the tolerance
-classes) and enforced in ``tests/test_sample.py``.
+~30 chainable ops run on an int array held in device memory.  The numeric
+contract for every op is defined by ``goldref.sample.Sample`` and enforced
+in ``tests/test_sample.py``.
 
-Host work is limited to: WAV container I/O, shape bookkeeping, and the
-seconds->frames conversions; all per-sample arithmetic happens on device.
+**Lazy op capture.**  The reference's chainable API mutates eagerly; here
+each op *stages* a node of a tiny IR instead, and the whole pending chain
+compiles into ONE device program when the data is actually needed
+(``get_frame_array`` / ``write_wav`` / mixing into another sample / …).
+This is the graph-capture veneer SURVEY.md §7 calls for: users keep the
+chainable API, the device sees a single fused program per chain shape
+(compiled once, cached by structure), and a chain costs one dispatch
+instead of one per op.  Even data-dependent scaling (``amplify_max``,
+``make_16bit``) stages, because the peak factor is computed in-graph.
+
+Shape/format metadata is tracked eagerly through staged ops, so
+``nframes``/``duration``/format queries never force materialization.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Iterator, Optional, Union
+from typing import Iterator, List, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -30,65 +39,281 @@ _NPDT = {1: np.int8, 2: np.int16, 4: np.int32}
 MAXVAL = dpcm.MAXVAL
 MINVAL = dpcm.MINVAL
 
+#: auto-materialize when a chain grows beyond this many staged ops
+_MAX_PENDING = 48
 
-@jax.jit
-def _fadein_kernel(head: jax.Array, start_volume: jax.Array) -> jax.Array:
-    n = head.shape[0]
+
+class _Op(NamedTuple):
+    name: str
+    static: Tuple       # hashable static params
+    ndyn: int           # f32 scalars consumed from the dyn vector
+    nleaf: int          # leaf arrays consumed
+
+
+# ---------------------------------------------------------------------------
+# Staged-op executors.  Each runs inside the fused trace:
+#   exec(x, static, dyn_scalars: list[f32 tracer], leaves: list[array]) -> x
+# ---------------------------------------------------------------------------
+
+def _x_amplify(x, st, dyn, leaves):
+    return dpcm.mul_floor(x, dyn[0])
+
+
+def _x_amplify_max(x, st, dyn, leaves):
+    w = dpcm.width_of(x)
+    pk = dpcm.peak(x)
+    factor = jnp.where(pk == 0, jnp.float32(1.0),
+                       jnp.float32(MAXVAL[w]) / pk.astype(jnp.float32))
+    return dpcm.mul_floor(x, factor)
+
+
+def _x_bias(x, st, dyn, leaves):
+    return dpcm.bias_wrap(x, np.asarray(st[0]).astype(_NPDT[dpcm.width_of(x)]))
+
+
+def _x_slice(x, st, dyn, leaves):
+    a, b = st
+    return x[a:b]
+
+
+def _x_cut(x, st, dyn, leaves):
+    a, b = st
+    return jnp.concatenate([x[:a], x[b:]], axis=0)
+
+
+def _x_pad(x, st, dyn, leaves):
+    n, at_start = st
+    z = jnp.zeros((n, x.shape[1]), x.dtype)
+    return jnp.concatenate([z, x] if at_start else [x, z], axis=0)
+
+
+def _x_join(x, st, dyn, leaves):
+    return jnp.concatenate([x, leaves[0]], axis=0)
+
+
+def _x_reverse(x, st, dyn, leaves):
+    return x[::-1]
+
+
+def _x_fadein(x, st, dyn, leaves):
+    (n,) = st
+    start = dyn[0]
     i = jnp.arange(n, dtype=jnp.float32)
-    g = start_volume + (jnp.float32(1.0) - start_volume) * (i / jnp.float32(n))
-    return dpcm.gain_apply(head, g[:, None])
+    g = start + (jnp.float32(1.0) - start) * (i / jnp.float32(n))
+    head = dpcm.gain_apply(x[:n], g[:, None])
+    return jnp.concatenate([head, x[n:]], axis=0)
 
 
-@jax.jit
-def _fadeout_kernel(tail: jax.Array, target_volume: jax.Array) -> jax.Array:
-    n = tail.shape[0]
+def _x_fadeout(x, st, dyn, leaves):
+    (n, total) = st
+    target = dyn[0]
     j = jnp.arange(n, dtype=jnp.float32)
-    g = target_volume + (jnp.float32(1.0) - target_volume) * \
+    g = target + (jnp.float32(1.0) - target) * \
         ((jnp.float32(n) - jnp.float32(1.0) - j) / jnp.float32(n))
-    return dpcm.gain_apply(tail, g[:, None])
+    tail = dpcm.gain_apply(x[total - n:], g[:, None])
+    return jnp.concatenate([x[:total - n], tail], axis=0)
 
 
-@jax.jit
-def _pan_kernel(a: jax.Array, amounts: jax.Array) -> jax.Array:
-    la = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - amounts)
-    ra = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + amounts)
-    return dpcm.gain_apply(a, jnp.stack([la, ra], axis=-1))
+def _x_envelope(x, st, dyn, leaves):
+    (n, samplerate) = st
+    a = jnp.maximum(dyn[0], jnp.float32(0.0))
+    d = jnp.maximum(dyn[1], jnp.float32(0.0))
+    sl = dyn[2]
+    r = jnp.maximum(dyn[3], jnp.float32(0.0))
+    i = jnp.arange(n, dtype=jnp.float32)
+    t = i / jnp.float32(samplerate)
+    dur = jnp.float32(n / samplerate)
+    eps = jnp.float32(1e-30)
+    g = jnp.ones_like(t)
+    g = jnp.where(a > 0, jnp.minimum(g, t / jnp.maximum(a, eps)), g)
+    in_decay = (t >= a) & (t < a + d)
+    g = jnp.where(in_decay, 1.0 + (sl - 1.0) * (t - a) / jnp.maximum(d, eps), g)
+    g = jnp.where(t >= a + d, sl, g)
+    in_rel = t >= dur - r
+    rel_gain = jnp.where(r > 0, g * (dur - t) / jnp.maximum(r, eps), g)
+    g = jnp.where(in_rel, rel_gain, g)
+    return dpcm.gain_apply(x, jnp.maximum(g, 0.0)[:, None])
+
+
+def _x_modulate(x, st, dyn, leaves):
+    return dpcm.gain_apply(x, leaves[0][:, None])
+
+
+def _x_mix_at(x, st, dyn, leaves):
+    start, m, out_len = st
+    other = leaves[0][:m]
+    cur = x.shape[0]
+    if out_len > cur:
+        x = jnp.concatenate(
+            [x, jnp.zeros((out_len - cur, x.shape[1]), x.dtype)], axis=0)
+    mixed = dpcm.sat_add(x[start:start + m], other)
+    return jnp.concatenate([x[:start], mixed, x[start + m:]], axis=0)
+
+
+def _x_echo(x, st, dyn, leaves):
+    total, amount, d_after, d_delay = st
+    decay = dyn[0]
+    orig = x
+    cur = x.shape[0]
+    if total > cur:
+        x = jnp.concatenate(
+            [x, jnp.zeros((total - cur, x.shape[1]), x.dtype)], axis=0)
+    else:
+        x = x[:total]
+    gain = jnp.float32(1.0)
+    for k in range(1, amount + 1):
+        gain = gain * decay
+        dk = d_after + k * d_delay
+        if dk >= total:
+            break
+        m = min(orig.shape[0], total - dk)
+        copy_k = dpcm.mul_floor(orig[:m], gain)
+        mixed = dpcm.sat_add(x[dk:dk + m], copy_k)
+        x = jnp.concatenate([x[:dk], mixed, x[dk + m:]], axis=0)
+    return x
+
+
+def _x_lin2lin(x, st, dyn, leaves):
+    return dpcm.lin2lin(x, st[0])
+
+
+def _x_astype_i32(x, st, dyn, leaves):
+    return x.astype(jnp.int32)
+
+
+def _x_tomono(x, st, dyn, leaves):
+    return dpcm.to_mono(x, dyn[0], dyn[1])
+
+
+def _x_tostereo(x, st, dyn, leaves):
+    return dpcm.to_stereo(x, dyn[0], dyn[1])
+
+
+def _x_stereo_mix(x, st, dyn, leaves):
+    ch, m = st
+    scaled = dpcm.mul_floor(leaves[0][:m, 0], dyn[0])
+    mixed = dpcm.sat_add(x[:m, ch], scaled)
+    return x.at[:m, ch].set(mixed)
+
+
+def _x_pan_const(x, st, dyn, leaves):
+    amount = dyn[0]
+    la = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - amount)
+    ra = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + amount)
+    return dpcm.gain_apply(x, jnp.stack([jnp.broadcast_to(la, (x.shape[0],)),
+                                         jnp.broadcast_to(ra, (x.shape[0],))],
+                                        axis=-1))
+
+
+def _x_pan_lfo(x, st, dyn, leaves):
+    amt = leaves[0]
+    la = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - amt)
+    ra = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + amt)
+    return dpcm.gain_apply(x, jnp.stack([la, ra], axis=-1))
+
+
+def _x_ratecv(x, st, dyn, leaves):
+    inr, outr, nout = st
+    nch = x.shape[1]
+    zeros = jnp.zeros((nch,), x.dtype)
+    y, _, _ = dresample._ratecv_kernel(x, zeros, zeros, inr=inr, outr=outr,
+                                       d0=-outr, nout=nout)
+    return y
+
+
+_EXEC = {
+    "amplify": _x_amplify, "amplify_max": _x_amplify_max, "bias": _x_bias,
+    "slice": _x_slice, "cut": _x_cut, "pad": _x_pad, "join": _x_join,
+    "reverse": _x_reverse, "fadein": _x_fadein, "fadeout": _x_fadeout,
+    "envelope": _x_envelope, "modulate": _x_modulate, "mix_at": _x_mix_at,
+    "echo": _x_echo, "lin2lin": _x_lin2lin, "astype_i32": _x_astype_i32,
+    "tomono": _x_tomono, "tostereo": _x_tostereo, "stereo_mix": _x_stereo_mix,
+    "pan_const": _x_pan_const, "pan_lfo": _x_pan_lfo, "ratecv": _x_ratecv,
+}
+
+_program_cache: dict = {}
+
+
+def _compile_program(key, ops: Tuple[_Op, ...]):
+    fn = _program_cache.get(key)
+    if fn is None:
+        def run(base, dyn_vec, leaves):
+            x = base
+            di = li = 0
+            for op in ops:
+                d = [dyn_vec[di + j] for j in range(op.ndyn)]
+                lv = [leaves[li + j] for j in range(op.nleaf)]
+                x = _EXEC[op.name](x, op.static, d, lv)
+                di += op.ndyn
+                li += op.nleaf
+            return x
+        fn = jax.jit(run)
+        _program_cache[key] = fn
+    return fn
 
 
 class Sample:
-    """A device-resident PCM sample with chainable in-place DSP ops.
+    """A device-resident PCM sample with chainable, lazily-fused DSP ops.
 
     API-compatible with the reference's ``Sample`` (SURVEY.md §3.2): ops
-    mutate in place and return ``self`` for chaining.  The frames live on
-    device as a ``[nframes, nchannels]`` int array.
+    mutate in place and return ``self`` for chaining.  Internally each op
+    stages an IR node; the chain compiles to one device program on demand
+    (see module docstring).
     """
 
     def __init__(self, wave_file=None, name: str = ""):
         self.name = name
+        self._ops: List[_Op] = []
+        self._dyn: List[float] = []
+        self._leaves: List[jax.Array] = []
         if wave_file is not None:
             frames, rate, width, nch = wavio.read_wav(wave_file)
-            self._data = jnp.asarray(frames)
+            self._base = jnp.asarray(frames)
             self._samplerate = rate
             self._samplewidth = width
             self._nchannels = nch
+            self._nframes = frames.shape[0]
             if isinstance(wave_file, str) and not name:
                 self.name = wave_file
         else:
-            self._data = jnp.zeros((0, params.norm_nchannels),
+            self._base = jnp.zeros((0, params.norm_nchannels),
                                    _DTYPES[params.norm_samplewidth])
             self._samplerate = params.norm_samplerate
             self._samplewidth = params.norm_samplewidth
             self._nchannels = params.norm_nchannels
+            self._nframes = 0
 
-    # -- constructors --------------------------------------------------------
+    # -- staging machinery -----------------------------------------------------
+
+    def _stage(self, name: str, static: Tuple = (), dyn: Tuple = (),
+               leaves: Tuple = ()) -> None:
+        self._ops.append(_Op(name, static, len(dyn), len(leaves)))
+        self._dyn.extend(float(d) for d in dyn)
+        self._leaves.extend(leaves)
+        if len(self._ops) > _MAX_PENDING:
+            self._materialize()
+
+    def _materialize(self) -> jax.Array:
+        if self._ops:
+            ops = tuple(self._ops)
+            key = (ops, self._base.shape, str(self._base.dtype),
+                   tuple((l.shape, str(l.dtype)) for l in self._leaves))
+            fn = _compile_program(key, ops)
+            dyn_vec = jnp.asarray(np.asarray(self._dyn, np.float32))
+            self._base = fn(self._base, dyn_vec, tuple(self._leaves))
+            self._ops, self._dyn, self._leaves = [], [], []
+        return self._base
+
+    # -- constructors ------------------------------------------------------------
 
     @classmethod
     def from_raw_frames(cls, frames: bytes, samplewidth: int, samplerate: int,
                         nchannels: int, name: str = "") -> "Sample":
         s = cls(name=name)
         a = np.frombuffer(frames, dtype=_NPDT[samplewidth]).reshape(-1, nchannels)
-        s._data = jnp.asarray(a)
+        s._base = jnp.asarray(a)
         s._samplerate, s._samplewidth, s._nchannels = samplerate, samplewidth, nchannels
+        s._nframes = a.shape[0]
         return s
 
     @classmethod
@@ -100,10 +325,7 @@ class Sample:
             a = np.clip(np.rint(a * 32767.0), -32768, 32767).astype(np.int16)
         elif a.dtype != np.int16:
             a = a.astype(np.int16)
-        s = cls(name=name)
-        s._data = jnp.asarray(a.reshape(-1, nchannels))
-        s._samplerate, s._samplewidth, s._nchannels = samplerate, 2, nchannels
-        return s
+        return cls.from_raw_frames(a.tobytes(), 2, samplerate, nchannels, name)
 
     @classmethod
     def from_jax(cls, data: jax.Array, samplerate: int, samplewidth: int,
@@ -111,20 +333,25 @@ class Sample:
         """Wrap an existing on-device [n, ch] int array (no copy)."""
         s = cls(name=name)
         assert data.ndim == 2 and data.dtype == _DTYPES[samplewidth]
-        s._data = data
-        s._samplerate, s._samplewidth, s._nchannels = samplerate, samplewidth, data.shape[1]
+        s._base = data
+        s._samplerate, s._samplewidth = samplerate, samplewidth
+        s._nchannels = int(data.shape[1])
+        s._nframes = int(data.shape[0])
         return s
 
     def copy(self) -> "Sample":
         s = Sample(name=self.name)
-        s._data = self._data  # jax arrays are immutable: sharing is a copy
-        s._samplerate, s._samplewidth, s._nchannels = \
-            self._samplerate, self._samplewidth, self._nchannels
+        s._base = self._base          # jax arrays are immutable
+        s._ops = list(self._ops)
+        s._dyn = list(self._dyn)
+        s._leaves = list(self._leaves)
+        s._samplerate, s._samplewidth, s._nchannels, s._nframes = \
+            self._samplerate, self._samplewidth, self._nchannels, self._nframes
         return s
 
     dup = copy
 
-    # -- introspection -------------------------------------------------------
+    # -- introspection (never materializes) ---------------------------------------
 
     @property
     def samplerate(self) -> int:
@@ -146,11 +373,11 @@ class Sample:
 
     @property
     def nframes(self) -> int:
-        return int(self._data.shape[0])
+        return self._nframes
 
     @property
     def duration(self) -> float:
-        return self.nframes / self._samplerate
+        return self._nframes / self._samplerate
 
     @property
     def maxvalue(self) -> int:
@@ -158,146 +385,151 @@ class Sample:
 
     @property
     def jax_frames(self) -> jax.Array:
-        """The on-device [nframes, nchannels] int array (no copy)."""
-        return self._data
+        """The on-device [nframes, nchannels] int array (materializes)."""
+        return self._materialize()
 
     def __len__(self) -> int:
-        return self.nframes
+        return self._nframes
 
     def __repr__(self) -> str:
+        pending = f" +{len(self._ops)} staged" if self._ops else ""
         return (f"<Sample '{self.name}' {self.duration:.3f}s "
                 f"{self._samplerate}Hz {8 * self._samplewidth}bit "
-                f"{self._nchannels}ch on {self._data.device}>")
+                f"{self._nchannels}ch{pending}>")
 
     def __eq__(self, other) -> bool:
         if not isinstance(other, Sample):
             return NotImplemented
         return (self._samplerate, self._samplewidth, self._nchannels) == \
                (other._samplerate, other._samplewidth, other._nchannels) and \
-               self._data.shape == other._data.shape and \
-               bool(jnp.array_equal(self._data, other._data))
+               self._nframes == other._nframes and \
+               bool(jnp.array_equal(self._materialize(), other._materialize()))
 
     def view_frame_data(self) -> bytes:
         """Raw interleaved little-endian frame bytes (device -> host copy)."""
-        return np.asarray(self._data).astype(_NPDT[self._samplewidth]).tobytes()
+        return np.asarray(self._materialize()).astype(_NPDT[self._samplewidth]).tobytes()
 
     def get_frame_array(self) -> np.ndarray:
         """Frames as a host numpy array [nframes, nchannels]."""
-        return np.asarray(self._data)
+        return np.asarray(self._materialize())
 
     def _n(self, seconds: float) -> int:
         return int(seconds * self._samplerate)
 
-    # -- WAV I/O --------------------------------------------------------------
+    # -- WAV I/O --------------------------------------------------------------------
 
     def write_wav(self, file) -> "Sample":
-        wavio.write_wav(file, np.asarray(self._data), self._samplerate,
+        wavio.write_wav(file, self.get_frame_array(), self._samplerate,
                         self._samplewidth, self._nchannels)
         return self
 
-    # -- scaling ---------------------------------------------------------------
+    # -- scaling -----------------------------------------------------------------------
 
     def amplify(self, factor: float) -> "Sample":
         """floor(f32(v) * f32(factor)), clamp (audioop.mul, f32 spec)."""
-        self._data = dpcm.mul_floor(self._data, jnp.float32(factor))
+        self._stage("amplify", dyn=(factor,))
         return self
 
     def amplify_max(self) -> "Sample":
-        """Amplify to full scale (factor = maxval / device peak)."""
-        peak = int(dpcm.peak(self._data)) if self.nframes else 0
-        if peak == 0:
-            return self
-        return self.amplify(np.float32(self.maxvalue / peak))
+        """Amplify to full scale; the f32 factor maxval/peak is computed
+        in-graph on device (stages without a host sync)."""
+        self._stage("amplify_max")
+        return self
 
     def invert(self) -> "Sample":
         return self.amplify(-1.0)
 
     def bias(self, amount: int) -> "Sample":
         """Wrapping DC offset (audioop.bias)."""
-        self._data = dpcm.bias_wrap(
-            self._data, np.asarray(amount).astype(_NPDT[self._samplewidth]))
+        self._stage("bias", static=(int(amount),))
         return self
 
-    # -- arrangement ------------------------------------------------------------
+    # -- arrangement ----------------------------------------------------------------------
 
     def clip(self, start_seconds: float, end_seconds: float) -> "Sample":
-        a, b = self._n(start_seconds), self._n(end_seconds)
-        self._data = self._data[a:b]
+        a = min(self._n(start_seconds), self._nframes)
+        b = min(max(self._n(end_seconds), a), self._nframes)
+        self._stage("slice", static=(a, b))
+        self._nframes = b - a
         return self
 
     def cut(self, start_seconds: float, end_seconds: float) -> "Sample":
-        a, b = self._n(start_seconds), self._n(end_seconds)
-        self._data = jnp.concatenate([self._data[:a], self._data[b:]], axis=0)
+        a = min(self._n(start_seconds), self._nframes)
+        b = min(max(self._n(end_seconds), a), self._nframes)
+        self._stage("cut", static=(a, b))
+        self._nframes -= (b - a)
         return self
 
     def split(self, seconds: float) -> "Sample":
-        n = self._n(seconds)
-        tail = Sample.from_jax(self._data[n:], self._samplerate,
-                               self._samplewidth, self.name)
-        self._data = self._data[:n]
+        n = min(self._n(seconds), self._nframes)
+        tail = self.copy()
+        tail._stage("slice", static=(n, tail._nframes))
+        tail._nframes = self._nframes - n
+        self._stage("slice", static=(0, n))
+        self._nframes = n
         return tail
 
     def add_silence(self, seconds: float, at_start: bool = False) -> "Sample":
-        z = jnp.zeros((self._n(seconds), self._nchannels), self._data.dtype)
-        parts = [z, self._data] if at_start else [self._data, z]
-        self._data = jnp.concatenate(parts, axis=0)
+        n = self._n(seconds)
+        self._stage("pad", static=(n, bool(at_start)))
+        self._nframes += n
         return self
 
     def join(self, other: "Sample") -> "Sample":
         self._check_format(other)
-        self._data = jnp.concatenate([self._data, other._data], axis=0)
+        self._stage("join", leaves=(other._materialize(),))
+        self._nframes += other._nframes
         return self
 
     def reverse(self) -> "Sample":
-        self._data = self._data[::-1]
+        self._stage("reverse")
         return self
 
     def delay(self, seconds: float, keep_length: bool = False) -> "Sample":
         n = self._n(abs(seconds))
         if seconds >= 0:
-            self.add_silence(seconds, at_start=True)
+            self.add_silence(abs(seconds), at_start=True)
             if keep_length and n > 0:
-                self._data = self._data[:-n] if n <= self.nframes else self._data[:0]
+                end = max(self._nframes - n, 0)
+                self._stage("slice", static=(0, end))
+                self._nframes = end
         else:
-            self._data = self._data[n:]
+            n = min(n, self._nframes)
+            self._stage("slice", static=(n, self._nframes))
+            self._nframes -= n
             if keep_length:
                 self.add_silence(abs(seconds))
         return self
 
-    # -- fades & envelopes --------------------------------------------------------
+    # -- fades & envelopes ---------------------------------------------------------------
 
     def fadein(self, seconds: float, start_volume: float = 0.0) -> "Sample":
-        n = min(self._n(seconds), self.nframes)
-        if n <= 0:
-            return self
-        head = _fadein_kernel(self._data[:n], jnp.float32(start_volume))
-        self._data = jnp.concatenate([head, self._data[n:]], axis=0)
+        n = min(self._n(seconds), self._nframes)
+        if n > 0:
+            self._stage("fadein", static=(n,), dyn=(start_volume,))
         return self
 
     def fadeout(self, seconds: float, target_volume: float = 0.0) -> "Sample":
-        n = min(self._n(seconds), self.nframes)
-        if n <= 0:
-            return self
-        tail = _fadeout_kernel(self._data[self.nframes - n:], jnp.float32(target_volume))
-        self._data = jnp.concatenate([self._data[:self.nframes - n], tail], axis=0)
+        n = min(self._n(seconds), self._nframes)
+        if n > 0:
+            self._stage("fadeout", static=(n, self._nframes), dyn=(target_volume,))
         return self
 
     def envelope(self, attack: float, decay: float, sustainlevel: float,
                  release: float) -> "Sample":
         """ADSR gain curve over the whole buffer (goldref.sample.adsr_gains)."""
-        g = dpcm.adsr_ramp(self.nframes, self._samplerate, attack, decay,
-                           sustainlevel, release)
-        self._data = dpcm.gain_apply(self._data, g[:, None])
+        self._stage("envelope", static=(self._nframes, self._samplerate),
+                    dyn=(attack, decay, sustainlevel, release))
         return self
 
     def modulate_amp(self, modulator) -> "Sample":
         """Per-sample amplitude modulation by a Sample, f32 array, or an
         object exposing ``gains(n)`` (oscillators)."""
-        g = _modulator_gains(modulator, self.nframes)
-        self._data = dpcm.gain_apply(self._data, g[:, None])
+        g = _modulator_gains(modulator, self._nframes)
+        self._stage("modulate", leaves=(g,))
         return self
 
-    # -- mixing ----------------------------------------------------------------
+    # -- mixing -------------------------------------------------------------------------------
 
     def mix(self, other: "Sample", other_seconds: Optional[float] = None,
             pad_shortest: bool = True) -> "Sample":
@@ -306,51 +538,38 @@ class Sample:
     def mix_at(self, seconds: float, other: "Sample",
                other_seconds: Optional[float] = None,
                pad_shortest: bool = True) -> "Sample":
-        """Saturating add of ``other`` at a frame offset (device dynamic-
-        update-slice; the trackmixer hot loop, SURVEY.md §4.2)."""
+        """Saturating add of ``other`` at a frame offset (the trackmixer hot
+        loop, SURVEY.md §4.2) — staged, so N mixes fuse into one program."""
         self._check_format(other)
-        ofr = other._data
+        m = other._nframes
         if other_seconds is not None:
-            ofr = ofr[:other._n(other_seconds)]
+            m = min(m, other._n(other_seconds))
         start = self._n(seconds)
-        end = start + ofr.shape[0]
-        if end > self.nframes:
-            if pad_shortest:
-                pad = jnp.zeros((end - self.nframes, self._nchannels), self._data.dtype)
-                self._data = jnp.concatenate([self._data, pad], axis=0)
-            else:
-                ofr = ofr[:max(0, self.nframes - start)]
-                end = start + ofr.shape[0]
-        if ofr.shape[0] == 0:
+        if start + m > self._nframes and not pad_shortest:
+            m = max(0, self._nframes - start)
+        if m == 0:
             return self
-        region = jax.lax.dynamic_slice_in_dim(self._data, start, ofr.shape[0], 0)
-        mixed = dpcm.sat_add(region, ofr)
-        self._data = jax.lax.dynamic_update_slice_in_dim(self._data, mixed, start, 0)
+        out_len = max(self._nframes, start + m)
+        self._stage("mix_at", static=(start, m, out_len),
+                    leaves=(other._materialize(),))
+        self._nframes = out_len
         return self
 
     def echo(self, length: float, amount: int, delay: float, decay: float) -> "Sample":
         """Feed-forward echo (spec: goldref.sample.Sample.echo)."""
-        orig = self.copy()
         total = self._n(length)
-        if total > self.nframes:
-            self.add_silence((total - self.nframes) / self._samplerate)
-        else:
-            self._data = self._data[:total]
-        gain = 1.0
-        for k in range(1, amount + 1):
-            gain *= decay
-            self.mix_at(k * delay, orig.copy().amplify(gain), pad_shortest=False)
+        self._stage("echo", static=(total, int(amount), 0, self._n(delay)),
+                    dyn=(decay,))
+        self._nframes = total
         return self
 
-    # -- format conversion ---------------------------------------------------------
+    # -- format conversion -----------------------------------------------------------------------
 
     def make_32bit(self, scale_amplitude: bool = True) -> "Sample":
         if self._samplewidth == 4:
             return self
-        if scale_amplitude:
-            self._data = dpcm.lin2lin(self._data, 4)
-        else:
-            self._data = self._data.astype(jnp.int32)
+        self._stage("lin2lin" if scale_amplitude else "astype_i32",
+                    static=(4,) if scale_amplitude else ())
         self._samplewidth = 4
         return self
 
@@ -358,47 +577,49 @@ class Sample:
         if maximize_amplitude:
             self.amplify_max()
         if self._samplewidth != 2:
-            self._data = dpcm.lin2lin(self._data, 2)
+            self._stage("lin2lin", static=(2,))
             self._samplewidth = 2
         return self
-
-    def _ratecv(self, inrate: int, outrate: int) -> jax.Array:
-        """Exact ratecv; stays on device when the int32 path applies."""
-        import math as _math
-        g = _math.gcd(inrate, outrate)
-        outr = outrate // g
-        if self._samplewidth <= 2 and outr < (1 << (32 - 8 * self._samplewidth)):
-            return dresample.resample_jax(self._data, inrate, outrate)
-        y, _ = dresample.resample(np.asarray(self._data), inrate, outrate,
-                                  width=self._samplewidth)
-        return jnp.asarray(y)
 
     def resample(self, samplerate: int) -> "Sample":
         if samplerate == self._samplerate:
             return self
-        self._data = self._ratecv(self._samplerate, samplerate)
+        self._ratecv(self._samplerate, samplerate)
         self._samplerate = samplerate
         return self
 
     def speed(self, speed: float) -> "Sample":
+        """Change playback speed (and pitch), keeping the samplerate meta."""
         if speed == 1.0:
             return self
-        self._data = self._ratecv(int(self._samplerate * speed), self._samplerate)
+        self._ratecv(int(self._samplerate * speed), self._samplerate)
         return self
+
+    def _ratecv(self, inrate: int, outrate: int) -> None:
+        g = math.gcd(inrate, outrate)
+        inr, outr = inrate // g, outrate // g
+        nout = dresample.nframes_out(self._nframes, inr, outr)
+        if self._samplewidth <= 2 and outr < (1 << (32 - 8 * self._samplewidth)) \
+                and self._nframes < (1 << 30) // max(inr, outr):
+            self._stage("ratecv", static=(inr, outr, nout))
+        else:
+            # exact int64 host path (width 4 / pathological reduced rates)
+            y, _ = dresample.resample(np.asarray(self._materialize()),
+                                      inr, outr, width=self._samplewidth)
+            self._base = jnp.asarray(y)
+        self._nframes = nout
 
     def mono(self, left_factor: float = 1.0, right_factor: float = 1.0) -> "Sample":
         if self._nchannels == 1:
             return self
-        self._data = dpcm.to_mono(self._data, jnp.float32(left_factor),
-                                  jnp.float32(right_factor))
+        self._stage("tomono", dyn=(left_factor, right_factor))
         self._nchannels = 1
         return self
 
     def stereo(self, left_factor: float = 1.0, right_factor: float = 1.0) -> "Sample":
         if self._nchannels == 2:
             return self
-        self._data = dpcm.to_stereo(self._data, jnp.float32(left_factor),
-                                    jnp.float32(right_factor))
+        self._stage("tostereo", dyn=(left_factor, right_factor))
         self._nchannels = 2
         return self
 
@@ -407,25 +628,23 @@ class Sample:
         assert other_channel in ("L", "R") and other._nchannels == 1
         if self._nchannels == 1:
             self.stereo()
-        scaled = other.copy().amplify(other_mix_factor)
         ch = 0 if other_channel == "L" else 1
-        n = min(self.nframes, scaled.nframes)
-        col = self._data[:n, ch]
-        mixed = dpcm.sat_add(col, scaled._data[:n, 0])
-        self._data = self._data.at[:n, ch].set(mixed)
+        m = min(self._nframes, other._nframes)
+        self._stage("stereo_mix", static=(ch, m), dyn=(other_mix_factor,),
+                    leaves=(other._materialize(),))
         return self
 
     def pan(self, amount: float = 0.0, lfo=None) -> "Sample":
         if self._nchannels == 1:
             self.stereo()
         if lfo is None:
-            amounts = jnp.full((self.nframes,), jnp.float32(amount))
+            self._stage("pan_const", dyn=(amount,))
         else:
-            amounts = _modulator_gains(lfo, self.nframes)
-        self._data = _pan_kernel(self._data, amounts)
+            amt = _modulator_gains(lfo, self._nframes)
+            self._stage("pan_lfo", leaves=(amt,))
         return self
 
-    # -- chunking -------------------------------------------------------------------
+    # -- chunking -------------------------------------------------------------------------------------
 
     def chunked_frame_data(self, chunksize_frames: int,
                            repeat: bool = False) -> Iterator[bytes]:
@@ -442,7 +661,7 @@ class Sample:
             for i in range(0, n, chunksize_frames):
                 yield host[i:i + chunksize_frames].astype(_NPDT[self._samplewidth]).tobytes()
 
-    # -- misc ------------------------------------------------------------------------
+    # -- misc ------------------------------------------------------------------------------------------
 
     def normalize(self) -> "Sample":
         """Convert to the global normalization targets (params module)."""
@@ -451,7 +670,7 @@ class Sample:
             if params.norm_samplewidth == 2:
                 self.make_16bit(maximize_amplitude=False)
             else:
-                self._data = dpcm.lin2lin(self._data, params.norm_samplewidth)
+                self._stage("lin2lin", static=(params.norm_samplewidth,))
                 self._samplewidth = params.norm_samplewidth
         if self._nchannels == 1 and params.norm_nchannels == 2:
             self.stereo()
@@ -468,7 +687,8 @@ class Sample:
 
 def _modulator_gains(modulator, n: int) -> jax.Array:
     if isinstance(modulator, Sample):
-        g = modulator._data[:, 0].astype(jnp.float32) / jnp.float32(MAXVAL[modulator._samplewidth])
+        g = modulator.jax_frames[:, 0].astype(jnp.float32) / jnp.float32(
+            MAXVAL[modulator.samplewidth])
     elif hasattr(modulator, "gains"):
         g = jnp.asarray(modulator.gains(n), dtype=jnp.float32)
     else:
