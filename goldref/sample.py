@@ -282,7 +282,8 @@ class Sample:
         orig = self.copy()
         total = self._n(length)
         if total > self.nframes:
-            self.add_silence((total - self.nframes) / self.samplerate)
+            pad = np.zeros((total - self.nframes, self.nchannels), self.frames.dtype)
+            self.frames = np.concatenate([self.frames, pad], axis=0)
         else:
             self.frames = self.frames[:total]
         gain = np.float32(1.0)

@@ -151,7 +151,7 @@ def _x_mix_at(x, st, dyn, leaves):
 
 
 def _x_echo(x, st, dyn, leaves):
-    total, amount, d_after, d_delay = st
+    total, offsets = st                 # offsets: exact per-echo start frames
     decay = dyn[0]
     orig = x
     cur = x.shape[0]
@@ -161,11 +161,10 @@ def _x_echo(x, st, dyn, leaves):
     else:
         x = x[:total]
     gain = jnp.float32(1.0)
-    for k in range(1, amount + 1):
+    for dk in offsets:
         gain = gain * decay
-        dk = d_after + k * d_delay
         if dk >= total:
-            break
+            continue
         m = min(orig.shape[0], total - dk)
         copy_k = dpcm.mul_floor(orig[:m], gain)
         mixed = dpcm.sat_add(x[dk:dk + m], copy_k)
@@ -556,10 +555,12 @@ class Sample:
         return self
 
     def echo(self, length: float, amount: int, delay: float, decay: float) -> "Sample":
-        """Feed-forward echo (spec: goldref.sample.Sample.echo)."""
+        """Feed-forward echo (spec: goldref.sample.Sample.echo).  Per-echo
+        offsets are rounded from seconds individually (int(k*delay*sr)),
+        matching the oracle's per-copy mix_at exactly."""
         total = self._n(length)
-        self._stage("echo", static=(total, int(amount), 0, self._n(delay)),
-                    dyn=(decay,))
+        offsets = tuple(self._n(k * delay) for k in range(1, int(amount) + 1))
+        self._stage("echo", static=(total, offsets), dyn=(decay,))
         self._nframes = total
         return self
 

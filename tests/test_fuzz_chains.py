@@ -1,0 +1,89 @@
+"""Randomized op-chain fuzzing: lazy device Sample vs the goldref oracle.
+
+Random chains of chainable ops run on both implementations; comparisons use
+the per-op tolerance classes (exact ops contribute 0, gain-ramp/multiply-add
+ops contribute <=1 LSB each, accumulated over the chain).
+"""
+
+import numpy as np
+import pytest
+
+import goldref.sample as gs
+from synthesizer_tpu.sample import Sample
+
+SR = 44100
+
+# (name, apply(gold), apply(dev), lsb_cost)
+OPS = [
+    ("amplify", lambda s: s.amplify(0.7), 0),
+    ("amplify_neg", lambda s: s.amplify(-0.4), 0),
+    ("amplify_max", lambda s: s.amplify_max(), 0),
+    ("invert", lambda s: s.invert(), 0),
+    ("bias", lambda s: s.bias(321), 0),
+    ("clip", lambda s: s.clip(0.001, 0.08), 0),
+    ("cut", lambda s: s.cut(0.002, 0.004), 0),
+    ("silence", lambda s: s.add_silence(0.003), 0),
+    ("silence0", lambda s: s.add_silence(0.002, at_start=True), 0),
+    ("reverse", lambda s: s.reverse(), 0),
+    ("delayk", lambda s: s.delay(0.002, keep_length=True), 0),
+    ("fadein", lambda s: s.fadein(0.01), 1),
+    ("fadeout", lambda s: s.fadeout(0.01, 0.2), 1),
+    ("envelope", lambda s: s.envelope(0.005, 0.01, 0.6, 0.01), 1),
+    ("echo", lambda s: s.echo(0.09, 2, 0.013, 0.5), 0),
+    ("resample_up", lambda s: s.resample(48000), 0),
+    ("resample_down", lambda s: s.resample(22050), 0),
+    ("speed", lambda s: s.speed(1.25), 0),
+]
+
+
+def make_pair(rng, n=3000):
+    a = rng.integers(-15000, 15000, size=(n, 2)).astype(np.int16)
+    return (gs.Sample(a.copy(), SR, 2, 2),
+            Sample.from_raw_frames(a.tobytes(), 2, SR, 2))
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_chain(seed):
+    rng = np.random.default_rng(seed)
+    gold, dev = make_pair(rng)
+    tol = 0
+    names = []
+    for _ in range(7):
+        name, fn, cost = OPS[rng.integers(len(OPS))]
+        names.append(name)
+        fn(gold)
+        fn(dev)
+        tol += cost
+        if gold.nframes == 0:
+            break
+    got = dev.get_frame_array()
+    assert got.shape == gold.frames.shape, f"chain {names}"
+    d = np.abs(got.astype(np.int64) - gold.frames.astype(np.int64))
+    dmax = d.max() if d.size else 0
+    assert dmax <= max(tol, 0), f"chain {names}: max diff {dmax} > tol {tol}"
+
+
+def test_chain_with_mixes(rng):
+    gold_a, dev_a = make_pair(rng)
+    gold_b, dev_b = make_pair(rng, n=2000)
+    gold_a.amplify(0.6).mix_at(0.01, gold_b).fadeout(0.01).amplify_max()
+    dev_a.amplify(0.6).mix_at(0.01, dev_b).fadeout(0.01).amplify_max()
+    d = np.abs(dev_a.get_frame_array().astype(np.int64)
+               - gold_a.frames.astype(np.int64))
+    assert d.max() <= 2  # fadeout + amplify_max-after-float-ops
+
+
+def test_staged_metadata_consistency(rng):
+    _, dev = make_pair(rng)
+    dev.resample(48000).add_silence(0.01).clip(0.0, 0.05)
+    # metadata answers without materializing
+    assert dev._ops, "ops should still be staged"
+    n_meta = dev.nframes
+    assert dev.get_frame_array().shape[0] == n_meta
+
+
+def test_auto_materialize_bounds_pending(rng):
+    _, dev = make_pair(rng)
+    for _ in range(60):
+        dev.amplify(1.0)
+    assert len(dev._ops) <= 48
