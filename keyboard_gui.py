@@ -26,6 +26,7 @@ from synthesizer_tpu import LevelMeter, Output, Sample, WaveSynth, key_freq
 from synthesizer_tpu import oscillators as osc
 from synthesizer_tpu import params
 from synthesizer_tpu.models import graph as G
+from synthesizer_tpu.voice import RealtimeVoice
 
 WAVEFORMS = ["sine", "triangle", "square", "square_h", "sawtooth",
              "sawtooth_h", "pulse", "harmonics", "semicircle", "pointy",
@@ -126,9 +127,26 @@ class SynthController:
                                   samplerate=self.samplerate)
         raise ValueError(f"waveform {w!r}")
 
+    def build_raw_patch(self, key_number: int) -> osc.Oscillator:
+        """GUI state + key -> un-enveloped oscillator patch (mix of active
+        panels, optional echo) — the realtime gate envelope applies on top."""
+        freq = key_freq(key_number, self.a4)
+        sources = [self._make_osc(s, freq, allow_routing=True)
+                   for i, s in enumerate(self.oscs)
+                   if s.waveform != "off" and not self._is_lfo_only(i)]
+        if not sources:
+            sources = [osc.Sine(freq, amplitude=0.5, samplerate=self.samplerate)]
+        patch: osc.Oscillator = (sources[0] if len(sources) == 1
+                                 else osc.MixingFilter(*sources))
+        if self.echo.enabled:
+            patch = osc.EchoFilter(patch, self.echo.after, self.echo.amount,
+                                   self.echo.delay, self.echo.decay)
+        return patch
+
     def build_patch(self, key_number: int) -> osc.Oscillator:
-        """GUI state + key -> oscillator patch (mix of active panels,
-        ADSR envelope, optional echo)."""
+        """GUI state + key -> finished patch with a duration-based ADSR
+        (the offline render path; realtime playing uses build_raw_patch +
+        a gate-driven RealtimeVoice, SURVEY.md §4.5)."""
         freq = key_freq(key_number, self.a4)
         sources = [self._make_osc(s, freq, allow_routing=True)
                    for i, s in enumerate(self.oscs)
@@ -162,16 +180,29 @@ class SynthController:
     # -- key handling --------------------------------------------------------
 
     def key_down(self, key_number: int) -> None:
+        """Start a gate-driven streaming voice (held until key_up)."""
         if self.output is None or key_number in self._active:
             return
-        sample = self.render_key(key_number)
-        self.meter.update(sample)
-        sid = self.output.play_sample(sample)
-        if sid is not None:
-            self._active[key_number] = sid
+        if self.output.mixing == "mixed":
+            e = self.env
+            voice = RealtimeVoice(self.build_raw_patch(key_number),
+                                  e.attack, e.decay, e.sustain_level, e.release,
+                                  samplerate=self.samplerate,
+                                  blocksize=self.output.frames_per_chunk)
+            sid = self.output.mixer.add_stream(voice.chunks())
+            self._active[key_number] = (sid, voice)
+        else:
+            sample = self.render_key(key_number)
+            self.meter.update(sample)
+            self.output.play_sample(sample)
+            self._active[key_number] = (None, None)
 
     def key_up(self, key_number: int) -> None:
-        self._active.pop(key_number, None)   # voice ends with its envelope
+        """Release the gate: the voice's envelope ramps out and the mixer
+        drops the stream when it ends."""
+        entry = self._active.pop(key_number, None)
+        if entry and entry[1] is not None:
+            entry[1].release()
 
     # -- instrument presets (.ini, like the reference) ------------------------
 

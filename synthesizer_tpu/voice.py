@@ -1,0 +1,124 @@
+"""Gate-driven realtime voices.
+
+The reference's keyboard synth holds a note while the key is down and
+triggers the envelope *release* on key-up (SURVEY.md §4.5); the offline
+``EnvelopeFilter`` uses a fixed sustain duration instead.  A
+:class:`RealtimeVoice` streams an un-enveloped patch block by block
+(device-rendered) and applies a gate ADSR on device:
+
+* held:     g(t) = attack ramp -> decay -> sustain_level (indefinitely)
+* released: g(t) = level_at_release * (1 - (t - t_release)/release)
+
+Release is quantized to the block boundary (<= blocksize/samplerate
+latency, ~12 ms at the default chunk size — the same granularity as the
+reference's chunked mixer).  The block stream ends once the release ramp
+completes, which makes the playback mixer drop the voice and fire its
+ended-callback.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import params
+from .models import graph as G
+from .oscillators import Oscillator
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _held_gains(n0: jax.Array, n: int, samplerate: float, attack: jax.Array,
+                decay: jax.Array, sustain_level: jax.Array) -> jax.Array:
+    t = (n0 + jnp.arange(n, dtype=jnp.float32)) / samplerate
+    eps = jnp.float32(1e-30)
+    g = jnp.ones((n,), jnp.float32)
+    g = jnp.where(attack > 0, jnp.minimum(g, t / jnp.maximum(attack, eps)), g)
+    in_decay = (t >= attack) & (t < attack + decay)
+    g = jnp.where(in_decay,
+                  1.0 + (sustain_level - 1.0) * (t - attack) / jnp.maximum(decay, eps),
+                  g)
+    g = jnp.where(t >= attack + decay, sustain_level, g)
+    return jnp.maximum(g, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _release_gains(n0: jax.Array, n: int, samplerate: float,
+                   release_start: jax.Array, level: jax.Array,
+                   release: jax.Array) -> jax.Array:
+    t = (n0 + jnp.arange(n, dtype=jnp.float32)) / samplerate
+    tr = release_start / samplerate
+    eps = jnp.float32(1e-30)
+    g = level * (1.0 - (t - tr) / jnp.maximum(release, eps))
+    return jnp.clip(g, 0.0, 1.0)
+
+
+@jax.jit
+def _apply_and_quantize(vals: jax.Array, gains: jax.Array) -> jax.Array:
+    v = jnp.clip(jnp.rint(vals * gains * jnp.float32(32767.0)), -32768, 32767)
+    return v.astype(jnp.int16)
+
+
+class RealtimeVoice:
+    """One sounding note: streaming patch render x gate ADSR -> int16 chunks."""
+
+    def __init__(self, patch: Oscillator, attack: float, decay: float,
+                 sustain_level: float, release: float,
+                 samplerate: int = 0, blocksize: int = 0, stereo: bool = True):
+        self.samplerate = samplerate or patch.samplerate
+        self.blocksize = blocksize or params.norm_frames_per_chunk
+        self.attack = float(attack)
+        self.decay = float(decay)
+        self.sustain_level = float(sustain_level)
+        self.release_time = max(float(release), 1e-4)
+        self.stereo = stereo
+        self._stream = G.block_stream(patch.spec, self.samplerate, self.blocksize)
+        self._released = threading.Event()
+        self._release_n: Optional[int] = None
+        self._release_level: Optional[float] = None
+
+    def release(self) -> None:
+        """Key-up: start the release ramp at the next block boundary."""
+        self._released.set()
+
+    def _held_level_at(self, n: int) -> float:
+        t = n / self.samplerate
+        if self.attack > 0 and t < self.attack:
+            return t / self.attack
+        if t < self.attack + self.decay and self.decay > 0:
+            return 1.0 + (self.sustain_level - 1.0) * (t - self.attack) / self.decay
+        return self.sustain_level
+
+    def chunks(self) -> Iterator[bytes]:
+        """Yield interleaved int16 frame bytes; ends after the release ramp."""
+        n0 = 0
+        sr = jnp.float32(self.samplerate)
+        a = jnp.float32(self.attack)
+        d = jnp.float32(self.decay)
+        sl = jnp.float32(self.sustain_level)
+        r = jnp.float32(self.release_time)
+        for block in self._stream:
+            vals = jnp.asarray(block)
+            if self._release_n is None and self._released.is_set():
+                self._release_n = n0
+                self._release_level = self._held_level_at(n0)
+            if self._release_n is None:
+                gains = _held_gains(jnp.float32(n0), self.blocksize, sr, a, d, sl)
+            else:
+                gains = _release_gains(jnp.float32(n0), self.blocksize, sr,
+                                       jnp.float32(self._release_n),
+                                       jnp.float32(self._release_level), r)
+            chunk = np.asarray(_apply_and_quantize(vals, gains))
+            if self.stereo:
+                chunk = np.repeat(chunk[:, None], 2, axis=1)
+            yield chunk.tobytes()
+            n0 += self.blocksize
+            if self._release_n is not None and \
+                    n0 >= self._release_n + int(self.release_time * self.samplerate) + 1:
+                return
