@@ -15,7 +15,6 @@ scan is tested against this whole-signal evaluation).
 from __future__ import annotations
 
 import math
-from typing import Union
 
 import numpy as np
 

@@ -22,7 +22,7 @@ Numeric conventions (shared with the device implementation):
 from __future__ import annotations
 
 import math
-from typing import Iterable, Iterator, Optional, Union
+from typing import Iterator, Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import sqlite3
 import wave
-from typing import Iterable, List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional
 
 AUDIO_EXTENSIONS = (".wav", ".wave", ".mp3", ".ogg", ".flac", ".m4a", ".aac")
 

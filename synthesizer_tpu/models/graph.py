@@ -19,7 +19,6 @@ program per patch structure.  Numeric contract: ``goldref.osc``.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any, Callable, Iterator, Tuple
 

@@ -24,7 +24,6 @@ XLA engine in tests/test_pallas_kernel.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,6 @@ jit-compiled with dtype-generic tracing.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,6 @@ are a strict superset for every documented use).
 
 from __future__ import annotations
 
-import itertools
 from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np

@@ -23,7 +23,7 @@ Shape/format metadata is tracked eagerly through staged ops, so
 from __future__ import annotations
 
 import math
-from typing import Iterator, List, NamedTuple, Optional, Tuple, Union
+from typing import Iterator, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

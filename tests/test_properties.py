@@ -2,7 +2,6 @@
 chunked-vs-whole invariance, profiling counters, demo song end-to-end."""
 
 import os
-import subprocess
 import sys
 
 import numpy as np

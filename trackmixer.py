@@ -20,7 +20,6 @@ import sys
 import time
 
 from synthesizer_tpu import LevelMeter, Output, Song
-from synthesizer_tpu import params
 
 
 def mix_to_wav(song: Song, outfile: str, normalize: bool = True) -> None:
