@@ -59,7 +59,7 @@ def main() -> None:
     samplerate = 44100
     nvoices = 64
     duration = 60.0
-    chunk = 32768
+    chunk = 131072      # ~20 us/scan-iteration overhead on axon: amortize
     nharm = 8
 
     total_frames = int(duration * samplerate)
