@@ -20,3 +20,5 @@ from .streaming import (AudiofileToWavStream, SampleStream,  # noqa: F401
                         StreamMixer, VolumeFilter, EndlessFramesFilter)
 from .sequencer import Song  # noqa: F401
 from .models.voicebank import Voice, VoiceBank, pack_voices  # noqa: F401
+from .voice import RealtimeVoice  # noqa: F401
+from .utils.profiling import RenderTimer  # noqa: F401

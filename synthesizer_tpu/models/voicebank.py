@@ -370,7 +370,11 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
         gains.append(jnp.stack([lg, rg], axis=1))
     sig = jnp.concatenate(sigs, axis=0)        # [V, N]
     g = jnp.concatenate(gains, axis=0)         # [V, 2]
-    return jnp.dot(sig.T, g, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: the TPU MXU multiplies in bf16 by default (the
+    # preferred_element_type only controls accumulation), which would
+    # quantize the mix to ~2^-9 relative — far outside the 1-LSB contract.
+    return jnp.dot(sig.T, g, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 class VoiceBank:

@@ -110,7 +110,9 @@ def test_bank_matches_oracle_sum():
     got16 = np.clip(np.rint(got * 32767.0), -32768, 32767)
     want16 = np.clip(np.rint(want * 32767.0), -32768, 32767)
     d = np.abs(got16 - want16).max()
-    assert d <= len(VOICES), f"max diff {d}"  # <=1 LSB per voice before the sum
+    # f32-exact mix: only per-voice quantization + summation order remain
+    # (a loose bound here once masked the MXU's default bf16 matmul inputs)
+    assert d <= 3, f"max diff {d}"
 
 
 def test_grouped_layout_matches_oracle_sum():
@@ -123,7 +125,7 @@ def test_grouped_layout_matches_oracle_sum():
     want = _oracle_sum(n)
     got16 = np.clip(np.rint(got * 32767.0), -32768, 32767)
     want16 = np.clip(np.rint(want * 32767.0), -32768, 32767)
-    assert np.abs(got16 - want16).max() <= len(VOICES)
+    assert np.abs(got16 - want16).max() <= 3
 
 
 def test_bank_chunk_invariance():
