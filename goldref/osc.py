@@ -58,6 +58,22 @@ def _triangle(x: np.ndarray) -> np.ndarray:
                              four * x - four)).astype(np.float32)
 
 
+def poly_blep(t: np.ndarray, dt: float) -> np.ndarray:
+    """Two-sample polyBLEP residual at a downward unit step at t=0/1.
+
+    t in [0,1) is the phase distance from the discontinuity, dt = f/sr.
+    Standard quadratic polyBLEP (f32): smooths a -2 step into the naive
+    waveform, suppressing aliasing above ~f_nyquist.
+    """
+    dt = _F32(max(dt, 1e-9))
+    u0 = t / dt
+    lo = (u0 + u0) - u0 * u0 - _F32(1.0)
+    u1 = (t - _F32(1.0)) / dt
+    hi = u1 * u1 + (u1 + u1) + _F32(1.0)
+    return np.where(t < dt, lo, np.where(t > _F32(1.0) - dt, hi,
+                                         _F32(0.0))).astype(np.float32)
+
+
 def _wave_values(node: S.Osc, p: np.ndarray, sr: int,
                  n_abs: np.ndarray, pwm_vals) -> np.ndarray:
     k = node.kind
@@ -118,6 +134,16 @@ def _wave_values(node: S.Osc, p: np.ndarray, sr: int,
     if k == "pointy":
         t = _triangle(_phase_x(p))
         return (t * t * t).astype(np.float32)
+    if k == "sawtooth_bl":
+        x = _phase_x(p)
+        dt = node.frequency / sr
+        return ((_F32(2.0) * x - _F32(1.0)) - poly_blep(x, dt)).astype(np.float32)
+    if k == "square_bl":
+        x = _phase_x(p)
+        dt = node.frequency / sr
+        naive = np.where(p < np.uint32(1 << 31), _F32(1.0), _F32(-1.0))
+        x2 = np.where(x < _F32(0.5), x + _F32(0.5), x - _F32(0.5))
+        return (naive + poly_blep(x, dt) - poly_blep(x2, dt)).astype(np.float32)
     raise ValueError(f"unknown waveform {k}")
 
 

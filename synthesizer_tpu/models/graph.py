@@ -47,6 +47,17 @@ def _triangle(x: jax.Array) -> jax.Array:
                                four * x - four))
 
 
+def poly_blep(t: jax.Array, dt: float) -> jax.Array:
+    """Quadratic polyBLEP residual (spec: goldref.osc.poly_blep)."""
+    dt = np.float32(max(dt, 1e-9))
+    u0 = t / dt
+    lo = (u0 + u0) - u0 * u0 - jnp.float32(1.0)
+    u1 = (t - jnp.float32(1.0)) / dt
+    hi = u1 * u1 + (u1 + u1) + jnp.float32(1.0)
+    return jnp.where(t < dt, lo, jnp.where(t > jnp.float32(1.0) - dt, hi,
+                                           jnp.float32(0.0)))
+
+
 def _noise_values(idx: jax.Array, seed: int) -> jax.Array:
     x = idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + jnp.uint32(seed & 0xFFFFFFFF)
     x = x ^ (x >> 16)
@@ -116,6 +127,16 @@ def _wave_values(node: S.Osc, p: jax.Array, sr: int, n_abs: jax.Array,
     if k == "pointy":
         t = _triangle(_phase_x(p))
         return t * t * t
+    if k == "sawtooth_bl":
+        x = _phase_x(p)
+        dt = node.frequency / sr
+        return (jnp.float32(2.0) * x - jnp.float32(1.0)) - poly_blep(x, dt)
+    if k == "square_bl":
+        x = _phase_x(p)
+        dt = node.frequency / sr
+        naive = jnp.where(p < jnp.uint32(1 << 31), jnp.float32(1.0), jnp.float32(-1.0))
+        x2 = jnp.where(x < 0.5, x + jnp.float32(0.5), x - jnp.float32(0.5))
+        return naive + poly_blep(x, dt) - poly_blep(x2, dt)
     raise ValueError(f"unknown waveform {k}")
 
 

@@ -36,10 +36,13 @@ Node = Union[
     "Clip", "Abs", "Null", "Const",
 ]
 
-#: waveform kinds for Osc
+#: waveform kinds for Osc.  The *_bl variants are polyBLEP-bandlimited
+#: (aliasing-suppressed) editions of the naive discontinuous waves — a
+#: TPU-era alternative to the reference's additive *_h approximations.
 WAVEFORMS = (
     "sine", "triangle", "square", "sawtooth", "pulse", "semicircle",
     "pointy", "square_h", "sawtooth_h", "harmonics", "white_noise",
+    "sawtooth_bl", "square_bl",
 )
 
 

@@ -52,8 +52,9 @@ _TWO_NEG32 = np.float32(2.0 ** -32)
 WAVE_IDS = {
     "sine": 0, "triangle": 1, "square": 2, "sawtooth": 3, "pulse": 4,
     "semicircle": 5, "pointy": 6, "white_noise": 7, "harmonics": 8,
+    "sawtooth_bl": 9, "square_bl": 10,
 }
-ALL_WAVES = (0, 1, 2, 3, 4, 5, 6, 7, 8)
+ALL_WAVES = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
 
 
 class VoiceParams(NamedTuple):
@@ -275,6 +276,27 @@ def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
             pk = p * jnp.uint32(k)
             acc = acc + vp.harm_amps[:, k - 1][:, None] * sin_turns(_phase_x(pk))
         return acc
+    if wid in (9, 10):
+        # polyBLEP bandlimited saw/square: per-voice dt = f/sr = inc * 2^-32
+        # (residual formula: goldref.osc.poly_blep)
+        x = _phase_x(p)
+        dt = vp.base_inc.astype(jnp.float32)[:, None] * _TWO_NEG32
+        dt = jnp.maximum(dt, jnp.float32(1e-9))
+        u0 = x / dt
+        lo = (u0 + u0) - u0 * u0 - one
+        u1 = (x - one) / dt
+        hi = u1 * u1 + (u1 + u1) + one
+        blep = jnp.where(x < dt, lo, jnp.where(x > one - dt, hi, jnp.float32(0.0)))
+        if wid == 9:
+            return (jnp.float32(2.0) * x - one) - blep
+        naive = jnp.where(p < jnp.uint32(1 << 31), one, -one)
+        x2 = jnp.where(x < 0.5, x + jnp.float32(0.5), x - jnp.float32(0.5))
+        u0b = x2 / dt
+        lob = (u0b + u0b) - u0b * u0b - one
+        u1b = (x2 - one) / dt
+        hib = u1b * u1b + (u1b + u1b) + one
+        blep2 = jnp.where(x2 < dt, lob, jnp.where(x2 > one - dt, hib, jnp.float32(0.0)))
+        return naive + blep - blep2
     raise ValueError(f"bad wave id {wid}")
 
 

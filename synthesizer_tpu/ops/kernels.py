@@ -131,6 +131,28 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
             w = jnp.zeros(p.shape, jnp.float32)
             for k in range(1, H + 1):
                 w = w + harm_amps[sl, k - 1:k] * _sin_v(_phase_v(p * jnp.int32(k)))
+        elif wid in (9, 10):                           # polyBLEP saw/square
+            v = _phase_v(p)
+            x = v + jnp.where(v < 0, one, jnp.float32(0.0))   # t in [0, 1)
+            dt = jnp.maximum(base_inc[sl].astype(jnp.float32) * _TWO_NEG32
+                             + jnp.where(base_inc[sl] < 0,
+                                         one, jnp.float32(0.0)),
+                             jnp.float32(1e-9))
+
+            def blep(t):
+                u0 = t / dt
+                lo = (u0 + u0) - u0 * u0 - one
+                u1 = (t - one) / dt
+                hi = u1 * u1 + (u1 + u1) + one
+                return jnp.where(t < dt, lo,
+                                 jnp.where(t > one - dt, hi, jnp.float32(0.0)))
+
+            if wid == 9:
+                w = (jnp.float32(2.0) * x - one) - blep(x)
+            else:
+                naive = jnp.where(p >= 0, one, -one)
+                x2 = jnp.where(x < 0.5, x + jnp.float32(0.5), x - jnp.float32(0.5))
+                w = naive + blep(x) - blep(x2)
         else:
             raise ValueError(f"bad wave id {wid} in pallas layout")
 

@@ -29,7 +29,8 @@ from .models import spec as S
 __all__ = [
     "Oscillator", "Sine", "Triangle", "Square", "SquareH", "Sawtooth",
     "SawtoothH", "Pulse", "Harmonics", "WhiteNoise", "Linear", "Semicircle",
-    "Pointy", "FastSine", "FastTriangle", "FastSquare", "FastSawtooth",
+    "Pointy", "BandlimitedSawtooth", "BandlimitedSquare",
+    "FastSine", "FastTriangle", "FastSquare", "FastSawtooth",
     "FastPulse", "FastSemicircle", "FastPointy", "EnvelopeFilter",
     "MixingFilter", "AmpModulationFilter", "DelayFilter", "EchoFilter",
     "ClipFilter", "AbsFilter", "NullFilter",
@@ -201,6 +202,22 @@ class Pointy(Oscillator):
                  samplerate: Optional[int] = None):
         super().__init__(S.Osc("pointy", frequency, amplitude, phase, bias,
                                fm_lfo=_child(fm_lfo)), _sr(samplerate))
+
+
+class BandlimitedSawtooth(Oscillator):
+    """polyBLEP-bandlimited sawtooth (aliasing-suppressed; no FM)."""
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, samplerate: Optional[int] = None):
+        super().__init__(S.Osc("sawtooth_bl", frequency, amplitude, phase, bias),
+                         _sr(samplerate))
+
+
+class BandlimitedSquare(Oscillator):
+    """polyBLEP-bandlimited square (aliasing-suppressed; no FM)."""
+    def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
+                 bias: float = 0.0, samplerate: Optional[int] = None):
+        super().__init__(S.Osc("square_bl", frequency, amplitude, phase, bias),
+                         _sr(samplerate))
 
 
 class Linear(Oscillator):

@@ -149,6 +149,20 @@ class WaveSynth:
         return self._gen(self._osc("sawtooth_h", frequency, amplitude, phase, bias,
                                    fm_lfo, num_harmonics=num_harmonics))
 
+    def sawtooth_bl(self, frequency: float, duration: float,
+                    amplitude: float = 0.75, phase: float = 0.0,
+                    bias: float = 0.0) -> Sample:
+        """polyBLEP-bandlimited sawtooth (aliasing-suppressed)."""
+        return self._render(self._osc("sawtooth_bl", frequency, amplitude,
+                                      phase, bias), duration, "sawtooth_bl")
+
+    def square_bl(self, frequency: float, duration: float,
+                  amplitude: float = 0.75, phase: float = 0.0,
+                  bias: float = 0.0) -> Sample:
+        """polyBLEP-bandlimited square (aliasing-suppressed)."""
+        return self._render(self._osc("square_bl", frequency, amplitude,
+                                      phase, bias), duration, "square_bl")
+
     def pulse(self, frequency: float, duration: float, amplitude: float = 0.75,
               phase: float = 0.0, bias: float = 0.0, pulse_width: float = 0.1,
               fm_lfo=None, pwm_lfo=None) -> Sample:

@@ -110,3 +110,29 @@ def test_fm_long_render_stays_within_tolerance():
     # 2 s with FM: integer phase carry must not drift
     vib = S.Osc("triangle", 6.0, amplitude=0.05)
     assert_1lsb(S.Osc("sine", 1000.0, amplitude=0.9, fm_lfo=vib), n=2 * SR)
+
+
+@pytest.mark.parametrize("kind", ["sawtooth_bl", "square_bl"])
+def test_bandlimited_waveforms_match_oracle(kind):
+    assert_1lsb(S.Osc(kind, 2000.0, amplitude=0.8))
+
+
+@pytest.mark.parametrize("kind,naive", [("sawtooth_bl", "sawtooth"),
+                                        ("square_bl", "square")])
+def test_bandlimited_suppresses_aliasing(kind, naive):
+    """High-frequency naive waves alias badly; polyBLEP must reduce the
+    energy that folds below the fundamental."""
+    f0 = 5000.0
+    n = 1 << 15
+    bl = go.render_oracle(S.Osc(kind, f0, amplitude=0.8), n, SR)
+    nv = go.render_oracle(S.Osc(naive, f0, amplitude=0.8), n, SR)
+    win = np.hanning(n)
+    spec_bl = np.abs(np.fft.rfft(bl * win))
+    spec_nv = np.abs(np.fft.rfft(nv * win))
+    freqs = np.fft.rfftfreq(n, 1 / SR)
+    # energy in the non-harmonic band below the fundamental = pure aliasing
+    band = (freqs > 200) & (freqs < f0 - 500)
+    assert spec_bl[band].sum() < 0.35 * spec_nv[band].sum()
+    # fundamental survives
+    fund = np.argmin(np.abs(freqs - f0))
+    assert spec_bl[fund] > 0.7 * spec_nv[fund]

@@ -161,3 +161,18 @@ def test_to_int16_saturates():
     y = np.asarray(bank.to_int16(x))
     assert y[0, 0] == 32767 and y[0, 1] == -32768
     assert y[1, 0] in (16383, 16384)
+
+
+def test_bandlimited_bank_voice():
+    vs = [Voice("sawtooth_bl", 2000.0, amplitude=0.5, duration=0.15),
+          Voice("square_bl", 3000.0, amplitude=0.4, duration=0.15, pan=0.5)]
+    vp, layout = pack_voices(vs, SR, num_harmonics=0, sort_by_wave=True)
+    bank = VoiceBank.for_voices(vs, SR, chunk_frames=1024, num_harmonics=0,
+                                layout=layout, nvoices=layout.nvoices)
+    got = np.asarray(bank.render_song(vp, 8192))
+    want = np.zeros((8192, 2), np.float32)
+    for v in vs:
+        want = want + oracle_voice(v, 8192)
+    g16 = np.clip(np.rint(got * 32767), -32768, 32767)
+    w16 = np.clip(np.rint(want * 32767), -32768, 32767)
+    assert np.abs(g16 - w16).max() <= 3
