@@ -20,8 +20,6 @@ import threading
 import time
 from typing import Callable, Dict, Iterator, List, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import params
@@ -158,17 +156,6 @@ def best_api(samplerate: int, samplewidth: int, nchannels: int,
     if wav_file:
         return WavSinkAudio(samplerate, samplewidth, nchannels, wav_file)
     return NullAudio(samplerate, samplewidth, nchannels)
-
-
-# ---------------------------------------------------------------------------
-# Device chunk mixing
-# ---------------------------------------------------------------------------
-
-@jax.jit
-def _mix_chunks(stack: jax.Array) -> jax.Array:
-    """[K, N, C] int16 -> int32 sum -> saturate -> [N, C] int16."""
-    acc = jnp.sum(stack.astype(jnp.int32), axis=0)
-    return jnp.clip(acc, -32768, 32767).astype(jnp.int16)
 
 
 # ---------------------------------------------------------------------------

@@ -87,3 +87,24 @@ def test_auto_materialize_bounds_pending(rng):
     for _ in range(60):
         dev.amplify(1.0)
     assert len(dev._ops) <= 48
+
+
+@pytest.mark.parametrize("width", [1, 4])
+def test_chains_other_widths(rng, width):
+    """The lazy engine is dtype-generic: 8-bit and 32-bit chains match the
+    oracle too (32-bit resample exercises the host int64 fallback)."""
+    import goldref.sample as gsm
+    lo = -100 if width == 1 else -2_000_000
+    hi = 100 if width == 1 else 2_000_000
+    a = rng.integers(lo, hi, size=(2000, 2)).astype(gs._DTYPES[width])
+    gold = gsm.Sample(a.copy(), SR, width, 2)
+    dev = Sample.from_raw_frames(a.tobytes(), width, SR, 2)
+    for g, d in ((gold, dev),):
+        g.amplify(0.5).add_silence(0.002).reverse().bias(3)
+        d.amplify(0.5).add_silence(0.002).reverse().bias(3)
+        g.resample(22050).fadeout(0.01)
+        d.resample(22050).fadeout(0.01)
+    got = dev.get_frame_array().astype(np.int64)
+    want = gold.frames.astype(np.int64)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() <= (1 if width == 1 else 256)
