@@ -88,7 +88,8 @@ def _x_pad(x, st, dyn, leaves):
 
 
 def _x_join(x, st, dyn, leaves):
-    return jnp.concatenate([x, leaves[0]], axis=0)
+    other = _run_ops(leaves[0], st[0], dyn, leaves[1:])
+    return jnp.concatenate([x, other], axis=0)
 
 
 def _x_reverse(x, st, dyn, leaves):
@@ -140,8 +141,8 @@ def _x_modulate(x, st, dyn, leaves):
 
 
 def _x_mix_at(x, st, dyn, leaves):
-    start, m, out_len = st
-    other = leaves[0][:m]
+    start, m, out_len, sub_ops = st
+    other = _run_ops(leaves[0], sub_ops, dyn, leaves[1:])[:m]
     cur = x.shape[0]
     if out_len > cur:
         x = jnp.concatenate(
@@ -233,19 +234,28 @@ _EXEC = {
 _program_cache: dict = {}
 
 
+def _run_ops(x, ops: Tuple[_Op, ...], dyn, leaves):
+    """Execute a (sub-)program inside the fused trace.
+
+    ``dyn``/``leaves`` are flat sequences consumed in op order — sub-programs
+    (a mixed-in sample's own staged chain) nest recursively via an op's
+    trailing dyn/leaf slices.
+    """
+    di = li = 0
+    for op in ops:
+        d = [dyn[di + j] for j in range(op.ndyn)]
+        lv = [leaves[li + j] for j in range(op.nleaf)]
+        x = _EXEC[op.name](x, op.static, d, lv)
+        di += op.ndyn
+        li += op.nleaf
+    return x
+
+
 def _compile_program(key, ops: Tuple[_Op, ...]):
     fn = _program_cache.get(key)
     if fn is None:
         def run(base, dyn_vec, leaves):
-            x = base
-            di = li = 0
-            for op in ops:
-                d = [dyn_vec[di + j] for j in range(op.ndyn)]
-                lv = [leaves[li + j] for j in range(op.nleaf)]
-                x = _EXEC[op.name](x, op.static, d, lv)
-                di += op.ndyn
-                li += op.nleaf
-            return x
+            return _run_ops(base, ops, dyn_vec, leaves)
         fn = jax.jit(run)
         _program_cache[key] = fn
     return fn
@@ -302,6 +312,15 @@ class Sample:
             self._base = fn(self._base, dyn_vec, tuple(self._leaves))
             self._ops, self._dyn, self._leaves = [], [], []
         return self._base
+
+    def _as_subprogram(self):
+        """(sub_ops, dyn, leaves) for fusing this sample into another's
+        program without materializing it (very long chains materialize
+        first to bound compile sizes)."""
+        if len(self._ops) > 16:
+            self._materialize()
+        return (tuple(self._ops), tuple(self._dyn),
+                (self._base, *self._leaves))
 
     # -- constructors ------------------------------------------------------------
 
@@ -476,7 +495,8 @@ class Sample:
 
     def join(self, other: "Sample") -> "Sample":
         self._check_format(other)
-        self._stage("join", leaves=(other._materialize(),))
+        sub_ops, dyn, leaves = other._as_subprogram()
+        self._stage("join", static=(sub_ops,), dyn=dyn, leaves=leaves)
         self._nframes += other._nframes
         return self
 
@@ -538,7 +558,9 @@ class Sample:
                other_seconds: Optional[float] = None,
                pad_shortest: bool = True) -> "Sample":
         """Saturating add of ``other`` at a frame offset (the trackmixer hot
-        loop, SURVEY.md §4.2) — staged, so N mixes fuse into one program."""
+        loop, SURVEY.md §4.2) — staged, and ``other``'s own pending chain is
+        fused in as a sub-program, so a whole multi-track mixdown of staged
+        samples compiles to ONE device program."""
         self._check_format(other)
         m = other._nframes
         if other_seconds is not None:
@@ -549,8 +571,9 @@ class Sample:
         if m == 0:
             return self
         out_len = max(self._nframes, start + m)
-        self._stage("mix_at", static=(start, m, out_len),
-                    leaves=(other._materialize(),))
+        sub_ops, dyn, leaves = other._as_subprogram()
+        self._stage("mix_at", static=(start, m, out_len, sub_ops),
+                    dyn=dyn, leaves=leaves)
         self._nframes = out_len
         return self
 
