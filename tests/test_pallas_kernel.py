@@ -27,6 +27,8 @@ VOICES = [
     Voice("harmonics", 110.0, amplitude=0.3, harmonics=[1.0, 0.5, 0.25, 0.125],
           duration=0.1),
     Voice("white_noise", 0.0, amplitude=0.15, duration=0.08, seed=9),
+    Voice("sawtooth_bl", 2000.0, amplitude=0.2, duration=0.09),
+    Voice("square_bl", 1500.0, amplitude=0.2, duration=0.09, pan=0.4),
 ]
 
 
