@@ -23,6 +23,25 @@ a gather, and a single scatter-add over the widened int32 output buffer
 places all hits at once (BASELINE.json: "single batched render over all
 tracks and patterns").  Streaming playback renders fixed-size chunks on
 device from the same hit schedule (host control / device chunks).
+
+**Beyond the reference — melodic synth tracks.**  Songs may also define
+synth instruments rendered through the batched voice bank:
+
+    [synth.lead]
+    wave = square_bl
+    amplitude = 0.4
+    attack = 0.01
+    decay = 0.05
+    sustain_level = 0.7
+    release = 0.1
+    pan = 0.3
+    [pattern.pat1]
+    lead = C4 .. E4 G4 - - .. C5
+
+Synth pattern tracks are whitespace-token based: a note name starts a note
+at that tick, ``-`` ties (extends) the previous note, ``.``/``..`` is a
+rest.  All synth notes of the whole song compile into ONE VoiceBank render
+that is mixed with the sample scatter-add in the widened int32 domain.
 """
 
 from __future__ import annotations
@@ -35,10 +54,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from . import params
 from .sample import Sample
+from .synth import note_freq
+from .models.voicebank import Voice, VoiceBank, pack_voices
 
-__all__ = ["Song", "HitSchedule"]
+__all__ = ["Song", "HitSchedule", "SynthDef"]
+
+
+@dataclasses.dataclass
+class SynthDef:
+    """A synth instrument definition (the [synth.NAME] ini section)."""
+    wave: str = "sawtooth_bl"
+    amplitude: float = 0.4
+    attack: float = 0.01
+    decay: float = 0.05
+    sustain_level: float = 0.7
+    release: float = 0.1
+    pan: float = 0.0
+    fm_frequency: float = 0.0
+    fm_depth: float = 0.0
+    pulse_width: float = 0.5
+    harmonics: tuple = ()
 
 
 class HitSchedule:
@@ -89,6 +128,7 @@ class Song:
         self.pattern_sequence: List[str] = []
         self.patterns: Dict[str, Dict[str, str]] = {}
         self.instruments: Dict[str, Sample] = {}
+        self.synths: Dict[str, SynthDef] = {}
         self.samplerate = params.norm_samplerate
         self.nchannels = params.norm_nchannels
 
@@ -101,7 +141,8 @@ class Song:
         return song
 
     def read(self, ini_file: str, sample_dir: Optional[str] = None) -> None:
-        cp = configparser.ConfigParser(inline_comment_prefixes=(";", "#"))
+        # ';' only: '#' appears in note names (C#4)
+        cp = configparser.ConfigParser(inline_comment_prefixes=(";",))
         with open(ini_file) as f:
             cp.read_file(f)
         self.bpm = cp.getint("song", "bpm")
@@ -119,10 +160,26 @@ class Song:
             self.samplerate = smp.samplerate
             self.nchannels = smp.nchannels
         for section in cp.sections():
+            if section.startswith("synth."):
+                name = section[len("synth."):]
+                g = cp[section]
+                self.synths[name] = SynthDef(
+                    wave=g.get("wave", "sawtooth_bl"),
+                    amplitude=g.getfloat("amplitude", 0.4),
+                    attack=g.getfloat("attack", 0.01),
+                    decay=g.getfloat("decay", 0.05),
+                    sustain_level=g.getfloat("sustain_level", 0.7),
+                    release=g.getfloat("release", 0.1),
+                    pan=g.getfloat("pan", 0.0),
+                    fm_frequency=g.getfloat("fm_frequency", 0.0),
+                    fm_depth=g.getfloat("fm_depth", 0.0),
+                    pulse_width=g.getfloat("pulse_width", 0.5),
+                    harmonics=tuple(float(x) for x in g.get("harmonics", "").split()),
+                )
+        for section in cp.sections():
             if section.startswith("pattern."):
                 pname = section[len("pattern."):]
-                self.patterns[pname] = {inst: pat.replace(" ", "")
-                                        for inst, pat in cp.items(section)}
+                self.add_pattern(pname, dict(cp.items(section)))
 
     def add_instrument(self, name: str, sample: Sample) -> None:
         sample = sample.copy().normalize()
@@ -130,8 +187,19 @@ class Song:
         self.samplerate = sample.samplerate
         self.nchannels = sample.nchannels
 
+    def add_synth(self, name: str, synthdef: SynthDef) -> None:
+        self.synths[name] = synthdef
+
     def add_pattern(self, name: str, tracks: Dict[str, str]) -> None:
-        self.patterns[name] = {k: v.replace(" ", "") for k, v in tracks.items()}
+        """Drum tracks are contiguous x/. strings (spaces cosmetic); synth
+        tracks are whitespace-separated note tokens and keep their spacing."""
+        out = {}
+        for inst, pat in tracks.items():
+            if inst in self.synths:
+                out[inst] = " ".join(pat.split())
+            else:
+                out[inst] = pat.replace(" ", "")
+        self.patterns[name] = out
 
     # -- schedule compilation ----------------------------------------------
 
@@ -140,7 +208,10 @@ class Song:
         return 60.0 / self.bpm / self.ticks
 
     def pattern_ticks(self, pattern: Dict[str, str]) -> int:
-        return max((len(p) for p in pattern.values()), default=0)
+        n = 0
+        for inst, p in pattern.items():
+            n = max(n, len(p.split()) if inst in self.synths else len(p))
+        return n
 
     def compile_schedule(self) -> HitSchedule:
         """Song -> flat hit schedule + padded device instrument bank."""
@@ -163,6 +234,8 @@ class Song:
             pattern = self.patterns[pname]
             nticks = self.pattern_ticks(pattern)
             for inst, patstr in pattern.items():
+                if inst in self.synths:
+                    continue
                 if inst not in index:
                     raise KeyError(f"pattern {pname} uses unknown instrument {inst}")
                 for t, ch in enumerate(patstr):
@@ -173,6 +246,70 @@ class Song:
         hits_arr = np.asarray(hits, np.int64).reshape(-1, 2)
         return HitSchedule(bank, lengths, names, hits_arr,
                            self.samplerate, C)
+
+    def compile_synth_voices(self) -> List[Voice]:
+        """All melodic notes of the song -> one flat Voice list.
+
+        A note token starts a voice at its tick; following '-' tokens tie
+        (extend the gate); '.'-only tokens are rests.
+        """
+        voices: List[Voice] = []
+        tick = self.tick_duration
+        bar_start = 0
+        for pname in self.pattern_sequence:
+            pattern = self.patterns[pname]
+            nticks = self.pattern_ticks(pattern)
+            for inst, patstr in pattern.items():
+                if inst not in self.synths:
+                    continue
+                sd = self.synths[inst]
+                tokens = patstr.split()
+                t = 0
+                while t < len(tokens):
+                    tok = tokens[t]
+                    if tok == "-" or set(tok) <= {"."}:
+                        t += 1
+                        continue
+                    held = 1
+                    while t + held < len(tokens) and tokens[t + held] == "-":
+                        held += 1
+                    voices.append(Voice(
+                        wave=sd.wave,
+                        frequency=note_freq(tok),
+                        amplitude=sd.amplitude,
+                        pan=sd.pan,
+                        start=(bar_start + t) * tick,
+                        duration=held * tick,
+                        attack=sd.attack, decay=sd.decay,
+                        sustain_level=sd.sustain_level, release=sd.release,
+                        fm_frequency=sd.fm_frequency, fm_depth=sd.fm_depth,
+                        pulse_width=sd.pulse_width,
+                        harmonics=sd.harmonics,
+                    ))
+                    t += held
+            bar_start += nticks
+        return voices
+
+    def _synth_end_frame(self, voices: Sequence[Voice]) -> int:
+        if not voices:
+            return 0
+        # envelope end = attack + decay + max(gate - attack - decay, 0) + release
+        return max(
+            int((v.start + v.attack + v.decay
+                 + max(v.duration - v.attack - v.decay, 0.0)
+                 + v.release) * self.samplerate) + 1
+            for v in voices)
+
+    def _synth_bank(self, voices: Sequence[Voice], chunk_frames: int):
+        if self.nchannels != 2:
+            raise ValueError("synth tracks require a stereo song format")
+        vp, layout = pack_voices(voices, self.samplerate, num_harmonics=8,
+                                 sort_by_wave=True)
+        bank = VoiceBank.for_voices(voices, self.samplerate,
+                                    chunk_frames=chunk_frames,
+                                    num_harmonics=8, layout=layout,
+                                    nvoices=layout.nvoices)
+        return bank, vp
 
     # -- offline mixdown ------------------------------------------------------
 
@@ -185,14 +322,22 @@ class Song:
         otherwise values saturate at int16.
         """
         sched = self.compile_schedule()
-        total = sched.total_frames + int(tail_seconds * self.samplerate)
-        if len(sched.hits) == 0:
+        voices = self.compile_synth_voices()
+        total = max(sched.total_frames, self._synth_end_frame(voices)) \
+            + int(tail_seconds * self.samplerate)
+        if len(sched.hits) == 0 and not voices:
             return Sample.from_raw_frames(b"", 2, self.samplerate, self.nchannels)
-        out32 = _mixdown_kernel(
-            jnp.asarray(sched.bank),
-            jnp.asarray(sched.hits[:, 0].astype(np.int32)),
-            jnp.asarray(sched.hits[:, 1].astype(np.int32)),
-            total)
+        out32 = jnp.zeros((total, self.nchannels), jnp.int32)
+        if len(sched.hits):
+            out32 = _mixdown_kernel(
+                jnp.asarray(sched.bank),
+                jnp.asarray(sched.hits[:, 0].astype(np.int32)),
+                jnp.asarray(sched.hits[:, 1].astype(np.int32)),
+                total)
+        if voices:
+            bank, vp = self._synth_bank(voices, chunk_frames=32768)
+            stereo = bank.render_song(vp, total)
+            out32 = out32 + jnp.rint(stereo * jnp.float32(32767.0)).astype(jnp.int32)
         if normalize:
             mixed = Sample.from_jax(out32, self.samplerate, 4, name="mixdown")
             return mixed.make_16bit(maximize_amplitude=True)
@@ -211,15 +356,18 @@ class Song:
         global peak is not known until the song ends).
         """
         sched = self.compile_schedule()
+        voices = self.compile_synth_voices()
         cf = chunk_frames or params.norm_frames_per_chunk
-        total = sched.total_frames
+        total = max(sched.total_frames, self._synth_end_frame(voices))
         if total == 0:
             return
         lmax = sched.bank.shape[1]
-        C = sched.nchannels
         bank = jnp.asarray(sched.bank)
         starts = sched.hits[:, 1]
         insts = sched.hits[:, 0]
+        sbank = svp = None
+        if voices:
+            sbank, svp = self._synth_bank(voices, chunk_frames=cf)
 
         # static bound on concurrently-sounding hits per chunk
         max_active = 1
@@ -235,9 +383,14 @@ class Song:
             pos_c = jnp.clip(pos, 0, lmax - 1)
             vals = bank[inst_k[:, None], pos_c]          # [K, cf, C]
             vals = jnp.where(inrange[:, :, None], vals, 0)
-            acc = vals.sum(axis=0)                        # int32 [cf, C]
-            v = jnp.clip(acc, -32768, 32767).astype(jnp.int16)
-            return v
+            return vals.sum(axis=0)                       # int32 [cf, C]
+
+        @jax.jit
+        def finish(acc32, synth_stereo):
+            if synth_stereo is not None:
+                acc32 = acc32 + jnp.rint(
+                    synth_stereo * jnp.float32(32767.0)).astype(jnp.int32)
+            return jnp.clip(acc32, -32768, 32767).astype(jnp.int16)
 
         K = max_active
         for c0 in range(0, total, cf):
@@ -249,6 +402,8 @@ class Song:
             start_k = jnp.asarray(np.concatenate([ss, np.zeros(pad, np.int64)]).astype(np.int32))
             valid_k = jnp.asarray(np.concatenate([np.ones(len(ii), bool),
                                                   np.zeros(pad, bool)]))
-            chunk = chunk_fn(inst_k, start_k, valid_k, jnp.int32(c0))
+            acc = chunk_fn(inst_k, start_k, valid_k, jnp.int32(c0))
+            synth_chunk = sbank.render_chunk(svp, c0) if sbank is not None else None
+            chunk = finish(acc, synth_chunk)
             n = min(cf, total - c0)
             yield Sample.from_jax(chunk[:n], self.samplerate, 2, name=f"chunk@{c0}")

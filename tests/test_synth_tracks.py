@@ -1,0 +1,104 @@
+"""Melodic synth tracks in the sequencer (beyond-reference feature)."""
+
+import numpy as np
+import pytest
+
+from synthesizer_tpu import Sample, WaveSynth, note_freq
+from synthesizer_tpu.sequencer import Song, SynthDef
+
+SR = 44100
+
+
+def make_song(with_drums=True):
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    if with_drums:
+        synth = WaveSynth(samplerate=SR, samplewidth=2)
+        kick = synth.sine(60.0, 0.1, amplitude=0.8).fadeout(0.06).stereo()
+        song.add_instrument("kick", kick)
+    song.add_synth("lead", SynthDef(wave="square_bl", amplitude=0.3,
+                                    attack=0.005, decay=0.02,
+                                    sustain_level=0.7, release=0.05, pan=0.3))
+    song.add_synth("bass", SynthDef(wave="sine", amplitude=0.4,
+                                    release=0.08, pan=-0.2))
+    tracks = {
+        "lead": "C4 .. E4 G4 -  -  .. C5",
+        "bass": "C2 -  -  -  G2 -  -  - ",
+    }
+    if with_drums:
+        tracks["kick"] = "x.x. x.x."
+    song.add_pattern("a", tracks)
+    song.pattern_sequence = ["a", "a"]
+    return song
+
+
+def test_voice_compilation():
+    song = make_song(with_drums=False)
+    voices = song.compile_synth_voices()
+    # per bar: lead C4, E4, G4(tied x3), C5 = 4; bass C2(x4), G2(x4) = 2
+    assert len(voices) == 2 * 6
+    tick = song.tick_duration
+    lead_g4 = [v for v in voices if abs(v.frequency - note_freq("G4")) < 0.01]
+    assert len(lead_g4) == 2
+    assert lead_g4[0].duration == pytest.approx(3 * tick)
+    bass = [v for v in voices if abs(v.frequency - note_freq("C2")) < 0.01]
+    assert bass[0].duration == pytest.approx(4 * tick)
+    assert bass[0].start == pytest.approx(0.0)
+    # second bar starts after 8 ticks
+    assert lead_g4[1].start == pytest.approx((8 + 3) * tick)
+
+
+def test_synth_only_song_mixes():
+    song = make_song(with_drums=False)
+    mixed = song.mix(normalize=False)
+    a = mixed.get_frame_array()
+    assert mixed.nchannels == 2
+    assert np.abs(a).max() > 3000
+    # pan: lead is right-leaning, bass left-leaning; both channels sound
+    assert np.abs(a[:, 0]).max() > 1000 and np.abs(a[:, 1]).max() > 1000
+
+
+def test_combined_song_streaming_equals_offline():
+    song = make_song(with_drums=True)
+    offline = song.mix(normalize=False)
+    chunks = [c.get_frame_array() for c in song.mix_generator(chunk_frames=1024)]
+    got = np.concatenate(chunks)
+    np.testing.assert_array_equal(got, offline.get_frame_array()[:len(got)])
+
+
+def test_ini_with_synth_sections(tmp_path):
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    instdir = tmp_path / "s"
+    instdir.mkdir()
+    synth.sine(60.0, 0.1, amplitude=0.8).stereo().write_wav(str(instdir / "kick.wav"))
+    ini = tmp_path / "song.ini"
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+
+[paths]
+samples = s/
+
+[instruments]
+kick = kick.wav
+
+[synth.lead]
+wave = square_bl
+amplitude = 0.3
+release = 0.05
+pan = 0.3
+
+[pattern.a]
+kick = x.x. x.x.
+lead = C#4 .. E4 G4 - - .. C5
+""")
+    song = Song.from_ini(str(ini))
+    assert "lead" in song.synths
+    assert song.synths["lead"].wave == "square_bl"
+    voices = song.compile_synth_voices()
+    assert any(abs(v.frequency - note_freq("C#4")) < 0.01 for v in voices)
+    mixed = song.mix()
+    assert mixed.duration > 0.5
