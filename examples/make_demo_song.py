@@ -84,6 +84,24 @@ openhat = openhat.wav
 bass = bass.wav
 stab = stab.wav
 
+[synth.lead]
+wave = square_bl
+amplitude = 0.22
+attack = 0.008
+decay = 0.04
+sustain_level = 0.6
+release = 0.09
+pan = 0.25
+
+[synth.sub]
+wave = sine
+amplitude = 0.35
+attack = 0.004
+decay = 0.03
+sustain_level = 0.8
+release = 0.06
+pan = -0.1
+
 [pattern.intro]
 hat   = x.x. x.x. x.x. x.x.
 kick  = x... .... x... ....
@@ -105,6 +123,7 @@ openhat = .... .... .... x...
 kick  = x... .... x... ....
 openhat = x... .... .... ....
 bass  = x... .... ..x. ....
+sub   = E1 -  -  -  -  -  -  -  -  -  -  -  -  -  -  -
 """
 
 
