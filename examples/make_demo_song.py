@@ -112,6 +112,8 @@ snare = .... x... .... x...
 hat   = x.x. x.x. x.x. x.xx
 bass  = x... ..x. x... ..x.
 stab  = .... .... x... ....
+lead  = E4 .. G4 A4 -  .. E5 D5 -  .. A4 -  G4 .. E4 -
+sub   = E2 -  -  -  A1 -  -  -  C2 -  -  -  B1 -  -  -
 
 [pattern.fill]
 kick  = x... x... x... xxxx

@@ -35,14 +35,20 @@ def key_freq(key_number: int, a4: float = 440.0) -> float:
 
 def note_freq(note: str, octave: Optional[int] = None, a4: float = 440.0) -> float:
     """Note name -> frequency: note_freq("A", 4), note_freq("C#5")."""
+    original = note
     note = note.strip().upper()
-    if octave is None:
-        idx = 1
-        while idx < len(note) and not note[idx].isdigit() and note[idx] != "-":
-            idx += 1
-        octave = int(note[idx:])
-        note = note[:idx]
-    semitone = _NOTES[note]
+    try:
+        if octave is None:
+            idx = 1
+            while idx < len(note) and not note[idx].isdigit() and note[idx] != "-":
+                idx += 1
+            octave = int(note[idx:])
+            note = note[:idx]
+        semitone = _NOTES[note]
+    except (KeyError, ValueError, IndexError):
+        raise ValueError(
+            f"invalid note name {original!r} (expected e.g. 'C4', 'F#3', 'Eb2')"
+        ) from None
     # key 49 == A4 == semitone 9 of octave 4; keys count from A0 == key 1
     key = (octave - 4) * 12 + (semitone - 9) + 49
     return key_freq(key, a4)

@@ -115,15 +115,21 @@ def main(argv=None) -> int:
                     help="skip peak normalization in offline mixdown")
     args = ap.parse_args(argv)
 
-    song = Song.from_ini(args.song)
-    if args.output:
-        mix_to_wav(song, args.output, normalize=not args.no_normalize)
+    try:
+        song = Song.from_ini(args.song)
+        if args.output:
+            mix_to_wav(song, args.output, normalize=not args.no_normalize)
+            return 0
+        if args.play:
+            play_streaming(song)
+            return 0
+        TrackmixerRepl(song, args.song).cmdloop()
         return 0
-    if args.play:
-        play_streaming(song)
-        return 0
-    TrackmixerRepl(song, args.song).cmdloop()
-    return 0
+    except FileNotFoundError as e:
+        print(f"error: {e.filename or e}: no such file", file=sys.stderr)
+    except (KeyError, ValueError) as e:
+        print(f"error in song definition: {e}", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":
