@@ -169,3 +169,80 @@ def resample_jax(x: jax.Array, inrate: int, outrate: int) -> jax.Array:
     y, _, _ = _ratecv_kernel(x, zeros, zeros, inr=inr, outr=outr,
                              d0=-outr, nout=nout)
     return y
+
+
+@functools.partial(jax.jit, static_argnames=("inr", "outr", "max_out"))
+def _ratecv_stream_kernel(x: jax.Array, d0: jax.Array, prev0: jax.Array,
+                          cur0: jax.Array, *, inr: int, outr: int,
+                          max_out: int):
+    """Streaming variant: traced d0, padded static output length.
+
+    Emits garbage rows beyond the (host-computed) valid count; the final
+    prev/cur carry is exact regardless.
+    """
+    L = x.shape[0]
+    xi = x.astype(jnp.int32)
+    p0 = prev0.astype(jnp.int32)
+    c0 = cur0.astype(jnp.int32)
+    k = jnp.arange(max_out, dtype=jnp.int32)
+    ik = -((d0 - k * inr) // outr)
+    dk = d0 + ik * outr - k * inr
+    cur_idx = jnp.clip(ik - 1, -2, L - 1)
+    prev_idx = jnp.clip(ik - 2, -2, L - 1)
+    safe = lambda idx: jnp.clip(idx, 0, max(L - 1, 0))
+    cur = jnp.where(cur_idx[:, None] >= 0, xi[safe(cur_idx)], c0[None, :])
+    prev = jnp.where(prev_idx[:, None] >= 0, xi[safe(prev_idx)],
+                     jnp.where(prev_idx[:, None] == -1, c0[None, :], p0[None, :]))
+    s = prev * dk[:, None] + cur * (outr - dk[:, None])
+    y = (s // jnp.int32(outr)).astype(x.dtype)
+    if L >= 2:
+        prev_end, cur_end = xi[L - 2], xi[L - 1]
+    elif L == 1:
+        prev_end, cur_end = c0, xi[0]
+    else:
+        prev_end, cur_end = p0, c0
+    return y, prev_end.astype(x.dtype), cur_end.astype(x.dtype)
+
+
+class StreamingResampler:
+    """Device-resident chunked ratecv: push fixed-size chunks, get exact
+    audioop-compatible output without the signal ever leaving the device.
+
+    The ``d`` phase of the DDA evolves deterministically
+    (d' = d + L*outr - nout*inr), so the host mirrors it with integer
+    arithmetic and always knows each chunk's valid output count — no
+    device->host sync is needed.  Output arrays are padded to the static
+    maximum; slice with the returned count.
+
+    >>> rs = StreamingResampler(44100, 48000, nchannels=2)
+    >>> y, n = rs.push(chunk)          # y: [max_out, ch] device, y[:n] valid
+    """
+
+    def __init__(self, inrate: int, outrate: int, nchannels: int = 2,
+                 dtype=jnp.int16):
+        self.inr, self.outr = _reduce(inrate, outrate)
+        width = jnp.dtype(dtype).itemsize
+        if self.outr >= (1 << (32 - 8 * width)):
+            raise ValueError("reduced outrate too large for the int32 device path")
+        self.d = -self.outr
+        self.prev = jnp.zeros((nchannels,), dtype)
+        self.cur = jnp.zeros((nchannels,), dtype)
+
+    def out_count(self, nframes_in: int) -> int:
+        kmax = nframes_in * self.outr + self.d
+        return 0 if kmax < 0 else kmax // self.inr + 1
+
+    def max_out(self, nframes_in: int) -> int:
+        """Static padded output size for a given input chunk size."""
+        # d ranges in (-outr-inr, 0]; the largest count occurs at d = 0
+        return nframes_in * self.outr // self.inr + 1
+
+    def push(self, x: jax.Array):
+        """x: [L, ch] device array -> (padded device output, valid_count)."""
+        L = int(x.shape[0])
+        nout = self.out_count(L)
+        y, self.prev, self.cur = _ratecv_stream_kernel(
+            x, jnp.int32(self.d), self.prev, self.cur,
+            inr=self.inr, outr=self.outr, max_out=self.max_out(L))
+        self.d = self.d + L * self.outr - nout * self.inr
+        return y, nout

@@ -30,7 +30,7 @@ from . import params
 from .sample import Sample
 
 __all__ = ["AudiofileToWavStream", "SampleStream", "EndlessFramesFilter",
-           "VolumeFilter", "StreamMixer", "StreamingError"]
+           "VolumeFilter", "RateConvertFilter", "StreamMixer", "StreamingError"]
 
 
 class StreamingError(Exception):
@@ -221,6 +221,38 @@ class VolumeFilter:
 
     def __next__(self) -> Sample:
         return next(self.stream).amplify(self.volume)
+
+
+class RateConvertFilter:
+    """Live rate conversion of a sample stream, device-resident.
+
+    Wraps a chunked stream and emits the same audio at ``target_rate`` via
+    the exact stateful ratecv (``ops.resample.StreamingResampler``): the
+    carry stays on device and the host tracks only the integer DDA phase,
+    so no per-chunk host<->device sync is introduced.  Output chunk sizes
+    vary (ratecv emits what the rate ratio dictates).
+    """
+
+    def __init__(self, stream: Iterator[Sample], target_rate: int):
+        from .ops.resample import StreamingResampler
+        self.stream = stream
+        self.target_rate = target_rate
+        self._rs: Optional[object] = None
+        self._make = StreamingResampler
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Sample:
+        chunk = next(self.stream)
+        if chunk.samplerate == self.target_rate:
+            return chunk
+        if self._rs is None:
+            self._rs = self._make(chunk.samplerate, self.target_rate,
+                                  nchannels=chunk.nchannels)
+        y, n = self._rs.push(chunk.jax_frames)
+        return Sample.from_jax(y[:n], self.target_rate, chunk.samplewidth,
+                               chunk.name)
 
 
 class StreamMixer:

@@ -151,3 +151,31 @@ def test_resample_empty(rng):
     out, st2 = dr.resample(rand_arr(rng, 50, 2), 44100, 48000, state=st)
     wout, _ = dr.resample(rand_arr(rng, 0, 2), 44100, 48000)  # noqa: F841
     assert len(out) == dr.nframes_out(50, 44100, 48000)
+
+
+@pytest.mark.parametrize("inrate,outrate", [(44100, 48000), (48000, 44100),
+                                            (44100, 22050), (3, 7)])
+def test_streaming_resampler_device_resident(rng, inrate, outrate):
+    """StreamingResampler: chunked, device-resident, bit-exact to audioop,
+    one compile per chunk size (traced d carry)."""
+    x = rand_arr(rng, 1000, 2, nch=2)
+    want_b, _ = gp.ratecv(gp.tobytes(x.ravel(), 2), 2, 2, inrate, outrate, None)
+    want = gp.frombytes(want_b, 2).reshape(-1, 2)
+    rs = dr.StreamingResampler(inrate, outrate, nchannels=2)
+    outs = []
+    for i in range(0, 1000, 125):
+        y, n = rs.push(jnp.asarray(x[i:i + 125]))
+        outs.append(np.asarray(y)[:n])
+    got = np.concatenate(outs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_resampler_max_out_bound(rng):
+    rs = dr.StreamingResampler(44100, 48000, nchannels=1)
+    x = rand_arr(rng, 4000, 2, nch=1)
+    worst = 0
+    for i in range(0, 4000, 160):
+        y, n = rs.push(jnp.asarray(x[i:i + 160]))
+        assert n <= rs.max_out(160)
+        worst = max(worst, n)
+    assert worst >= 160  # upsampling produces more than it consumes

@@ -158,3 +158,18 @@ def test_stream_mixer(tmp_path):
     np.testing.assert_array_equal(
         got[:512], np.clip(am + bm, -32768, 32767).astype(np.int16))
     assert len(got) >= a.nframes
+
+
+def test_rate_convert_filter(tmp_path):
+    from synthesizer_tpu.streaming import RateConvertFilter
+    import goldref.pcm as gp
+    s = tone(dur=0.1, amp=0.6)
+    p = str(tmp_path / "rc.wav")
+    s.write_wav(p)
+    conv = RateConvertFilter(SampleStream(p, 700), 32000)
+    chunks = [c for c in conv]
+    assert all(c.samplerate == 32000 for c in chunks)
+    got = np.concatenate([c.get_frame_array() for c in chunks])
+    want_b, _ = gp.ratecv(s.view_frame_data(), 2, 2, 44100, 32000, None)
+    want = gp.frombytes(want_b, 2).reshape(-1, 2)
+    np.testing.assert_array_equal(got, want)
