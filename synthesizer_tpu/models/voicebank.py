@@ -79,6 +79,7 @@ class VoiceParams(NamedTuple):
     fm_c0: jax.Array       # f32 C0 = cos(2 pi phi - pi b)
     pulse_width: jax.Array  # f32
     seed: jax.Array        # u32 noise seed
+    noise_hold: jax.Array  # i32 sample-and-hold period (frames, >=1)
     harm_amps: jax.Array   # f32 [V, H] partial amplitudes (wave id 8)
 
 
@@ -215,6 +216,9 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
         pulse_width=arr(lambda x: min(max(x.pulse_width, 1.0 / 65536.0),
                                       1.0 - 1.0 / 65536.0), np.float32),
         seed=arr(lambda x: x.seed & 0xFFFFFFFF, np.uint32),
+        noise_hold=arr(lambda x: max(1, int(round(samplerate / x.frequency)))
+                       if (x.wave == "white_noise" and x.frequency > 0) else 1,
+                       np.int32),
         harm_amps=jnp.asarray(harm),
     )
 
@@ -269,7 +273,8 @@ def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
         t = _triangle(x)
         return t * t * t
     if wid == 7:
-        return _noise(n[None, :].astype(jnp.uint32), vp.seed)
+        idx = (n[None, :] // vp.noise_hold[:, None]).astype(jnp.uint32)
+        return _noise(idx, vp.seed)
     if wid == 8:
         acc = jnp.zeros(p.shape, jnp.float32)
         for k in range(1, num_harmonics + 1):

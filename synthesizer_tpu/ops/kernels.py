@@ -60,7 +60,7 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
             base_inc, phase0, amp, bias, start, gate,
             attack, decay, sustain_level, release,
             fm_inc, fm_phase0, fm_depth, fm_r, fm_c0,
-            pulse_width, seed, harm_amps,
+            pulse_width, seed, noise_hold, harm_amps,
             out_ref,                     # [2, TILE]
             *, tile: int, samplerate: int, layout: BankLayout):
     t = pl.program_id(0)
@@ -119,7 +119,8 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
                             jnp.sign(v) * (jnp.float32(2.0) - jnp.float32(4.0) * jnp.abs(v)))
             w = tri * tri * tri
         elif wid == 7:                                 # white noise (hash)
-            x = n * jnp.int32(0x9E3779B9 - 2**32) + seed[sl]
+            idx = n // noise_hold[sl]                  # sample-and-hold
+            x = idx * jnp.int32(0x9E3779B9 - 2**32) + seed[sl]
             x = x ^ jax.lax.shift_right_logical(x, 16)
             x = x * jnp.int32(0x7FEB352D)
             x = x ^ jax.lax.shift_right_logical(x, 15)
@@ -213,6 +214,7 @@ def render_stereo_pallas(vp: VoiceParams, n0: jax.Array, *, nframes: int,
         _col_i32(vp.fm_inc), _col_i32(vp.fm_phase0),
         _col_f32(vp.fm_depth), _col_f32(vp.fm_r), _col_f32(vp.fm_c0),
         _col_f32(vp.pulse_width), _col_i32(vp.seed),
+        _col_i32(vp.noise_hold),
         vp.harm_amps.astype(jnp.float32),
     ]
     kernel = functools.partial(_kernel, tile=tile, samplerate=samplerate,

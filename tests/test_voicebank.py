@@ -36,7 +36,8 @@ def oracle_voice(v: Voice, n: int) -> np.ndarray:
                                     for i, a in enumerate(v.harmonics))
         if v.wave == "white_noise":
             kw["seed"] = v.seed
-            osc = S.Osc(v.wave, SR, v.amplitude, v.phase, v.bias, **kw)
+            osc = S.Osc(v.wave, v.frequency or SR, v.amplitude, v.phase,
+                        v.bias, **kw)
         else:
             osc = S.Osc(v.wave, v.frequency, v.amplitude, v.phase, v.bias, **kw)
         env = S.Envelope(osc, *_env_args(v))
@@ -91,6 +92,7 @@ VOICES = [
     Voice("harmonics", 110.0, amplitude=0.3, harmonics=[1.0, 0.5, 0.25, 0.125],
           duration=0.3),
     Voice("white_noise", 0.0, amplitude=0.15, duration=0.2, seed=9),
+    Voice("white_noise", 5000.0, amplitude=0.15, duration=0.2, seed=11),
 ]
 
 
