@@ -66,6 +66,16 @@ class EchoSettings:
     decay: float = 0.5
 
 
+class ArpSettings:
+    """Arpeggiator: when enabled, a held key loops a chord arpeggio."""
+
+    def __init__(self, enabled: bool = False, intervals=(0, 4, 7, 12),
+                 rate: float = 8.0):
+        self.enabled = enabled
+        self.intervals = tuple(intervals)   # semitone offsets from the key
+        self.rate = rate                    # notes per second
+
+
 class SynthController:
     """Headless synthesizer state + voice factory (the GUI's brain)."""
 
@@ -78,6 +88,7 @@ class SynthController:
                       for _ in range(self.NUM_OSC - 1)]
         self.env = EnvSettings()
         self.echo = EchoSettings()
+        self.arp = ArpSettings()
         self.a4 = 440.0
         self.synth = WaveSynth(samplerate=self.samplerate, samplewidth=2)
         self.output = output
@@ -177,11 +188,38 @@ class SynthController:
             dur += self.echo.after + self.echo.amount * self.echo.delay
         return self.synth.render_oscillator(patch, dur, name=f"key{key_number}")
 
+    def render_arpeggio(self, key_number: int) -> Sample:
+        """One cycle of the arpeggio for a held key (loopable Sample)."""
+        step = 1.0 / self.arp.rate
+        total = Sample.from_raw_frames(b"", 2, self.samplerate, 1)
+        for i, semi in enumerate(self.arp.intervals):
+            e = self.env
+            note = self.build_raw_patch(key_number + semi)
+            note = osc.EnvelopeFilter(note, min(e.attack, step / 4),
+                                      min(e.decay, step / 4),
+                                      max(step / 2 - e.release, 0.01),
+                                      e.sustain_level,
+                                      min(e.release, step / 4),
+                                      stop_at_end=True)
+            s = self.synth.render_oscillator(note, step, name=f"arp{i}")
+            total.mix_at(i * step, s, pad_shortest=True)
+        want = int(len(self.arp.intervals) * step * self.samplerate)
+        if total.nframes < want:
+            total.add_silence((want - total.nframes) / self.samplerate)
+        return total.clip(0, want / self.samplerate)
+
     # -- key handling --------------------------------------------------------
 
     def key_down(self, key_number: int) -> None:
         """Start a gate-driven streaming voice (held until key_up)."""
         if self.output is None or key_number in self._active:
+            return
+        if self.arp.enabled:
+            cycle = self.render_arpeggio(key_number)
+            if self.output.nchannels == 2:
+                cycle.stereo()
+            sid = self.output.play_sample(cycle, repeat=True)
+            self._active[key_number] = (sid, None)
             return
         if self.output.mixing == "mixed":
             e = self.env
@@ -199,10 +237,15 @@ class SynthController:
 
     def key_up(self, key_number: int) -> None:
         """Release the gate: the voice's envelope ramps out and the mixer
-        drops the stream when it ends."""
+        drops the stream when it ends (arpeggio loops stop immediately)."""
         entry = self._active.pop(key_number, None)
-        if entry and entry[1] is not None:
-            entry[1].release()
+        if entry is None:
+            return
+        sid, voice = entry
+        if voice is not None:
+            voice.release()
+        elif self.arp.enabled and sid is not None and self.output is not None:
+            self.output.stop_sample(sid)
 
     # -- instrument presets (.ini, like the reference) ------------------------
 

@@ -149,3 +149,30 @@ def test_jukebox_crossfade(tmp_path):
     assert 1.4 * SR <= total <= 2.2 * SR
     audio = np.concatenate([c.get_frame_array() for c in chunks])
     assert np.abs(audio).max() > 5000
+
+
+def test_arpeggiator():
+    import time as _time
+    from synthesizer_tpu import Output
+    c = SynthController(samplerate=SR)
+    c.arp.enabled = True
+    cycle = c.render_arpeggio(49)
+    assert cycle.nframes == int(len(c.arp.intervals) / c.arp.rate * SR)
+    a = cycle.get_frame_array()
+    # four audible note segments
+    step = int(SR / c.arp.rate)
+    for i in range(4):
+        seg = a[i * step + step // 8:(i + 1) * step - step // 2]
+        assert np.abs(seg).max() > 500, f"arp note {i} silent"
+    # looping through the mixer; key_up stops it
+    out = Output(samplerate=SR, nchannels=2, frames_per_chunk=1470, mixing="mixed")
+    try:
+        c.output = out
+        c.key_down(49)
+        assert out.mixer.active_count == 1
+        _time.sleep(0.1)
+        assert out.mixer.active_count == 1  # still looping
+        c.key_up(49)
+        assert out.mixer.active_count == 0
+    finally:
+        out.close()

@@ -98,6 +98,9 @@ class TrackmixerRepl(cmd.Cmd):
         """Stream the whole song through the playback engine."""
         play_streaming(self.song)
 
+    # 'record' is the reference REPL's name for an offline mixdown
+    do_record = do_mix
+
     def do_quit(self, _):
         """Exit."""
         return True
