@@ -140,6 +140,16 @@ def _x_modulate(x, st, dyn, leaves):
     return dpcm.gain_apply(x, leaves[0][:, None])
 
 
+def _x_modulate_sample(x, st, dyn, leaves):
+    maxval, sub_ops = st
+    mod = _run_ops(leaves[0], sub_ops, dyn, leaves[1:])
+    g = mod[:, 0].astype(jnp.float32) / jnp.float32(maxval)
+    n = x.shape[0]
+    if g.shape[0] < n:
+        g = jnp.concatenate([g, jnp.ones(n - g.shape[0], jnp.float32)])
+    return dpcm.gain_apply(x, g[:n][:, None])
+
+
 def _x_mix_at(x, st, dyn, leaves):
     start, m, out_len, sub_ops = st
     other = _run_ops(leaves[0], sub_ops, dyn, leaves[1:])[:m]
@@ -190,8 +200,9 @@ def _x_tostereo(x, st, dyn, leaves):
 
 
 def _x_stereo_mix(x, st, dyn, leaves):
-    ch, m = st
-    scaled = dpcm.mul_floor(leaves[0][:m, 0], dyn[0])
+    ch, m, sub_ops = st
+    other = _run_ops(leaves[0], sub_ops, dyn[1:], leaves[1:])
+    scaled = dpcm.mul_floor(other[:m, 0], dyn[0])
     mixed = dpcm.sat_add(x[:m, ch], scaled)
     return x.at[:m, ch].set(mixed)
 
@@ -225,7 +236,8 @@ _EXEC = {
     "amplify": _x_amplify, "amplify_max": _x_amplify_max, "bias": _x_bias,
     "slice": _x_slice, "cut": _x_cut, "pad": _x_pad, "join": _x_join,
     "reverse": _x_reverse, "fadein": _x_fadein, "fadeout": _x_fadeout,
-    "envelope": _x_envelope, "modulate": _x_modulate, "mix_at": _x_mix_at,
+    "envelope": _x_envelope, "modulate": _x_modulate,
+    "modulate_sample": _x_modulate_sample, "mix_at": _x_mix_at,
     "echo": _x_echo, "lin2lin": _x_lin2lin, "astype_i32": _x_astype_i32,
     "tomono": _x_tomono, "tostereo": _x_tostereo, "stereo_mix": _x_stereo_mix,
     "pan_const": _x_pan_const, "pan_lfo": _x_pan_lfo, "ratecv": _x_ratecv,
@@ -543,7 +555,14 @@ class Sample:
 
     def modulate_amp(self, modulator) -> "Sample":
         """Per-sample amplitude modulation by a Sample, f32 array, or an
-        object exposing ``gains(n)`` (oscillators)."""
+        object exposing ``gains(n)`` (oscillators).  A Sample modulator's
+        own staged chain fuses in as a sub-program."""
+        if isinstance(modulator, Sample):
+            sub_ops, dyn, leaves = modulator._as_subprogram()
+            self._stage("modulate_sample",
+                        static=(MAXVAL[modulator._samplewidth], sub_ops),
+                        dyn=dyn, leaves=leaves)
+            return self
         g = _modulator_gains(modulator, self._nframes)
         self._stage("modulate", leaves=(g,))
         return self
@@ -654,8 +673,9 @@ class Sample:
             self.stereo()
         ch = 0 if other_channel == "L" else 1
         m = min(self._nframes, other._nframes)
-        self._stage("stereo_mix", static=(ch, m), dyn=(other_mix_factor,),
-                    leaves=(other._materialize(),))
+        sub_ops, dyn, leaves = other._as_subprogram()
+        self._stage("stereo_mix", static=(ch, m, sub_ops),
+                    dyn=(other_mix_factor,) + dyn, leaves=leaves)
         return self
 
     def pan(self, amount: float = 0.0, lfo=None) -> "Sample":
