@@ -13,7 +13,13 @@ from synthesizer_tpu.sample import Sample
 
 SR = 44100
 
-# (name, apply(gold), apply(dev), lsb_cost)
+# (name, apply(gold), apply(dev), lsb_cost).  amplify_max is exact on
+# exact inputs, but on inputs already differing by +-tol it can AMPLIFY the
+# difference: if the deviating sample is the peak, the two gain factors
+# differ by ~tol/peak, scaling the whole buffer differently (up to
+# maxval/peak ~ a small constant here).  The chain accounting below
+# multiplies the running tolerance for it.
+AMPMAX_GAIN = 12
 OPS = [
     ("amplify", lambda s: s.amplify(0.7), 0),
     ("amplify_neg", lambda s: s.amplify(-0.4), 0),
@@ -53,7 +59,7 @@ def test_random_chain(seed):
         names.append(name)
         fn(gold)
         fn(dev)
-        tol += cost
+        tol = tol * AMPMAX_GAIN if name == "amplify_max" else tol + cost
         if gold.nframes == 0:
             break
     got = dev.get_frame_array()
