@@ -61,6 +61,7 @@ class Jukebox:
         self.decks: List[Optional[Deck]] = [None, None]
         self.active_deck = 0
         self.position = 0.0          # seconds into the active track
+        self.paused = False          # while set, chunks() yields silence
         self._fading = False
         self._fade_left = 0.0
 
@@ -78,6 +79,12 @@ class Jukebox:
         """Start crossfading into the next track now."""
         if self.playlist and not self._fading:
             self._start_fade()
+
+    def pause(self) -> None:
+        self.paused = True
+
+    def resume(self) -> None:
+        self.paused = False
 
     # -- engine ----------------------------------------------------------------
 
@@ -103,7 +110,14 @@ class Jukebox:
         chunk_dur = self.frames_per_chunk / params.norm_samplerate
         if self.decks[self.active_deck] is None and not self._load_next(self.active_deck):
             return
+        import numpy as _np
+        from synthesizer_tpu.sample import Sample as _Sample
         while True:
+            if self.paused:
+                z = _np.zeros(self.frames_per_chunk * 2, _np.int16)
+                yield _Sample.from_raw_frames(z.tobytes(), 2,
+                                              params.norm_samplerate, 2)
+                continue
             deck = self.decks[self.active_deck]
             if deck is None:
                 return
@@ -196,6 +210,8 @@ class JukeboxGUI:
         ttk.Button(btns, text="enqueue", command=self._enqueue).pack()
         ttk.Button(btns, text="play", command=self._play).pack()
         ttk.Button(btns, text="skip", command=self.box.skip).pack()
+        ttk.Button(btns, text="pause", command=self.box.pause).pack()
+        ttk.Button(btns, text="resume", command=self.box.resume).pack()
         self._thread: Optional[threading.Thread] = None
 
     def _enqueue(self):

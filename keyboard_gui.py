@@ -256,6 +256,9 @@ class SynthController:
             cp[sec] = {k: str(v) for k, v in dataclasses.asdict(s).items()}
         cp["envelope"] = {k: str(v) for k, v in dataclasses.asdict(self.env).items()}
         cp["echo"] = {k: str(v) for k, v in dataclasses.asdict(self.echo).items()}
+        cp["arpeggio"] = {"enabled": str(self.arp.enabled),
+                          "intervals": " ".join(str(i) for i in self.arp.intervals),
+                          "rate": str(self.arp.rate)}
         if isinstance(file, str):
             with open(file, "w") as f:
                 cp.write(f)
@@ -295,6 +298,13 @@ class SynthController:
             self.echo.amount = g.getint("amount", self.echo.amount)
             self.echo.delay = g.getfloat("delay", self.echo.delay)
             self.echo.decay = g.getfloat("decay", self.echo.decay)
+        if "arpeggio" in cp:
+            g = cp["arpeggio"]
+            self.arp.enabled = g.getboolean("enabled", self.arp.enabled)
+            self.arp.rate = g.getfloat("rate", self.arp.rate)
+            iv = g.get("intervals", "")
+            if iv:
+                self.arp.intervals = tuple(int(x) for x in iv.split())
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,33 @@ def test_arpeggiator():
         assert out.mixer.active_count == 0
     finally:
         out.close()
+
+
+def test_arp_preset_roundtrip(tmp_path):
+    c = SynthController(samplerate=SR)
+    c.arp.enabled = True
+    c.arp.intervals = (0, 3, 7)
+    c.arp.rate = 6.0
+    p = str(tmp_path / "arp.ini")
+    c.save_preset(p)
+    c2 = SynthController(samplerate=SR)
+    c2.load_preset(p)
+    assert c2.arp.enabled and c2.arp.intervals == (0, 3, 7) and c2.arp.rate == 6.0
+
+
+def test_jukebox_pause_resume(tmp_path):
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    synth.sine(440.0, 0.3, amplitude=0.5).stereo().write_wav(str(tmp_path / "t.wav"))
+    lib = MusicLibrary()
+    lib.scan(str(tmp_path))
+    box = Jukebox(lib, frames_per_chunk=2205)
+    box.enqueue(lib.search("")[0])
+    gen = box.chunks()
+    first = next(gen)
+    assert np.abs(first.get_frame_array()).max() > 1000
+    box.pause()
+    silent = next(gen)
+    assert np.abs(silent.get_frame_array()).max() == 0
+    box.resume()
+    loud = next(gen)
+    assert np.abs(loud.get_frame_array()).max() > 1000
