@@ -342,25 +342,32 @@ def _adsr(n: jax.Array, vp: VoiceParams, samplerate: int) -> jax.Array:
     Sustain duration = max(0, gate/sr - attack - decay); release follows the
     gate; outside [start, start+total) the gain is 0.
     """
-    sr = jnp.float32(samplerate)
-    t = (n[None, :] - vp.start[:, None]).astype(jnp.float32) / sr
+    sr_r = jnp.float32(1.0 / samplerate)
+    t = (n[None, :] - vp.start[:, None]).astype(jnp.float32) * sr_r
     a = jnp.maximum(vp.attack, 0.0)[:, None]
     d = jnp.maximum(vp.decay, 0.0)[:, None]
     r = jnp.maximum(vp.release, 0.0)[:, None]
     sl = vp.sustain_level[:, None]
-    gate = vp.gate.astype(jnp.float32)[:, None] / sr
+    gate = vp.gate.astype(jnp.float32)[:, None] * sr_r
     s = jnp.maximum(gate - a - d, 0.0)
     t2 = a + d
-    t3 = t2 + s
-    t4 = t3 + r
+    t4 = t2 + s + r
     eps = jnp.float32(1e-30)
-    g = jnp.where(t < a, t / jnp.maximum(a, eps),
-        jnp.where(t < t2, jnp.float32(1.0) + (sl - jnp.float32(1.0)) * (t - a) / jnp.maximum(d, eps),
-        jnp.where(t < t3, sl,
-        jnp.where(t < t4, sl * (t4 - t) / jnp.maximum(r, eps),
-                  jnp.float32(0.0)))))
-    g = jnp.where(t < 0, jnp.float32(0.0), g)
-    return jnp.maximum(g, jnp.float32(0.0))
+    # Envelope as the lower envelope of three lines (min), clipped to [0, 1]:
+    # attack ramp (negative before the note start, so it also gates t < 0),
+    # decay ramp saturating at the sustain level, and the release ramp
+    # (negative after t4).  Division-free; two selects handle the zero-
+    # attack/zero-decay boundary samples exactly like the piecewise oracle.
+    a_r = jnp.float32(1.0) / jnp.maximum(a, eps)
+    d_r = jnp.float32(1.0) / jnp.maximum(d, eps)
+    r_r = jnp.float32(1.0) / jnp.maximum(r, eps)
+    att = jnp.where(t < a, t * a_r, jnp.float32(2.0))
+    dec = jnp.where(t < t2,
+                    jnp.float32(1.0) + (sl - jnp.float32(1.0)) * (t - a) * d_r,
+                    sl)
+    rel = sl * (t4 - t) * r_r
+    return jnp.clip(jnp.minimum(jnp.minimum(att, dec), rel),
+                    jnp.float32(0.0), jnp.float32(1.0))
 
 
 def _slice_params(vp: VoiceParams, start: int, count: int) -> VoiceParams:

@@ -178,3 +178,23 @@ def test_bandlimited_bank_voice():
     g16 = np.clip(np.rint(got * 32767), -32768, 32767)
     w16 = np.clip(np.rint(want * 32767), -32768, 32767)
     assert np.abs(g16 - w16).max() <= 3
+
+
+def test_adsr_zero_segment_edges():
+    """Zero attack/decay/release boundary samples match the oracle exactly
+    (regression guard for the min/max envelope form)."""
+    for v in (Voice("sine", 441.0, amplitude=0.5, duration=0.1,
+                    attack=0.0, decay=0.02, sustain_level=0.6, release=0.05),
+              Voice("sine", 441.0, amplitude=0.5, duration=0.1,
+                    attack=0.01, decay=0.0, sustain_level=0.6, release=0.05),
+              Voice("sine", 441.0, amplitude=0.5, duration=0.1,
+                    attack=0.01, decay=0.02, sustain_level=0.6, release=0.0),
+              Voice("sine", 441.0, amplitude=0.5, duration=0.005,
+                    attack=0.01, decay=0.05, sustain_level=0.6, release=0.02)):
+        vp = pack_voices([v], SR)
+        bank = VoiceBank(0, SR, chunk_frames=2048)
+        got = np.asarray(bank.render_song(vp, 8192))
+        want = oracle_voice(v, 8192)
+        g16 = np.clip(np.rint(got * 32767), -32768, 32767)
+        w16 = np.clip(np.rint(want * 32767), -32768, 32767)
+        assert np.abs(g16 - w16).max() <= 1, v
