@@ -581,6 +581,8 @@ class Sample:
         fused in as a sub-program, so a whole multi-track mixdown of staged
         samples compiles to ONE device program."""
         self._check_format(other)
+        if seconds < 0:
+            raise ValueError("mix_at offset must be >= 0")
         m = other._nframes
         if other_seconds is not None:
             m = min(m, other._n(other_seconds))

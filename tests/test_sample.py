@@ -245,3 +245,10 @@ def test_format_mismatch_raises(rng):
     _, b = make_pair(rng, sr=22050)
     with pytest.raises(ValueError):
         a.mix(b)
+
+
+def test_mix_at_negative_offset_raises(rng):
+    _, a = make_pair(rng)
+    _, b = make_pair(rng)
+    with pytest.raises(ValueError):
+        a.mix_at(-0.1, b)
