@@ -22,3 +22,4 @@ from .sequencer import Song  # noqa: F401
 from .models.voicebank import Voice, VoiceBank, pack_voices  # noqa: F401
 from .voice import RealtimeVoice  # noqa: F401
 from .utils.profiling import RenderTimer  # noqa: F401
+from .server import RenderServer  # noqa: F401

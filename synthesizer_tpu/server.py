@@ -1,0 +1,245 @@
+"""Render server: HTTP serving surface for the framework.
+
+The rebuild targets production deployment, not just a library: this module
+serves renders over HTTP (stdlib-only, threaded) so a fleet can treat the
+TPU host as a render node.
+
+Endpoints
+---------
+GET  /health            -> {"status": "ok", "device": "...", ...}
+POST /render/song       body: trackmixer .ini text          -> WAV bytes
+POST /render/patch      body: JSON patch spec (see below)   -> WAV bytes
+POST /render/voices     body: JSON voice list               -> WAV bytes
+
+Patch JSON mirrors ``models.spec`` (the declarative DAG), e.g.::
+
+    {"duration": 2.0, "samplerate": 44100,
+     "patch": {"node": "envelope", "attack": 0.02, "decay": 0.1,
+               "sustain": 1.0, "sustain_level": 0.6, "release": 0.3,
+               "source": {"node": "osc", "kind": "sine", "frequency": 440,
+                          "fm_lfo": {"node": "osc", "kind": "sine",
+                                     "frequency": 6, "amplitude": 0.01}}}}
+
+Voices JSON::
+
+    {"duration": 3.0, "voices": [{"wave": "square_bl", "frequency": 220,
+                                  "start": 0.0, "duration": 1.0, ...}, ...]}
+
+Every render is a batched device program; the host only moves WAV bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from . import params
+from .models import graph as G
+from .models import spec as S
+from .models.voicebank import Voice, VoiceBank, pack_voices
+from .sample import Sample
+from .sequencer import Song
+
+__all__ = ["RenderServer", "spec_from_json", "voices_from_json"]
+
+
+def spec_from_json(obj) -> S.Node:
+    """Recursively decode a JSON patch description into a spec tree."""
+    if isinstance(obj, (int, float)):
+        return S.Const(float(obj))
+    node = obj.get("node", "osc")
+    if node == "osc":
+        return S.Osc(
+            obj.get("kind", "sine"),
+            float(obj.get("frequency", 440.0)),
+            amplitude=float(obj.get("amplitude", 1.0)),
+            phase=float(obj.get("phase", 0.0)),
+            bias=float(obj.get("bias", 0.0)),
+            fm_lfo=spec_from_json(obj["fm_lfo"]) if obj.get("fm_lfo") else None,
+            pwm_lfo=spec_from_json(obj["pwm_lfo"]) if obj.get("pwm_lfo") else None,
+            pulse_width=float(obj.get("pulse_width", 0.5)),
+            num_harmonics=int(obj.get("num_harmonics", 8)),
+            harmonics=tuple((float(r), float(a))
+                            for r, a in obj.get("harmonics", [])),
+            seed=int(obj.get("seed", 0)),
+        )
+    if node == "envelope":
+        return S.Envelope(spec_from_json(obj["source"]),
+                          float(obj.get("attack", 0.0)),
+                          float(obj.get("decay", 0.0)),
+                          float(obj.get("sustain", 0.0)),
+                          float(obj.get("sustain_level", 1.0)),
+                          float(obj.get("release", 0.0)))
+    if node == "mix":
+        return S.Mix(tuple(spec_from_json(s) for s in obj["sources"]))
+    if node == "amp_mod":
+        return S.AmpMod(spec_from_json(obj["source"]),
+                        spec_from_json(obj["modulator"]))
+    if node == "delay":
+        return S.Delay(spec_from_json(obj["source"]), float(obj["seconds"]))
+    if node == "echo":
+        return S.Echo(spec_from_json(obj["source"]), float(obj.get("after", 0.0)),
+                      int(obj.get("amount", 1)), float(obj.get("delay", 0.1)),
+                      float(obj.get("decay", 0.5)))
+    if node == "clip":
+        return S.Clip(spec_from_json(obj["source"]),
+                      float(obj.get("minimum", -1.0)), float(obj.get("maximum", 1.0)))
+    if node == "abs":
+        return S.Abs(spec_from_json(obj["source"]))
+    if node == "linear":
+        return S.Linear(float(obj.get("start", 0.0)),
+                        float(obj.get("increase", 0.0)),
+                        float(obj.get("min_value", -1e6)),
+                        float(obj.get("max_value", 1e6)))
+    raise ValueError(f"unknown patch node type {node!r}")
+
+
+def voices_from_json(items) -> list:
+    fields = {f.name for f in Voice.__dataclass_fields__.values()} \
+        if hasattr(Voice, "__dataclass_fields__") else set()
+    out = []
+    for item in items:
+        kw = {k: v for k, v in item.items() if k in fields}
+        if "harmonics" in kw:
+            kw["harmonics"] = tuple(float(x) for x in kw["harmonics"])
+        out.append(Voice(**kw))
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "synthesizer-tpu/0.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server.verbose:  # type: ignore[attr-defined]
+            super().log_message(fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):
+        if self.path == "/health":
+            import jax
+            dev = jax.devices()[0]
+            self._send_json(200, {
+                "status": "ok",
+                "device": str(dev),
+                "platform": dev.platform,
+                "samplerate": params.norm_samplerate,
+            })
+        else:
+            self._send_json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        try:
+            if self.path == "/render/song":
+                wav = self._render_song(body.decode())
+            elif self.path == "/render/patch":
+                wav = self._render_patch(json.loads(body))
+            elif self.path == "/render/voices":
+                wav = self._render_voices(json.loads(body))
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+                return
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            self._send_json(400, {"error": str(e)})
+            return
+        self._send(200, wav, "audio/wav")
+
+    def _render_song(self, ini_text: str) -> bytes:
+        with tempfile.NamedTemporaryFile("w", suffix=".ini", delete=False) as f:
+            f.write(ini_text)
+            path = f.name
+        song = Song.from_ini(path)
+        mixed = song.mix()
+        bio = io.BytesIO()
+        mixed.write_wav(bio)
+        return bio.getvalue()
+
+    def _render_patch(self, obj) -> bytes:
+        node = spec_from_json(obj["patch"])
+        sr = int(obj.get("samplerate", params.norm_samplerate))
+        n = int(float(obj["duration"]) * sr)
+        vals = G.render_patch(node, n, sr)
+        data = G.to_int_device(vals, 2)[:, None]
+        bio = io.BytesIO()
+        Sample.from_jax(data, sr, 2, "patch").write_wav(bio)
+        return bio.getvalue()
+
+    def _render_voices(self, obj) -> bytes:
+        voices = voices_from_json(obj["voices"])
+        if not voices:
+            raise ValueError("no voices given")
+        sr = int(obj.get("samplerate", params.norm_samplerate))
+        total = int(float(obj["duration"]) * sr)
+        vp, layout = pack_voices(voices, sr, num_harmonics=8, sort_by_wave=True)
+        bank = VoiceBank.for_voices(voices, sr, num_harmonics=8,
+                                    layout=layout, nvoices=layout.nvoices)
+        stereo = bank.render_song(vp, total)
+        out16 = bank.to_int16(stereo)
+        bio = io.BytesIO()
+        Sample.from_jax(out16, sr, 2, "voices").write_wav(bio)
+        return bio.getvalue()
+
+
+class RenderServer:
+    """Threaded HTTP render server.
+
+    >>> srv = RenderServer(port=0)      # 0 = ephemeral
+    >>> srv.start()
+    >>> srv.port
+    >>> srv.stop()
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8000,
+                 verbose: bool = False):
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.verbose = verbose  # type: ignore[attr-defined]
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "RenderServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5.0)
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+
+def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser(description="synthesizer_tpu render server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+    srv = RenderServer(args.host, args.port, verbose=args.verbose)
+    print(f"render server listening on {args.host}:{srv.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
