@@ -24,12 +24,14 @@ integer FM spec; the bank is the performance engine with this documented
 closed form (tests/test_voicebank.py pins it against an f64 numpy twin).
 
 For speed, ``pack_voices(..., sort_by_wave=True)`` orders voices into
-per-(waveform, has-FM) groups so each group evaluates only its own waveform
-(a mixed 8-waveform bank pays for 1 waveform per voice, not 8).
+per-waveform groups so each group evaluates only its own waveform (a mixed
+bank pays for 1 waveform per voice, not all of them); a group computes the
+FM path only if one of its members uses FM.
 
 Voice waveforms: 0=sine 1=triangle 2=square 3=sawtooth 4=pulse 5=semicircle
-6=pointy 7=white_noise 8=harmonics (integer partials 1..H with per-voice
-amplitudes).
+6=pointy 7=white_noise (sample-and-hold via ``frequency``) 8=harmonics
+(integer partials 1..H with per-voice amplitudes) 9=sawtooth_bl
+10=square_bl (polyBLEP bandlimited).
 """
 
 from __future__ import annotations
