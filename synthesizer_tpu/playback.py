@@ -296,6 +296,7 @@ class Output:
         self._all_played.set()
         self._closing = False
         self._played_count = 0
+        self._mixed_samples: Dict[int, Sample] = {}
         if mixing == "mixed":
             self.mixer = RealTimeMixer(self.frames_per_chunk, self.samplerate,
                                        self.nchannels)
@@ -340,6 +341,10 @@ class Output:
 
     def _voice_ended(self, sid: int) -> None:
         self._played_count += 1
+        sample = self._mixed_samples.pop(sid, None)
+        if sample is not None:
+            for cb in self._notify_played:
+                cb(sample)
 
     # -- public API -----------------------------------------------------------
 
@@ -348,9 +353,15 @@ class Output:
         """Play (or queue) a sample; in mixed mode returns a stream id."""
         if sample.samplewidth != self.samplewidth:
             sample = sample.copy().make_16bit(maximize_amplitude=False)
+        if sample.nchannels == 1 and self.nchannels == 2:
+            sample = sample.copy().stereo()
+        elif sample.nchannels == 2 and self.nchannels == 1:
+            sample = sample.copy().mono()
         if self.mixing == "mixed":
             self._all_played.clear()
-            return self.mixer.add_sample(sample, repeat, delay)
+            sid = self.mixer.add_sample(sample, repeat, delay)
+            self._mixed_samples[sid] = sample
+            return sid
         self._all_played.clear()
         self._queue.put(sample)
         return None

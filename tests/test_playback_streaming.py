@@ -173,3 +173,17 @@ def test_rate_convert_filter(tmp_path):
     want_b, _ = gp.ratecv(s.view_frame_data(), 2, 2, 44100, 32000, None)
     want = gp.frombytes(want_b, 2).reshape(-1, 2)
     np.testing.assert_array_equal(got, want)
+
+
+def test_mixed_mode_notify_and_channel_adapt(tmp_path):
+    played = []
+    with Output(samplerate=SR, nchannels=2, frames_per_chunk=1000,
+                mixing="mixed", wav_file=str(tmp_path / "n.wav")) as out:
+        out.register_notify_played(lambda s: played.append(s.name))
+        mono = WaveSynth(samplerate=SR, samplewidth=2).sine(440, 0.04, amplitude=0.4)
+        assert mono.nchannels == 1
+        out.play_sample(mono)        # mono into a stereo output: adapted
+        deadline = time.time() + 5.0
+        while out.still_playing() and time.time() < deadline:
+            time.sleep(0.01)
+    assert played == ["sine"]        # mixed mode fires completion callbacks
