@@ -23,3 +23,4 @@ from .models.voicebank import Voice, VoiceBank, pack_voices  # noqa: F401
 from .voice import RealtimeVoice  # noqa: F401
 from .utils.profiling import RenderTimer  # noqa: F401
 from .server import RenderServer  # noqa: F401
+from .midi import render_midi  # noqa: F401

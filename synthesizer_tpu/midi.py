@@ -1,0 +1,238 @@
+"""Standard MIDI File import: .mid -> voice events -> batched bank render.
+
+Beyond-reference convenience (the reference has no MIDI support): parse SMF
+format 0/1 files (tempo map, note on/off, running status), convert notes to
+:class:`~synthesizer_tpu.models.voicebank.Voice` events, and render the
+whole file as ONE batched VoiceBank program.  A minimal writer is included
+for tests and for exporting sequencer songs.
+
+    sample = render_midi("song.mid")                    # default instrument
+    sample = render_midi("song.mid", instruments={0: SynthDef(wave="sine")})
+
+Limitations (deliberate, documented): notes map to the bank's gate-ADSR
+voices (no per-note velocity curves beyond linear amplitude), SMPTE
+divisions are unsupported, and pitch bend / CCs are ignored.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple, Union
+
+from .models.voicebank import Voice, VoiceBank, pack_voices
+from .sample import Sample
+from .sequencer import SynthDef
+from . import params
+
+__all__ = ["MidiNote", "parse_midi", "midi_to_voices", "render_midi",
+           "write_midi"]
+
+_A4_KEY = 69  # MIDI note number of A4
+
+
+class MidiNote(NamedTuple):
+    start: float        # seconds
+    duration: float     # seconds
+    note: int           # MIDI note number
+    velocity: int       # 1..127
+    channel: int        # 0..15
+
+
+def note_to_freq(note: int, a4: float = 440.0) -> float:
+    return a4 * 2.0 ** ((note - _A4_KEY) / 12.0)
+
+
+def _read_vlq(data: bytes, pos: int) -> Tuple[int, int]:
+    value = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value = (value << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return value, pos
+
+
+class _Event(NamedTuple):
+    tick: int
+    kind: str           # "on" | "off" | "tempo"
+    channel: int
+    a: int              # note / tempo µs-per-quarter
+    b: int              # velocity
+
+
+def _parse_track(data: bytes) -> List[_Event]:
+    events: List[_Event] = []
+    pos = 0
+    tick = 0
+    status = 0
+    while pos < len(data):
+        delta, pos = _read_vlq(data, pos)
+        tick += delta
+        b0 = data[pos]
+        if b0 & 0x80:
+            status = b0
+            pos += 1
+        if status == 0xFF:                         # meta
+            meta = data[pos]
+            length, p2 = _read_vlq(data, pos + 1)
+            body = data[p2:p2 + length]
+            pos = p2 + length
+            if meta == 0x51 and length == 3:
+                tempo = (body[0] << 16) | (body[1] << 8) | body[2]
+                events.append(_Event(tick, "tempo", 0, tempo, 0))
+            elif meta == 0x2F:                     # end of track
+                break
+        elif status in (0xF0, 0xF7):               # sysex
+            length, p2 = _read_vlq(data, pos)
+            pos = p2 + length
+        else:
+            kind = status & 0xF0
+            ch = status & 0x0F
+            if kind == 0x90:                       # note on (vel 0 == off)
+                note, vel = data[pos], data[pos + 1]
+                pos += 2
+                events.append(_Event(tick, "on" if vel else "off", ch, note, vel))
+            elif kind == 0x80:
+                note, vel = data[pos], data[pos + 1]
+                pos += 2
+                events.append(_Event(tick, "off", ch, note, vel))
+            elif kind in (0xA0, 0xB0, 0xE0):       # 2-byte channel events
+                pos += 2
+            elif kind in (0xC0, 0xD0):             # 1-byte channel events
+                pos += 1
+            else:
+                raise ValueError(f"unexpected MIDI byte 0x{status:02x}")
+    return events
+
+
+def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
+    """Parse an SMF file (path or bytes) into note events in seconds."""
+    data = open(source, "rb").read() if isinstance(source, str) else source
+    if data[:4] != b"MThd":
+        raise ValueError("not a MIDI file (missing MThd)")
+    hlen, fmt, ntrks, division = struct.unpack(">IHHH", data[4:14])
+    if division & 0x8000:
+        raise ValueError("SMPTE time divisions are not supported")
+    pos = 8 + hlen
+    events: List[_Event] = []
+    for _ in range(ntrks):
+        if data[pos:pos + 4] != b"MTrk":
+            raise ValueError("bad track header")
+        tlen = struct.unpack(">I", data[pos + 4:pos + 8])[0]
+        events.extend(_parse_track(data[pos + 8:pos + 8 + tlen]))
+        pos += 8 + tlen
+    events.sort(key=lambda e: (e.tick, e.kind != "tempo"))
+
+    # tick -> seconds with the tempo map (default 120 bpm)
+    notes: List[MidiNote] = []
+    open_notes: Dict[Tuple[int, int], Tuple[float, int]] = {}
+    sec = 0.0
+    last_tick = 0
+    us_per_quarter = 500_000
+    for ev in events:
+        sec += (ev.tick - last_tick) * us_per_quarter / 1e6 / division
+        last_tick = ev.tick
+        if ev.kind == "tempo":
+            us_per_quarter = ev.a
+        elif ev.kind == "on":
+            open_notes[(ev.channel, ev.a)] = (sec, ev.b)
+        elif ev.kind == "off":
+            started = open_notes.pop((ev.channel, ev.a), None)
+            if started is not None:
+                t0, vel = started
+                notes.append(MidiNote(t0, max(sec - t0, 1e-3), ev.a, vel,
+                                      ev.channel))
+    notes.sort(key=lambda n: n.start)
+    return notes
+
+
+_DEFAULT_DEF = SynthDef(wave="sawtooth_bl", amplitude=0.3, attack=0.005,
+                        decay=0.05, sustain_level=0.7, release=0.15)
+
+
+def midi_to_voices(notes: Sequence[MidiNote],
+                   instruments: Optional[Dict[int, SynthDef]] = None,
+                   a4: float = 440.0) -> List[Voice]:
+    """Note events -> bank voices; velocity scales amplitude linearly."""
+    instruments = instruments or {}
+    voices = []
+    for n in notes:
+        sd = instruments.get(n.channel, _DEFAULT_DEF)
+        voices.append(Voice(
+            wave=sd.wave,
+            frequency=note_to_freq(n.note, a4),
+            amplitude=sd.amplitude * (n.velocity / 127.0),
+            pan=sd.pan,
+            start=n.start,
+            duration=n.duration,
+            attack=sd.attack, decay=sd.decay,
+            sustain_level=sd.sustain_level, release=sd.release,
+            fm_frequency=sd.fm_frequency, fm_depth=sd.fm_depth,
+            pulse_width=sd.pulse_width,
+            harmonics=sd.harmonics,
+        ))
+    return voices
+
+
+def render_midi(source: Union[str, bytes],
+                instruments: Optional[Dict[int, SynthDef]] = None,
+                samplerate: int = 0, tail_seconds: float = 0.3) -> Sample:
+    """Render a MIDI file to a stereo Sample in one batched bank render."""
+    sr = samplerate or params.norm_samplerate
+    notes = parse_midi(source)
+    if not notes:
+        return Sample.from_raw_frames(b"", 2, sr, 2)
+    voices = midi_to_voices(notes, instruments)
+    total = max(int((v.start + v.attack + v.decay
+                     + max(v.duration - v.attack - v.decay, 0.0)
+                     + v.release) * sr) + 1 for v in voices)
+    total += int(tail_seconds * sr)
+    vp, layout = pack_voices(voices, sr, num_harmonics=8, sort_by_wave=True)
+    bank = VoiceBank.for_voices(voices, sr, num_harmonics=8, layout=layout,
+                                nvoices=layout.nvoices)
+    out16 = bank.to_int16(bank.render_song(vp, total))
+    return Sample.from_jax(out16, sr, 2, name="midi")
+
+
+# ---------------------------------------------------------------------------
+# Minimal SMF writer (format 0) — for tests and song export
+# ---------------------------------------------------------------------------
+
+def _vlq(value: int) -> bytes:
+    out = [value & 0x7F]
+    value >>= 7
+    while value:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+    return bytes(reversed(out))
+
+
+def write_midi(notes: Sequence[MidiNote], division: int = 480,
+               bpm: float = 120.0) -> bytes:
+    """Serialize note events to a format-0 SMF byte string."""
+    us_per_quarter = int(round(60e6 / bpm))
+    sec_per_tick = us_per_quarter / 1e6 / division
+
+    moments: List[Tuple[int, int, str, int, int]] = []   # (tick, order, kind...)
+    for n in notes:
+        t0 = int(round(n.start / sec_per_tick))
+        t1 = int(round((n.start + n.duration) / sec_per_tick))
+        moments.append((t0, 1, "on", n))
+        moments.append((max(t1, t0 + 1), 0, "off", n))
+    moments.sort(key=lambda m: (m[0], m[1]))
+
+    track = io.BytesIO()
+    track.write(_vlq(0) + bytes([0xFF, 0x51, 0x03]) +
+                us_per_quarter.to_bytes(3, "big"))
+    last = 0
+    for tick, _, kind, n in moments:
+        track.write(_vlq(tick - last))
+        last = tick
+        status = (0x90 if kind == "on" else 0x80) | (n.channel & 0x0F)
+        vel = n.velocity if kind == "on" else 0
+        track.write(bytes([status, n.note & 0x7F, vel & 0x7F]))
+    track.write(_vlq(0) + bytes([0xFF, 0x2F, 0x00]))
+    tdata = track.getvalue()
+    return (b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+            + b"MTrk" + struct.pack(">I", len(tdata)) + tdata)

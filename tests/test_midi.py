@@ -1,0 +1,77 @@
+"""MIDI import/export: writer<->parser round trip, tempo map, rendering."""
+
+import numpy as np
+import pytest
+
+from synthesizer_tpu.midi import (MidiNote, midi_to_voices, note_to_freq,
+                                  parse_midi, render_midi, write_midi)
+from synthesizer_tpu.sequencer import SynthDef
+
+SR = 44100
+
+
+def test_note_to_freq():
+    assert note_to_freq(69) == pytest.approx(440.0)
+    assert note_to_freq(60) == pytest.approx(261.6255653)
+
+
+def test_write_parse_roundtrip():
+    notes = [MidiNote(0.0, 0.5, 60, 100, 0),
+             MidiNote(0.25, 0.5, 64, 90, 0),
+             MidiNote(0.5, 1.0, 67, 80, 1)]
+    data = write_midi(notes, bpm=120)
+    back = parse_midi(data)
+    assert len(back) == 3
+    for orig, got in zip(notes, back):
+        assert got.note == orig.note and got.channel == orig.channel
+        assert got.velocity == orig.velocity
+        assert got.start == pytest.approx(orig.start, abs=2e-3)
+        assert got.duration == pytest.approx(orig.duration, abs=4e-3)
+
+
+def test_tempo_change_scales_time():
+    # one note at tick 480 (one quarter): 120 bpm -> 0.5 s; 60 bpm -> 1.0 s
+    fast = parse_midi(write_midi([MidiNote(0.5, 0.5, 60, 100, 0)], bpm=120))
+    slow = parse_midi(write_midi([MidiNote(1.0, 1.0, 60, 100, 0)], bpm=60))
+    assert fast[0].start == pytest.approx(0.5, abs=2e-3)
+    assert slow[0].start == pytest.approx(1.0, abs=4e-3)
+
+
+def test_running_status_and_overlap():
+    # chords (simultaneous notes) exercise running status in the writer
+    notes = [MidiNote(0.0, 0.4, n, 100, 0) for n in (60, 64, 67)]
+    back = parse_midi(write_midi(notes))
+    assert sorted(n.note for n in back) == [60, 64, 67]
+
+
+def test_midi_to_voices_velocity_and_instruments():
+    notes = [MidiNote(0.0, 0.5, 69, 127, 0), MidiNote(0.5, 0.5, 69, 64, 3)]
+    voices = midi_to_voices(notes, {3: SynthDef(wave="sine", amplitude=0.5)})
+    assert voices[0].frequency == pytest.approx(440.0)
+    assert voices[0].wave == "sawtooth_bl"          # default instrument
+    assert voices[1].wave == "sine"
+    assert voices[1].amplitude == pytest.approx(0.5 * 64 / 127)
+
+
+def test_render_midi_end_to_end(tmp_path):
+    notes = [MidiNote(0.0, 0.3, 60, 110, 0),
+             MidiNote(0.3, 0.3, 64, 110, 0),
+             MidiNote(0.6, 0.4, 67, 110, 0)]
+    p = str(tmp_path / "t.mid")
+    open(p, "wb").write(write_midi(notes))
+    s = render_midi(p, samplerate=SR)
+    assert s.nchannels == 2 and s.samplerate == SR
+    assert s.duration > 1.0
+    a = s.get_frame_array()
+    sr = SR
+    # each note region sounds
+    for t0 in (0.05, 0.35, 0.7):
+        seg = a[int(t0 * sr):int((t0 + 0.1) * sr)]
+        assert np.abs(seg).max() > 1000, t0
+    # silence well after the last release
+    assert np.abs(a[-100:]).max() == 0
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_midi(b"RIFFnotmidi")

@@ -110,7 +110,7 @@ class TrackmixerRepl(cmd.Cmd):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("song", help="song .ini file")
+    ap.add_argument("song", help="song .ini file (or a .mid file to render)")
     ap.add_argument("-o", "--output", help="mix offline to this WAV and exit")
     ap.add_argument("--play", action="store_true",
                     help="stream the whole song and exit")
@@ -119,6 +119,17 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     try:
+        if args.song.lower().endswith((".mid", ".midi")):
+            from synthesizer_tpu.midi import render_midi
+            out = args.output or (args.song.rsplit(".", 1)[0] + ".wav")
+            import time as _t
+            t0 = _t.perf_counter()
+            sample = render_midi(args.song)
+            sample.write_wav(out)
+            dt = _t.perf_counter() - t0
+            print(f"rendered MIDI {sample.duration:.2f}s in {dt:.3f}s "
+                  f"({sample.duration / dt:.0f}x realtime) -> {out}")
+            return 0
         song = Song.from_ini(args.song)
         if args.output:
             mix_to_wav(song, args.output, normalize=not args.no_normalize)
