@@ -206,3 +206,14 @@ def test_jukebox_pause_resume(tmp_path):
     box.resume()
     loud = next(gen)
     assert np.abs(loud.get_frame_array()).max() > 1000
+
+
+def test_repl_load_command(song_dir, capsys):
+    from synthesizer_tpu.sequencer import Song
+    song = Song.from_ini(str(song_dir / "song.ini"))
+    repl = trackmixer.TrackmixerRepl(song, "song.ini")
+    repl.do_load(str(song_dir / "song.ini"))
+    out = capsys.readouterr().out
+    assert "bpm 250" in out
+    repl.do_load("/does/not/exist.ini")
+    assert "no such file" in capsys.readouterr().out

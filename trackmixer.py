@@ -46,8 +46,8 @@ def play_streaming(song: Song, with_meter: bool = True) -> None:
 
 
 class TrackmixerRepl(cmd.Cmd):
-    intro = ("Track mixer.  Commands: patterns, play <pattern>, mix [file], "
-             "stream, info, quit")
+    intro = ("Track mixer.  Commands: load <song.ini>, patterns, "
+             "play <pattern>, mix [file], record [file], stream, info, quit")
     prompt = "mix> "
 
     def __init__(self, song: Song, ini_file: str):
@@ -62,6 +62,21 @@ class TrackmixerRepl(cmd.Cmd):
         print(f"bpm {s.bpm}, {s.ticks} ticks/beat, "
               f"{len(s.instruments)} instruments, "
               f"{len(s.patterns)} patterns, sequence: {' '.join(s.pattern_sequence)}")
+
+    def do_load(self, arg):
+        """load <song.ini> — load another song file."""
+        path = arg.strip()
+        if not path:
+            print("usage: load <song.ini>")
+            return
+        try:
+            self.song = Song.from_ini(path)
+            self.ini_file = path
+            self.do_info("")
+        except FileNotFoundError:
+            print(f"no such file: {path}")
+        except (KeyError, ValueError) as e:
+            print(f"error in song definition: {e}")
 
     def do_patterns(self, _):
         """List patterns and their tracks."""
