@@ -37,6 +37,7 @@ class MidiNote(NamedTuple):
     note: int           # MIDI note number
     velocity: int       # 1..127
     channel: int        # 0..15
+    program: int = 0    # GM program active at note-on
 
 
 def note_to_freq(note: int, a4: float = 440.0) -> float:
@@ -55,9 +56,9 @@ def _read_vlq(data: bytes, pos: int) -> Tuple[int, int]:
 
 class _Event(NamedTuple):
     tick: int
-    kind: str           # "on" | "off" | "tempo"
+    kind: str           # "on" | "off" | "tempo" | "program"
     channel: int
-    a: int              # note / tempo µs-per-quarter
+    a: int              # note / tempo µs-per-quarter / program number
     b: int              # velocity
 
 
@@ -99,7 +100,10 @@ def _parse_track(data: bytes) -> List[_Event]:
                 events.append(_Event(tick, "off", ch, note, vel))
             elif kind in (0xA0, 0xB0, 0xE0):       # 2-byte channel events
                 pos += 2
-            elif kind in (0xC0, 0xD0):             # 1-byte channel events
+            elif kind == 0xC0:                     # program change
+                events.append(_Event(tick, "program", ch, data[pos], 0))
+                pos += 1
+            elif kind == 0xD0:                     # channel pressure
                 pos += 1
             else:
                 raise ValueError(f"unexpected MIDI byte 0x{status:02x}")
@@ -126,7 +130,8 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
 
     # tick -> seconds with the tempo map (default 120 bpm)
     notes: List[MidiNote] = []
-    open_notes: Dict[Tuple[int, int], Tuple[float, int]] = {}
+    open_notes: Dict[Tuple[int, int], Tuple[float, int, int]] = {}
+    programs = [0] * 16
     sec = 0.0
     last_tick = 0
     us_per_quarter = 500_000
@@ -135,20 +140,59 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
         last_tick = ev.tick
         if ev.kind == "tempo":
             us_per_quarter = ev.a
+        elif ev.kind == "program":
+            programs[ev.channel] = ev.a
         elif ev.kind == "on":
-            open_notes[(ev.channel, ev.a)] = (sec, ev.b)
+            open_notes[(ev.channel, ev.a)] = (sec, ev.b, programs[ev.channel])
         elif ev.kind == "off":
             started = open_notes.pop((ev.channel, ev.a), None)
             if started is not None:
-                t0, vel = started
+                t0, vel, prog = started
                 notes.append(MidiNote(t0, max(sec - t0, 1e-3), ev.a, vel,
-                                      ev.channel))
+                                      ev.channel, prog))
     notes.sort(key=lambda n: n.start)
     return notes
 
 
 _DEFAULT_DEF = SynthDef(wave="sawtooth_bl", amplitude=0.3, attack=0.005,
                         decay=0.05, sustain_level=0.7, release=0.15)
+
+#: coarse General-MIDI program-family mapping onto bank waveforms
+_GM_FAMILIES = (
+    (0, SynthDef(wave="harmonics", amplitude=0.35, attack=0.003, decay=0.4,
+                 sustain_level=0.25, release=0.25,
+                 harmonics=(1.0, 0.45, 0.22, 0.1, 0.05))),   # pianos
+    (16, SynthDef(wave="harmonics", amplitude=0.3, attack=0.01, decay=0.1,
+                  sustain_level=0.8, release=0.1,
+                  harmonics=(1.0, 0.6, 0.0, 0.4, 0.0, 0.25))),  # organs
+    (24, SynthDef(wave="harmonics", amplitude=0.32, attack=0.003, decay=0.5,
+                  sustain_level=0.15, release=0.2,
+                  harmonics=(1.0, 0.5, 0.25, 0.12))),        # guitars
+    (32, SynthDef(wave="sine", amplitude=0.4, attack=0.004, decay=0.15,
+                  sustain_level=0.6, release=0.1)),          # basses
+    (40, SynthDef(wave="sawtooth_bl", amplitude=0.28, attack=0.05, decay=0.1,
+                  sustain_level=0.8, release=0.2)),          # strings
+    (56, SynthDef(wave="square_bl", amplitude=0.28, attack=0.02, decay=0.05,
+                  sustain_level=0.8, release=0.1)),          # brass
+    (80, SynthDef(wave="square_bl", amplitude=0.3, attack=0.01, decay=0.05,
+                  sustain_level=0.75, release=0.12)),        # synth leads
+    (88, SynthDef(wave="sawtooth_bl", amplitude=0.25, attack=0.1, decay=0.2,
+                  sustain_level=0.8, release=0.4)),          # pads
+)
+
+#: channel 10 (index 9) percussion: key -> short noise/sine hits
+_PERC_DEF = SynthDef(wave="white_noise", amplitude=0.3, attack=0.001,
+                     decay=0.05, sustain_level=0.0, release=0.05)
+_KICK_DEF = SynthDef(wave="sine", amplitude=0.5, attack=0.001, decay=0.12,
+                     sustain_level=0.0, release=0.05)
+
+
+def _gm_instrument(program: int) -> SynthDef:
+    best = _DEFAULT_DEF
+    for lo, sd in _GM_FAMILIES:
+        if program >= lo:
+            best = sd
+    return best
 
 
 def midi_to_voices(notes: Sequence[MidiNote],
@@ -158,10 +202,17 @@ def midi_to_voices(notes: Sequence[MidiNote],
     instruments = instruments or {}
     voices = []
     for n in notes:
-        sd = instruments.get(n.channel, _DEFAULT_DEF)
+        if n.channel in instruments:
+            sd = instruments[n.channel]
+        elif n.channel == 9:                       # GM percussion channel
+            sd = _KICK_DEF if n.note in (35, 36) else _PERC_DEF
+        else:
+            sd = _gm_instrument(n.program)
+        freq = (60.0 if n.note in (35, 36) else 180.0 + 40.0 * (n.note % 12))             if n.channel == 9 and n.channel not in instruments             else note_to_freq(n.note, a4)
         voices.append(Voice(
             wave=sd.wave,
-            frequency=note_to_freq(n.note, a4),
+            frequency=freq,
+            seed=n.note,
             amplitude=sd.amplitude * (n.velocity / 127.0),
             pan=sd.pan,
             start=n.start,

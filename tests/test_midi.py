@@ -48,7 +48,7 @@ def test_midi_to_voices_velocity_and_instruments():
     notes = [MidiNote(0.0, 0.5, 69, 127, 0), MidiNote(0.5, 0.5, 69, 64, 3)]
     voices = midi_to_voices(notes, {3: SynthDef(wave="sine", amplitude=0.5)})
     assert voices[0].frequency == pytest.approx(440.0)
-    assert voices[0].wave == "sawtooth_bl"          # default instrument
+    assert voices[0].wave == "harmonics"            # GM program 0 = piano family
     assert voices[1].wave == "sine"
     assert voices[1].amplitude == pytest.approx(0.5 * 64 / 127)
 
@@ -75,3 +75,26 @@ def test_render_midi_end_to_end(tmp_path):
 def test_parse_rejects_garbage():
     with pytest.raises(ValueError):
         parse_midi(b"RIFFnotmidi")
+
+
+def test_program_change_and_percussion(tmp_path):
+    import struct
+    from synthesizer_tpu.midi import _vlq
+    # hand-build a track: program 32 (bass) on ch0, a note, and a ch9 kick
+    ev = b""
+    ev += _vlq(0) + bytes([0xC0, 32])                  # program change ch0
+    ev += _vlq(0) + bytes([0x90, 60, 100])             # ch0 note on
+    ev += _vlq(240) + bytes([0x80, 60, 0])             # ch0 note off
+    ev += _vlq(0) + bytes([0x99, 36, 120])             # ch9 kick on
+    ev += _vlq(120) + bytes([0x89, 36, 0])             # ch9 kick off
+    ev += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    data = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+            + b"MTrk" + struct.pack(">I", len(ev)) + ev)
+    notes = parse_midi(data)
+    assert len(notes) == 2
+    assert notes[0].program == 32 and notes[0].channel == 0
+    voices = midi_to_voices(notes)
+    assert voices[0].wave == "sine"          # GM bass family
+    assert voices[1].wave == "sine" and voices[1].frequency == 60.0  # kick
+    s = render_midi(data, samplerate=SR)
+    assert np.abs(s.get_frame_array()).max() > 1000
