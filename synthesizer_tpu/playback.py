@@ -282,7 +282,8 @@ class Output:
     def __init__(self, samplerate: int = 0, samplewidth: int = 0,
                  nchannels: int = 0, frames_per_chunk: int = 0,
                  mixing: str = "mixed", queue_size: int = 100,
-                 wav_file: Optional[str] = None, api: Optional[AudioApi] = None):
+                 wav_file: Optional[str] = None, api: Optional[AudioApi] = None,
+                 meter=None):
         self.samplerate = samplerate or params.norm_samplerate
         self.samplewidth = samplewidth or params.norm_samplewidth
         self.nchannels = nchannels or params.norm_nchannels
@@ -291,6 +292,7 @@ class Output:
         self.mixing = mixing
         self.api = api or best_api(self.samplerate, self.samplewidth,
                                    self.nchannels, wav_file)
+        self.meter = meter  # optional LevelMeter updated per mixed chunk
         self._notify_played: List[Callable[[Sample], None]] = []
         self._all_played = threading.Event()
         self._all_played.set()
@@ -315,6 +317,10 @@ class Output:
         while not self._closing:
             chunk = next(gen)
             self.api.play_chunk(chunk)
+            if self.meter is not None and self.mixer.active_count:
+                self.meter.update(Sample.from_raw_frames(
+                    chunk.tobytes(), self.samplewidth, self.samplerate,
+                    self.nchannels))
             if self.mixer.active_count == 0:
                 self._all_played.set()
                 if not isinstance(self.api, (MiniaudioSink, SounddeviceSink)):

@@ -300,6 +300,47 @@ class Song:
                  + v.release) * self.samplerate) + 1
             for v in voices)
 
+    def export_midi(self, bpm: Optional[int] = None) -> bytes:
+        """Serialize the song to a format-0 SMF byte string.
+
+        Melodic synth notes map to their nearest MIDI note per synth track
+        (one channel each); drum hits go to the GM percussion channel 10.
+        """
+        import math as _math
+        from .midi import MidiNote, write_midi
+        notes = []
+        synth_channels = {name: i if i < 9 else i + 1
+                          for i, name in enumerate(sorted(self.synths))}
+        tick = self.tick_duration
+        bar_start = 0
+        drum_keys = {name: 35 + i for i, name in
+                     enumerate(sorted(self.instruments))}
+        for pname in self.pattern_sequence:
+            pattern = self.patterns[pname]
+            nticks = self.pattern_ticks(pattern)
+            for inst, patstr in pattern.items():
+                if inst in self.synths:
+                    continue
+                for t, ch in enumerate(patstr):
+                    if ch not in ". ":
+                        notes.append(MidiNote((bar_start + t) * tick,
+                                              tick * 0.9, drum_keys[inst],
+                                              100, 9))
+            bar_start += nticks
+        for v in self.compile_synth_voices():
+            # invert note_to_freq: nearest equal-tempered note
+            note = int(round(69 + 12 * _math.log2(max(v.frequency, 1e-3) / 440.0)))
+            ch = 0
+            for name, c in synth_channels.items():
+                if self.synths[name].wave == v.wave:
+                    ch = c
+                    break
+            vel = max(1, min(127, int(round(v.amplitude / 0.4 * 100))))
+            notes.append(MidiNote(v.start, v.duration, max(0, min(127, note)),
+                                  vel, ch))
+        notes.sort(key=lambda n: n.start)
+        return write_midi(notes, bpm=bpm or self.bpm)
+
     def _synth_bank(self, voices: Sequence[Voice], chunk_frames: int):
         if self.nchannels != 2:
             raise ValueError("synth tracks require a stereo song format")

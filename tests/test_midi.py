@@ -98,3 +98,22 @@ def test_program_change_and_percussion(tmp_path):
     assert voices[1].wave == "sine" and voices[1].frequency == 60.0  # kick
     s = render_midi(data, samplerate=SR)
     assert np.abs(s.get_frame_array()).max() > 1000
+
+
+def test_song_export_midi():
+    from synthesizer_tpu import WaveSynth
+    from synthesizer_tpu.sequencer import Song, SynthDef
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    song.add_instrument("kick", synth.sine(60, 0.05, amplitude=0.5).stereo())
+    song.add_synth("lead", SynthDef(wave="sine", amplitude=0.4))
+    song.add_pattern("a", {"kick": "x...x...", "lead": "A4 . C5 . E5 . . ."})
+    song.pattern_sequence = ["a"]
+    data = song.export_midi()
+    back = parse_midi(data)
+    melodic = [n for n in back if n.channel != 9]
+    drums = [n for n in back if n.channel == 9]
+    assert sorted(n.note for n in melodic) == [69, 72, 76]  # A4 C5 E5
+    assert len(drums) == 2
