@@ -326,8 +326,9 @@ class SynthGUI:
         self.filedialog = filedialog
         self.root = tk.Tk()
         self.root.title("synthesizer_tpu keyboard")
-        self.output = Output(mixing="mixed")
-        self.ctrl = controller or SynthController(output=self.output)
+        s_ctrl = controller or SynthController()
+        self.output = Output(mixing="mixed", meter=s_ctrl.meter)
+        self.ctrl = s_ctrl
         self.ctrl.output = self.output
 
         panel = ttk.Frame(self.root)
