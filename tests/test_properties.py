@@ -107,3 +107,28 @@ def test_demo_song_end_to_end(tmp_path):
     assert mixed.duration > 10.0
     peak = np.abs(mixed.get_frame_array().astype(np.int64)).max()
     assert peak >= 32000  # normalized
+
+
+def test_output_meter_hook(tmp_path):
+    import time as _t
+    from synthesizer_tpu import LevelMeter, Output, WaveSynth
+    meter = LevelMeter()
+    with Output(samplerate=SR, nchannels=2, frames_per_chunk=1000,
+                mixing="mixed", wav_file=str(tmp_path / "m.wav"),
+                meter=meter) as out:
+        out.play_sample(WaveSynth(samplerate=SR, samplewidth=2)
+                        .sine(440, 0.05, amplitude=0.8).stereo())
+        deadline = _t.time() + 5.0
+        while out.still_playing() and _t.time() < deadline:
+            _t.sleep(0.01)
+    assert meter.level_left > meter.lowest  # meter saw the audio
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from synthesizer_tpu import WaveSynth
+    from synthesizer_tpu.utils.profiling import trace
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        WaveSynth(samplerate=SR, samplewidth=2).sine(220, 0.05).get_frame_array()
+    import os
+    assert any(os.scandir(logdir))  # profiler wrote something
