@@ -289,6 +289,8 @@ class Output:
         self.nchannels = nchannels or params.norm_nchannels
         self.frames_per_chunk = frames_per_chunk or params.norm_frames_per_chunk
         assert mixing in ("mixed", "sequential")
+        if mixing == "mixed" and self.samplewidth != 2:
+            raise ValueError("mixed-mode output requires 16-bit samples")
         self.mixing = mixing
         self.api = api or best_api(self.samplerate, self.samplewidth,
                                    self.nchannels, wav_file)

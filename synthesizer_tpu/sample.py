@@ -698,6 +698,8 @@ class Sample:
         host = self.get_frame_array()
         n = len(host)
         if repeat:
+            if n == 0:
+                raise ValueError("cannot repeat an empty sample")
             i = 0
             while True:
                 idx = np.arange(i, i + chunksize_frames) % max(n, 1)

@@ -248,8 +248,14 @@ class RateConvertFilter:
         if chunk.samplerate == self.target_rate:
             return chunk
         if self._rs is None:
+            if chunk.samplewidth > 2:
+                raise StreamingError(
+                    "RateConvertFilter supports 8/16-bit streams (the int32 "
+                    "device ratecv path); make_16bit() the stream first")
+            import jax.numpy as jnp
+            dt = jnp.int8 if chunk.samplewidth == 1 else jnp.int16
             self._rs = self._make(chunk.samplerate, self.target_rate,
-                                  nchannels=chunk.nchannels)
+                                  nchannels=chunk.nchannels, dtype=dt)
         y, n = self._rs.push(chunk.jax_frames)
         return Sample.from_jax(y[:n], self.target_rate, chunk.samplewidth,
                                chunk.name)

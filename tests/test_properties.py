@@ -132,3 +132,12 @@ def test_profiler_trace_smoke(tmp_path):
         WaveSynth(samplerate=SR, samplewidth=2).sine(220, 0.05).get_frame_array()
     import os
     assert any(os.scandir(logdir))  # profiler wrote something
+
+
+def test_edge_guards(rng, tmp_path):
+    from synthesizer_tpu import Output, Sample
+    empty = Sample.from_raw_frames(b"", 2, SR, 2)
+    with pytest.raises(ValueError):
+        next(empty.chunked_frame_data(100, repeat=True))
+    with pytest.raises(ValueError):
+        Output(samplewidth=4, mixing="mixed")
