@@ -13,13 +13,16 @@ from synthesizer_tpu.sample import Sample
 
 SR = 44100
 
-# (name, apply(gold), apply(dev), lsb_cost).  amplify_max is exact on
-# exact inputs, but on inputs already differing by +-tol it can AMPLIFY the
-# difference: if the deviating sample is the peak, the two gain factors
-# differ by ~tol/peak, scaling the whole buffer differently (up to
-# maxval/peak ~ a small constant here).  The chain accounting below
-# multiplies the running tolerance for it.
+# (name, apply(gold), apply(dev), lsb_cost).  Two ops AMPLIFY an existing
+# +-tol difference instead of adding their own:
+# * amplify_max — if the deviating sample is the peak, the two gain factors
+#   differ by ~tol/peak, rescaling the whole buffer (bounded by maxval/peak,
+#   a small constant for these inputs);
+# * echo — mixes scaled copies of the signal onto itself, so the direct
+#   path and each tap can carry the error independently (x(1+amount) bound).
+# The chain accounting multiplies the running tolerance for them.
 AMPMAX_GAIN = 12
+ECHO_GAIN = 3       # 1 + amount taps (amount=2 below)
 OPS = [
     ("amplify", lambda s: s.amplify(0.7), 0),
     ("amplify_neg", lambda s: s.amplify(-0.4), 0),
@@ -59,7 +62,12 @@ def test_random_chain(seed):
         names.append(name)
         fn(gold)
         fn(dev)
-        tol = tol * AMPMAX_GAIN if name == "amplify_max" else tol + cost
+        if name == "amplify_max":
+            tol *= AMPMAX_GAIN
+        elif name == "echo":
+            tol *= ECHO_GAIN
+        else:
+            tol += cost
         if gold.nframes == 0:
             break
     got = dev.get_frame_array()
