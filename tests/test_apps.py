@@ -217,3 +217,20 @@ def test_repl_load_command(song_dir, capsys):
     assert "bpm 250" in out
     repl.do_load("/does/not/exist.ini")
     assert "no such file" in capsys.readouterr().out
+
+
+def test_repl_play_melodic_pattern(tmp_path, capsys):
+    """REPL 'play' on a pattern with synth tracks (regression: sub-song
+    must inherit the synth definitions)."""
+    from synthesizer_tpu.sequencer import Song, SynthDef
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    song = Song()
+    song.bpm, song.ticks = 240, 4
+    song.add_instrument("kick", synth.sine(60, 0.05, amplitude=0.5).stereo())
+    song.add_synth("lead", SynthDef(wave="sine", amplitude=0.3))
+    song.add_pattern("a", {"kick": "x...", "lead": "C4 . E4 ."})
+    song.pattern_sequence = ["a"]
+    repl = trackmixer.TrackmixerRepl(song, "song")
+    repl.do_play("a")
+    out = capsys.readouterr().out
+    assert "played pattern a" in out

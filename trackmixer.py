@@ -94,10 +94,15 @@ class TrackmixerRepl(cmd.Cmd):
         sub = Song()
         sub.bpm, sub.ticks = self.song.bpm, self.song.ticks
         sub.instruments = self.song.instruments
+        sub.synths = self.song.synths
         sub.samplerate, sub.nchannels = self.song.samplerate, self.song.nchannels
         sub.patterns = {name: self.song.patterns[name]}
         sub.pattern_sequence = [name]
-        sample = sub.mix(normalize=False)
+        try:
+            sample = sub.mix(normalize=False)
+        except (KeyError, ValueError) as e:
+            print(f"error in pattern: {e}")
+            return
         with Output(samplerate=sample.samplerate, nchannels=sample.nchannels,
                     mixing="sequential") as out:
             out.play_sample(sample)
