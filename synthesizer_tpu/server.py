@@ -10,6 +10,7 @@ GET  /health            -> {"status": "ok", "device": "...", ...}
 POST /render/song       body: trackmixer .ini text          -> WAV bytes
 POST /render/patch      body: JSON patch spec (see below)   -> WAV bytes
 POST /render/voices     body: JSON voice list               -> WAV bytes
+POST /render/midi       body: Standard MIDI File bytes      -> WAV bytes
 
 Patch JSON mirrors ``models.spec`` (the declarative DAG), e.g.::
 
@@ -150,6 +151,11 @@ class _Handler(BaseHTTPRequestHandler):
                 wav = self._render_patch(json.loads(body))
             elif self.path == "/render/voices":
                 wav = self._render_voices(json.loads(body))
+            elif self.path == "/render/midi":
+                from .midi import render_midi
+                bio = io.BytesIO()
+                render_midi(body).write_wav(bio)
+                wav = bio.getvalue()
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
                 return

@@ -117,3 +117,19 @@ def test_song_export_midi():
     drums = [n for n in back if n.channel == 9]
     assert sorted(n.note for n in melodic) == [69, 72, 76]  # A4 C5 E5
     assert len(drums) == 2
+
+
+def test_format1_multitrack():
+    import struct
+    from synthesizer_tpu.midi import _vlq
+    def track(evts):
+        return b"MTrk" + struct.pack(">I", len(evts)) + evts
+    t1 = (_vlq(0) + bytes([0x90, 60, 100]) + _vlq(480) + bytes([0x80, 60, 0])
+          + _vlq(0) + bytes([0xFF, 0x2F, 0x00]))
+    t2 = (_vlq(240) + bytes([0x91, 67, 90]) + _vlq(480) + bytes([0x81, 67, 0])
+          + _vlq(0) + bytes([0xFF, 0x2F, 0x00]))
+    data = b"MThd" + struct.pack(">IHHH", 6, 1, 2, 480) + track(t1) + track(t2)
+    notes = parse_midi(data)
+    assert len(notes) == 2
+    assert notes[0].note == 60 and notes[0].start == pytest.approx(0.0)
+    assert notes[1].note == 67 and notes[1].start == pytest.approx(0.25, abs=1e-3)

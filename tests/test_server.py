@@ -133,3 +133,18 @@ def test_spec_from_json_roundtrip():
     vs = voices_from_json([{"wave": "sine", "frequency": 440,
                             "unknown_field": 1}])
     assert vs[0].frequency == 440  # unknown fields ignored
+
+
+def test_render_midi_endpoint(server):
+    from synthesizer_tpu.midi import MidiNote, write_midi
+    data = write_midi([MidiNote(0.0, 0.3, 60, 100, 0),
+                       MidiNote(0.3, 0.3, 67, 100, 0)])
+    status, ctype, wav = request(server, "POST", "/render/midi", data,
+                                 ctype="audio/midi")
+    assert status == 200 and ctype == "audio/wav"
+    audio, rate = read_wav_bytes(wav)
+    assert np.abs(audio).max() > 1000
+    # garbage midi -> clean 400
+    status, _, body = request(server, "POST", "/render/midi", b"nope",
+                              ctype="audio/midi")
+    assert status == 400 and b"error" in body
