@@ -227,9 +227,27 @@ class JukeboxGUI:
         self.root.mainloop()
 
 
-if __name__ == "__main__":
-    import sys
+def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser(description="jukebox music player")
+    ap.add_argument("dirs", nargs="*", default=["."],
+                    help="directories to index")
+    ap.add_argument("--play", action="store_true",
+                    help="headless: enqueue everything and play (no GUI)")
+    args = ap.parse_args()
     lib = MusicLibrary()
-    for d in sys.argv[1:] or ["."]:
+    for d in args.dirs:
         print(f"indexed {lib.scan(d)} tracks from {d}")
+    if args.play:
+        box = Jukebox(lib, crossfade=1.0)
+        for t in lib.search(""):
+            box.enqueue(t)
+            print(f"queued: {t.title} ({t.duration:.1f}s)")
+        box.play()
+        print("playlist finished")
+        return
     JukeboxGUI(lib).run()
+
+
+if __name__ == "__main__":
+    main()
