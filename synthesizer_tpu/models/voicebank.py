@@ -354,22 +354,23 @@ def _adsr(n: jax.Array, vp: VoiceParams, samplerate: int) -> jax.Array:
     s = jnp.maximum(gate - a - d, 0.0)
     t2 = a + d
     t4 = t2 + s + r
+    t3 = t2 + s
     eps = jnp.float32(1e-30)
-    # Envelope as the lower envelope of three lines (min), clipped to [0, 1]:
-    # attack ramp (negative before the note start, so it also gates t < 0),
-    # decay ramp saturating at the sustain level, and the release ramp
-    # (negative after t4).  Division-free; two selects handle the zero-
-    # attack/zero-decay boundary samples exactly like the piecewise oracle.
+    # Piecewise ADSR (division-free via per-voice reciprocal slopes).  NOTE:
+    # this must stay a region select — a min-of-lines form is NOT equivalent:
+    # for short gates (sustain ~ 0) the release line sl*(t4-t)/r dips below
+    # the attack/decay lines before t3 and a min() releases early (caught by
+    # the random-bank fuzzer; regression: test_short_gate_envelope).
     a_r = jnp.float32(1.0) / jnp.maximum(a, eps)
     d_r = jnp.float32(1.0) / jnp.maximum(d, eps)
     r_r = jnp.float32(1.0) / jnp.maximum(r, eps)
-    att = jnp.where(t < a, t * a_r, jnp.float32(2.0))
-    dec = jnp.where(t < t2,
-                    jnp.float32(1.0) + (sl - jnp.float32(1.0)) * (t - a) * d_r,
-                    sl)
-    rel = sl * (t4 - t) * r_r
-    return jnp.clip(jnp.minimum(jnp.minimum(att, dec), rel),
-                    jnp.float32(0.0), jnp.float32(1.0))
+    g = jnp.where(t < a, t * a_r,
+        jnp.where(t < t2, jnp.float32(1.0) + (sl - jnp.float32(1.0)) * (t - a) * d_r,
+        jnp.where(t < t3, sl,
+        jnp.where(t < t4, sl * (t4 - t) * r_r,
+                  jnp.float32(0.0)))))
+    g = jnp.where(t < 0, jnp.float32(0.0), g)
+    return jnp.clip(g, jnp.float32(0.0), jnp.float32(1.0))
 
 
 def _slice_params(vp: VoiceParams, start: int, count: int) -> VoiceParams:

@@ -22,10 +22,16 @@ SR = 44100
 
 def oracle_voice(v: Voice, n: int) -> np.ndarray:
     """Render one Voice -> stereo f32 [n, 2] via the goldref patch oracle
-    (non-FM voices) or the closed-form f64 FM twin."""
+    (non-FM voices) or the closed-form f64 FM twin.
+
+    Bank semantics: the oscillator phase runs from absolute sample 0
+    (stateless closed form); the envelope is shifted to the voice's start
+    frame and gates everything outside [start, start+total).
+    """
+    start = int(v.start * SR)
     if v.fm_depth != 0.0:
         mono = _fm_twin(v, n)
-        g = go.envelope_gains(np.arange(n), SR, _env_spec(v))
+        g = go.envelope_gains(np.arange(n) - start, SR, _env_spec(v))
         mono = (mono * g).astype(np.float32)
     else:
         kw = {}
@@ -40,11 +46,12 @@ def oracle_voice(v: Voice, n: int) -> np.ndarray:
                         v.bias, **kw)
         else:
             osc = S.Osc(v.wave, v.frequency, v.amplitude, v.phase, v.bias, **kw)
-        env = S.Envelope(osc, *_env_args(v))
-        mono = go.render_oracle(env, n, SR)
+        vals = go.render_oracle(osc, n, SR)
+        g = go.envelope_gains(np.arange(n) - start, SR, _env_spec(v))
+        mono = (vals * g).astype(np.float32)
     total = sum(_env_args(v)[:3]) + _env_args(v)[4]
-    t = np.arange(n) / SR
-    mono = np.where(t < total, mono, 0.0).astype(np.float32)
+    t = (np.arange(n) - start) / SR
+    mono = np.where((t >= 0) & (t < total), mono, 0.0).astype(np.float32)
     lg = np.float32(min(1.0, 1.0 - v.pan))
     rg = np.float32(min(1.0, 1.0 + v.pan))
     return np.stack([mono * lg, mono * rg], axis=1)
@@ -198,3 +205,68 @@ def test_adsr_zero_segment_edges():
         g16 = np.clip(np.rint(got * 32767), -32768, 32767)
         w16 = np.clip(np.rint(want * 32767), -32768, 32767)
         assert np.abs(g16 - w16).max() <= 1, v
+
+
+WAVE_POOL = ["sine", "triangle", "square", "sawtooth", "pulse", "pointy",
+             "harmonics", "white_noise", "sawtooth_bl", "square_bl"]
+
+
+def rand_voice(rng):
+    wave = WAVE_POOL[rng.integers(len(WAVE_POOL))]
+    kw = {}
+    if wave == "harmonics":
+        kw["harmonics"] = [1.0, 0.5, 0.25]
+    if wave == "pulse":
+        kw["pulse_width"] = float(rng.uniform(0.1, 0.9))
+    if wave == "white_noise":
+        kw["seed"] = int(rng.integers(0, 1000))
+    fm = wave == "sine" and rng.random() < 0.4
+    return Voice(
+        wave=wave, frequency=float(rng.uniform(40, 2000)),
+        amplitude=float(rng.uniform(0.05, 0.3)),
+        phase=float(rng.uniform(0, 1)),
+        pan=float(rng.uniform(-1, 1)),
+        start=float(rng.uniform(0, 0.05)),
+        duration=float(rng.uniform(0.02, 0.15)),
+        attack=float(rng.uniform(0, 0.02)),
+        decay=float(rng.uniform(0, 0.04)),
+        sustain_level=float(rng.uniform(0.2, 1.0)),
+        release=float(rng.uniform(0.005, 0.05)),
+        fm_frequency=float(rng.uniform(1, 12)) if fm else 0.0,
+        fm_depth=float(rng.uniform(0.002, 0.03)) if fm else 0.0,
+        **kw)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_bank_matches_oracle(seed):
+    rng = np.random.default_rng(seed + 9000)
+    voices = [rand_voice(rng) for _ in range(int(rng.integers(4, 16)))]
+    n = 8192
+    vp, layout = pack_voices(voices, SR, num_harmonics=4, sort_by_wave=True)
+    bank = VoiceBank.for_voices(voices, SR, chunk_frames=1024, num_harmonics=4,
+                                layout=layout, nvoices=layout.nvoices)
+    got = np.asarray(bank.render_song(vp, n))
+    want = np.zeros((n, 2), np.float32)
+    for v in voices:
+        want = want + oracle_voice(v, n)
+    g16 = np.clip(np.rint(got * 32767), -32768, 32767)
+    w16 = np.clip(np.rint(want * 32767), -32768, 32767)
+    d = np.abs(g16 - w16)
+    tol = 2 + len(voices) // 4
+    assert (d > tol).mean() < 1e-4, \
+        f"seed {seed}: {(d > tol).sum()} beyond {tol}, max {d.max()}"
+
+
+def test_short_gate_envelope():
+    """Gate shorter than attack+decay with a small release: regression for
+    the min-of-lines envelope bug (release must wait until attack+decay
+    finish, not start wherever its line crosses them)."""
+    v = Voice("sine", 441.0, amplitude=0.5, duration=0.02,
+              attack=0.015, decay=0.013, sustain_level=0.58, release=0.038)
+    vp = pack_voices([v], SR)
+    bank = VoiceBank(0, SR, chunk_frames=2048)
+    got = np.asarray(bank.render_song(vp, 4096))
+    want = oracle_voice(v, 4096)
+    g16 = np.clip(np.rint(got * 32767), -32768, 32767)
+    w16 = np.clip(np.rint(want * 32767), -32768, 32767)
+    assert np.abs(g16 - w16).max() <= 1
