@@ -122,3 +122,30 @@ def test_chains_other_widths(rng, width):
     want = gold.frames.astype(np.int64)
     assert got.shape == want.shape
     assert np.abs(got - want).max() <= (1 if width == 1 else 256)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_nested_subprogram_trees(seed):
+    """Mixes of mixes of staged samples: the recursive sub-program fusion
+    must match the oracle's eager tree evaluation."""
+    rng = np.random.default_rng(seed + 7000)
+
+    def build(depth):
+        gold, dev = make_pair(rng, n=int(rng.integers(1500, 2500)))
+        gold.amplify(0.5).fadeout(0.01)
+        dev.amplify(0.5).fadeout(0.01)
+        if depth > 0:
+            for _ in range(int(rng.integers(1, 3))):
+                g2, d2 = build(depth - 1)
+                at = float(rng.uniform(0, 0.02))
+                gold.mix_at(at, g2)
+                dev.mix_at(at, d2)
+        return gold, dev
+
+    gold, dev = build(2)
+    assert dev._ops, "tree should still be staged"
+    got = dev.get_frame_array().astype(np.int64)
+    want = gold.frames.astype(np.int64)
+    assert got.shape == want.shape
+    # every node contributes <=1 LSB (fadeout); tree has <= 7 nodes
+    assert np.abs(got - want).max() <= 7

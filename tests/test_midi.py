@@ -133,3 +133,24 @@ def test_format1_multitrack():
     assert len(notes) == 2
     assert notes[0].note == 60 and notes[0].start == pytest.approx(0.0)
     assert notes[1].note == 67 and notes[1].start == pytest.approx(0.25, abs=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_midi_roundtrip_fuzz(seed):
+    rng = np.random.default_rng(seed + 8000)
+    notes = []
+    t = 0.0
+    for _ in range(int(rng.integers(5, 40))):
+        t += float(rng.uniform(0, 0.3))
+        notes.append(MidiNote(round(t, 3), round(float(rng.uniform(0.05, 1.0)), 3),
+                              int(rng.integers(30, 100)),
+                              int(rng.integers(1, 128)),
+                              int(rng.integers(0, 16))))
+    back = parse_midi(write_midi(notes, bpm=float(rng.uniform(60, 240))))
+    assert len(back) == len(notes)
+    want = sorted(notes, key=lambda n: (n.start, n.note))
+    got = sorted(back, key=lambda n: (n.start, n.note))
+    for w, g in zip(want, got):
+        assert g.note == w.note and g.channel == w.channel and g.velocity == w.velocity
+        assert g.start == pytest.approx(w.start, abs=5e-3)
+        assert g.duration == pytest.approx(w.duration, abs=1e-2)
