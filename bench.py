@@ -51,6 +51,15 @@ def main() -> None:
     import functools
 
     import jax
+
+    try:
+        jax.devices()
+    except Exception as e:   # axon is experimental: degrade rather than crash
+        import sys
+        print(f"WARNING: default platform failed ({e}); benching on CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
