@@ -81,9 +81,11 @@ def _fm_twin(v: Voice, n: int) -> np.ndarray:
             - np.cos(2 * np.pi * (b * k + phi) - math.pi * b))
            / (2 * math.sin(math.pi * b)))
     p = (p0 + inc * k + inc * v.fm_depth * s_n) % 2**32
-    x = p / 2**32
-    assert v.wave == "sine"
-    return (v.bias + v.amplitude * np.sin(2 * np.pi * x)).astype(np.float32)
+    p_u32 = p.astype(np.uint64).astype(np.uint32)
+    node = S.Osc(v.wave, v.frequency, v.amplitude, v.phase, v.bias,
+                 pulse_width=getattr(v, "pulse_width", 0.5))
+    w = go._wave_values(node, p_u32, SR, np.arange(n), None)
+    return (np.float32(v.bias) + np.float32(v.amplitude) * w).astype(np.float32)
 
 
 VOICES = [
@@ -208,7 +210,8 @@ def test_adsr_zero_segment_edges():
 
 
 WAVE_POOL = ["sine", "triangle", "square", "sawtooth", "pulse", "pointy",
-             "harmonics", "white_noise", "sawtooth_bl", "square_bl"]
+             "semicircle", "harmonics", "white_noise", "sawtooth_bl",
+             "square_bl"]
 
 
 def rand_voice(rng):
@@ -220,7 +223,7 @@ def rand_voice(rng):
         kw["pulse_width"] = float(rng.uniform(0.1, 0.9))
     if wave == "white_noise":
         kw["seed"] = int(rng.integers(0, 1000))
-    fm = wave == "sine" and rng.random() < 0.4
+    fm = wave in ("sine", "triangle") and rng.random() < 0.4
     return Voice(
         wave=wave, frequency=float(rng.uniform(40, 2000)),
         amplitude=float(rng.uniform(0.05, 0.3)),
