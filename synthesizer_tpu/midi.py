@@ -11,7 +11,9 @@ for tests and for exporting sequencer songs.
 
 Limitations (deliberate, documented): notes map to the bank's gate-ADSR
 voices (no per-note velocity curves beyond linear amplitude), SMPTE
-divisions are unsupported, and pitch bend / CCs are ignored.
+divisions are unsupported, pitch bend / CCs are ignored, and a retriggered
+note (note-on while the same note is already sounding on the channel)
+replaces the open note rather than layering.
 """
 
 from __future__ import annotations
