@@ -54,14 +54,6 @@ def sat_add(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def sat_add_into_i32(acc: jax.Array, x: jax.Array) -> jax.Array:
-    """Accumulate a narrower (or equal) int array into an int32 accumulator,
-    saturating at int32 — the mixdown headroom pattern (trackmixer widens to
-    32-bit before summation, SURVEY.md §4.2)."""
-    return sat_add(acc, x.astype(jnp.int32))
-
-
-@jax.jit
 def bias_wrap(a: jax.Array, b: jax.Array) -> jax.Array:
     """Wrapping constant add (audioop.bias — no clamp)."""
     return a + jnp.asarray(b, dtype=a.dtype)
@@ -138,43 +130,6 @@ def to_stereo(a: jax.Array, lfactor: jax.Array, rfactor: jax.Array) -> jax.Array
     l = floor_clamp(af * jnp.asarray(lfactor, jnp.float32), w, a.dtype)
     r = floor_clamp(af * jnp.asarray(rfactor, jnp.float32), w, a.dtype)
     return jnp.stack([l, r], axis=-1)
-
-
-# ---------------------------------------------------------------------------
-# Gain-ramp builders (f32, shared spec with goldref.osc ramps)
-# ---------------------------------------------------------------------------
-
-def linear_ramp(n: int, start: float, end: float) -> jax.Array:
-    """f32 gain ramp over n samples: start + (end-start) * i/n."""
-    i = jnp.arange(n, dtype=jnp.float32)
-    return jnp.float32(start) + (jnp.float32(end) - jnp.float32(start)) * (i / jnp.float32(n))
-
-
-def adsr_ramp(n: int, samplerate: int, attack: float, decay: float,
-              sustain_level: float, release: float) -> jax.Array:
-    """ADSR gain curve over a buffer of n samples (f32).
-
-    attack: 0->1, decay: 1->sustain_level, sustain holds, release ramps to 0
-    over the final ``release`` seconds.  Piecewise-linear, matching
-    goldref.osc.adsr_gains sample for sample.
-    """
-    i = jnp.arange(n, dtype=jnp.float32)
-    t = i / jnp.float32(samplerate)
-    a = jnp.float32(max(attack, 0.0))
-    d = jnp.float32(max(decay, 0.0))
-    r = jnp.float32(max(release, 0.0))
-    s = jnp.float32(sustain_level)
-    dur = jnp.float32(n / samplerate)
-    g = jnp.ones_like(t)
-    g = jnp.where(a > 0, jnp.minimum(g, t / jnp.maximum(a, 1e-30)), g)
-    in_decay = (t >= a) & (t < a + d)
-    g = jnp.where(in_decay, 1.0 + (s - 1.0) * (t - a) / jnp.maximum(d, 1e-30), g)
-    g = jnp.where(t >= a + d, s, g)
-    rel_start = dur - r
-    in_rel = t >= rel_start
-    rel_gain = jnp.where(r > 0, g * (dur - t) / jnp.maximum(r, 1e-30), g)
-    g = jnp.where(in_rel, rel_gain, g)
-    return jnp.maximum(g, 0.0)
 
 
 # ---------------------------------------------------------------------------
