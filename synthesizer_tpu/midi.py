@@ -73,12 +73,10 @@ def _parse_track(data: bytes) -> List[_Event]:
         delta, pos = _read_vlq(data, pos)
         tick += delta
         b0 = data[pos]
-        if b0 & 0x80:
-            status = b0
-            pos += 1
-        if status == 0xFF:                         # meta
-            meta = data[pos]
-            length, p2 = _read_vlq(data, pos + 1)
+        if b0 == 0xFF:                             # meta (cancels running status)
+            status = 0
+            meta = data[pos + 1]
+            length, p2 = _read_vlq(data, pos + 2)
             body = data[p2:p2 + length]
             pos = p2 + length
             if meta == 0x51 and length == 3:
@@ -86,10 +84,17 @@ def _parse_track(data: bytes) -> List[_Event]:
                 events.append(_Event(tick, "tempo", 0, tempo, 0))
             elif meta == 0x2F:                     # end of track
                 break
-        elif status in (0xF0, 0xF7):               # sysex
-            length, p2 = _read_vlq(data, pos)
+        elif b0 in (0xF0, 0xF7):                   # sysex (cancels running status)
+            status = 0
+            length, p2 = _read_vlq(data, pos + 1)
             pos = p2 + length
         else:
+            if b0 & 0x80:
+                status = b0
+                pos += 1
+            elif not status & 0x80:                # SMF spec: meta/sysex end
+                raise ValueError(                  # any running-status run
+                    f"data byte 0x{b0:02x} at offset {pos} with no running status")
             kind = status & 0xF0
             ch = status & 0x0F
             if kind == 0x90:                       # note on (vel 0 == off)

@@ -145,20 +145,40 @@ class Song:
         cp = configparser.ConfigParser(inline_comment_prefixes=(";",))
         with open(ini_file) as f:
             cp.read_file(f)
-        self.bpm = cp.getint("song", "bpm")
-        self.ticks = cp.getint("song", "ticks")
-        self.pattern_sequence = cp.get("song", "patterns").split()
         base = sample_dir
         if base is None:
             base = cp.get("paths", "samples", fallback="")
             if not os.path.isabs(base):
                 base = os.path.join(os.path.dirname(os.path.abspath(ini_file)), base)
-        for name, filename in cp.items("instruments"):
+        self._read_cp(cp, base)
+
+    @classmethod
+    def from_string(cls, ini_text: str, sample_dir: str = "") -> "Song":
+        """Build a Song directly from ini text (no temp file).
+
+        Instrument WAVs resolve under ``sample_dir`` only; any ``[paths]``
+        section in the text is ignored (callers that accept untrusted song
+        text — e.g. the render server — must control the sample root)."""
+        song = cls()
+        cp = configparser.ConfigParser(inline_comment_prefixes=(";",))
+        cp.read_string(ini_text)
+        song._read_cp(cp, sample_dir)
+        return song
+
+    def _read_cp(self, cp: configparser.ConfigParser, base: str) -> None:
+        self.bpm = cp.getint("song", "bpm")
+        self.ticks = cp.getint("song", "ticks")
+        self.pattern_sequence = cp.get("song", "patterns").split()
+        for name, filename in cp.items("instruments") if cp.has_section("instruments") else []:
             smp = Sample(wave_file=os.path.join(base, filename), name=name)
             smp.normalize()
+            self._check_format(name, smp)
             self.instruments[name] = smp
             self.samplerate = smp.samplerate
             self.nchannels = smp.nchannels
+        self._read_sections(cp)
+
+    def _read_sections(self, cp: configparser.ConfigParser) -> None:
         for section in cp.sections():
             if section.startswith("synth."):
                 name = section[len("synth."):]
@@ -181,8 +201,22 @@ class Song:
                 pname = section[len("pattern."):]
                 self.add_pattern(pname, dict(cp.items(section)))
 
+    def _check_format(self, name: str, sample: Sample) -> None:
+        """All instruments must agree on rate/channels — a silent mismatch
+        would schedule and bank hits at the wrong rate (last-one-wins bug)."""
+        if not self.instruments:
+            return
+        if (sample.samplerate != self.samplerate
+                or sample.nchannels != self.nchannels):
+            raise ValueError(
+                f"instrument {name!r} is {sample.samplerate} Hz/"
+                f"{sample.nchannels}ch but the song's instruments are "
+                f"{self.samplerate} Hz/{self.nchannels}ch — convert with "
+                f"resample()/stereo() first")
+
     def add_instrument(self, name: str, sample: Sample) -> None:
         sample = sample.copy().normalize()
+        self._check_format(name, sample)
         self.instruments[name] = sample
         self.samplerate = sample.samplerate
         self.nchannels = sample.nchannels
@@ -351,6 +385,13 @@ class Song:
                                     num_harmonics=8, layout=layout,
                                     nvoices=layout.nvoices)
         return bank, vp
+
+    def duration_frames(self, tail_seconds: float = 0.3) -> int:
+        """Total frames a mixdown would produce (schedule end + tail)."""
+        sched = self.compile_schedule()
+        voices = self.compile_synth_voices()
+        return (max(sched.total_frames, self._synth_end_frame(voices))
+                + int(tail_seconds * self.samplerate))
 
     # -- offline mixdown ------------------------------------------------------
 

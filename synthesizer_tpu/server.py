@@ -31,9 +31,11 @@ Every render is a batched device program; the host only moves WAV bytes.
 
 from __future__ import annotations
 
+import configparser
 import io
 import json
-import tempfile
+import os
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -143,6 +145,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.server.max_body_bytes:  # type: ignore[attr-defined]
+            remaining = length   # drain in bounded chunks so the client can
+            while remaining > 0:  # finish sending before it sees the error
+                chunk = self.rfile.read(min(65536, remaining))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+            self._send_json(413, {"error": "request body too large"})
+            return
         body = self.rfile.read(length)
         try:
             if self.path == "/render/song":
@@ -152,29 +163,63 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/render/voices":
                 wav = self._render_voices(json.loads(body))
             elif self.path == "/render/midi":
-                from .midi import render_midi
+                from .midi import parse_midi, render_midi
+                notes = parse_midi(body)
+                if notes:
+                    self._check_duration(max(n.start + n.duration
+                                             for n in notes))
                 bio = io.BytesIO()
                 render_midi(body).write_wav(bio)
                 wav = bio.getvalue()
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
                 return
-        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+        except (KeyError, IndexError, ValueError, TypeError,
+                json.JSONDecodeError, configparser.Error, struct.error) as e:
             self._send_json(400, {"error": str(e)})
             return
         self._send(200, wav, "audio/wav")
 
+    def _check_duration(self, seconds: float) -> None:
+        limit = self.server.max_render_seconds  # type: ignore[attr-defined]
+        if seconds > limit:
+            raise ValueError(f"render of {seconds:.1f}s exceeds the server "
+                             f"limit of {limit:.0f}s")
+
     def _render_song(self, ini_text: str) -> bytes:
-        with tempfile.NamedTemporaryFile("w", suffix=".ini", delete=False) as f:
-            f.write(ini_text)
-            path = f.name
-        song = Song.from_ini(path)
+        """Render attacker-controllable song text.
+
+        Untrusted ini may name instrument WAV files; those resolve ONLY
+        under the server's configured ``sample_root`` ([paths] sections are
+        rejected, as are absolute / parent-escaping filenames) so a request
+        cannot read arbitrary host files into the rendered output."""
+        cp = configparser.ConfigParser(inline_comment_prefixes=(";",))
+        cp.read_string(ini_text)
+        root = self.server.sample_root  # type: ignore[attr-defined]
+        if cp.has_section("paths"):
+            raise ValueError("[paths] sections are not allowed in "
+                             "server-submitted songs")
+        if cp.has_section("instruments") and cp.items("instruments"):
+            if not root:
+                raise ValueError("this server has no sample_root configured; "
+                                 "songs may not use [instruments]")
+            rootreal = os.path.realpath(root)
+            for name, filename in cp.items("instruments"):
+                real = os.path.realpath(os.path.join(rootreal, filename))
+                if os.path.isabs(filename) or not (
+                        real == rootreal
+                        or real.startswith(rootreal + os.sep)):
+                    raise ValueError(f"instrument {name!r} path escapes the "
+                                     f"server sample root")
+        song = Song.from_string(ini_text, sample_dir=root or "")
+        self._check_duration(song.duration_frames() / song.samplerate)
         mixed = song.mix()
         bio = io.BytesIO()
         mixed.write_wav(bio)
         return bio.getvalue()
 
     def _render_patch(self, obj) -> bytes:
+        self._check_duration(float(obj["duration"]))
         node = spec_from_json(obj["patch"])
         sr = int(obj.get("samplerate", params.norm_samplerate))
         n = int(float(obj["duration"]) * sr)
@@ -185,6 +230,7 @@ class _Handler(BaseHTTPRequestHandler):
         return bio.getvalue()
 
     def _render_voices(self, obj) -> bytes:
+        self._check_duration(float(obj["duration"]))
         voices = voices_from_json(obj["voices"])
         if not voices:
             raise ValueError("no voices given")
@@ -210,10 +256,27 @@ class RenderServer:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8000,
-                 verbose: bool = False):
+                 verbose: bool = False, sample_root: Optional[str] = None,
+                 max_body_bytes: int = 8 * 1024 * 1024,
+                 max_render_seconds: float = 600.0):
+        """``sample_root``: the only directory server-submitted songs may
+        load instrument WAVs from (None = songs with [instruments] are
+        rejected).  ``max_body_bytes`` / ``max_render_seconds`` bound
+        request size and output length (413 / 400 beyond them)."""
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.verbose = verbose  # type: ignore[attr-defined]
+        self._httpd.sample_root = sample_root  # type: ignore[attr-defined]
+        self._httpd.max_body_bytes = max_body_bytes  # type: ignore[attr-defined]
+        self._httpd.max_render_seconds = max_render_seconds  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
+
+    @property
+    def sample_root(self) -> Optional[str]:
+        return self._httpd.sample_root  # type: ignore[attr-defined]
+
+    @sample_root.setter
+    def sample_root(self, value: Optional[str]) -> None:
+        self._httpd.sample_root = value  # type: ignore[attr-defined]
 
     @property
     def port(self) -> int:
@@ -240,9 +303,15 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="synthesizer_tpu render server")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--sample-root", default=None,
+                    help="directory song [instruments] WAVs resolve under "
+                         "(default: songs may not use instruments)")
+    ap.add_argument("--max-render-seconds", type=float, default=600.0)
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
-    srv = RenderServer(args.host, args.port, verbose=args.verbose)
+    srv = RenderServer(args.host, args.port, verbose=args.verbose,
+                       sample_root=args.sample_root,
+                       max_render_seconds=args.max_render_seconds)
     print(f"render server listening on {args.host}:{srv.port}")
     srv.serve_forever()
 

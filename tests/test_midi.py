@@ -77,6 +77,40 @@ def test_parse_rejects_garbage():
         parse_midi(b"RIFFnotmidi")
 
 
+def _smf(track_bytes: bytes) -> bytes:
+    import struct
+    return (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+            + b"MTrk" + struct.pack(">I", len(track_bytes)) + track_bytes)
+
+
+def test_meta_event_cancels_running_status():
+    # SMF spec: a meta/sysex event cancels channel running status, so a
+    # data byte following one must be rejected, not parsed as another meta.
+    eot = bytes([0x00, 0xFF, 0x2F, 0x00])
+    on = bytes([0x00, 0x90, 60, 100])
+    text_meta = bytes([0x00, 0xFF, 0x01, 0x03]) + b"abc"
+    # illegal: running-status note-off after the meta event
+    bad = on + text_meta + bytes([0x60, 60, 0]) + eot
+    with pytest.raises(ValueError, match="running status"):
+        parse_midi(_smf(bad))
+    # legal: status byte restated after the meta event
+    good = on + text_meta + bytes([0x60, 0x90, 60, 0]) + eot
+    notes = parse_midi(_smf(good))
+    assert len(notes) == 1 and notes[0].note == 60
+    # running status around a meta does NOT break within-status runs
+    chord = bytes([0x00, 0x90, 60, 100, 0x00, 64, 100,
+                   0x60, 60, 0, 0x00, 64, 0]) + eot
+    assert sorted(n.note for n in parse_midi(_smf(chord))) == [60, 64]
+
+
+def test_sysex_cancels_running_status():
+    eot = bytes([0x00, 0xFF, 0x2F, 0x00])
+    sysex = bytes([0x00, 0xF0, 0x02, 0x7E, 0xF7])
+    bad = bytes([0x00, 0x90, 60, 100]) + sysex + bytes([0x60, 60, 0]) + eot
+    with pytest.raises(ValueError, match="running status"):
+        parse_midi(_smf(bad))
+
+
 def test_program_change_and_percussion(tmp_path):
     import struct
     from synthesizer_tpu.midi import _vlq

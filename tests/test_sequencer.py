@@ -117,6 +117,38 @@ hat  = xxxx xxxx xxxx xxxx
     np.testing.assert_array_equal(got.get_frame_array(), ref.get_frame_array())
 
 
+def test_mismatched_instrument_formats_rejected(monkeypatch):
+    # add_instrument normalizes, so differing input WAVs converge on the
+    # norm format rather than silently mixing at the wrong rate...
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    song = Song()
+    song.add_instrument("kick", synth.sine(60, 0.1).stereo())
+    other = WaveSynth(samplerate=22050, samplewidth=2).sine(60, 0.1)
+    song.add_instrument("snare", other)
+    assert song.instruments["snare"].samplerate == SR
+    assert song.instruments["snare"].nchannels == 2
+    # ...and if the normalization targets change mid-song (the one way a
+    # mismatch can still arise), the guard raises instead of last-one-wins.
+    from synthesizer_tpu import params
+    monkeypatch.setattr(params, "norm_samplerate", 22050)
+    with pytest.raises(ValueError, match="convert"):
+        song.add_instrument("hat", synth.sine(60, 0.1).stereo())
+
+
+def test_from_string_ignores_paths_section(tmp_path):
+    (tmp_path / "inner").mkdir()
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    synth.sine(60, 0.1).stereo().write_wav(str(tmp_path / "inner" / "k.wav"))
+    text = ("[song]\nbpm=120\nticks=4\npatterns = p\n"
+            f"[paths]\nsamples = {tmp_path}/\n"   # ignored by from_string
+            "[instruments]\nk = k.wav\n"
+            "[pattern.p]\nk = x...\n")
+    song = Song.from_string(text, sample_dir=str(tmp_path / "inner"))
+    assert song.mix(normalize=False).nframes > 0
+    with pytest.raises(FileNotFoundError):
+        Song.from_string(text, sample_dir=str(tmp_path))  # [paths] not honored
+
+
 def test_config3_sixteen_track_mixdown():
     """Benchmark config 3: 16-track mixdown exercising mix/mix_at +
     resample/amplify/fadein/fadeout ops."""

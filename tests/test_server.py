@@ -75,18 +75,11 @@ def test_render_voices(server):
     assert np.abs(audio).max() > 3000
 
 
-def test_render_song(server, tmp_path):
-    from synthesizer_tpu import WaveSynth
-    kick = WaveSynth(samplerate=44100, samplewidth=2).sine(60, 0.1, amplitude=0.8).stereo()
-    kick.write_wav(str(tmp_path / "kick.wav"))
-    ini = f"""
+SONG_INI = """
 [song]
 bpm = 240
 ticks = 4
 patterns = a
-
-[paths]
-samples = {tmp_path}/
 
 [instruments]
 kick = kick.wav
@@ -100,12 +93,65 @@ release = 0.05
 kick = x... x...
 lead = C4 .. E4 ..
 """
-    status, ctype, data = request(server, "POST", "/render/song", ini,
-                                  ctype="text/plain")
+
+
+def test_render_song(server, tmp_path):
+    from synthesizer_tpu import WaveSynth
+    kick = WaveSynth(samplerate=44100, samplewidth=2).sine(60, 0.1, amplitude=0.8).stereo()
+    kick.write_wav(str(tmp_path / "kick.wav"))
+    server.sample_root = str(tmp_path)
+    try:
+        status, ctype, data = request(server, "POST", "/render/song", SONG_INI,
+                                      ctype="text/plain")
+    finally:
+        server.sample_root = None
     assert status == 200 and ctype == "audio/wav"
     audio, rate = read_wav_bytes(data)
     assert rate == 44100 and len(audio) > 44100 // 4
     assert np.abs(audio.astype(np.int64)).max() >= 32000  # normalized mixdown
+
+
+def test_render_song_path_policy(server, tmp_path):
+    # no sample_root configured -> [instruments] rejected outright
+    status, _, data = request(server, "POST", "/render/song", SONG_INI,
+                              ctype="text/plain")
+    assert status == 400 and b"sample_root" in data
+
+    from synthesizer_tpu import WaveSynth
+    kick = WaveSynth(samplerate=44100, samplewidth=2).sine(60, 0.1).stereo()
+    kick.write_wav(str(tmp_path / "kick.wav"))
+    server.sample_root = str(tmp_path)
+    try:
+        # [paths] sections rejected for server-submitted songs
+        bad = SONG_INI.replace("[instruments]",
+                               f"[paths]\nsamples = {tmp_path}/\n[instruments]")
+        status, _, data = request(server, "POST", "/render/song", bad,
+                                  ctype="text/plain")
+        assert status == 400 and b"paths" in data
+        # absolute and parent-escaping instrument filenames rejected
+        for evil in ("/etc/hostname", "../kick.wav"):
+            bad = SONG_INI.replace("kick = kick.wav", f"kick = {evil}")
+            status, _, data = request(server, "POST", "/render/song", bad,
+                                      ctype="text/plain")
+            assert status == 400 and b"escapes" in data, evil
+    finally:
+        server.sample_root = None
+
+
+def test_render_limits(server):
+    # duration cap (server default 600 s)
+    body = json.dumps({"duration": 1e6,
+                       "patch": {"node": "osc", "frequency": 440}})
+    status, _, data = request(server, "POST", "/render/patch", body)
+    assert status == 400 and b"exceeds" in data
+    body = json.dumps({"duration": 1e6, "voices": [{"wave": "sine"}]})
+    status, _, data = request(server, "POST", "/render/voices", body)
+    assert status == 400 and b"exceeds" in data
+    # body size cap -> 413
+    big = b"x" * (8 * 1024 * 1024 + 1)
+    status, _, data = request(server, "POST", "/render/song", big,
+                              ctype="text/plain")
+    assert status == 413
 
 
 def test_error_responses(server):
