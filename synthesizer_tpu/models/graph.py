@@ -316,6 +316,23 @@ def envelope_gains_device(n: jax.Array, samplerate: int, e: S.Envelope) -> jax.A
 _render_cache: dict = {}
 
 
+def patch_values(node: S.Node, nsamples: int, samplerate: int,
+                 blocksize: int = 8192) -> jax.Array:
+    """Traceable patch render: samples [0, nsamples) -> f32[nsamples].
+
+    Pure jax (scan over fixed-size blocks), so it can run standalone under
+    ``render_patch``'s jit OR inline inside a larger fused program (the
+    ``Sample`` lazy-IR stages it to keep whole chains one dispatch)."""
+    nblocks = -(-nsamples // blocksize)
+    init, step = lower(node, samplerate, blocksize)
+
+    def body(carry, i):
+        v, carry = step(carry, i * blocksize)
+        return carry, v
+    _, out = jax.lax.scan(body, init, jnp.arange(nblocks, dtype=jnp.int32))
+    return out.reshape(-1)[:nsamples]
+
+
 def render_patch(node: S.Node, nsamples: int, samplerate: int,
                  blocksize: int = 8192) -> jax.Array:
     """Render samples [0, nsamples) of a patch on device -> f32[nsamples].
@@ -326,20 +343,11 @@ def render_patch(node: S.Node, nsamples: int, samplerate: int,
     key = (node, nsamples, samplerate, blocksize)
     fn = _render_cache.get(key)
     if fn is None:
-        nblocks = -(-nsamples // blocksize)
-        init, step = lower(node, samplerate, blocksize)
-
-        @jax.jit
-        def fn():
-            def body(carry, i):
-                v, carry = step(carry, i * blocksize)
-                return carry, v
-            _, out = jax.lax.scan(body, init, jnp.arange(nblocks, dtype=jnp.int32))
-            return out.reshape(-1)[:nsamples]
+        fn = jax.jit(lambda: patch_values(node, nsamples, samplerate, blocksize))
         _render_cache[key] = fn
-    else:
-        pass
-    return _render_cache[key]()
+    from ..utils import profiling
+    profiling.record_program_launch()
+    return fn()
 
 
 def block_stream(node: S.Node, samplerate: int,

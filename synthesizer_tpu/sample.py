@@ -40,7 +40,7 @@ MAXVAL = dpcm.MAXVAL
 MINVAL = dpcm.MINVAL
 
 #: auto-materialize when a chain grows beyond this many staged ops
-_MAX_PENDING = 48
+_MAX_PENDING = 160
 
 
 class _Op(NamedTuple):
@@ -223,6 +223,34 @@ def _x_pan_lfo(x, st, dyn, leaves):
     return dpcm.gain_apply(x, jnp.stack([la, ra], axis=-1))
 
 
+def _x_gen_patch(x, st, dyn, leaves):
+    """Generate a Sample's data from an oscillator patch spec in-trace.
+
+    This is how WaveSynth renders stage lazily: the patch scan + int
+    quantization fuse into whatever program consumes the sample, so e.g. a
+    16-track mixdown of synthesized tracks is ONE device dispatch total."""
+    node, n, sr, width, blocksize = st
+    from .models import graph as G
+    vals = G.patch_values(node, n, sr, blocksize)
+    return G.to_int_device(vals, width)[:, None]
+
+
+def _x_modulate_patch(x, st, dyn, leaves):
+    node, n, sr = st
+    from .models import graph as G
+    g = G.patch_values(node, n, sr)
+    return dpcm.gain_apply(x, g[:, None])
+
+
+def _x_pan_patch(x, st, dyn, leaves):
+    node, n, sr = st
+    from .models import graph as G
+    amt = G.patch_values(node, n, sr)
+    la = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - amt)
+    ra = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + amt)
+    return dpcm.gain_apply(x, jnp.stack([la, ra], axis=-1))
+
+
 def _x_ratecv(x, st, dyn, leaves):
     inr, outr, nout = st
     nch = x.shape[1]
@@ -241,9 +269,23 @@ _EXEC = {
     "echo": _x_echo, "lin2lin": _x_lin2lin, "astype_i32": _x_astype_i32,
     "tomono": _x_tomono, "tostereo": _x_tostereo, "stereo_mix": _x_stereo_mix,
     "pan_const": _x_pan_const, "pan_lfo": _x_pan_lfo, "ratecv": _x_ratecv,
+    "gen_patch": _x_gen_patch, "modulate_patch": _x_modulate_patch,
+    "pan_patch": _x_pan_patch,
 }
 
 _program_cache: dict = {}
+_empty_cache: dict = {}
+
+
+def _empty_base(nchannels: int, samplewidth: int) -> jax.Array:
+    """Shared zero-frame device array (immutable) — a fresh device-put per
+    Sample construction costs ~ms each through the axon relay."""
+    key = (nchannels, samplewidth)
+    arr = _empty_cache.get(key)
+    if arr is None:
+        arr = jnp.zeros((0, nchannels), _DTYPES[samplewidth])
+        _empty_cache[key] = arr
+    return arr
 
 
 def _run_ops(x, ops: Tuple[_Op, ...], dyn, leaves):
@@ -297,8 +339,8 @@ class Sample:
             if isinstance(wave_file, str) and not name:
                 self.name = wave_file
         else:
-            self._base = jnp.zeros((0, params.norm_nchannels),
-                                   _DTYPES[params.norm_samplewidth])
+            self._base = _empty_base(params.norm_nchannels,
+                                     params.norm_samplewidth)
             self._samplerate = params.norm_samplerate
             self._samplewidth = params.norm_samplewidth
             self._nchannels = params.norm_nchannels
@@ -316,12 +358,14 @@ class Sample:
 
     def _materialize(self) -> jax.Array:
         if self._ops:
+            from .utils import profiling
             ops = tuple(self._ops)
             key = (ops, self._base.shape, str(self._base.dtype),
                    tuple((l.shape, str(l.dtype)) for l in self._leaves))
             fn = _compile_program(key, ops)
             dyn_vec = jnp.asarray(np.asarray(self._dyn, np.float32))
             self._base = fn(self._base, dyn_vec, tuple(self._leaves))
+            profiling.record_program_launch()
             self._ops, self._dyn, self._leaves = [], [], []
         return self._base
 
@@ -329,7 +373,7 @@ class Sample:
         """(sub_ops, dyn, leaves) for fusing this sample into another's
         program without materializing it (very long chains materialize
         first to bound compile sizes)."""
-        if len(self._ops) > 16:
+        if len(self._ops) > 48:
             self._materialize()
         return (tuple(self._ops), tuple(self._dyn),
                 (self._base, *self._leaves))
@@ -341,7 +385,8 @@ class Sample:
                         nchannels: int, name: str = "") -> "Sample":
         s = cls(name=name)
         a = np.frombuffer(frames, dtype=_NPDT[samplewidth]).reshape(-1, nchannels)
-        s._base = jnp.asarray(a)
+        s._base = _empty_base(nchannels, samplewidth) if a.shape[0] == 0 \
+            else jnp.asarray(a)
         s._samplerate, s._samplewidth, s._nchannels = samplerate, samplewidth, nchannels
         s._nframes = a.shape[0]
         return s
@@ -356,6 +401,25 @@ class Sample:
         elif a.dtype != np.int16:
             a = a.astype(np.int16)
         return cls.from_raw_frames(a.tobytes(), 2, samplerate, nchannels, name)
+
+    @classmethod
+    def from_patch(cls, node, nframes: int, samplerate: int,
+                   samplewidth: int, name: str = "",
+                   blocksize: int = 8192) -> "Sample":
+        """A mono Sample whose data is a *staged* oscillator-patch render.
+
+        Nothing runs at construction: the patch scan is an IR node like any
+        other op, so downstream chains (and cross-sample mixes) fuse the
+        synthesis itself into one device program."""
+        s = cls(name=name)
+        s._base = _empty_base(1, samplewidth)
+        s._samplerate, s._samplewidth, s._nchannels = \
+            int(samplerate), int(samplewidth), 1
+        s._nframes = 0
+        s._stage("gen_patch", static=(node, int(nframes), int(samplerate),
+                                      int(samplewidth), int(blocksize)))
+        s._nframes = int(nframes)
+        return s
 
     @classmethod
     def from_jax(cls, data: jax.Array, samplerate: int, samplewidth: int,
@@ -563,6 +627,11 @@ class Sample:
                         static=(MAXVAL[modulator._samplewidth], sub_ops),
                         dyn=dyn, leaves=leaves)
             return self
+        if hasattr(modulator, "spec"):   # Oscillator: stage the patch render
+            self._stage("modulate_patch",
+                        static=(modulator.spec, self._nframes,
+                                modulator.samplerate))
+            return self
         g = _modulator_gains(modulator, self._nframes)
         self._stage("modulate", leaves=(g,))
         return self
@@ -685,6 +754,9 @@ class Sample:
             self.stereo()
         if lfo is None:
             self._stage("pan_const", dyn=(amount,))
+        elif hasattr(lfo, "spec"):       # Oscillator: stage the patch render
+            self._stage("pan_patch",
+                        static=(lfo.spec, self._nframes, lfo.samplerate))
         else:
             amt = _modulator_gains(lfo, self._nframes)
             self._stage("pan_lfo", leaves=(amt,))

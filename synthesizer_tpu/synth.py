@@ -69,10 +69,11 @@ class WaveSynth:
     # -- internal ----------------------------------------------------------
 
     def _render(self, node: S.Node, duration: float, name: str) -> Sample:
+        # Lazy: the patch scan stages into the Sample's op IR, so the
+        # synthesis fuses with any downstream chain into one device program.
         n = int(duration * self.samplerate)
-        vals = G.render_patch(node, n, self.samplerate)
-        data = G.to_int_device(vals, self.samplewidth)[:, None]
-        return Sample.from_jax(data, self.samplerate, self.samplewidth, name)
+        return Sample.from_patch(node, n, self.samplerate, self.samplewidth,
+                                 name)
 
     def _gen(self, node: S.Node, blocksize: int = 0) -> Iterator[Sample]:
         bs = blocksize or params.norm_osc_blocksize

@@ -65,6 +65,29 @@ class RenderTimer:
         log.log(level, "render: %s", self.stats)
 
 
+#: device-program launch counter — incremented by the Sample lazy-IR
+#: materializer and the graph renderer, so tests can assert fusion claims
+#: ("this 16-track chain compiles to <= N device programs").
+program_launches = 0
+
+
+def record_program_launch() -> None:
+    global program_launches
+    program_launches += 1
+
+
+@contextlib.contextmanager
+def count_program_launches() -> Iterator[list]:
+    """Yield a single-element list whose [0] is the number of device
+    programs our render paths launched inside the block."""
+    start = program_launches
+    out = [0]
+    try:
+        yield out
+    finally:
+        out[0] = program_launches - start
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/synthesizer_tpu_trace") -> Iterator[None]:
     """Capture a jax.profiler trace around a render (view with xprof)."""

@@ -97,10 +97,11 @@ def test_staged_metadata_consistency(rng):
 
 
 def test_auto_materialize_bounds_pending(rng):
+    from synthesizer_tpu.sample import _MAX_PENDING
     _, dev = make_pair(rng)
-    for _ in range(60):
+    for _ in range(2 * _MAX_PENDING):
         dev.amplify(1.0)
-    assert len(dev._ops) <= 48
+    assert len(dev._ops) <= _MAX_PENDING
 
 
 @pytest.mark.parametrize("width", [1, 4])

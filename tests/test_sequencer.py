@@ -163,3 +163,20 @@ def test_config3_sixteen_track_mixdown():
     assert total.nframes == int(0.05 * 15 * SR) + last_len
     a = total.get_frame_array().astype(np.int64)
     assert a.max() <= 32767 and a.min() >= -32768  # saturating mix stayed in range
+
+
+def test_config3_fuses_to_one_program():
+    """The whole 16-track config-3 workload — synthesis included — must
+    compile to at most 3 device programs (VERDICT r1 #2; it is 1 today:
+    WaveSynth renders stage as gen_patch IR nodes and every mix_at fuses
+    the track's chain as a sub-program)."""
+    from synthesizer_tpu.utils import profiling
+    synth = WaveSynth(samplerate=22050, samplewidth=2)
+    with profiling.count_program_launches() as n:
+        total = Sample.from_raw_frames(b"", 2, SR, 2)
+        for t in range(16):
+            s = synth.sine(100.0 + 50 * t, 0.25, amplitude=0.4)
+            s.resample(SR).amplify(0.5 + 0.02 * t).fadein(0.02).fadeout(0.05).stereo()
+            total.mix_at(0.05 * t, s)
+        total.get_frame_array()
+    assert n[0] <= 3, f"config-3 chain launched {n[0]} device programs"
