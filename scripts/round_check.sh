@@ -46,7 +46,15 @@ print(f'patch render: {len(data)} WAV bytes')
 srv.stop()
 EOF
 
-echo "=== 6/6 bench (real TPU; fresh process pays the axon bootstrap) ==="
+echo "=== 6/7 bench (real TPU; fresh process pays the axon bootstrap) ==="
 timeout 880 python bench.py
+
+echo "=== 7/7 on-chip fidelity battery (HARD GATE: must pass on TPU) ==="
+# every waveform x {FM, PWM, ADSR, echo}, XLA vs compiled Pallas, and all
+# five BASELINE configs vs their host oracles — the class of check that
+# caught the round-1 MXU bf16 bug, which the CPU suite cannot see.
+timeout 880 python scripts/tpu_verify.py | tee /tmp/tpu_verify_out.txt
+grep -q "ALL PASS" /tmp/tpu_verify_out.txt
+cp /tmp/tpu_verify_out.txt TPU_VERIFY.txt
 
 echo "=== round check: ALL OK ==="
