@@ -22,9 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.voicebank import VoiceParams, render_block
+from ..models.voicebank import ALL_WAVES, VoiceParams, render_block
 
 AXIS = "voices"
+HITS_AXIS = "voices"   # hit-parallel song mixdowns reuse the same 1-D mesh
 
 
 def voice_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -54,13 +55,16 @@ def shard_voice_params(vp: VoiceParams, mesh: Mesh) -> VoiceParams:
 def render_song_sharded(vp: VoiceParams, total_frames: int,
                         samplerate: int = 44100, chunk_frames: int = 8192,
                         num_harmonics: int = 8,
-                        mesh: Optional[Mesh] = None) -> jax.Array:
+                        mesh: Optional[Mesh] = None,
+                        used_waves: tuple = ALL_WAVES,
+                        use_fm: bool = True) -> jax.Array:
     """Offline mixdown with the voice axis sharded over the mesh.
 
     Each device scans the song's chunks over its local voice shard; the
     stereo partial mixes are psum'ed across the mesh.  Output is replicated
     f32 [total_frames, 2] and matches the single-device render (up to f32
-    summation order across shards).
+    summation order across shards).  ``used_waves``/``use_fm`` restrict the
+    compiled waveform set (compile time + per-sample work).
     """
     if mesh is None:
         mesh = voice_mesh()
@@ -79,9 +83,46 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
     def run(vp_shard: VoiceParams) -> jax.Array:
         def body(_, i):
             stereo = render_block(vp_shard, i * chunk_frames, chunk_frames,
-                                  samplerate, num_harmonics)
+                                  samplerate, num_harmonics,
+                                  used_waves=used_waves, use_fm=use_fm)
             return 0, jax.lax.psum(stereo, AXIS)
         _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
         return out.reshape(-1, 2)
 
     return run(vp)[:total_frames]
+
+
+def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
+                        total: int, mesh: Mesh) -> jax.Array:
+    """Sharded song scatter-add: hits distributed over the mesh, one int32
+    ``psum`` merge.
+
+    Integer (wrapping) addition is associative and commutative, so the
+    result is BIT-EXACT vs the single-device scatter regardless of how
+    hits land on devices.  The instrument bank is replicated (it is small:
+    S x Lmax x C); each device gathers + scatter-adds only its hit shard.
+    """
+    ndev = mesh.devices.size
+    H = int(hits_inst.shape[0])
+    pad = -H % ndev if H else ndev
+    inst = np.concatenate([np.asarray(hits_inst, np.int32),
+                           np.zeros(pad, np.int32)])
+    start = np.concatenate([np.asarray(hits_start, np.int32),
+                            np.zeros(pad, np.int32)])
+    valid = np.concatenate([np.ones(H, np.int32), np.zeros(pad, np.int32)])
+    Lmax, C = int(bank.shape[1]), int(bank.shape[2])
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS)),
+        out_specs=P())
+    def run(bank, inst, start, valid):
+        vals = bank[inst] * valid[:, None, None]            # [h, Lmax, C]
+        idx = start[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+        out = jnp.zeros((total, C), jnp.int32)
+        out = out.at[idx.reshape(-1)].add(vals.reshape(-1, C), mode="drop")
+        return jax.lax.psum(out, HITS_AXIS)
+
+    return run(jnp.asarray(bank), jnp.asarray(inst), jnp.asarray(start),
+               jnp.asarray(valid))

