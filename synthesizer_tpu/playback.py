@@ -320,9 +320,9 @@ class Output:
             chunk = next(gen)
             self.api.play_chunk(chunk)
             if self.meter is not None and self.mixer.active_count:
-                self.meter.update(Sample.from_raw_frames(
-                    chunk.tobytes(), self.samplewidth, self.samplerate,
-                    self.nchannels))
+                # the mixed chunk is already host memory: meter natively,
+                # no device round-trip on the realtime path
+                self.meter.update_frames(chunk, self.samplerate)
             if self.mixer.active_count == 0:
                 self._all_played.set()
                 if not isinstance(self.api, (MiniaudioSink, SounddeviceSink)):

@@ -850,14 +850,32 @@ class LevelMeter:
         data = sample.jax_frames
         if sample.nchannels == 1:
             data = jnp.concatenate([data, data], axis=1)
-        pl, pr, msl, msr = (float(x) for x in dpcm.vu_levels(data))
+        # one stacked device reduction -> ONE host materialization per chunk
+        pl, pr, msl, msr = np.asarray(dpcm.vu_levels(data), np.float64)
+        return self._advance(pl, pr, msl, msr, maxvalue, sample.duration)
+
+    def update_frames(self, frames: np.ndarray, samplerate: int,
+                      maxvalue: float = 32767.0):
+        """Host-side metering for realtime int16 chunks: the mixer's chunk
+        is already host memory, so the reductions run in the native pcmops
+        library (numpy fallback) with NO device round-trip."""
+        from .utils import native
+        a = np.asarray(frames)
+        if a.ndim == 1:
+            a = a[:, None]
+        if a.shape[1] == 1:
+            a = np.repeat(a, 2, axis=1)
+        pl, pr, msl, msr = native.vu_i16(a)
+        return self._advance(float(pl), float(pr), msl, msr, maxvalue,
+                             len(a) / samplerate)
+
+    def _advance(self, pl, pr, msl, msr, maxvalue, dt):
         if self.rms_mode:
             ampl_l = math.sqrt(max(msl, 0.0)) / maxvalue
             ampl_r = math.sqrt(max(msr, 0.0)) / maxvalue
         else:
             ampl_l = pl / maxvalue
             ampl_r = pr / maxvalue
-        dt = sample.duration
         decay = self.DECAY_DB_PER_SEC * dt
         db_l = 20.0 * math.log10(ampl_l) if ampl_l > 0 else self.lowest
         db_r = 20.0 * math.log10(ampl_r) if ampl_r > 0 else self.lowest
