@@ -1,0 +1,154 @@
+"""Oracle-owned FROZEN copy of the patch-spec node types and DDS constants.
+
+The golden oracle must not share code with the product it arbitrates
+(VERDICT r1 #5): if ``goldref`` imported ``synthesizer_tpu.models.spec``, a
+semantics bug in the product's spec helpers (e.g. ``phase_increment``
+rounding) would shift both sides of every differential test in lockstep.
+This module is a deliberate copy, pinned by ``tests/test_oracle_anchors.py``
+to absolute first-principles values (exact ``fractions.Fraction`` DDS
+increments, pure-python f64 closed forms), so the oscillator contract has
+an external anchor the way the PCM side is anchored to the real C audioop.
+
+Node field names double as the structural contract: ``goldref.osc``
+dispatches on type NAME + attributes, so it evaluates either this module's
+trees or the product's ``synthesizer_tpu.models.spec`` trees — through its
+OWN constants and math only.
+
+Numeric spec (the contract both evaluators implement):
+
+* Phase is a 32-bit fixed-point turn accumulator (DDS): 2**32 units = one
+  cycle.  Static-frequency oscillators use a host-computed exact integer
+  increment ``round(freq/samplerate * 2**32)``; under FM the per-sample
+  increment is ``int32(clamp(f32(base_inc) * (1 + fm_n)))`` (f32 multiply,
+  truncation toward zero, clamp to ±(2**31 - 256)).
+* The waveform value for phase p is a float32 function of x = f32(p)*2**-32;
+  harmonic partials with integer ratio k use the exact wrapped phase ``p*k``
+  (uint32 multiply).
+* value_n = bias + amplitude * wave(phase_n); the ``phase`` constructor
+  argument is in turns.
+* White noise: sample-and-hold counter hash (``noise_u32``), seeded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+Node = Union[
+    "Osc", "Linear", "Envelope", "Mix", "AmpMod", "Delay", "Echo",
+    "Clip", "Abs", "Null", "Const",
+]
+
+WAVEFORMS = (
+    "sine", "triangle", "square", "sawtooth", "pulse", "semicircle",
+    "pointy", "square_h", "sawtooth_h", "harmonics", "white_noise",
+    "sawtooth_bl", "square_bl",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Osc:
+    kind: str
+    frequency: float
+    amplitude: float = 1.0
+    phase: float = 0.0
+    bias: float = 0.0
+    fm_lfo: Optional[Node] = None
+    pwm_lfo: Optional[Node] = None     # pulse only
+    pulse_width: float = 0.5           # pulse only (no pwm_lfo)
+    num_harmonics: int = 8             # square_h / sawtooth_h
+    harmonics: Tuple[Tuple[float, float], ...] = ()  # harmonics kind: (ratio, amp)
+    seed: int = 0                      # white_noise
+
+    def __post_init__(self):
+        if self.kind not in WAVEFORMS:
+            raise ValueError(f"unknown waveform kind {self.kind!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class Linear:
+    """Ramp LFO: value_n = clip(start + n*increase, min, max), f32."""
+    start: float
+    increase: float = 0.0
+    min_value: float = -1.0e6
+    max_value: float = 1.0e6
+
+
+@dataclasses.dataclass(frozen=True)
+class Const:
+    value: float
+
+
+@dataclasses.dataclass(frozen=True)
+class Envelope:
+    """ADSR gain applied to a source; sustain is a *duration*.
+
+    gain(t): t<a: t/a; t<a+d: 1+(sl-1)(t-a)/d; t<a+d+s: sl;
+             t<a+d+s+r: sl*(t4-t)/r; else 0.   All f32.
+    """
+    source: Node
+    attack: float
+    decay: float
+    sustain: float
+    sustain_level: float
+    release: float
+    stop_at_end: bool = False
+
+    @property
+    def end_time(self) -> float:
+        return self.attack + self.decay + self.sustain + self.release
+
+
+@dataclasses.dataclass(frozen=True)
+class Mix:
+    sources: Tuple[Node, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class AmpMod:
+    source: Node
+    modulator: Node
+
+
+@dataclasses.dataclass(frozen=True)
+class Delay:
+    """Shift the source ``seconds`` later in time (zeros before)."""
+    source: Node
+    seconds: float
+
+
+@dataclasses.dataclass(frozen=True)
+class Echo:
+    """Feed-forward echo: out_n = src_n + sum_k decay^k * src_{n - D(k)},
+    D(k) = round(after*sr) + k*round(delay*sr), k = 1..amount."""
+    source: Node
+    after: float
+    amount: int
+    delay: float
+    decay: float
+
+
+@dataclasses.dataclass(frozen=True)
+class Clip:
+    source: Node
+    minimum: float = -1.0
+    maximum: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Abs:
+    source: Node
+
+
+@dataclasses.dataclass(frozen=True)
+class Null:
+    source: Node
+
+
+def phase_increment(frequency: float, samplerate: int) -> int:
+    """Exact host-side DDS increment: round(freq/sr * 2**32), wrapped u32."""
+    return int(round(frequency / samplerate * 4294967296.0)) & 0xFFFFFFFF
+
+
+def phase_offset(phase_turns: float) -> int:
+    return int(round((phase_turns % 1.0) * 4294967296.0)) & 0xFFFFFFFF
