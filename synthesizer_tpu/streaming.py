@@ -45,6 +45,10 @@ def _ffprobe_path() -> Optional[str]:
     return shutil.which("ffprobe")
 
 
+def _oggdec_path() -> Optional[str]:
+    return shutil.which("oggdec")
+
+
 class AudiofileToWavStream(io.RawIOBase):
     """Read any audio file as a WAV stream of normalized PCM.
 
@@ -107,6 +111,10 @@ class AudiofileToWavStream(io.RawIOBase):
     def _open_ffmpeg(self) -> None:
         ffmpeg = _ffmpeg_path()
         if ffmpeg is None:
+            if (self.filename.lower().endswith(".ogg")
+                    and _oggdec_path() is not None):
+                self._open_oggdec()
+                return
             raise StreamingError(
                 f"cannot decode {self.filename!r}: no ffmpeg available "
                 "and file is not WAV")
@@ -130,6 +138,39 @@ class AudiofileToWavStream(io.RawIOBase):
                 "-acodec", codec, "-f", "wav", "-"]
         self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
         self._stream = self._proc.stdout
+
+    def _open_oggdec(self) -> None:
+        """ffmpeg-less .ogg fallback (the reference's oggdec ladder rung):
+        oggdec can only emit the source rate/width to stdout, so the
+        decoded WAV is normalized in-memory through the Sample pipeline."""
+        proc = subprocess.run([_oggdec_path(), "-Q", "-o", "-", self.filename],
+                              capture_output=True)
+        if proc.returncode != 0 or not proc.stdout[:4] == b"RIFF":
+            raise StreamingError(
+                f"oggdec failed to decode {self.filename!r}")
+        bio = io.BytesIO(proc.stdout)
+        with wave.open(bio, "rb") as w:
+            frames = w.readframes(w.getnframes())
+            smp = Sample.from_raw_frames(frames, w.getsampwidth(),
+                                         w.getframerate(), w.getnchannels())
+        if self.startfrom or self.duration:
+            end = (self.startfrom + self.duration) if self.duration \
+                else smp.duration
+            smp.clip(self.startfrom, end)
+        smp.resample(self.samplerate)
+        if self.samplewidth != smp.samplewidth:
+            if self.samplewidth == 2:
+                smp.make_16bit(maximize_amplitude=False)
+            else:
+                smp.make_32bit(scale_amplitude=True)
+        if self.nchannels == 2:
+            smp.stereo()
+        elif self.nchannels == 1 and smp.nchannels == 2:
+            smp.mono()
+        out = io.BytesIO()
+        smp.write_wav(out)
+        out.seek(0)
+        self._stream = out
 
     def read(self, size: int = -1) -> bytes:
         return self._stream.read(size)

@@ -12,6 +12,22 @@ still honored.
 """
 
 import os
+import sys
+
+if os.environ.get("SYNTH_TPU_HIDE_AUDIOOP"):
+    # Python 3.13 removed the audioop stdlib module.  This mode simulates
+    # that world: goldref's audioop-conformance suite must skip cleanly
+    # (goldref then IS the spec) and everything else must stay green.
+    class _BlockAudioop:
+        def find_spec(self, name, path=None, target=None):
+            if name == "audioop":
+                raise ImportError(
+                    "audioop hidden (SYNTH_TPU_HIDE_AUDIOOP=1 simulates "
+                    "Python 3.13 where the module is removed)")
+            return None
+
+    sys.modules.pop("audioop", None)
+    sys.meta_path.insert(0, _BlockAudioop())
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -5,6 +5,7 @@ degradation ladder the reference falls back to (SURVEY.md §5, §6).
 """
 
 import io
+import os
 import time
 import wave
 
@@ -236,3 +237,92 @@ def test_streaming_soak_realtime_with_meter(tmp_path):
     assert meter.peak_left > meter.lowest           # the meter saw signal
     with wave.open(str(tmp_path / "soak.wav")) as w:
         assert w.getnframes() > 9 * SR              # audio really hit the sink
+
+
+# -- decode ladder (VERDICT r1 #7): the subprocess plumbing runs in CI via
+# fake binaries; a real-codec smoke runs wherever ffmpeg exists ------------
+
+def _write_fake_decoder(tmp_path, name, wav_path):
+    """An executable that ignores its args and emits a WAV on stdout —
+    exercises the real Popen/pipe path without the codec binary."""
+    p = tmp_path / "bin" / name
+    p.parent.mkdir(exist_ok=True)
+    p.write_text("#!/bin/sh\n/bin/cat '%s'\n" % wav_path)
+    p.chmod(0o755)
+    return p
+
+
+def test_ffmpeg_pipe_path_with_fake_binary(tmp_path, monkeypatch):
+    """The ffmpeg subprocess branch (spawn, WAV-pipe parse, chunking,
+    process teardown) runs for real against a fake ffmpeg."""
+    import synthesizer_tpu.streaming as streaming
+    want = tone(660, dur=0.2, amp=0.5)
+    src = tmp_path / "src.wav"
+    want.write_wav(str(src))
+    _write_fake_decoder(tmp_path, "ffmpeg", src)
+    probe = tmp_path / "bin" / "ffprobe"
+    probe.write_text('#!/bin/sh\necho \'{"format": {"format_name": "fake"}}\'\n')
+    probe.chmod(0o755)
+    monkeypatch.setenv("PATH", str(tmp_path / "bin") + ":" + os.environ["PATH"])
+    fake_mp3 = tmp_path / "song.mp3"
+    fake_mp3.write_bytes(b"ID3fake")
+    with AudiofileToWavStream(str(fake_mp3)) as stream:
+        assert stream.format_probe == {"format": {"format_name": "fake"}}
+        chunks = list(SampleStream(stream, 1000))
+    got = np.concatenate([c.get_frame_array() for c in chunks])
+    np.testing.assert_array_equal(got, want.get_frame_array())
+
+
+def test_oggdec_fallback_with_fake_binary(tmp_path, monkeypatch):
+    """No ffmpeg + .ogg + oggdec present -> the oggdec rung decodes and
+    normalizes through the Sample pipeline."""
+    import synthesizer_tpu.streaming as streaming
+    want = WaveSynth(samplerate=22050, samplewidth=2).sine(
+        440, 0.2, amplitude=0.5)                      # mono 22050: normalized
+    src = tmp_path / "src.wav"
+    want.write_wav(str(src))
+    _write_fake_decoder(tmp_path, "oggdec", src)
+    monkeypatch.setenv("PATH", str(tmp_path / "bin"))  # no ffmpeg anywhere
+    assert streaming._ffmpeg_path() is None
+    fake_ogg = tmp_path / "song.ogg"
+    fake_ogg.write_bytes(b"OggSfake")
+    with AudiofileToWavStream(str(fake_ogg)) as stream:
+        chunks = list(SampleStream(stream, 1000))
+    got = np.concatenate([c.get_frame_array() for c in chunks])
+    assert chunks[0].samplerate == SR and got.shape[1] == 2   # normalized
+    ref = want.copy().resample(SR).stereo().get_frame_array()
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_oggdec_failure_raises_streaming_error(tmp_path, monkeypatch):
+    bad = tmp_path / "bin" / "oggdec"
+    bad.parent.mkdir(exist_ok=True)
+    bad.write_text("#!/bin/sh\nexit 1\n")
+    bad.chmod(0o755)
+    monkeypatch.setenv("PATH", str(tmp_path / "bin"))
+    f = tmp_path / "broken.ogg"
+    f.write_bytes(b"OggS")
+    with pytest.raises(StreamingError, match="oggdec failed"):
+        AudiofileToWavStream(str(f))
+
+
+@pytest.mark.skipif(__import__("shutil").which("ffmpeg") is None,
+                    reason="no ffmpeg binary on this machine")
+def test_real_ffmpeg_decode_smoke(tmp_path):
+    """Lights up the moment an environment has ffmpeg: encode a tone to a
+    lossy codec with the real binary and decode it back through the
+    streaming layer."""
+    import subprocess
+    src = tmp_path / "tone.wav"
+    tone(440, dur=0.5, amp=0.6).write_wav(str(src))
+    enc = tmp_path / "tone.ogg"
+    subprocess.run(["ffmpeg", "-v", "quiet", "-i", str(src), str(enc)],
+                   check=True)
+    with AudiofileToWavStream(str(enc)) as stream:
+        got = np.concatenate([c.get_frame_array()
+                              for c in SampleStream(stream, 2000)])
+    assert len(got) > 0.4 * SR
+    # lossy but the 440 Hz fundamental must dominate
+    spec = np.abs(np.fft.rfft(got[: SR // 2, 0].astype(np.float64)))
+    freqs = np.fft.rfftfreq(SR // 2, 1 / SR)
+    assert abs(freqs[np.argmax(spec)] - 440.0) < 5.0
