@@ -13,8 +13,11 @@ For widths 1/2 the emission is provably ``floor(S / outrate)`` in the
 *sample* domain with ``S = prev*d + cur*(outrate-d)`` whenever the reduced
 ``outrate < 2**(32-8w)`` (derivation: the 32-bit-domain trunc-toward-zero
 followed by the arithmetic narrowing shift collapses to a single floor
-division) — pure int32, bit-exact to audioop, VPU-friendly.  Width 4 and
-pathological reduced rates fall back to the int64 host oracle.
+division) — pure int32, bit-exact to audioop, VPU-friendly.  Width 4 (the
+32-bit domain itself, trunc-toward-zero division) runs on device too, via
+exact 16-bit-limb long division (``_interp_trunc_i32`` — TPUs have no
+int64) for reduced ``outrate <= 2**15``.  Only pathological reduced rates
+fall back to the int64 host oracle.
 
 Chunked/streaming use carries ``(d, prev, cur)`` state exactly like
 audioop, so scan-over-chunks output is bit-identical to whole-buffer
@@ -68,10 +71,40 @@ def nframes_out(nframes_in: int, inrate: int, outrate: int,
     return 0 if kmax < 0 else kmax // inr + 1
 
 
+def _interp_trunc_i32(prev: jax.Array, cur: jax.Array, dk: jax.Array,
+                      outr: int) -> jax.Array:
+    """Exact ``(int)((prev*d + cur*(outr-d)) / outr)`` (trunc toward zero)
+    for FULL-RANGE int32 samples, entirely in int32 — 16-bit-limb long
+    division, since TPUs have no int64.
+
+    Let v = vh*2^16 + vl (vh = v>>16 arithmetic, vl = v & 0xFFFF).  Then
+    S = A*2^16 + B with A = ph*d + ch*e, B = pl*d + cl*e (e = outr-d).
+    Bounds for outr <= 2^15: |A| <= max(|ph|,|ch|)*outr <= 2^30,
+    B <= 65535*outr < 2^31.  Fold B's high half into A (H = A + (B>>16)),
+    long-divide: S = H*2^16 + B0, floor(S/outr) = (H//outr)*2^16 +
+    (rem*2^16 + B0)//outr with rem < outr, so rem*2^16 + B0 < outr*2^16
+    <= 2^31.  Truncation = floor + 1 when S < 0 and S % outr != 0
+    (sign(S) == sign(H) because B0 >= 0 < 2^16)."""
+    d = dk
+    e = outr - dk
+    ph, pl = prev >> 16, prev & 0xFFFF
+    ch, cl = cur >> 16, cur & 0xFFFF
+    A = ph * d + ch * e
+    B = pl * d + cl * e
+    H = A + (B >> 16)
+    B0 = B & 0xFFFF
+    qH = H // outr
+    rem = (H - qH * outr) * 65536 + B0
+    q2 = rem // outr
+    r2 = rem - q2 * outr
+    floor_q = qH * 65536 + q2
+    return floor_q + ((H < 0) & (r2 != 0)).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("inr", "outr", "d0", "nout"))
 def _ratecv_kernel(x: jax.Array, prev0: jax.Array, cur0: jax.Array,
                    *, inr: int, outr: int, d0: int, nout: int):
-    """x: [L, ch] int8/int16. Returns (y [nout, ch], prev_end, cur_end)."""
+    """x: [L, ch] int8/int16/int32. Returns (y [nout, ch], prev_end, cur_end)."""
     L = x.shape[0]
     xi = x.astype(jnp.int32)
     p0 = prev0.astype(jnp.int32)
@@ -86,8 +119,13 @@ def _ratecv_kernel(x: jax.Array, prev0: jax.Array, cur0: jax.Array,
     cur = jnp.where(cur_idx[:, None] >= 0, xi[safe(cur_idx)], c0[None, :])
     prev = jnp.where(prev_idx[:, None] >= 0, xi[safe(prev_idx)],
                      jnp.where(prev_idx[:, None] == -1, c0[None, :], p0[None, :]))
-    s = prev * dk[:, None] + cur * (outr - dk[:, None])
-    y = (s // outr).astype(x.dtype)
+    if x.dtype == jnp.int32:
+        # width 4: the sample domain IS the 32-bit domain; exact truncating
+        # division via int32 limb arithmetic
+        y = _interp_trunc_i32(prev, cur, dk[:, None], outr).astype(x.dtype)
+    else:
+        s = prev * dk[:, None] + cur * (outr - dk[:, None])
+        y = (s // outr).astype(x.dtype)
     if L >= 2:
         prev_end, cur_end = xi[L - 2], xi[L - 1]
     elif L == 1:
@@ -102,6 +140,15 @@ def _max_segment(inr: int, outr: int) -> int:
     return max(1, min((1 << 30) // max(inr, 1), (1 << 30) // max(outr, 1)))
 
 
+def device_path_ok(width: int, outr: int) -> bool:
+    """True when the reduced outrate fits the int32 device kernel: the
+    floor-collapse bound for widths 1/2, the limb-division bound (2^15)
+    for width 4."""
+    if width == 4:
+        return outr <= (1 << 15)
+    return outr < (1 << (32 - 8 * width))
+
+
 def resample(
     x: np.ndarray,
     inrate: int,
@@ -111,9 +158,10 @@ def resample(
 ) -> Tuple[np.ndarray, RatecvState]:
     """Resample [n, ch] int samples from inrate to outrate, audioop-exact.
 
-    Widths 1/2 run the closed-form int32 gather on device; width 4 (and
-    reduced outrates >= 2**(32-8w)) use the int64 host oracle.  Returns the
-    output array and the carry state for chunked streaming.
+    All widths run the closed-form int32 gather on device (width 4 via
+    limb division); only pathological reduced outrates use the int64 host
+    oracle.  Returns the output array and the carry state for chunked
+    streaming.
     """
     x = np.asarray(x)
     if x.ndim == 1:
@@ -125,7 +173,7 @@ def resample(
     if state is None:
         state = RatecvState.initial(nch, outr)
 
-    if width == 4 or outr >= (1 << (32 - 8 * width)):
+    if not device_path_ok(width, outr):
         frag = _gold.tobytes(x.reshape(-1), width)
         out, st = _gold.ratecv(frag, width, nch, inr, outr, state.to_audioop(width))
         y = _gold.frombytes(out, width).reshape(-1, nch)
@@ -155,12 +203,12 @@ def resample(
 
 
 def resample_jax(x: jax.Array, inrate: int, outrate: int) -> jax.Array:
-    """Whole-buffer device resample for jit pipelines (widths 1/2, [n, ch]).
+    """Whole-buffer device resample for jit pipelines ([n, ch], any width).
 
     Stateless (fresh stream), static output length; stays on device.
     """
     inr, outr = _reduce(inrate, outrate)
-    if outr >= (1 << (32 - 8 * x.dtype.itemsize)):
+    if not device_path_ok(x.dtype.itemsize, outr):
         raise ValueError("reduced outrate too large for the int32 device path")
     L = x.shape[0]
     nch = x.shape[1]
@@ -193,8 +241,11 @@ def _ratecv_stream_kernel(x: jax.Array, d0: jax.Array, prev0: jax.Array,
     cur = jnp.where(cur_idx[:, None] >= 0, xi[safe(cur_idx)], c0[None, :])
     prev = jnp.where(prev_idx[:, None] >= 0, xi[safe(prev_idx)],
                      jnp.where(prev_idx[:, None] == -1, c0[None, :], p0[None, :]))
-    s = prev * dk[:, None] + cur * (outr - dk[:, None])
-    y = (s // jnp.int32(outr)).astype(x.dtype)
+    if x.dtype == jnp.int32:
+        y = _interp_trunc_i32(prev, cur, dk[:, None], outr).astype(x.dtype)
+    else:
+        s = prev * dk[:, None] + cur * (outr - dk[:, None])
+        y = (s // jnp.int32(outr)).astype(x.dtype)
     if L >= 2:
         prev_end, cur_end = xi[L - 2], xi[L - 1]
     elif L == 1:
@@ -222,7 +273,7 @@ class StreamingResampler:
                  dtype=jnp.int16):
         self.inr, self.outr = _reduce(inrate, outrate)
         width = jnp.dtype(dtype).itemsize
-        if self.outr >= (1 << (32 - 8 * width)):
+        if not device_path_ok(width, self.outr):
             raise ValueError("reduced outrate too large for the int32 device path")
         self.d = -self.outr
         self.prev = jnp.zeros((nchannels,), dtype)

@@ -251,6 +251,18 @@ def _x_pan_patch(x, st, dyn, leaves):
     return dpcm.gain_apply(x, jnp.stack([la, ra], axis=-1))
 
 
+def _x_pan_sample(x, st, dyn, leaves):
+    maxval, n, sub_ops = st
+    mod = _run_ops(leaves[0], sub_ops, dyn, leaves[1:])
+    amt = mod[:, 0].astype(jnp.float32) / jnp.float32(maxval)
+    if amt.shape[0] < n:
+        amt = jnp.concatenate([amt, jnp.ones(n - amt.shape[0], jnp.float32)])
+    amt = amt[:n]
+    la = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - amt)
+    ra = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + amt)
+    return dpcm.gain_apply(x, jnp.stack([la, ra], axis=-1))
+
+
 def _x_ratecv(x, st, dyn, leaves):
     inr, outr, nout = st
     nch = x.shape[1]
@@ -270,7 +282,7 @@ _EXEC = {
     "tomono": _x_tomono, "tostereo": _x_tostereo, "stereo_mix": _x_stereo_mix,
     "pan_const": _x_pan_const, "pan_lfo": _x_pan_lfo, "ratecv": _x_ratecv,
     "gen_patch": _x_gen_patch, "modulate_patch": _x_modulate_patch,
-    "pan_patch": _x_pan_patch,
+    "pan_patch": _x_pan_patch, "pan_sample": _x_pan_sample,
 }
 
 _program_cache: dict = {}
@@ -713,11 +725,11 @@ class Sample:
         g = math.gcd(inrate, outrate)
         inr, outr = inrate // g, outrate // g
         nout = dresample.nframes_out(self._nframes, inr, outr)
-        if self._samplewidth <= 2 and outr < (1 << (32 - 8 * self._samplewidth)) \
+        if dresample.device_path_ok(self._samplewidth, outr) \
                 and self._nframes < (1 << 30) // max(inr, outr):
             self._stage("ratecv", static=(inr, outr, nout))
         else:
-            # exact int64 host path (width 4 / pathological reduced rates)
+            # exact int64 host path (pathological reduced rates / huge inputs)
             y, _ = dresample.resample(np.asarray(self._materialize()),
                                       inr, outr, width=self._samplewidth)
             self._base = jnp.asarray(y)
@@ -757,6 +769,12 @@ class Sample:
         elif hasattr(lfo, "spec"):       # Oscillator: stage the patch render
             self._stage("pan_patch",
                         static=(lfo.spec, self._nframes, lfo.samplerate))
+        elif isinstance(lfo, Sample):    # Sample LFO fuses as a sub-program
+            sub_ops, dyn, leaves = lfo._as_subprogram()
+            self._stage("pan_sample",
+                        static=(MAXVAL[lfo._samplewidth], self._nframes,
+                                sub_ops),
+                        dyn=dyn, leaves=leaves)
         else:
             amt = _modulator_gains(lfo, self._nframes)
             self._stage("pan_lfo", leaves=(amt,))

@@ -181,6 +181,34 @@ def test_pan_static_and_lfo(rng):
     check_exact(gold.pan(-0.25), dev.pan(-0.25))
 
 
+def test_pan_sample_lfo_fuses(rng):
+    """pan(lfo=Sample): the LFO sample's own staged chain fuses in as a
+    sub-program (no separate materialization) and matches goldref's
+    per-frame amounts."""
+    from synthesizer_tpu.utils import profiling
+    gold, dev = make_pair(rng)
+    n = gold.nframes
+    lfo_i16 = (np.sin(np.arange(n) * 0.002) * 32767).astype(np.int16)
+    glfo_amt = lfo_i16.astype(np.float32) / np.float32(32767.0)
+    dlfo = Sample.from_raw_frames(lfo_i16.tobytes(), 2, SR, 1)
+    dlfo.amplify(1.0)                    # keep a pending op: must fuse in
+    with profiling.count_program_launches() as cnt:
+        dev.pan(lfo=dlfo)
+        dev.get_frame_array()
+    assert cnt[0] == 1, f"pan(lfo=Sample) launched {cnt[0]} programs"
+    glfo = np.floor(glfo_amt.astype(np.float32) * np.float32(1.0)).astype(np.float32)
+    # goldref twin: amplify(1.0) floors the product (audioop.mul spec)
+    import goldref.sample as gsm
+    gl = gsm.Sample(lfo_i16[:, None].copy(), SR, 2, 1)
+    gl.amplify(1.0)
+    gold.pan(lfo=gl.frames[:, 0].astype(np.float32) / np.float32(32767.0))
+    # <=1 LSB: XLA may turn the /32767 normalization into a reciprocal
+    # multiply inside the fused program (documented float-chain budget)
+    d = np.abs(dev.get_frame_array().astype(np.int64)
+               - gold.frames.astype(np.int64))
+    assert d.max() <= 1, d.max()
+
+
 def test_chunked_frame_data(rng):
     gold, dev = make_pair(rng, n=1000)
     gchunks = list(gold.chunked_frame_data(256))
