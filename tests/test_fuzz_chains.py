@@ -77,6 +77,45 @@ def test_random_chain(seed):
     assert dmax <= max(tol, 0), f"chain {names}: max diff {dmax} > tol {tol}"
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_random_chain_from_synth_source(seed):
+    """Chains over a WaveSynth-SOURCED sample: the synthesis is itself a
+    staged gen_patch IR node (round 2), so these fuzz the fused
+    synthesis+ops programs against oracle-rendered goldref twins.  The
+    source contributes <=1 LSB (trig polynomial vs np.sin)."""
+    import goldref.osc as go
+    import goldref.spec as gS
+    from synthesizer_tpu import WaveSynth
+    rng = np.random.default_rng(seed + 500)
+    kind = ["sine", "triangle", "sawtooth_bl", "pointy"][seed % 4]
+    freq = float(rng.uniform(100, 900))
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    dev = getattr(ws, kind)(freq, 0.07, amplitude=0.8).stereo()
+    src = go.to_int_samples(go.render_oracle(
+        gS.Osc(kind, freq, 0.8), int(0.07 * SR), SR), 2)
+    gold = gs.Sample(np.repeat(src[:, None], 2, axis=1), SR, 2, 2)
+    tol = 1                                  # source trig parity budget
+    names = [kind]
+    for _ in range(5):
+        name, fn, cost = OPS[rng.integers(len(OPS))]
+        names.append(name)
+        fn(gold)
+        fn(dev)
+        if name == "amplify_max":
+            tol *= AMPMAX_GAIN
+        elif name == "echo":
+            tol *= ECHO_GAIN
+        else:
+            tol += cost
+        if gold.nframes == 0:
+            break
+    got = dev.get_frame_array()
+    assert got.shape == gold.frames.shape, f"chain {names}"
+    d = np.abs(got.astype(np.int64) - gold.frames.astype(np.int64))
+    dmax = d.max() if d.size else 0
+    assert dmax <= max(tol, 0), f"chain {names}: max diff {dmax} > tol {tol}"
+
+
 def test_chain_with_mixes(rng):
     gold_a, dev_a = make_pair(rng)
     gold_b, dev_b = make_pair(rng, n=2000)
