@@ -125,6 +125,27 @@ def main() -> None:
     voice_msamples = layout.nvoices * total_frames / elapsed / 1e6
     out_msamples = total_frames / elapsed / 1e6
 
+    # secondary: config 3 (the chainable per-op API) — the whole 16-track
+    # workload incl. synthesis fuses to ONE device program since round 2;
+    # wall time = relay sync + result transfer, not op count
+    from synthesizer_tpu import Sample, WaveSynth
+
+    def config3(track_sec=2.0, gap=1.0):
+        synth3 = WaveSynth(samplerate=22050, samplewidth=2)
+        total3 = Sample.from_raw_frames(b"", 2, samplerate, 2)
+        for t in range(16):
+            s = synth3.sine(100.0 + 50 * t, track_sec, amplitude=0.4)
+            s.resample(samplerate).amplify(0.5 + 0.02 * t) \
+             .fadein(0.02).fadeout(0.05).stereo()
+            total3.mix_at(gap * t, s)
+        return total3
+
+    c3_dur = len(config3().get_frame_array()) / samplerate   # + compile
+    c3_wall = min(
+        (lambda t0: (config3().get_frame_array(),
+                     time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(4))
+
     dev = jax.devices()[0]
     peak = int(np.abs(np.asarray(out)).max())
     print(json.dumps({
@@ -144,6 +165,9 @@ def main() -> None:
         "device": str(dev),
         "peak_int16": peak,
         "checksum": checksum,
+        "config3_wall_x_realtime": round(c3_dur / c3_wall, 1),
+        "config3_audio_seconds": round(c3_dur, 2),
+        "config3_wall_seconds": round(c3_wall, 4),
     }))
 
 
