@@ -138,9 +138,13 @@ class SynthController:
                                   samplerate=self.samplerate)
         raise ValueError(f"waveform {w!r}")
 
-    def build_raw_patch(self, key_number: int) -> osc.Oscillator:
+    def build_raw_patch(self, key_number: int,
+                        include_echo: bool = True) -> osc.Oscillator:
         """GUI state + key -> un-enveloped oscillator patch (mix of active
-        panels, optional echo) — the realtime gate envelope applies on top."""
+        panels, optional echo) — the realtime gate envelope applies on top.
+        The realtime voice path passes ``include_echo=False`` and applies
+        echo AFTER the gate instead (the reference's envelope->echo
+        order); RealtimeVoice carries the echo tail across blocks."""
         freq = key_freq(key_number, self.a4)
         sources = [self._make_osc(s, freq, allow_routing=True)
                    for i, s in enumerate(self.oscs)
@@ -149,7 +153,7 @@ class SynthController:
             sources = [osc.Sine(freq, amplitude=0.5, samplerate=self.samplerate)]
         patch: osc.Oscillator = (sources[0] if len(sources) == 1
                                  else osc.MixingFilter(*sources))
-        if self.echo.enabled:
+        if include_echo and self.echo.enabled:
             patch = osc.EchoFilter(patch, self.echo.after, self.echo.amount,
                                    self.echo.delay, self.echo.decay)
         return patch
@@ -223,10 +227,14 @@ class SynthController:
             return
         if self.output.mixing == "mixed":
             e = self.env
-            voice = RealtimeVoice(self.build_raw_patch(key_number),
+            echo = (self.echo.after, self.echo.amount, self.echo.delay,
+                    self.echo.decay) if self.echo.enabled else None
+            voice = RealtimeVoice(self.build_raw_patch(key_number,
+                                                       include_echo=False),
                                   e.attack, e.decay, e.sustain_level, e.release,
                                   samplerate=self.samplerate,
-                                  blocksize=self.output.frames_per_chunk)
+                                  blocksize=self.output.frames_per_chunk,
+                                  echo=echo)
             sid = self.output.mixer.add_stream(voice.chunks())
             self._active[key_number] = (sid, voice)
         else:

@@ -69,12 +69,33 @@ def _apply_and_quantize(vals: jax.Array, gains: jax.Array) -> jax.Array:
     return v.astype(jnp.int16)
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "tap_gains"))
+def _echo_step(gated: jax.Array, tail: jax.Array, offsets: tuple,
+               tap_gains: tuple):
+    """One streaming feed-forward echo block (same math as the offline
+    ``spec.Echo`` lowering): ``out = gated + sum_k g_k * gated[n - d_k]``
+    with the cross-block history carried in ``tail`` [dmax]."""
+    B = gated.shape[0]
+    dmax = tail.shape[0]
+    buf = jnp.concatenate([tail, gated])
+    out = gated
+    for dk, gk in zip(offsets, tap_gains):
+        out = out + jnp.float32(gk) * jax.lax.dynamic_slice_in_dim(
+            buf, dmax - dk, B)
+    return out, buf[-dmax:]
+
+
 class RealtimeVoice:
     """One sounding note: streaming patch render x gate ADSR -> int16 chunks."""
 
     def __init__(self, patch: Oscillator, attack: float, decay: float,
                  sustain_level: float, release: float,
-                 samplerate: int = 0, blocksize: int = 0, stereo: bool = True):
+                 samplerate: int = 0, blocksize: int = 0, stereo: bool = True,
+                 echo: Optional[tuple] = None):
+        """``echo=(after, amount, delay, decay)`` applies a feed-forward
+        echo AFTER the gate envelope — the reference's offline order
+        (envelope, then echo); the tail keeps ringing for the echo span
+        after the release ramp ends."""
         self.samplerate = samplerate or patch.samplerate
         self.blocksize = blocksize or params.norm_frames_per_chunk
         self.attack = float(attack)
@@ -82,6 +103,23 @@ class RealtimeVoice:
         self.sustain_level = float(sustain_level)
         self.release_time = max(float(release), 1e-4)
         self.stereo = stereo
+        self._echo_offsets: tuple = ()
+        self._echo_gains: tuple = ()
+        self._echo_tail = None
+        if echo is not None:
+            after, amount, delay, decay_g = echo
+            offs, gains, g = [], [], 1.0
+            for k in range(1, int(amount) + 1):
+                g *= float(decay_g)
+                dk = int(round(after * self.samplerate)) \
+                    + k * int(round(delay * self.samplerate))
+                if dk > 0:
+                    offs.append(dk)
+                    gains.append(np.float32(g))
+            if offs:
+                self._echo_offsets = tuple(offs)
+                self._echo_gains = tuple(gains)
+                self._echo_tail = jnp.zeros((max(offs),), jnp.float32)
         self._stream = G.block_stream(patch.spec, self.samplerate, self.blocksize)
         self._released = threading.Event()
         self._release_at: Optional[int] = None
@@ -129,11 +167,20 @@ class RealtimeVoice:
                 gains = _gate_gains(jnp.float32(n0), self.blocksize, sr,
                                     a, d, sl, jnp.float32(self._release_n),
                                     jnp.float32(self._release_level), r)
-            chunk = np.asarray(_apply_and_quantize(vals, gains))
+            if self._echo_tail is not None:
+                gated = vals * gains
+                gated, self._echo_tail = _echo_step(
+                    gated, self._echo_tail, self._echo_offsets,
+                    self._echo_gains)
+                chunk = np.asarray(_apply_and_quantize(
+                    gated, jnp.float32(1.0)))
+            else:
+                chunk = np.asarray(_apply_and_quantize(vals, gains))
             if self.stereo:
                 chunk = np.repeat(chunk[:, None], 2, axis=1)
             yield chunk.tobytes()
             n0 += self.blocksize
             if self._release_n is not None and \
-                    n0 >= self._release_n + int(self.release_time * self.samplerate) + 1:
+                    n0 >= self._release_n + int(self.release_time * self.samplerate) \
+                    + (max(self._echo_offsets) if self._echo_offsets else 0) + 1:
                 return

@@ -108,6 +108,45 @@ def test_release_at_future_frame_holds_until_then():
     assert np.abs(audio[rn + int(0.02 * SR) + 10:]).max() == 0
 
 
+def test_voice_echo_after_gate_matches_offline_order():
+    """Realtime echo applies AFTER the gate envelope (the reference's
+    offline envelope->echo order) with the tail carried across blocks and
+    ringing past the release end."""
+    a, d, sl, r = 0.01, 0.02, 0.7, 0.04
+    after, amount, delay, decay = 0.02, 3, 0.03, 0.5
+    rn = 2 * BS + 300
+    patch = osc.Sine(330.0, amplitude=0.8, samplerate=SR)
+    v = RealtimeVoice(patch, a, d, sl, r, samplerate=SR, blocksize=BS,
+                      echo=(after, amount, delay, decay))
+    v.release(at_frame=rn)
+    audio = np.concatenate([np.frombuffer(c, np.int16).reshape(-1, 2)
+                            for c in v.chunks()])
+    N = len(audio)
+    # oracle: gate-gained signal, then feed-forward echo, all whole-signal
+    vals = np.asarray(patch.render(N), np.float64)
+    t = np.arange(N) / SR
+    held = np.where(t < a, t / a,
+                    np.where(t < a + d, 1.0 + (sl - 1.0) * (t - a) / d, sl))
+    level = held[rn]
+    rel = np.clip(level * (1.0 - (t - rn / SR) / r), 0.0, 1.0)
+    gated = vals * np.where(np.arange(N) < rn, held, rel)
+    out = gated.copy()
+    g = 1.0
+    for k in range(1, amount + 1):
+        g *= decay
+        dk = int(round(after * SR)) + k * int(round(delay * SR))
+        out[dk:] += g * gated[:N - dk]
+    want = np.clip(np.rint(out * 32767.0), -32768, 32767)
+    diff = np.abs(audio[:, 0].astype(np.int64) - want.astype(np.int64))
+    assert diff.max() <= 2, f"max {diff.max()} LSB"   # echo taps sum f32 diffs
+    # the tail rings past the release end (echo-after-gate, not silence)
+    rel_end = rn + int(r * SR)
+    ring = audio[rel_end + 10: rel_end + int(0.05 * SR), 0]
+    assert np.abs(ring).max() > 100
+    # and the stream still terminates
+    assert N <= rel_end + int((after + amount * delay) * SR) + 2 * BS
+
+
 def test_controller_realtime_voice_lifecycle():
     out = Output(samplerate=SR, nchannels=2, frames_per_chunk=BS, mixing="mixed")
     try:
