@@ -54,6 +54,9 @@ def spec_from_json(obj) -> S.Node:
     """Recursively decode a JSON patch description into a spec tree."""
     if isinstance(obj, (int, float)):
         return S.Const(float(obj))
+    if not isinstance(obj, dict):
+        raise ValueError(f"patch node must be a JSON object or number, "
+                         f"got {type(obj).__name__}")
     node = obj.get("node", "osc")
     if node == "osc":
         return S.Osc(
@@ -174,7 +177,7 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
                 return
-        except (KeyError, IndexError, ValueError, TypeError,
+        except (KeyError, IndexError, AttributeError, ValueError, TypeError,
                 json.JSONDecodeError, configparser.Error, struct.error) as e:
             self._send_json(400, {"error": str(e)})
             return

@@ -168,6 +168,29 @@ def test_error_responses(server):
     assert status == 404
 
 
+def test_endpoint_garbage_fuzz(server):
+    """Malformed bodies must produce clean 4xx responses, never a handler
+    crash (which would surface as a dropped connection / empty reply)."""
+    rng = np.random.default_rng(99)
+    payloads = [b"", b"{", b"[]", b"null", b'{"duration": "x"}',
+                b'{"patch": "sine", "duration": 1}',
+                b'{"patch": {"node": ["list"]}, "duration": 1}',
+                b'{"voices": {"not": "a list"}, "duration": 1}',
+                b'{"voices": [{"wave": "nope"}], "duration": 1}',
+                b"\xff\xfe\x00bad utf8 \x80", b"MThd" + b"\x00" * 3,
+                b"MThd" + bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
+                b"[song]\nbpm = NaN\n",
+                b"[song]\nbpm = 120\nticks = 4\npatterns = missing\n",
+                bytes(rng.integers(0, 256, 512, dtype=np.uint8))]
+    for path in ("/render/song", "/render/patch", "/render/voices",
+                 "/render/midi"):
+        for body in payloads:
+            status, ctype, data = request(server, "POST", path, body,
+                                          ctype="application/octet-stream")
+            assert 400 <= status < 500, (path, body[:20], status)
+            assert ctype == "application/json" and b"error" in data
+
+
 def test_spec_from_json_roundtrip():
     node = spec_from_json({"node": "mix", "sources": [
         {"node": "osc", "kind": "triangle", "frequency": 100},
