@@ -246,11 +246,14 @@ def section_configs(SR):
     offline = song.mix(normalize=False)
     off = offline.get_frame_array()
     sched = song.compile_schedule()
-    gout = gs.Sample(np.zeros((off.shape[0], 2), np.int32), SR, 4, 2)
+    # per-hit oracle loop at exact FRAME offsets (never round-trip frames
+    # through seconds — float division loses frames, CLAUDE.md)
+    gout = np.zeros((off.shape[0], 2), np.int64)
     for inst_i, start in sched.hits:
         arr = song.instruments[sched.instruments[inst_i]].get_frame_array()
-        gref = gs.Sample(arr.astype(np.int32), SR, 4, 2)
-        gout.mix_at(start / SR, gref, pad_shortest=False)
+        m = min(len(arr), len(gout) - start)
+        gout[start:start + m] += arr[:m].astype(np.int64)
+    gout = np.clip(gout, -2**31, 2**31 - 1)  # widened int32 domain
     # synth voices: device render is the pinned engine; drums must match
     import jax.numpy as jnp
     from synthesizer_tpu.sequencer import _mixdown_kernel
@@ -259,7 +262,7 @@ def section_configs(SR):
         jnp.asarray(sched.hits[:, 0].astype(np.int32)),
         jnp.asarray(sched.hits[:, 1].astype(np.int32)),
         off.shape[0]), -32768, 32767))
-    d = np.abs(drums_dev.astype(np.int64) - np.clip(gout.frames, -32768, 32767)).max()
+    d = np.abs(drums_dev.astype(np.int64) - np.clip(gout, -32768, 32767)).max()
     check("config5/drum_scatter_vs_oracle", d == 0, f"max {d} LSB (int exact)")
     chunks = [c.get_frame_array() for c in song.mix_generator(chunk_frames=1470)]
     got_stream = np.concatenate(chunks)

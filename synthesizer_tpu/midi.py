@@ -28,7 +28,7 @@ from .sequencer import SynthDef
 from . import params
 
 __all__ = ["MidiNote", "parse_midi", "midi_to_voices", "render_midi",
-           "write_midi"]
+           "render_notes", "write_midi"]
 
 _A4_KEY = 69  # MIDI note number of A4
 
@@ -237,8 +237,16 @@ def render_midi(source: Union[str, bytes],
                 instruments: Optional[Dict[int, SynthDef]] = None,
                 samplerate: int = 0, tail_seconds: float = 0.3) -> Sample:
     """Render a MIDI file to a stereo Sample in one batched bank render."""
+    return render_notes(parse_midi(source), instruments, samplerate,
+                        tail_seconds)
+
+
+def render_notes(notes: Sequence[MidiNote],
+                 instruments: Optional[Dict[int, SynthDef]] = None,
+                 samplerate: int = 0, tail_seconds: float = 0.3) -> Sample:
+    """Render pre-parsed note events (callers that already ran
+    ``parse_midi`` — e.g. to validate duration — avoid a second parse)."""
     sr = samplerate or params.norm_samplerate
-    notes = parse_midi(source)
     if not notes:
         return Sample.from_raw_frames(b"", 2, sr, 2)
     voices = midi_to_voices(notes, instruments)

@@ -168,6 +168,9 @@ class Song:
     def _read_cp(self, cp: configparser.ConfigParser, base: str) -> None:
         self.bpm = cp.getint("song", "bpm")
         self.ticks = cp.getint("song", "ticks")
+        if self.bpm <= 0 or self.ticks <= 0:
+            raise ValueError(f"bpm and ticks must be positive "
+                             f"(got bpm={self.bpm}, ticks={self.ticks})")
         self.pattern_sequence = cp.get("song", "patterns").split()
         for name, filename in cp.items("instruments") if cp.has_section("instruments") else []:
             smp = Sample(wave_file=os.path.join(base, filename), name=name)
@@ -396,7 +399,7 @@ class Song:
     # -- offline mixdown ------------------------------------------------------
 
     def mix(self, normalize: bool = True, tail_seconds: float = 0.3,
-            mesh=None) -> Sample:
+            mesh=None, max_frames: Optional[int] = None) -> Sample:
         """Offline song mixdown as one batched device render.
 
         Sums all hits in a widened int32 buffer (overflow-free headroom, the
@@ -414,6 +417,11 @@ class Song:
         voices = self.compile_synth_voices()
         total = max(sched.total_frames, self._synth_end_frame(voices)) \
             + int(tail_seconds * self.samplerate)
+        if max_frames is not None and total > max_frames:
+            raise ValueError(
+                f"mixdown of {total} frames "
+                f"({total / self.samplerate:.1f}s) exceeds the caller's "
+                f"limit of {max_frames} frames")
         if len(sched.hits) == 0 and not voices:
             return Sample.from_raw_frames(b"", 2, self.samplerate, self.nchannels)
         out32 = jnp.zeros((total, self.nchannels), jnp.int32)
@@ -432,6 +440,8 @@ class Song:
                     total)
         if voices:
             if mesh is not None:
+                if self.nchannels != 2:
+                    raise ValueError("synth tracks require a stereo song format")
                 from .parallel.mesh import render_song_sharded
                 from .models.voicebank import WAVE_IDS
                 vp = pack_voices(voices, self.samplerate, num_harmonics=8,

@@ -37,6 +37,7 @@ import json
 import os
 import struct
 import threading
+import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -166,18 +167,19 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/render/voices":
                 wav = self._render_voices(json.loads(body))
             elif self.path == "/render/midi":
-                from .midi import parse_midi, render_midi
+                from .midi import parse_midi, render_notes
                 notes = parse_midi(body)
                 if notes:
                     self._check_duration(max(n.start + n.duration
                                              for n in notes))
                 bio = io.BytesIO()
-                render_midi(body).write_wav(bio)
+                render_notes(notes).write_wav(bio)
                 wav = bio.getvalue()
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
                 return
         except (KeyError, IndexError, AttributeError, ValueError, TypeError,
+                ZeroDivisionError, OSError, wave.Error,
                 json.JSONDecodeError, configparser.Error, struct.error) as e:
             self._send_json(400, {"error": str(e)})
             return
@@ -188,6 +190,16 @@ class _Handler(BaseHTTPRequestHandler):
         if seconds > limit:
             raise ValueError(f"render of {seconds:.1f}s exceeds the server "
                              f"limit of {limit:.0f}s")
+
+    @staticmethod
+    def _check_samplerate(sr: int) -> int:
+        # bounded so duration caps actually cap frames: an unbounded
+        # client samplerate would turn a legal duration into a
+        # terabyte-scale render (and 0 into a ZeroDivisionError)
+        if not 1000 <= sr <= 384000:
+            raise ValueError(f"samplerate {sr} outside the served "
+                             f"range [1000, 384000]")
+        return sr
 
     def _render_song(self, ini_text: str) -> bytes:
         """Render attacker-controllable song text.
@@ -209,14 +221,15 @@ class _Handler(BaseHTTPRequestHandler):
             rootreal = os.path.realpath(root)
             for name, filename in cp.items("instruments"):
                 real = os.path.realpath(os.path.join(rootreal, filename))
-                if os.path.isabs(filename) or not (
-                        real == rootreal
-                        or real.startswith(rootreal + os.sep)):
+                # strict prefix: equality would mean an empty/"." filename
+                # resolving to the root directory itself
+                if os.path.isabs(filename) or not real.startswith(
+                        rootreal + os.sep):
                     raise ValueError(f"instrument {name!r} path escapes the "
                                      f"server sample root")
         song = Song.from_string(ini_text, sample_dir=root or "")
-        self._check_duration(song.duration_frames() / song.samplerate)
-        mixed = song.mix()
+        limit = self.server.max_render_seconds  # type: ignore[attr-defined]
+        mixed = song.mix(max_frames=int(limit * song.samplerate))
         bio = io.BytesIO()
         mixed.write_wav(bio)
         return bio.getvalue()
@@ -224,7 +237,8 @@ class _Handler(BaseHTTPRequestHandler):
     def _render_patch(self, obj) -> bytes:
         self._check_duration(float(obj["duration"]))
         node = spec_from_json(obj["patch"])
-        sr = int(obj.get("samplerate", params.norm_samplerate))
+        sr = self._check_samplerate(
+            int(obj.get("samplerate", params.norm_samplerate)))
         n = int(float(obj["duration"]) * sr)
         vals = G.render_patch(node, n, sr)
         data = G.to_int_device(vals, 2)[:, None]
@@ -237,7 +251,8 @@ class _Handler(BaseHTTPRequestHandler):
         voices = voices_from_json(obj["voices"])
         if not voices:
             raise ValueError("no voices given")
-        sr = int(obj.get("samplerate", params.norm_samplerate))
+        sr = self._check_samplerate(
+            int(obj.get("samplerate", params.norm_samplerate)))
         total = int(float(obj["duration"]) * sr)
         vp, layout = pack_voices(voices, sr, num_harmonics=8, sort_by_wave=True)
         bank = VoiceBank.for_voices(voices, sr, num_harmonics=8,

@@ -36,18 +36,24 @@ from .oscillators import Oscillator
 import functools
 
 
+_HELD = 2**31 - 1   # release_start sentinel: never released
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _gate_gains(n0: jax.Array, n: int, samplerate: float, attack: jax.Array,
                 decay: jax.Array, sustain_level: jax.Array,
                 release_start: jax.Array, release_level: jax.Array,
                 release: jax.Array) -> jax.Array:
-    """Piecewise gate envelope for one block at absolute offset ``n0``.
+    """Piecewise gate envelope for one block at absolute frame ``n0``.
 
-    Frames before ``release_start`` get the held A/D/S curve; frames at or
-    after it get the release ramp from ``release_level``.  A held voice
-    passes ``release_start = +inf`` (one compiled program covers held,
-    released, and split blocks)."""
-    t = (n0 + jnp.arange(n, dtype=jnp.float32)) / samplerate
+    Frames (integer index) before ``release_start`` get the held A/D/S
+    curve; frames at or after it get the release ramp from
+    ``release_level``.  The held/released SPLIT is an exact int32 frame
+    comparison — an f32 time comparison would lose single-frame resolution
+    past ~2^22 frames.  A held voice passes ``release_start = _HELD``
+    (one compiled program covers held, released, and split blocks)."""
+    idx = n0 + jnp.arange(n, dtype=jnp.int32)          # exact frame index
+    t = idx.astype(jnp.float32) / samplerate
     eps = jnp.float32(1e-30)
     g = jnp.ones((n,), jnp.float32)
     g = jnp.where(attack > 0, jnp.minimum(g, t / jnp.maximum(attack, eps)), g)
@@ -57,10 +63,11 @@ def _gate_gains(n0: jax.Array, n: int, samplerate: float, attack: jax.Array,
                   g)
     g = jnp.where(t >= attack + decay, sustain_level, g)
     held = jnp.maximum(g, 0.0)
-    tr = release_start / samplerate
-    rel = jnp.clip(release_level * (1.0 - (t - tr) / jnp.maximum(release, eps)),
+    # ramp position in whole frames (exact), then seconds in f32
+    dt_rel = (idx - release_start).astype(jnp.float32) / samplerate
+    rel = jnp.clip(release_level * (1.0 - dt_rel / jnp.maximum(release, eps)),
                    0.0, 1.0)
-    return jnp.where(t < tr, held, rel)
+    return jnp.where(idx < release_start, held, rel)
 
 
 @jax.jit
@@ -160,12 +167,12 @@ class RealtimeVoice:
                 self._release_n = max(int(rn), n0)
                 self._release_level = self._held_level_at(self._release_n)
             if self._release_n is None:
-                gains = _gate_gains(jnp.float32(n0), self.blocksize, sr,
-                                    a, d, sl, jnp.float32(np.inf),
+                gains = _gate_gains(jnp.int32(n0), self.blocksize, sr,
+                                    a, d, sl, jnp.int32(_HELD),
                                     jnp.float32(1.0), r)
             else:
-                gains = _gate_gains(jnp.float32(n0), self.blocksize, sr,
-                                    a, d, sl, jnp.float32(self._release_n),
+                gains = _gate_gains(jnp.int32(n0), self.blocksize, sr,
+                                    a, d, sl, jnp.int32(self._release_n),
                                     jnp.float32(self._release_level), r)
             if self._echo_tail is not None:
                 gated = vals * gains

@@ -128,8 +128,8 @@ def test_render_song_path_policy(server, tmp_path):
         status, _, data = request(server, "POST", "/render/song", bad,
                                   ctype="text/plain")
         assert status == 400 and b"paths" in data
-        # absolute and parent-escaping instrument filenames rejected
-        for evil in ("/etc/hostname", "../kick.wav"):
+        # absolute, parent-escaping, and root-resolving filenames rejected
+        for evil in ("/etc/hostname", "../kick.wav", ".", ""):
             bad = SONG_INI.replace("kick = kick.wav", f"kick = {evil}")
             status, _, data = request(server, "POST", "/render/song", bad,
                                       ctype="text/plain")
@@ -144,6 +144,17 @@ def test_render_limits(server):
                        "patch": {"node": "osc", "frequency": 440}})
     status, _, data = request(server, "POST", "/render/patch", body)
     assert status == 400 and b"exceeds" in data
+    # samplerate bounds: a huge rate must not bypass the frame cap, and
+    # zero must not ZeroDivisionError the handler
+    for sr in (2_000_000_000, 0, -44100):
+        body = json.dumps({"duration": 1.0, "samplerate": sr,
+                           "patch": {"node": "osc", "frequency": 440}})
+        status, _, data = request(server, "POST", "/render/patch", body)
+        assert status == 400 and b"samplerate" in data, sr
+        body = json.dumps({"duration": 1.0, "samplerate": sr,
+                           "voices": [{"wave": "sine"}]})
+        status, _, data = request(server, "POST", "/render/voices", body)
+        assert status == 400 and b"samplerate" in data, sr
     body = json.dumps({"duration": 1e6, "voices": [{"wave": "sine"}]})
     status, _, data = request(server, "POST", "/render/voices", body)
     assert status == 400 and b"exceeds" in data
@@ -181,6 +192,8 @@ def test_endpoint_garbage_fuzz(server):
                 b"MThd" + bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
                 b"[song]\nbpm = NaN\n",
                 b"[song]\nbpm = 120\nticks = 4\npatterns = missing\n",
+                b"[song]\nbpm = 0\nticks = 4\npatterns = a\n"
+                b"[synth.l]\nwave = sine\n[pattern.a]\nl = C4\n",
                 bytes(rng.integers(0, 256, 512, dtype=np.uint8))]
     for path in ("/render/song", "/render/patch", "/render/voices",
                  "/render/midi"):
