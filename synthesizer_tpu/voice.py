@@ -70,12 +70,6 @@ def _gate_gains(n0: jax.Array, n: int, samplerate: float, attack: jax.Array,
     return jnp.where(idx < release_start, held, rel)
 
 
-@jax.jit
-def _apply_and_quantize(vals: jax.Array, gains: jax.Array) -> jax.Array:
-    v = jnp.clip(jnp.rint(vals * gains * jnp.float32(32767.0)), -32768, 32767)
-    return v.astype(jnp.int16)
-
-
 @functools.partial(jax.jit, static_argnames=("offsets", "tap_gains"))
 def _echo_step(gated: jax.Array, tail: jax.Array, offsets: tuple,
                tap_gains: tuple):
@@ -127,11 +121,39 @@ class RealtimeVoice:
                 self._echo_offsets = tuple(offs)
                 self._echo_gains = tuple(gains)
                 self._echo_tail = jnp.zeros((max(offs),), jnp.float32)
-        self._stream = G.block_stream(patch.spec, self.samplerate, self.blocksize)
         self._released = threading.Event()
         self._release_at: Optional[int] = None
         self._release_n: Optional[int] = None
         self._release_level: Optional[float] = None
+
+        # ONE fused device program per block: patch render, gate gains,
+        # echo, int16 quantization.  On the axon relay each dispatch costs
+        # ~1.5-5 ms, so fusing the 3-4 stages matters for the realtime
+        # budget (a 1470-frame block is 33 ms of audio).
+        init_state, step = G.lower(patch.spec, self.samplerate, self.blocksize)
+        self._voice_state = init_state
+        sr = jnp.float32(self.samplerate)
+        a = jnp.float32(self.attack)
+        d = jnp.float32(self.decay)
+        sl = jnp.float32(self.sustain_level)
+        r = jnp.float32(self.release_time)
+        has_echo = self._echo_tail is not None
+        offs, tgains = self._echo_offsets, self._echo_gains
+        if not has_echo:
+            self._echo_tail = jnp.zeros((1,), jnp.float32)   # static pytree
+
+        @jax.jit
+        def voice_step(state, tail, n0, rn, rlevel):
+            vals, state = step(state, n0)
+            gains = _gate_gains(n0, self.blocksize, sr, a, d, sl, rn, rlevel, r)
+            gated = vals * gains
+            if has_echo:
+                gated, tail = _echo_step(gated, tail, offs, tgains)
+            v = jnp.clip(jnp.rint(gated * jnp.float32(32767.0)),
+                         -32768, 32767).astype(jnp.int16)
+            return v, state, tail
+
+        self._voice_step = voice_step
 
     def release(self, at_frame: Optional[int] = None) -> None:
         """Key-up.  ``at_frame`` pins the ramp start to that exact absolute
@@ -153,13 +175,9 @@ class RealtimeVoice:
     def chunks(self) -> Iterator[bytes]:
         """Yield interleaved int16 frame bytes; ends after the release ramp."""
         n0 = 0
-        sr = jnp.float32(self.samplerate)
-        a = jnp.float32(self.attack)
-        d = jnp.float32(self.decay)
-        sl = jnp.float32(self.sustain_level)
-        r = jnp.float32(self.release_time)
-        for block in self._stream:
-            vals = jnp.asarray(block)
+        state = self._voice_state
+        tail = self._echo_tail
+        while True:
             if self._release_n is None and self._released.is_set():
                 rn = n0 if self._release_at is None else self._release_at
                 # frames before n0 are already rendered/queued; the ramp
@@ -167,22 +185,13 @@ class RealtimeVoice:
                 self._release_n = max(int(rn), n0)
                 self._release_level = self._held_level_at(self._release_n)
             if self._release_n is None:
-                gains = _gate_gains(jnp.int32(n0), self.blocksize, sr,
-                                    a, d, sl, jnp.int32(_HELD),
-                                    jnp.float32(1.0), r)
+                rn_arg, level_arg = _HELD, 1.0
             else:
-                gains = _gate_gains(jnp.int32(n0), self.blocksize, sr,
-                                    a, d, sl, jnp.int32(self._release_n),
-                                    jnp.float32(self._release_level), r)
-            if self._echo_tail is not None:
-                gated = vals * gains
-                gated, self._echo_tail = _echo_step(
-                    gated, self._echo_tail, self._echo_offsets,
-                    self._echo_gains)
-                chunk = np.asarray(_apply_and_quantize(
-                    gated, jnp.float32(1.0)))
-            else:
-                chunk = np.asarray(_apply_and_quantize(vals, gains))
+                rn_arg, level_arg = self._release_n, self._release_level
+            out, state, tail = self._voice_step(
+                state, tail, jnp.int32(n0), jnp.int32(rn_arg),
+                jnp.float32(level_arg))
+            chunk = np.asarray(out)
             if self.stereo:
                 chunk = np.repeat(chunk[:, None], 2, axis=1)
             yield chunk.tobytes()
