@@ -367,6 +367,30 @@ def block_stream(node: S.Node, samplerate: int,
         pending = vals
 
 
+def int_block_stream(node: S.Node, samplerate: int, blocksize: int,
+                     samplewidth: int) -> Iterator[np.ndarray]:
+    """Like :func:`block_stream` but quantized to int samples ON DEVICE in
+    the same fused program as the patch step — one dispatch per block for
+    the realtime ``*_gen`` paths (quantizing outside the jit cost 2-3
+    extra relay dispatches per 33 ms chunk)."""
+    init, step = lower(node, samplerate, blocksize)
+
+    @jax.jit
+    def jstep(state, n0):
+        vals, state = step(state, n0)
+        return to_int_device(vals, samplewidth), state
+
+    state = init
+    n0 = 0
+    pending = None
+    while True:
+        vals, state = jstep(state, jnp.int32(n0))
+        n0 += blocksize
+        if pending is not None:
+            yield np.asarray(pending)
+        pending = vals
+
+
 def to_int_device(values: jax.Array, samplewidth: int) -> jax.Array:
     """f32 [-1,1] -> int samples: clip(rint(v * maxval)) (nearest-even)."""
     maxval = {1: 127.0, 2: 32767.0, 4: 2147483647.0}[samplewidth]

@@ -77,9 +77,10 @@ class WaveSynth:
 
     def _gen(self, node: S.Node, blocksize: int = 0) -> Iterator[Sample]:
         bs = blocksize or params.norm_osc_blocksize
-        for block in G.block_stream(node, self.samplerate, bs):
-            data = G.to_int_device(jnp.asarray(block), self.samplewidth)[:, None]
-            yield Sample.from_jax(data, self.samplerate, self.samplewidth, "gen")
+        for block in G.int_block_stream(node, self.samplerate, bs,
+                                        self.samplewidth):
+            yield Sample.from_raw_frames(block.tobytes(), self.samplewidth,
+                                         self.samplerate, 1, "gen")
 
     @staticmethod
     def _spec(osc) -> Optional[S.Node]:
