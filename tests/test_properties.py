@@ -4,6 +4,7 @@ chunked-vs-whole invariance, profiling counters, demo song end-to-end."""
 import os
 import sys
 
+import goldref.sample as gs
 import numpy as np
 import pytest
 
@@ -141,3 +142,25 @@ def test_edge_guards(rng, tmp_path):
         next(empty.chunked_frame_data(100, repeat=True))
     with pytest.raises(ValueError):
         Output(samplewidth=4, mixing="mixed")
+
+
+def test_parallel_sample_staging_is_thread_safe():
+    """Independent Samples staged+materialized from 8 threads concurrently:
+    the lazy-IR machinery (shared program cache, launch counter) must not
+    cross-contaminate results."""
+    import concurrent.futures as cf
+
+    def work(i):
+        rng = np.random.default_rng(i)
+        a = rng.integers(-10000, 10000, size=(2000, 2)).astype(np.int16)
+        s = Sample.from_raw_frames(a.tobytes(), 2, SR, 2)
+        s.amplify(0.5).fadein(0.01).fadeout(0.01).reverse()
+        g = gs.Sample(a.copy(), SR, 2, 2)
+        g.amplify(0.5).fadein(0.01).fadeout(0.01).reverse()
+        d = np.abs(s.get_frame_array().astype(np.int64)
+                   - g.frames.astype(np.int64)).max()
+        return d
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        diffs = list(ex.map(work, range(16)))
+    assert max(diffs) <= 2, diffs

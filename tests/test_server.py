@@ -204,6 +204,29 @@ def test_endpoint_garbage_fuzz(server):
             assert ctype == "application/json" and b"error" in data
 
 
+def test_concurrent_renders(server):
+    """ThreadingHTTPServer + JAX: 8 simultaneous renders must all succeed
+    with correct, independent outputs (no cross-request corruption)."""
+    import concurrent.futures as cf
+
+    def render(freq):
+        body = json.dumps({"duration": 0.2,
+                           "patch": {"node": "osc", "kind": "sine",
+                                     "frequency": freq, "amplitude": 0.8}})
+        status, ctype, data = request(server, "POST", "/render/patch", body)
+        assert status == 200, (freq, status)
+        audio, rate = read_wav_bytes(data)
+        spec = np.abs(np.fft.rfft(audio[:, 0].astype(np.float64)))
+        freqs = np.fft.rfftfreq(len(audio), 1 / rate)
+        return freqs[np.argmax(spec)]
+
+    want = [220.0 + 110.0 * i for i in range(8)]
+    with cf.ThreadPoolExecutor(8) as ex:
+        got = list(ex.map(render, want))
+    for w, g in zip(want, got):
+        assert abs(w - g) < 6.0, (w, g)   # each response carries ITS tone
+
+
 def test_spec_from_json_roundtrip():
     node = spec_from_json({"node": "mix", "sources": [
         {"node": "osc", "kind": "triangle", "frequency": 100},
