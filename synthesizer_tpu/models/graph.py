@@ -350,12 +350,20 @@ def render_patch(node: S.Node, nsamples: int, samplerate: int,
     return fn()
 
 
-def block_stream(node: S.Node, samplerate: int,
-                 blocksize: int = 512) -> Iterator[np.ndarray]:
-    """Host generator of f32 blocks (the reference's ``Oscillator.blocks()``
-    pull model): device renders block k while the host consumes block k-1."""
+def block_stream(node: S.Node, samplerate: int, blocksize: int = 512,
+                 post=None) -> Iterator[np.ndarray]:
+    """Host generator of blocks (the reference's ``Oscillator.blocks()``
+    pull model): device renders block k while the host consumes block k-1.
+
+    ``post`` (an optional traceable f32[block] -> array transform) fuses
+    into the same per-block device program."""
     init, step = lower(node, samplerate, blocksize)
-    jstep = jax.jit(step)
+
+    @jax.jit
+    def jstep(state, n0):
+        vals, state = step(state, n0)
+        return (vals if post is None else post(vals)), state
+
     state = init
     n0 = 0
     pending = None
@@ -369,26 +377,12 @@ def block_stream(node: S.Node, samplerate: int,
 
 def int_block_stream(node: S.Node, samplerate: int, blocksize: int,
                      samplewidth: int) -> Iterator[np.ndarray]:
-    """Like :func:`block_stream` but quantized to int samples ON DEVICE in
-    the same fused program as the patch step — one dispatch per block for
-    the realtime ``*_gen`` paths (quantizing outside the jit cost 2-3
-    extra relay dispatches per 33 ms chunk)."""
-    init, step = lower(node, samplerate, blocksize)
-
-    @jax.jit
-    def jstep(state, n0):
-        vals, state = step(state, n0)
-        return to_int_device(vals, samplewidth), state
-
-    state = init
-    n0 = 0
-    pending = None
-    while True:
-        vals, state = jstep(state, jnp.int32(n0))
-        n0 += blocksize
-        if pending is not None:
-            yield np.asarray(pending)
-        pending = vals
+    """:func:`block_stream` quantized to int samples ON DEVICE in the same
+    fused program as the patch step — one dispatch per block for the
+    realtime ``*_gen`` paths (quantizing outside the jit cost 2-3 extra
+    relay dispatches per 33 ms chunk)."""
+    return block_stream(node, samplerate, blocksize,
+                        post=lambda v: to_int_device(v, samplewidth))
 
 
 def to_int_device(values: jax.Array, samplewidth: int) -> jax.Array:

@@ -378,6 +378,12 @@ class Song:
         notes.sort(key=lambda n: n.start)
         return write_midi(notes, bpm=bpm or self.bpm)
 
+    def _check_synth_format(self, voices: Sequence[Voice]) -> None:
+        """Every path that renders synth voices (single-device, sharded
+        offline, sharded streaming) shares this guard."""
+        if voices and self.nchannels != 2:
+            raise ValueError("synth tracks require a stereo song format")
+
     def _synth_bank(self, voices: Sequence[Voice], chunk_frames: int):
         if self.nchannels != 2:
             raise ValueError("synth tracks require a stereo song format")
@@ -415,6 +421,7 @@ class Song:
         """
         sched = self.compile_schedule()
         voices = self.compile_synth_voices()
+        self._check_synth_format(voices)
         total = max(sched.total_frames, self._synth_end_frame(voices)) \
             + int(tail_seconds * self.samplerate)
         if max_frames is not None and total > max_frames:
@@ -440,8 +447,6 @@ class Song:
                     total)
         if voices:
             if mesh is not None:
-                if self.nchannels != 2:
-                    raise ValueError("synth tracks require a stereo song format")
                 from .parallel.mesh import render_song_sharded
                 from .models.voicebank import WAVE_IDS
                 vp = pack_voices(voices, self.samplerate, num_harmonics=8,
@@ -479,6 +484,7 @@ class Song:
         """
         sched = self.compile_schedule()
         voices = self.compile_synth_voices()
+        self._check_synth_format(voices)
         cf = chunk_frames or params.norm_frames_per_chunk
         total = max(sched.total_frames, self._synth_end_frame(voices))
         if total == 0:

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from typing import Iterator, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
-
 from . import params
 from .models import graph as G
 from .models import spec as S

@@ -181,8 +181,11 @@ class RealtimeVoice:
             if self._release_n is None and self._released.is_set():
                 rn = n0 if self._release_at is None else self._release_at
                 # frames before n0 are already rendered/queued; the ramp
-                # cannot rewrite them, so it starts no earlier than n0
-                self._release_n = max(int(rn), n0)
+                # cannot rewrite them, so it starts no earlier than n0.
+                # Clamp into int32 (the whole engine indexes frames in
+                # int32): an absurd at_frame degrades to "held forever"
+                # rather than crashing the mixer thread.
+                self._release_n = min(max(int(rn), n0), _HELD - 1)
                 self._release_level = self._held_level_at(self._release_n)
             if self._release_n is None:
                 rn_arg, level_arg = _HELD, 1.0
@@ -196,6 +199,10 @@ class RealtimeVoice:
                 chunk = np.repeat(chunk[:, None], 2, axis=1)
             yield chunk.tobytes()
             n0 += self.blocksize
+            if n0 >= _HELD - self.blocksize:
+                # ~13.5 h at 44.1 kHz: the engine's int32 frame index is
+                # about to wrap — end the stream cleanly instead
+                return
             if self._release_n is not None and \
                     n0 >= self._release_n + int(self.release_time * self.samplerate) \
                     + (max(self._echo_offsets) if self._echo_offsets else 0) + 1:
