@@ -134,6 +134,13 @@ class AudiofileToWavStream(io.RawIOBase):
         cmd += ["-i", self.filename]
         if self.duration:
             cmd += ["-t", str(self.duration)]
+        if self.hqresample:
+            # the reference's hqresample flag: raise the swr resampler's
+            # filter quality (always built into ffmpeg, unlike soxr).
+            # WAV-path conversions use the exact audioop-semantics device
+            # ratecv regardless of this flag.
+            cmd += ["-af",
+                    f"aresample=osr={self.samplerate}:filter_size=64:cutoff=0.95"]
         cmd += ["-ar", str(self.samplerate), "-ac", str(self.nchannels),
                 "-acodec", codec, "-f", "wav", "-"]
         self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
