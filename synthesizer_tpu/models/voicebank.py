@@ -117,9 +117,9 @@ class BankLayout:
 
     @classmethod
     def ungrouped(cls, nvoices: int, num_harmonics: int,
-                  used_waves: Tuple[int, ...] = ALL_WAVES,
                   use_fm: bool = True) -> "BankLayout":
-        # a single mixed group: per-voice waveform select, FM optional
+        # a single mixed group: per-voice waveform select (the waveform
+        # set restriction is render_block's used_waves arg), FM optional
         return cls(((-1, use_fm, 0, nvoices),), nvoices, num_harmonics)
 
 
@@ -388,8 +388,7 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
     """
     n = n0 + jnp.arange(blocksize, dtype=jnp.int32)
     if layout is None:
-        layout = BankLayout.ungrouped(vp.wave.shape[0], num_harmonics,
-                                      used_waves, use_fm)
+        layout = BankLayout.ungrouped(vp.wave.shape[0], num_harmonics, use_fm)
     sigs = []
     gains = []
     for (wid, has_fm, start, count) in layout.groups:
