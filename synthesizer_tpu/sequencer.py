@@ -469,7 +469,7 @@ class Song:
     # -- streaming mixdown ------------------------------------------------------
 
     def mix_generator(self, chunk_frames: Optional[int] = None,
-                      mesh=None) -> Iterator[Sample]:
+                      mesh=None, start_frame: int = 0) -> Iterator[Sample]:
         """Stream the song as fixed-size chunks rendered on device.
 
         Host control flow walks the hit schedule; each chunk is one device
@@ -477,6 +477,12 @@ class Song:
         Output is bit-identical to ``mix(normalize=False)``, sliced (the
         streaming path saturates at int16; it cannot normalize because the
         global peak is not known until the song ends).
+
+        ``start_frame`` seeks: because every render is stateless in the
+        absolute frame index (SURVEY.md §6 checkpoint/resume), resuming
+        mid-song is BIT-exact with the corresponding offline slice — the
+        first chunk starts exactly at ``start_frame`` (not a chunk
+        boundary), including mid-hit and mid-note.
 
         With ``mesh`` each chunk's hit rows shard over the devices (int32
         psum — bit-exact) and synth voices shard over the same axis (f32
@@ -487,7 +493,10 @@ class Song:
         self._check_synth_format(voices)
         cf = chunk_frames or params.norm_frames_per_chunk
         total = max(sched.total_frames, self._synth_end_frame(voices))
-        if total == 0:
+        start_frame = int(start_frame)
+        if start_frame < 0:
+            raise ValueError("start_frame must be >= 0")
+        if total == 0 or start_frame >= total:
             return
         lmax = sched.bank.shape[1]
         bank = jnp.asarray(sched.bank)
@@ -520,11 +529,13 @@ class Song:
 
         # static bound on concurrently-sounding hits per chunk; one
         # bucketed pass (VERDICT r1 weak #5: the old per-chunk rescan was
-        # O(nchunks * hits) on long dense songs)
-        nchunks = -(-total // cf)
+        # O(nchunks * hits) on long dense songs).  Chunk ci covers
+        # [start_frame + ci*cf, start_frame + (ci+1)*cf).
+        nchunks = -(-(total - start_frame) // cf)
         lengths_of_hit = sched.lengths[insts]
-        first_c = np.maximum(0, starts // cf)
-        last_c = np.minimum(nchunks - 1, (starts + lengths_of_hit - 1) // cf)
+        first_c = np.maximum(0, (starts - start_frame) // cf)
+        last_c = np.minimum(nchunks - 1,
+                            (starts + lengths_of_hit - 1 - start_frame) // cf)
         per_chunk: List[List[int]] = [[] for _ in range(nchunks)]
         for h in range(len(starts)):
             for c in range(int(first_c[h]), int(last_c[h]) + 1):
@@ -570,7 +581,7 @@ class Song:
                     synth_stereo * jnp.float32(32767.0)).astype(jnp.int32)
             return jnp.clip(acc32, -32768, 32767).astype(jnp.int16)
 
-        for ci, c0 in enumerate(range(0, total, cf)):
+        for ci, c0 in enumerate(range(start_frame, total, cf)):
             hs = per_chunk[ci][:K]
             ii = insts[hs]
             ss = starts[hs]

@@ -182,6 +182,28 @@ def test_config3_fuses_to_one_program():
     assert n[0] <= 3, f"config-3 chain launched {n[0]} device programs"
 
 
+def test_streaming_seek_resume_bit_exact():
+    """mix_generator(start_frame=k): resuming mid-song — mid-hit, mid-note,
+    not chunk-aligned — is BIT-exact with the offline slice (SURVEY §6
+    checkpoint/resume: renders are stateless in the absolute frame)."""
+    song = make_song()
+    from synthesizer_tpu.sequencer import SynthDef
+    song.add_synth("lead", SynthDef(wave="sine", amplitude=0.2, release=0.05))
+    for p in song.patterns.values():
+        p["lead"] = "C4 - E4 - G4 - C5 -"
+    offline = song.mix(normalize=False).get_frame_array()
+    for k in (0, 1, 5170, 44100 + 13):
+        chunks = [c.get_frame_array()
+                  for c in song.mix_generator(chunk_frames=1000, start_frame=k)]
+        got = np.concatenate(chunks)
+        np.testing.assert_array_equal(got, offline[k:k + len(got)],
+                                      err_msg=f"start_frame={k}")
+    # past the end: empty stream; negative: rejected
+    assert list(song.mix_generator(start_frame=10 ** 9)) == []
+    with pytest.raises(ValueError):
+        next(song.mix_generator(start_frame=-1))
+
+
 def test_long_dense_song_streaming_scales():
     """>=5 min song with >=5k hits: mix_generator's schedule indexing is a
     single bucketed pass (not O(nchunks x hits)) and the stream sustains

@@ -31,11 +31,13 @@ def mix_to_wav(song: Song, outfile: str, normalize: bool = True) -> None:
           f"({mixed.duration / dt:.0f}x realtime) -> {outfile}")
 
 
-def play_streaming(song: Song, with_meter: bool = True) -> None:
+def play_streaming(song: Song, with_meter: bool = True,
+                   start_seconds: float = 0.0) -> None:
     meter = LevelMeter() if with_meter else None
+    start_frame = int(start_seconds * song.samplerate)
     with Output(samplerate=song.samplerate, nchannels=song.nchannels,
                 mixing="sequential") as out:
-        for chunk in song.mix_generator():
+        for chunk in song.mix_generator(start_frame=start_frame):
             out.play_sample(chunk)
             if meter:
                 meter.update(chunk)
@@ -134,6 +136,9 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", help="mix offline to this WAV and exit")
     ap.add_argument("--play", action="store_true",
                     help="stream the whole song and exit")
+    ap.add_argument("--start", type=float, default=0.0, metavar="SECONDS",
+                    help="with --play: seek before streaming (bit-exact "
+                         "mid-song resume)")
     ap.add_argument("--no-normalize", action="store_true",
                     help="skip peak normalization in offline mixdown")
     args = ap.parse_args(argv)
@@ -155,7 +160,7 @@ def main(argv=None) -> int:
             mix_to_wav(song, args.output, normalize=not args.no_normalize)
             return 0
         if args.play:
-            play_streaming(song)
+            play_streaming(song, start_seconds=args.start)
             return 0
         TrackmixerRepl(song, args.song).cmdloop()
         return 0
