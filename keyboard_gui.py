@@ -90,6 +90,8 @@ class SynthController:
         self.echo = EchoSettings()
         self.arp = ArpSettings()
         self.a4 = 440.0
+        #: blocks rendered per device round trip (None = pick by platform)
+        self.voice_lookahead: Optional[int] = None
         self.synth = WaveSynth(samplerate=self.samplerate, samplewidth=2)
         self.output = output
         self._active: Dict[int, int] = {}   # key number -> playback sid
@@ -229,12 +231,20 @@ class SynthController:
             e = self.env
             echo = (self.echo.after, self.echo.amount, self.echo.delay,
                     self.echo.decay) if self.echo.enabled else None
+            la = self.voice_lookahead
+            if la is None:
+                # link-attached TPUs pay ~30 ms per host sync against a
+                # 33 ms block: render 4 blocks per round trip there
+                # (bit-identical audio; bare key-up latency grows to the
+                # superblock).  Local backends keep per-block latency.
+                import jax
+                la = 1 if jax.devices()[0].platform == "cpu" else 4
             voice = RealtimeVoice(self.build_raw_patch(key_number,
                                                        include_echo=False),
                                   e.attack, e.decay, e.sustain_level, e.release,
                                   samplerate=self.samplerate,
                                   blocksize=self.output.frames_per_chunk,
-                                  echo=echo)
+                                  echo=echo, lookahead_blocks=la)
             sid = self.output.mixer.add_stream(voice.chunks())
             self._active[key_number] = (sid, voice)
         else:

@@ -92,13 +92,22 @@ class RealtimeVoice:
     def __init__(self, patch: Oscillator, attack: float, decay: float,
                  sustain_level: float, release: float,
                  samplerate: int = 0, blocksize: int = 0, stereo: bool = True,
-                 echo: Optional[tuple] = None):
+                 echo: Optional[tuple] = None, lookahead_blocks: int = 1):
         """``echo=(after, amount, delay, decay)`` applies a feed-forward
         echo AFTER the gate envelope — the reference's offline order
         (envelope, then echo); the tail keeps ringing for the echo span
-        after the release ramp ends."""
+        after the release ramp ends.
+
+        ``lookahead_blocks``: render N mixer blocks per device round trip
+        and slice on host.  The engine is block-size invariant, so the
+        audio is BIT-identical; the tradeoff is bare-``release()`` latency
+        (it takes effect at the next superblock).  Needed on link-attached
+        TPUs where one host sync costs ~30 ms against a 33 ms block — with
+        N=4 the sync amortizes to ~7.5 ms/block."""
         self.samplerate = samplerate or patch.samplerate
         self.blocksize = blocksize or params.norm_frames_per_chunk
+        self.lookahead = max(1, int(lookahead_blocks))
+        self._rbs = self.blocksize * self.lookahead
         self.attack = float(attack)
         self.decay = float(decay)
         self.sustain_level = float(sustain_level)
@@ -126,11 +135,12 @@ class RealtimeVoice:
         self._release_n: Optional[int] = None
         self._release_level: Optional[float] = None
 
-        # ONE fused device program per block: patch render, gate gains,
-        # echo, int16 quantization.  On the axon relay each dispatch costs
-        # ~1.5-5 ms, so fusing the 3-4 stages matters for the realtime
-        # budget (a 1470-frame block is 33 ms of audio).
-        init_state, step = G.lower(patch.spec, self.samplerate, self.blocksize)
+        # ONE fused device program per superblock (lookahead x block):
+        # patch render, gate gains, echo, int16 quantization.  On the axon
+        # relay each dispatch costs ~1.5-5 ms and each host sync ~30 ms,
+        # so fusing the stages AND amortizing the sync over the lookahead
+        # is what makes a 33 ms realtime budget reachable.
+        init_state, step = G.lower(patch.spec, self.samplerate, self._rbs)
         self._voice_state = init_state
         sr = jnp.float32(self.samplerate)
         a = jnp.float32(self.attack)
@@ -141,11 +151,12 @@ class RealtimeVoice:
         offs, tgains = self._echo_offsets, self._echo_gains
         if not has_echo:
             self._echo_tail = jnp.zeros((1,), jnp.float32)   # static pytree
+        rbs = self._rbs
 
         @jax.jit
         def voice_step(state, tail, n0, rn, rlevel):
             vals, state = step(state, n0)
-            gains = _gate_gains(n0, self.blocksize, sr, a, d, sl, rn, rlevel, r)
+            gains = _gate_gains(n0, rbs, sr, a, d, sl, rn, rlevel, r)
             gated = vals * gains
             if has_echo:
                 gated, tail = _echo_step(gated, tail, offs, tgains)
@@ -194,16 +205,18 @@ class RealtimeVoice:
             out, state, tail = self._voice_step(
                 state, tail, jnp.int32(n0), jnp.int32(rn_arg),
                 jnp.float32(level_arg))
-            chunk = np.asarray(out)
+            sup = np.asarray(out)            # ONE host sync per superblock
             if self.stereo:
-                chunk = np.repeat(chunk[:, None], 2, axis=1)
-            yield chunk.tobytes()
-            n0 += self.blocksize
-            if n0 >= _HELD - self.blocksize:
-                # ~13.5 h at 44.1 kHz: the engine's int32 frame index is
-                # about to wrap — end the stream cleanly instead
-                return
-            if self._release_n is not None and \
-                    n0 >= self._release_n + int(self.release_time * self.samplerate) \
-                    + (max(self._echo_offsets) if self._echo_offsets else 0) + 1:
-                return
+                sup = np.repeat(sup[:, None], 2, axis=1)
+            for j in range(self.lookahead):
+                yield sup[j * self.blocksize:(j + 1) * self.blocksize].tobytes()
+                n0 += self.blocksize
+                if n0 >= _HELD - self._rbs:
+                    # ~13.5 h at 44.1 kHz: the engine's int32 frame index
+                    # is about to wrap — end the stream cleanly instead
+                    return
+                if self._release_n is not None and \
+                        n0 >= self._release_n \
+                        + int(self.release_time * self.samplerate) \
+                        + (max(self._echo_offsets) if self._echo_offsets else 0) + 1:
+                    return

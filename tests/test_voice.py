@@ -147,6 +147,29 @@ def test_voice_echo_after_gate_matches_offline_order():
     assert N <= rel_end + int((after + amount * delay) * SR) + 2 * BS
 
 
+def test_lookahead_is_bit_identical():
+    """lookahead_blocks renders N blocks per device round trip; the engine
+    is block-size invariant, so the stream is BIT-identical to the
+    per-block voice (pinned release frame makes both deterministic)."""
+    def run(la):
+        patch = osc.Sine(440.0, amplitude=0.9, samplerate=SR)
+        v = RealtimeVoice(patch, 0.01, 0.02, 0.7, 0.05, samplerate=SR,
+                          blocksize=BS, echo=(0.02, 2, 0.03, 0.5),
+                          lookahead_blocks=la)
+        v.release(at_frame=4 * BS + 777)
+        return [c for c in v.chunks()]
+
+    a, b = run(1), run(3)
+    assert all(len(c) == BS * 2 * 2 for c in b)      # still mixer-sized blocks
+    na, nb = b"".join(a), b"".join(b)
+    # lookahead may render past the end by < one superblock; the overlap
+    # must be bit-identical and the excess silent
+    m = min(len(na), len(nb))
+    assert na[:m] == nb[:m]
+    tail = np.frombuffer(nb[m:] or na[m:], np.int16)
+    assert np.abs(tail).max(initial=0) == 0
+
+
 def test_controller_realtime_voice_lifecycle():
     out = Output(samplerate=SR, nchannels=2, frames_per_chunk=BS, mixing="mixed")
     try:
