@@ -35,9 +35,13 @@ def play_streaming(song: Song, with_meter: bool = True,
                    start_seconds: float = 0.0) -> None:
     meter = LevelMeter() if with_meter else None
     start_frame = int(start_seconds * song.samplerate)
+    # ~0.2 s chunks: sequential playback doesn't need mixer-sized blocks,
+    # and on link-attached TPUs the ~30 ms per-chunk host sync amortizes
+    chunk_frames = song.samplerate // 5
     with Output(samplerate=song.samplerate, nchannels=song.nchannels,
                 mixing="sequential") as out:
-        for chunk in song.mix_generator(start_frame=start_frame):
+        for chunk in song.mix_generator(chunk_frames=chunk_frames,
+                                        start_frame=start_frame):
             out.play_sample(chunk)
             if meter:
                 meter.update(chunk)
