@@ -93,6 +93,13 @@ def test_song_streaming_sharded_equals_offline():
               for c in song.mix_generator(chunk_frames=1000, mesh=mesh)]
     got = np.concatenate(chunks)
     np.testing.assert_array_equal(got, offline[:len(got)])
+    # seek composes with sharding: resume mid-song, mid-chunk, on the mesh
+    k = 3217
+    chunks = [c.get_frame_array()
+              for c in song.mix_generator(chunk_frames=1000, mesh=mesh,
+                                          start_frame=k)]
+    got = np.concatenate(chunks)
+    np.testing.assert_array_equal(got, offline[k:k + len(got)])
 
 
 def test_graft_entry_compiles():
