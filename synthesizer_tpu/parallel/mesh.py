@@ -102,27 +102,27 @@ def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
     hits land on devices.  The instrument bank is replicated (it is small:
     S x Lmax x C); each device gathers + scatter-adds only its hit shard.
     """
+    from ..sequencer import _mixdown_kernel
+
     ndev = mesh.devices.size
     H = int(hits_inst.shape[0])
     pad = -H % ndev if H else ndev
     inst = np.concatenate([np.asarray(hits_inst, np.int32),
                            np.zeros(pad, np.int32)])
+    # padded rows scatter at index `total`: dropped by mode='drop', so no
+    # valid-mask multiply is needed
     start = np.concatenate([np.asarray(hits_start, np.int32),
-                            np.zeros(pad, np.int32)])
-    valid = np.concatenate([np.ones(H, np.int32), np.zeros(pad, np.int32)])
-    Lmax, C = int(bank.shape[1]), int(bank.shape[2])
+                            np.full(pad, total, np.int32)])
 
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS)),
+        in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS)),
         out_specs=P())
-    def run(bank, inst, start, valid):
-        vals = bank[inst] * valid[:, None, None]            # [h, Lmax, C]
-        idx = start[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
-        out = jnp.zeros((total, C), jnp.int32)
-        out = out.at[idx.reshape(-1)].add(vals.reshape(-1, C), mode="drop")
+    def run(bank, inst, start):
+        # memory-bounded batched scatter (shared with the single-device
+        # path), then one int32 psum across the mesh
+        out = _mixdown_kernel(bank, inst, start, total)
         return jax.lax.psum(out, HITS_AXIS)
 
-    return run(jnp.asarray(bank), jnp.asarray(inst), jnp.asarray(start),
-               jnp.asarray(valid))
+    return run(jnp.asarray(bank), jnp.asarray(inst), jnp.asarray(start))

@@ -102,21 +102,52 @@ class HitSchedule:
         return int(ends.max())
 
 
+#: cap on the materialized [batch, Lmax, C] gather per scatter step —
+#: ~32 M int32 elements = 128 MB of HBM regardless of song length
+_SCATTER_BATCH_ELEMS = 32 * 1024 * 1024
+
+
 def _mixdown_kernel(bank: jax.Array, hits_inst: jax.Array,
                     hits_start: jax.Array, total: int) -> jax.Array:
     """All hits -> one scatter-add into the widened int32 song buffer.
 
-    bank: [S, Lmax, C] int32; hits: [H].  Builds [H, Lmax] frame indices
-    (clipped rows drop via mode='drop') and scatter-adds the gathered
-    waveforms in one XLA op.
+    bank: [S, Lmax, C] int32; hits: [H].  Builds [batch, Lmax] frame
+    indices (clipped rows drop via mode='drop') and scatter-adds the
+    gathered waveforms.  Hits are processed in memory-bounded batches
+    under ONE ``lax.scan`` (still a single device program): a dense song
+    with long samples would otherwise materialize an [H, Lmax, C] gather
+    of several GB.  Integer add is associative, so batching is bit-exact.
     """
-    H = hits_inst.shape[0]
-    Lmax = bank.shape[1]
-    C = bank.shape[2]
-    vals = bank[hits_inst]                                    # [H, Lmax, C]
-    idx = hits_start[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    H = int(hits_inst.shape[0])
+    Lmax = int(bank.shape[1])
+    C = int(bank.shape[2])
+    arange_l = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
     out = jnp.zeros((total, C), jnp.int32)
-    return out.at[idx.reshape(-1)].add(vals.reshape(-1, C), mode="drop")
+
+    batch = max(1, min(H, _SCATTER_BATCH_ELEMS // max(Lmax * C, 1)))
+    if batch >= H:
+        vals = bank[hits_inst]                                # [H, Lmax, C]
+        idx = hits_start[:, None] + arange_l
+        return out.at[idx.reshape(-1)].add(vals.reshape(-1, C), mode="drop")
+
+    nb = -(-H // batch)
+    pad = nb * batch - H
+    # padded rows scatter zeros at a dropped (out-of-range) index
+    inst_p = jnp.concatenate([hits_inst, jnp.zeros(pad, jnp.int32)])
+    start_p = jnp.concatenate([hits_start,
+                               jnp.full(pad, total, jnp.int32)])
+    inst_b = inst_p.reshape(nb, batch)
+    start_b = start_p.reshape(nb, batch)
+
+    def body(acc, ib_sb):
+        ib, sb = ib_sb
+        vals = bank[ib]                                       # [batch, Lmax, C]
+        idx = sb[:, None] + arange_l
+        return acc.at[idx.reshape(-1)].add(vals.reshape(-1, C),
+                                           mode="drop"), None
+
+    out, _ = jax.lax.scan(body, out, (inst_b, start_b))
+    return out
 
 
 class Song:

@@ -204,6 +204,24 @@ def test_streaming_seek_resume_bit_exact():
         next(song.mix_generator(start_frame=-1))
 
 
+def test_mixdown_scatter_batching_bit_exact(monkeypatch):
+    """The memory-bounded batched scatter (scan over hit batches) is
+    bit-exact vs the single-gather path — a dense song with long samples
+    must not materialize an [H, Lmax, C] gather of several GB."""
+    import synthesizer_tpu.sequencer as seq
+    song = make_song()
+    want = song.mix(normalize=False).get_frame_array()
+    # force tiny batches (3 hits per scatter step) and a padded tail
+    monkeypatch.setattr(seq, "_SCATTER_BATCH_ELEMS",
+                        3 * song.instruments["kick"].nframes * 2)
+    got = song.mix(normalize=False).get_frame_array()
+    np.testing.assert_array_equal(got, want)
+    # and the streaming path still slices identically
+    chunks = [c.get_frame_array() for c in song.mix_generator(chunk_frames=1000)]
+    np.testing.assert_array_equal(np.concatenate(chunks),
+                                  want[:sum(len(c) for c in chunks)])
+
+
 def test_long_dense_song_streaming_scales():
     """>=5 min song with >=5k hits: mix_generator's schedule indexing is a
     single bucketed pass (not O(nchunks x hits)) and the stream sustains
