@@ -214,7 +214,24 @@ class SynthController:
             total.add_silence((want - total.nframes) / self.samplerate)
         return total.clip(0, want / self.samplerate)
 
-    # -- key handling --------------------------------------------------------
+    @staticmethod
+    def _probe_lookahead() -> int:
+        """Measure one host<->device round trip: backends behind a slow
+        link (e.g. a TPU relay at ~30 ms/sync against a 33 ms block) get
+        4-block superblocks (bit-identical audio; bare key-up latency
+        grows to the superblock), locally attached backends keep
+        per-block latency.  Platform names cannot distinguish the two."""
+        import time
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        x = jnp.zeros(())
+        float(np.asarray(x))                       # warm the path
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(np.asarray(x + 0))
+        per_sync = (time.perf_counter() - t0) / 3
+        return 4 if per_sync > 0.005 else 1
 
     def key_down(self, key_number: int) -> None:
         """Start a gate-driven streaming voice (held until key_up)."""
@@ -233,12 +250,7 @@ class SynthController:
                     self.echo.decay) if self.echo.enabled else None
             la = self.voice_lookahead
             if la is None:
-                # link-attached TPUs pay ~30 ms per host sync against a
-                # 33 ms block: render 4 blocks per round trip there
-                # (bit-identical audio; bare key-up latency grows to the
-                # superblock).  Local backends keep per-block latency.
-                import jax
-                la = 1 if jax.devices()[0].platform == "cpu" else 4
+                la = self.voice_lookahead = self._probe_lookahead()
             voice = RealtimeVoice(self.build_raw_patch(key_number,
                                                        include_echo=False),
                                   e.attack, e.decay, e.sustain_level, e.release,

@@ -146,6 +146,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-normalize", action="store_true",
                     help="skip peak normalization in offline mixdown")
     args = ap.parse_args(argv)
+    if args.start < 0:
+        ap.error("--start must be >= 0")
+    if args.start and not args.play:
+        ap.error("--start only applies with --play")
 
     try:
         if args.song.lower().endswith((".mid", ".midi")):
