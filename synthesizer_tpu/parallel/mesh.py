@@ -52,6 +52,35 @@ def shard_voice_params(vp: VoiceParams, mesh: Mesh) -> VoiceParams:
     return jax.tree.map(lambda x: jax.device_put(x, sh), vp)
 
 
+def song_synth_shards(voices, samplerate: int, mesh: Mesh,
+                      num_harmonics: int = 8):
+    """Pack a song's synth voices for the mesh: (sharded VoiceParams,
+    used_waves, use_fm).  One place owns the padding rule and the
+    compiled-waveform-set derivation for every sharded song path."""
+    from ..models.voicebank import WAVE_IDS, pack_voices
+    vp = pack_voices(voices, samplerate, num_harmonics=num_harmonics,
+                     pad_to=int(mesh.devices.size))
+    used = tuple(sorted({WAVE_IDS[v.wave] for v in voices}))
+    use_fm = any(v.fm_depth != 0.0 for v in voices)
+    return shard_voice_params(vp, mesh), used, use_fm
+
+
+def render_chunk_sharded_fn(mesh: Mesh, chunk_frames: int, samplerate: int,
+                            num_harmonics: int, used_waves: tuple,
+                            use_fm: bool):
+    """Jitted (vp_shard, c0) -> psum'ed stereo chunk over the mesh (the
+    streaming counterpart of :func:`render_song_sharded`'s scan body)."""
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(AXIS), P()), out_specs=P())
+    def fn(vp_shard: VoiceParams, c0) -> jax.Array:
+        stereo = render_block(vp_shard, c0, chunk_frames, samplerate,
+                              num_harmonics, used_waves=used_waves,
+                              use_fm=use_fm)
+        return jax.lax.psum(stereo, AXIS)
+    return fn
+
+
 def render_song_sharded(vp: VoiceParams, total_frames: int,
                         samplerate: int = 44100, chunk_frames: int = 8192,
                         num_harmonics: int = 8,

@@ -341,6 +341,8 @@ class Sample:
         self._ops: List[_Op] = []
         self._dyn: List[float] = []
         self._leaves: List[jax.Array] = []
+        self._host_cache: Optional[np.ndarray] = None
+        self._host_base: Optional[jax.Array] = None
         if wave_file is not None:
             frames, rate, width, nch = wavio.read_wav(wave_file)
             self._base = jnp.asarray(frames)
@@ -516,8 +518,21 @@ class Sample:
         return np.asarray(self._materialize()).astype(_NPDT[self._samplewidth]).tobytes()
 
     def get_frame_array(self) -> np.ndarray:
-        """Frames as a host numpy array [nframes, nchannels]."""
-        return np.asarray(self._materialize())
+        """Frames as a host numpy array [nframes, nchannels].
+
+        The host copy is cached per materialized buffer (device arrays are
+        immutable, so it stays valid until the next staged op rebinds the
+        base) — repeated calls cost zero device syncs, which matters on
+        link-attached TPUs at ~30 ms per sync (e.g. the sequencer compiles
+        its instrument bank from these on every mix/stream call).  The
+        returned array is read-only; copy before writing."""
+        base = self._materialize()
+        if self._host_cache is not None and self._host_base is base:
+            return self._host_cache
+        a = np.asarray(base)
+        a.setflags(write=False)
+        self._host_cache, self._host_base = a, base
+        return a
 
     def _n(self, seconds: float) -> int:
         return int(seconds * self._samplerate)

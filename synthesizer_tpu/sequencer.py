@@ -426,8 +426,13 @@ class Song:
                                     nvoices=layout.nvoices)
         return bank, vp
 
-    def duration_frames(self, tail_seconds: float = 0.3) -> int:
-        """Total frames a mixdown would produce (schedule end + tail)."""
+    def duration_frames(self, tail_seconds: float = 0.0) -> int:
+        """Total frames of song content (schedule end + optional tail).
+
+        With the default ``tail_seconds=0`` this is exactly where
+        ``mix_generator`` ends, so it is the valid ``start_frame`` bound
+        for seeking; ``mix()`` adds its own ``tail_seconds`` (default
+        0.3 s) on top."""
         sched = self.compile_schedule()
         voices = self.compile_synth_voices()
         return (max(sched.total_frames, self._synth_end_frame(voices))
@@ -478,15 +483,12 @@ class Song:
                     total)
         if voices:
             if mesh is not None:
-                from .parallel.mesh import render_song_sharded
-                from .models.voicebank import WAVE_IDS
-                vp = pack_voices(voices, self.samplerate, num_harmonics=8,
-                                 pad_to=int(mesh.devices.size))
+                from .parallel.mesh import (render_song_sharded,
+                                            song_synth_shards)
+                vp, uw, ufm = song_synth_shards(voices, self.samplerate, mesh)
                 stereo = render_song_sharded(
                     vp, total, self.samplerate, chunk_frames=32768,
-                    num_harmonics=8, mesh=mesh,
-                    used_waves=tuple(sorted({WAVE_IDS[v.wave] for v in voices})),
-                    use_fm=any(v.fm_depth != 0.0 for v in voices))
+                    num_harmonics=8, mesh=mesh, used_waves=uw, use_fm=ufm)
             else:
                 bank, vp = self._synth_bank(voices, chunk_frames=32768)
                 stereo = bank.render_song(vp, total)
@@ -537,23 +539,11 @@ class Song:
         synth_chunk_fn = None
         if voices:
             if mesh is not None:
-                from .parallel.mesh import AXIS, shard_voice_params
-                from .models.voicebank import WAVE_IDS, render_block
-                from jax.sharding import PartitionSpec as P
-                import functools
-                uw = tuple(sorted({WAVE_IDS[v.wave] for v in voices}))
-                ufm = any(v.fm_depth != 0.0 for v in voices)
-                svp = shard_voice_params(
-                    pack_voices(voices, self.samplerate, num_harmonics=8,
-                                pad_to=int(mesh.devices.size)), mesh)
-
-                @jax.jit
-                @functools.partial(jax.shard_map, mesh=mesh,
-                                   in_specs=(P(AXIS), P()), out_specs=P())
-                def synth_chunk_fn(vp_shard, c0):
-                    stereo = render_block(vp_shard, c0, cf, self.samplerate,
-                                          8, used_waves=uw, use_fm=ufm)
-                    return jax.lax.psum(stereo, AXIS)
+                from .parallel.mesh import (render_chunk_sharded_fn,
+                                            song_synth_shards)
+                svp, uw, ufm = song_synth_shards(voices, self.samplerate, mesh)
+                synth_chunk_fn = render_chunk_sharded_fn(
+                    mesh, cf, self.samplerate, 8, uw, ufm)
             else:
                 sbank, svp = self._synth_bank(voices, chunk_frames=cf)
                 synth_chunk_fn = None

@@ -148,7 +148,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
-        length = int(self.headers.get("Content-Length", 0))
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._send_json(400, {"error": "malformed Content-Length"})
+            return
+        if length < 0:     # read(-1) would buffer until the client closes
+            self._send_json(400, {"error": "malformed Content-Length"})
+            return
         if length > self.server.max_body_bytes:  # type: ignore[attr-defined]
             remaining = length   # drain in bounded chunks so the client can
             while remaining > 0:  # finish sending before it sees the error

@@ -89,7 +89,12 @@ class AudiofileToWavStream(io.RawIOBase):
             self._stream = open(self.filename, "rb")
             return
         # normalize via the device Sample pipeline, emit an in-memory WAV
-        smp = Sample(wave_file=self.filename)
+        self._stream = self._normalized_wav(Sample(wave_file=self.filename))
+
+    def _normalized_wav(self, smp: Sample) -> io.BytesIO:
+        """Clip/resample/width/channel-convert a decoded Sample to the
+        target stream format -> in-memory WAV (shared by the WAV-convert
+        and oggdec decode rungs — one pipeline, one set of semantics)."""
         if self.startfrom or self.duration:
             end = (self.startfrom + self.duration) if self.duration else smp.duration
             smp.clip(self.startfrom, end)
@@ -106,7 +111,7 @@ class AudiofileToWavStream(io.RawIOBase):
         bio = io.BytesIO()
         smp.write_wav(bio)
         bio.seek(0)
-        self._stream = bio
+        return bio
 
     def _open_ffmpeg(self) -> None:
         ffmpeg = _ffmpeg_path()
@@ -160,24 +165,7 @@ class AudiofileToWavStream(io.RawIOBase):
             frames = w.readframes(w.getnframes())
             smp = Sample.from_raw_frames(frames, w.getsampwidth(),
                                          w.getframerate(), w.getnchannels())
-        if self.startfrom or self.duration:
-            end = (self.startfrom + self.duration) if self.duration \
-                else smp.duration
-            smp.clip(self.startfrom, end)
-        smp.resample(self.samplerate)
-        if self.samplewidth != smp.samplewidth:
-            if self.samplewidth == 2:
-                smp.make_16bit(maximize_amplitude=False)
-            else:
-                smp.make_32bit(scale_amplitude=True)
-        if self.nchannels == 2:
-            smp.stereo()
-        elif self.nchannels == 1 and smp.nchannels == 2:
-            smp.mono()
-        out = io.BytesIO()
-        smp.write_wav(out)
-        out.seek(0)
-        self._stream = out
+        self._stream = self._normalized_wav(smp)
 
     def read(self, size: int = -1) -> bytes:
         return self._stream.read(size)

@@ -96,7 +96,27 @@ def test_random_chain_from_synth_source(seed):
     gold = gs.Sample(np.repeat(src[:, None], 2, axis=1), SR, 2, 2)
     tol = 1                                  # source trig parity budget
     names = [kind]
+    from synthesizer_tpu import oscillators as oscm
     for _ in range(5):
+        if rng.random() < 0.25 and gold.nframes:
+            # paired patch-modulator ops: the device stages the oscillator
+            # render (pan_patch / modulate_patch IR nodes); the goldref
+            # twin applies the ORACLE-rendered gains array
+            lfreq = float(rng.uniform(0.5, 5.0))
+            lamp = float(rng.uniform(0.2, 0.8))
+            gains = go.render_oracle(gS.Osc("sine", lfreq, lamp),
+                                     gold.nframes, SR)
+            lfo = oscm.Sine(lfreq, amplitude=lamp, samplerate=SR)
+            if rng.random() < 0.5:
+                names.append("pan_osc")
+                gold.pan(lfo=gains)
+                dev.pan(lfo=lfo)
+            else:
+                names.append("modamp_osc")
+                gold.modulate_amp(gains)
+                dev.modulate_amp(lfo)
+            tol += 1
+            continue
         name, fn, cost = OPS[rng.integers(len(OPS))]
         names.append(name)
         fn(gold)

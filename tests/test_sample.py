@@ -181,6 +181,36 @@ def test_pan_static_and_lfo(rng):
     check_exact(gold.pan(-0.25), dev.pan(-0.25))
 
 
+def test_pan_and_modulate_with_oscillator_lfo_vs_oracle(rng):
+    """pan(lfo=Oscillator) / modulate_amp(Oscillator) stage the patch
+    render as IR nodes (pan_patch / modulate_patch): values must equal
+    goldref applied with the ORACLE-rendered gains, in one fused program."""
+    import goldref.osc as go
+    import goldref.spec as gS
+    from synthesizer_tpu import oscillators as osc
+    from synthesizer_tpu.utils import profiling
+
+    for which in ("pan", "modulate"):
+        gold, dev = make_pair(rng)
+        n = gold.nframes
+        lfo = osc.Sine(1.5, amplitude=0.6, samplerate=SR)
+        gains = go.render_oracle(gS.Osc("sine", 1.5, 0.6), n, SR)
+        with profiling.count_program_launches() as cnt:
+            if which == "pan":
+                dev.pan(lfo=lfo)
+            else:
+                dev.modulate_amp(lfo)
+            dev.get_frame_array()
+        assert cnt[0] == 1, (which, cnt[0])
+        if which == "pan":
+            gold.pan(lfo=gains)
+        else:
+            gold.modulate_amp(gains)
+        d = np.abs(dev.get_frame_array().astype(np.int64)
+                   - gold.frames.astype(np.int64))
+        assert d.max() <= 1, (which, d.max())   # trig-parity budget
+
+
 def test_pan_sample_lfo_fuses(rng):
     """pan(lfo=Sample): the LFO sample's own staged chain fuses in as a
     sub-program (no separate materialization) and matches goldref's
