@@ -413,6 +413,34 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
                    precision=jax.lax.Precision.HIGHEST)
 
 
+#: compiled (chunk_fn, song_fn) pairs keyed by the bank's static config —
+#: a fresh jit closure per VoiceBank instance would recompile (~1.6 s on
+#: the chip) for EVERY request in a serving loop, even for identical bank
+#: shapes (caught by measuring the HTTP render path on hardware)
+_bank_fn_cache: dict = {}
+
+
+def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
+              ly: Optional[BankLayout]):
+    key = (cf, sr, H, uw, uf, ly)
+    fns = _bank_fn_cache.get(key)
+    if fns is None:
+        @jax.jit
+        def chunk_fn(vp: VoiceParams, n0):
+            return render_block(vp, n0, cf, sr, H, ly, uw, uf)
+
+        @functools.partial(jax.jit, static_argnames=("nchunks",))
+        def song_fn(vp: VoiceParams, nchunks: int):
+            def body(_, i):
+                return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf)
+            _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
+            return out.reshape(-1, 2)
+
+        fns = (chunk_fn, song_fn)
+        _bank_fn_cache[key] = fns
+    return fns
+
+
 class VoiceBank:
     """Compiled batched renderer for a fixed (V, chunk, samplerate) shape."""
 
@@ -427,24 +455,9 @@ class VoiceBank:
         self.used_waves = tuple(sorted(used_waves))
         self.use_fm = use_fm
         self.layout = layout
-
-        cf, sr, H = chunk_frames, samplerate, num_harmonics
-        uw, uf, ly = self.used_waves, use_fm, layout
-
-        @jax.jit
-        def chunk_fn(vp: VoiceParams, n0):
-            return render_block(vp, n0, cf, sr, H, ly, uw, uf)
-
-        self._chunk_fn = chunk_fn
-
-        @functools.partial(jax.jit, static_argnames=("nchunks",))
-        def song_fn(vp: VoiceParams, nchunks: int):
-            def body(_, i):
-                return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf)
-            _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
-            return out.reshape(-1, 2)
-
-        self._song_fn = song_fn
+        self._chunk_fn, self._song_fn = _bank_fns(
+            chunk_frames, samplerate, num_harmonics, self.used_waves,
+            use_fm, layout)
 
     @classmethod
     def for_voices(cls, voices: Sequence[Voice], samplerate: int = 44100,
