@@ -20,7 +20,7 @@ program per patch structure.  Numeric contract: ``goldref.osc``.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Iterator, Tuple
+from typing import Any, Callable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -350,21 +350,41 @@ def render_patch(node: S.Node, nsamples: int, samplerate: int,
     return fn()
 
 
+#: compiled stream steps keyed by (node, samplerate, blocksize, samplewidth
+#: or None) — a fresh jit closure per stream would recompile the patch for
+#: every replay of the same sound (the per-instance-closure bug class
+#: found on the serving path, see voicebank._bank_fns)
+_stream_step_cache: dict = {}
+
+
+def _stream_step(node: S.Node, samplerate: int, blocksize: int,
+                 samplewidth: Optional[int]):
+    key = (node, samplerate, blocksize, samplewidth)
+    entry = _stream_step_cache.get(key)
+    if entry is None:
+        init, step = lower(node, samplerate, blocksize)
+
+        @jax.jit
+        def jstep(state, n0):
+            vals, state = step(state, n0)
+            if samplewidth is not None:
+                vals = to_int_device(vals, samplewidth)
+            return vals, state
+
+        entry = (init, jstep)
+        _stream_step_cache[key] = entry
+    return entry
+
+
 def block_stream(node: S.Node, samplerate: int, blocksize: int = 512,
-                 post=None) -> Iterator[np.ndarray]:
+                 samplewidth: Optional[int] = None) -> Iterator[np.ndarray]:
     """Host generator of blocks (the reference's ``Oscillator.blocks()``
     pull model): device renders block k while the host consumes block k-1.
 
-    ``post`` (an optional traceable f32[block] -> array transform) fuses
-    into the same per-block device program."""
-    init, step = lower(node, samplerate, blocksize)
-
-    @jax.jit
-    def jstep(state, n0):
-        vals, state = step(state, n0)
-        return (vals if post is None else post(vals)), state
-
-    state = init
+    With ``samplewidth`` the int quantization fuses into the same
+    per-block device program.  Programs are cached per patch structure, so
+    replaying a sound never recompiles."""
+    state, jstep = _stream_step(node, samplerate, blocksize, samplewidth)
     n0 = 0
     pending = None
     while True:
@@ -381,8 +401,7 @@ def int_block_stream(node: S.Node, samplerate: int, blocksize: int,
     fused program as the patch step — one dispatch per block for the
     realtime ``*_gen`` paths (quantizing outside the jit cost 2-3 extra
     relay dispatches per 33 ms chunk)."""
-    return block_stream(node, samplerate, blocksize,
-                        post=lambda v: to_int_device(v, samplewidth))
+    return block_stream(node, samplerate, blocksize, samplewidth=samplewidth)
 
 
 def to_int_device(values: jax.Array, samplewidth: int) -> jax.Array:

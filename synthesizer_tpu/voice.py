@@ -86,6 +86,45 @@ def _echo_step(gated: jax.Array, tail: jax.Array, offsets: tuple,
     return out, buf[-dmax:]
 
 
+#: compiled voice programs keyed by the full static config — re-pressing a
+#: key (same patch/ADSR/echo) must reuse the compiled program, not rebuild
+#: a fresh jit closure (the per-instance-closure bug class, see
+#: voicebank._bank_fns)
+_voice_program_cache: dict = {}
+
+
+def _voice_program(spec, samplerate: int, rbs: int, attack: float,
+                   decay: float, sustain_level: float, release_time: float,
+                   echo_offsets: tuple, echo_gains: tuple):
+    key = (spec, samplerate, rbs, attack, decay, sustain_level,
+           release_time, echo_offsets, echo_gains)
+    entry = _voice_program_cache.get(key)
+    if entry is None:
+        init_state, step = G.lower(spec, samplerate, rbs)
+        sr = jnp.float32(samplerate)
+        a = jnp.float32(attack)
+        d = jnp.float32(decay)
+        sl = jnp.float32(sustain_level)
+        r = jnp.float32(release_time)
+        has_echo = bool(echo_offsets)
+
+        @jax.jit
+        def voice_step(state, tail, n0, rn, rlevel):
+            vals, state = step(state, n0)
+            gains = _gate_gains(n0, rbs, sr, a, d, sl, rn, rlevel, r)
+            gated = vals * gains
+            if has_echo:
+                gated, tail = _echo_step(gated, tail, echo_offsets,
+                                         echo_gains)
+            v = jnp.clip(jnp.rint(gated * jnp.float32(32767.0)),
+                         -32768, 32767).astype(jnp.int16)
+            return v, state, tail
+
+        entry = (init_state, voice_step)
+        _voice_program_cache[key] = entry
+    return entry
+
+
 class RealtimeVoice:
     """One sounding note: streaming patch render x gate ADSR -> int16 chunks."""
 
@@ -140,31 +179,12 @@ class RealtimeVoice:
         # relay each dispatch costs ~1.5-5 ms and each host sync ~30 ms,
         # so fusing the stages AND amortizing the sync over the lookahead
         # is what makes a 33 ms realtime budget reachable.
-        init_state, step = G.lower(patch.spec, self.samplerate, self._rbs)
-        self._voice_state = init_state
-        sr = jnp.float32(self.samplerate)
-        a = jnp.float32(self.attack)
-        d = jnp.float32(self.decay)
-        sl = jnp.float32(self.sustain_level)
-        r = jnp.float32(self.release_time)
-        has_echo = self._echo_tail is not None
-        offs, tgains = self._echo_offsets, self._echo_gains
-        if not has_echo:
+        if self._echo_tail is None:
             self._echo_tail = jnp.zeros((1,), jnp.float32)   # static pytree
-        rbs = self._rbs
-
-        @jax.jit
-        def voice_step(state, tail, n0, rn, rlevel):
-            vals, state = step(state, n0)
-            gains = _gate_gains(n0, rbs, sr, a, d, sl, rn, rlevel, r)
-            gated = vals * gains
-            if has_echo:
-                gated, tail = _echo_step(gated, tail, offs, tgains)
-            v = jnp.clip(jnp.rint(gated * jnp.float32(32767.0)),
-                         -32768, 32767).astype(jnp.int16)
-            return v, state, tail
-
-        self._voice_step = voice_step
+        self._voice_state, self._voice_step = _voice_program(
+            patch.spec, self.samplerate, self._rbs, self.attack, self.decay,
+            self.sustain_level, self.release_time, self._echo_offsets,
+            self._echo_gains)
 
     def release(self, at_frame: Optional[int] = None) -> None:
         """Key-up.  ``at_frame`` pins the ramp start to that exact absolute
