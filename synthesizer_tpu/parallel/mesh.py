@@ -52,6 +52,35 @@ def shard_voice_params(vp: VoiceParams, mesh: Mesh) -> VoiceParams:
     return jax.tree.map(lambda x: jax.device_put(x, sh), vp)
 
 
+#: compiled sharded programs keyed by (kind, mesh, static config) — fresh
+#: jit+shard_map closures per call would recompile on every mix/stream of
+#: the same shapes (the per-instance-closure bug class, see
+#: voicebank._bank_fns)
+_sharded_fn_cache: dict = {}
+
+
+def stream_chunk_sharded_fn(mesh: Mesh, cf: int, lmax: int):
+    """Jitted sharded streaming drum chunk: hit rows shard over the mesh,
+    int32 psum merge (bit-exact)."""
+    key = ("stream_chunk", mesh, cf, lmax)
+    fn = _sharded_fn_cache.get(key)
+    if fn is None:
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS), P()),
+            out_specs=P())
+        def fn(bank, inst_k, start_k, valid_k, c0):
+            pos = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
+            inrange = (pos >= 0) & (pos < lmax) & valid_k[:, None]
+            pos_c = jnp.clip(pos, 0, lmax - 1)
+            vals = bank[inst_k[:, None], pos_c]
+            vals = jnp.where(inrange[:, :, None], vals, 0)
+            return jax.lax.psum(vals.sum(axis=0), HITS_AXIS)
+        _sharded_fn_cache[key] = fn
+    return fn
+
+
 def song_synth_shards(voices, samplerate: int, mesh: Mesh,
                       num_harmonics: int = 8):
     """Pack a song's synth voices for the mesh: (sharded VoiceParams,
@@ -70,14 +99,19 @@ def render_chunk_sharded_fn(mesh: Mesh, chunk_frames: int, samplerate: int,
                             use_fm: bool):
     """Jitted (vp_shard, c0) -> psum'ed stereo chunk over the mesh (the
     streaming counterpart of :func:`render_song_sharded`'s scan body)."""
-    @jax.jit
-    @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P(AXIS), P()), out_specs=P())
-    def fn(vp_shard: VoiceParams, c0) -> jax.Array:
-        stereo = render_block(vp_shard, c0, chunk_frames, samplerate,
-                              num_harmonics, used_waves=used_waves,
-                              use_fm=use_fm)
-        return jax.lax.psum(stereo, AXIS)
+    key = ("chunk", mesh, chunk_frames, samplerate, num_harmonics,
+           used_waves, use_fm)
+    fn = _sharded_fn_cache.get(key)
+    if fn is None:
+        @jax.jit
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(AXIS), P()), out_specs=P())
+        def fn(vp_shard: VoiceParams, c0) -> jax.Array:
+            stereo = render_block(vp_shard, c0, chunk_frames, samplerate,
+                                  num_harmonics, used_waves=used_waves,
+                                  use_fm=use_fm)
+            return jax.lax.psum(stereo, AXIS)
+        _sharded_fn_cache[key] = fn
     return fn
 
 
@@ -105,18 +139,23 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
 
     vp = shard_voice_params(vp, mesh)
 
-    @jax.jit
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(AXIS),), out_specs=P())
-    def run(vp_shard: VoiceParams) -> jax.Array:
-        def body(_, i):
-            stereo = render_block(vp_shard, i * chunk_frames, chunk_frames,
-                                  samplerate, num_harmonics,
-                                  used_waves=used_waves, use_fm=use_fm)
-            return 0, jax.lax.psum(stereo, AXIS)
-        _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
-        return out.reshape(-1, 2)
+    key = ("song", mesh, nchunks, chunk_frames, samplerate, num_harmonics,
+           used_waves, use_fm)
+    run = _sharded_fn_cache.get(key)
+    if run is None:
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(AXIS),), out_specs=P())
+        def run(vp_shard: VoiceParams) -> jax.Array:
+            def body(_, i):
+                stereo = render_block(vp_shard, i * chunk_frames, chunk_frames,
+                                      samplerate, num_harmonics,
+                                      used_waves=used_waves, use_fm=use_fm)
+                return 0, jax.lax.psum(stereo, AXIS)
+            _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
+            return out.reshape(-1, 2)
+        _sharded_fn_cache[key] = run
 
     return run(vp)[:total_frames]
 
@@ -143,15 +182,19 @@ def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
     start = np.concatenate([np.asarray(hits_start, np.int32),
                             np.full(pad, total, np.int32)])
 
-    @jax.jit
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS)),
-        out_specs=P())
-    def run(bank, inst, start):
-        # memory-bounded batched scatter (shared with the single-device
-        # path), then one int32 psum across the mesh
-        out = _mixdown_kernel(bank, inst, start, total)
-        return jax.lax.psum(out, HITS_AXIS)
+    key = ("scatter", mesh, total)
+    run = _sharded_fn_cache.get(key)
+    if run is None:
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS)),
+            out_specs=P())
+        def run(bank, inst, start):
+            # memory-bounded batched scatter (shared with the single-device
+            # path), then one int32 psum across the mesh
+            out = _mixdown_kernel(bank, inst, start, total)
+            return jax.lax.psum(out, HITS_AXIS)
+        _sharded_fn_cache[key] = run
 
     return run(jnp.asarray(bank), jnp.asarray(inst), jnp.asarray(start))

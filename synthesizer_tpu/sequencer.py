@@ -106,6 +106,36 @@ class HitSchedule:
 #: ~32 M int32 elements = 128 MB of HBM regardless of song length
 _SCATTER_BATCH_ELEMS = 32 * 1024 * 1024
 
+#: compiled streaming-chunk programs keyed by (chunk_frames, Lmax) — a
+#: fresh jit closure per mix_generator() call (with the bank baked in as
+#: a constant) would recompile on every replay of the same song
+_chunk_fn_cache: dict = {}
+
+
+def _stream_chunk_fn(cf: int, lmax: int):
+    key = (cf, lmax)
+    fn = _chunk_fn_cache.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(bank, inst_k, start_k, valid_k, c0):
+            # rows: [K, cf] sample positions inside each hit's waveform
+            pos = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
+            inrange = (pos >= 0) & (pos < lmax) & valid_k[:, None]
+            pos_c = jnp.clip(pos, 0, lmax - 1)
+            vals = bank[inst_k[:, None], pos_c]          # [K, cf, C]
+            vals = jnp.where(inrange[:, :, None], vals, 0)
+            return vals.sum(axis=0)                       # int32 [cf, C]
+        _chunk_fn_cache[key] = fn
+    return fn
+
+
+@jax.jit
+def _finish_chunk(acc32, synth_stereo):
+    if synth_stereo is not None:
+        acc32 = acc32 + jnp.rint(
+            synth_stereo * jnp.float32(32767.0)).astype(jnp.int32)
+    return jnp.clip(acc32, -32768, 32767).astype(jnp.int16)
+
 
 def _mixdown_kernel(bank: jax.Array, hits_inst: jax.Array,
                     hits_start: jax.Array, total: int) -> jax.Array:
@@ -568,39 +598,18 @@ class Song:
             K += -K % int(mesh.devices.size)
 
         if mesh is None:
-            @jax.jit
+            base_fn = _stream_chunk_fn(cf, lmax)
+
             def chunk_fn(inst_k, start_k, valid_k, c0):
-                # rows: [K, cf] sample positions inside each hit's waveform
-                pos = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
-                inrange = (pos >= 0) & (pos < lmax) & valid_k[:, None]
-                pos_c = jnp.clip(pos, 0, lmax - 1)
-                vals = bank[inst_k[:, None], pos_c]          # [K, cf, C]
-                vals = jnp.where(inrange[:, :, None], vals, 0)
-                return vals.sum(axis=0)                       # int32 [cf, C]
+                return base_fn(bank, inst_k, start_k, valid_k, c0)
         else:
-            from .parallel.mesh import HITS_AXIS
-            from jax.sharding import PartitionSpec as P
-            import functools
+            from .parallel.mesh import stream_chunk_sharded_fn
+            sharded_fn = stream_chunk_sharded_fn(mesh, cf, lmax)
 
-            @jax.jit
-            @functools.partial(
-                jax.shard_map, mesh=mesh,
-                in_specs=(P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS), P()),
-                out_specs=P())
             def chunk_fn(inst_k, start_k, valid_k, c0):
-                pos = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
-                inrange = (pos >= 0) & (pos < lmax) & valid_k[:, None]
-                pos_c = jnp.clip(pos, 0, lmax - 1)
-                vals = bank[inst_k[:, None], pos_c]
-                vals = jnp.where(inrange[:, :, None], vals, 0)
-                return jax.lax.psum(vals.sum(axis=0), HITS_AXIS)
+                return sharded_fn(bank, inst_k, start_k, valid_k, c0)
 
-        @jax.jit
-        def finish(acc32, synth_stereo):
-            if synth_stereo is not None:
-                acc32 = acc32 + jnp.rint(
-                    synth_stereo * jnp.float32(32767.0)).astype(jnp.int32)
-            return jnp.clip(acc32, -32768, 32767).astype(jnp.int16)
+        finish = _finish_chunk
 
         for ci, c0 in enumerate(range(start_frame, total, cf)):
             hs = per_chunk[ci][:K]
