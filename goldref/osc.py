@@ -141,6 +141,18 @@ def _wave_values(node: S.Osc, p: np.ndarray, sr: int,
     if k == "pointy":
         t = _triangle(_phase_x(p))
         return (t * t * t).astype(np.float32)
+    if k == "wavetable":
+        # pos = x*T (f32); i = min(floor(pos), T-1); linear interp with
+        # wraparound — identical arithmetic on device
+        table = np.asarray(node.table, np.float32)
+        T = len(table)
+        x = _phase_x(p)
+        pos = (x * _F32(T)).astype(np.float32)
+        i = np.minimum(pos.astype(np.int64), T - 1)
+        frac = (pos - i.astype(np.float32)).astype(np.float32)
+        lo = table[i]
+        hi = table[(i + 1) % T]
+        return (lo + (hi - lo) * frac).astype(np.float32)
     if k == "sawtooth_bl":
         x = _phase_x(p)
         dt = node.frequency / sr

@@ -42,7 +42,7 @@ Node = Union[
 WAVEFORMS = (
     "sine", "triangle", "square", "sawtooth", "pulse", "semicircle",
     "pointy", "square_h", "sawtooth_h", "harmonics", "white_noise",
-    "sawtooth_bl", "square_bl",
+    "sawtooth_bl", "square_bl", "wavetable",
 )
 
 
@@ -59,10 +59,13 @@ class Osc:
     num_harmonics: int = 8             # square_h / sawtooth_h
     harmonics: Tuple[Tuple[float, float], ...] = ()  # harmonics kind: (ratio, amp)
     seed: int = 0                      # white_noise
+    table: Tuple[float, ...] = ()      # wavetable: one cycle, f32 values
 
     def __post_init__(self):
         if self.kind not in WAVEFORMS:
             raise ValueError(f"unknown waveform kind {self.kind!r}")
+        if self.kind == "wavetable" and len(self.table) < 2:
+            raise ValueError("wavetable needs a table of >= 2 samples")
 
 
 @dataclasses.dataclass(frozen=True)

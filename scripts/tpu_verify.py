@@ -49,7 +49,8 @@ def max_lsb(got_f32, want_f32):
 
 GRAPH_KINDS = ("sine", "triangle", "square", "sawtooth", "pulse",
                "square_h", "sawtooth_h", "harmonics", "white_noise",
-               "semicircle", "pointy", "sawtooth_bl", "square_bl")
+               "semicircle", "pointy", "sawtooth_bl", "square_bl",
+               "wavetable")
 #: waveforms with an infinite-slope edge: phase rounding puts isolated
 #: samples on the other side of the edge (documented budget, CLAUDE.md)
 EDGE_KINDS = {"semicircle", "square", "pulse", "square_bl", "sawtooth",
@@ -71,6 +72,9 @@ def section_graph(SR, n, blocksize):
             kw["pulse_width"] = 0.3
         if kind == "white_noise":
             kw["seed"] = 42
+        if kind == "wavetable":
+            rng = np.random.default_rng(7)
+            kw["table"] = tuple(float(x) for x in rng.uniform(-1, 1, 64))
         kw.update(over)
         freq = SR if kind == "white_noise" else 440.0
         return S.Osc(kind, freq, **kw)

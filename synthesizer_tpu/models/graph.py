@@ -127,6 +127,18 @@ def _wave_values(node: S.Osc, p: jax.Array, sr: int, n_abs: jax.Array,
     if k == "pointy":
         t = _triangle(_phase_x(p))
         return t * t * t
+    if k == "wavetable":
+        # single-cycle table, linear interp with wraparound (spec:
+        # goldref.osc; a TPU-friendly gather — beyond-reference waveform)
+        table = jnp.asarray(np.asarray(node.table, np.float32))
+        T = len(node.table)
+        x = _phase_x(p)
+        pos = x * jnp.float32(T)
+        i = jnp.minimum(pos.astype(jnp.int32), T - 1)
+        frac = pos - i.astype(jnp.float32)
+        lo = table[i]
+        hi = table[(i + 1) % T]
+        return lo + (hi - lo) * frac
     if k == "sawtooth_bl":
         x = _phase_x(p)
         dt = node.frequency / sr

@@ -39,10 +39,13 @@ Node = Union[
 #: waveform kinds for Osc.  The *_bl variants are polyBLEP-bandlimited
 #: (aliasing-suppressed) editions of the naive discontinuous waves — a
 #: TPU-era alternative to the reference's additive *_h approximations.
+#: "wavetable" (beyond-reference) reads a user-supplied single-cycle table
+#: with linear interpolation: pos = x*T, v = lerp(table[i mod T],
+#: table[(i+1) mod T], frac), all f32.
 WAVEFORMS = (
     "sine", "triangle", "square", "sawtooth", "pulse", "semicircle",
     "pointy", "square_h", "sawtooth_h", "harmonics", "white_noise",
-    "sawtooth_bl", "square_bl",
+    "sawtooth_bl", "square_bl", "wavetable",
 )
 
 
@@ -59,10 +62,13 @@ class Osc:
     num_harmonics: int = 8             # square_h / sawtooth_h
     harmonics: Tuple[Tuple[float, float], ...] = ()  # harmonics kind: (ratio, amp)
     seed: int = 0                      # white_noise
+    table: Tuple[float, ...] = ()      # wavetable: one cycle, f32 values
 
     def __post_init__(self):
         if self.kind not in WAVEFORMS:
             raise ValueError(f"unknown waveform kind {self.kind!r}")
+        if self.kind == "wavetable" and len(self.table) < 2:
+            raise ValueError("wavetable needs a table of >= 2 samples")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,7 +29,7 @@ from .models import spec as S
 __all__ = [
     "Oscillator", "Sine", "Triangle", "Square", "SquareH", "Sawtooth",
     "SawtoothH", "Pulse", "Harmonics", "WhiteNoise", "Linear", "Semicircle",
-    "Pointy", "BandlimitedSawtooth", "BandlimitedSquare",
+    "Pointy", "BandlimitedSawtooth", "BandlimitedSquare", "Wavetable",
     "FastSine", "FastTriangle", "FastSquare", "FastSawtooth",
     "FastPulse", "FastSemicircle", "FastPointy", "EnvelopeFilter",
     "MixingFilter", "AmpModulationFilter", "DelayFilter", "EchoFilter",
@@ -217,6 +217,20 @@ class BandlimitedSquare(Oscillator):
     def __init__(self, frequency: float, amplitude: float = 1.0, phase: float = 0.0,
                  bias: float = 0.0, samplerate: Optional[int] = None):
         super().__init__(S.Osc("square_bl", frequency, amplitude, phase, bias),
+                         _sr(samplerate))
+
+
+class Wavetable(Oscillator):
+    """Single-cycle wavetable oscillator (beyond-reference): the table is
+    read at the DDS phase with linear interpolation + wraparound — a
+    TPU-friendly gather.  FM composes like any other waveform."""
+    def __init__(self, frequency: float, table, amplitude: float = 1.0,
+                 phase: float = 0.0, bias: float = 0.0,
+                 fm_lfo: Optional[Oscillator] = None,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("wavetable", frequency, amplitude, phase, bias,
+                               fm_lfo=_child(fm_lfo),
+                               table=tuple(float(v) for v in table)),
                          _sr(samplerate))
 
 

@@ -73,6 +73,7 @@ def spec_from_json(obj) -> S.Node:
             harmonics=tuple((float(r), float(a))
                             for r, a in obj.get("harmonics", [])),
             seed=int(obj.get("seed", 0)),
+            table=tuple(float(v) for v in obj.get("table", [])),
         )
     if node == "envelope":
         return S.Envelope(spec_from_json(obj["source"]),

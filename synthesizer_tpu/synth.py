@@ -198,6 +198,21 @@ class WaveSynth:
                          harmonics=tuple((float(r), float(a)) for r, a in harmonics))
         return self._gen(node)
 
+    def wavetable(self, frequency: float, duration: float, table,
+                  amplitude: float = 0.9999, phase: float = 0.0,
+                  bias: float = 0.0, fm_lfo=None) -> Sample:
+        """Single-cycle wavetable render (beyond-reference waveform)."""
+        node = self._osc("wavetable", frequency, amplitude, phase, bias,
+                         fm_lfo, table=tuple(float(v) for v in table))
+        return self._render(node, duration, "wavetable")
+
+    def wavetable_gen(self, frequency: float, table,
+                      amplitude: float = 0.9999, phase: float = 0.0,
+                      bias: float = 0.0, fm_lfo=None) -> Iterator[Sample]:
+        node = self._osc("wavetable", frequency, amplitude, phase, bias,
+                         fm_lfo, table=tuple(float(v) for v in table))
+        return self._gen(node)
+
     def white_noise(self, frequency: float = 0.0, duration: float = 1.0,
                     amplitude: float = 0.9999, bias: float = 0.0,
                     seed: int = 0) -> Sample:

@@ -136,3 +136,53 @@ def test_bandlimited_suppresses_aliasing(kind, naive):
     # fundamental survives
     fund = np.argmin(np.abs(freqs - f0))
     assert spec_bl[fund] > 0.7 * spec_nv[fund]
+
+
+def test_wavetable_matches_oracle():
+    """Beyond-reference wavetable oscillator: linear-interp table gather,
+    device == oracle <= 1 LSB, FM and envelope compose."""
+    rng = np.random.default_rng(77)
+    table = tuple(float(x) for x in rng.uniform(-1, 1, 64))
+    assert_1lsb(S.Osc("wavetable", 440.0, amplitude=0.9, phase=0.1,
+                      table=table))
+    assert_1lsb(S.Osc("wavetable", 220.0, amplitude=0.7, table=table,
+                      fm_lfo=S.Osc("sine", 5.0, 0.01)))
+    assert_1lsb(S.Envelope(S.Osc("wavetable", 110.0, 0.8, table=table),
+                           0.01, 0.02, 0.05, 0.6, 0.03))
+
+
+def test_wavetable_closed_form_anchor():
+    """A table sampled from sin reproduces a sine up to interpolation
+    error (bounded by (pi*f_table_step)^2/8), and a 2-point ramp table
+    linearly interpolates between its endpoints."""
+    T = 1024
+    table = tuple(np.sin(2 * np.pi * np.arange(T) / T))
+    got = np.asarray(G.render_patch(
+        S.Osc("wavetable", 440.0, amplitude=1.0, table=table), 4096, SR))
+    t = np.arange(4096, dtype=np.float64)
+    from goldref.spec import phase_increment
+    inc = phase_increment(440.0, SR)
+    ideal = np.sin(2 * np.pi * ((t * inc) % 2**32) / 2**32)
+    # max linear-interp error for sin over a step h=2pi/T: h^2/8
+    bound = (2 * np.pi / T) ** 2 / 8 + 1e-5
+    assert np.abs(got - ideal).max() < bound
+    two = np.asarray(G.render_patch(
+        S.Osc("wavetable", 1.0, amplitude=1.0, table=(0.0, 1.0)),
+        SR, SR))
+    # phase 0..0.5 ramps 0->1 (interp to table[1]); 0.5..1 ramps back
+    i = SR // 4
+    assert abs(two[i] - 0.5) < 2e-3 and abs(two[SR // 2] - 1.0) < 2e-3
+
+
+def test_wavetable_user_surfaces():
+    from synthesizer_tpu import WaveSynth, oscillators as osc
+    table = [0.0, 1.0, 0.0, -1.0]
+    s = WaveSynth(samplerate=SR, samplewidth=2).wavetable(440.0, 0.05, table)
+    assert s.nframes == int(0.05 * SR)
+    assert np.abs(s.get_frame_array()).max() > 20000
+    w = osc.Wavetable(220.0, table, amplitude=0.5, samplerate=SR)
+    block = next(w.blocks(512))
+    assert block.shape == (512,) and np.abs(block).max() <= 0.5 + 1e-6
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="table"):
+        S.Osc("wavetable", 440.0, table=(1.0,))
