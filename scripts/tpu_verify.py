@@ -124,6 +124,9 @@ def section_bank(SR, n):
             kw["pulse_width"] = 0.3
         if wave == "white_noise":
             kw["seed"] = 7
+        if wave == "wavetable":
+            rngw = np.random.default_rng(13)
+            kw["table"] = tuple(float(x) for x in rngw.uniform(-1, 1, 48))
         fm_ok = wave in ("sine", "triangle")
         voices = []
         for i in range(4):
@@ -140,10 +143,15 @@ def section_bank(SR, n):
                                     num_harmonics=4, layout=layout,
                                     nvoices=layout.nvoices)
         got = np.asarray(bank.render_song(vp, n))
-        pal = np.asarray(bank.render_song(vp, n, engine="pallas"))
-        dd = np.abs(got - pal).max()
-        check(f"bank/{wave}/xla_vs_pallas_compiled", dd < 1e-4,
-              f"max f32 diff {dd:.2e}")
+        if wave == "wavetable":
+            print("SKIP  bank/wavetable/xla_vs_pallas_compiled  "
+                  "(XLA engine only: Mosaic lacks the per-voice gather)",
+                  flush=True)
+        else:
+            pal = np.asarray(bank.render_song(vp, n, engine="pallas"))
+            dd = np.abs(got - pal).max()
+            check(f"bank/{wave}/xla_vs_pallas_compiled", dd < 1e-4,
+                  f"max f32 diff {dd:.2e}")
         want = np.zeros((n, 2), np.float32)
         for v in voices:
             want = want + T.oracle_voice(v, n)

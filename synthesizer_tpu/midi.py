@@ -229,6 +229,7 @@ def midi_to_voices(notes: Sequence[MidiNote],
             fm_frequency=sd.fm_frequency, fm_depth=sd.fm_depth,
             pulse_width=sd.pulse_width,
             harmonics=sd.harmonics,
+            table=sd.table,
         ))
     return voices
 

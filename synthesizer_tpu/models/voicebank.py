@@ -31,7 +31,8 @@ FM path only if one of its members uses FM.
 Voice waveforms: 0=sine 1=triangle 2=square 3=sawtooth 4=pulse 5=semicircle
 6=pointy 7=white_noise (sample-and-hold via ``frequency``) 8=harmonics
 (integer partials 1..H with per-voice amplitudes) 9=sawtooth_bl
-10=square_bl (polyBLEP bandlimited).
+10=square_bl (polyBLEP bandlimited) 11=wavetable (canonical 256-sample
+single-cycle table, linear interp; XLA engine only).
 """
 
 from __future__ import annotations
@@ -54,9 +55,34 @@ _TWO_NEG32 = np.float32(2.0 ** -32)
 WAVE_IDS = {
     "sine": 0, "triangle": 1, "square": 2, "sawtooth": 3, "pulse": 4,
     "semicircle": 5, "pointy": 6, "white_noise": 7, "harmonics": 8,
-    "sawtooth_bl": 9, "square_bl": 10,
+    "sawtooth_bl": 9, "square_bl": 10, "wavetable": 11,
 }
-ALL_WAVES = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+ALL_WAVES = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+#: canonical single-cycle table length for banked wavetable voices: user
+#: tables of any length are resampled to this at pack time (linear interp
+#: with wraparound, f32 — bank_table() is the documented canonicalization,
+#: shared with the test oracle so parity is exact)
+BANK_TABLE_LEN = 256
+
+
+def bank_table(table) -> np.ndarray:
+    """Resample a single-cycle table to BANK_TABLE_LEN (f32 linear interp
+    with wraparound).  A table already of length BANK_TABLE_LEN passes
+    through bit-identically."""
+    t = np.asarray(table, np.float32)
+    T = len(t)
+    if T == 0:
+        return np.zeros(BANK_TABLE_LEN, np.float32)
+    if T == BANK_TABLE_LEN:
+        return t
+    pos = (np.arange(BANK_TABLE_LEN, dtype=np.float32)
+           * np.float32(T) / np.float32(BANK_TABLE_LEN)).astype(np.float32)
+    i = np.minimum(pos.astype(np.int64), T - 1)
+    frac = (pos - i.astype(np.float32)).astype(np.float32)
+    lo = t[i]
+    hi = t[(i + 1) % T]
+    return (lo + (hi - lo) * frac).astype(np.float32)
 
 
 class VoiceParams(NamedTuple):
@@ -83,6 +109,7 @@ class VoiceParams(NamedTuple):
     seed: jax.Array        # u32 noise seed
     noise_hold: jax.Array  # i32 sample-and-hold period (frames, >=1)
     harm_amps: jax.Array   # f32 [V, H] partial amplitudes (wave id 8)
+    table: jax.Array       # f32 [V, BANK_TABLE_LEN] wavetable (wave id 11)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +132,7 @@ class Voice:
     fm_phase: float = 0.0
     pulse_width: float = 0.5
     seed: int = 0
+    table: Sequence[float] = ()       # wave="wavetable": one cycle
     harmonics: Sequence[float] = ()   # partial amps for wave="harmonics"
 
 
@@ -197,6 +225,11 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
     for i, vc in enumerate(voices):
         for j, a in enumerate(vc.harmonics[:H]):
             harm[i, j] = a
+
+    tables = np.zeros((V, BANK_TABLE_LEN), np.float32)
+    for i, vc in enumerate(voices):
+        if vc.wave == "wavetable":
+            tables[i] = bank_table(vc.table)
     return VoiceParams(
         wave=arr(lambda x: WAVE_IDS[x.wave], np.int32),
         base_inc=arr(lambda x: S.phase_increment(x.frequency, samplerate), np.uint32),
@@ -222,6 +255,7 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
                        if (x.wave == "white_noise" and x.frequency > 0) else 1,
                        np.int32),
         harm_amps=jnp.asarray(harm),
+        table=jnp.asarray(tables),
     )
 
 
@@ -304,6 +338,17 @@ def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
         hib = u1b * u1b + (u1b + u1b) + one
         blep2 = jnp.where(x2 < dt, lob, jnp.where(x2 > one - dt, hib, jnp.float32(0.0)))
         return naive + blep - blep2
+    if wid == 11:
+        # banked wavetable: canonical [v, BANK_TABLE_LEN] table, linear
+        # interp with wraparound (same arithmetic as the graph engine on
+        # the canonicalized table)
+        T = vp.table.shape[1]
+        pos = x * jnp.float32(T)
+        i = jnp.minimum(pos.astype(jnp.int32), T - 1)
+        frac = pos - i.astype(jnp.float32)
+        lo = jnp.take_along_axis(vp.table, i, axis=1)
+        hi = jnp.take_along_axis(vp.table, (i + 1) % T, axis=1)
+        return lo + (hi - lo) * frac
     raise ValueError(f"bad wave id {wid}")
 
 

@@ -73,6 +73,11 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
     acc_r = jnp.zeros((1, tile), jnp.float32)
 
     for (wid, has_fm, gstart, gcount) in layout.groups:
+        if wid == 11:
+            raise ValueError(
+                "wavetable voices are not supported by the pallas engine "
+                "(Mosaic lacks the per-voice dynamic gather); use the XLA "
+                "engine")
         sl = slice(gstart, gstart + gcount)
         inc = base_inc[sl]              # [g, 1] i32
         p = phase0[sl] + n * inc        # [g, T] i32 wrap == u32 mod 2^32

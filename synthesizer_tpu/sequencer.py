@@ -78,6 +78,7 @@ class SynthDef:
     fm_depth: float = 0.0
     pulse_width: float = 0.5
     harmonics: tuple = ()
+    table: tuple = ()            # wave="wavetable": one cycle of samples
 
 
 class HitSchedule:
@@ -259,6 +260,7 @@ class Song:
                     fm_depth=g.getfloat("fm_depth", 0.0),
                     pulse_width=g.getfloat("pulse_width", 0.5),
                     harmonics=tuple(float(x) for x in g.get("harmonics", "").split()),
+                    table=tuple(float(x) for x in g.get("table", "").split()),
                 )
         for section in cp.sections():
             if section.startswith("pattern."):
@@ -383,6 +385,7 @@ class Song:
                         fm_frequency=sd.fm_frequency, fm_depth=sd.fm_depth,
                         pulse_width=sd.pulse_width,
                         harmonics=sd.harmonics,
+                        table=sd.table,
                     ))
                     t += held
             bar_start += nticks

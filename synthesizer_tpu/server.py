@@ -114,6 +114,8 @@ def voices_from_json(items) -> list:
         kw = {k: v for k, v in item.items() if k in fields}
         if "harmonics" in kw:
             kw["harmonics"] = tuple(float(x) for x in kw["harmonics"])
+        if "table" in kw:
+            kw["table"] = tuple(float(x) for x in kw["table"])
         out.append(Voice(**kw))
     return out
 

@@ -102,3 +102,40 @@ lead = C#4 .. E4 G4 - - .. C5
     assert any(abs(v.frequency - note_freq("C#4")) < 0.01 for v in voices)
     mixed = song.mix()
     assert mixed.duration > 0.5
+
+
+def test_wavetable_synth_track_end_to_end():
+    """A [synth.*] wavetable track renders through the batched bank and
+    matches the per-voice oracle (bank_table canonicalization shared)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    import test_voicebank as T
+    from synthesizer_tpu.sequencer import Song, SynthDef
+    table = (0.0, 0.9, 0.3, -0.6, -1.0, -0.2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_synth("wt", SynthDef(wave="wavetable", amplitude=0.4,
+                                  release=0.05, table=table))
+    song.add_pattern("a", {"wt": "C4 - E4 - G4 - - -"})
+    song.pattern_sequence = ["a"]
+    mixed = song.mix(normalize=False)
+    got = mixed.get_frame_array()
+    assert np.abs(got).max() > 3000
+    voices = song.compile_synth_voices()
+    assert all(v.wave == "wavetable" and v.table == table for v in voices)
+    n = got.shape[0]
+    want = np.zeros((n, 2), np.float32)
+    for v in voices:
+        want = want + T.oracle_voice(v, n)
+    w16 = np.clip(np.rint(want.astype(np.float64) * 32767), -32768, 32767)
+    d = np.abs(got.astype(np.int64) - w16.astype(np.int64))
+    assert d.max() <= 2, d.max()
+    # ini round trip carries the table
+    text = ("[song]\nbpm=240\nticks=4\npatterns = a\n"
+            "[synth.wt]\nwave = wavetable\namplitude = 0.4\nrelease = 0.05\n"
+            "table = 0.0 0.9 0.3 -0.6 -1.0 -0.2\n"
+            "[pattern.a]\nwt = C4 - E4 - G4 - - -\n")
+    song2 = Song.from_string(text)
+    np.testing.assert_array_equal(song2.mix(normalize=False).get_frame_array(),
+                                  got)

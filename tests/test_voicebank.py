@@ -42,6 +42,9 @@ def oracle_voice(v: Voice, n: int) -> np.ndarray:
                                     for i, a in enumerate(v.harmonics))
         if v.wave == "white_noise":
             kw["seed"] = v.seed
+        if v.wave == "wavetable":
+            from synthesizer_tpu.models.voicebank import bank_table
+            kw["table"] = tuple(float(x) for x in bank_table(v.table))
             osc = S.Osc(v.wave, v.frequency or SR, v.amplitude, v.phase,
                         v.bias, **kw)
         else:
@@ -211,7 +214,7 @@ def test_adsr_zero_segment_edges():
 
 WAVE_POOL = ["sine", "triangle", "square", "sawtooth", "pulse", "pointy",
              "semicircle", "harmonics", "white_noise", "sawtooth_bl",
-             "square_bl"]
+             "square_bl", "wavetable"]
 
 
 def rand_voice(rng):
@@ -223,6 +226,9 @@ def rand_voice(rng):
         kw["pulse_width"] = float(rng.uniform(0.1, 0.9))
     if wave == "white_noise":
         kw["seed"] = int(rng.integers(0, 1000))
+    if wave == "wavetable":
+        kw["table"] = tuple(float(x) for x in
+                            rng.uniform(-1, 1, int(rng.integers(3, 300))))
     fm = wave in ("sine", "triangle") and rng.random() < 0.4
     return Voice(
         wave=wave, frequency=float(rng.uniform(40, 2000)),
