@@ -30,7 +30,7 @@ from synthesizer_tpu.voice import RealtimeVoice
 
 WAVEFORMS = ["sine", "triangle", "square", "square_h", "sawtooth",
              "sawtooth_h", "pulse", "harmonics", "semicircle", "pointy",
-             "white_noise", "off"]
+             "white_noise", "sawtooth_bl", "square_bl", "wavetable", "off"]
 
 
 @dataclasses.dataclass
@@ -46,6 +46,7 @@ class OscSettings:
     pwm_source: Optional[int] = None
     num_harmonics: int = 16
     harmonics: Tuple[Tuple[float, float], ...] = ((1, 1.0), (2, 0.5), (4, 0.25))
+    table: Tuple[float, ...] = (0.0, 0.7, 1.0, 0.7, 0.0, -0.7, -1.0, -0.7)
 
 
 @dataclasses.dataclass
@@ -138,6 +139,12 @@ class SynthController:
         if w == "white_noise":
             return osc.WhiteNoise(freq, amplitude=s.amplitude,
                                   samplerate=self.samplerate)
+        if w == "sawtooth_bl":
+            return osc.BandlimitedSawtooth(freq, **kw)
+        if w == "square_bl":
+            return osc.BandlimitedSquare(freq, **kw)
+        if w == "wavetable":
+            return osc.Wavetable(freq, s.table, fm_lfo=fm, **kw)
         raise ValueError(f"waveform {w!r}")
 
     def build_raw_patch(self, key_number: int,
@@ -284,6 +291,7 @@ class SynthController:
         for i, s in enumerate(self.oscs):
             sec = f"osc{i}"
             cp[sec] = {k: str(v) for k, v in dataclasses.asdict(s).items()}
+            cp[sec]["table"] = " ".join(str(v) for v in s.table)
         cp["envelope"] = {k: str(v) for k, v in dataclasses.asdict(self.env).items()}
         cp["echo"] = {k: str(v) for k, v in dataclasses.asdict(self.echo).items()}
         cp["arpeggio"] = {"enabled": str(self.arp.enabled),
@@ -314,6 +322,8 @@ class SynthController:
             s.phase = g.getfloat("phase", s.phase)
             s.pulse_width = g.getfloat("pulse_width", s.pulse_width)
             s.num_harmonics = g.getint("num_harmonics", s.num_harmonics)
+            if g.get("table", "").strip():
+                s.table = tuple(float(x) for x in g.get("table").split())
             for attr in ("fm_source", "pwm_source"):
                 raw = g.get(attr, "None")
                 setattr(s, attr, None if raw in ("None", "") else int(raw))

@@ -234,3 +234,23 @@ def test_repl_play_melodic_pattern(tmp_path, capsys):
     repl.do_play("a")
     out = capsys.readouterr().out
     assert "played pattern a" in out
+
+
+def test_keyboard_wavetable_panel(tmp_path):
+    """The keyboard's wavetable panel renders through the graph engine and
+    presets round-trip the table."""
+    import io as _io
+    import numpy as _np
+    from keyboard_gui import SynthController, WAVEFORMS
+    assert "wavetable" in WAVEFORMS and "sawtooth_bl" in WAVEFORMS
+    c = SynthController(samplerate=44100)
+    c.oscs[0].waveform = "wavetable"
+    c.oscs[0].table = (0.0, 1.0, 0.5, -0.5, -1.0)
+    a = c.render_key(49).get_frame_array()
+    assert _np.abs(a).max() > 5000
+    buf = _io.StringIO()
+    c.save_preset(buf)
+    buf.seek(0)
+    c2 = SynthController(samplerate=44100)
+    c2.load_preset(buf)
+    assert c2.oscs[0].table == (0.0, 1.0, 0.5, -0.5, -1.0)
