@@ -238,6 +238,21 @@ def render_oracle(node: S.Node, nsamples: int, samplerate: int) -> np.ndarray:
                 out[dk:] = out[dk:] + _F32(gain) * src[:nsamples - dk]
         return out.astype(np.float32)
 
+    if kind == "Biquad":
+        src = render_oracle(node.source, nsamples, samplerate)
+        b0, b1, b2, a1, a2 = S.biquad_coeffs(node.kind, node.cutoff, node.q,
+                                             samplerate)
+        # the exact arbiter: SEQUENTIAL direct-form recurrence in f64
+        x = src.astype(np.float64)
+        y = np.zeros(nsamples, np.float64)
+        x1 = x2 = y1 = y2 = 0.0
+        for i in range(nsamples):
+            yi = b0 * x[i] + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+            x2, x1 = x1, x[i]
+            y2, y1 = y1, yi
+            y[i] = yi
+        return y.astype(np.float32)
+
     if kind == "Clip":
         src = render_oracle(node.source, nsamples, samplerate)
         return np.clip(src, _F32(node.minimum), _F32(node.maximum)).astype(np.float32)

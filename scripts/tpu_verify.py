@@ -174,6 +174,20 @@ def section_configs(SR):
     sys.path.insert(0, "/root/repo/tests")
     import test_voicebank as T
 
+    # biquad filters (beyond-reference): parallel-scan IIR vs the
+    # sequential f64 oracle — the check that caught the bf16 MXU bug in
+    # the 2x2 companion products
+    fsrc = S.Osc("sawtooth", 330.0, 0.8)
+    for kind, fc, q, tol in [("lowpass", 1000.0, 0.7071, 2),
+                             ("lowpass", 500.0, 8.0, 24),
+                             ("highpass", 300.0, 0.7071, 16),
+                             ("bandpass", 800.0, 4.0, 3)]:
+        fnode = S.Biquad(fsrc, kind, fc, q)
+        want = go.render_oracle(fnode, SR // 4, SR)
+        got = np.asarray(G.render_patch(fnode, SR // 4, SR, 2048))
+        d = max_lsb(got, want)
+        check(f"filter/{kind}_q{q}", d.max() <= tol, f"max {d.max():.0f} LSB")
+
     # config 1: 2 s 440 Hz sine -> 16-bit mono
     node = S.Osc("sine", 440.0, 0.9999)
     want = go.to_int_samples(go.render_oracle(node, 2 * SR, SR), 2)

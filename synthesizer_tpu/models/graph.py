@@ -10,7 +10,10 @@ chunks on device — SURVEY.md §7); realtime streams call the jitted step
 block by block.  Results are block-size invariant by construction: phase
 accumulators and FM integrals are integer (wrapping u32), delay/echo tails
 are carried exactly, envelopes/LFOs are closed-form in the absolute sample
-index.
+index.  The ONE approximate node is ``Biquad`` (IIR): its parallel affine
+scan's f32 rounding depends on the grouping, so block-size invariance and
+oracle agreement hold to a few LSB, not bit-exactly (documented in the
+spec node).
 
 This replaces the reference's per-sample Python generator DAG
 (``synthplayer/oscillators.py``, SURVEY.md §4.1 hot loop) with one compiled
@@ -282,6 +285,51 @@ def lower(node: S.Node, samplerate: int, blocksize: int) -> Tuple[State, StepFn]
                     buf, dmax - dk, B)
             return out, (buf[-dmax:], sstate)
         return (jnp.zeros((dmax,), jnp.float32), src_init), step
+
+    if isinstance(node, S.Biquad):
+        b0, b1, b2, a1, a2 = S.biquad_coeffs(node.kind, node.cutoff, node.q,
+                                             samplerate)
+        src_init, src_step = lower(node.source, samplerate, blocksize)
+        # y_n = u_n - a1 y_{n-1} - a2 y_{n-2} with the feedforward part
+        # u_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} computed vectorized.  The
+        # 2nd-order recurrence runs as a PARALLEL affine scan over 2x2
+        # companion matrices (log-depth on the VPU — TPU-first IIR; the
+        # spec's arbiter is the oracle's sequential f64 form, agreement
+        # within a few LSB for stable settings).
+        A = jnp.asarray([[-a1, -a2], [1.0, 0.0]], jnp.float32)
+
+        def step(state, n0):
+            x1, x2, y1, y2, sstate = state
+            x, sstate = src_step(sstate, n0)
+            xp1 = jnp.concatenate([x1[None], x[:-1]])
+            xp2 = jnp.concatenate([x2[None], x1[None], x[:-2]])
+            u = (jnp.float32(b0) * x + jnp.float32(b1) * xp1
+                 + jnp.float32(b2) * xp2)
+            Ms = jnp.broadcast_to(A, (B, 2, 2))
+            cs = jnp.stack([u, jnp.zeros_like(u)], axis=-1)       # [B, 2]
+            # precision=HIGHEST: the TPU MXU multiplies in bf16 by default,
+            # which quantizes the cumulative 2x2 products to ~2^-8 relative
+            # and destroys the recurrence (caught by the on-chip battery —
+            # the same hardware bug class as the round-1 mixdown matmul)
+            hi = jax.lax.Precision.HIGHEST
+
+            def combine(l, r):
+                Ml, cl = l
+                Mr, cr = r
+                return (jnp.matmul(Mr, Ml, precision=hi),
+                        jnp.einsum("...ij,...j->...i", Mr, cl,
+                                   precision=hi) + cr)
+
+            Mcum, ccum = jax.lax.associative_scan(combine, (Ms, cs))
+            s0 = jnp.stack([y1, y2])                              # [2]
+            ys = jnp.einsum("nij,j->ni", Mcum, s0,
+                            precision=hi) + ccum                  # [B, 2]
+            y = ys[:, 0]
+            return y, (x[-1], x[-2], y[-1], y[-2], sstate)
+
+        init = (jnp.float32(0.0), jnp.float32(0.0),
+                jnp.float32(0.0), jnp.float32(0.0), src_init)
+        return init, step
 
     if isinstance(node, S.Clip):
         src_init, src_step = lower(node.source, samplerate, blocksize)

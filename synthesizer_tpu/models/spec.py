@@ -33,7 +33,7 @@ from typing import Optional, Tuple, Union
 
 Node = Union[
     "Osc", "Linear", "Envelope", "Mix", "AmpMod", "Delay", "Echo",
-    "Clip", "Abs", "Null", "Const",
+    "Clip", "Abs", "Null", "Const", "Biquad",
 ]
 
 #: waveform kinds for Osc.  The *_bl variants are polyBLEP-bandlimited
@@ -133,6 +133,51 @@ class Echo:
     amount: int
     delay: float
     decay: float
+
+
+@dataclasses.dataclass(frozen=True)
+class Biquad:
+    """Second-order IIR filter (RBJ audio-EQ-cookbook coefficients), a
+    beyond-reference node — the reference has no filters.
+
+    y_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} - a1 y_{n-1} - a2 y_{n-2}
+    with zero initial state.  The exact arbiter is the oracle's f64
+    SEQUENTIAL recurrence; the device evaluates the same recurrence as a
+    parallel affine scan in f32 (TPU-friendly), specified to agree within
+    a few LSB at 16-bit — up to ~16 LSB (-66 dB) when the poles
+    approach the unit circle (strong resonance q >~ 8, or cutoff <<
+    samplerate; measured on TPU hardware).  Block-size
+    invariance holds to the same tolerance (f32 rounding depends on the
+    scan grouping), unlike every other node's bit-exact invariance.
+    """
+    source: Node
+    kind: str                      # "lowpass" | "highpass" | "bandpass"
+    cutoff: float                  # Hz
+    q: float = 0.7071              # resonance (Butterworth default)
+
+    def __post_init__(self):
+        if self.kind not in ("lowpass", "highpass", "bandpass"):
+            raise ValueError(f"unknown filter kind {self.kind!r}")
+        if self.cutoff <= 0 or self.q <= 0:
+            raise ValueError("cutoff and q must be positive")
+
+
+def biquad_coeffs(kind: str, cutoff: float, q: float,
+                  samplerate: int) -> Tuple[float, float, float, float, float]:
+    """RBJ cookbook coefficients (b0, b1, b2, a1, a2), normalized by a0,
+    computed in f64 on host — shared verbatim by both evaluators."""
+    import math
+    w0 = 2.0 * math.pi * min(cutoff, samplerate * 0.49) / samplerate
+    alpha = math.sin(w0) / (2.0 * q)
+    cw = math.cos(w0)
+    if kind == "lowpass":
+        b0, b1, b2 = (1 - cw) / 2, 1 - cw, (1 - cw) / 2
+    elif kind == "highpass":
+        b0, b1, b2 = (1 + cw) / 2, -(1 + cw), (1 + cw) / 2
+    else:                                   # bandpass (constant 0 dB peak)
+        b0, b1, b2 = alpha, 0.0, -alpha
+    a0 = 1 + alpha
+    return (b0 / a0, b1 / a0, b2 / a0, (-2 * cw) / a0, (1 - alpha) / a0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,7 @@ __all__ = [
     "FastPulse", "FastSemicircle", "FastPointy", "EnvelopeFilter",
     "MixingFilter", "AmpModulationFilter", "DelayFilter", "EchoFilter",
     "ClipFilter", "AbsFilter", "NullFilter",
+    "LowpassFilter", "HighpassFilter", "BandpassFilter",
 ]
 
 
@@ -308,6 +309,29 @@ class EchoFilter(Oscillator):
     def __init__(self, source: Oscillator, after: float, amount: int,
                  delay: float, decay: float):
         super().__init__(S.Echo(source.spec, after, amount, delay, decay),
+                         source.samplerate)
+
+
+class LowpassFilter(Oscillator):
+    """Resonant 2nd-order lowpass (RBJ biquad) — beyond-reference: the
+    device runs the IIR as a parallel affine scan (log-depth on the VPU);
+    agreement with the sequential f64 oracle is within a few LSB."""
+    def __init__(self, source: Oscillator, cutoff: float, q: float = 0.7071):
+        super().__init__(S.Biquad(source.spec, "lowpass", cutoff, q),
+                         source.samplerate)
+
+
+class HighpassFilter(Oscillator):
+    """Resonant 2nd-order highpass (RBJ biquad)."""
+    def __init__(self, source: Oscillator, cutoff: float, q: float = 0.7071):
+        super().__init__(S.Biquad(source.spec, "highpass", cutoff, q),
+                         source.samplerate)
+
+
+class BandpassFilter(Oscillator):
+    """2nd-order bandpass (RBJ biquad, constant 0 dB peak gain)."""
+    def __init__(self, source: Oscillator, cutoff: float, q: float = 1.0):
+        super().__init__(S.Biquad(source.spec, "bandpass", cutoff, q),
                          source.samplerate)
 
 

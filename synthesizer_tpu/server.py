@@ -93,6 +93,9 @@ def spec_from_json(obj) -> S.Node:
         return S.Echo(spec_from_json(obj["source"]), float(obj.get("after", 0.0)),
                       int(obj.get("amount", 1)), float(obj.get("delay", 0.1)),
                       float(obj.get("decay", 0.5)))
+    if node in ("lowpass", "highpass", "bandpass"):
+        return S.Biquad(spec_from_json(obj["source"]), node,
+                        float(obj["cutoff"]), float(obj.get("q", 0.7071)))
     if node == "clip":
         return S.Clip(spec_from_json(obj["source"]),
                       float(obj.get("minimum", -1.0)), float(obj.get("maximum", 1.0)))
