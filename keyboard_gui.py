@@ -59,6 +59,15 @@ class EnvSettings:
 
 
 @dataclasses.dataclass
+class FilterSettings:
+    """Beyond-reference: a resonant biquad on the summed patch."""
+    enabled: bool = False
+    kind: str = "lowpass"         # lowpass | highpass | bandpass
+    cutoff: float = 1200.0
+    q: float = 0.7071
+
+
+@dataclasses.dataclass
 class EchoSettings:
     enabled: bool = False
     after: float = 0.05
@@ -89,6 +98,7 @@ class SynthController:
                       for _ in range(self.NUM_OSC - 1)]
         self.env = EnvSettings()
         self.echo = EchoSettings()
+        self.filter = FilterSettings()
         self.arp = ArpSettings()
         self.a4 = 440.0
         #: blocks rendered per device round trip (None = pick by platform)
@@ -162,6 +172,7 @@ class SynthController:
             sources = [osc.Sine(freq, amplitude=0.5, samplerate=self.samplerate)]
         patch: osc.Oscillator = (sources[0] if len(sources) == 1
                                  else osc.MixingFilter(*sources))
+        patch = self._apply_filter(patch)
         if include_echo and self.echo.enabled:
             patch = osc.EchoFilter(patch, self.echo.after, self.echo.amount,
                                    self.echo.delay, self.echo.decay)
@@ -179,6 +190,7 @@ class SynthController:
             sources = [osc.Sine(freq, amplitude=0.5, samplerate=self.samplerate)]
         patch: osc.Oscillator = (sources[0] if len(sources) == 1
                                  else osc.MixingFilter(*sources))
+        patch = self._apply_filter(patch)
         e = self.env
         patch = osc.EnvelopeFilter(patch, e.attack, e.decay, e.sustain,
                                    e.sustain_level, e.release, stop_at_end=True)
@@ -186,6 +198,13 @@ class SynthController:
             patch = osc.EchoFilter(patch, self.echo.after, self.echo.amount,
                                    self.echo.delay, self.echo.decay)
         return patch
+
+    def _apply_filter(self, patch: osc.Oscillator) -> osc.Oscillator:
+        if not self.filter.enabled:
+            return patch
+        cls = {"lowpass": osc.LowpassFilter, "highpass": osc.HighpassFilter,
+               "bandpass": osc.BandpassFilter}[self.filter.kind]
+        return cls(patch, self.filter.cutoff, self.filter.q)
 
     def _is_lfo_only(self, index: int) -> bool:
         """Panels used as FM/PWM sources do not sound directly."""
@@ -294,6 +313,7 @@ class SynthController:
             cp[sec]["table"] = " ".join(str(v) for v in s.table)
         cp["envelope"] = {k: str(v) for k, v in dataclasses.asdict(self.env).items()}
         cp["echo"] = {k: str(v) for k, v in dataclasses.asdict(self.echo).items()}
+        cp["filter"] = {k: str(v) for k, v in dataclasses.asdict(self.filter).items()}
         cp["arpeggio"] = {"enabled": str(self.arp.enabled),
                           "intervals": " ".join(str(i) for i in self.arp.intervals),
                           "rate": str(self.arp.rate)}
@@ -338,6 +358,12 @@ class SynthController:
             self.echo.amount = g.getint("amount", self.echo.amount)
             self.echo.delay = g.getfloat("delay", self.echo.delay)
             self.echo.decay = g.getfloat("decay", self.echo.decay)
+        if "filter" in cp:
+            g = cp["filter"]
+            self.filter.enabled = g.getboolean("enabled", self.filter.enabled)
+            self.filter.kind = g.get("kind", self.filter.kind)
+            self.filter.cutoff = g.getfloat("cutoff", self.filter.cutoff)
+            self.filter.q = g.getfloat("q", self.filter.q)
         if "arpeggio" in cp:
             g = cp["arpeggio"]
             self.arp.enabled = g.getboolean("enabled", self.arp.enabled)

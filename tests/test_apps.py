@@ -254,3 +254,30 @@ def test_keyboard_wavetable_panel(tmp_path):
     c2 = SynthController(samplerate=44100)
     c2.load_preset(buf)
     assert c2.oscs[0].table == (0.0, 1.0, 0.5, -0.5, -1.0)
+
+
+def test_keyboard_filter_section(tmp_path):
+    """The controller's biquad filter section shapes the spectrum and
+    round-trips through presets."""
+    import io as _io
+    import numpy as _np
+    from keyboard_gui import SynthController
+    c = SynthController(samplerate=44100)
+    c.oscs[0].waveform = "sawtooth"
+    raw = c.render_key(49).get_frame_array().astype(_np.float64)[:, 0]
+    c.filter.enabled = True
+    c.filter.kind = "lowpass"
+    c.filter.cutoff = 500.0
+    filt = c.render_key(49).get_frame_array().astype(_np.float64)[:, 0]
+    n = min(len(raw), len(filt), 44100)
+    freqs = _np.fft.rfftfreq(n, 1 / 44100)
+    hi = freqs > 4000
+    s_raw = _np.abs(_np.fft.rfft(raw[:n] * _np.hanning(n)))
+    s_f = _np.abs(_np.fft.rfft(filt[:n] * _np.hanning(n)))
+    assert s_f[hi].sum() < 0.05 * s_raw[hi].sum()
+    buf = _io.StringIO()
+    c.save_preset(buf)
+    buf.seek(0)
+    c2 = SynthController(samplerate=44100)
+    c2.load_preset(buf)
+    assert c2.filter.enabled and c2.filter.cutoff == 500.0
