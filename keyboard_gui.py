@@ -424,6 +424,26 @@ class SynthGUI:
                      command=lambda v, n=name: setattr(self.ctrl.env, n, float(v))
                      ).pack()
 
+        filt = ttk.LabelFrame(panel, text="filter")
+        filt.pack(side=tk.LEFT, padx=4)
+        self.filter_var = tk.BooleanVar(value=False)
+        ttk.Checkbutton(filt, text="enabled", variable=self.filter_var,
+                        command=lambda: setattr(self.ctrl.filter, "enabled",
+                                                self.filter_var.get())).pack()
+        self.filter_kind = tk.StringVar(value=self.ctrl.filter.kind)
+        ttk.Combobox(filt, textvariable=self.filter_kind, width=9,
+                     values=["lowpass", "highpass", "bandpass"],
+                     postcommand=lambda: setattr(self.ctrl.filter, "kind",
+                                                 self.filter_kind.get())).pack()
+        tk.Scale(filt, from_=50, to=12000, resolution=10, orient=tk.HORIZONTAL,
+                 label="cutoff",
+                 command=lambda v: setattr(self.ctrl.filter, "cutoff",
+                                           float(v))).pack()
+        tk.Scale(filt, from_=0.3, to=12.0, resolution=0.1, orient=tk.HORIZONTAL,
+                 label="q",
+                 command=lambda v: setattr(self.ctrl.filter, "q",
+                                           float(v))).pack()
+
         echo = ttk.LabelFrame(panel, text="echo")
         echo.pack(side=tk.LEFT, padx=4)
         self.echo_var = tk.BooleanVar(value=False)
