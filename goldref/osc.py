@@ -240,13 +240,24 @@ def render_oracle(node: S.Node, nsamples: int, samplerate: int) -> np.ndarray:
 
     if kind == "Biquad":
         src = render_oracle(node.source, nsamples, samplerate)
-        b0, b1, b2, a1, a2 = S.biquad_coeffs(node.kind, node.cutoff, node.q,
-                                             samplerate)
+        lfo = getattr(node, "cutoff_lfo", None)
+        if lfo is None:
+            coeffs = [S.biquad_coeffs(node.kind, node.cutoff, node.q,
+                                      samplerate)] * 1
+            def coeff_at(i):
+                return coeffs[0]
+        else:
+            lv = render_oracle(lfo, nsamples, samplerate).astype(np.float64)
+            fc = np.clip(node.cutoff * np.exp2(lv), 10.0, 0.49 * samplerate)
+            def coeff_at(i):
+                return S.biquad_coeffs(node.kind, float(fc[i]), node.q,
+                                       samplerate)
         # the exact arbiter: SEQUENTIAL direct-form recurrence in f64
         x = src.astype(np.float64)
         y = np.zeros(nsamples, np.float64)
         x1 = x2 = y1 = y2 = 0.0
         for i in range(nsamples):
+            b0, b1, b2, a1, a2 = coeff_at(i)
             yi = b0 * x[i] + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
             x2, x1 = x1, x[i]
             y2, y1 = y1, yi

@@ -287,30 +287,29 @@ def lower(node: S.Node, samplerate: int, blocksize: int) -> Tuple[State, StepFn]
         return (jnp.zeros((dmax,), jnp.float32), src_init), step
 
     if isinstance(node, S.Biquad):
-        b0, b1, b2, a1, a2 = S.biquad_coeffs(node.kind, node.cutoff, node.q,
-                                             samplerate)
         src_init, src_step = lower(node.source, samplerate, blocksize)
-        # y_n = u_n - a1 y_{n-1} - a2 y_{n-2} with the feedforward part
-        # u_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} computed vectorized.  The
-        # 2nd-order recurrence runs as a PARALLEL affine scan over 2x2
-        # companion matrices (log-depth on the VPU — TPU-first IIR; the
-        # spec's arbiter is the oracle's sequential f64 form, agreement
-        # within a few LSB for stable settings).
-        A = jnp.asarray([[-a1, -a2], [1.0, 0.0]], jnp.float32)
+        swept = node.cutoff_lfo is not None
+        if swept:
+            lfo_init, lfo_step = lower(node.cutoff_lfo, samplerate, blocksize)
+        else:
+            sb0, sb1, sb2, sa1, sa2 = S.biquad_coeffs(
+                node.kind, node.cutoff, node.q, samplerate)
 
-        def step(state, n0):
-            x1, x2, y1, y2, sstate = state
-            x, sstate = src_step(sstate, n0)
-            xp1 = jnp.concatenate([x1[None], x[:-1]])
-            xp2 = jnp.concatenate([x2[None], x1[None], x[:-2]])
-            u = (jnp.float32(b0) * x + jnp.float32(b1) * xp1
-                 + jnp.float32(b2) * xp2)
-            Ms = jnp.broadcast_to(A, (B, 2, 2))
-            cs = jnp.stack([u, jnp.zeros_like(u)], axis=-1)       # [B, 2]
-            # precision=HIGHEST: the TPU MXU multiplies in bf16 by default,
-            # which quantizes the cumulative 2x2 products to ~2^-8 relative
-            # and destroys the recurrence (caught by the on-chip battery —
-            # the same hardware bug class as the round-1 mixdown matmul)
+        def _affine_scan(u, a1, a2, y1, y2):
+            """y_n = u_n - a1_n y_{n-1} - a2_n y_{n-2} as a PARALLEL affine
+            scan over 2x2 companion matrices (log-depth on the VPU —
+            TPU-first IIR; the spec's arbiter is the oracle's sequential
+            f64 form, agreement within a few LSB for stable settings).
+            precision=HIGHEST everywhere: the TPU MXU multiplies in bf16
+            by default, which quantizes the cumulative 2x2 products to
+            ~2^-8 relative and destroys the recurrence (caught by the
+            on-chip battery — the round-1 hardware bug class)."""
+            ones = jnp.ones_like(u)
+            zeros = jnp.zeros_like(u)
+            row0 = jnp.stack([-a1 * ones, -a2 * ones], axis=-1)   # [B, 2]
+            row1 = jnp.stack([ones, zeros], axis=-1)
+            Ms = jnp.stack([row0, row1], axis=-2)                 # [B, 2, 2]
+            cs = jnp.stack([u, zeros], axis=-1)                   # [B, 2]
             hi = jax.lax.Precision.HIGHEST
 
             def combine(l, r):
@@ -322,13 +321,54 @@ def lower(node: S.Node, samplerate: int, blocksize: int) -> Tuple[State, StepFn]
 
             Mcum, ccum = jax.lax.associative_scan(combine, (Ms, cs))
             s0 = jnp.stack([y1, y2])                              # [2]
-            ys = jnp.einsum("nij,j->ni", Mcum, s0,
-                            precision=hi) + ccum                  # [B, 2]
-            y = ys[:, 0]
+            ys = jnp.einsum("nij,j->ni", Mcum, s0, precision=hi) + ccum
+            return ys[:, 0]
+
+        def step(state, n0):
+            if swept:
+                x1, x2, y1, y2, lstate, sstate = state
+                lv, lstate = lfo_step(lstate, n0)
+                fc = jnp.clip(jnp.float32(node.cutoff) * jnp.exp2(lv),
+                              jnp.float32(10.0),
+                              jnp.float32(0.49 * samplerate))
+                w0 = jnp.float32(2.0 * math.pi / samplerate) * fc
+                alpha = jnp.sin(w0) / jnp.float32(2.0 * node.q)
+                cw = jnp.cos(w0)
+                if node.kind == "lowpass":
+                    b0 = (1.0 - cw) * jnp.float32(0.5)
+                    b1 = 1.0 - cw
+                    b2 = b0
+                elif node.kind == "highpass":
+                    b0 = (1.0 + cw) * jnp.float32(0.5)
+                    b1 = -(1.0 + cw)
+                    b2 = b0
+                else:
+                    b0 = alpha
+                    b1 = jnp.zeros_like(alpha)
+                    b2 = -alpha
+                a0r = jnp.float32(1.0) / (1.0 + alpha)
+                b0, b1, b2 = b0 * a0r, b1 * a0r, b2 * a0r
+                a1 = (-2.0 * cw) * a0r
+                a2 = (1.0 - alpha) * a0r
+            else:
+                x1, x2, y1, y2, sstate = state
+                b0, b1, b2 = (jnp.float32(sb0), jnp.float32(sb1),
+                              jnp.float32(sb2))
+                a1, a2 = jnp.float32(sa1), jnp.float32(sa2)
+            x, sstate = src_step(sstate, n0)
+            xp1 = jnp.concatenate([x1[None], x[:-1]])
+            xp2 = jnp.concatenate([x2[None], x1[None], x[:-2]])
+            u = b0 * x + b1 * xp1 + b2 * xp2
+            y = _affine_scan(u, a1, a2, y1, y2)
+            if swept:
+                return y, (x[-1], x[-2], y[-1], y[-2], lstate, sstate)
             return y, (x[-1], x[-2], y[-1], y[-2], sstate)
 
-        init = (jnp.float32(0.0), jnp.float32(0.0),
-                jnp.float32(0.0), jnp.float32(0.0), src_init)
+        z = jnp.float32(0.0)
+        if swept:
+            init = (z, z, z, z, lfo_init, src_init)
+        else:
+            init = (z, z, z, z, src_init)
         return init, step
 
     if isinstance(node, S.Clip):

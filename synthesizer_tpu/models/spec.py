@@ -154,6 +154,11 @@ class Biquad:
     kind: str                      # "lowpass" | "highpass" | "bandpass"
     cutoff: float                  # Hz
     q: float = 0.7071              # resonance (Butterworth default)
+    #: optional cutoff modulation in OCTAVES: fc_n = clip(cutoff *
+    #: 2**lfo_n, 10 Hz, 0.49*sr); coefficients recompute per sample (the
+    #: classic swept-filter sound — time-varying matrices drop straight
+    #: into the same parallel scan)
+    cutoff_lfo: Optional[Node] = None
 
     def __post_init__(self):
         if self.kind not in ("lowpass", "highpass", "bandpass"):

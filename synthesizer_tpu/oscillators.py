@@ -315,23 +315,30 @@ class EchoFilter(Oscillator):
 class LowpassFilter(Oscillator):
     """Resonant 2nd-order lowpass (RBJ biquad) — beyond-reference: the
     device runs the IIR as a parallel affine scan (log-depth on the VPU);
-    agreement with the sequential f64 oracle is within a few LSB."""
-    def __init__(self, source: Oscillator, cutoff: float, q: float = 0.7071):
-        super().__init__(S.Biquad(source.spec, "lowpass", cutoff, q),
+    agreement with the sequential f64 oracle is within a few LSB.
+    ``cutoff_lfo`` sweeps the cutoff in octaves: fc_n = cutoff*2**lfo_n."""
+    def __init__(self, source: Oscillator, cutoff: float, q: float = 0.7071,
+                 cutoff_lfo: Optional[Oscillator] = None):
+        super().__init__(S.Biquad(source.spec, "lowpass", cutoff, q,
+                                  cutoff_lfo=_child(cutoff_lfo)),
                          source.samplerate)
 
 
 class HighpassFilter(Oscillator):
-    """Resonant 2nd-order highpass (RBJ biquad)."""
-    def __init__(self, source: Oscillator, cutoff: float, q: float = 0.7071):
-        super().__init__(S.Biquad(source.spec, "highpass", cutoff, q),
+    """Resonant 2nd-order highpass (RBJ biquad; sweepable cutoff)."""
+    def __init__(self, source: Oscillator, cutoff: float, q: float = 0.7071,
+                 cutoff_lfo: Optional[Oscillator] = None):
+        super().__init__(S.Biquad(source.spec, "highpass", cutoff, q,
+                                  cutoff_lfo=_child(cutoff_lfo)),
                          source.samplerate)
 
 
 class BandpassFilter(Oscillator):
-    """2nd-order bandpass (RBJ biquad, constant 0 dB peak gain)."""
-    def __init__(self, source: Oscillator, cutoff: float, q: float = 1.0):
-        super().__init__(S.Biquad(source.spec, "bandpass", cutoff, q),
+    """2nd-order bandpass (RBJ biquad, constant 0 dB peak; sweepable)."""
+    def __init__(self, source: Oscillator, cutoff: float, q: float = 1.0,
+                 cutoff_lfo: Optional[Oscillator] = None):
+        super().__init__(S.Biquad(source.spec, "bandpass", cutoff, q,
+                                  cutoff_lfo=_child(cutoff_lfo)),
                          source.samplerate)
 
 

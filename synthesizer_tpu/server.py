@@ -95,7 +95,9 @@ def spec_from_json(obj) -> S.Node:
                       float(obj.get("decay", 0.5)))
     if node in ("lowpass", "highpass", "bandpass"):
         return S.Biquad(spec_from_json(obj["source"]), node,
-                        float(obj["cutoff"]), float(obj.get("q", 0.7071)))
+                        float(obj["cutoff"]), float(obj.get("q", 0.7071)),
+                        cutoff_lfo=spec_from_json(obj["cutoff_lfo"])
+                        if obj.get("cutoff_lfo") else None)
     if node == "clip":
         return S.Clip(spec_from_json(obj["source"]),
                       float(obj.get("minimum", -1.0)), float(obj.get("maximum", 1.0)))

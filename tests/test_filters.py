@@ -79,3 +79,41 @@ def test_filter_oscillator_classes_and_server_json():
         S.Biquad(SRC, "notch", 500.0)
     with pytest.raises(ValueError):
         S.Biquad(SRC, "lowpass", -1.0)
+
+
+def test_swept_cutoff_matches_oracle():
+    """cutoff_lfo sweeps the cutoff in octaves (time-varying companion
+    matrices in the same parallel scan); parity vs the per-sample-coeff
+    sequential f64 oracle."""
+    sweep = S.Osc("sine", 0.5, amplitude=2.0)       # +-2 octaves
+    for q, tol in [(0.7071, 3), (4.0, 6)]:
+        node = S.Biquad(S.Osc("sawtooth", 110.0, 0.8), "lowpass", 800.0, q,
+                        cutoff_lfo=sweep)
+        d = lsb_diff(node)
+        assert d.max() <= tol, f"q={q}: max {d.max()} LSB"
+
+
+def test_swept_cutoff_moves_the_spectrum():
+    """The sweep is audible: the bright half (cutoff up) carries far more
+    high-frequency energy than the dark half."""
+    n = SR
+    sweep = S.Osc("sine", 0.5, amplitude=2.0, phase=0.25)  # cos: starts high
+    node = S.Biquad(S.Osc("sawtooth", 110.0, 0.8), "lowpass", 700.0, 1.0,
+                    cutoff_lfo=sweep)
+    v = np.asarray(G.render_patch(node, n, SR, 8192), np.float64)
+    bright, dark = v[: n // 4], v[n // 2: 3 * n // 4]
+    def hf(seg):
+        s = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f = np.fft.rfftfreq(len(seg), 1 / SR)
+        return s[f > 2000].sum()
+    assert hf(bright) > 10.0 * hf(dark)
+
+
+def test_sweepable_filter_class():
+    from synthesizer_tpu import oscillators as osc
+    f = osc.LowpassFilter(osc.Sawtooth(110.0, samplerate=SR), 800.0, q=1.0,
+                          cutoff_lfo=osc.Sine(0.5, amplitude=2.0,
+                                              samplerate=SR))
+    assert f.spec.cutoff_lfo is not None
+    block = next(f.blocks(512))
+    assert np.isfinite(block).all()
