@@ -65,6 +65,8 @@ class FilterSettings:
     kind: str = "lowpass"         # lowpass | highpass | bandpass
     cutoff: float = 1200.0
     q: float = 0.7071
+    lfo_source: Optional[int] = None   # osc panel index sweeping the cutoff
+                                       # (its output is octaves of sweep)
 
 
 @dataclasses.dataclass
@@ -204,10 +206,14 @@ class SynthController:
             return patch
         cls = {"lowpass": osc.LowpassFilter, "highpass": osc.HighpassFilter,
                "bandpass": osc.BandpassFilter}[self.filter.kind]
-        return cls(patch, self.filter.cutoff, self.filter.q)
+        lfo = (self._lfo_for(self.filter.lfo_source, self.filter.cutoff)
+               if self.filter.lfo_source is not None else None)
+        return cls(patch, self.filter.cutoff, self.filter.q, cutoff_lfo=lfo)
 
     def _is_lfo_only(self, index: int) -> bool:
-        """Panels used as FM/PWM sources do not sound directly."""
+        """Panels used as FM/PWM/filter-LFO sources do not sound directly."""
+        if self.filter.enabled and self.filter.lfo_source == index:
+            return True
         return any(s.fm_source == index or s.pwm_source == index
                    for s in self.oscs)
 
@@ -364,6 +370,9 @@ class SynthController:
             self.filter.kind = g.get("kind", self.filter.kind)
             self.filter.cutoff = g.getfloat("cutoff", self.filter.cutoff)
             self.filter.q = g.getfloat("q", self.filter.q)
+            raw = g.get("lfo_source", "None")
+            self.filter.lfo_source = (None if raw in ("None", "")
+                                      else int(raw))
         if "arpeggio" in cp:
             g = cp["arpeggio"]
             self.arp.enabled = g.getboolean("enabled", self.arp.enabled)

@@ -187,6 +187,12 @@ def section_configs(SR):
         got = np.asarray(G.render_patch(fnode, SR // 4, SR, 2048))
         d = max_lsb(got, want)
         check(f"filter/{kind}_q{q}", d.max() <= tol, f"max {d.max():.0f} LSB")
+    swept = S.Biquad(fsrc, "lowpass", 800.0, 1.0,
+                     cutoff_lfo=S.Osc("sine", 0.5, amplitude=2.0))
+    want = go.render_oracle(swept, SR // 4, SR)
+    got = np.asarray(G.render_patch(swept, SR // 4, SR, 2048))
+    d = max_lsb(got, want)
+    check("filter/lowpass_swept", d.max() <= 6, f"max {d.max():.0f} LSB")
 
     # config 1: 2 s 440 Hz sine -> 16-bit mono
     node = S.Osc("sine", 440.0, 0.9999)

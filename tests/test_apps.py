@@ -281,3 +281,34 @@ def test_keyboard_filter_section(tmp_path):
     c2 = SynthController(samplerate=44100)
     c2.load_preset(buf)
     assert c2.filter.enabled and c2.filter.cutoff == 500.0
+
+
+def test_keyboard_filter_lfo_routing():
+    """An osc panel routed as the filter's cutoff LFO sweeps the filter
+    and stops sounding directly."""
+    import numpy as _np
+    from keyboard_gui import SynthController
+    c = SynthController(samplerate=44100)
+    c.oscs[0].waveform = "sawtooth"
+    c.oscs[1].waveform = "sine"        # the sweep LFO
+    c.oscs[1].ratio = 0.0
+    c.oscs[1].detune = 1.0             # 1 Hz
+    c.oscs[1].amplitude = 2.0          # +-2 octaves
+    c.filter.enabled = True
+    c.filter.kind = "lowpass"
+    c.filter.cutoff = 600.0
+    c.filter.lfo_source = 1
+    patch = c.build_raw_patch(49)
+    from synthesizer_tpu.models import spec as S
+    assert isinstance(patch.spec, S.Biquad)
+    assert patch.spec.cutoff_lfo is not None        # swept
+    assert not isinstance(patch.spec.source, S.Mix)  # LFO panel muted
+    a = c.render_key(49).get_frame_array().astype(_np.float64)[:, 0]
+    # brightness varies over the sweep: split-half HF energy differs
+    n = len(a) // 2
+    def hf(seg):
+        s = _np.abs(_np.fft.rfft(seg * _np.hanning(len(seg))))
+        f = _np.fft.rfftfreq(len(seg), 1 / 44100)
+        return s[f > 2000].sum()
+    lo, hi = sorted([hf(a[:n]), hf(a[n:2 * n])])
+    assert hi > 2.0 * max(lo, 1e-9)
