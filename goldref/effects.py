@@ -1,0 +1,320 @@
+"""Effects-rack oracle: sequential reference implementations.
+
+The reference library has no effects beyond the feed-forward echo
+(SURVEY.md §3.1 row 2 lists the full op set); this module is the
+behavioral contract for the rebuild's *beyond-reference* effects rack —
+dynamics compression, Freeverb-style reverb, multi-voice chorus, and
+impulse-response convolution.  Like the rest of ``goldref``, everything
+here is straightforward sequential host code (numpy, python loops for the
+recurrences); the device twins in ``synthesizer_tpu/ops/effects.py``
+implement the SAME formulas as parallel/blocked scans and are tested
+against this module with the tolerance documented per function.
+
+Shared conventions:
+
+* the working signal is the normalized float32 value ``s = f32(x)/maxval``
+  per channel (maxval from the sample width);
+* pure-gain effects (the compressor) convert back with the house gain
+  rule ``floor(f32(x) * f32(gain))``, clamp — identical to fades/envelope;
+* signal-synthesizing effects (reverb/chorus/convolve wet mixes) convert
+  back with the house synthesis rule ``clip(rint(f32(y * maxval)))`` —
+  identical to the oscillator path (goldref.osc.to_int_samples).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+MAXVAL = {1: 127, 2: 32767, 4: 2147483647}
+MINVAL = {1: -128, 2: -32768, 4: -2147483648}
+_DTYPES = {1: np.int8, 2: np.int16, 4: np.int32}
+
+
+def _norm(frames: np.ndarray, width: int) -> np.ndarray:
+    """int frames [n, ch] -> normalized f32 (|x|/maxval may exceed 1 at MIN)."""
+    return frames.astype(np.float32) / np.float32(MAXVAL[width])
+
+
+def _to_int(values_f32: np.ndarray, width: int) -> np.ndarray:
+    """House synthesis quantization: clip(rint(f32(v*maxval))), f32 product."""
+    v = np.rint(values_f32.astype(np.float32) * np.float32(MAXVAL[width]))
+    v64 = v.astype(np.float64)
+    return np.clip(v64, MINVAL[width], MAXVAL[width]).astype(_DTYPES[width])
+
+
+def _gain_floor(frames: np.ndarray, gains: np.ndarray, width: int) -> np.ndarray:
+    """House gain quantization: floor(f32(x) * f32(g)), clamp."""
+    v = frames.astype(np.float32) * gains.astype(np.float32)
+    v64 = np.floor(v.astype(np.float64))
+    return np.clip(v64, MINVAL[width], MAXVAL[width]).astype(_DTYPES[width])
+
+
+# ---------------------------------------------------------------------------
+# Dynamics compressor / limiter
+# ---------------------------------------------------------------------------
+
+def compressor_coeffs(samplerate: int, attack: float,
+                      release: float) -> Tuple[float, float]:
+    """Host-side f64 coefficient computation, shared verbatim by both
+    evaluators: attack one-pole alpha and release decay-per-sample.
+
+    attack <= 0 -> alpha 1 (instant); release <= 0 -> decay 0 (instant)."""
+    alpha = 1.0 if attack <= 0 else 1.0 - math.exp(-1.0 / (attack * samplerate))
+    decay = 0.0 if release <= 0 else math.exp(-1.0 / (release * samplerate))
+    return alpha, decay
+
+
+def compressor_gains(frames: np.ndarray, width: int, samplerate: int,
+                     threshold_db: float, ratio: float, attack: float,
+                     release: float) -> np.ndarray:
+    """Per-sample gain curve of the feed-forward peak compressor.  Spec:
+
+    * detector input  a_n = max over channels of |s_n| (normalized f32);
+    * envelope        e_n = max(a_n, e_{n-1} * decay),  e_{-1} = 0
+      (instant-attack decaying-max peak follower — an associative
+      recurrence, which is what makes the device twin a parallel scan);
+    * static curve    g_db = min(0, (threshold_db - level_db) * (1 - 1/ratio))
+      with level_db = 20*log10(max(e_n, 1e-10)); ratio = inf is a limiter;
+    * attack smoothing on the LINEAR gain:
+      y_n = y_{n-1} + alpha * (g_n - y_{n-1}),  y_{-1} = 1.
+
+    All per-sample math is float32 (log10/exp2 included).  The device twin
+    evaluates the same recurrences as parallel scans whose f32 rounding
+    regroups; the agreed budget is |gain| <= 2e-6 absolute, <= 2 LSB after
+    application at 16-bit.  (The device evaluates the smoother in the
+    algebraically-equal deviation form z = 1 - y so the g == 1 fixpoint is
+    exact — under-threshold audio is bit-transparent on BOTH sides.)
+    """
+    alpha, decay = compressor_coeffs(samplerate, attack, release)
+    a = np.max(np.abs(_norm(frames, width)), axis=1).astype(np.float32)
+    slope = np.float32(1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio)
+    thr = np.float32(threshold_db)
+    n = a.shape[0]
+    gains = np.empty(n, np.float32)
+    e = np.float32(0.0)
+    y = np.float32(1.0)
+    dec = np.float32(decay)
+    al = np.float32(alpha)
+    for i in range(n):
+        e = max(a[i], np.float32(e * dec))
+        level_db = np.float32(20.0) * np.float32(
+            np.log10(max(e, np.float32(1e-10))))
+        g_db = min(np.float32(0.0), np.float32((thr - level_db) * slope))
+        g = np.float32(np.exp2(np.float32(g_db * np.float32(1.0 / 6.0206))))
+        y = np.float32(y + al * np.float32(g - y))
+        gains[i] = y
+    return gains
+
+
+def compress(frames: np.ndarray, width: int, samplerate: int,
+             threshold_db: float = -20.0, ratio: float = 4.0,
+             attack: float = 0.005, release: float = 0.1,
+             makeup_db: float = 0.0) -> np.ndarray:
+    """Apply the compressor: house gain rule with gain_n * makeup."""
+    g = compressor_gains(frames, width, samplerate, threshold_db, ratio,
+                         attack, release)
+    makeup = np.float32(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))
+    return _gain_floor(frames, (g * makeup)[:, None], width)
+
+
+# ---------------------------------------------------------------------------
+# Freeverb-style reverb
+# ---------------------------------------------------------------------------
+
+#: classic Freeverb tuning (delay lengths in frames at 44100 Hz)
+COMB_TUNING = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+ALLPASS_TUNING = (556, 441, 341, 225)
+STEREO_SPREAD = 23
+FIXED_GAIN = 0.015
+ALLPASS_FEEDBACK = 0.5
+
+
+def reverb_delays(samplerate: int, channel: int) -> Tuple[Tuple[int, ...],
+                                                          Tuple[int, ...]]:
+    """Delay lengths for one channel's network, scaled from the 44100 Hz
+    tuning: D = max(2, int(round((D44 + 23*channel) * sr / 44100)))."""
+    scale = samplerate / 44100.0
+    sp = STEREO_SPREAD * channel
+    combs = tuple(max(2, int(round((d + sp) * scale))) for d in COMB_TUNING)
+    aps = tuple(max(2, int(round((d + sp) * scale))) for d in ALLPASS_TUNING)
+    return combs, aps
+
+
+def reverb_params(roomsize: float, damping: float, wet: float,
+                  width: float) -> Tuple[float, float, float, float]:
+    """(feedback, damp, wet1, wet2) from the user knobs (Freeverb mapping):
+    feedback = 0.7 + 0.28*roomsize; damp = 0.4*damping;
+    wet1 = wet*(width/2 + 0.5); wet2 = wet*(1 - width)/2."""
+    return (0.7 + 0.28 * roomsize, 0.4 * damping,
+            wet * (width / 2.0 + 0.5), wet * (1.0 - width) / 2.0)
+
+
+def _reverb_network(mono_in: np.ndarray, combs, aps, feedback: float,
+                    damp: float) -> np.ndarray:
+    """One channel's network, sequential f32: 8 parallel damped-feedback
+    combs summed, then 4 series allpasses.  Per-sample comb recurrence
+    (zero-initial buffers; pos starts at 0 and increments per sample):
+
+        y_n     = buf[pos]                       (the D-delayed output)
+        fs      = y_n*(1-damp) + fs*damp         (one-pole damping state)
+        buf[pos] = in_n + fs*feedback
+
+    Allpass (Freeverb form, feedback 0.5):
+
+        b       = buf[pos]
+        out_n   = b - in_n
+        buf[pos] = in_n + b*0.5
+    """
+    n = mono_in.shape[0]
+    fb = np.float32(feedback)
+    d1 = np.float32(damp)
+    d2 = np.float32(1.0 - damp)
+    cbufs = [np.zeros(D, np.float32) for D in combs]
+    fstores = np.zeros(len(combs), np.float32)
+    out = np.zeros(n, np.float32)
+    for i in range(n):
+        x = mono_in[i]
+        acc = np.float32(0.0)
+        for k, D in enumerate(combs):
+            p = i % D
+            y = cbufs[k][p]
+            fstores[k] = np.float32(y * d2 + fstores[k] * d1)
+            cbufs[k][p] = np.float32(x + fstores[k] * fb)
+            acc = np.float32(acc + y)
+        out[i] = acc
+    g = np.float32(ALLPASS_FEEDBACK)
+    for D in aps:
+        buf = np.zeros(D, np.float32)
+        nxt = np.empty(n, np.float32)
+        for i in range(n):
+            p = i % D
+            b = buf[p]
+            nxt[i] = np.float32(b - out[i])
+            buf[p] = np.float32(out[i] + b * g)
+        out = nxt
+    return out
+
+
+def reverb(frames: np.ndarray, width: int, samplerate: int,
+           roomsize: float = 0.7, damping: float = 0.5, wet: float = 0.33,
+           dry: float = 0.7, stereo_width: float = 1.0,
+           tail_frames: int = 0) -> np.ndarray:
+    """Freeverb-style reverb.  The input (zero-padded by ``tail_frames``)
+    feeds every network as ``in = (sum of channels) * 0.015``; mono samples
+    run one network (channel-0 tuning), stereo runs two (channel 1 spread
+    +23 frames) with cross-mixed wets:
+
+        outL = dry*sL + wet1*revL + wet2*revR   (and symmetrically for R)
+
+    Output = clip(rint(out * maxval)), length n + tail_frames.  Device-twin
+    tolerance: the blocked-parallel scan regroups the f32 comb/allpass
+    arithmetic; agreed budget <= 4 LSB at 16-bit for |signal| <= full scale.
+    """
+    n = frames.shape[0]
+    nch = frames.shape[1]
+    total = n + int(tail_frames)
+    s = np.zeros((total, nch), np.float32)
+    s[:n] = _norm(frames, width)
+    mono_in = (np.sum(s, axis=1) * np.float32(FIXED_GAIN)).astype(np.float32)
+    feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
+                                               stereo_width)
+    if nch == 1:
+        combs, aps = reverb_delays(samplerate, 0)
+        rev = _reverb_network(mono_in, combs, aps, feedback, damp)
+        out = np.float32(dry) * s[:, 0] + np.float32(wet1 + wet2) * rev
+        return _to_int(out[:, None], width)
+    revs = []
+    for ch in range(2):
+        combs, aps = reverb_delays(samplerate, ch)
+        revs.append(_reverb_network(mono_in, combs, aps, feedback, damp))
+    out = np.stack([
+        np.float32(dry) * s[:, 0] + np.float32(wet1) * revs[0]
+        + np.float32(wet2) * revs[1],
+        np.float32(dry) * s[:, 1] + np.float32(wet1) * revs[1]
+        + np.float32(wet2) * revs[0],
+    ], axis=1)
+    return _to_int(out, width)
+
+
+# ---------------------------------------------------------------------------
+# Multi-voice chorus
+# ---------------------------------------------------------------------------
+
+def chorus_delay_frames(n: int, samplerate: int, rate: float, depth: float,
+                        delay: float, voice: int, voices: int,
+                        channel: int) -> np.ndarray:
+    """Voice delay curve in FRAMES (float64 for the oracle; the device twin
+    uses its turn-unit f32 sine, budgeted below):
+
+        d(t) = (delay + depth*(0.5 + 0.5*sin(2pi*(rate*t + phi)))) * sr
+        phi  = voice/voices + 0.25*channel
+    """
+    t = np.arange(n, dtype=np.float64) / samplerate
+    phi = voice / voices + 0.25 * channel
+    lfo = 0.5 + 0.5 * np.sin(2.0 * np.pi * (rate * t + phi))
+    return (delay + depth * lfo) * samplerate
+
+
+def chorus(frames: np.ndarray, width: int, samplerate: int,
+           rate: float = 0.5, depth: float = 0.002, delay: float = 0.02,
+           voices: int = 3, wet: float = 0.4, dry: float = 1.0) -> np.ndarray:
+    """Multi-voice chorus: each voice reads the input at an LFO-modulated
+    fractional delay (linear interpolation, zero before the start):
+
+        out_c = dry*s_c + (wet/voices) * sum_v lerp(s_c, n - d_v,c(n))
+
+    Output = clip(rint(out * maxval)), same length.  Device twin budget:
+    the device sine is the turn-unit minimax poly (max err 7.8e-7) and the
+    interpolation is f32; agreed budget <= 2 LSB at 16-bit.
+    """
+    n, nch = frames.shape
+    s = _norm(frames, width).astype(np.float64)
+    out = np.float64(dry) * s
+    wv = np.float64(wet) / voices
+    idx = np.arange(n, dtype=np.float64)
+    for ch in range(nch):
+        for v in range(voices):
+            d = chorus_delay_frames(n, samplerate, rate, depth, delay, v,
+                                    voices, ch)
+            t = idx - d
+            i0 = np.floor(t)
+            frac = t - i0
+            i0i = i0.astype(np.int64)
+            valid0 = (i0i >= 0) & (i0i < n)
+            valid1 = (i0i + 1 >= 0) & (i0i + 1 < n)
+            x0 = np.where(valid0, s[np.clip(i0i, 0, n - 1), ch], 0.0)
+            x1 = np.where(valid1, s[np.clip(i0i + 1, 0, n - 1), ch], 0.0)
+            out[:, ch] += wv * (x0 * (1.0 - frac) + x1 * frac)
+    return _to_int(out.astype(np.float32), width)
+
+
+# ---------------------------------------------------------------------------
+# Impulse-response convolution
+# ---------------------------------------------------------------------------
+
+def convolve(frames: np.ndarray, width: int, ir: np.ndarray, ir_width: int,
+             wet: float = 1.0, dry: float = 0.0) -> np.ndarray:
+    """Full convolution with a normalized impulse response:
+
+        y = dry * pad(s, m-1) + wet * (s * ir_norm)    (length n + m - 1)
+
+    where ir_norm = f32(ir)/maxval(ir_width).  A mono IR applies to every
+    channel; a stereo IR convolves channel-wise with a stereo signal.
+    Oracle math is f64 direct convolution; the device twin uses f32 FFT
+    convolution — agreed budget <= max(8 LSB, 1e-4 * peak) at 16-bit.
+    """
+    n, nch = frames.shape
+    m = ir.shape[0]
+    s = _norm(frames, width).astype(np.float64)
+    irn = (ir.astype(np.float64) / MAXVAL[ir_width])
+    if irn.ndim == 1:
+        irn = irn[:, None]
+    out = np.zeros((n + m - 1, nch), np.float64)
+    for ch in range(nch):
+        kern = irn[:, ch] if irn.shape[1] == nch else irn[:, 0]
+        out[:, ch] = np.float64(wet) * np.convolve(s[:, ch], kern)
+        out[:n, ch] += np.float64(dry) * s[:, ch]
+    return _to_int(out.astype(np.float32), width)

@@ -293,6 +293,54 @@ class Sample:
             self.mix_at(k * delay, copy_k, pad_shortest=False)
         return self
 
+    # -- effects rack (beyond-reference; spec: goldref.effects) --------------
+
+    def compress(self, threshold_db: float = -20.0, ratio: float = 4.0,
+                 attack: float = 0.005, release: float = 0.1,
+                 makeup_db: float = 0.0) -> "Sample":
+        """Peak compressor / limiter (ratio=inf); spec:
+        goldref.effects.compressor_gains."""
+        from . import effects
+        self.frames = effects.compress(self.frames, self.samplewidth,
+                                       self.samplerate, threshold_db, ratio,
+                                       attack, release, makeup_db)
+        return self
+
+    def reverb(self, roomsize: float = 0.7, damping: float = 0.5,
+               wet: float = 0.33, dry: float = 0.7, width: float = 1.0,
+               tail: float = 1.5) -> "Sample":
+        """Freeverb-style reverb; extends the sample by ``tail`` seconds of
+        decay.  Spec: goldref.effects.reverb."""
+        from . import effects
+        self.frames = effects.reverb(self.frames, self.samplewidth,
+                                     self.samplerate, roomsize, damping, wet,
+                                     dry, width, self._n(tail))
+        return self
+
+    def chorus(self, rate: float = 0.5, depth: float = 0.002,
+               delay: float = 0.02, voices: int = 3, wet: float = 0.4,
+               dry: float = 1.0) -> "Sample":
+        """Multi-voice chorus; spec: goldref.effects.chorus."""
+        from . import effects
+        self.frames = effects.chorus(self.frames, self.samplewidth,
+                                     self.samplerate, rate, depth, delay,
+                                     voices, wet, dry)
+        return self
+
+    def convolve(self, ir: "Sample", wet: float = 1.0,
+                 dry: float = 0.0) -> "Sample":
+        """Convolve with an impulse-response sample (mono IR applies to all
+        channels); extends by len(ir)-1 frames.  Spec:
+        goldref.effects.convolve."""
+        from . import effects
+        if ir.samplerate != self.samplerate:
+            raise ValueError("impulse response samplerate mismatch")
+        if ir.nchannels not in (1, self.nchannels):
+            raise ValueError("impulse response channel mismatch")
+        self.frames = effects.convolve(self.frames, self.samplewidth,
+                                       ir.frames, ir.samplewidth, wet, dry)
+        return self
+
     # -- format conversion ---------------------------------------------------
 
     def make_32bit(self, scale_amplitude: bool = True) -> "Sample":

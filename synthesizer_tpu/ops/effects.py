@@ -1,0 +1,304 @@
+"""Device effects rack: dynamics, reverb, chorus, convolution (JAX/TPU).
+
+Beyond-reference effects (the reference's only effect is the feed-forward
+echo — SURVEY.md §3.1 row 2); the behavioral contract and the tolerance
+budget per effect live in :mod:`goldref.effects`.  Every recurrence here is
+deliberately *not* a per-sample loop:
+
+* the compressor's peak follower is a **decaying-max associative scan**
+  (``e_n = max(a_n, e_{n-1} d)`` composes as
+  ``(x1,d1)∘(x2,d2) = (max(x2, x1 d2), d1 d2)``) and its attack smoother is
+  a scalar **affine associative scan** — both log-depth on the VPU;
+* the reverb is a **blocked scan**: with block size B ≤ the shortest delay
+  line, every comb/allpass read in a block lands ≥ B frames in the past, so
+  the whole block evaluates in parallel from the carried ring buffers; the
+  only true per-sample recurrence (comb damping) is an affine scan inside
+  the block.  One ``lax.scan`` step processes B frames;
+* the chorus is pure gather + lerp (no recurrence);
+* convolution runs as an f32 FFT product (``jnp.fft``).
+
+All scalar scans stay on the VPU in f32 — no matmuls, so the bf16-MXU
+quantization trap that bit the Biquad scan (models/graph.py) cannot apply.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pcm as dpcm
+from .trig import sin_turns
+
+MAXVAL = dpcm.MAXVAL
+MINVAL = dpcm.MINVAL
+
+
+def _norm(frames: jax.Array) -> jax.Array:
+    w = dpcm.width_of(frames)
+    return frames.astype(jnp.float32) / jnp.float32(MAXVAL[w])
+
+
+def to_int_samples(values: jax.Array, width: int) -> jax.Array:
+    """House synthesis quantization clip(rint(f32(v*maxval))) — the same
+    formula as models.graph.to_int_device (duplicated to keep ops/ free of
+    a models/ dependency)."""
+    dt = {1: jnp.int8, 2: jnp.int16, 4: jnp.int32}[width]
+    v = jnp.rint(values * jnp.float32(MAXVAL[width]))
+    if width == 4:
+        hi = jnp.float32(2147483648.0)
+        return jnp.where(v >= hi, jnp.int32(MAXVAL[4]),
+                         jnp.where(v < -hi, jnp.int32(MINVAL[4]),
+                                   jnp.clip(v, -hi, hi - 128).astype(jnp.int32)))
+    return jnp.clip(v, MINVAL[width], MAXVAL[width]).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# Parallel-scan primitives
+# ---------------------------------------------------------------------------
+
+def decaying_max_scan(a: jax.Array, decay: float, init: float = 0.0) -> jax.Array:
+    """e_n = max(a_n, e_{n-1} * decay) with e_{-1} = init, as an associative
+    scan: element (x, d) is the map e ↦ max(x, e*d)."""
+    d = jnp.broadcast_to(jnp.asarray(decay, jnp.float32), a.shape)
+
+    def combine(l, r):
+        xl, dl = l
+        xr, dr = r
+        return jnp.maximum(xr, xl * dr), dl * dr
+
+    xs, ds = jax.lax.associative_scan(combine, (a, d))
+    return jnp.maximum(xs, ds * jnp.float32(init))
+
+
+def affine_scan(coeff: jax.Array, add: jax.Array, init) -> jax.Array:
+    """y_n = coeff_n * y_{n-1} + add_n with y_{-1} = init — scalar affine
+    recurrence as an associative scan (map composition l-then-r:
+    (Al,Bl)∘(Ar,Br) = (Al*Ar, Bl*Ar + Br)).  Pure VPU f32 — no MXU."""
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, bl * ar + br
+
+    acum, bcum = jax.lax.associative_scan(combine, (coeff, add))
+    return acum * jnp.asarray(init, jnp.float32) + bcum
+
+
+def one_pole_scan(target: jax.Array, alpha: float, init: float) -> jax.Array:
+    """y_n = y_{n-1} + alpha*(t_n - y_{n-1})."""
+    al = jnp.asarray(alpha, jnp.float32)
+    a = jnp.broadcast_to(jnp.float32(1.0) - al, target.shape)
+    return affine_scan(a, al * target, init)
+
+
+# ---------------------------------------------------------------------------
+# Compressor
+# ---------------------------------------------------------------------------
+
+def compressor_gains(frames: jax.Array, samplerate: int, threshold_db: float,
+                     ratio: float, attack: float, release: float) -> jax.Array:
+    """Per-sample linear gain curve of the peak compressor; formulas and
+    sequential-vs-parallel rounding budget: goldref.effects.compressor_gains.
+    Both recurrences (decaying-max detector, one-pole attack smoother) run
+    as log-depth associative scans."""
+    from goldref.effects import compressor_coeffs   # host f64, shared
+    alpha, decay = compressor_coeffs(samplerate, attack, release)
+    slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
+    return compressor_gains_from_coeffs(frames, threshold_db, slope, alpha,
+                                        decay)
+
+
+def compressor_gains_from_coeffs(frames: jax.Array, threshold_db, slope,
+                                 alpha, decay) -> jax.Array:
+    """Same as :func:`compressor_gains` with the host-derived coefficients
+    passed explicitly (scalars may be tracers — the staged-IR path feeds
+    them from the Sample's dyn vector so knob changes don't recompile)."""
+    a = jnp.max(jnp.abs(_norm(frames)), axis=1)
+    e = decaying_max_scan(a, decay, init=0.0)
+    level_db = jnp.float32(20.0) * jnp.log10(jnp.maximum(e, jnp.float32(1e-10)))
+    g_db = jnp.minimum(jnp.float32(0.0),
+                       (jnp.asarray(threshold_db, jnp.float32) - level_db)
+                       * jnp.asarray(slope, jnp.float32))
+    g = jnp.exp2(g_db * jnp.float32(1.0 / 6.0206))
+    # attack smoother in deviation-from-1 form: z = 1-y, z_n = (1-a) z_{n-1}
+    # + a (1-g_n), z_{-1} = 0 — algebraically the oracle's recurrence, but
+    # the parallel scan keeps the g == 1 fixpoint EXACT (under-threshold
+    # audio is bit-transparent instead of losing 1 LSB to a 0.99999994 gain)
+    al = jnp.asarray(alpha, jnp.float32)
+    coeff = jnp.broadcast_to(jnp.float32(1.0) - al, g.shape)
+    z = affine_scan(coeff, al * (jnp.float32(1.0) - g), init=0.0)
+    return jnp.float32(1.0) - z
+
+
+# ---------------------------------------------------------------------------
+# Freeverb-style reverb (blocked scan)
+# ---------------------------------------------------------------------------
+
+def _reverb_network_device(mono_in: jax.Array, combs: Tuple[int, ...],
+                           aps: Tuple[int, ...], feedback: float,
+                           damp: float) -> jax.Array:
+    """One channel's comb+allpass network as a blocked ``lax.scan``.
+
+    Block size B = min(128, min delay): every read index in a block is at
+    least B frames behind the write head, so the whole block's delayed
+    outputs come straight from the carried ring buffers; the comb damping
+    one-pole is the only within-block recurrence and runs as an affine
+    associative scan.  Formulas: goldref.effects._reverb_network.
+    """
+    total = mono_in.shape[0]
+    block = min(128, min(min(combs), min(aps)))
+    nblocks = -(-total // block)
+    xpad = jnp.concatenate(
+        [mono_in, jnp.zeros(nblocks * block - total, jnp.float32)])
+    xb = xpad.reshape(nblocks, block)
+    dcmax, damax = max(combs), max(aps)
+    fb = jnp.asarray(feedback, jnp.float32)
+    d1 = jnp.asarray(damp, jnp.float32)
+    d2 = jnp.float32(1.0) - d1
+    apg = jnp.float32(0.5)
+    arange_b = jnp.arange(block, dtype=jnp.int32)
+
+    def step(carry, xblk):
+        comb_buf, fstores, ap_buf, n0 = carry
+        offs = n0 + arange_b
+        acc = jnp.zeros(block, jnp.float32)
+        new_rows, new_fs = [], []
+        for k, D in enumerate(combs):
+            idx = offs % jnp.int32(D)
+            y = comb_buf[k, idx]
+            fs = affine_scan(jnp.broadcast_to(d1, (block,)), d2 * y,
+                             fstores[k])
+            new_rows.append(comb_buf[k].at[idx].set(xblk + fs * fb))
+            new_fs.append(fs[-1])
+            acc = acc + y
+        comb_buf = jnp.stack(new_rows)
+        fstores = jnp.stack(new_fs)
+        out = acc
+        ap_rows = []
+        for k, D in enumerate(aps):
+            idx = offs % jnp.int32(D)
+            b = ap_buf[k, idx]
+            ap_rows.append(ap_buf[k].at[idx].set(out + b * apg))
+            out = b - out
+        ap_buf = jnp.stack(ap_rows)
+        return (comb_buf, fstores, ap_buf, n0 + jnp.int32(block)), out
+
+    carry0 = (jnp.zeros((len(combs), dcmax), jnp.float32),
+              jnp.zeros(len(combs), jnp.float32),
+              jnp.zeros((len(aps), damax), jnp.float32),
+              jnp.int32(0))
+    _, outs = jax.lax.scan(step, carry0, xb)
+    return outs.reshape(-1)[:total]
+
+
+def reverb(frames: jax.Array, samplerate: int, roomsize: float,
+           damping: float, wet: float, dry: float, stereo_width: float,
+           tail_frames: int) -> jax.Array:
+    """Freeverb-style reverb on an int [n, ch] array; spec and tolerance:
+    goldref.effects.reverb."""
+    from goldref import effects as gfx   # shared host-side knob mapping
+    feedback, damp, wet1, wet2 = gfx.reverb_params(roomsize, damping, wet,
+                                                   stereo_width)
+    return reverb_from_params(frames, samplerate, feedback, damp, wet1, wet2,
+                              dry, tail_frames)
+
+
+def reverb_from_params(frames: jax.Array, samplerate: int, feedback, damp,
+                       wet1, wet2, dry, tail_frames: int) -> jax.Array:
+    """Reverb with the derived (feedback, damp, wet1, wet2, dry) parameters,
+    which may be tracers (the staged-IR path passes them via the Sample's
+    dyn vector so knob changes don't recompile the blocked scan)."""
+    from goldref import effects as gfx   # tuning tables only (pure host data)
+    width = dpcm.width_of(frames)
+    n, nch = frames.shape
+    total = n + int(tail_frames)
+    s = jnp.concatenate(
+        [_norm(frames), jnp.zeros((total - n, nch), jnp.float32)], axis=0)
+    mono_in = jnp.sum(s, axis=1) * jnp.float32(gfx.FIXED_GAIN)
+    dry = jnp.asarray(dry, jnp.float32)
+    wet1 = jnp.asarray(wet1, jnp.float32)
+    wet2 = jnp.asarray(wet2, jnp.float32)
+    if nch == 1:
+        combs, aps = gfx.reverb_delays(samplerate, 0)
+        rev = _reverb_network_device(mono_in, combs, aps, feedback, damp)
+        out = dry * s[:, 0] + (wet1 + wet2) * rev
+        return to_int_samples(out[:, None], width)
+    revs = []
+    for ch in range(2):
+        combs, aps = gfx.reverb_delays(samplerate, ch)
+        revs.append(_reverb_network_device(mono_in, combs, aps, feedback,
+                                           damp))
+    out = jnp.stack([
+        dry * s[:, 0] + wet1 * revs[0] + wet2 * revs[1],
+        dry * s[:, 1] + wet1 * revs[1] + wet2 * revs[0],
+    ], axis=1)
+    return to_int_samples(out, width)
+
+
+# ---------------------------------------------------------------------------
+# Chorus
+# ---------------------------------------------------------------------------
+
+def chorus(frames: jax.Array, samplerate: int, rate: float, depth: float,
+           delay: float, voices: int, wet: float, dry: float) -> jax.Array:
+    """Multi-voice modulated fractional delay; spec and tolerance:
+    goldref.effects.chorus.  Pure gathers + lerp — no recurrence; the LFO
+    sine is the house turn-unit poly (ops.trig)."""
+    width = dpcm.width_of(frames)
+    n, nch = frames.shape
+    s = _norm(frames)
+    out = jnp.asarray(dry, jnp.float32) * s
+    wv = jnp.asarray(wet, jnp.float32) / jnp.float32(voices)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    t_turns = idx * (jnp.asarray(rate, jnp.float32)
+                     / jnp.float32(samplerate))
+    cols = []
+    for ch in range(nch):
+        acc = out[:, ch]
+        for v in range(voices):
+            phi = jnp.float32(v / voices + 0.25 * ch)
+            lfo = jnp.float32(0.5) + jnp.float32(0.5) * sin_turns(t_turns + phi)
+            d = (jnp.asarray(delay, jnp.float32)
+                 + jnp.asarray(depth, jnp.float32) * lfo) \
+                * jnp.float32(samplerate)
+            t = idx - d
+            i0 = jnp.floor(t)
+            frac = t - i0
+            i0i = i0.astype(jnp.int32)
+            v0 = (i0i >= 0) & (i0i < n)
+            v1 = (i0i + 1 >= 0) & (i0i + 1 < n)
+            x0 = jnp.where(v0, s[jnp.clip(i0i, 0, n - 1), ch], 0.0)
+            x1 = jnp.where(v1, s[jnp.clip(i0i + 1, 0, n - 1), ch], 0.0)
+            acc = acc + wv * (x0 * (jnp.float32(1.0) - frac) + x1 * frac)
+        cols.append(acc)
+    return to_int_samples(jnp.stack(cols, axis=1), width)
+
+
+# ---------------------------------------------------------------------------
+# FFT convolution
+# ---------------------------------------------------------------------------
+
+def convolve(frames: jax.Array, ir_norm: jax.Array, wet: float,
+             dry: float) -> jax.Array:
+    """y = dry*pad(s) + wet*(s ⊛ ir) via an f32 FFT product; spec and
+    tolerance: goldref.effects.convolve.  ``ir_norm`` is the normalized f32
+    impulse response [m] or [m, ch]."""
+    width = dpcm.width_of(frames)
+    n, nch = frames.shape
+    if ir_norm.ndim == 1:
+        ir_norm = ir_norm[:, None]
+    m = ir_norm.shape[0]
+    out_len = n + m - 1
+    fft_len = 1 << (out_len - 1).bit_length()
+    s = _norm(frames)
+    X = jnp.fft.rfft(s, n=fft_len, axis=0)
+    if ir_norm.shape[1] != nch:
+        ir_norm = jnp.broadcast_to(ir_norm[:, :1], (m, nch))
+    H = jnp.fft.rfft(ir_norm, n=fft_len, axis=0)
+    y = jnp.fft.irfft(X * H, n=fft_len, axis=0)[:out_len]
+    y = jnp.asarray(wet, jnp.float32) * y
+    y = y.at[:n].add(jnp.asarray(dry, jnp.float32) * s)
+    return to_int_samples(y, width)

@@ -263,6 +263,34 @@ def _x_pan_sample(x, st, dyn, leaves):
     return dpcm.gain_apply(x, jnp.stack([la, ra], axis=-1))
 
 
+def _x_compress(x, st, dyn, leaves):
+    from .ops import effects as dfx
+    g = dfx.compressor_gains_from_coeffs(x, dyn[0], dyn[1], dyn[2], dyn[3])
+    return dpcm.gain_apply(x, (g * dyn[4])[:, None])
+
+
+def _x_reverb(x, st, dyn, leaves):
+    samplerate, tail_frames = st
+    from .ops import effects as dfx
+    return dfx.reverb_from_params(x, samplerate, dyn[0], dyn[1], dyn[2],
+                                  dyn[3], dyn[4], tail_frames)
+
+
+def _x_chorus(x, st, dyn, leaves):
+    samplerate, voices = st
+    from .ops import effects as dfx
+    return dfx.chorus(x, samplerate, dyn[0], dyn[1], dyn[2], voices,
+                      dyn[3], dyn[4])
+
+
+def _x_convolve(x, st, dyn, leaves):
+    ir_maxval, sub_ops = st
+    from .ops import effects as dfx
+    ir_int = _run_ops(leaves[0], sub_ops, dyn[2:], leaves[1:])
+    ir_norm = ir_int.astype(jnp.float32) / jnp.float32(ir_maxval)
+    return dfx.convolve(x, ir_norm, dyn[0], dyn[1])
+
+
 def _x_ratecv(x, st, dyn, leaves):
     inr, outr, nout = st
     nch = x.shape[1]
@@ -283,6 +311,8 @@ _EXEC = {
     "pan_const": _x_pan_const, "pan_lfo": _x_pan_lfo, "ratecv": _x_ratecv,
     "gen_patch": _x_gen_patch, "modulate_patch": _x_modulate_patch,
     "pan_patch": _x_pan_patch, "pan_sample": _x_pan_sample,
+    "compress": _x_compress, "reverb": _x_reverb, "chorus": _x_chorus,
+    "convolve": _x_convolve,
 }
 
 _program_cache: dict = {}
@@ -702,6 +732,67 @@ class Sample:
         offsets = tuple(self._n(k * delay) for k in range(1, int(amount) + 1))
         self._stage("echo", static=(total, offsets), dyn=(decay,))
         self._nframes = total
+        return self
+
+    # -- effects rack (beyond-reference; contract: goldref.effects) -------------------------------
+
+    def compress(self, threshold_db: float = -20.0, ratio: float = 4.0,
+                 attack: float = 0.005, release: float = 0.1,
+                 makeup_db: float = 0.0) -> "Sample":
+        """Peak compressor / limiter (``ratio=math.inf``).  The detector and
+        attack smoother run as log-depth associative scans on device
+        (ops.effects); spec/tolerance: goldref.effects.compressor_gains.
+        Knobs travel in the dyn vector, so tweaking them reuses the compiled
+        program."""
+        from goldref.effects import compressor_coeffs
+        alpha, decay = compressor_coeffs(self._samplerate, attack, release)
+        slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
+        makeup = float(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))
+        self._stage("compress", dyn=(threshold_db, slope, alpha, decay,
+                                     makeup))
+        return self
+
+    def reverb(self, roomsize: float = 0.7, damping: float = 0.5,
+               wet: float = 0.33, dry: float = 0.7, width: float = 1.0,
+               tail: float = 1.5) -> "Sample":
+        """Freeverb-style reverb (blocked-scan network on device, see
+        ops.effects); extends the sample by ``tail`` seconds of decay.
+        Spec/tolerance: goldref.effects.reverb.  Knobs are dyn — no
+        recompile on tweak."""
+        from goldref.effects import reverb_params
+        feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
+                                                   width)
+        tail_frames = self._n(tail)
+        self._stage("reverb", static=(self._samplerate, tail_frames),
+                    dyn=(feedback, damp, wet1, wet2, dry))
+        self._nframes += tail_frames
+        return self
+
+    def chorus(self, rate: float = 0.5, depth: float = 0.002,
+               delay: float = 0.02, voices: int = 3, wet: float = 0.4,
+               dry: float = 1.0) -> "Sample":
+        """Multi-voice chorus (LFO-modulated fractional delays — pure
+        gathers on device).  Spec/tolerance: goldref.effects.chorus."""
+        self._stage("chorus", static=(self._samplerate, int(voices)),
+                    dyn=(rate, depth, delay, wet, dry))
+        return self
+
+    def convolve(self, ir: "Sample", wet: float = 1.0,
+                 dry: float = 0.0) -> "Sample":
+        """Convolve with an impulse-response sample (f32 FFT product on
+        device; mono IR applies to all channels); extends by len(ir)-1
+        frames.  The IR's own staged chain fuses in as a sub-program.
+        Spec/tolerance: goldref.effects.convolve."""
+        if ir._samplerate != self._samplerate:
+            raise ValueError("impulse response samplerate mismatch")
+        if ir._nchannels not in (1, self._nchannels):
+            raise ValueError("impulse response channel mismatch")
+        if ir._nframes == 0:
+            raise ValueError("empty impulse response")
+        sub_ops, dyn, leaves = ir._as_subprogram()
+        self._stage("convolve", static=(MAXVAL[ir._samplewidth], sub_ops),
+                    dyn=(wet, dry) + dyn, leaves=leaves)
+        self._nframes += ir._nframes - 1
         return self
 
     # -- format conversion -----------------------------------------------------------------------

@@ -1,0 +1,228 @@
+"""Effects rack (beyond-reference): device twins vs the goldref.effects
+oracle, with the tolerance budgets documented in goldref.effects:
+
+  compressor  <= 2 LSB  (parallel-scan regrouping of the f32 recurrences)
+  reverb      <= 4 LSB  (blocked-parallel comb/allpass arithmetic)
+  chorus      <= 2 LSB  (turn-unit device sine vs libm + f32 lerp)
+  convolve    <= max(8 LSB, 1e-4 * peak)  (f32 FFT vs f64 direct)
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import goldref.sample as gs
+import goldref.effects as gfx
+from synthesizer_tpu.sample import Sample
+from synthesizer_tpu.ops import effects as dfx
+from synthesizer_tpu.utils import profiling
+
+SR = 44100
+
+
+def make_pair(rng, n=5000, width=2, nch=2, sr=SR, quiet=False):
+    lo, hi = gs.MINVAL[width], gs.MAXVAL[width]
+    div = 8 if quiet else 2
+    a = rng.integers(lo // div, hi // div, size=(n, nch)).astype(
+        gs._DTYPES[width])
+    gold = gs.Sample(a.copy(), sr, width, nch)
+    dev = Sample.from_raw_frames(a.tobytes(), width, sr, nch)
+    return gold, dev
+
+
+def check_lsb(gold, dev, budget, width=2):
+    got = dev.get_frame_array()
+    assert got.shape == gold.frames.shape
+    d = got.astype(np.int64) - gold.frames.astype(np.int64)
+    scale = gs.MAXVAL[width] / 32767.0    # budgets are quoted at 16-bit
+    assert np.abs(d).max() <= math.ceil(budget * scale), \
+        f"max diff {np.abs(d).max()} over budget {budget} (16-bit scale)"
+
+
+# ---------------------------------------------------------------------------
+# Compressor
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_compress_matches_oracle(rng, nch):
+    gold, dev = make_pair(rng, n=4000, nch=nch)
+    kw = dict(threshold_db=-18.0, ratio=4.0, attack=0.003, release=0.08,
+              makeup_db=3.0)
+    check_lsb(gold.compress(**kw), dev.compress(**kw), 2)
+
+
+def test_compress_limiter_and_edges(rng):
+    # ratio=inf (limiter), zero attack/release (instant)
+    gold, dev = make_pair(rng, n=3000)
+    kw = dict(threshold_db=-12.0, ratio=math.inf, attack=0.0, release=0.0)
+    check_lsb(gold.compress(**kw), dev.compress(**kw), 2)
+
+
+def test_compress_below_threshold_is_transparent(rng):
+    # a quiet signal (<= -24 dBFS) under a -6 dB threshold: gain stays 1
+    gold, dev = make_pair(rng, n=2000, quiet=True)
+    out = dev.compress(threshold_db=-6.0, ratio=8.0).get_frame_array()
+    np.testing.assert_array_equal(out, gold.frames)
+
+
+def test_compress_width4(rng):
+    gold, dev = make_pair(rng, n=2000, width=4, nch=1)
+    kw = dict(threshold_db=-20.0, ratio=3.0, attack=0.002, release=0.05)
+    check_lsb(gold.compress(**kw), dev.compress(**kw), 2, width=4)
+
+
+def test_limiter_caps_peak(rng):
+    _, dev = make_pair(rng, n=4000, nch=1)
+    out = dev.compress(threshold_db=-20.0, ratio=math.inf, attack=0.0,
+                       release=0.05).get_frame_array()
+    ceiling = 32767.0 * 10 ** (-20.0 / 20.0)
+    assert np.abs(out).max() <= ceiling * 1.01 + 1
+
+
+# ---------------------------------------------------------------------------
+# Reverb
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_reverb_matches_oracle(rng, nch):
+    gold, dev = make_pair(rng, n=3000, nch=nch)
+    kw = dict(roomsize=0.8, damping=0.4, wet=0.3, dry=0.6, tail=0.15)
+    g, d = gold.reverb(**kw), dev.reverb(**kw)
+    assert d.nframes == 3000 + int(0.15 * SR)
+    check_lsb(g, d, 4)
+
+
+def test_reverb_low_samplerate_small_delays(rng):
+    # sr 8000 shrinks the shortest allpass below the 128 block default
+    gold, dev = make_pair(rng, n=2500, nch=1, sr=8000)
+    kw = dict(roomsize=0.6, damping=0.7, wet=0.4, dry=0.5, width=0.5,
+              tail=0.1)
+    check_lsb(gold.reverb(**kw), dev.reverb(**kw), 4)
+
+
+def test_reverb_of_silence_is_silence():
+    dev = Sample.from_raw_frames(np.zeros((1000, 2), np.int16).tobytes(),
+                                 2, SR, 2)
+    out = dev.reverb(tail=0.05).get_frame_array()
+    assert np.abs(out).max() == 0
+
+
+# ---------------------------------------------------------------------------
+# Chorus
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_chorus_matches_oracle(rng, nch):
+    gold, dev = make_pair(rng, n=4000, nch=nch)
+    kw = dict(rate=1.5, depth=0.003, delay=0.015, voices=3, wet=0.5, dry=0.9)
+    g, d = gold.chorus(**kw), dev.chorus(**kw)
+    assert d.nframes == 4000
+    check_lsb(g, d, 2)
+
+
+def test_chorus_dry_only_is_identity(rng):
+    gold, dev = make_pair(rng, n=1000, nch=1)
+    out = dev.chorus(wet=0.0, dry=1.0).get_frame_array()
+    # dry=1, wet=0: rint(s*maxval) round-trips int16 values exactly
+    np.testing.assert_array_equal(out, gold.frames)
+
+
+# ---------------------------------------------------------------------------
+# Convolve
+# ---------------------------------------------------------------------------
+
+def _ir(rng, m=300, nch=1, width=2):
+    decay = np.exp(-np.arange(m) / (m / 4.0))
+    a = (rng.normal(0, 0.2, size=(m, nch)) * decay[:, None] * 20000)
+    a = np.clip(a, gs.MINVAL[width], gs.MAXVAL[width]).astype(
+        gs._DTYPES[width])
+    return a
+
+
+@pytest.mark.parametrize("sig_nch,ir_nch", [(1, 1), (2, 1), (2, 2)])
+def test_convolve_matches_oracle(rng, sig_nch, ir_nch):
+    gold, dev = make_pair(rng, n=2000, nch=sig_nch)
+    ira = _ir(rng, nch=ir_nch)
+    gold_ir = gs.Sample(ira.copy(), SR, 2, ir_nch)
+    dev_ir = Sample.from_raw_frames(ira.tobytes(), 2, SR, ir_nch)
+    g = gold.convolve(gold_ir, wet=0.02, dry=0.5)
+    d = dev.convolve(dev_ir, wet=0.02, dry=0.5)
+    assert d.nframes == 2000 + 300 - 1
+    got = d.get_frame_array()
+    diff = np.abs(got.astype(np.int64) - g.frames.astype(np.int64)).max()
+    budget = max(8, 1e-4 * np.abs(g.frames).max())
+    assert diff <= budget
+
+
+def test_convolve_identity_impulse(rng):
+    gold, dev = make_pair(rng, n=1500, nch=1)
+    imp = np.zeros((1, 1), np.int16)
+    imp[0, 0] = 32767
+    dev_ir = Sample.from_raw_frames(imp.tobytes(), 2, SR, 1)
+    out = dev.convolve(dev_ir, wet=1.0, dry=0.0).get_frame_array()
+    # unit impulse: rint(s * (32767/32767) * maxval) == original within 1
+    d = np.abs(out.astype(np.int64) - gold.frames.astype(np.int64)).max()
+    assert d <= 1
+
+
+def test_convolve_format_checks(rng):
+    _, dev = make_pair(rng, n=100, nch=1)
+    bad = Sample.from_raw_frames(np.zeros((10, 1), np.int16).tobytes(),
+                                 2, 22050, 1)
+    with pytest.raises(ValueError):
+        dev.convolve(bad)
+    _, mono = make_pair(rng, n=100, nch=1)
+    stereo_ir = Sample.from_raw_frames(np.zeros((10, 2), np.int16).tobytes(),
+                                       2, SR, 2)
+    with pytest.raises(ValueError):
+        mono.convolve(stereo_ir)
+
+
+# ---------------------------------------------------------------------------
+# Staging / fusion behavior
+# ---------------------------------------------------------------------------
+
+def test_effects_chain_fuses_to_one_program(rng):
+    _, dev = make_pair(rng, n=2000, nch=2)
+    with profiling.count_program_launches() as cnt:
+        dev.compress(threshold_db=-15.0).chorus().reverb(tail=0.1) \
+           .fadeout(0.01).amplify(0.9)
+        assert cnt[0] == 0                    # still staged
+        dev.get_frame_array()
+    assert cnt[0] == 1
+
+
+def test_effect_knobs_reuse_compiled_program(rng):
+    # same chain shape with different knob values must not recompile
+    from synthesizer_tpu import sample as sample_mod
+    _, dev1 = make_pair(rng, n=1000, nch=2)
+    dev1.compress(threshold_db=-15.0, ratio=4.0).reverb(roomsize=0.3,
+                                                        tail=0.1)
+    dev1.get_frame_array()
+    ncached = len(sample_mod._program_cache)
+    _, dev2 = make_pair(rng, n=1000, nch=2)
+    dev2.compress(threshold_db=-9.0, ratio=2.0).reverb(roomsize=0.9,
+                                                       tail=0.1)
+    dev2.get_frame_array()
+    assert len(sample_mod._program_cache) == ncached
+
+
+def test_ops_parallel_scan_primitives_match_sequential(rng):
+    # unit-level pins for the scan building blocks
+    a = rng.random(777, dtype=np.float32).astype(np.float32)
+    e = dfx.decaying_max_scan(np.asarray(a), 0.95, init=0.25)
+    ref = np.empty_like(a)
+    acc = 0.25
+    for i, v in enumerate(a):
+        acc = max(float(v), acc * 0.95)
+        ref[i] = acc
+    np.testing.assert_allclose(np.asarray(e), ref, rtol=1e-5, atol=1e-6)
+
+    y = dfx.one_pole_scan(np.asarray(a), 0.125, init=1.0)
+    refy = np.empty_like(a)
+    acc = 1.0
+    for i, v in enumerate(a):
+        acc = acc + 0.125 * (float(v) - acc)
+        refy[i] = acc
+    np.testing.assert_allclose(np.asarray(y), refy, rtol=1e-4, atol=1e-5)

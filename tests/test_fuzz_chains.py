@@ -23,6 +23,10 @@ SR = 44100
 # The chain accounting multiplies the running tolerance for them.
 AMPMAX_GAIN = 12
 ECHO_GAIN = 3       # 1 + amount taps (amount=2 below)
+# effects (beyond-reference): budget from goldref.effects plus a small
+# multiplier for how they propagate an existing input error (dry+wet paths)
+FX_MULT = {"chorus": 2, "compress": 2, "reverb": 2}
+FX_COST = {"chorus": 2, "compress": 2, "reverb": 4}
 OPS = [
     ("amplify", lambda s: s.amplify(0.7), 0),
     ("amplify_neg", lambda s: s.amplify(-0.4), 0),
@@ -42,6 +46,12 @@ OPS = [
     ("resample_up", lambda s: s.resample(48000), 0),
     ("resample_down", lambda s: s.resample(22050), 0),
     ("speed", lambda s: s.speed(1.25), 0),
+    ("chorus", lambda s: s.chorus(rate=2.0, depth=0.002, delay=0.01,
+                                  wet=0.4), 0),
+    ("compress", lambda s: s.compress(threshold_db=-18.0, ratio=3.0,
+                                      attack=0.002, release=0.05), 0),
+    ("reverb", lambda s: s.reverb(roomsize=0.6, damping=0.5, wet=0.25,
+                                  dry=0.7, tail=0.03), 0),
 ]
 
 
@@ -66,6 +76,8 @@ def test_random_chain(seed):
             tol *= AMPMAX_GAIN
         elif name == "echo":
             tol *= ECHO_GAIN
+        elif name in FX_MULT:
+            tol = tol * FX_MULT[name] + FX_COST[name]
         else:
             tol += cost
         if gold.nframes == 0:
@@ -125,6 +137,8 @@ def test_random_chain_from_synth_source(seed):
             tol *= AMPMAX_GAIN
         elif name == "echo":
             tol *= ECHO_GAIN
+        elif name in FX_MULT:
+            tol = tol * FX_MULT[name] + FX_COST[name]
         else:
             tol += cost
         if gold.nframes == 0:
