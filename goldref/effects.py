@@ -243,19 +243,31 @@ def reverb(frames: np.ndarray, width: int, samplerate: int,
 # Multi-voice chorus
 # ---------------------------------------------------------------------------
 
-def chorus_delay_frames(n: int, samplerate: int, rate: float, depth: float,
-                        delay: float, voice: int, voices: int,
-                        channel: int) -> np.ndarray:
-    """Voice delay curve in FRAMES (float64 for the oracle; the device twin
-    uses its turn-unit f32 sine, budgeted below):
+def chorus_delay_f32(n0: int, n: int, samplerate: int, rate: float,
+                     depth: float, delay: float, voice: int, voices: int,
+                     channel: int) -> np.ndarray:
+    """Voice delay curve in FRAMES, float32.  The LFO phase is the house
+    integer DDS (exact wrapped u32 accumulator — spec.phase_increment
+    convention), so the curve is exactly computable at ANY absolute frame
+    index (an f32 ``n * rate/sr`` would quantize the phase to 1/4 frame
+    past ~2^24 frames):
 
-        d(t) = (delay + depth*(0.5 + 0.5*sin(2pi*(rate*t + phi)))) * sr
-        phi  = voice/voices + 0.25*channel
+        inc    = round(rate/sr * 2^32)  (wrapped u32)
+        phase0 = round(frac(voice/voices + 0.25*channel) * 2^32)
+        p_n    = (phase0 + (n0+n)*inc) mod 2^32 ;  x = f32(p_n) * 2^-32
+        lfo    = 0.5 + 0.5*sin(2*pi*x)           (f32; device: turn-unit poly)
+        d_n    = (f32(delay) + f32(depth)*lfo) * f32(sr)
     """
-    t = np.arange(n, dtype=np.float64) / samplerate
-    phi = voice / voices + 0.25 * channel
-    lfo = 0.5 + 0.5 * np.sin(2.0 * np.pi * (rate * t + phi))
-    return (delay + depth * lfo) * samplerate
+    inc = int(round(rate / samplerate * 4294967296.0)) & 0xFFFFFFFF
+    phi = (voice / voices + 0.25 * channel) % 1.0
+    phase0 = int(round(phi * 4294967296.0)) & 0xFFFFFFFF
+    idx = np.arange(n0, n0 + n, dtype=np.uint64)
+    p = (np.uint64(phase0) + idx * np.uint64(inc)) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    lfo = (np.float32(0.5) + np.float32(0.5)
+           * np.sin(2.0 * np.pi * x.astype(np.float64)).astype(np.float32))
+    return ((np.float32(delay) + np.float32(depth) * lfo)
+            * np.float32(samplerate))
 
 
 def chorus(frames: np.ndarray, width: int, samplerate: int,
@@ -266,28 +278,31 @@ def chorus(frames: np.ndarray, width: int, samplerate: int,
 
         out_c = dry*s_c + (wet/voices) * sum_v lerp(s_c, n - d_v,c(n))
 
-    Output = clip(rint(out * maxval)), same length.  Device twin budget:
-    the device sine is the turn-unit minimax poly (max err 7.8e-7) and the
-    interpolation is f32; agreed budget <= 2 LSB at 16-bit.
+    The read position splits EXACTLY in integer/f32 parts: with
+    df = floor(d) and fr = d - df (f32), the lerp is
+    ``s[n-df-1]*fr + s[n-df]*(1-fr)`` — both sides compute identical gather
+    indices at any length.  Output = clip(rint(out * maxval)), same length.
+    Device twin budget: the device sine is the turn-unit minimax poly
+    (max err 7.8e-7) and its mix accumulates in f32 (oracle: f64); agreed
+    budget <= 2 LSB at 16-bit.
     """
     n, nch = frames.shape
     s = _norm(frames, width).astype(np.float64)
     out = np.float64(dry) * s
     wv = np.float64(wet) / voices
-    idx = np.arange(n, dtype=np.float64)
+    idx = np.arange(n, dtype=np.int64)
     for ch in range(nch):
         for v in range(voices):
-            d = chorus_delay_frames(n, samplerate, rate, depth, delay, v,
-                                    voices, ch)
-            t = idx - d
-            i0 = np.floor(t)
-            frac = t - i0
-            i0i = i0.astype(np.int64)
-            valid0 = (i0i >= 0) & (i0i < n)
-            valid1 = (i0i + 1 >= 0) & (i0i + 1 < n)
-            x0 = np.where(valid0, s[np.clip(i0i, 0, n - 1), ch], 0.0)
-            x1 = np.where(valid1, s[np.clip(i0i + 1, 0, n - 1), ch], 0.0)
-            out[:, ch] += wv * (x0 * (1.0 - frac) + x1 * frac)
+            d = chorus_delay_f32(0, n, samplerate, rate, depth, delay, v,
+                                 voices, ch)
+            df = np.floor(d)
+            fr = (d - df).astype(np.float64)
+            i0 = idx - df.astype(np.int64)
+            v0 = (i0 - 1 >= 0) & (i0 - 1 < n)
+            v1 = (i0 >= 0) & (i0 < n)
+            x0 = np.where(v0, s[np.clip(i0 - 1, 0, n - 1), ch], 0.0)
+            x1 = np.where(v1, s[np.clip(i0, 0, n - 1), ch], 0.0)
+            out[:, ch] += wv * (x0 * fr + x1 * (1.0 - fr))
     return _to_int(out.astype(np.float32), width)
 
 

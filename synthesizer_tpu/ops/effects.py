@@ -242,39 +242,71 @@ def reverb_from_params(frames: jax.Array, samplerate: int, feedback, damp,
 # Chorus
 # ---------------------------------------------------------------------------
 
-def chorus(frames: jax.Array, samplerate: int, rate: float, depth: float,
-           delay: float, voices: int, wet: float, dry: float) -> jax.Array:
-    """Multi-voice modulated fractional delay; spec and tolerance:
-    goldref.effects.chorus.  Pure gathers + lerp — no recurrence; the LFO
-    sine is the house turn-unit poly (ops.trig)."""
-    width = dpcm.width_of(frames)
-    n, nch = frames.shape
-    s = _norm(frames)
+def _chorus_lfo_delay(n0, n: int, samplerate: int, rate: float, depth,
+                      delay, voice: int, voices: int,
+                      channel: int) -> jax.Array:
+    """The spec's integer-DDS delay curve (goldref.effects.chorus_delay_f32)
+    in-trace: wrapped i32 phase (wrap == mod 2^32 in two's complement; the
+    f32 reinterpretation x = p*2^-32 lands in [-0.5, 0.5), which the
+    turn-unit sine folds identically to [0, 1)).
+
+    ``rate`` is STATIC: the DDS increment must be the host's exact f64
+    round (a traced f32 rint would mis-round by up to ~inc*2^-24 and drift
+    the phase visibly over minutes of audio)."""
+    i = int(round(float(rate) / samplerate * 4294967296.0)) & 0xFFFFFFFF
+    inc = jnp.int32(i - (1 << 32) if i >= (1 << 31) else i)
+    phi = (voice / voices + 0.25 * channel) % 1.0
+    p0 = int(round(phi * 4294967296.0)) & 0xFFFFFFFF
+    phase0 = jnp.int32(p0 - (1 << 32) if p0 >= (1 << 31) else p0)
+    idx = n0 + jnp.arange(n, dtype=jnp.int32)
+    p = phase0 + idx * inc                      # wrapping i32 == mod 2^32
+    x = p.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    lfo = jnp.float32(0.5) + jnp.float32(0.5) * sin_turns(x)
+    return (jnp.asarray(delay, jnp.float32)
+            + jnp.asarray(depth, jnp.float32) * lfo) \
+        * jnp.float32(samplerate)
+
+
+def chorus_core(s: jax.Array, n0, hist: jax.Array, samplerate: int, rate,
+                depth, delay, voices: int, wet, dry) -> jax.Array:
+    """Chorus on a normalized f32 chunk [n, ch] starting at absolute frame
+    ``n0``, reading past input from ``hist`` [H, ch] (the H frames before
+    n0; zeros at stream start).  Pure gathers + lerp — no recurrence."""
+    n, nch = s.shape
+    H = hist.shape[0]
+    ext = jnp.concatenate([hist, s], axis=0)    # position j maps to ext[H+j]
     out = jnp.asarray(dry, jnp.float32) * s
     wv = jnp.asarray(wet, jnp.float32) / jnp.float32(voices)
-    idx = jnp.arange(n, dtype=jnp.float32)
-    t_turns = idx * (jnp.asarray(rate, jnp.float32)
-                     / jnp.float32(samplerate))
+    idx = jnp.arange(n, dtype=jnp.int32)
     cols = []
     for ch in range(nch):
         acc = out[:, ch]
         for v in range(voices):
-            phi = jnp.float32(v / voices + 0.25 * ch)
-            lfo = jnp.float32(0.5) + jnp.float32(0.5) * sin_turns(t_turns + phi)
-            d = (jnp.asarray(delay, jnp.float32)
-                 + jnp.asarray(depth, jnp.float32) * lfo) \
-                * jnp.float32(samplerate)
-            t = idx - d
-            i0 = jnp.floor(t)
-            frac = t - i0
-            i0i = i0.astype(jnp.int32)
-            v0 = (i0i >= 0) & (i0i < n)
-            v1 = (i0i + 1 >= 0) & (i0i + 1 < n)
-            x0 = jnp.where(v0, s[jnp.clip(i0i, 0, n - 1), ch], 0.0)
-            x1 = jnp.where(v1, s[jnp.clip(i0i + 1, 0, n - 1), ch], 0.0)
-            acc = acc + wv * (x0 * (jnp.float32(1.0) - frac) + x1 * frac)
+            d = _chorus_lfo_delay(n0, n, samplerate, rate, depth, delay,
+                                  v, voices, ch)
+            df = jnp.floor(d)
+            fr = d - df
+            i0 = H + idx - df.astype(jnp.int32)     # ext row of s[n - df]
+            v0 = i0 - 1 >= 0
+            v1 = i0 >= 0
+            lim = H + n - 1
+            x0 = jnp.where(v0, ext[jnp.clip(i0 - 1, 0, lim), ch], 0.0)
+            x1 = jnp.where(v1, ext[jnp.clip(i0, 0, lim), ch], 0.0)
+            acc = acc + wv * (x0 * fr + x1 * (jnp.float32(1.0) - fr))
         cols.append(acc)
-    return to_int_samples(jnp.stack(cols, axis=1), width)
+    return jnp.stack(cols, axis=1)
+
+
+def chorus(frames: jax.Array, samplerate: int, rate: float, depth: float,
+           delay: float, voices: int, wet: float, dry: float) -> jax.Array:
+    """Multi-voice modulated fractional delay; spec and tolerance:
+    goldref.effects.chorus."""
+    width = dpcm.width_of(frames)
+    nch = frames.shape[1]
+    out = chorus_core(_norm(frames), jnp.int32(0),
+                      jnp.zeros((0, nch), jnp.float32), samplerate, rate,
+                      depth, delay, voices, wet, dry)
+    return to_int_samples(out, width)
 
 
 # ---------------------------------------------------------------------------

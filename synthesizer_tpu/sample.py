@@ -277,10 +277,10 @@ def _x_reverb(x, st, dyn, leaves):
 
 
 def _x_chorus(x, st, dyn, leaves):
-    samplerate, voices = st
+    samplerate, rate, voices = st
     from .ops import effects as dfx
-    return dfx.chorus(x, samplerate, dyn[0], dyn[1], dyn[2], voices,
-                      dyn[3], dyn[4])
+    return dfx.chorus(x, samplerate, rate, dyn[0], dyn[1], voices,
+                      dyn[2], dyn[3])
 
 
 def _x_convolve(x, st, dyn, leaves):
@@ -772,9 +772,12 @@ class Sample:
                delay: float = 0.02, voices: int = 3, wet: float = 0.4,
                dry: float = 1.0) -> "Sample":
         """Multi-voice chorus (LFO-modulated fractional delays — pure
-        gathers on device).  Spec/tolerance: goldref.effects.chorus."""
-        self._stage("chorus", static=(self._samplerate, int(voices)),
-                    dyn=(rate, depth, delay, wet, dry))
+        gathers on device).  Spec/tolerance: goldref.effects.chorus.
+        ``rate`` is static (its DDS increment needs the host's exact f64
+        round); the other knobs are dyn."""
+        self._stage("chorus", static=(self._samplerate, float(rate),
+                                      int(voices)),
+                    dyn=(depth, delay, wet, dry))
         return self
 
     def convolve(self, ir: "Sample", wet: float = 1.0,

@@ -226,3 +226,17 @@ def test_ops_parallel_scan_primitives_match_sequential(rng):
         acc = acc + 0.125 * (float(v) - acc)
         refy[i] = acc
     np.testing.assert_allclose(np.asarray(y), refy, rtol=1e-4, atol=1e-5)
+
+
+def test_chorus_lfo_phase_exact_at_large_index():
+    # the LFO phase is an integer DDS, so the delay curve at absolute frame
+    # ~2^26 (25 minutes) is as accurate as at frame 0 (an f32 n*rate/sr
+    # phase would be quantized to ~1/4 frame there)
+    n0, n = 1 << 26, 256
+    ref = gfx.chorus_delay_f32(n0, n, SR, rate=0.8, depth=0.002,
+                               delay=0.02, voice=1, voices=3, channel=1)
+    got = np.asarray(dfx._chorus_lfo_delay(
+        np.int32(n0), n, SR, 0.8, np.float32(0.002), np.float32(0.02),
+        1, 3, 1))
+    # device turn-unit sine vs libm: 7.8e-7 * depth * sr ~ 7e-5 frames
+    np.testing.assert_allclose(got, ref, atol=1e-3)
