@@ -102,6 +102,11 @@ sustain_level = 0.8
 release = 0.06
 pan = -0.1
 
+[fx]
+; master bus: gentle glue compression + a small room (beyond-reference)
+compress = threshold_db=-10 ratio=3 attack=0.004 release=0.12 makeup_db=1.5
+reverb = roomsize=0.45 damping=0.6 wet=0.14 dry=0.95 tail=0.6
+
 [pattern.intro]
 hat   = x.x. x.x. x.x. x.x.
 kick  = x... .... x... ....

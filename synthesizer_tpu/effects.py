@@ -1,0 +1,376 @@
+"""Master-bus effects chain: offline Sample ops + streaming chunk processors.
+
+Beyond-reference subsystem (the reference has no effects rack).  Songs may
+declare a master chain in their ``.ini`` (same configparser schema as the
+rest of the song format; entries apply in file order):
+
+    [fx]
+    chorus   = rate=1.5 depth=0.003
+    compress = threshold_db=-15 ratio=4 makeup_db=3
+    reverb   = roomsize=0.8 wet=0.3 tail=1.5
+    convolve = ir=hall_ir.wav wet=0.4 dry=0.8
+
+Two execution paths share the formulas in :mod:`goldref.effects`:
+
+* **offline** (``Song.mix``): each entry stages the corresponding lazy
+  ``Sample`` op, so the whole master chain fuses into the mixdown program;
+* **streaming** (``Song.mix_generator`` / trackmixer ``--play``): the
+  processors here carry their recurrence state across chunks on device
+  (reverb ring buffers, compressor envelope, chorus input history,
+  convolution overlap tail), so a streamed song equals the offline render
+  within the per-effect budgets (the f32 scans regroup at chunk
+  boundaries) and keeps the host-control/device-chunks shape of SURVEY.md
+  §7.  Compiled chunk programs are cached per (chunk shape, effect config)
+  at module level — fresh processor instances reuse them (the round-2
+  per-instance-jit lesson).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import effects as dfx
+from .ops import pcm as dpcm
+
+__all__ = ["StreamingCompressor", "StreamingReverb", "StreamingChorus",
+           "StreamingConvolver", "FxChain", "parse_fx_items",
+           "FX_PARAMS"]
+
+_fn_cache: dict = {}
+
+
+def _cached(key, build):
+    fn = _fn_cache.get(key)
+    if fn is None:
+        fn = _fn_cache[key] = build()
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Streaming processors.  Each has .process(int_chunk [n, ch]) -> int array
+# (same shape) and carries its state between calls; feeding zeros drains
+# reverb/convolution tails.
+# ---------------------------------------------------------------------------
+
+class StreamingCompressor:
+    """Chunked twin of ``Sample.compress``: the decaying-max envelope and
+    the attack smoother carry their last values across chunks (the same
+    associative scans with a carried init)."""
+
+    def __init__(self, samplerate: int, threshold_db: float = -20.0,
+                 ratio: float = 4.0, attack: float = 0.005,
+                 release: float = 0.1, makeup_db: float = 0.0):
+        from goldref.effects import compressor_coeffs
+        alpha, decay = compressor_coeffs(samplerate, attack, release)
+        slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
+        self._knobs = np.asarray(
+            [threshold_db, slope, alpha, decay,
+             float(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))],
+            np.float32)
+        self._env = jnp.float32(0.0)     # e_{-1}
+        self._zdev = jnp.float32(0.0)    # z_{-1} = 1 - y_{-1}
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        key = ("comp", x.shape, str(x.dtype))
+
+        def build():
+            @jax.jit
+            def fn(x, knobs, e0, z0):
+                thr, slope, alpha, decay, makeup = (knobs[i] for i in range(5))
+                a = jnp.max(jnp.abs(dfx._norm(x)), axis=1)
+                e = dfx.decaying_max_scan(a, decay, init=e0)
+                level_db = jnp.float32(20.0) * jnp.log10(
+                    jnp.maximum(e, jnp.float32(1e-10)))
+                g_db = jnp.minimum(jnp.float32(0.0),
+                                   (thr - level_db) * slope)
+                g = jnp.exp2(g_db * jnp.float32(1.0 / 6.0206))
+                coeff = jnp.broadcast_to(jnp.float32(1.0) - alpha, g.shape)
+                z = dfx.affine_scan(coeff, alpha * (jnp.float32(1.0) - g),
+                                    init=z0)
+                gains = (jnp.float32(1.0) - z) * makeup
+                y = dpcm.gain_apply(x, gains[:, None])
+                return y, e[-1], z[-1]
+            return fn
+
+        y, self._env, self._zdev = _cached(key, build)(
+            x, self._knobs, self._env, self._zdev)
+        return y
+
+
+class StreamingReverb:
+    """Chunked twin of ``Sample.reverb``: the comb/allpass ring buffers and
+    write position carry across chunks (ops.effects.reverb_network_apply).
+    ``tail_frames`` is how much silence to feed after the programme to
+    drain the configured decay tail."""
+
+    def __init__(self, samplerate: int, nchannels: int,
+                 roomsize: float = 0.7, damping: float = 0.5,
+                 wet: float = 0.33, dry: float = 0.7, width: float = 1.0,
+                 tail: float = 1.5):
+        from goldref.effects import reverb_params, reverb_delays
+        feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
+                                                   width)
+        self._knobs = np.asarray([feedback, damp, wet1, wet2, dry],
+                                 np.float32)
+        self._sr = samplerate
+        self._nch = nchannels
+        self._nets = [reverb_delays(samplerate, ch)
+                      for ch in range(1 if nchannels == 1 else 2)]
+        self._state = tuple(dfx.reverb_zero_state(c, a) for c, a in self._nets)
+        self.tail_frames = int(tail * samplerate)
+
+    def process(self, x: jax.Array) -> jax.Array:
+        key = ("reverb", x.shape, str(x.dtype), self._sr)
+        nets = self._nets
+        nch = self._nch
+        width = dpcm.width_of(x)
+
+        def build():
+            @jax.jit
+            def fn(x, states, knobs):
+                feedback, damp, wet1, wet2, dry = (knobs[i] for i in range(5))
+                s = dfx._norm(x)
+                from goldref.effects import FIXED_GAIN
+                mono_in = jnp.sum(s, axis=1) * jnp.float32(FIXED_GAIN)
+                new_states, revs = [], []
+                for (combs, aps), st in zip(nets, states):
+                    st, rev = dfx.reverb_network_apply(st, mono_in, combs,
+                                                       aps, feedback, damp)
+                    new_states.append(st)
+                    revs.append(rev)
+                if nch == 1:
+                    out = dry * s[:, 0] + (wet1 + wet2) * revs[0]
+                    out = out[:, None]
+                else:
+                    out = jnp.stack(
+                        [dry * s[:, 0] + wet1 * revs[0] + wet2 * revs[1],
+                         dry * s[:, 1] + wet1 * revs[1] + wet2 * revs[0]],
+                        axis=1)
+                return dfx.to_int_samples(out, width), tuple(new_states)
+            return fn
+
+        y, self._state = _cached(key, build)(x, self._state, self._knobs)
+        return y
+
+
+class StreamingChorus:
+    """Chunked twin of ``Sample.chorus``: carries the input history the
+    modulated delays read from, plus the absolute frame index for the
+    integer-DDS LFO phase.  Gathers are exact, so chunked output matches
+    the whole-signal op within 1 LSB (backend FMA contraction is the only
+    difference between the per-shape compilations)."""
+
+    def __init__(self, samplerate: int, nchannels: int, rate: float = 0.5,
+                 depth: float = 0.002, delay: float = 0.02, voices: int = 3,
+                 wet: float = 0.4, dry: float = 1.0):
+        self._sr = samplerate
+        self._rate = float(rate)
+        self._voices = int(voices)
+        self._knobs = np.asarray([depth, delay, wet, dry], np.float32)
+        hist = int(math.ceil((delay + depth) * samplerate)) + 2
+        self._hist = jnp.zeros((hist, nchannels), jnp.float32)
+        self._n0 = jnp.int32(0)
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        key = ("chorus", x.shape, str(x.dtype), self._sr, self._rate,
+               self._voices, self._hist.shape)
+        sr, rate, voices = self._sr, self._rate, self._voices
+        width = dpcm.width_of(x)
+        H = int(self._hist.shape[0])
+
+        def build():
+            @jax.jit
+            def fn(x, hist, n0, knobs):
+                depth, delay, wet, dry = (knobs[i] for i in range(4))
+                s = dfx._norm(x)
+                out = dfx.chorus_core(s, n0, hist, sr, rate, depth, delay,
+                                      voices, wet, dry)
+                ext = jnp.concatenate([hist, s], axis=0)
+                new_hist = ext[-H:]
+                return (dfx.to_int_samples(out, width), new_hist,
+                        n0 + jnp.int32(x.shape[0]))
+            return fn
+
+        y, self._hist, self._n0 = _cached(key, build)(
+            x, self._hist, self._n0, self._knobs)
+        return y
+
+
+class StreamingConvolver:
+    """Chunked twin of ``Sample.convolve``: FFT convolution per chunk with
+    the (len(ir)-1)-frame overlap tail carried across chunks.  Feeding
+    ``tail_frames`` of silence flushes the final tail."""
+
+    def __init__(self, ir_norm: np.ndarray, wet: float = 1.0,
+                 dry: float = 0.0):
+        ir = np.asarray(ir_norm, np.float32)
+        if ir.ndim == 1:
+            ir = ir[:, None]
+        self._ir = jnp.asarray(ir)
+        self._knobs = np.asarray([wet, dry], np.float32)
+        self._tail: Optional[jax.Array] = None   # [m-1, ch] pending output
+        self.tail_frames = int(ir.shape[0]) - 1
+
+    def process(self, x: jax.Array) -> jax.Array:
+        n, nch = x.shape
+        m = int(self._ir.shape[0])
+        if self._tail is None:
+            self._tail = jnp.zeros((max(m - 1, 0), nch), jnp.float32)
+        key = ("conv", x.shape, str(x.dtype), m, int(self._ir.shape[1]))
+        width = dpcm.width_of(x)
+
+        def build():
+            @jax.jit
+            def fn(x, ir, tail, knobs):
+                wet, dry = knobs[0], knobs[1]
+                s = dfx._norm(x)
+                out_len = n + m - 1
+                fft_len = 1 << (out_len - 1).bit_length()
+                irn = ir
+                if irn.shape[1] != nch:
+                    irn = jnp.broadcast_to(irn[:, :1], (m, nch))
+                X = jnp.fft.rfft(s, n=fft_len, axis=0)
+                H = jnp.fft.rfft(irn, n=fft_len, axis=0)
+                y = jnp.fft.irfft(X * H, n=fft_len, axis=0)[:out_len]
+                y = wet * y
+                y = y.at[:n].add(dry * s)
+                if m > 1:
+                    y = y.at[:m - 1].add(tail)
+                    new_tail = y[n:]
+                else:
+                    new_tail = tail
+                return dfx.to_int_samples(y[:n], width), new_tail
+            return fn
+
+        y, self._tail = _cached(key, build)(x, self._ir, self._tail,
+                                            self._knobs)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# The chain + the .ini spec
+# ---------------------------------------------------------------------------
+
+#: effect name -> (allowed params, params that are not plain floats)
+FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
+    "compress": (("threshold_db", "ratio", "attack", "release", "makeup_db"),
+                 {}),
+    "reverb": (("roomsize", "damping", "wet", "dry", "width", "tail"), {}),
+    "chorus": (("rate", "depth", "delay", "voices", "wet", "dry"),
+               {"voices": int}),
+    "convolve": (("ir", "wet", "dry"), {"ir": str}),
+}
+
+
+def parse_fx_items(items: Sequence[Tuple[str, str]]) -> List[Tuple[str, dict]]:
+    """Parse ``[fx]`` section items: each value is whitespace-separated
+    ``key=value`` pairs.  Pure parsing — ``ir`` stays a filename string so
+    callers control path resolution (the render server validates it against
+    its sample root exactly like instrument files)."""
+    out: List[Tuple[str, dict]] = []
+    for name, valstr in items:
+        if name not in FX_PARAMS:
+            raise ValueError(f"unknown effect {name!r} in [fx] "
+                             f"(have: {', '.join(sorted(FX_PARAMS))})")
+        allowed, types = FX_PARAMS[name]
+        params: dict = {}
+        for tok in valstr.split():
+            if "=" not in tok:
+                raise ValueError(f"[fx] {name}: expected key=value, "
+                                 f"got {tok!r}")
+            k, v = tok.split("=", 1)
+            if k not in allowed:
+                raise ValueError(f"[fx] {name}: unknown parameter {k!r} "
+                                 f"(have: {', '.join(allowed)})")
+            t = types.get(k, float)
+            params[k] = t(v) if t is not str else v
+        if name == "convolve" and "ir" not in params:
+            raise ValueError("[fx] convolve needs ir=<wav file>")
+        out.append((name, params))
+    return out
+
+
+class FxChain:
+    """An ordered master-bus chain for the STREAMING path.  Built from the
+    parsed ``[fx]`` spec plus resolved IR samples; processes int chunks in
+    order, carrying each effect's device state.  ``tail_frames`` is the
+    silence to feed after the programme so reverb/convolution tails drain
+    (each effect's tail also rings through the effects after it)."""
+
+    def __init__(self, fx: Sequence[Tuple[str, dict]], samplerate: int,
+                 nchannels: int,
+                 ir_samples: Optional[Dict[str, "object"]] = None):
+        self.processors = []
+        self.tail_frames = 0
+        for name, p in fx:
+            if name == "compress":
+                proc = StreamingCompressor(samplerate, **p)
+            elif name == "reverb":
+                proc = StreamingReverb(samplerate, nchannels, **p)
+            elif name == "chorus":
+                proc = StreamingChorus(samplerate, nchannels, **p)
+            elif name == "convolve":
+                q = dict(p)
+                ir = (ir_samples or {})[q.pop("ir")]
+                irn = (ir.get_frame_array().astype(np.float32)
+                       / np.float32(dpcm.MAXVAL[ir.samplewidth]))
+                proc = StreamingConvolver(irn, **q)
+            else:                                   # pragma: no cover
+                raise ValueError(name)
+            self.processors.append(proc)
+            self.tail_frames += proc.tail_frames
+        self.samplerate = samplerate
+        self.nchannels = nchannels
+
+    def process(self, x: jax.Array) -> jax.Array:
+        for p in self.processors:
+            x = p.process(x)
+        return x
+
+
+def chain_tail_frames(fx: Sequence[Tuple[str, dict]], samplerate: int,
+                      ir_samples: Optional[Dict[str, "object"]] = None) -> int:
+    """Total decay tail of the chain: reverb tails + convolution IR tails."""
+    total = 0
+    for name, p in fx:
+        if name == "reverb":
+            total += int(p.get("tail", 1.5) * samplerate)
+        elif name == "convolve":
+            total += (ir_samples or {})[p["ir"]].nframes - 1
+    return total
+
+
+def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
+                    ir_samples: Optional[Dict[str, "object"]] = None):
+    """Apply the chain OFFLINE by staging the lazy Sample ops (the whole
+    chain fuses into the sample's device program).  Returns the sample.
+
+    Chain semantics (matching the streaming FxChain + silence feed): the
+    programme is first extended by the chain's total tail, then EVERY
+    effect runs over the full extended length — so an early effect's decay
+    rings through the effects after it, exactly as a streamed signal
+    would.  Length-extending ops are therefore applied tail-less here
+    (reverb with tail=0; convolve truncated back), the shared pad having
+    already reserved their decay room."""
+    tail = chain_tail_frames(fx, sample.samplerate, ir_samples)
+    sample.pad_frames(tail)
+    for name, p in fx:
+        if name == "convolve":
+            q = dict(p)
+            ir = (ir_samples or {})[q.pop("ir")]
+            n = sample.nframes
+            sample.convolve(ir, **q).truncate_frames(n)
+        elif name == "reverb":
+            q = dict(p)
+            q["tail"] = 0.0
+            sample.reverb(**q)
+        else:
+            getattr(sample, name)(**p)
+    return sample

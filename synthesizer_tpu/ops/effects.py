@@ -71,7 +71,7 @@ def decaying_max_scan(a: jax.Array, decay: float, init: float = 0.0) -> jax.Arra
         return jnp.maximum(xr, xl * dr), dl * dr
 
     xs, ds = jax.lax.associative_scan(combine, (a, d))
-    return jnp.maximum(xs, ds * jnp.float32(init))
+    return jnp.maximum(xs, ds * jnp.asarray(init, jnp.float32))
 
 
 def affine_scan(coeff: jax.Array, add: jax.Array, init) -> jax.Array:
@@ -137,27 +137,23 @@ def compressor_gains_from_coeffs(frames: jax.Array, threshold_db, slope,
 # Freeverb-style reverb (blocked scan)
 # ---------------------------------------------------------------------------
 
-def _reverb_network_device(mono_in: jax.Array, combs: Tuple[int, ...],
-                           aps: Tuple[int, ...], feedback: float,
-                           damp: float) -> jax.Array:
-    """One channel's comb+allpass network as a blocked ``lax.scan``.
+def reverb_zero_state(combs: Tuple[int, ...], aps: Tuple[int, ...]):
+    """Fresh (comb ring buffers, damping states, allpass ring buffers,
+    write position) carry for one channel's network."""
+    return (jnp.zeros((len(combs), max(combs)), jnp.float32),
+            jnp.zeros(len(combs), jnp.float32),
+            jnp.zeros((len(aps), max(aps)), jnp.float32),
+            jnp.int32(0))
 
-    Block size B = min(128, min delay): every read index in a block is at
-    least B frames behind the write head, so the whole block's delayed
-    outputs come straight from the carried ring buffers; the comb damping
-    one-pole is the only within-block recurrence and runs as an affine
-    associative scan.  Formulas: goldref.effects._reverb_network.
-    """
-    total = mono_in.shape[0]
-    block = min(128, min(min(combs), min(aps)))
-    nblocks = -(-total // block)
-    xpad = jnp.concatenate(
-        [mono_in, jnp.zeros(nblocks * block - total, jnp.float32)])
-    xb = xpad.reshape(nblocks, block)
-    dcmax, damax = max(combs), max(aps)
-    fb = jnp.asarray(feedback, jnp.float32)
-    d1 = jnp.asarray(damp, jnp.float32)
-    d2 = jnp.float32(1.0) - d1
+
+def _network_step(combs: Tuple[int, ...], aps: Tuple[int, ...], block: int,
+                  fb, d1, d2):
+    """One blocked step of the Freeverb network: reads/writes ``block``
+    frames of every ring buffer.  Requires block <= min delay, so all
+    delayed reads land at least ``block`` frames behind the write head and
+    the whole block evaluates in parallel; the comb damping one-pole is the
+    only within-block recurrence and runs as an affine associative scan.
+    Formulas: goldref.effects._reverb_network."""
     apg = jnp.float32(0.5)
     arange_b = jnp.arange(block, dtype=jnp.int32)
 
@@ -186,12 +182,45 @@ def _reverb_network_device(mono_in: jax.Array, combs: Tuple[int, ...],
         ap_buf = jnp.stack(ap_rows)
         return (comb_buf, fstores, ap_buf, n0 + jnp.int32(block)), out
 
-    carry0 = (jnp.zeros((len(combs), dcmax), jnp.float32),
-              jnp.zeros(len(combs), jnp.float32),
-              jnp.zeros((len(aps), damax), jnp.float32),
-              jnp.int32(0))
-    _, outs = jax.lax.scan(step, carry0, xb)
-    return outs.reshape(-1)[:total]
+    return step
+
+
+def reverb_network_apply(state, mono_in: jax.Array, combs: Tuple[int, ...],
+                         aps: Tuple[int, ...], feedback, damp):
+    """Run ``mono_in`` (any length) through one channel's network from
+    ``state``, returning (new_state, output).  Whole blocks go through one
+    ``lax.scan``; the remainder (< block) is a single differently-shaped
+    step — the write position advances by exactly len(mono_in), so chunked
+    invocation is the same recurrence as whole-signal (f32 scan regrouping
+    differs; goldref.effects.reverb documents the budget)."""
+    n = int(mono_in.shape[0])
+    block = min(128, min(min(combs), min(aps)))
+    fb = jnp.asarray(feedback, jnp.float32)
+    d1 = jnp.asarray(damp, jnp.float32)
+    d2 = jnp.float32(1.0) - d1
+    nb, rem = divmod(n, block)
+    outs = []
+    if nb:
+        step = _network_step(combs, aps, block, fb, d1, d2)
+        state, out_full = jax.lax.scan(step, state,
+                                       mono_in[:nb * block].reshape(nb, block))
+        outs.append(out_full.reshape(-1))
+    if rem:
+        step_r = _network_step(combs, aps, rem, fb, d1, d2)
+        state, out_r = step_r(state, mono_in[nb * block:])
+        outs.append(out_r)
+    if not outs:
+        return state, jnp.zeros((0,), jnp.float32)
+    return state, outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
+def _reverb_network_device(mono_in: jax.Array, combs: Tuple[int, ...],
+                           aps: Tuple[int, ...], feedback: float,
+                           damp: float) -> jax.Array:
+    """Whole-signal network from a zero state (the offline Sample op)."""
+    _, out = reverb_network_apply(reverb_zero_state(combs, aps), mono_in,
+                                  combs, aps, feedback, damp)
+    return out
 
 
 def reverb(frames: jax.Array, samplerate: int, roomsize: float,

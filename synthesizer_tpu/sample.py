@@ -626,6 +626,20 @@ class Sample:
         self._nframes += n
         return self
 
+    def pad_frames(self, nframes: int, at_start: bool = False) -> "Sample":
+        """Frame-precise silence padding (no seconds round-trip)."""
+        if nframes > 0:
+            self._stage("pad", static=(int(nframes), bool(at_start)))
+            self._nframes += int(nframes)
+        return self
+
+    def truncate_frames(self, nframes: int) -> "Sample":
+        """Keep only the first ``nframes`` frames (frame-precise clip)."""
+        n = min(int(nframes), self._nframes)
+        self._stage("slice", static=(0, n))
+        self._nframes = n
+        return self
+
     def join(self, other: "Sample") -> "Sample":
         self._check_format(other)
         sub_ops, dyn, leaves = other._as_subprogram()

@@ -193,6 +193,11 @@ class Song:
         self.synths: Dict[str, SynthDef] = {}
         self.samplerate = params.norm_samplerate
         self.nchannels = params.norm_nchannels
+        #: master-bus effects ([fx] ini section), applied in order to the
+        #: final mix — offline as fused lazy Sample ops, streaming via
+        #: stateful chunk processors (synthesizer_tpu.effects)
+        self.fx: List[Tuple[str, dict]] = []
+        self.fx_irs: Dict[str, Sample] = {}      # convolve IRs by filename
 
     # -- loading ----------------------------------------------------------
 
@@ -241,9 +246,10 @@ class Song:
             self.instruments[name] = smp
             self.samplerate = smp.samplerate
             self.nchannels = smp.nchannels
-        self._read_sections(cp)
+        self._read_sections(cp, base)
 
-    def _read_sections(self, cp: configparser.ConfigParser) -> None:
+    def _read_sections(self, cp: configparser.ConfigParser,
+                       base: str = "") -> None:
         for section in cp.sections():
             if section.startswith("synth."):
                 name = section[len("synth."):]
@@ -266,6 +272,35 @@ class Song:
             if section.startswith("pattern."):
                 pname = section[len("pattern."):]
                 self.add_pattern(pname, dict(cp.items(section)))
+        if cp.has_section("fx"):
+            from .effects import parse_fx_items
+            self.fx = parse_fx_items(cp.items("fx"))
+            for name, p in self.fx:
+                if name == "convolve":
+                    self._load_fx_ir(p["ir"], base)
+
+    def _load_fx_ir(self, filename: str, base: str) -> None:
+        """Load a convolution impulse response, converted to the song's
+        rate (mono IRs stay mono — they apply to every channel)."""
+        ir = Sample(wave_file=os.path.join(base, filename), name=filename)
+        ir.resample(self.samplerate)
+        if ir.nchannels == 2 and self.nchannels == 1:
+            ir.mono()
+        self.fx_irs[filename] = ir
+
+    def add_fx(self, name: str, ir: Optional[Sample] = None,
+               **fx_params) -> None:
+        """Append a master-bus effect programmatically (same validation as
+        the [fx] ini section; ``ir`` supplies the convolve impulse)."""
+        from .effects import parse_fx_items
+        toks = " ".join(f"{k}={v}" for k, v in fx_params.items())
+        if name == "convolve":
+            if ir is None:
+                raise ValueError("convolve needs an ir Sample")
+            key = f"__ir{len(self.fx_irs)}__"
+            self.fx_irs[key] = ir
+            toks = f"ir={key} {toks}".strip()
+        self.fx.extend(parse_fx_items([(name, toks)]))
 
     def _check_format(self, name: str, sample: Sample) -> None:
         """All instruments must agree on rate/channels — a silent mismatch
@@ -528,14 +563,61 @@ class Song:
             out32 = out32 + jnp.rint(stereo * jnp.float32(32767.0)).astype(jnp.int32)
         if normalize:
             mixed = Sample.from_jax(out32, self.samplerate, 4, name="mixdown")
-            return mixed.make_16bit(maximize_amplitude=True)
-        out16 = jnp.clip(out32, -32768, 32767).astype(jnp.int16)
-        return Sample.from_jax(out16, self.samplerate, 2, name="mixdown")
+            mixed.make_16bit(maximize_amplitude=True)
+        else:
+            out16 = jnp.clip(out32, -32768, 32767).astype(jnp.int16)
+            mixed = Sample.from_jax(out16, self.samplerate, 2, name="mixdown")
+        if self.fx:
+            # master chain applies AFTER normalization/narrowing (thresholds
+            # are final-dBFS terms); the staged ops fuse into the program
+            from .effects import apply_fx_sample
+            apply_fx_sample(mixed, self.fx, self.fx_irs)
+        return mixed
 
     # -- streaming mixdown ------------------------------------------------------
 
     def mix_generator(self, chunk_frames: Optional[int] = None,
                       mesh=None, start_frame: int = 0) -> Iterator[Sample]:
+        """Stream the song as fixed-size chunks rendered on device.
+
+        With a master ``[fx]`` chain, every chunk runs through the
+        stateful streaming processors (synthesizer_tpu.effects) and extra
+        silence-fed chunks drain the reverb/convolution tails at the end;
+        the result matches ``mix(normalize=False, tail_seconds=0)`` within
+        the per-effect budgets (goldref.effects).  Seeking with fx starts
+        the effect state cold at ``start_frame`` (the pre-seek reverb tail
+        is absent) — sonically fine, not bit-comparable.
+        """
+        gen = self._mix_generator_raw(chunk_frames, mesh, start_frame)
+        if not self.fx:
+            yield from gen
+            return
+        from .effects import FxChain
+        chain = FxChain(self.fx, self.samplerate, self.nchannels,
+                        self.fx_irs)
+        cf = chunk_frames or params.norm_frames_per_chunk
+        ck = 0
+        for chunk in gen:
+            ck += 1
+            yield Sample.from_jax(chain.process(chunk.jax_frames),
+                                  self.samplerate, 2, name=chunk.name)
+        left = chain.tail_frames
+        zeros_full = None
+        while left > 0:
+            n = min(cf, left)
+            if n == cf:
+                if zeros_full is None:
+                    zeros_full = jnp.zeros((cf, self.nchannels), jnp.int16)
+                z = zeros_full
+            else:
+                z = jnp.zeros((n, self.nchannels), jnp.int16)
+            yield Sample.from_jax(chain.process(z), self.samplerate, 2,
+                                  name=f"fxtail@{ck}")
+            ck += 1
+            left -= n
+
+    def _mix_generator_raw(self, chunk_frames: Optional[int] = None,
+                           mesh=None, start_frame: int = 0) -> Iterator[Sample]:
         """Stream the song as fixed-size chunks rendered on device.
 
         Host control flow walks the hit schedule; each chunk is one device

@@ -229,18 +229,27 @@ class _Handler(BaseHTTPRequestHandler):
         if cp.has_section("paths"):
             raise ValueError("[paths] sections are not allowed in "
                              "server-submitted songs")
-        if cp.has_section("instruments") and cp.items("instruments"):
+        # every file an untrusted song can name resolves ONLY under the
+        # sample root: instrument WAVs and [fx] convolve impulse responses
+        files = list(cp.items("instruments")) if cp.has_section(
+            "instruments") else []
+        if cp.has_section("fx"):
+            from .effects import parse_fx_items
+            for fxname, p in parse_fx_items(cp.items("fx")):
+                if fxname == "convolve":
+                    files.append((f"fx {fxname} ir", p["ir"]))
+        if files:
             if not root:
                 raise ValueError("this server has no sample_root configured; "
-                                 "songs may not use [instruments]")
+                                 "songs may not reference sample files")
             rootreal = os.path.realpath(root)
-            for name, filename in cp.items("instruments"):
+            for name, filename in files:
                 real = os.path.realpath(os.path.join(rootreal, filename))
                 # strict prefix: equality would mean an empty/"." filename
                 # resolving to the root directory itself
                 if os.path.isabs(filename) or not real.startswith(
                         rootreal + os.sep):
-                    raise ValueError(f"instrument {name!r} path escapes the "
+                    raise ValueError(f"{name!r} path escapes the "
                                      f"server sample root")
         song = Song.from_string(ini_text, sample_dir=root or "")
         limit = self.server.max_render_seconds  # type: ignore[attr-defined]

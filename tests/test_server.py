@@ -253,3 +253,49 @@ def test_render_midi_endpoint(server):
     status, _, body = request(server, "POST", "/render/midi", b"nope",
                               ctype="audio/midi")
     assert status == 400 and b"error" in body
+
+
+FX_SONG_INI = SONG_INI + """
+[fx]
+compress = threshold_db=-12 ratio=3
+reverb = roomsize=0.6 wet=0.25 tail=0.2
+convolve = ir=ir.wav wet=0.1 dry=0.9
+"""
+
+
+def test_render_song_with_fx(server, tmp_path):
+    from synthesizer_tpu import WaveSynth
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    ws.sine(60, 0.1, amplitude=0.8).stereo().write_wav(str(tmp_path / "kick.wav"))
+    ws.white_noise(duration=0.005, amplitude=0.4, seed=2).fadeout(0.004) \
+        .write_wav(str(tmp_path / "ir.wav"))
+    server.sample_root = str(tmp_path)
+    try:
+        status, ctype, data = request(server, "POST", "/render/song",
+                                      FX_SONG_INI, ctype="text/plain")
+    finally:
+        server.sample_root = None
+    assert status == 200 and ctype == "audio/wav"
+    audio, rate = read_wav_bytes(data)
+    # master chain extends the render by the reverb + IR tails
+    assert len(audio) > 44100 // 4 + int(0.2 * 44100)
+
+
+def test_render_song_fx_ir_sandbox(server, tmp_path):
+    from synthesizer_tpu import WaveSynth
+    WaveSynth(samplerate=44100, samplewidth=2).sine(60, 0.1).stereo() \
+        .write_wav(str(tmp_path / "kick.wav"))
+    server.sample_root = str(tmp_path)
+    try:
+        for evil in ("/etc/hostname", "../x.wav"):
+            bad = FX_SONG_INI.replace("ir=ir.wav", f"ir={evil}")
+            status, _, data = request(server, "POST", "/render/song", bad,
+                                      ctype="text/plain")
+            assert status == 400 and b"escapes" in data, evil
+        # unknown effect name in [fx] -> clean 400, not a 500
+        bad = FX_SONG_INI.replace("compress =", "flanger =")
+        status, _, data = request(server, "POST", "/render/song", bad,
+                                  ctype="text/plain")
+        assert status == 400 and b"unknown effect" in data
+    finally:
+        server.sample_root = None

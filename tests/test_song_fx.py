@@ -1,0 +1,184 @@
+"""Master-bus [fx] chain: ini parsing, offline (fused Sample ops) vs
+streaming (stateful chunk processors) agreement, tail draining, and the
+chunk-size invariance of each streaming processor.
+"""
+
+import numpy as np
+import pytest
+
+from synthesizer_tpu import Sample, WaveSynth
+from synthesizer_tpu.sequencer import Song
+from synthesizer_tpu import effects as fxmod
+from synthesizer_tpu.effects import (FxChain, parse_fx_items,
+                                     StreamingChorus, StreamingCompressor,
+                                     StreamingConvolver, StreamingReverb)
+
+SR = 44100
+
+
+def make_song(fx=()):
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_instrument("kick", synth.sine(60.0, 0.12, amplitude=0.9)
+                        .fadeout(0.08).stereo())
+    song.add_instrument("hat", synth.white_noise(duration=0.03, amplitude=0.3,
+                                                 seed=4).fadeout(0.02).stereo())
+    song.add_pattern("a", {"kick": "x... x... x... x...",
+                           "hat": "x.x. x.x. x.x. x.x."})
+    song.pattern_sequence = ["a", "a"]
+    for name, kw in fx:
+        song.add_fx(name, **kw)
+    return song
+
+
+# ---------------------------------------------------------------------------
+# Parsing
+# ---------------------------------------------------------------------------
+
+def test_parse_fx_items():
+    fx = parse_fx_items([("chorus", "rate=1.5 depth=0.003 voices=2"),
+                         ("compress", "threshold_db=-15 ratio=4"),
+                         ("reverb", ""),
+                         ("convolve", "ir=hall.wav wet=0.5")])
+    assert [n for n, _ in fx] == ["chorus", "compress", "reverb", "convolve"]
+    assert fx[0][1] == {"rate": 1.5, "depth": 0.003, "voices": 2}
+    assert isinstance(fx[0][1]["voices"], int)
+    assert fx[3][1]["ir"] == "hall.wav"
+
+
+def test_parse_fx_rejects_garbage():
+    with pytest.raises(ValueError, match="unknown effect"):
+        parse_fx_items([("flanger", "")])
+    with pytest.raises(ValueError, match="unknown parameter"):
+        parse_fx_items([("reverb", "room=0.5")])
+    with pytest.raises(ValueError, match="key=value"):
+        parse_fx_items([("reverb", "0.5")])
+    with pytest.raises(ValueError, match="ir="):
+        parse_fx_items([("convolve", "wet=1.0")])
+
+
+def test_song_ini_fx_roundtrip(tmp_path):
+    ini = tmp_path / "song.ini"
+    wav = tmp_path / "beep.wav"
+    WaveSynth(samplerate=SR, samplewidth=2).sine(200, 0.05).stereo() \
+        .write_wav(str(wav))
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[instruments]
+beep = beep.wav
+[pattern.a]
+beep = x... x...
+[fx]
+compress = threshold_db=-12 ratio=3
+reverb = roomsize=0.6 wet=0.25 tail=0.2
+""")
+    song = Song.from_ini(str(ini))
+    assert [n for n, _ in song.fx] == ["compress", "reverb"]
+    mixed = song.mix(normalize=False, tail_seconds=0.0)
+    # reverb extends the mix by its tail
+    assert mixed.nframes == song.duration_frames() + int(0.2 * SR)
+
+
+# ---------------------------------------------------------------------------
+# Offline vs streaming agreement
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_streaming_fx_equals_offline(chunk):
+    fx = [("chorus", dict(rate=2.0, depth=0.002, delay=0.012, wet=0.4)),
+          ("compress", dict(threshold_db=-15.0, ratio=4.0, attack=0.002,
+                            release=0.05)),
+          ("reverb", dict(roomsize=0.7, damping=0.5, wet=0.3, dry=0.7,
+                          tail=0.25))]
+    song = make_song(fx)
+    offline = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(offline)
+    d = np.abs(got.astype(np.int64) - offline.astype(np.int64)).max()
+    # chorus exact; compressor 2 + reverb 4 budgets, composed
+    assert d <= 8, d
+
+
+def test_streaming_fx_tail_drains():
+    song = make_song([("reverb", dict(tail=0.3, wet=0.5))])
+    chunks = [c.get_frame_array() for c in song.mix_generator(chunk_frames=2000)]
+    got = np.concatenate(chunks)
+    assert len(got) == song.duration_frames() + int(0.3 * SR)
+    # the drained tail actually rings (reverb energy past the programme)
+    tail = got[song.duration_frames():]
+    assert np.abs(tail[: int(0.05 * SR)]).max() > 0
+
+
+def test_convolve_fx_through_song(tmp_path):
+    ir = WaveSynth(samplerate=SR, samplewidth=2) \
+        .white_noise(duration=0.01, amplitude=0.5, seed=9).fadeout(0.008)
+    song = make_song()
+    song.add_fx("convolve", ir=ir, wet=0.3, dry=0.8)
+    offline = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1500)])
+    assert len(got) == len(offline)
+    d = np.abs(got.astype(np.int64) - offline.astype(np.int64)).max()
+    assert d <= max(8, 1e-4 * np.abs(offline).max())
+
+
+# ---------------------------------------------------------------------------
+# Chunk-size invariance of the processors themselves
+# ---------------------------------------------------------------------------
+
+def _chunked(proc_factory, x, sizes):
+    proc = proc_factory()
+    outs = []
+    i = 0
+    k = 0
+    import jax.numpy as jnp
+    while i < len(x):
+        n = sizes[k % len(sizes)]
+        outs.append(np.asarray(proc.process(jnp.asarray(x[i:i + n]))))
+        i += n
+        k += 1
+    return np.concatenate(outs)
+
+
+@pytest.mark.parametrize("factory,budget", [
+    (lambda: StreamingCompressor(SR, threshold_db=-15.0, ratio=4.0,
+                                 attack=0.002, release=0.05), 2),
+    (lambda: StreamingReverb(SR, 2, roomsize=0.8, wet=0.4, tail=0.0), 4),
+    (lambda: StreamingChorus(SR, 2, rate=3.0, depth=0.002, delay=0.01), 1),
+])
+def test_processor_chunk_invariance(rng, factory, budget):
+    x = rng.integers(-15000, 15000, size=(7000, 2)).astype(np.int16)
+    a = _chunked(factory, x, [7000])
+    b = _chunked(factory, x, [997, 1024, 333])
+    d = np.abs(a.astype(np.int64) - b.astype(np.int64)).max()
+    assert d <= budget, d
+
+
+def test_convolver_chunk_invariance(rng):
+    x = rng.integers(-15000, 15000, size=(5000, 2)).astype(np.int16)
+    irn = (rng.normal(0, 0.1, size=200) *
+           np.exp(-np.arange(200) / 50.0)).astype(np.float32)
+    a = _chunked(lambda: StreamingConvolver(irn, wet=0.5, dry=0.5), x, [5000])
+    b = _chunked(lambda: StreamingConvolver(irn, wet=0.5, dry=0.5), x,
+                 [640, 2048])
+    d = np.abs(a.astype(np.int64) - b.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_streaming_chorus_equals_sample_op_1lsb(rng):
+    # gathers are exact; the remaining <=1 LSB is backend FMA contraction
+    # differing between the per-chunk-shape compilations (the same class
+    # budgeted for to_mono/fades, see ops.pcm.to_mono)
+    x = rng.integers(-15000, 15000, size=(6000, 2)).astype(np.int16)
+    whole = Sample.from_raw_frames(x.tobytes(), 2, SR, 2) \
+        .chorus(rate=2.5, depth=0.002, delay=0.01).get_frame_array()
+    chunked = _chunked(lambda: StreamingChorus(SR, 2, rate=2.5, depth=0.002,
+                                               delay=0.01), x, [700, 1100])
+    d = np.abs(chunked.astype(np.int64) - whole.astype(np.int64)).max()
+    assert d <= 1, d
