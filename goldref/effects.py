@@ -333,3 +333,76 @@ def convolve(frames: np.ndarray, width: int, ir: np.ndarray, ir_width: int,
         out[:, ch] = np.float64(wet) * np.convolve(s[:, ch], kern)
         out[:n, ch] += np.float64(dry) * s[:, ch]
     return _to_int(out.astype(np.float32), width)
+
+
+# ---------------------------------------------------------------------------
+# Phase-vocoder time stretch (and pitch shift via stretch + exact ratecv)
+# ---------------------------------------------------------------------------
+
+def stretch_grid(n: int, factor: float, frame: int,
+                 hop: int) -> Tuple[np.ndarray, int]:
+    """(analysis start positions [T], target output length) — computed once
+    in f64 host math and shared VERBATIM by both evaluators.
+
+    Synthesis frames sit at j*hop; analysis frames are anchored at both
+    ends of the input (0 and n_pad-frame) and rounded to integers, so the
+    per-step analysis hop varies by ±1 around hop/factor."""
+    target = max(int(round(n * factor)), 1)
+    T = max(2, -(-(target - frame) // hop) + 1)
+    n_pad = max(n, frame)
+    last = n_pad - frame
+    starts = np.rint(np.arange(T, dtype=np.float64)
+                     * (last / (T - 1))).astype(np.int64)
+    return starts, target
+
+
+def _princarg(x: np.ndarray) -> np.ndarray:
+    two_pi = 2.0 * np.pi
+    return x - two_pi * np.round(x / two_pi)
+
+
+def stretch(frames: np.ndarray, width: int, factor: float,
+            frame: int = 2048, hop: int = 512) -> np.ndarray:
+    """Phase-vocoder time stretch by ``factor`` (pitch preserved): Hann
+    STFT on the shared analysis grid, per-bin instantaneous-frequency
+    phase propagation rescaled to the synthesis hop, Hann overlap-add
+    resynthesis normalized by the exact window-square overlap.
+
+    This oracle (f64 FFT/atan2/cumsum) IS the spec; the device twin runs
+    the same algorithm in f32 with batched device FFTs.  Phases accumulate
+    over frames, so the agreed budget is generous: <= 64 LSB at 16-bit
+    (about -54 dB) for programme material — the PV is a creative effect,
+    not a bit-exact op like the rest of the Sample set.
+    """
+    n, nch = frames.shape
+    starts, target = stretch_grid(n, factor, frame, hop)
+    T = len(starts)
+    n_pad = max(n, frame) + frame
+    s = np.zeros((n_pad, nch), np.float64)
+    s[:n] = _norm(frames, width).astype(np.float64)
+    win = np.hanning(frame + 1)[:frame]          # periodic Hann
+    K = frame // 2 + 1
+    omega = 2.0 * np.pi * np.arange(K) / frame   # rad/sample per bin
+    out_len = (T - 1) * hop + frame
+    out = np.zeros((out_len, nch), np.float64)
+    wsum = np.zeros(out_len, np.float64)
+    for j in range(T):
+        wsum[j * hop:j * hop + frame] += win * win
+    for ch in range(nch):
+        seg = np.stack([s[p:p + frame, ch] for p in starts]) * win
+        spec = np.fft.rfft(seg, axis=1)                    # [T, K]
+        mag = np.abs(spec)
+        phi = np.angle(spec)
+        hops = np.diff(starts).astype(np.float64)          # [T-1]
+        dphi = phi[1:] - phi[:-1] - omega[None, :] * hops[:, None]
+        adv = omega[None, :] * hops[:, None] + _princarg(dphi)
+        adv_syn = adv * (hop / hops)[:, None]
+        psi = np.concatenate([phi[:1], phi[:1] + np.cumsum(adv_syn, axis=0)])
+        spec_s = mag * np.exp(1j * psi)
+        seg_s = np.fft.irfft(spec_s, n=frame, axis=1) * win
+        for j in range(T):
+            out[j * hop:j * hop + frame, ch] += seg_s[j]
+    out /= np.maximum(wsum, 1e-8)[:, None]
+    if target > out_len:
+        out = np.concatenate([out, np.zeros((target - out_len, nch))])
+    return _to_int(out[:target].astype(np.float32), width)

@@ -341,6 +341,23 @@ class Sample:
                                        ir.frames, ir.samplewidth, wet, dry)
         return self
 
+    def stretch(self, factor: float, frame: int = 2048,
+                hop: int = 512) -> "Sample":
+        """Phase-vocoder time stretch (duration x factor, pitch kept);
+        spec: goldref.effects.stretch."""
+        from . import effects
+        self.frames = effects.stretch(self.frames, self.samplewidth, factor,
+                                      frame, hop)
+        return self
+
+    def pitch_shift(self, semitones: float, frame: int = 2048,
+                    hop: int = 512) -> "Sample":
+        """Shift pitch by equal-tempered semitones, duration preserved:
+        DEFINED as stretch(r) followed by speed(r), r = 2**(semitones/12)
+        (both component ops are themselves spec'd)."""
+        r = 2.0 ** (semitones / 12.0)
+        return self.stretch(r, frame, hop).speed(r)
+
     # -- format conversion ---------------------------------------------------
 
     def make_32bit(self, scale_amplitude: bool = True) -> "Sample":

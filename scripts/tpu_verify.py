@@ -303,6 +303,87 @@ def section_configs(SR):
           f"{len(chunks)} chunks")
 
 
+def section_effects(SR):
+    """Effects rack on the chip: device twins vs goldref.effects with the
+    budgets documented there, plus streaming-vs-offline master-chain
+    agreement (the scans/FFT paths have no CPU-suite coverage on the real
+    backend — the Biquad bf16 lesson applies to any new recurrence)."""
+    import goldref.sample as gs
+    from synthesizer_tpu.sample import Sample
+    from synthesizer_tpu.sequencer import Song
+    from synthesizer_tpu import WaveSynth
+
+    rng = np.random.default_rng(0xFACADE)
+    a = rng.integers(-15000, 15000, size=(4000, 2)).astype(np.int16)
+
+    def pair():
+        return (gs.Sample(a.copy(), SR, 2, 2),
+                Sample.from_raw_frames(a.tobytes(), 2, SR, 2))
+
+    gold, dev = pair()
+    kw = dict(threshold_db=-15.0, ratio=4.0, attack=0.003, release=0.08,
+              makeup_db=2.0)
+    d = np.abs(dev.compress(**kw).get_frame_array().astype(np.int64)
+               - gold.compress(**kw).frames.astype(np.int64)).max()
+    check("fx/compress", d <= 2, f"max {d} LSB")
+
+    gold, dev = pair()
+    kw = dict(roomsize=0.8, damping=0.4, wet=0.3, dry=0.6, tail=0.1)
+    d = np.abs(dev.reverb(**kw).get_frame_array().astype(np.int64)
+               - gold.reverb(**kw).frames.astype(np.int64)).max()
+    check("fx/reverb", d <= 4, f"max {d} LSB")
+
+    gold, dev = pair()
+    kw = dict(rate=1.5, depth=0.003, delay=0.015)
+    d = np.abs(dev.chorus(**kw).get_frame_array().astype(np.int64)
+               - gold.chorus(**kw).frames.astype(np.int64)).max()
+    check("fx/chorus", d <= 2, f"max {d} LSB")
+
+    gold, dev = pair()
+    ir = (rng.normal(0, 0.2, size=300)
+          * np.exp(-np.arange(300) / 75.0) * 20000).astype(np.int16)[:, None]
+    gir = gs.Sample(ir.copy(), SR, 2, 1)
+    dir_ = Sample.from_raw_frames(ir.tobytes(), 2, SR, 1)
+    g = gold.convolve(gir, wet=0.05, dry=0.5)
+    d = np.abs(dev.convolve(dir_, wet=0.05, dry=0.5).get_frame_array()
+               .astype(np.int64) - g.frames.astype(np.int64)).max()
+    budget = max(8, 1e-4 * np.abs(g.frames).max())
+    check("fx/convolve_fft", d <= budget, f"max {d} LSB (budget {budget:.0f})")
+
+    # phase-vocoder stretch: batched on-chip FFT + phase cumsum vs the
+    # f64 host oracle (the FFT path has no other on-hardware coverage)
+    t = np.arange(9000) / SR
+    tone = np.clip(np.rint((0.4 * np.sin(2 * np.pi * 440 * t)
+                            + 0.25 * np.sin(2 * np.pi * 661 * t)) * 32767),
+                   -32768, 32767).astype(np.int16)[:, None]
+    gold = gs.Sample(tone.copy(), SR, 2, 1)
+    dev = Sample.from_raw_frames(tone.tobytes(), 2, SR, 1)
+    g = gold.stretch(1.5, frame=1024, hop=256)
+    d = np.abs(dev.stretch(1.5, frame=1024, hop=256).get_frame_array()
+               .astype(np.int64) - g.frames.astype(np.int64)).max()
+    check("fx/stretch_pv", d <= 64, f"max {d} LSB (budget 64)")
+
+    # master [fx] chain: streaming chunk processors == offline fused ops
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_instrument("kick", ws.sine(60, 0.1, amplitude=0.8)
+                        .fadeout(0.08).stereo())
+    song.add_pattern("a", {"kick": "x.x. x..."})
+    song.pattern_sequence = ["a", "a"]
+    song.add_fx("chorus", rate=2.0, depth=0.002, delay=0.012, wet=0.4)
+    song.add_fx("compress", threshold_db=-15.0, ratio=4.0, attack=0.002,
+                release=0.05)
+    song.add_fx("reverb", roomsize=0.7, wet=0.3, dry=0.7, tail=0.15)
+    offline = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1470)])
+    d = np.abs(got.astype(np.int64) - offline.astype(np.int64)).max()
+    check("fx/chain_stream_eq_offline", len(got) == len(offline) and d <= 8,
+          f"max {d} LSB over {len(got)} frames")
+
+
 def main(argv=None) -> int:
     import argparse
     ap = argparse.ArgumentParser()
@@ -334,6 +415,7 @@ def main(argv=None) -> int:
     if not args.fast:
         section_bank(SR, n=4096)
     section_configs(SR)
+    section_effects(SR)
     print(f"\nbattery wall time {time.time()-t0:.1f}s on {dev}")
     print(f"{'ALL PASS' if not FAILURES else f'FAILURES: {FAILURES}'}")
     return 1 if FAILURES else 0

@@ -363,3 +363,64 @@ def convolve(frames: jax.Array, ir_norm: jax.Array, wet: float,
     y = jnp.asarray(wet, jnp.float32) * y
     y = y.at[:n].add(jnp.asarray(dry, jnp.float32) * s)
     return to_int_samples(y, width)
+
+
+# ---------------------------------------------------------------------------
+# Phase-vocoder time stretch
+# ---------------------------------------------------------------------------
+
+def stretch(frames: jax.Array, factor: float, frame: int = 2048,
+            hop: int = 512) -> jax.Array:
+    """Phase-vocoder time stretch; spec, grid, and tolerance:
+    goldref.effects.stretch.  TPU shape: ONE gather builds all [T, frame]
+    windows, batched rfft/irfft over the frame axis, the per-bin phase
+    accumulation is a cumsum (parallel prefix), and the overlap-add is a
+    scatter-add — no per-frame host loop."""
+    from goldref.effects import stretch_grid
+    width = dpcm.width_of(frames)
+    n, nch = frames.shape
+    starts_np, target = stretch_grid(n, factor, frame, hop)
+    T = len(starts_np)
+    n_pad = max(n, frame) + frame
+    s = jnp.concatenate(
+        [_norm(frames), jnp.zeros((n_pad - n, nch), jnp.float32)], axis=0)
+    win = jnp.asarray(np.hanning(frame + 1)[:frame], jnp.float32)
+    K = frame // 2 + 1
+    omega = (2.0 * np.pi / frame) * np.arange(K)
+    hops = np.diff(starts_np).astype(np.float64)                  # host f64
+    # host-precomputed per-step constants (exact f64, cast once)
+    om_hops = jnp.asarray(omega[None, :] * hops[:, None], jnp.float32)
+    hop_scale = jnp.asarray((hop / hops), jnp.float32)
+    idx = jnp.asarray(starts_np[:, None] + np.arange(frame)[None, :])  # [T,F]
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    out_len = (T - 1) * hop + frame
+    wsum_np = np.zeros(out_len, np.float64)
+    w2 = np.asarray(np.hanning(frame + 1)[:frame]) ** 2
+    for j in range(T):
+        wsum_np[j * hop:j * hop + frame] += w2
+    inv_wsum = jnp.asarray(1.0 / np.maximum(wsum_np, 1e-8), jnp.float32)
+    oa_idx = (np.arange(T)[:, None] * hop + np.arange(frame)[None, :])
+
+    cols = []
+    for ch in range(nch):
+        seg = s[idx, ch] * win[None, :]                      # [T, frame]
+        spec = jnp.fft.rfft(seg, axis=1)                     # [T, K] c64
+        mag = jnp.abs(spec).astype(jnp.float32)
+        phi = jnp.arctan2(spec.imag, spec.real).astype(jnp.float32)
+        dphi = phi[1:] - phi[:-1] - om_hops
+        wrapped = dphi - two_pi * jnp.round(dphi / two_pi)
+        adv_syn = (om_hops + wrapped) * hop_scale[:, None]
+        psi = jnp.concatenate(
+            [phi[:1], phi[:1] + jnp.cumsum(adv_syn, axis=0)], axis=0)
+        spec_s = (mag * jnp.cos(psi)) + 1j * (mag * jnp.sin(psi))
+        seg_s = jnp.fft.irfft(spec_s, n=frame, axis=1).astype(jnp.float32) \
+            * win[None, :]
+        acc = jnp.zeros(out_len, jnp.float32)
+        acc = acc.at[oa_idx.reshape(-1)].add(seg_s.reshape(-1))
+        cols.append(acc * inv_wsum)
+    out = jnp.stack(cols, axis=1)
+    if target > out_len:
+        out = jnp.concatenate(
+            [out, jnp.zeros((target - out_len, nch), jnp.float32)])
+    return to_int_samples(out[:target], width)

@@ -291,6 +291,12 @@ def _x_convolve(x, st, dyn, leaves):
     return dfx.convolve(x, ir_norm, dyn[0], dyn[1])
 
 
+def _x_stretch(x, st, dyn, leaves):
+    factor, frame, hop = st
+    from .ops import effects as dfx
+    return dfx.stretch(x, factor, frame, hop)
+
+
 def _x_ratecv(x, st, dyn, leaves):
     inr, outr, nout = st
     nch = x.shape[1]
@@ -312,7 +318,7 @@ _EXEC = {
     "gen_patch": _x_gen_patch, "modulate_patch": _x_modulate_patch,
     "pan_patch": _x_pan_patch, "pan_sample": _x_pan_sample,
     "compress": _x_compress, "reverb": _x_reverb, "chorus": _x_chorus,
-    "convolve": _x_convolve,
+    "convolve": _x_convolve, "stretch": _x_stretch,
 }
 
 _program_cache: dict = {}
@@ -811,6 +817,26 @@ class Sample:
                     dyn=(wet, dry) + dyn, leaves=leaves)
         self._nframes += ir._nframes - 1
         return self
+
+    def stretch(self, factor: float, frame: int = 2048,
+                hop: int = 512) -> "Sample":
+        """Phase-vocoder time stretch (duration x factor, pitch kept) —
+        batched device FFTs + parallel phase cumsum (ops.effects.stretch);
+        spec/tolerance: goldref.effects.stretch.  ``factor`` is static
+        (the analysis grid is host-computed)."""
+        from goldref.effects import stretch_grid
+        _, target = stretch_grid(self._nframes, factor, frame, hop)
+        self._stage("stretch", static=(float(factor), int(frame), int(hop)))
+        self._nframes = target
+        return self
+
+    def pitch_shift(self, semitones: float, frame: int = 2048,
+                    hop: int = 512) -> "Sample":
+        """Shift pitch by equal-tempered semitones, duration preserved:
+        stretch(r) + speed(r), r = 2**(semitones/12) (goldref twin is the
+        same composition)."""
+        r = 2.0 ** (semitones / 12.0)
+        return self.stretch(r, frame, hop).speed(r)
 
     # -- format conversion -----------------------------------------------------------------------
 

@@ -240,3 +240,58 @@ def test_chorus_lfo_phase_exact_at_large_index():
         1, 3, 1))
     # device turn-unit sine vs libm: 7.8e-7 * depth * sr ~ 7e-5 frames
     np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Phase-vocoder stretch / pitch shift
+# ---------------------------------------------------------------------------
+
+def _tone_mix(n, nch):
+    t = np.arange(n) / SR
+    v = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.25 * np.sin(2 * np.pi * 661 * t)
+         + 0.1 * np.sin(2 * np.pi * 1333 * t + 0.7))
+    a = np.clip(np.rint(v * 32767), -32768, 32767).astype(np.int16)
+    return np.repeat(a[:, None], nch, axis=1)
+
+
+@pytest.mark.parametrize("factor", [0.7, 1.0, 1.6])
+def test_stretch_matches_oracle(factor):
+    a = _tone_mix(9000, 2)
+    gold = gs.Sample(a.copy(), SR, 2, 2)
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 2)
+    g = gold.stretch(factor, frame=1024, hop=256)
+    d = dev.stretch(factor, frame=1024, hop=256)
+    assert d.nframes == g.nframes == round(9000 * factor)
+    got = d.get_frame_array()
+    diff = np.abs(got.astype(np.int64) - g.frames.astype(np.int64)).max()
+    assert diff <= 64, diff    # goldref.effects.stretch budget
+
+
+def test_stretch_preserves_pitch():
+    n = 22050
+    a = _tone_mix(n, 1)
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 1)
+    out = dev.stretch(1.5).get_frame_array()[:, 0].astype(np.float64)
+    # dominant FFT bin stays at 440 Hz though duration grew 1.5x
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    peak_hz = np.argmax(spec) * SR / len(out)
+    assert abs(peak_hz - 440.0) < 6.0, peak_hz
+    assert len(out) == round(n * 1.5)
+
+
+def test_pitch_shift_moves_pitch_keeps_duration():
+    n = 22050
+    a = _tone_mix(n, 1)
+    gold = gs.Sample(a.copy(), SR, 2, 1)
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 1)
+    g = gold.pitch_shift(12.0)
+    d = dev.pitch_shift(12.0)
+    assert d.nframes == g.nframes
+    assert abs(d.nframes - n) <= 2
+    out = d.get_frame_array()[:, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    peak_hz = np.argmax(spec) * SR / len(out)
+    assert abs(peak_hz - 880.0) < 8.0, peak_hz
+    diff = np.abs(d.get_frame_array().astype(np.int64)
+                  - g.frames.astype(np.int64)).max()
+    assert diff <= 64, diff
