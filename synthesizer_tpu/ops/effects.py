@@ -74,16 +74,18 @@ def decaying_max_scan(a: jax.Array, decay: float, init: float = 0.0) -> jax.Arra
     return jnp.maximum(xs, ds * jnp.asarray(init, jnp.float32))
 
 
-def affine_scan(coeff: jax.Array, add: jax.Array, init) -> jax.Array:
-    """y_n = coeff_n * y_{n-1} + add_n with y_{-1} = init — scalar affine
-    recurrence as an associative scan (map composition l-then-r:
-    (Al,Bl)∘(Ar,Br) = (Al*Ar, Bl*Ar + Br)).  Pure VPU f32 — no MXU."""
+def affine_scan(coeff: jax.Array, add: jax.Array, init, axis: int = 0) -> jax.Array:
+    """y_n = coeff_n * y_{n-1} + add_n with y_{-1} = init — affine
+    recurrence as an associative scan along ``axis`` (map composition
+    l-then-r: (Al,Bl)∘(Ar,Br) = (Al*Ar, Bl*Ar + Br)); other axes are
+    independent lanes.  ``init`` must broadcast against the result.
+    Pure VPU f32 — no MXU."""
     def combine(l, r):
         al, bl = l
         ar, br = r
         return al * ar, bl * ar + br
 
-    acum, bcum = jax.lax.associative_scan(combine, (coeff, add))
+    acum, bcum = jax.lax.associative_scan(combine, (coeff, add), axis=axis)
     return acum * jnp.asarray(init, jnp.float32) + bcum
 
 
@@ -214,13 +216,89 @@ def reverb_network_apply(state, mono_in: jax.Array, combs: Tuple[int, ...],
     return state, outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
+def _comb_stage_whole(mono_in: jax.Array, comb_sets, fb, d1,
+                      d2) -> jax.Array:
+    """Whole-signal parallel comb banks, offline-optimized: the block size
+    is comb-limited only (min comb delay ≈ 1116 at 44.1 kHz vs the 225
+    that the allpasses force on the combined network — 8x fewer scan
+    steps), and ALL lanes — the 8 combs of EVERY channel network in
+    ``comb_sets`` — batch into ONE gather / ONE in-block affine scan /
+    ONE scatter per step (per-lane delay lengths).  Returns [n, len(sets)]
+    (each network's comb sum)."""
+    total = mono_in.shape[0]
+    all_ds = tuple(D for cs in comb_sets for D in cs)
+    block = min(1024, min(all_ds))
+    nb = -(-total // block)
+    xpad = jnp.concatenate(
+        [mono_in, jnp.zeros(nb * block - total, jnp.float32)])
+    xb = xpad.reshape(nb, block)
+    dmax = max(all_ds)
+    nlanes = len(all_ds)
+    lanes = jnp.arange(nlanes, dtype=jnp.int32)[:, None]
+    ds = jnp.asarray(all_ds, jnp.int32)[:, None]            # [L, 1]
+    arange_b = jnp.arange(block, dtype=jnp.int32)[None, :]
+    coeff = jnp.broadcast_to(d1, (nlanes, block))
+    nsets = len(comb_sets)
+    percomb = len(comb_sets[0])
+
+    def step(carry, xblk):
+        buf, fstores, n0 = carry
+        idx = (n0 + arange_b) % ds                          # [L, B]
+        y = buf[lanes, idx]
+        fs = affine_scan(coeff, d2 * y, fstores[:, None], axis=1)
+        buf = buf.at[lanes, idx].set(xblk[None, :] + fs * fb)
+        sums = y.reshape(nsets, percomb, block).sum(axis=1)  # [sets, B]
+        return (buf, fs[:, -1], n0 + jnp.int32(block)), sums
+
+    carry0 = (jnp.zeros((nlanes, dmax), jnp.float32),
+              jnp.zeros(nlanes, jnp.float32), jnp.int32(0))
+    _, outs = jax.lax.scan(step, carry0, xb)                 # [nb, sets, B]
+    return outs.transpose(0, 2, 1).reshape(-1, nsets)[:total]
+
+
+def _allpass_whole(x: jax.Array, D: int, g=jnp.float32(0.5)) -> jax.Array:
+    """Whole-signal Freeverb allpass with NO sequential scan: the buffer
+    recurrence b_n = x_{n-D} + g*b_{n-D} couples only indices D apart, so
+    it splits into D independent lag-1 lanes — reshape to [M, D] and run
+    one parallel affine scan along the block axis.  y_n = b_n - x_n."""
+    n = x.shape[0]
+    M = -(-n // D) + 1
+    xd = jnp.concatenate(
+        [jnp.zeros(D, jnp.float32), x,
+         jnp.zeros(M * D - n - D, jnp.float32)]).reshape(M, D)
+    b = affine_scan(jnp.full((M, D), g, jnp.float32), xd,
+                    jnp.float32(0.0), axis=0)
+    return b.reshape(-1)[:n] - x
+
+
+def _reverb_networks_whole(mono_in: jax.Array, nets, feedback,
+                           damp) -> list:
+    """Whole-signal networks from zero state (the offline Sample op):
+    one comb-limited blocked scan batched over every channel's lanes +
+    lane-decomposed allpasses (the streaming twin reverb_network_apply
+    keeps the combined small-block form; both evaluate
+    goldref.effects._reverb_network's recurrences, f32 regrouping within
+    the documented budget)."""
+    fb = jnp.asarray(feedback, jnp.float32)
+    d1 = jnp.asarray(damp, jnp.float32)
+    d2 = jnp.float32(1.0) - d1
+    outs = []
+    # one comb scan per network: batching both channels' lanes into one
+    # scan was measured slightly SLOWER on the chip (the [lanes, Dmax]
+    # gather/scatter cost scales with lanes and dominates the step)
+    for combs, aps in nets:
+        out = _comb_stage_whole(mono_in, [combs], fb, d1, d2)[:, 0]
+        for D in aps:
+            out = _allpass_whole(out, D)
+        outs.append(out)
+    return outs
+
+
 def _reverb_network_device(mono_in: jax.Array, combs: Tuple[int, ...],
                            aps: Tuple[int, ...], feedback: float,
                            damp: float) -> jax.Array:
-    """Whole-signal network from a zero state (the offline Sample op)."""
-    _, out = reverb_network_apply(reverb_zero_state(combs, aps), mono_in,
-                                  combs, aps, feedback, damp)
-    return out
+    """Single whole-signal network (mono samples)."""
+    return _reverb_networks_whole(mono_in, [(combs, aps)], feedback, damp)[0]
 
 
 def reverb(frames: jax.Array, samplerate: int, roomsize: float,
@@ -255,11 +333,9 @@ def reverb_from_params(frames: jax.Array, samplerate: int, feedback, damp,
         rev = _reverb_network_device(mono_in, combs, aps, feedback, damp)
         out = dry * s[:, 0] + (wet1 + wet2) * rev
         return to_int_samples(out[:, None], width)
-    revs = []
-    for ch in range(2):
-        combs, aps = gfx.reverb_delays(samplerate, ch)
-        revs.append(_reverb_network_device(mono_in, combs, aps, feedback,
-                                           damp))
+    revs = _reverb_networks_whole(
+        mono_in, [gfx.reverb_delays(samplerate, ch) for ch in range(2)],
+        feedback, damp)
     out = jnp.stack([
         dry * s[:, 0] + wet1 * revs[0] + wet2 * revs[1],
         dry * s[:, 1] + wet1 * revs[1] + wet2 * revs[0],

@@ -278,6 +278,10 @@ class Song:
             for name, p in self.fx:
                 if name == "convolve":
                     self._load_fx_ir(p["ir"], base)
+        for section in cp.sections():
+            if section.startswith("fx."):
+                inst = section[len("fx."):]
+                self.add_track_fx(inst, cp.items(section), base)
 
     def _load_fx_ir(self, filename: str, base: str) -> None:
         """Load a convolution impulse response, converted to the song's
@@ -287,6 +291,24 @@ class Song:
         if ir.nchannels == 2 and self.nchannels == 1:
             ir.mono()
         self.fx_irs[filename] = ir
+
+    def add_track_fx(self, instrument: str, items, base: str = "") -> None:
+        """Per-track effects ([fx.INSTRUMENT] ini sections): the chain is
+        applied to the instrument's sample once at load, so it reaches BOTH
+        the offline scatter-add and the streaming path through the hit bank
+        (a reverb/convolve tail simply lengthens the banked sample)."""
+        from .effects import apply_fx_sample, parse_fx_items
+        if instrument not in self.instruments:
+            raise ValueError(f"[fx.{instrument}]: unknown instrument "
+                             f"{instrument!r} (define it in [instruments] "
+                             f"first)")
+        fx = parse_fx_items(list(items))
+        irs = {}
+        for name, p in fx:
+            if name == "convolve":
+                self._load_fx_ir(p["ir"], base)
+                irs[p["ir"]] = self.fx_irs[p["ir"]]
+        apply_fx_sample(self.instruments[instrument], fx, irs)
 
     def add_fx(self, name: str, ir: Optional[Sample] = None,
                **fx_params) -> None:

@@ -233,11 +233,13 @@ class _Handler(BaseHTTPRequestHandler):
         # sample root: instrument WAVs and [fx] convolve impulse responses
         files = list(cp.items("instruments")) if cp.has_section(
             "instruments") else []
-        if cp.has_section("fx"):
-            from .effects import parse_fx_items
-            for fxname, p in parse_fx_items(cp.items("fx")):
+        from .effects import parse_fx_items
+        fx_sections = [s for s in cp.sections()
+                       if s == "fx" or s.startswith("fx.")]
+        for sec in fx_sections:
+            for fxname, p in parse_fx_items(cp.items(sec)):
                 if fxname == "convolve":
-                    files.append((f"fx {fxname} ir", p["ir"]))
+                    files.append((f"[{sec}] {fxname} ir", p["ir"]))
         if files:
             if not root:
                 raise ValueError("this server has no sample_root configured; "

@@ -182,3 +182,54 @@ def test_streaming_chorus_equals_sample_op_1lsb(rng):
                                                delay=0.01), x, [700, 1100])
     d = np.abs(chunked.astype(np.int64) - whole.astype(np.int64)).max()
     assert d <= 1, d
+
+
+# ---------------------------------------------------------------------------
+# Per-track [fx.INSTRUMENT] chains
+# ---------------------------------------------------------------------------
+
+def test_track_fx_applies_to_instrument(tmp_path):
+    ini = tmp_path / "song.ini"
+    WaveSynth(samplerate=SR, samplewidth=2).sine(200, 0.05).stereo() \
+        .write_wav(str(tmp_path / "beep.wav"))
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[instruments]
+beep = beep.wav
+[pattern.a]
+beep = x... x...
+[fx.beep]
+reverb = roomsize=0.5 wet=0.4 tail=0.1
+""")
+    song = Song.from_ini(str(ini))
+    # the banked instrument grew by the reverb tail
+    assert song.instruments["beep"].nframes == int(0.05 * SR) + int(0.1 * SR)
+    # and per-track fx reach offline AND streaming identically (the
+    # processed sample enters the hit bank before scheduling)
+    offline = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1000)])
+    np.testing.assert_array_equal(got, offline[:len(got)])
+
+
+def test_track_fx_unknown_instrument(tmp_path):
+    ini = tmp_path / "song.ini"
+    WaveSynth(samplerate=SR, samplewidth=2).sine(200, 0.05).stereo() \
+        .write_wav(str(tmp_path / "beep.wav"))
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[instruments]
+beep = beep.wav
+[pattern.a]
+beep = x...
+[fx.ghost]
+reverb = wet=0.4
+""")
+    with pytest.raises(ValueError, match="unknown instrument"):
+        Song.from_ini(str(ini))
