@@ -476,7 +476,23 @@ def stretch(frames: jax.Array, factor: float, frame: int = 2048,
     for j in range(T):
         wsum_np[j * hop:j * hop + frame] += w2
     inv_wsum = jnp.asarray(1.0 / np.maximum(wsum_np, 1e-8), jnp.float32)
-    oa_idx = (np.arange(T)[:, None] * hop + np.arange(frame)[None, :])
+    oa_ratio = frame // hop if frame % hop == 0 else 0
+    oa_idx = None if oa_ratio else \
+        (np.arange(T)[:, None] * hop + np.arange(frame)[None, :])
+
+    def overlap_add(seg_s):
+        if not oa_ratio:
+            acc = jnp.zeros(out_len, jnp.float32)
+            return acc.at[oa_idx.reshape(-1)].add(seg_s.reshape(-1))
+        # frame = R*hop: segments j ≡ r (mod R) tile EXACTLY adjacently
+        # (spacing R*hop = frame), so the overlap-add is R contiguous
+        # slice-adds instead of a T*frame-row scatter
+        acc = jnp.zeros(out_len, jnp.float32)
+        for r in range(oa_ratio):
+            grp = seg_s[r::oa_ratio]
+            flat = grp.reshape(-1)
+            acc = acc.at[r * hop:r * hop + flat.shape[0]].add(flat)
+        return acc
 
     cols = []
     for ch in range(nch):
@@ -492,9 +508,7 @@ def stretch(frames: jax.Array, factor: float, frame: int = 2048,
         spec_s = (mag * jnp.cos(psi)) + 1j * (mag * jnp.sin(psi))
         seg_s = jnp.fft.irfft(spec_s, n=frame, axis=1).astype(jnp.float32) \
             * win[None, :]
-        acc = jnp.zeros(out_len, jnp.float32)
-        acc = acc.at[oa_idx.reshape(-1)].add(seg_s.reshape(-1))
-        cols.append(acc * inv_wsum)
+        cols.append(overlap_add(seg_s) * inv_wsum)
     out = jnp.stack(cols, axis=1)
     if target > out_len:
         out = jnp.concatenate(
