@@ -583,18 +583,24 @@ class Song:
                 bank, vp = self._synth_bank(voices, chunk_frames=32768)
                 stereo = bank.render_song(vp, total)
             out32 = out32 + jnp.rint(stereo * jnp.float32(32767.0)).astype(jnp.int32)
-        if normalize:
-            mixed = Sample.from_jax(out32, self.samplerate, 4, name="mixdown")
-            mixed.make_16bit(maximize_amplitude=True)
-        else:
+        if self.fx:
+            # the master chain processes the int16-saturated mix — the SAME
+            # signal the streaming path feeds its chunk processors, so fx
+            # thresholds mean the same thing on both paths — and
+            # normalization happens LAST (mastering order: chain, then
+            # maximize).  The staged ops fuse into the mixdown program.
+            from .effects import apply_fx_sample
             out16 = jnp.clip(out32, -32768, 32767).astype(jnp.int16)
             mixed = Sample.from_jax(out16, self.samplerate, 2, name="mixdown")
-        if self.fx:
-            # master chain applies AFTER normalization/narrowing (thresholds
-            # are final-dBFS terms); the staged ops fuse into the program
-            from .effects import apply_fx_sample
             apply_fx_sample(mixed, self.fx, self.fx_irs)
-        return mixed
+            if normalize:
+                mixed.amplify_max()
+            return mixed
+        if normalize:
+            mixed = Sample.from_jax(out32, self.samplerate, 4, name="mixdown")
+            return mixed.make_16bit(maximize_amplitude=True)
+        out16 = jnp.clip(out32, -32768, 32767).astype(jnp.int16)
+        return Sample.from_jax(out16, self.samplerate, 2, name="mixdown")
 
     # -- streaming mixdown ------------------------------------------------------
 
