@@ -346,11 +346,15 @@ def stretch_grid(n: int, factor: float, frame: int,
 
     Synthesis frames sit at j*hop; analysis frames are anchored at both
     ends of the input (0 and n_pad-frame) and rounded to integers, so the
-    per-step analysis hop varies by ±1 around hop/factor."""
+    per-step analysis hop varies by ±1 around hop/factor.  ``last`` is
+    floored at T-1 so every analysis hop is >= 1 even when the input is
+    shorter than one FFT frame (a zero hop would divide by zero in the
+    phase rescale and emit NaN audio — the short frames just read into the
+    zero padding)."""
     target = max(int(round(n * factor)), 1)
     T = max(2, -(-(target - frame) // hop) + 1)
     n_pad = max(n, frame)
-    last = n_pad - frame
+    last = max(n_pad - frame, T - 1)
     starts = np.rint(np.arange(T, dtype=np.float64)
                      * (last / (T - 1))).astype(np.int64)
     return starts, target
@@ -377,7 +381,7 @@ def stretch(frames: np.ndarray, width: int, factor: float,
     n, nch = frames.shape
     starts, target = stretch_grid(n, factor, frame, hop)
     T = len(starts)
-    n_pad = max(n, frame) + frame
+    n_pad = max(n, int(starts[-1]) + frame)
     s = np.zeros((n_pad, nch), np.float64)
     s[:n] = _norm(frames, width).astype(np.float64)
     win = np.hanning(frame + 1)[:frame]          # periodic Hann

@@ -41,6 +41,10 @@ __all__ = ["StreamingCompressor", "StreamingReverb", "StreamingChorus",
            "StreamingConvolver", "FxChain", "parse_fx_items",
            "FX_PARAMS"]
 
+#: default reverb decay tail (seconds) — the single source for the
+#: streaming processor default AND the chain tail accounting
+DEFAULT_REVERB_TAIL = 1.5
+
 _fn_cache: dict = {}
 
 
@@ -83,19 +87,11 @@ class StreamingCompressor:
             @jax.jit
             def fn(x, knobs, e0, z0):
                 thr, slope, alpha, decay, makeup = (knobs[i] for i in range(5))
-                a = jnp.max(jnp.abs(dfx._norm(x)), axis=1)
-                e = dfx.decaying_max_scan(a, decay, init=e0)
-                level_db = jnp.float32(20.0) * jnp.log10(
-                    jnp.maximum(e, jnp.float32(1e-10)))
-                g_db = jnp.minimum(jnp.float32(0.0),
-                                   (thr - level_db) * slope)
-                g = jnp.exp2(g_db * jnp.float32(1.0 / 6.0206))
-                coeff = jnp.broadcast_to(jnp.float32(1.0) - alpha, g.shape)
-                z = dfx.affine_scan(coeff, alpha * (jnp.float32(1.0) - g),
-                                    init=z0)
-                gains = (jnp.float32(1.0) - z) * makeup
-                y = dpcm.gain_apply(x, gains[:, None])
-                return y, e[-1], z[-1]
+                gains, e, z = dfx.compressor_gains_from_coeffs(
+                    x, thr, slope, alpha, decay, e0=e0, z0=z0,
+                    with_state=True)
+                y = dpcm.gain_apply(x, (gains * makeup)[:, None])
+                return y, e, z
             return fn
 
         y, self._env, self._zdev = _cached(key, build)(
@@ -112,7 +108,7 @@ class StreamingReverb:
     def __init__(self, samplerate: int, nchannels: int,
                  roomsize: float = 0.7, damping: float = 0.5,
                  wet: float = 0.33, dry: float = 0.7, width: float = 1.0,
-                 tail: float = 1.5):
+                 tail: float = DEFAULT_REVERB_TAIL):
         from goldref.effects import reverb_params, reverb_delays
         feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
                                                    width)
@@ -224,29 +220,11 @@ class StreamingConvolver:
         if self._tail is None:
             self._tail = jnp.zeros((max(m - 1, 0), nch), jnp.float32)
         key = ("conv", x.shape, str(x.dtype), m, int(self._ir.shape[1]))
-        width = dpcm.width_of(x)
 
         def build():
             @jax.jit
             def fn(x, ir, tail, knobs):
-                wet, dry = knobs[0], knobs[1]
-                s = dfx._norm(x)
-                out_len = n + m - 1
-                fft_len = 1 << (out_len - 1).bit_length()
-                irn = ir
-                if irn.shape[1] != nch:
-                    irn = jnp.broadcast_to(irn[:, :1], (m, nch))
-                X = jnp.fft.rfft(s, n=fft_len, axis=0)
-                H = jnp.fft.rfft(irn, n=fft_len, axis=0)
-                y = jnp.fft.irfft(X * H, n=fft_len, axis=0)[:out_len]
-                y = wet * y
-                y = y.at[:n].add(dry * s)
-                if m > 1:
-                    y = y.at[:m - 1].add(tail)
-                    new_tail = y[n:]
-                else:
-                    new_tail = tail
-                return dfx.to_int_samples(y[:n], width), new_tail
+                return dfx.convolve_chunk(x, ir, knobs[0], knobs[1], tail)
             return fn
 
         y, self._tail = _cached(key, build)(x, self._ir, self._tail,
@@ -269,6 +247,26 @@ FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
 }
 
 
+def validate_fx_params(name: str, params: dict) -> dict:
+    """Validate one effect's parameter dict against FX_PARAMS (keys and
+    value types); returns the coerced dict.  Shared by the ini parser and
+    the programmatic Song.add_fx path."""
+    if name not in FX_PARAMS:
+        raise ValueError(f"unknown effect {name!r} in [fx] "
+                         f"(have: {', '.join(sorted(FX_PARAMS))})")
+    allowed, types = FX_PARAMS[name]
+    out: dict = {}
+    for k, v in params.items():
+        if k not in allowed:
+            raise ValueError(f"[fx] {name}: unknown parameter {k!r} "
+                             f"(have: {', '.join(allowed)})")
+        t = types.get(k, float)
+        out[k] = v if t is str else t(v)
+    if name == "convolve" and "ir" not in out:
+        raise ValueError("[fx] convolve needs ir=<wav file>")
+    return out
+
+
 def parse_fx_items(items: Sequence[Tuple[str, str]]) -> List[Tuple[str, dict]]:
     """Parse ``[fx]`` section items: each value is whitespace-separated
     ``key=value`` pairs.  Pure parsing — ``ir`` stays a filename string so
@@ -276,24 +274,14 @@ def parse_fx_items(items: Sequence[Tuple[str, str]]) -> List[Tuple[str, dict]]:
     its sample root exactly like instrument files)."""
     out: List[Tuple[str, dict]] = []
     for name, valstr in items:
-        if name not in FX_PARAMS:
-            raise ValueError(f"unknown effect {name!r} in [fx] "
-                             f"(have: {', '.join(sorted(FX_PARAMS))})")
-        allowed, types = FX_PARAMS[name]
         params: dict = {}
         for tok in valstr.split():
             if "=" not in tok:
                 raise ValueError(f"[fx] {name}: expected key=value, "
                                  f"got {tok!r}")
             k, v = tok.split("=", 1)
-            if k not in allowed:
-                raise ValueError(f"[fx] {name}: unknown parameter {k!r} "
-                                 f"(have: {', '.join(allowed)})")
-            t = types.get(k, float)
-            params[k] = t(v) if t is not str else v
-        if name == "convolve" and "ir" not in params:
-            raise ValueError("[fx] convolve needs ir=<wav file>")
-        out.append((name, params))
+            params[k] = v
+        out.append((name, validate_fx_params(name, params)))
     return out
 
 
@@ -308,7 +296,6 @@ class FxChain:
                  nchannels: int,
                  ir_samples: Optional[Dict[str, "object"]] = None):
         self.processors = []
-        self.tail_frames = 0
         for name, p in fx:
             if name == "compress":
                 proc = StreamingCompressor(samplerate, **p)
@@ -319,13 +306,20 @@ class FxChain:
             elif name == "convolve":
                 q = dict(p)
                 ir = (ir_samples or {})[q.pop("ir")]
+                # same contract the offline Sample.convolve op enforces —
+                # a Song must either render on both paths or fail on both
+                if ir.samplerate != samplerate:
+                    raise ValueError("impulse response samplerate mismatch")
+                if ir.nchannels not in (1, nchannels):
+                    raise ValueError("impulse response channel mismatch")
                 irn = (ir.get_frame_array().astype(np.float32)
                        / np.float32(dpcm.MAXVAL[ir.samplewidth]))
                 proc = StreamingConvolver(irn, **q)
             else:                                   # pragma: no cover
                 raise ValueError(name)
             self.processors.append(proc)
-            self.tail_frames += proc.tail_frames
+        # the ONE tail authority, shared with the offline apply_fx_sample
+        self.tail_frames = chain_tail_frames(fx, samplerate, ir_samples)
         self.samplerate = samplerate
         self.nchannels = nchannels
 
@@ -341,7 +335,7 @@ def chain_tail_frames(fx: Sequence[Tuple[str, dict]], samplerate: int,
     total = 0
     for name, p in fx:
         if name == "reverb":
-            total += int(p.get("tail", 1.5) * samplerate)
+            total += int(p.get("tail", DEFAULT_REVERB_TAIL) * samplerate)
         elif name == "convolve":
             total += (ir_samples or {})[p["ir"]].nframes - 1
     return total

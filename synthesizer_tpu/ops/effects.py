@@ -114,12 +114,18 @@ def compressor_gains(frames: jax.Array, samplerate: int, threshold_db: float,
 
 
 def compressor_gains_from_coeffs(frames: jax.Array, threshold_db, slope,
-                                 alpha, decay) -> jax.Array:
+                                 alpha, decay, e0=0.0, z0=0.0,
+                                 with_state: bool = False):
     """Same as :func:`compressor_gains` with the host-derived coefficients
     passed explicitly (scalars may be tracers — the staged-IR path feeds
-    them from the Sample's dyn vector so knob changes don't recompile)."""
+    them from the Sample's dyn vector so knob changes don't recompile).
+
+    ``e0``/``z0`` carry the detector envelope and smoother deviation across
+    chunks (the streaming processor's state); with_state also returns the
+    final (e, z) pair — there is exactly ONE implementation of these
+    recurrences, shared by the whole-signal op and the streaming twin."""
     a = jnp.max(jnp.abs(_norm(frames)), axis=1)
-    e = decaying_max_scan(a, decay, init=0.0)
+    e = decaying_max_scan(a, decay, init=e0)
     level_db = jnp.float32(20.0) * jnp.log10(jnp.maximum(e, jnp.float32(1e-10)))
     g_db = jnp.minimum(jnp.float32(0.0),
                        (jnp.asarray(threshold_db, jnp.float32) - level_db)
@@ -131,8 +137,11 @@ def compressor_gains_from_coeffs(frames: jax.Array, threshold_db, slope,
     # audio is bit-transparent instead of losing 1 LSB to a 0.99999994 gain)
     al = jnp.asarray(alpha, jnp.float32)
     coeff = jnp.broadcast_to(jnp.float32(1.0) - al, g.shape)
-    z = affine_scan(coeff, al * (jnp.float32(1.0) - g), init=0.0)
-    return jnp.float32(1.0) - z
+    z = affine_scan(coeff, al * (jnp.float32(1.0) - g), init=z0)
+    gains = jnp.float32(1.0) - z
+    if with_state:
+        return gains, e[-1], z[-1]
+    return gains
 
 
 # ---------------------------------------------------------------------------
@@ -418,27 +427,47 @@ def chorus(frames: jax.Array, samplerate: int, rate: float, depth: float,
 # FFT convolution
 # ---------------------------------------------------------------------------
 
-def convolve(frames: jax.Array, ir_norm: jax.Array, wet: float,
-             dry: float) -> jax.Array:
-    """y = dry*pad(s) + wet*(s ⊛ ir) via an f32 FFT product; spec and
-    tolerance: goldref.effects.convolve.  ``ir_norm`` is the normalized f32
-    impulse response [m] or [m, ch]."""
-    width = dpcm.width_of(frames)
-    n, nch = frames.shape
+def _fft_conv_full(s: jax.Array, ir_norm: jax.Array, wet, dry) -> jax.Array:
+    """y = dry*pad(s) + wet*(s ⊛ ir), full length n+m-1, f32 (the single
+    FFT-convolution implementation; spec: goldref.effects.convolve)."""
+    n, nch = s.shape
     if ir_norm.ndim == 1:
         ir_norm = ir_norm[:, None]
     m = ir_norm.shape[0]
     out_len = n + m - 1
     fft_len = 1 << (out_len - 1).bit_length()
-    s = _norm(frames)
     X = jnp.fft.rfft(s, n=fft_len, axis=0)
     if ir_norm.shape[1] != nch:
         ir_norm = jnp.broadcast_to(ir_norm[:, :1], (m, nch))
     H = jnp.fft.rfft(ir_norm, n=fft_len, axis=0)
     y = jnp.fft.irfft(X * H, n=fft_len, axis=0)[:out_len]
     y = jnp.asarray(wet, jnp.float32) * y
-    y = y.at[:n].add(jnp.asarray(dry, jnp.float32) * s)
-    return to_int_samples(y, width)
+    return y.at[:n].add(jnp.asarray(dry, jnp.float32) * s)
+
+
+def convolve(frames: jax.Array, ir_norm: jax.Array, wet: float,
+             dry: float) -> jax.Array:
+    """Whole-signal convolution op (length n+m-1); spec and tolerance:
+    goldref.effects.convolve."""
+    width = dpcm.width_of(frames)
+    return to_int_samples(_fft_conv_full(_norm(frames), ir_norm, wet, dry),
+                          width)
+
+
+def convolve_chunk(frames: jax.Array, ir_norm: jax.Array, wet, dry,
+                   tail: jax.Array):
+    """Streaming overlap-add twin: convolve one chunk, emit the first n
+    frames (plus the carried tail) and return the new (m-1)-frame tail."""
+    width = dpcm.width_of(frames)
+    n = frames.shape[0]
+    m = ir_norm.shape[0]
+    y = _fft_conv_full(_norm(frames), ir_norm, wet, dry)
+    if m > 1:
+        y = y.at[:m - 1].add(tail)
+        new_tail = y[n:]
+    else:
+        new_tail = tail
+    return to_int_samples(y[:n], width), new_tail
 
 
 # ---------------------------------------------------------------------------
@@ -457,7 +486,7 @@ def stretch(frames: jax.Array, factor: float, frame: int = 2048,
     n, nch = frames.shape
     starts_np, target = stretch_grid(n, factor, frame, hop)
     T = len(starts_np)
-    n_pad = max(n, frame) + frame
+    n_pad = max(n, int(starts_np[-1]) + frame)
     s = jnp.concatenate(
         [_norm(frames), jnp.zeros((n_pad - n, nch), jnp.float32)], axis=0)
     win = jnp.asarray(np.hanning(frame + 1)[:frame], jnp.float32)

@@ -287,10 +287,13 @@ class Song:
         """Load a convolution impulse response, converted to the song's
         rate (mono IRs stay mono — they apply to every channel)."""
         ir = Sample(wave_file=os.path.join(base, filename), name=filename)
+        self.fx_irs[filename] = self._prep_fx_ir(ir)
+
+    def _prep_fx_ir(self, ir: Sample) -> Sample:
         ir.resample(self.samplerate)
         if ir.nchannels == 2 and self.nchannels == 1:
             ir.mono()
-        self.fx_irs[filename] = ir
+        return ir
 
     def add_track_fx(self, instrument: str, items, base: str = "") -> None:
         """Per-track effects ([fx.INSTRUMENT] ini sections): the chain is
@@ -313,16 +316,17 @@ class Song:
     def add_fx(self, name: str, ir: Optional[Sample] = None,
                **fx_params) -> None:
         """Append a master-bus effect programmatically (same validation as
-        the [fx] ini section; ``ir`` supplies the convolve impulse)."""
-        from .effects import parse_fx_items
-        toks = " ".join(f"{k}={v}" for k, v in fx_params.items())
+        the [fx] ini section; ``ir`` supplies the convolve impulse and is
+        converted to the song format like an ini-loaded one)."""
+        from .effects import validate_fx_params
+        params = dict(fx_params)
         if name == "convolve":
             if ir is None:
                 raise ValueError("convolve needs an ir Sample")
             key = f"__ir{len(self.fx_irs)}__"
-            self.fx_irs[key] = ir
-            toks = f"ir={key} {toks}".strip()
-        self.fx.extend(parse_fx_items([(name, toks)]))
+            self.fx_irs[key] = self._prep_fx_ir(ir)
+            params["ir"] = key
+        self.fx.append((name, validate_fx_params(name, params)))
 
     def _check_format(self, name: str, sample: Sample) -> None:
         """All instruments must agree on rate/channels — a silent mismatch
@@ -550,11 +554,18 @@ class Song:
         self._check_synth_format(voices)
         total = max(sched.total_frames, self._synth_end_frame(voices)) \
             + int(tail_seconds * self.samplerate)
-        if max_frames is not None and total > max_frames:
-            raise ValueError(
-                f"mixdown of {total} frames "
-                f"({total / self.samplerate:.1f}s) exceeds the caller's "
-                f"limit of {max_frames} frames")
+        if max_frames is not None:
+            # a caller-imposed limit (the render server's DoS bound) must
+            # count the master chain's decay tails too — an [fx] reverb
+            # tail extends the render arbitrarily past the schedule end
+            from .effects import chain_tail_frames
+            with_tail = total + chain_tail_frames(self.fx, self.samplerate,
+                                                  self.fx_irs)
+            if with_tail > max_frames:
+                raise ValueError(
+                    f"mixdown of {with_tail} frames "
+                    f"({with_tail / self.samplerate:.1f}s incl. fx tails) "
+                    f"exceeds the caller's limit of {max_frames} frames")
         if len(sched.hits) == 0 and not voices:
             return Sample.from_raw_frames(b"", 2, self.samplerate, self.nchannels)
         out32 = jnp.zeros((total, self.nchannels), jnp.int32)

@@ -233,13 +233,24 @@ class _Handler(BaseHTTPRequestHandler):
         # sample root: instrument WAVs and [fx] convolve impulse responses
         files = list(cp.items("instruments")) if cp.has_section(
             "instruments") else []
-        from .effects import parse_fx_items
+        from .effects import DEFAULT_REVERB_TAIL, parse_fx_items
         fx_sections = [s for s in cp.sections()
                        if s == "fx" or s.startswith("fx.")]
+        total_tail = 0.0
         for sec in fx_sections:
             for fxname, p in parse_fx_items(cp.items(sec)):
                 if fxname == "convolve":
                     files.append((f"[{sec}] {fxname} ir", p["ir"]))
+                elif fxname == "reverb":
+                    total_tail += p.get("tail", DEFAULT_REVERB_TAIL)
+        # reverb tails extend renders (and per-track tails pad instrument
+        # banks at LOAD time, before mix()'s max_frames bound can see
+        # them): cap the requested decay like any other render length
+        limit = self.server.max_render_seconds  # type: ignore[attr-defined]
+        if total_tail > limit:
+            raise ValueError(
+                f"total [fx] reverb tail of {total_tail:.0f}s exceeds this "
+                f"server's render limit of {limit:.0f}s")
         if files:
             if not root:
                 raise ValueError("this server has no sample_root configured; "

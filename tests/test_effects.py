@@ -295,3 +295,30 @@ def test_pitch_shift_moves_pitch_keeps_duration():
     diff = np.abs(d.get_frame_array().astype(np.int64)
                   - g.frames.astype(np.int64)).max()
     assert diff <= 64, diff
+
+
+def test_stretch_short_input_no_nan():
+    # inputs shorter than one FFT frame: the grid floors hops at 1 frame
+    # (a zero analysis hop used to emit NaN audio on both sides)
+    a = _tone_mix(1500, 1)
+    gold = gs.Sample(a.copy(), SR, 2, 1)
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 1)
+    g = gold.stretch(1.5)            # frame=2048 > 1500
+    d = dev.stretch(1.5)
+    assert d.nframes == g.nframes == round(1500 * 1.5)
+    got = d.get_frame_array()
+    assert np.abs(got).max() <= 32767        # finite, in range
+    assert np.abs(g.frames).max() > 0        # oracle produced audio
+    diff = np.abs(got.astype(np.int64) - g.frames.astype(np.int64)).max()
+    assert diff <= 64, diff
+
+
+def test_pitch_shift_short_hit():
+    # a 30 ms hat (1323 frames) — the reviewer's failing case
+    rng = np.random.default_rng(5)
+    a = (rng.normal(0, 0.3, 1323) * 20000).clip(-32768, 32767) \
+        .astype(np.int16)[:, None]
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 1)
+    out = dev.pitch_shift(7.0).get_frame_array()
+    assert np.isfinite(out.astype(np.float64)).all()
+    assert np.abs(out).max() > 0

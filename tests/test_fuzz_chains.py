@@ -25,8 +25,23 @@ AMPMAX_GAIN = 12
 ECHO_GAIN = 3       # 1 + amount taps (amount=2 below)
 # effects (beyond-reference): budget from goldref.effects plus a small
 # multiplier for how they propagate an existing input error (dry+wet paths)
-FX_MULT = {"chorus": 2, "compress": 2, "reverb": 2}
-FX_COST = {"chorus": 2, "compress": 2, "reverb": 4}
+FX_MULT = {"chorus": 2, "compress": 2, "reverb": 2, "convolve": 2}
+FX_COST = {"chorus": 2, "compress": 2, "reverb": 4, "convolve": 8}
+# (stretch is deliberately NOT in the pool: the phase vocoder is nonlinear
+# in the signal — a tiny accumulated input difference flips princarg wrap
+# branches at near-zero bins and diverges arbitrarily; it gets its own
+# fresh-input differential tests in test_effects.py)
+
+
+def _fuzz_convolve(s):
+    # a tiny 3-tap IR built at the sample's CURRENT rate/width so it stays
+    # valid after resample/speed ops earlier in the chain
+    ir = np.zeros((40, 1), np.int16)
+    ir[0, 0], ir[7, 0], ir[25, 0] = 26000, -9000, 4000
+    if isinstance(s, gs.Sample):
+        return s.convolve(gs.Sample(ir, s.samplerate, 2, 1), wet=0.4, dry=0.6)
+    return s.convolve(Sample.from_raw_frames(ir.tobytes(), 2, s.samplerate, 1),
+                      wet=0.4, dry=0.6)
 OPS = [
     ("amplify", lambda s: s.amplify(0.7), 0),
     ("amplify_neg", lambda s: s.amplify(-0.4), 0),
@@ -52,6 +67,7 @@ OPS = [
                                       attack=0.002, release=0.05), 0),
     ("reverb", lambda s: s.reverb(roomsize=0.6, damping=0.5, wet=0.25,
                                   dry=0.7, tail=0.03), 0),
+    ("convolve", _fuzz_convolve, 0),
 ]
 
 

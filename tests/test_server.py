@@ -299,3 +299,20 @@ def test_render_song_fx_ir_sandbox(server, tmp_path):
         assert status == 400 and b"unknown effect" in data
     finally:
         server.sample_root = None
+
+
+def test_render_song_fx_tail_dos_capped(server, tmp_path):
+    # an attacker-controlled reverb tail must not bypass the render bound
+    # (tails extend the mix; per-track tails pad the bank at load time)
+    from synthesizer_tpu import WaveSynth
+    WaveSynth(samplerate=44100, samplewidth=2).sine(60, 0.1).stereo() \
+        .write_wav(str(tmp_path / "kick.wav"))
+    server.sample_root = str(tmp_path)
+    try:
+        for section in ("[fx]", "[fx.kick]"):
+            bad = SONG_INI + f"\n{section}\nreverb = tail=1e6\n"
+            status, _, data = request(server, "POST", "/render/song", bad,
+                                      ctype="text/plain")
+            assert status == 400 and b"tail" in data, section
+    finally:
+        server.sample_root = None
