@@ -163,13 +163,18 @@ def _fm_constants(fm_inc: int, fm_phase0: int) -> Tuple[float, float]:
 
 def pack_voices(voices: Sequence[Voice], samplerate: int,
                 num_harmonics: int = 8, pad_to: int = 8,
-                sort_by_wave: bool = False):
+                sort_by_wave: bool = False, tags: Optional[Sequence[int]] = None):
     """Pack host voice descriptions into device parameter arrays.
 
     Pads the voice count up to a multiple of ``pad_to`` with silent voices.
     With ``sort_by_wave`` the voices are ordered into per-(waveform, has_fm)
     groups, each padded to ``pad_to``, and a (VoiceParams, BankLayout) pair
     is returned (the grouped fast path); otherwise just VoiceParams.
+
+    ``tags`` (sort_by_wave only): per-voice integer labels (e.g. the request
+    index in a coalesced serving batch) carried through the sort — returns
+    (vp, layout, packed_tags) where pad voices get tag 0 (they are silent,
+    so the mix column they land in receives exact zeros).
     """
     silent = Voice(amplitude=0.0, frequency=0.0, duration=0.0)
 
@@ -179,23 +184,31 @@ def pack_voices(voices: Sequence[Voice], samplerate: int,
         # double the padding for mixed banks
         keyed = sorted(range(len(voices)), key=lambda i: WAVE_IDS[voices[i].wave])
         ordered: list = []
+        otags: list = []
         groups: list = []
         i = 0
         while i < len(keyed):
             v0 = voices[keyed[i]]
             wid = WAVE_IDS[v0.wave]
             members = []
+            mtags = []
             while i < len(keyed) and WAVE_IDS[voices[keyed[i]].wave] == wid:
                 members.append(voices[keyed[i]])
+                mtags.append(tags[keyed[i]] if tags is not None else 0)
                 i += 1
             has_fm = any(v.fm_depth != 0.0 for v in members)
             start = len(ordered)
             npad = -len(members) % pad_to
             members = members + [dataclasses.replace(silent, wave=v0.wave)] * npad
+            mtags = mtags + [0] * npad
             ordered.extend(members)
+            otags.extend(mtags)
             groups.append((wid, has_fm, start, len(members)))
         vp = _pack_flat(ordered, samplerate, num_harmonics)
-        return vp, BankLayout(tuple(groups), len(ordered), num_harmonics)
+        layout = BankLayout(tuple(groups), len(ordered), num_harmonics)
+        if tags is not None:
+            return vp, layout, np.asarray(otags, np.int32)
+        return vp, layout
 
     npad = -len(voices) % pad_to
     ordered = list(voices) + [silent] * max(npad, pad_to - len(voices)
@@ -425,11 +438,14 @@ def _slice_params(vp: VoiceParams, start: int, count: int) -> VoiceParams:
 def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
                  samplerate: int, num_harmonics: int,
                  layout: Optional[BankLayout] = None,
-                 used_waves: tuple = ALL_WAVES, use_fm: bool = True):
+                 used_waves: tuple = ALL_WAVES, use_fm: bool = True,
+                 seg: Optional[jax.Array] = None, nseg: int = 0):
     """Render one block -> stereo f32 [blocksize, 2] (stateless, pure in n0).
 
     With a grouped ``layout`` each (waveform, fm) group evaluates only its
-    own waveform; otherwise the mixed-group select path is used.
+    own waveform; otherwise the mixed-group select path is used.  With
+    ``seg`` (per-voice segment ids [V]) the mixdown is grouped into
+    ``nseg`` independent stereo buses -> [blocksize, nseg, 2].
     """
     n = n0 + jnp.arange(blocksize, dtype=jnp.int32)
     if layout is None:
@@ -451,6 +467,16 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
         gains.append(jnp.stack([lg, rg], axis=1))
     sig = jnp.concatenate(sigs, axis=0)        # [V, N]
     g = jnp.concatenate(gains, axis=0)         # [V, 2]
+    if seg is not None:
+        # grouped mixdown (coalesced serving): scatter each voice's pan
+        # gains into its request's column pair -> ONE [N,V]x[V,2R] matmul
+        V = g.shape[0]
+        g2 = jnp.zeros((V, 2 * nseg), jnp.float32)
+        rows = jnp.arange(V, dtype=jnp.int32)
+        g2 = g2.at[rows, 2 * seg].set(g[:, 0]).at[rows, 2 * seg + 1].set(g[:, 1])
+        out = jnp.dot(sig.T, g2, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(-1, nseg, 2)
     # precision=HIGHEST: the TPU MXU multiplies in bf16 by default (the
     # preferred_element_type only controls accumulation), which would
     # quantize the mix to ~2^-9 relative — far outside the 1-LSB contract.
@@ -484,6 +510,23 @@ def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
         fns = (chunk_fn, song_fn)
         _bank_fn_cache[key] = fns
     return fns
+
+
+def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
+                     ly: Optional[BankLayout], nseg: int):
+    key = ("grouped", cf, sr, H, uw, uf, ly, nseg)
+    fn = _bank_fn_cache.get(key)
+    if fn is None:
+        @functools.partial(jax.jit, static_argnames=("nchunks",))
+        def fn(vp: VoiceParams, seg, nchunks: int):
+            def body(_, i):
+                return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf,
+                                       seg=seg, nseg=nseg)
+            _, out = jax.lax.scan(body, 0,
+                                  jnp.arange(nchunks, dtype=jnp.int32))
+            return out.reshape(-1, nseg, 2)
+        _bank_fn_cache[key] = fn
+    return fn
 
 
 class VoiceBank:
@@ -544,6 +587,21 @@ class VoiceBank:
                                         tile=min(self.chunk_frames, 8192))
         nchunks = -(-total_frames // self.chunk_frames)
         out = self._song_fn(vp, nchunks)
+        return out[:total_frames]
+
+    def render_song_grouped(self, vp: VoiceParams, seg, nseg: int,
+                            total_frames: int) -> jax.Array:
+        """Coalesced mixdown: every voice renders in ONE bank program and
+        the pan matmul scatters each voice into its segment's stereo bus ->
+        f32 [total_frames, nseg, 2].  Silent pad voices contribute exact
+        zeros, and a request's own voices sum in their packed order, so a
+        segment's bus matches its solo render within 1 LSB (reduction-tree
+        order may differ between the [V_all] and [V_i] matmul shapes)."""
+        fn = _bank_grouped_fn(self.chunk_frames, self.samplerate,
+                              self.num_harmonics, self.used_waves,
+                              self.use_fm, self.layout, int(nseg))
+        nchunks = -(-total_frames // self.chunk_frames)
+        out = fn(vp, jnp.asarray(seg, jnp.int32), nchunks)
         return out[:total_frames]
 
     def _pallas_layout(self) -> BankLayout:

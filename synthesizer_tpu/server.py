@@ -291,14 +291,110 @@ class _Handler(BaseHTTPRequestHandler):
         sr = self._check_samplerate(
             int(obj.get("samplerate", params.norm_samplerate)))
         total = int(float(obj["duration"]) * sr)
-        vp, layout = pack_voices(voices, sr, num_harmonics=8, sort_by_wave=True)
-        bank = VoiceBank.for_voices(voices, sr, num_harmonics=8,
-                                    layout=layout, nvoices=layout.nvoices)
-        stereo = bank.render_song(vp, total)
-        out16 = bank.to_int16(stereo)
+        out16 = self.server.batcher.render(voices, total, sr)  # type: ignore[attr-defined]
         bio = io.BytesIO()
         Sample.from_jax(out16, sr, 2, "voices").write_wav(bio)
         return bio.getvalue()
+
+
+class _BatchReq:
+    __slots__ = ("voices", "total", "sr", "event", "result", "error")
+
+    def __init__(self, voices, total, sr):
+        self.voices = voices
+        self.total = total
+        self.sr = sr
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[Exception] = None
+
+
+class RenderBatcher:
+    """Dynamic request coalescing for ``/render/voices`` (the inference-
+    server pattern, adapted to audio): while the device renders one batch,
+    concurrently arriving requests queue; the worker then packs ALL queued
+    same-samplerate requests' voices into ONE bank program whose pan
+    matmul scatters every voice into its request's stereo bus
+    (``VoiceBank.render_song_grouped``).  Under concurrent load the chip
+    runs one program per batch instead of one per request — per-request
+    dispatch/sync overhead (the dominant cost on link-attached TPUs) is
+    paid once per batch.  A lone request takes the single-render path
+    unchanged."""
+
+    def __init__(self, max_batch_voices: int = 1024):
+        self._cv = threading.Condition()
+        self._pending: list = []
+        self._thread: Optional[threading.Thread] = None
+        self.max_batch_voices = max_batch_voices
+        #: observability: batches executed / requests served / coalesced
+        self.batches = 0
+        self.requests = 0
+        self.coalesced = 0
+
+    def render(self, voices, total: int, sr: int):
+        """Render (blocking) -> device int16 [total, 2]."""
+        req = _BatchReq(voices, total, sr)
+        with self._cv:
+            self._pending.append(req)
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(target=self._loop,
+                                                daemon=True)
+                self._thread.start()
+            self._cv.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                sr = self._pending[0].sr
+                batch, rest, nv = [], [], 0
+                for r in self._pending:
+                    if r.sr == sr and nv + len(r.voices) <= self.max_batch_voices:
+                        batch.append(r)
+                        nv += len(r.voices)
+                    else:
+                        rest.append(r)
+                self._pending[:] = rest
+            try:
+                self._execute(batch)
+            except Exception as e:            # surface to every waiter
+                for r in batch:
+                    r.error = e
+            finally:
+                for r in batch:
+                    r.event.set()
+
+    def _execute(self, batch) -> None:
+        self.batches += 1
+        self.requests += len(batch)
+        sr = batch[0].sr
+        if len(batch) == 1:
+            r = batch[0]
+            vp, layout = pack_voices(r.voices, sr, num_harmonics=8,
+                                     sort_by_wave=True)
+            bank = VoiceBank.for_voices(r.voices, sr, num_harmonics=8,
+                                        layout=layout, nvoices=layout.nvoices)
+            r.result = bank.to_int16(bank.render_song(vp, r.total))
+            return
+        self.coalesced += len(batch)
+        allv, tags = [], []
+        for i, r in enumerate(batch):
+            allv.extend(r.voices)
+            tags.extend([i] * len(r.voices))
+        vp, layout, seg = pack_voices(allv, sr, num_harmonics=8,
+                                      sort_by_wave=True, tags=tags)
+        bank = VoiceBank.for_voices(allv, sr, num_harmonics=8,
+                                    layout=layout, nvoices=layout.nvoices)
+        total = max(r.total for r in batch)
+        out = bank.render_song_grouped(vp, seg, len(batch), total)
+        out16 = bank.to_int16(out)                     # [total, R, 2]
+        for i, r in enumerate(batch):
+            r.result = out16[:r.total, i, :]
 
 
 class RenderServer:
@@ -323,7 +419,12 @@ class RenderServer:
         self._httpd.sample_root = sample_root  # type: ignore[attr-defined]
         self._httpd.max_body_bytes = max_body_bytes  # type: ignore[attr-defined]
         self._httpd.max_render_seconds = max_render_seconds  # type: ignore[attr-defined]
+        self._httpd.batcher = RenderBatcher()  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
+
+    @property
+    def batcher(self) -> RenderBatcher:
+        return self._httpd.batcher  # type: ignore[attr-defined]
 
     @property
     def sample_root(self) -> Optional[str]:

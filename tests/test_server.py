@@ -4,6 +4,7 @@ error responses)."""
 import http.client
 import io
 import json
+import time
 import wave
 
 import numpy as np
@@ -316,3 +317,63 @@ def test_render_song_fx_tail_dos_capped(server, tmp_path):
             assert status == 400 and b"tail" in data, section
     finally:
         server.sample_root = None
+
+
+def test_render_voices_batching_coalesces_and_matches_solo(server):
+    """Concurrent /render/voices requests coalesce into one grouped bank
+    program, and each request's audio matches its solo render <= 1 LSB."""
+    import threading
+    from synthesizer_tpu import server as server_mod
+
+    batcher = server.batcher
+    gate = threading.Event()
+    orig_execute = batcher._execute
+
+    def gated_execute(batch):
+        gate.wait(timeout=10.0)
+        return orig_execute(batch)
+    batcher._execute = gated_execute
+    b0, r0, c0 = batcher.batches, batcher.requests, batcher.coalesced
+
+    def body(freq, pan):
+        return json.dumps({
+            "duration": 0.05, "samplerate": 22050,
+            "voices": [{"wave": "sine", "frequency": freq, "amplitude": 0.4,
+                        "pan": pan, "duration": 0.04}],
+        })
+
+    N = 4
+    results = [None] * N
+    def worker(i):
+        status, ctype, data = request(server, "POST", "/render/voices",
+                                      body(220.0 * (i + 1), (i - 1.5) / 2))
+        results[i] = (status, data)
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(N)]
+    for t in threads:
+        t.start()
+    # wait until every request is queued in the batcher, then open the gate
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        with batcher._cv:
+            if len(batcher._pending) + (batcher.requests - r0) >= N - 1:
+                break
+        time.sleep(0.005)
+    gate.set()
+    for t in threads:
+        t.join(timeout=30.0)
+    batcher._execute = orig_execute
+
+    assert all(r is not None and r[0] == 200 for r in results)
+    # the first request formed its own batch; the rest coalesced
+    assert batcher.requests - r0 == N
+    assert batcher.batches - b0 < N
+    assert batcher.coalesced - c0 >= 2
+    # correctness: each equals its solo render within 1 LSB
+    for i, (status, data) in enumerate(results):
+        solo_status, _, solo = request(server, "POST", "/render/voices",
+                                       body(220.0 * (i + 1), (i - 1.5) / 2))
+        a, _ = read_wav_bytes(data)
+        b, _ = read_wav_bytes(solo)
+        assert a.shape == b.shape
+        d = np.abs(a.astype(np.int64) - b.astype(np.int64)).max()
+        assert d <= 1, (i, d)
