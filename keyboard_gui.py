@@ -70,6 +70,18 @@ class FilterSettings:
 
 
 @dataclasses.dataclass
+class ReverbSettings:
+    """Beyond-reference: master-bus Freeverb on the Output's mixed chunks
+    (synthesizer_tpu.effects.FxChain — the playback twin of [fx])."""
+    enabled: bool = False
+    roomsize: float = 0.6
+    damping: float = 0.5
+    wet: float = 0.25
+    dry: float = 0.9
+    tail: float = 1.0
+
+
+@dataclasses.dataclass
 class EchoSettings:
     enabled: bool = False
     after: float = 0.05
@@ -101,6 +113,7 @@ class SynthController:
         self.env = EnvSettings()
         self.echo = EchoSettings()
         self.filter = FilterSettings()
+        self.reverb = ReverbSettings()
         self.arp = ArpSettings()
         self.a4 = 440.0
         #: blocks rendered per device round trip (None = pick by platform)
@@ -309,6 +322,21 @@ class SynthController:
         elif self.arp.enabled and sid is not None and self.output is not None:
             self.output.stop_sample(sid)
 
+    def apply_reverb(self) -> None:
+        """(Re)install the master reverb chain on the output's mixed bus
+        according to the current ReverbSettings (no-op headless)."""
+        if self.output is None:
+            return
+        if self.reverb.enabled:
+            from synthesizer_tpu.effects import FxChain
+            r = self.reverb
+            self.output.fx = FxChain(
+                [("reverb", dict(roomsize=r.roomsize, damping=r.damping,
+                                 wet=r.wet, dry=r.dry, tail=r.tail))],
+                self.samplerate, self.output.nchannels)
+        else:
+            self.output.fx = None
+
     # -- instrument presets (.ini, like the reference) ------------------------
 
     def save_preset(self, file) -> None:
@@ -320,6 +348,7 @@ class SynthController:
         cp["envelope"] = {k: str(v) for k, v in dataclasses.asdict(self.env).items()}
         cp["echo"] = {k: str(v) for k, v in dataclasses.asdict(self.echo).items()}
         cp["filter"] = {k: str(v) for k, v in dataclasses.asdict(self.filter).items()}
+        cp["reverb"] = {k: str(v) for k, v in dataclasses.asdict(self.reverb).items()}
         cp["arpeggio"] = {"enabled": str(self.arp.enabled),
                           "intervals": " ".join(str(i) for i in self.arp.intervals),
                           "rate": str(self.arp.rate)}
@@ -357,6 +386,12 @@ class SynthController:
             g = cp["envelope"]
             for f in dataclasses.fields(EnvSettings):
                 setattr(self.env, f.name, g.getfloat(f.name, getattr(self.env, f.name)))
+        if "reverb" in cp:
+            g = cp["reverb"]
+            self.reverb.enabled = g.getboolean("enabled", self.reverb.enabled)
+            for f in ("roomsize", "damping", "wet", "dry", "tail"):
+                setattr(self.reverb, f, g.getfloat(f, getattr(self.reverb, f)))
+            self.apply_reverb()
         if "echo" in cp:
             g = cp["echo"]
             self.echo.enabled = g.getboolean("enabled", self.echo.enabled)
@@ -459,6 +494,23 @@ class SynthGUI:
         ttk.Checkbutton(echo, text="enabled", variable=self.echo_var,
                         command=lambda: setattr(self.ctrl.echo, "enabled",
                                                 self.echo_var.get())).pack()
+
+        rev = ttk.LabelFrame(panel, text="reverb")
+        rev.pack(side=tk.LEFT, padx=4)
+        self.reverb_var = tk.BooleanVar(value=False)
+
+        def _set_reverb(field, value):
+            setattr(self.ctrl.reverb, field, value)
+            self.ctrl.apply_reverb()
+        ttk.Checkbutton(rev, text="enabled", variable=self.reverb_var,
+                        command=lambda: _set_reverb(
+                            "enabled", self.reverb_var.get())).pack()
+        tk.Scale(rev, from_=0.0, to=1.0, resolution=0.05,
+                 orient=tk.HORIZONTAL, label="room",
+                 command=lambda v: _set_reverb("roomsize", float(v))).pack()
+        tk.Scale(rev, from_=0.0, to=1.0, resolution=0.05,
+                 orient=tk.HORIZONTAL, label="wet",
+                 command=lambda v: _set_reverb("wet", float(v))).pack()
         ttk.Button(echo, text="save preset", command=self._save).pack()
         ttk.Button(echo, text="load preset", command=self._load).pack()
 

@@ -283,7 +283,7 @@ class Output:
                  nchannels: int = 0, frames_per_chunk: int = 0,
                  mixing: str = "mixed", queue_size: int = 100,
                  wav_file: Optional[str] = None, api: Optional[AudioApi] = None,
-                 meter=None):
+                 meter=None, fx=None):
         self.samplerate = samplerate or params.norm_samplerate
         self.samplewidth = samplewidth or params.norm_samplewidth
         self.nchannels = nchannels or params.norm_nchannels
@@ -295,6 +295,15 @@ class Output:
         self.api = api or best_api(self.samplerate, self.samplewidth,
                                    self.nchannels, wav_file)
         self.meter = meter  # optional LevelMeter updated per mixed chunk
+        #: optional master-bus FxChain (synthesizer_tpu.effects) applied to
+        #: every mixed chunk before the sink — the playback twin of the
+        #: song [fx] section.  Each chunk pays a host->device->host round
+        #: trip (fine for file sinks and production-attached TPUs; on a
+        #: link-attached relay the ~30 ms sync would dominate realtime
+        #: chunks — see ROADMAP).  Mixed mode only.
+        self.fx = fx
+        if fx is not None and mixing != "mixed":
+            raise ValueError("fx requires mixed-mode output")
         self._notify_played: List[Callable[[Sample], None]] = []
         self._all_played = threading.Event()
         self._all_played.set()
@@ -316,8 +325,17 @@ class Output:
 
     def _mix_pump(self) -> None:
         gen = self.mixer.chunks()
+        had_audio = False
         while not self._closing:
             chunk = next(gen)
+            if self.fx is not None:
+                active = self.mixer.active_count > 0
+                if active or had_audio:
+                    # keep feeding the chain while tails ring after the
+                    # last voice ends (reverb/convolution decay)
+                    chunk = np.asarray(self.fx.process(chunk))
+                had_audio = active or (
+                    had_audio and np.any(chunk))
             self.api.play_chunk(chunk)
             if self.meter is not None and self.mixer.active_count:
                 # the mixed chunk is already host memory: meter natively,

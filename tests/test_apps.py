@@ -312,3 +312,39 @@ def test_keyboard_filter_lfo_routing():
         return s[f > 2000].sum()
     lo, hi = sorted([hf(a[:n]), hf(a[n:2 * n])])
     assert hi > 2.0 * max(lo, 1e-9)
+
+
+def test_controller_master_reverb(tmp_path):
+    """The keyboard's master reverb installs an FxChain on the output and
+    round-trips through presets."""
+    import io
+    import time as _t
+    from synthesizer_tpu import Output
+    from keyboard_gui import SynthController
+
+    out = Output(samplerate=44100, nchannels=2, frames_per_chunk=2000,
+                 mixing="mixed", wav_file=str(tmp_path / "kb.wav"))
+    try:
+        ctrl = SynthController(output=out)
+        ctrl.reverb.enabled = True
+        ctrl.reverb.wet = 0.5
+        ctrl.apply_reverb()
+        assert out.fx is not None and out.fx.tail_frames > 0
+        ctrl.key_down(40)
+        _t.sleep(0.15)
+        ctrl.key_up(40)
+        deadline = _t.time() + 8.0
+        while out.still_playing() and _t.time() < deadline:
+            _t.sleep(0.01)
+        # preset round trip
+        buf = io.StringIO()
+        ctrl.save_preset(buf)
+        buf.seek(0)
+        ctrl2 = SynthController(output=out)
+        ctrl2.load_preset(buf)
+        assert ctrl2.reverb.enabled and abs(ctrl2.reverb.wet - 0.5) < 1e-9
+        ctrl2.reverb.enabled = False
+        ctrl2.apply_reverb()
+        assert out.fx is None
+    finally:
+        out.close()

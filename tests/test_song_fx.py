@@ -233,3 +233,36 @@ reverb = wet=0.4
 """)
     with pytest.raises(ValueError, match="unknown instrument"):
         Song.from_ini(str(ini))
+
+
+def test_output_master_fx(tmp_path):
+    """Output(fx=FxChain) processes the realtime mix through the master
+    chain (incl. the reverb tail ringing past the voice end)."""
+    import time as _t
+    import wave as _wave
+    from synthesizer_tpu import Output
+    chain = FxChain([("reverb", dict(roomsize=0.8, wet=0.6, dry=0.5,
+                                     tail=0.2))], SR, 2)
+    wavpath = str(tmp_path / "fx.wav")
+    with Output(samplerate=SR, nchannels=2, frames_per_chunk=2000,
+                mixing="mixed", wav_file=wavpath, fx=chain) as out:
+        tone = WaveSynth(samplerate=SR, samplewidth=2) \
+            .sine(440, 0.15, amplitude=0.7).stereo()
+        out.play_sample(tone)
+        deadline = _t.time() + 10.0
+        while out.still_playing() and _t.time() < deadline:
+            _t.sleep(0.01)
+        _t.sleep(0.3)   # let tail chunks pump
+    w = _wave.open(wavpath)
+    a = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(-1, 2)
+    n_tone = int(0.15 * SR)
+    assert len(a) > n_tone
+    tail = a[n_tone + 2000:]
+    assert np.abs(tail).max() > 50   # the reverb tail rings after the tone
+
+
+def test_output_fx_requires_mixed():
+    from synthesizer_tpu import Output
+    chain = FxChain([("compress", {})], SR, 2)
+    with pytest.raises(ValueError, match="mixed"):
+        Output(samplerate=SR, nchannels=2, mixing="sequential", fx=chain)
