@@ -410,3 +410,88 @@ def stretch(frames: np.ndarray, width: int, factor: float,
     if target > out_len:
         out = np.concatenate([out, np.zeros((target - out_len, nch))])
     return _to_int(out[:target].astype(np.float32), width)
+
+
+# ---------------------------------------------------------------------------
+# Sample-level biquad filter & noise gate
+# ---------------------------------------------------------------------------
+
+def biquad_filter(frames: np.ndarray, width: int, samplerate: int,
+                  kind: str, cutoff: float, q: float = 0.7071) -> np.ndarray:
+    """RBJ biquad on PCM (channels independent, zero initial state):
+
+        y_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} - a1 y_{n-1} - a2 y_{n-2}
+
+    on the normalized f32 signal, coefficients from the frozen
+    goldref.spec.biquad_coeffs; output via the synthesis rule.  The oracle
+    recurrence runs in SEQUENTIAL f64 — the arbiter for the device's
+    parallel companion-matrix scan, same budget as the graph Biquad node
+    (a few LSB; up to ~16 LSB near the unit circle at q >~ 8)."""
+    from .spec import biquad_coeffs
+    b0, b1, b2, a1, a2 = biquad_coeffs(kind, cutoff, q, samplerate)
+    s = _norm(frames, width).astype(np.float64)
+    n, nch = s.shape
+    out = np.empty_like(s)
+    for ch in range(nch):
+        x1 = x2 = y1 = y2 = 0.0
+        x = s[:, ch]
+        for i in range(n):
+            y = b0 * x[i] + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+            x2, x1 = x1, x[i]
+            y2, y1 = y1, y
+            out[i, ch] = y
+    return _to_int(out.astype(np.float32), width)
+
+
+def gate_coeffs(samplerate: int, attack: float, release: float,
+                range_db: float) -> Tuple[float, float, float]:
+    """(alpha, decay, floor_gain) for the gate — host f64, shared."""
+    alpha, decay = compressor_coeffs(samplerate, attack, release)
+    floor_gain = float(np.exp2(np.float32(-abs(range_db))
+                               / np.float32(6.0206)))
+    return alpha, decay, floor_gain
+
+
+def gate_gains(frames: np.ndarray, width: int, samplerate: int,
+               threshold_db: float, range_db: float, attack: float,
+               release: float) -> np.ndarray:
+    """Noise-gate gain curve.  Spec (f32 per-sample math):
+
+    * detector: the compressor's decaying-max envelope (e_{-1} = 0), with
+      ``release`` as the decay time (doubling as gate hold);
+    * target: g_n = 1 when 20*log10(max(e,1e-10)) >= threshold_db, else
+      floor_gain = 2^(-|range_db|/6.0206);
+    * smoother: z_n = z_{n-1} + alpha (g_n - z_{n-1}), z_{-1} = floor_gain
+      (a stream starts closed).
+
+    Applied with the house gain rule.  Device budget: <= 2 LSB (parallel
+    scan regrouping, like the compressor).
+    """
+    alpha, decay, floor_gain = gate_coeffs(samplerate, attack, release,
+                                           range_db)
+    a = np.max(np.abs(_norm(frames, width)), axis=1).astype(np.float32)
+    thr = np.float32(threshold_db)
+    n = a.shape[0]
+    gains = np.empty(n, np.float32)
+    e = np.float32(0.0)
+    z = np.float32(floor_gain)
+    dec = np.float32(decay)
+    al = np.float32(alpha)
+    fg = np.float32(floor_gain)
+    for i in range(n):
+        e = max(a[i], np.float32(e * dec))
+        level_db = np.float32(20.0) * np.float32(
+            np.log10(max(e, np.float32(1e-10))))
+        g = np.float32(1.0) if level_db >= thr else fg
+        z = np.float32(z + al * np.float32(g - z))
+        gains[i] = z
+    return gains
+
+
+def gate(frames: np.ndarray, width: int, samplerate: int,
+         threshold_db: float = -50.0, range_db: float = 80.0,
+         attack: float = 0.001, release: float = 0.05) -> np.ndarray:
+    """Apply the noise gate (house gain rule)."""
+    g = gate_gains(frames, width, samplerate, threshold_db, range_db,
+                   attack, release)
+    return _gain_floor(frames, g[:, None], width)

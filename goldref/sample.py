@@ -327,6 +327,23 @@ class Sample:
                                      voices, wet, dry)
         return self
 
+    def filter(self, kind: str, cutoff: float, q: float = 0.7071) -> "Sample":
+        """Resonant RBJ biquad on the PCM (lowpass/highpass/bandpass);
+        spec: goldref.effects.biquad_filter."""
+        from . import effects
+        self.frames = effects.biquad_filter(self.frames, self.samplewidth,
+                                            self.samplerate, kind, cutoff, q)
+        return self
+
+    def gate(self, threshold_db: float = -50.0, range_db: float = 80.0,
+             attack: float = 0.001, release: float = 0.05) -> "Sample":
+        """Noise gate; spec: goldref.effects.gate_gains."""
+        from . import effects
+        self.frames = effects.gate(self.frames, self.samplewidth,
+                                   self.samplerate, threshold_db, range_db,
+                                   attack, release)
+        return self
+
     def convolve(self, ir: "Sample", wet: float = 1.0,
                  dry: float = 0.0) -> "Sample":
         """Convolve with an impulse-response sample (mono IR applies to all

@@ -38,8 +38,8 @@ from .ops import effects as dfx
 from .ops import pcm as dpcm
 
 __all__ = ["StreamingCompressor", "StreamingReverb", "StreamingChorus",
-           "StreamingConvolver", "FxChain", "parse_fx_items",
-           "FX_PARAMS"]
+           "StreamingConvolver", "StreamingBiquad", "StreamingGate",
+           "FxChain", "parse_fx_items", "validate_fx_params", "FX_PARAMS"]
 
 #: default reverb decay tail (seconds) — the single source for the
 #: streaming processor default AND the chain tail accounting
@@ -96,6 +96,70 @@ class StreamingCompressor:
 
         y, self._env, self._zdev = _cached(key, build)(
             x, self._knobs, self._env, self._zdev)
+        return y
+
+
+class StreamingBiquad:
+    """Chunked twin of ``Sample.filter``: the (x1, x2, y1, y2) biquad state
+    carries across chunks (ops.effects.biquad_apply)."""
+
+    def __init__(self, samplerate: int, nchannels: int, kind: str,
+                 cutoff: float, q: float = 0.7071):
+        from goldref.spec import biquad_coeffs
+        self._knobs = np.asarray(biquad_coeffs(kind, cutoff, q, samplerate),
+                                 np.float32)
+        z = jnp.zeros(nchannels, jnp.float32)
+        self._state = (z, z, z, z)
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        key = ("biquad", x.shape, str(x.dtype))
+        width = dpcm.width_of(x)
+
+        def build():
+            @jax.jit
+            def fn(x, state, knobs):
+                w = dpcm.width_of(x)
+                s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[w])
+                y, state = dfx.biquad_apply(
+                    s, tuple(knobs[i] for i in range(5)), state)
+                return dfx.to_int_samples(y, width), state
+            return fn
+
+        y, self._state = _cached(key, build)(x, self._state, self._knobs)
+        return y
+
+
+class StreamingGate:
+    """Chunked twin of ``Sample.gate``: detector envelope and smoother
+    carry across chunks (the spec starts a stream closed)."""
+
+    def __init__(self, samplerate: int, threshold_db: float = -50.0,
+                 range_db: float = 80.0, attack: float = 0.001,
+                 release: float = 0.05):
+        from goldref.effects import gate_coeffs
+        alpha, decay, floor_gain = gate_coeffs(samplerate, attack, release,
+                                               range_db)
+        self._knobs = np.asarray([threshold_db, floor_gain, alpha, decay],
+                                 np.float32)
+        self._env = jnp.float32(0.0)
+        self._z = jnp.float32(floor_gain)
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        key = ("gate", x.shape, str(x.dtype))
+
+        def build():
+            @jax.jit
+            def fn(x, knobs, e0, z0):
+                g, e, z = dfx.gate_gains_from_coeffs(
+                    x, knobs[0], knobs[1], knobs[2], knobs[3], e0=e0, z0=z0,
+                    with_state=True)
+                return dpcm.gain_apply(x, g[:, None]), e, z
+            return fn
+
+        y, self._env, self._z = _cached(key, build)(
+            x, self._knobs, self._env, self._z)
         return y
 
 
@@ -244,6 +308,8 @@ FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
     "chorus": (("rate", "depth", "delay", "voices", "wet", "dry"),
                {"voices": int}),
     "convolve": (("ir", "wet", "dry"), {"ir": str}),
+    "filter": (("kind", "cutoff", "q"), {"kind": str}),
+    "gate": (("threshold_db", "range_db", "attack", "release"), {}),
 }
 
 
@@ -264,6 +330,11 @@ def validate_fx_params(name: str, params: dict) -> dict:
         out[k] = v if t is str else t(v)
     if name == "convolve" and "ir" not in out:
         raise ValueError("[fx] convolve needs ir=<wav file>")
+    if name == "filter":
+        if not {"kind", "cutoff"} <= set(out):
+            raise ValueError("[fx] filter needs kind= and cutoff=")
+        if out["kind"] not in ("lowpass", "highpass", "bandpass"):
+            raise ValueError(f"[fx] filter: unknown kind {out['kind']!r}")
     return out
 
 
@@ -299,6 +370,10 @@ class FxChain:
         for name, p in fx:
             if name == "compress":
                 proc = StreamingCompressor(samplerate, **p)
+            elif name == "filter":
+                proc = StreamingBiquad(samplerate, nchannels, **p)
+            elif name == "gate":
+                proc = StreamingGate(samplerate, **p)
             elif name == "reverb":
                 proc = StreamingReverb(samplerate, nchannels, **p)
             elif name == "chorus":

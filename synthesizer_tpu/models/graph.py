@@ -295,34 +295,9 @@ def lower(node: S.Node, samplerate: int, blocksize: int) -> Tuple[State, StepFn]
             sb0, sb1, sb2, sa1, sa2 = S.biquad_coeffs(
                 node.kind, node.cutoff, node.q, samplerate)
 
-        def _affine_scan(u, a1, a2, y1, y2):
-            """y_n = u_n - a1_n y_{n-1} - a2_n y_{n-2} as a PARALLEL affine
-            scan over 2x2 companion matrices (log-depth on the VPU —
-            TPU-first IIR; the spec's arbiter is the oracle's sequential
-            f64 form, agreement within a few LSB for stable settings).
-            precision=HIGHEST everywhere: the TPU MXU multiplies in bf16
-            by default, which quantizes the cumulative 2x2 products to
-            ~2^-8 relative and destroys the recurrence (caught by the
-            on-chip battery — the round-1 hardware bug class)."""
-            ones = jnp.ones_like(u)
-            zeros = jnp.zeros_like(u)
-            row0 = jnp.stack([-a1 * ones, -a2 * ones], axis=-1)   # [B, 2]
-            row1 = jnp.stack([ones, zeros], axis=-1)
-            Ms = jnp.stack([row0, row1], axis=-2)                 # [B, 2, 2]
-            cs = jnp.stack([u, zeros], axis=-1)                   # [B, 2]
-            hi = jax.lax.Precision.HIGHEST
-
-            def combine(l, r):
-                Ml, cl = l
-                Mr, cr = r
-                return (jnp.matmul(Mr, Ml, precision=hi),
-                        jnp.einsum("...ij,...j->...i", Mr, cl,
-                                   precision=hi) + cr)
-
-            Mcum, ccum = jax.lax.associative_scan(combine, (Ms, cs))
-            s0 = jnp.stack([y1, y2])                              # [2]
-            ys = jnp.einsum("nij,j->ni", Mcum, s0, precision=hi) + ccum
-            return ys[:, 0]
+        # the shared parallel companion-matrix IIR scan (precision notes
+        # and the bf16-MXU trap are documented there)
+        from ..ops.effects import companion_scan as _affine_scan
 
         def step(state, n0):
             if swept:

@@ -96,6 +96,89 @@ def one_pole_scan(target: jax.Array, alpha: float, init: float) -> jax.Array:
     return affine_scan(a, al * target, init)
 
 
+def companion_scan(u: jax.Array, a1, a2, y1, y2) -> jax.Array:
+    """y_n = u_n - a1_n y_{n-1} - a2_n y_{n-2} as a PARALLEL affine scan
+    over 2x2 companion matrices (log-depth on the VPU — TPU-first IIR).
+    ``a1``/``a2`` may be scalars (constant-coefficient biquads) or [B]
+    arrays (swept filters); ``y1``/``y2`` carry state across blocks.
+
+    precision=HIGHEST everywhere: the TPU MXU multiplies in bf16 by
+    default, which quantizes the cumulative 2x2 products to ~2^-8
+    relative and destroys the recurrence (caught by the on-chip battery —
+    the round-1 hardware bug class).  Shared by the graph Biquad lowering
+    and the Sample-level filter op."""
+    ones = jnp.ones_like(u)
+    zeros = jnp.zeros_like(u)
+    row0 = jnp.stack([-a1 * ones, -a2 * ones], axis=-1)       # [B, 2]
+    row1 = jnp.stack([ones, zeros], axis=-1)
+    Ms = jnp.stack([row0, row1], axis=-2)                     # [B, 2, 2]
+    cs = jnp.stack([u, zeros], axis=-1)                       # [B, 2]
+    hi = jax.lax.Precision.HIGHEST
+
+    def combine(l, r):
+        Ml, cl = l
+        Mr, cr = r
+        return (jnp.matmul(Mr, Ml, precision=hi),
+                jnp.einsum("...ij,...j->...i", Mr, cl, precision=hi) + cr)
+
+    Mcum, ccum = jax.lax.associative_scan(combine, (Ms, cs))
+    s0 = jnp.stack([jnp.asarray(y1, jnp.float32),
+                    jnp.asarray(y2, jnp.float32)])            # [2]
+    ys = jnp.einsum("nij,j->ni", Mcum, s0, precision=hi) + ccum
+    return ys[:, 0]
+
+
+def biquad_apply(s: jax.Array, coeffs, state=None):
+    """Constant-coefficient biquad on a normalized f32 signal [n, ch]:
+    y_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} - a1 y_{n-1} - a2 y_{n-2},
+    channels independent.  ``state`` carries (x1, x2, y1, y2) each [ch]
+    across chunks (zeros at start).  Returns (y, new_state).  Spec:
+    goldref.effects.biquad_filter."""
+    n, nch = s.shape
+    b0, b1, b2, a1, a2 = (jnp.asarray(c, jnp.float32) for c in coeffs)
+    if state is None:
+        z = jnp.zeros(nch, jnp.float32)
+        state = (z, z, z, z)
+    x1, x2, y1, y2 = state
+    cols = []
+    ny1, ny2 = [], []
+    for ch in range(nch):
+        x = s[:, ch]
+        xp1 = jnp.concatenate([x1[ch][None], x[:-1]])
+        xp2 = jnp.concatenate([x2[ch][None], x1[ch][None], x[:-2]])
+        u = b0 * x + b1 * xp1 + b2 * xp2
+        y = companion_scan(u, a1, a2, y1[ch], y2[ch])
+        cols.append(y)
+        ny1.append(y[-1])
+        ny2.append(y[-2] if n >= 2 else y1[ch])
+    out = jnp.stack(cols, axis=1)
+    new_state = (s[-1], s[-2] if n >= 2 else x1,
+                 jnp.stack(ny1), jnp.stack(ny2))
+    return out, new_state
+
+
+def gate_gains_from_coeffs(frames: jax.Array, threshold_db, floor_gain,
+                           alpha, decay, e0, z0,
+                           with_state: bool = False):
+    """Noise-gate gain curve; spec: goldref.effects.gate_gains.  The same
+    scan machinery as the compressor: decaying-max peak detector, a hard
+    open(1.0)/closed(floor_gain) target from the threshold comparison, and
+    a one-pole smoother z_n = (1-a) z_{n-1} + a g_n.  ``e0``/``z0`` carry
+    the detector and smoother across chunks (the spec starts a stream
+    CLOSED: z_{-1} = floor_gain)."""
+    a = jnp.max(jnp.abs(_norm(frames)), axis=1)
+    e = decaying_max_scan(a, decay, init=e0)
+    level_db = jnp.float32(20.0) * jnp.log10(jnp.maximum(e, jnp.float32(1e-10)))
+    g = jnp.where(level_db >= jnp.asarray(threshold_db, jnp.float32),
+                  jnp.float32(1.0), jnp.asarray(floor_gain, jnp.float32))
+    al = jnp.asarray(alpha, jnp.float32)
+    coeff = jnp.broadcast_to(jnp.float32(1.0) - al, g.shape)
+    z = affine_scan(coeff, al * g, init=z0)
+    if with_state:
+        return z, e[-1], z[-1]
+    return z
+
+
 # ---------------------------------------------------------------------------
 # Compressor
 # ---------------------------------------------------------------------------

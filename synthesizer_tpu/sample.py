@@ -283,6 +283,21 @@ def _x_chorus(x, st, dyn, leaves):
                       dyn[2], dyn[3])
 
 
+def _x_biquad(x, st, dyn, leaves):
+    from .ops import effects as dfx
+    w = dpcm.width_of(x)
+    s = x.astype(jnp.float32) / jnp.float32(MAXVAL[w])
+    y, _ = dfx.biquad_apply(s, tuple(dyn[:5]))
+    return dfx.to_int_samples(y, w)
+
+
+def _x_gate(x, st, dyn, leaves):
+    from .ops import effects as dfx
+    g = dfx.gate_gains_from_coeffs(x, dyn[0], dyn[1], dyn[2], dyn[3],
+                                   e0=0.0, z0=dyn[1])
+    return dpcm.gain_apply(x, g[:, None])
+
+
 def _x_convolve(x, st, dyn, leaves):
     ir_maxval, sub_ops = st
     from .ops import effects as dfx
@@ -319,6 +334,7 @@ _EXEC = {
     "pan_patch": _x_pan_patch, "pan_sample": _x_pan_sample,
     "compress": _x_compress, "reverb": _x_reverb, "chorus": _x_chorus,
     "convolve": _x_convolve, "stretch": _x_stretch,
+    "biquad": _x_biquad, "gate": _x_gate,
 }
 
 _program_cache: dict = {}
@@ -798,6 +814,26 @@ class Sample:
         self._stage("chorus", static=(self._samplerate, float(rate),
                                       int(voices)),
                     dyn=(depth, delay, wet, dry))
+        return self
+
+    def filter(self, kind: str, cutoff: float, q: float = 0.7071) -> "Sample":
+        """Resonant RBJ biquad on the PCM (parallel companion-matrix scan
+        on device — ops.effects.companion_scan); spec/tolerance:
+        goldref.effects.biquad_filter.  Coefficients travel in the dyn
+        vector, so cutoff/q/kind tweaks reuse the compiled program."""
+        from goldref.spec import biquad_coeffs
+        coeffs = biquad_coeffs(kind, cutoff, q, self._samplerate)
+        self._stage("biquad", dyn=coeffs)
+        return self
+
+    def gate(self, threshold_db: float = -50.0, range_db: float = 80.0,
+             attack: float = 0.001, release: float = 0.05) -> "Sample":
+        """Noise gate (decaying-max detector + one-pole smoother as
+        parallel scans); spec/tolerance: goldref.effects.gate_gains."""
+        from goldref.effects import gate_coeffs
+        alpha, decay, floor_gain = gate_coeffs(self._samplerate, attack,
+                                               release, range_db)
+        self._stage("gate", dyn=(threshold_db, floor_gain, alpha, decay))
         return self
 
     def convolve(self, ir: "Sample", wet: float = 1.0,

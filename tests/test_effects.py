@@ -322,3 +322,61 @@ def test_pitch_shift_short_hit():
     out = dev.pitch_shift(7.0).get_frame_array()
     assert np.isfinite(out.astype(np.float64)).all()
     assert np.abs(out).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Sample-level biquad filter & noise gate
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind,cutoff,q,budget", [
+    ("lowpass", 1000.0, 0.7071, 4),
+    ("highpass", 300.0, 0.7071, 16),
+    ("bandpass", 800.0, 4.0, 4),
+    ("lowpass", 500.0, 8.0, 24),     # strong resonance (graph Biquad budget)
+])
+def test_sample_filter_matches_oracle(rng, kind, cutoff, q, budget):
+    gold, dev = make_pair(rng, n=4000, nch=2)
+    check_lsb(gold.filter(kind, cutoff, q), dev.filter(kind, cutoff, q),
+              budget)
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_gate_matches_oracle(rng, nch):
+    # bursts separated by near-silence: the gate opens and closes
+    n = 7000
+    a = rng.integers(-15000, 15000, size=(n, nch)).astype(np.int16)
+    a[1500:4500] //= 600                 # quiet region under the threshold
+    gold = gs.Sample(a.copy(), SR, 2, nch)
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, nch)
+    kw = dict(threshold_db=-30.0, range_db=60.0, attack=0.001, release=0.01)
+    g, d = gold.gate(**kw), dev.gate(**kw)
+    check_lsb(g, d, 2)
+    # it actually gated: past the release hold the quiet region is silenced
+    got = d.get_frame_array()
+    assert np.abs(got[3500:4400]).max() <= np.abs(a[3500:4400]).max() // 4
+
+
+def test_streaming_filter_and_gate_chunk_invariance(rng):
+    from synthesizer_tpu.effects import StreamingBiquad, StreamingGate
+    x = rng.integers(-15000, 15000, size=(7000, 2)).astype(np.int16)
+    a = _chunked(lambda: StreamingBiquad(SR, 2, "lowpass", 900.0, 2.0),
+                 x, [7000])
+    b = _chunked(lambda: StreamingBiquad(SR, 2, "lowpass", 900.0, 2.0),
+                 x, [997, 1024, 333])
+    assert np.abs(a.astype(np.int64) - b.astype(np.int64)).max() <= 4
+    a = _chunked(lambda: StreamingGate(SR, threshold_db=-25.0), x, [7000])
+    b = _chunked(lambda: StreamingGate(SR, threshold_db=-25.0), x,
+                 [640, 2048])
+    assert np.abs(a.astype(np.int64) - b.astype(np.int64)).max() <= 2
+
+
+def _chunked(proc_factory, x, sizes):
+    import jax.numpy as jnp
+    proc = proc_factory()
+    outs, i, k = [], 0, 0
+    while i < len(x):
+        n = sizes[k % len(sizes)]
+        outs.append(np.asarray(proc.process(jnp.asarray(x[i:i + n]))))
+        i += n
+        k += 1
+    return np.concatenate(outs)

@@ -25,8 +25,10 @@ AMPMAX_GAIN = 12
 ECHO_GAIN = 3       # 1 + amount taps (amount=2 below)
 # effects (beyond-reference): budget from goldref.effects plus a small
 # multiplier for how they propagate an existing input error (dry+wet paths)
-FX_MULT = {"chorus": 2, "compress": 2, "reverb": 2, "convolve": 2}
-FX_COST = {"chorus": 2, "compress": 2, "reverb": 4, "convolve": 8}
+FX_MULT = {"chorus": 2, "compress": 2, "reverb": 2, "convolve": 2,
+           "filter": 2, "gate": 2}
+FX_COST = {"chorus": 2, "compress": 2, "reverb": 4, "convolve": 8,
+           "filter": 4, "gate": 2}
 # (stretch is deliberately NOT in the pool: the phase vocoder is nonlinear
 # in the signal — a tiny accumulated input difference flips princarg wrap
 # branches at near-zero bins and diverges arbitrarily; it gets its own
@@ -68,6 +70,8 @@ OPS = [
     ("reverb", lambda s: s.reverb(roomsize=0.6, damping=0.5, wet=0.25,
                                   dry=0.7, tail=0.03), 0),
     ("convolve", _fuzz_convolve, 0),
+    ("filter", lambda s: s.filter("lowpass", 1200.0, q=1.2), 0),
+    ("gate", lambda s: s.gate(threshold_db=-30.0, range_db=40.0), 0),
 ]
 
 
