@@ -350,6 +350,19 @@ def section_effects(SR):
     budget = max(8, 1e-4 * np.abs(g.frames).max())
     check("fx/convolve_fft", d <= budget, f"max {d} LSB (budget {budget:.0f})")
 
+    gold, dev = pair()
+    d = np.abs(dev.filter("lowpass", 900.0, q=2.0).get_frame_array()
+               .astype(np.int64)
+               - gold.filter("lowpass", 900.0, q=2.0).frames
+               .astype(np.int64)).max()
+    check("fx/sample_filter", d <= 4, f"max {d} LSB")
+
+    gold, dev = pair()
+    kw = dict(threshold_db=-25.0, range_db=60.0, attack=0.001, release=0.02)
+    d = np.abs(dev.gate(**kw).get_frame_array().astype(np.int64)
+               - gold.gate(**kw).frames.astype(np.int64)).max()
+    check("fx/gate", d <= 2, f"max {d} LSB")
+
     # phase-vocoder stretch: batched on-chip FFT + phase cumsum vs the
     # f64 host oracle (the FFT path has no other on-hardware coverage)
     t = np.arange(9000) / SR
