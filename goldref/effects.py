@@ -88,8 +88,17 @@ def compressor_gains(frames: np.ndarray, width: int, samplerate: int,
     algebraically-equal deviation form z = 1 - y so the g == 1 fixpoint is
     exact — under-threshold audio is bit-transparent on BOTH sides.)
     """
-    alpha, decay = compressor_coeffs(samplerate, attack, release)
     a = np.max(np.abs(_norm(frames, width)), axis=1).astype(np.float32)
+    return compressor_gains_from_level(a, samplerate, threshold_db, ratio,
+                                       attack, release)
+
+
+def compressor_gains_from_level(a: np.ndarray, samplerate: int,
+                                threshold_db: float, ratio: float,
+                                attack: float, release: float) -> np.ndarray:
+    """The gain recurrences from a precomputed f32 detector level ``a``
+    (also the sidechain entry point — the device twin mirrors the split)."""
+    alpha, decay = compressor_coeffs(samplerate, attack, release)
     slope = np.float32(1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio)
     thr = np.float32(threshold_db)
     n = a.shape[0]
@@ -109,15 +118,34 @@ def compressor_gains(frames: np.ndarray, width: int, samplerate: int,
     return gains
 
 
+def sidechain_level(key_frames: np.ndarray, key_width: int,
+                    n: int) -> np.ndarray:
+    """Detector input from a SIDECHAIN key: a_n = max over channels of
+    |key_n| for n < len(key), else 0 (past the key the envelope decays and
+    the gain releases back to 1).  f32; shared by both evaluators."""
+    a = np.max(np.abs(_norm(key_frames, key_width)), axis=1)         .astype(np.float32)
+    if len(a) >= n:
+        return a[:n]
+    return np.concatenate([a, np.zeros(n - len(a), np.float32)])
+
+
 def compress(frames: np.ndarray, width: int, samplerate: int,
              threshold_db: float = -20.0, ratio: float = 4.0,
              attack: float = 0.005, release: float = 0.1,
-             makeup_db: float = 0.0) -> np.ndarray:
-    """Apply the compressor: house gain rule with gain_n * makeup."""
-    g = compressor_gains(frames, width, samplerate, threshold_db, ratio,
-                         attack, release)
+             makeup_db: float = 0.0, sidechain: "np.ndarray" = None,
+             sidechain_width: int = 2) -> np.ndarray:
+    """Apply the compressor: house gain rule with gain_n * makeup.  With
+    ``sidechain`` (key frames [m, ch]) the detector listens to the KEY
+    while the gain applies to ``frames`` — classic ducking."""
+    if sidechain is not None:
+        det = sidechain_level(sidechain, sidechain_width, frames.shape[0])
+        gains = compressor_gains_from_level(det, samplerate, threshold_db,
+                                            ratio, attack, release)
+    else:
+        gains = compressor_gains(frames, width, samplerate, threshold_db,
+                                 ratio, attack, release)
     makeup = np.float32(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))
-    return _gain_floor(frames, (g * makeup)[:, None], width)
+    return _gain_floor(frames, (gains * makeup)[:, None], width)
 
 
 # ---------------------------------------------------------------------------

@@ -297,13 +297,17 @@ class Sample:
 
     def compress(self, threshold_db: float = -20.0, ratio: float = 4.0,
                  attack: float = 0.005, release: float = 0.1,
-                 makeup_db: float = 0.0) -> "Sample":
-        """Peak compressor / limiter (ratio=inf); spec:
-        goldref.effects.compressor_gains."""
+                 makeup_db: float = 0.0,
+                 sidechain: "Sample" = None) -> "Sample":
+        """Peak compressor / limiter (ratio=inf); with ``sidechain`` the
+        detector listens to the key sample (ducking).  Spec:
+        goldref.effects.compressor_gains / sidechain_level."""
         from . import effects
-        self.frames = effects.compress(self.frames, self.samplewidth,
-                                       self.samplerate, threshold_db, ratio,
-                                       attack, release, makeup_db)
+        self.frames = effects.compress(
+            self.frames, self.samplewidth, self.samplerate, threshold_db,
+            ratio, attack, release, makeup_db,
+            sidechain=None if sidechain is None else sidechain.frames,
+            sidechain_width=2 if sidechain is None else sidechain.samplewidth)
         return self
 
     def reverb(self, roomsize: float = 0.7, damping: float = 0.5,

@@ -196,6 +196,30 @@ def compressor_gains(frames: jax.Array, samplerate: int, threshold_db: float,
                                         decay)
 
 
+def compressor_gains_from_level(a: jax.Array, threshold_db, slope, alpha,
+                                decay, e0=0.0, z0=0.0,
+                                with_state: bool = False):
+    """Gain curve from a precomputed detector level ``a`` [n] (normalized
+    |signal|) — the sidechain entry point; formulas as below."""
+    e = decaying_max_scan(a, decay, init=e0)
+    level_db = jnp.float32(20.0) * jnp.log10(jnp.maximum(e, jnp.float32(1e-10)))
+    g_db = jnp.minimum(jnp.float32(0.0),
+                       (jnp.asarray(threshold_db, jnp.float32) - level_db)
+                       * jnp.asarray(slope, jnp.float32))
+    g = jnp.exp2(g_db * jnp.float32(1.0 / 6.0206))
+    # attack smoother in deviation-from-1 form: z = 1-y, z_n = (1-a) z_{n-1}
+    # + a (1-g_n), z_{-1} = 0 — algebraically the oracle's recurrence, but
+    # the parallel scan keeps the g == 1 fixpoint EXACT (under-threshold
+    # audio is bit-transparent instead of losing 1 LSB to a 0.99999994 gain)
+    al = jnp.asarray(alpha, jnp.float32)
+    coeff = jnp.broadcast_to(jnp.float32(1.0) - al, g.shape)
+    z = affine_scan(coeff, al * (jnp.float32(1.0) - g), init=z0)
+    gains = jnp.float32(1.0) - z
+    if with_state:
+        return gains, e[-1], z[-1]
+    return gains
+
+
 def compressor_gains_from_coeffs(frames: jax.Array, threshold_db, slope,
                                  alpha, decay, e0=0.0, z0=0.0,
                                  with_state: bool = False):

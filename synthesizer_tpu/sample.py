@@ -269,6 +269,23 @@ def _x_compress(x, st, dyn, leaves):
     return dpcm.gain_apply(x, (g * dyn[4])[:, None])
 
 
+def _x_compress_sc(x, st, dyn, leaves):
+    """Sidechain compression: the detector listens to the fused key
+    sub-program; the gain applies to x (goldref.effects.sidechain_level)."""
+    key_maxval, sub_ops = st
+    key = _run_ops(leaves[0], sub_ops, dyn[5:], leaves[1:])
+    from .ops import effects as dfx
+    a = jnp.max(jnp.abs(key.astype(jnp.float32)
+                        / jnp.float32(key_maxval)), axis=1)
+    n = x.shape[0]
+    if a.shape[0] >= n:
+        a = a[:n]
+    else:
+        a = jnp.concatenate([a, jnp.zeros(n - a.shape[0], jnp.float32)])
+    g = dfx.compressor_gains_from_level(a, dyn[0], dyn[1], dyn[2], dyn[3])
+    return dpcm.gain_apply(x, (g * dyn[4])[:, None])
+
+
 def _x_reverb(x, st, dyn, leaves):
     samplerate, tail_frames = st
     from .ops import effects as dfx
@@ -334,7 +351,7 @@ _EXEC = {
     "pan_patch": _x_pan_patch, "pan_sample": _x_pan_sample,
     "compress": _x_compress, "reverb": _x_reverb, "chorus": _x_chorus,
     "convolve": _x_convolve, "stretch": _x_stretch,
-    "biquad": _x_biquad, "gate": _x_gate,
+    "biquad": _x_biquad, "gate": _x_gate, "compress_sc": _x_compress_sc,
 }
 
 _program_cache: dict = {}
@@ -774,18 +791,32 @@ class Sample:
 
     def compress(self, threshold_db: float = -20.0, ratio: float = 4.0,
                  attack: float = 0.005, release: float = 0.1,
-                 makeup_db: float = 0.0) -> "Sample":
+                 makeup_db: float = 0.0,
+                 sidechain: Optional["Sample"] = None) -> "Sample":
         """Peak compressor / limiter (``ratio=math.inf``).  The detector and
         attack smoother run as log-depth associative scans on device
         (ops.effects); spec/tolerance: goldref.effects.compressor_gains.
         Knobs travel in the dyn vector, so tweaking them reuses the compiled
-        program."""
+        program.
+
+        With ``sidechain`` the detector listens to the KEY sample (classic
+        ducking — a kick keyed against a bass); the key's own staged chain
+        fuses in as a sub-program.  Past the key's end the envelope decays
+        and the gain releases back to 1."""
         from goldref.effects import compressor_coeffs
         alpha, decay = compressor_coeffs(self._samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
         makeup = float(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))
-        self._stage("compress", dyn=(threshold_db, slope, alpha, decay,
-                                     makeup))
+        knobs = (threshold_db, slope, alpha, decay, makeup)
+        if sidechain is None:
+            self._stage("compress", dyn=knobs)
+            return self
+        if sidechain._samplerate != self._samplerate:
+            raise ValueError("sidechain samplerate mismatch")
+        sub_ops, dyn, leaves = sidechain._as_subprogram()
+        self._stage("compress_sc",
+                    static=(MAXVAL[sidechain._samplewidth], sub_ops),
+                    dyn=knobs + dyn, leaves=leaves)
         return self
 
     def reverb(self, roomsize: float = 0.7, damping: float = 0.5,

@@ -380,3 +380,31 @@ def _chunked(proc_factory, x, sizes):
         i += n
         k += 1
     return np.concatenate(outs)
+
+
+@pytest.mark.parametrize("key_len", [2000, 6000])
+def test_sidechain_compress_matches_oracle(rng, key_len):
+    # the detector listens to the key (shorter/longer than the target)
+    gold, dev = make_pair(rng, n=4000, nch=2)
+    key = rng.integers(-30000, 30000, size=(key_len, 1)).astype(np.int16)
+    gkey = gs.Sample(key.copy(), SR, 2, 1)
+    dkey = Sample.from_raw_frames(key.tobytes(), 2, SR, 1)
+    kw = dict(threshold_db=-12.0, ratio=6.0, attack=0.002, release=0.03)
+    g = gold.compress(sidechain=gkey, **kw)
+    d = dev.compress(sidechain=dkey, **kw)
+    check_lsb(g, d, 2)
+
+
+def test_sidechain_ducking_behavior(rng):
+    # a loud key duck the (quiet, sustained) target while the key sounds
+    n = 8000
+    target = (np.ones((n, 1)) * 8000).astype(np.int16)
+    key = np.zeros((n, 1), np.int16)
+    key[1000:3000] = 30000
+    dev = Sample.from_raw_frames(target.tobytes(), 2, SR, 1)
+    dkey = Sample.from_raw_frames(key.tobytes(), 2, SR, 1)
+    out = dev.compress(threshold_db=-20.0, ratio=8.0, attack=0.001,
+                       release=0.01, sidechain=dkey).get_frame_array()
+    assert out[2500, 0] < 5000            # ducked while the key is loud
+    assert out[500, 0] == 8000            # untouched before the key
+    assert out[-1, 0] > 7000              # released after the key ends
