@@ -523,3 +523,60 @@ def gate(frames: np.ndarray, width: int, samplerate: int,
     g = gate_gains(frames, width, samplerate, threshold_db, range_db,
                    attack, release)
     return _gain_floor(frames, g[:, None], width)
+
+
+# ---------------------------------------------------------------------------
+# Granular synthesis
+# ---------------------------------------------------------------------------
+
+def grain_grid(n_in: int, samplerate: int, duration: float, grain: float,
+               density: float, jitter: float, seed: int):
+    """(in_pos [G], out_pos [G], grain_len, out_len) — host integer math
+    shared VERBATIM by both evaluators (like stretch_grid).
+
+    Grains land at regular output positions (density per second); each
+    reads a Hann-windowed slice whose input position walks the source
+    start-to-end, displaced by a deterministic jitter from the house
+    counter hash (goldref.osc.noise_u32): j_g = (h_g/2^31 - 1) in [-1, 1).
+    """
+    from .osc import noise_u32
+    out_len = max(int(duration * samplerate), 1)
+    L = max(int(grain * samplerate), 2)
+    G = max(int(duration * density), 1)
+    out_pos = (np.arange(G, dtype=np.float64)
+               * (samplerate / density)).astype(np.int64)
+    span = max(n_in - L, 0)
+    prog = np.rint(np.arange(G, dtype=np.float64)
+                   * (span / max(G - 1, 1))).astype(np.int64)
+    h = noise_u32(np.arange(G, dtype=np.uint64), seed)
+    j = (h.astype(np.float64) / 2147483648.0 - 1.0) * jitter * samplerate
+    in_pos = np.clip(prog + np.rint(j).astype(np.int64), 0, span)
+    return in_pos, out_pos, L, out_len
+
+
+def granulate(frames: np.ndarray, width: int, samplerate: int,
+              duration: float, grain: float = 0.05, density: float = 25.0,
+              jitter: float = 0.02, amplitude: float = 0.7,
+              seed: int = 0) -> np.ndarray:
+    """Granular resynthesis: scatter Hann-windowed grains of the source
+    onto a ``duration``-second canvas (grain_grid defines every position).
+
+        out[p_g + i] += amplitude * win_i * s[q_g + i]      (f32)
+
+    Output via the synthesis rule, length duration*sr.  Device twin: one
+    [G, L] gather + window multiply + scatter-add; budget <= 2 LSB at
+    16-bit per unit of overlap (add-order regrouping only — positions are
+    shared host integers)."""
+    n, nch = frames.shape
+    in_pos, out_pos, L, out_len = grain_grid(n, samplerate, duration, grain,
+                                             density, jitter, seed)
+    s = np.zeros((max(n, L), nch), np.float32)
+    s[:n] = _norm(frames, width)
+    win = (np.hanning(L + 1)[:L] * amplitude).astype(np.float32)
+    out = np.zeros((out_len, nch), np.float64)
+    for q, p in zip(in_pos, out_pos):
+        m = min(L, out_len - p)
+        if m <= 0:
+            continue
+        out[p:p + m] += (s[q:q + m] * win[:m, None]).astype(np.float64)
+    return _to_int(out.astype(np.float32), width)

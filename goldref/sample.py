@@ -362,6 +362,16 @@ class Sample:
                                        ir.frames, ir.samplewidth, wet, dry)
         return self
 
+    def granulate(self, duration: float, grain: float = 0.05,
+                  density: float = 25.0, jitter: float = 0.02,
+                  amplitude: float = 0.7, seed: int = 0) -> "Sample":
+        """Granular resynthesis; spec: goldref.effects.granulate."""
+        from . import effects
+        self.frames = effects.granulate(self.frames, self.samplewidth,
+                                        self.samplerate, duration, grain,
+                                        density, jitter, amplitude, seed)
+        return self
+
     def stretch(self, factor: float, frame: int = 2048,
                 hop: int = 512) -> "Sample":
         """Phase-vocoder time stretch (duration x factor, pitch kept);

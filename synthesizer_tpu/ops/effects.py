@@ -650,3 +650,30 @@ def stretch(frames: jax.Array, factor: float, frame: int = 2048,
         out = jnp.concatenate(
             [out, jnp.zeros((target - out_len, nch), jnp.float32)])
     return to_int_samples(out[:target], width)
+
+
+# ---------------------------------------------------------------------------
+# Granular synthesis
+# ---------------------------------------------------------------------------
+
+def granulate(frames: jax.Array, samplerate: int, duration: float,
+              grain: float, density: float, jitter: float, amplitude,
+              seed: int) -> jax.Array:
+    """Granular resynthesis; spec/grid/tolerance: goldref.effects.granulate.
+    TPU shape: ONE [G, L] gather builds every grain, one window multiply,
+    one scatter-add onto the canvas — positions are the shared host grid."""
+    from goldref.effects import grain_grid
+    width = dpcm.width_of(frames)
+    n, nch = frames.shape
+    in_pos, out_pos, L, out_len = grain_grid(n, samplerate, duration, grain,
+                                             density, jitter, seed)
+    s = jnp.concatenate(
+        [_norm(frames), jnp.zeros((max(n, L) - n, nch), jnp.float32)], axis=0)
+    win = jnp.asarray(np.hanning(L + 1)[:L], jnp.float32) \
+        * jnp.asarray(amplitude, jnp.float32)
+    gi = jnp.asarray(in_pos[:, None] + np.arange(L)[None, :])      # [G, L]
+    grains = s[gi] * win[None, :, None]                            # [G, L, ch]
+    oi = jnp.asarray(out_pos[:, None] + np.arange(L)[None, :])
+    out = jnp.zeros((out_len, nch), jnp.float32)
+    out = out.at[oi.reshape(-1)].add(grains.reshape(-1, nch), mode="drop")
+    return to_int_samples(out, width)

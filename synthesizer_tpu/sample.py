@@ -323,6 +323,13 @@ def _x_convolve(x, st, dyn, leaves):
     return dfx.convolve(x, ir_norm, dyn[0], dyn[1])
 
 
+def _x_granulate(x, st, dyn, leaves):
+    samplerate, duration, grain, density, jitter, seed = st
+    from .ops import effects as dfx
+    return dfx.granulate(x, samplerate, duration, grain, density, jitter,
+                         dyn[0], seed)
+
+
 def _x_stretch(x, st, dyn, leaves):
     factor, frame, hop = st
     from .ops import effects as dfx
@@ -352,6 +359,7 @@ _EXEC = {
     "compress": _x_compress, "reverb": _x_reverb, "chorus": _x_chorus,
     "convolve": _x_convolve, "stretch": _x_stretch,
     "biquad": _x_biquad, "gate": _x_gate, "compress_sc": _x_compress_sc,
+    "granulate": _x_granulate,
 }
 
 _program_cache: dict = {}
@@ -883,6 +891,23 @@ class Sample:
         self._stage("convolve", static=(MAXVAL[ir._samplewidth], sub_ops),
                     dyn=(wet, dry) + dyn, leaves=leaves)
         self._nframes += ir._nframes - 1
+        return self
+
+    def granulate(self, duration: float, grain: float = 0.05,
+                  density: float = 25.0, jitter: float = 0.02,
+                  amplitude: float = 0.7, seed: int = 0) -> "Sample":
+        """Granular resynthesis onto a ``duration``-second canvas (one
+        gather + one scatter-add on device); spec/tolerance:
+        goldref.effects.granulate.  Position/jitter params are static (the
+        grain grid is host-computed, jitter from the house counter hash)."""
+        from goldref.effects import grain_grid
+        _, _, _, out_len = grain_grid(self._nframes, self._samplerate,
+                                      duration, grain, density, jitter, seed)
+        self._stage("granulate",
+                    static=(self._samplerate, float(duration), float(grain),
+                            float(density), float(jitter), int(seed)),
+                    dyn=(amplitude,))
+        self._nframes = out_len
         return self
 
     def stretch(self, factor: float, frame: int = 2048,

@@ -408,3 +408,38 @@ def test_sidechain_ducking_behavior(rng):
     assert out[2500, 0] < 5000            # ducked while the key is loud
     assert out[500, 0] == 8000            # untouched before the key
     assert out[-1, 0] > 7000              # released after the key ends
+
+
+# ---------------------------------------------------------------------------
+# Granular synthesis
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nch,seed", [(1, 0), (2, 7)])
+def test_granulate_matches_oracle(rng, nch, seed):
+    gold, dev = make_pair(rng, n=6000, nch=nch)
+    kw = dict(duration=0.3, grain=0.03, density=40.0, jitter=0.01,
+              amplitude=0.6, seed=seed)
+    g, d = gold.granulate(**kw), dev.granulate(**kw)
+    assert d.nframes == g.nframes == int(0.3 * SR)
+    check_lsb(g, d, 2)
+    assert np.abs(g.frames).max() > 0
+
+
+def test_granulate_deterministic_seed(rng):
+    _, dev1 = make_pair(rng, n=4000, nch=1)
+    rng2 = np.random.default_rng(0xC0FFEE)
+    _, dev2 = make_pair(rng2, n=4000, nch=1)
+    a = dev1.granulate(duration=0.2, seed=3).get_frame_array()
+    b = dev2.granulate(duration=0.2, seed=3).get_frame_array()
+    np.testing.assert_array_equal(a, b)
+    _, dev3 = make_pair(np.random.default_rng(0xC0FFEE), n=4000, nch=1)
+    c = dev3.granulate(duration=0.2, seed=4).get_frame_array()
+    assert not np.array_equal(a, c)       # the seed matters
+
+
+def test_granulate_short_input():
+    a = _tone_mix(500, 1)                 # shorter than one grain
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 1)
+    out = dev.granulate(duration=0.1, grain=0.05).get_frame_array()
+    assert len(out) == int(0.1 * SR)
+    assert np.abs(out).max() > 0
