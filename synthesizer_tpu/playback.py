@@ -74,15 +74,19 @@ class WavSinkAudio(AudioApi):
         super().__init__(samplerate, samplewidth, nchannels)
         import wave
         self.filename = filename
+        self._closed = False
         self._wav = wave.open(filename, "wb")
         self._wav.setnchannels(nchannels)
         self._wav.setsampwidth(samplewidth)
         self._wav.setframerate(samplerate)
 
     def play_chunk(self, frames: np.ndarray) -> None:
+        if self._closed:
+            return          # close() raced a slow pump iteration (fx/jit)
         self._wav.writeframes(np.ascontiguousarray(frames).tobytes())
 
     def close(self) -> None:
+        self._closed = True
         self._wav.close()
 
 
@@ -336,7 +340,16 @@ class Output:
                     chunk = np.asarray(self.fx.process(chunk))
                 had_audio = active or (
                     had_audio and np.any(chunk))
-            self.api.play_chunk(chunk)
+            if self._closing:
+                break
+            try:
+                self.api.play_chunk(chunk)
+            except Exception:
+                # close() joins with a timeout; if a slow iteration (first
+                # fx/jit compile) overran it, the sink may already be shut
+                if self._closing:
+                    break
+                raise
             if self.meter is not None and self.mixer.active_count:
                 # the mixed chunk is already host memory: meter natively,
                 # no device round-trip on the realtime path
