@@ -396,6 +396,35 @@ def section_effects(SR):
     check("fx/chain_stream_eq_offline", len(got) == len(offline) and d <= 8,
           f"max {d} LSB over {len(got)} frames")
 
+    # per-SYNTH-track fx: the grouped bank's segment-scatter matmul (MXU)
+    # must hold the f32 contract, and the track chain must agree between
+    # the offline bus and the streaming per-chunk processors
+    from synthesizer_tpu.sequencer import SynthDef
+    song2 = Song()
+    song2.bpm = 240
+    song2.ticks = 4
+    song2.add_synth("lead", SynthDef(wave="square_bl", amplitude=0.25,
+                                     attack=0.005, release=0.05, pan=0.2))
+    song2.add_synth("pad", SynthDef(wave="sine", amplitude=0.2,
+                                    attack=0.02, release=0.1, pan=-0.3))
+    song2.add_instrument("kick", ws.sine(60, 0.1, amplitude=0.5)
+                         .fadeout(0.06).stereo())
+    song2.add_pattern("a", {"lead": "C4 .. E4 G4 - .. C5 ..",
+                            "pad": "C3 - - - G2 - - -",
+                            "kick": "x.x.x.x."})
+    song2.pattern_sequence = ["a", "a"]
+    song2.add_track_fx("lead", [("compress",
+                                 "threshold_db=-18 ratio=4"),
+                                ("reverb",
+                                 "roomsize=0.6 wet=0.3 dry=0.7 tail=0.15")])
+    off2 = song2.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got2 = np.concatenate([c.get_frame_array()
+                           for c in song2.mix_generator(chunk_frames=1470)])
+    d2 = np.abs(got2.astype(np.int64) - off2.astype(np.int64)).max()
+    check("fx/synth_track_stream_eq_offline",
+          len(got2) == len(off2) and d2 <= 8,
+          f"max {d2} LSB over {len(got2)} frames")
+
 
 def main(argv=None) -> int:
     import argparse

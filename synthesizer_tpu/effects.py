@@ -430,6 +430,15 @@ def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
     already reserved their decay room."""
     tail = chain_tail_frames(fx, sample.samplerate, ir_samples)
     sample.pad_frames(tail)
+    return run_fx_chain_ops(sample, fx, ir_samples)
+
+
+def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
+                     ir_samples: Optional[Dict[str, "object"]] = None):
+    """The op loop of ``apply_fx_sample`` WITHOUT the tail pad — for
+    callers that already reserved the chain's decay room in ``sample``
+    (e.g. a song's per-synth-track bus, rendered out to the padded song
+    length).  Length is preserved."""
     for name, p in fx:
         if name == "convolve":
             q = dict(p)

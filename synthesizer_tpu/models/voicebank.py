@@ -529,6 +529,19 @@ def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
     return fn
 
 
+def _bank_grouped_chunk_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
+                           ly: Optional[BankLayout], nseg: int):
+    key = ("grouped_chunk", cf, sr, H, uw, uf, ly, nseg)
+    fn = _bank_fn_cache.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(vp: VoiceParams, seg, n0):
+            return render_block(vp, n0, cf, sr, H, ly, uw, uf,
+                                seg=seg, nseg=nseg)
+        _bank_fn_cache[key] = fn
+    return fn
+
+
 class VoiceBank:
     """Compiled batched renderer for a fixed (V, chunk, samplerate) shape."""
 
@@ -603,6 +616,17 @@ class VoiceBank:
         nchunks = -(-total_frames // self.chunk_frames)
         out = fn(vp, jnp.asarray(seg, jnp.int32), nchunks)
         return out[:total_frames]
+
+    def render_chunk_grouped(self, vp: VoiceParams, seg, nseg: int,
+                             n0: int) -> jax.Array:
+        """One streaming chunk of the grouped render: stereo buses
+        f32 [chunk, nseg, 2] (stateless in the absolute frame index, like
+        ``render_chunk``).  Used by the sequencer's per-synth-track fx
+        path, where each fx'd track needs its own bus per chunk."""
+        fn = _bank_grouped_chunk_fn(self.chunk_frames, self.samplerate,
+                                    self.num_harmonics, self.used_waves,
+                                    self.use_fm, self.layout, int(nseg))
+        return fn(vp, jnp.asarray(seg, jnp.int32), jnp.int32(n0))
 
     def _pallas_layout(self) -> BankLayout:
         if self.layout is None or any(g[0] < 0 for g in self.layout.groups):

@@ -198,6 +198,12 @@ class Song:
         #: stateful chunk processors (synthesizer_tpu.effects)
         self.fx: List[Tuple[str, dict]] = []
         self.fx_irs: Dict[str, Sample] = {}      # convolve IRs by filename
+        #: per-SYNTH-track effects ([fx.SYNTHNAME] ini sections): unlike a
+        #: sample instrument (whose chain bakes into the banked WAV), a
+        #: synth track's chain processes the track's own stereo bus —
+        #: rendered per-segment by the grouped voice bank — before it
+        #: joins the int32 mix
+        self.synth_fx: Dict[str, List[Tuple[str, dict]]] = {}
 
     # -- loading ----------------------------------------------------------
 
@@ -296,22 +302,29 @@ class Song:
         return ir
 
     def add_track_fx(self, instrument: str, items, base: str = "") -> None:
-        """Per-track effects ([fx.INSTRUMENT] ini sections): the chain is
-        applied to the instrument's sample once at load, so it reaches BOTH
-        the offline scatter-add and the streaming path through the hit bank
-        (a reverb/convolve tail simply lengthens the banked sample)."""
+        """Per-track effects ([fx.NAME] ini sections).
+
+        A sample instrument's chain is applied to its sample once at load,
+        so it reaches BOTH the offline scatter-add and the streaming path
+        through the hit bank (a reverb/convolve tail simply lengthens the
+        banked sample).  A synth track's chain is stored and processes the
+        track's own stereo bus at mix time (synths shadow same-named
+        sample instruments here, matching pattern-track resolution)."""
         from .effects import apply_fx_sample, parse_fx_items
-        if instrument not in self.instruments:
+        if instrument not in self.instruments and instrument not in self.synths:
             raise ValueError(f"[fx.{instrument}]: unknown instrument "
                              f"{instrument!r} (define it in [instruments] "
-                             f"first)")
+                             f"or [synth.{instrument}] first)")
         fx = parse_fx_items(list(items))
         irs = {}
         for name, p in fx:
             if name == "convolve":
                 self._load_fx_ir(p["ir"], base)
                 irs[p["ir"]] = self.fx_irs[p["ir"]]
-        apply_fx_sample(self.instruments[instrument], fx, irs)
+        if instrument in self.synths:
+            self.synth_fx[instrument] = fx
+        else:
+            apply_fx_sample(self.instruments[instrument], fx, irs)
 
     def add_fx(self, name: str, ir: Optional[Sample] = None,
                **fx_params) -> None:
@@ -408,13 +421,16 @@ class Song:
         return HitSchedule(bank, lengths, names, hits_arr,
                            self.samplerate, C)
 
-    def compile_synth_voices(self) -> List[Voice]:
+    def compile_synth_voices(self, return_tracks: bool = False):
         """All melodic notes of the song -> one flat Voice list.
 
         A note token starts a voice at its tick; following '-' tokens tie
-        (extend the gate); '.'-only tokens are rests.
+        (extend the gate); '.'-only tokens are rests.  With
+        ``return_tracks`` also returns the aligned list of synth-track
+        names (one per voice — the per-track fx path groups on it).
         """
         voices: List[Voice] = []
+        tracks: List[str] = []
         tick = self.tick_duration
         bar_start = 0
         for pname in self.pattern_sequence:
@@ -434,6 +450,7 @@ class Song:
                     held = 1
                     while t + held < len(tokens) and tokens[t + held] == "-":
                         held += 1
+                    tracks.append(inst)
                     voices.append(Voice(
                         wave=sd.wave,
                         frequency=note_freq(tok),
@@ -450,6 +467,8 @@ class Song:
                     ))
                     t += held
             bar_start += nticks
+        if return_tracks:
+            return voices, tracks
         return voices
 
     def _synth_end_frame(self, voices: Sequence[Voice]) -> int:
@@ -509,6 +528,40 @@ class Song:
         if voices and self.nchannels != 2:
             raise ValueError("synth tracks require a stereo song format")
 
+    def _fx_synth_tracks(self, vtracks: Sequence[str]) -> List[str]:
+        """The fx'd synth tracks that actually sound in this song, in
+        their stable (sorted) segment order."""
+        present = set(vtracks)
+        return [n for n in sorted(self.synth_fx) if n in present]
+
+    def _synth_fx_tail(self, vtracks: Sequence[str]) -> int:
+        """Longest per-synth-track chain decay tail, in frames."""
+        names = self._fx_synth_tracks(vtracks)
+        if not names:
+            return 0
+        from .effects import chain_tail_frames
+        return max(chain_tail_frames(self.synth_fx[n], self.samplerate,
+                                     self.fx_irs) for n in names)
+
+    def _synth_fx_groups(self, voices: Sequence[Voice],
+                         vtracks: Sequence[str], chunk_frames: int):
+        """Pack ALL synth voices into ONE grouped bank whose pan matmul
+        scatters each voice onto its track's stereo bus: segment 0 is the
+        shared clean bus (tracks without fx), segments 1..N the fx'd
+        tracks in ``_fx_synth_tracks`` order.  Still a single device
+        render per chunk/song."""
+        fx_tracks = self._fx_synth_tracks(vtracks)
+        seg_index = {n: i + 1 for i, n in enumerate(fx_tracks)}
+        tags = [seg_index.get(t, 0) for t in vtracks]
+        vp, layout, seg = pack_voices(voices, self.samplerate,
+                                      num_harmonics=8, sort_by_wave=True,
+                                      tags=tags)
+        bank = VoiceBank.for_voices(voices, self.samplerate,
+                                    chunk_frames=chunk_frames,
+                                    num_harmonics=8, layout=layout,
+                                    nvoices=layout.nvoices)
+        return bank, vp, seg, fx_tracks
+
     def _synth_bank(self, voices: Sequence[Voice], chunk_frames: int):
         if self.nchannels != 2:
             raise ValueError("synth tracks require a stereo song format")
@@ -528,8 +581,9 @@ class Song:
         for seeking; ``mix()`` adds its own ``tail_seconds`` (default
         0.3 s) on top."""
         sched = self.compile_schedule()
-        voices = self.compile_synth_voices()
+        voices, vtracks = self.compile_synth_voices(return_tracks=True)
         return (max(sched.total_frames, self._synth_end_frame(voices))
+                + self._synth_fx_tail(vtracks)
                 + int(tail_seconds * self.samplerate))
 
     # -- offline mixdown ------------------------------------------------------
@@ -550,9 +604,15 @@ class Song:
         ``psum`` per chunk (≤1 LSB vs single-device from summation order).
         """
         sched = self.compile_schedule()
-        voices = self.compile_synth_voices()
+        voices, vtracks = self.compile_synth_voices(return_tracks=True)
         self._check_synth_format(voices)
+        fx_tracks = self._fx_synth_tracks(vtracks)
+        if fx_tracks and mesh is not None:
+            raise ValueError("per-synth-track fx ([fx.SYNTH] sections) is "
+                             "not supported with mesh= yet — render "
+                             "single-device or move the chain to [fx]")
         total = max(sched.total_frames, self._synth_end_frame(voices)) \
+            + self._synth_fx_tail(vtracks) \
             + int(tail_seconds * self.samplerate)
         if max_frames is not None:
             # a caller-imposed limit (the render server's DoS bound) must
@@ -590,10 +650,33 @@ class Song:
                 stereo = render_song_sharded(
                     vp, total, self.samplerate, chunk_frames=32768,
                     num_harmonics=8, mesh=mesh, used_waves=uw, use_fm=ufm)
+                out32 = out32 + jnp.rint(
+                    stereo * jnp.float32(32767.0)).astype(jnp.int32)
+            elif fx_tracks:
+                # grouped render: one program yields the clean bus plus a
+                # stereo bus per fx'd track; each bus quantizes to int16
+                # (exactly what a banked sample instrument would be) and
+                # its chain runs over the already-tail-padded song length
+                from .effects import run_fx_chain_ops
+                bank, vp, seg, fx_tracks = self._synth_fx_groups(
+                    voices, vtracks, chunk_frames=32768)
+                buses = bank.render_song_grouped(vp, seg,
+                                                 len(fx_tracks) + 1, total)
+                out32 = out32 + jnp.rint(
+                    buses[:, 0] * jnp.float32(32767.0)).astype(jnp.int32)
+                for i, tname in enumerate(fx_tracks):
+                    t16 = jnp.clip(
+                        jnp.rint(buses[:, i + 1] * jnp.float32(32767.0)),
+                        -32768, 32767).astype(jnp.int16)
+                    ts = Sample.from_jax(t16, self.samplerate, 2,
+                                         name=f"track:{tname}")
+                    run_fx_chain_ops(ts, self.synth_fx[tname], self.fx_irs)
+                    out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
             else:
                 bank, vp = self._synth_bank(voices, chunk_frames=32768)
                 stereo = bank.render_song(vp, total)
-            out32 = out32 + jnp.rint(stereo * jnp.float32(32767.0)).astype(jnp.int32)
+                out32 = out32 + jnp.rint(
+                    stereo * jnp.float32(32767.0)).astype(jnp.int32)
         if self.fx:
             # the master chain processes the int16-saturated mix — the SAME
             # signal the streaming path feeds its chunk processors, so fx
@@ -676,10 +759,16 @@ class Song:
         psum, ≤1 LSB vs single-device).
         """
         sched = self.compile_schedule()
-        voices = self.compile_synth_voices()
+        voices, vtracks = self.compile_synth_voices(return_tracks=True)
         self._check_synth_format(voices)
+        fx_tracks = self._fx_synth_tracks(vtracks)
+        if fx_tracks and mesh is not None:
+            raise ValueError("per-synth-track fx ([fx.SYNTH] sections) is "
+                             "not supported with mesh= yet — render "
+                             "single-device or move the chain to [fx]")
         cf = chunk_frames or params.norm_frames_per_chunk
-        total = max(sched.total_frames, self._synth_end_frame(voices))
+        total = (max(sched.total_frames, self._synth_end_frame(voices))
+                 + self._synth_fx_tail(vtracks))
         start_frame = int(start_frame)
         if start_frame < 0:
             raise ValueError("start_frame must be >= 0")
@@ -691,6 +780,8 @@ class Song:
         insts = sched.hits[:, 0]
         sbank = svp = None
         synth_chunk_fn = None
+        gbank = gvp = gseg = None
+        track_chains: Dict[str, "object"] = {}
         if voices:
             if mesh is not None:
                 from .parallel.mesh import (render_chunk_sharded_fn,
@@ -698,6 +789,16 @@ class Song:
                 svp, uw, ufm = song_synth_shards(voices, self.samplerate, mesh)
                 synth_chunk_fn = render_chunk_sharded_fn(
                     mesh, cf, self.samplerate, 8, uw, ufm)
+            elif fx_tracks:
+                # grouped chunk render + one stateful chain per fx'd
+                # track.  Seeking starts the chains cold at start_frame
+                # (same caveat as the master [fx] chain).
+                from .effects import FxChain
+                gbank, gvp, gseg, fx_tracks = self._synth_fx_groups(
+                    voices, vtracks, chunk_frames=cf)
+                track_chains = {
+                    n: FxChain(self.synth_fx[n], self.samplerate, 2,
+                               self.fx_irs) for n in fx_tracks}
             else:
                 sbank, svp = self._synth_bank(voices, chunk_frames=cf)
                 synth_chunk_fn = None
@@ -747,6 +848,16 @@ class Song:
             acc = chunk_fn(inst_k, start_k, valid_k, jnp.int32(c0))
             if synth_chunk_fn is not None:
                 synth_chunk = synth_chunk_fn(svp, jnp.int32(c0))
+            elif gbank is not None:
+                buses = gbank.render_chunk_grouped(gvp, gseg,
+                                                   len(fx_tracks) + 1, c0)
+                synth_chunk = buses[:, 0]
+                for i, tname in enumerate(fx_tracks):
+                    t16 = jnp.clip(
+                        jnp.rint(buses[:, i + 1] * jnp.float32(32767.0)),
+                        -32768, 32767).astype(jnp.int16)
+                    acc = acc + track_chains[tname].process(t16) \
+                        .astype(jnp.int32)
             elif sbank is not None:
                 synth_chunk = sbank.render_chunk(svp, c0)
             else:

@@ -266,3 +266,148 @@ def test_output_fx_requires_mixed():
     chain = FxChain([("compress", {})], SR, 2)
     with pytest.raises(ValueError, match="mixed"):
         Output(samplerate=SR, nchannels=2, mixing="sequential", fx=chain)
+
+
+# ---------------------------------------------------------------------------
+# Per-SYNTH-track fx ([fx.SYNTHNAME] — the track's bus is rendered by the
+# grouped voice bank and processed before joining the int32 mix)
+# ---------------------------------------------------------------------------
+
+def make_synth_song(lead_fx=None, with_pad=False, with_drums=False,
+                    amplitude=0.25):
+    from synthesizer_tpu.sequencer import SynthDef
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.samplerate = SR
+    song.nchannels = 2
+    song.add_synth("lead", SynthDef(wave="square_bl", amplitude=amplitude,
+                                    attack=0.005, release=0.05, pan=0.2))
+    tracks = {"lead": "C4 .. E4 G4 - .. C5 ..", }
+    if with_pad:
+        song.add_synth("pad", SynthDef(wave="sine", amplitude=amplitude,
+                                       attack=0.02, release=0.1, pan=-0.3))
+        tracks["pad"] = "C3 - - - G2 - - -"
+    if with_drums:
+        synth = WaveSynth(samplerate=SR, samplewidth=2)
+        song.add_instrument("kick", synth.sine(60.0, 0.1, amplitude=0.5)
+                            .fadeout(0.06).stereo())
+        tracks["kick"] = "x.x.x.x."
+    song.add_pattern("a", tracks)
+    song.pattern_sequence = ["a", "a"]
+    if lead_fx:
+        song.add_track_fx("lead", lead_fx)
+    return song
+
+
+def test_synth_track_fx_ini_roundtrip(tmp_path):
+    ini = tmp_path / "song.ini"
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[synth.lead]
+wave = sawtooth_bl
+amplitude = 0.3
+[pattern.a]
+lead = C4 E4 G4 C5
+[fx.lead]
+filter = kind=lowpass cutoff=1200 q=1.2
+compress = threshold_db=-18 ratio=3
+""")
+    song = Song.from_ini(str(ini))
+    assert "lead" in song.synth_fx
+    assert [n for n, _ in song.synth_fx["lead"]] == ["filter", "compress"]
+    # still rejects chains on names that are neither samples nor synths
+    ini.write_text(ini.read_text().replace("[fx.lead]", "[fx.ghost]"))
+    with pytest.raises(ValueError, match="unknown instrument"):
+        Song.from_ini(str(ini))
+
+
+def test_synth_track_fx_offline_matches_solo_oracle():
+    """A solo fx'd synth track mixes to: quantize the track's bus to int16,
+    run the chain over the tail-padded song length."""
+    from synthesizer_tpu.effects import run_fx_chain_ops
+    fx = [("filter", "kind=lowpass cutoff=1500 q=2.0"),
+          ("compress", "threshold_db=-20 ratio=4")]
+    song = make_synth_song(lead_fx=fx)
+    got = song.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+
+    oracle = make_synth_song(lead_fx=None)
+    voices = oracle.compile_synth_voices()
+    total = len(got) // 1  # frames (stereo array is [n, 2]? get_frame_array)
+    total = got.shape[0]
+    bank, vp = oracle._synth_bank(voices, chunk_frames=32768)
+    stereo = bank.render_song(vp, total)
+    t16 = np.clip(np.rint(np.asarray(stereo) * 32767.0), -32768, 32767) \
+        .astype(np.int16)
+    ts = Sample.from_jax(__import__("jax").numpy.asarray(t16), SR, 2)
+    run_fx_chain_ops(ts, song.synth_fx["lead"], {})
+    expect = ts.get_frame_array()
+    d = np.abs(got.astype(np.int64) - expect.astype(np.int64)).max()
+    # grouped-vs-flat pan matmul order (1) amplified through a Q=2 filter
+    assert d <= 4, d
+
+
+def test_synth_track_fx_clean_tracks_unaffected():
+    """The fx'd track's chain must not touch the clean bus or the drums:
+    at non-saturating levels the mix decomposes into solo mixes."""
+    fx = [("filter", "kind=lowpass cutoff=1000 q=0.7071")]
+    full = make_synth_song(lead_fx=fx, with_pad=True, with_drums=True,
+                           amplitude=0.15)
+    lead_only = make_synth_song(lead_fx=fx, amplitude=0.15)
+    rest = make_synth_song(lead_fx=None, with_pad=True, with_drums=True,
+                           amplitude=0.15)
+    # render all to the full song's length
+    n = full.duration_frames(0.1)
+    a = full.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+    def solo(song, drop_lead=False):
+        s = song.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+        out = np.zeros((n, 2), np.int64)
+        out[:len(s)] += s.astype(np.int64)
+        return out
+    b = solo(lead_only)
+    rest.synths.pop("lead", None)
+    for p in rest.patterns.values():
+        p.pop("lead", None)
+    c = solo(rest)
+    d = np.abs(a.astype(np.int64) - (b + c)).max()
+    assert d <= 2, d
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_synth_track_fx_streaming_equals_offline(chunk):
+    fx = [("compress", "threshold_db=-18 ratio=4 attack=0.002 release=0.05"),
+          ("reverb", "roomsize=0.6 wet=0.3 dry=0.7 tail=0.15")]
+    song = make_synth_song(lead_fx=fx, with_pad=True, with_drums=True)
+    offline = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(offline)
+    d = np.abs(got.astype(np.int64) - offline.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_synth_track_fx_tail_rings():
+    """A reverb on a synth track extends the song by its tail, and the
+    tail actually rings (on both paths)."""
+    fx = [("reverb", "roomsize=0.8 wet=0.6 dry=0.5 tail=0.2")]
+    song = make_synth_song(lead_fx=fx)
+    base = make_synth_song(lead_fx=None)
+    assert song.duration_frames() == base.duration_frames() + int(0.2 * SR)
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    tail = out[base.duration_frames():]
+    assert np.abs(tail[: int(0.05 * SR)]).max() > 0
+
+
+def test_synth_track_fx_mesh_raises():
+    import jax
+    from jax.sharding import Mesh
+    fx = [("compress", "threshold_db=-18")]
+    song = make_synth_song(lead_fx=fx)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("voices",))
+    with pytest.raises(ValueError, match="not supported with mesh"):
+        song.mix(mesh=mesh)
+    with pytest.raises(ValueError, match="not supported with mesh"):
+        next(song.mix_generator(mesh=mesh))
