@@ -107,6 +107,15 @@ pan = -0.1
 compress = threshold_db=-10 ratio=3 attack=0.004 release=0.12 makeup_db=1.5
 reverb = roomsize=0.45 damping=0.6 wet=0.14 dry=0.95 tail=0.6
 
+[fx.lead]
+; per-synth-track chain: the lead gets its own chorus bus
+chorus = rate=1.2 depth=0.002 delay=0.014 wet=0.35
+
+[automation]
+; hats ride up across the song; the whole mix fades over the outro
+track.hat.volume = 0:0.6 48:1.0
+master.volume = 0:1 96:1 112:0
+
 [pattern.intro]
 hat   = x.x. x.x. x.x. x.x.
 kick  = x... .... x... ....

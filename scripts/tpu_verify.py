@@ -425,6 +425,35 @@ def section_effects(SR):
           len(got2) == len(off2) and d2 <= 8,
           f"max {d2} LSB over {len(got2)} frames")
 
+    # automation curves: per-hit velocity must be rint-exact on the chip
+    # and the continuous master fade bit-equal between paths
+    song3 = Song()
+    song3.bpm = 240
+    song3.ticks = 4
+    song3.add_instrument("kick", ws.sine(60, 0.08, amplitude=0.6)
+                         .fadeout(0.05).stereo())
+    song3.add_pattern("a", {"kick": "x...x...x...x..."})
+    song3.pattern_sequence = ["a"]
+    song3.add_automation("track.kick.volume", "0:1 12:0.25")
+    song3.add_automation("master.volume", "0:1 16:0.1")
+    off3 = song3.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got3 = np.concatenate([c.get_frame_array()
+                           for c in song3.mix_generator(chunk_frames=1470)])
+    exact = (len(got3) == len(off3)
+             and np.array_equal(got3, off3[:len(got3)]))
+    kick = song3.instruments["kick"].get_frame_array().astype(np.float64)
+    tickf = song3.tick_duration * SR
+    s2 = int(8 * tickf)       # third hit: velocity 0.5
+    vel = np.rint(kick * np.float32(0.5)).astype(np.float32)
+    n = (s2 + np.arange(len(kick))).astype(np.float32)
+    g = np.interp(n / np.float32(tickf), [0.0, 16.0], [1.0, 0.1]) \
+        .astype(np.float32)
+    expect = np.clip(np.rint(vel * g[:, None]), -32768, 32767)
+    d3 = np.abs(off3[s2:s2 + len(kick)].astype(np.int64)
+                - expect.astype(np.int64)).max()
+    check("fx/automation_velocity_and_fade", exact and d3 <= 1,
+          f"stream==offline {exact}, hit3 max {d3} LSB")
+
 
 def main(argv=None) -> int:
     import argparse

@@ -65,16 +65,20 @@ def stream_chunk_sharded_fn(mesh: Mesh, cf: int, lmax: int):
     key = ("stream_chunk", mesh, cf, lmax)
     fn = _sharded_fn_cache.get(key)
     if fn is None:
+        from ..sequencer import _scale_hits
+
         @jax.jit
         @functools.partial(
             jax.shard_map, mesh=mesh,
-            in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS), P()),
+            in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS),
+                      P(HITS_AXIS), P()),
             out_specs=P())
-        def fn(bank, inst_k, start_k, valid_k, c0):
+        def fn(bank, inst_k, start_k, valid_k, gain_k, c0):
             pos = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
             inrange = (pos >= 0) & (pos < lmax) & valid_k[:, None]
             pos_c = jnp.clip(pos, 0, lmax - 1)
             vals = bank[inst_k[:, None], pos_c]
+            vals = _scale_hits(vals, gain_k[:, None, None])
             vals = jnp.where(inrange[:, :, None], vals, 0)
             return jax.lax.psum(vals.sum(axis=0), HITS_AXIS)
         _sharded_fn_cache[key] = fn
@@ -161,7 +165,8 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
 
 
 def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
-                        total: int, mesh: Mesh) -> jax.Array:
+                        total: int, mesh: Mesh,
+                        hits_gain=None) -> jax.Array:
     """Sharded song scatter-add: hits distributed over the mesh, one int32
     ``psum`` merge.
 
@@ -169,6 +174,8 @@ def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
     result is BIT-EXACT vs the single-device scatter regardless of how
     hits land on devices.  The instrument bank is replicated (it is small:
     S x Lmax x C); each device gathers + scatter-adds only its hit shard.
+    ``hits_gain`` velocity-scales each hit before the int32 add (rounded
+    per hit, so sharding stays bit-exact).
     """
     from ..sequencer import _mixdown_kernel
 
@@ -181,6 +188,10 @@ def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
     # valid-mask multiply is needed
     start = np.concatenate([np.asarray(hits_start, np.int32),
                             np.full(pad, total, np.int32)])
+    if hits_gain is None:
+        hits_gain = np.ones(H, np.float32)
+    gain = np.concatenate([np.asarray(hits_gain, np.float32),
+                           np.zeros(pad, np.float32)])
 
     key = ("scatter", mesh, total)
     run = _sharded_fn_cache.get(key)
@@ -188,13 +199,14 @@ def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
         @jax.jit
         @functools.partial(
             jax.shard_map, mesh=mesh,
-            in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS)),
+            in_specs=(P(), P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS)),
             out_specs=P())
-        def run(bank, inst, start):
+        def run(bank, inst, start, gain):
             # memory-bounded batched scatter (shared with the single-device
             # path), then one int32 psum across the mesh
-            out = _mixdown_kernel(bank, inst, start, total)
+            out = _mixdown_kernel(bank, inst, start, total, gain)
             return jax.lax.psum(out, HITS_AXIS)
         _sharded_fn_cache[key] = run
 
-    return run(jnp.asarray(bank), jnp.asarray(inst), jnp.asarray(start))
+    return run(jnp.asarray(bank), jnp.asarray(inst), jnp.asarray(start),
+               jnp.asarray(gain))

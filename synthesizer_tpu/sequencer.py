@@ -42,6 +42,19 @@ Synth pattern tracks are whitespace-token based: a note name starts a note
 at that tick, ``-`` ties (extends) the previous note, ``.``/``..`` is a
 rest.  All synth notes of the whole song compile into ONE VoiceBank render
 that is mixed with the sample scatter-add in the widened int32 domain.
+
+**Beyond the reference — effects and automation sections.**
+
+    [fx]                          ; master-bus chain, in order
+    compress = threshold_db=-15 ratio=4
+    reverb = roomsize=0.7 wet=0.3 tail=0.25
+    [fx.kick]                     ; per-track chain (sample instrument:
+    filter = kind=lowpass cutoff=500   ; baked into the banked WAV)
+    [fx.lead]                     ; per-track chain (synth: processes the
+    chorus = rate=1.5                  ; track's own grouped-bank bus)
+    [automation]                  ; tick:value breakpoint curves
+    master.volume = 0:1 32:0.5 64:1    ; continuous per-frame fade
+    track.kick.volume = 0:1 16:0.25    ; per-hit / per-note velocity
 """
 
 from __future__ import annotations
@@ -87,13 +100,19 @@ class HitSchedule:
 
     def __init__(self, bank: np.ndarray, lengths: np.ndarray,
                  instruments: Sequence[str], hits: np.ndarray,
-                 samplerate: int, nchannels: int):
+                 samplerate: int, nchannels: int,
+                 gains: Optional[np.ndarray] = None):
         self.bank = bank              # [S, Lmax, C] int32 (unscaled values)
         self.lengths = lengths        # [S] valid frames per instrument
         self.instruments = list(instruments)
         self.hits = hits              # [H, 2] (instrument_idx, start_frame)
         self.samplerate = samplerate
         self.nchannels = nchannels
+        #: per-hit velocity gains [H] f32 (track volume automation); a
+        #: gain of 1.0 reproduces the pure-integer path bit-exactly
+        #: (bank values are int16-scale, exact in f32)
+        self.gains = (np.ones(len(hits), np.float32)
+                      if gains is None else np.asarray(gains, np.float32))
 
     @property
     def total_frames(self) -> int:
@@ -118,16 +137,37 @@ def _stream_chunk_fn(cf: int, lmax: int):
     fn = _chunk_fn_cache.get(key)
     if fn is None:
         @jax.jit
-        def fn(bank, inst_k, start_k, valid_k, c0):
+        def fn(bank, inst_k, start_k, valid_k, gain_k, c0):
             # rows: [K, cf] sample positions inside each hit's waveform
             pos = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
             inrange = (pos >= 0) & (pos < lmax) & valid_k[:, None]
             pos_c = jnp.clip(pos, 0, lmax - 1)
             vals = bank[inst_k[:, None], pos_c]          # [K, cf, C]
+            vals = _scale_hits(vals, gain_k[:, None, None])
             vals = jnp.where(inrange[:, :, None], vals, 0)
             return vals.sum(axis=0)                       # int32 [cf, C]
         _chunk_fn_cache[key] = fn
     return fn
+
+
+def _scale_hits(vals: jax.Array, gains: jax.Array) -> jax.Array:
+    """Velocity-scale gathered int32 hit waveforms: f32 product, round to
+    nearest.  Bank values are int16-scale (|v| <= 32767, exact in f32), so
+    a gain of 1.0 is the identity and the no-automation path stays
+    bit-exact with the historic pure-integer kernel."""
+    return jnp.rint(vals.astype(jnp.float32) * gains).astype(jnp.int32)
+
+
+@jax.jit
+def _master_volume_fn(x16, xs, vs, n0, tickf):
+    """Continuous master-volume automation: per-frame gain from the
+    breakpoint curve (linear interp over ticks, ends held), applied to
+    the int16-saturated mix.  Stateless in the absolute frame index, so
+    offline and streaming slices are bit-identical."""
+    n = (n0 + jnp.arange(x16.shape[0], dtype=jnp.int32)).astype(jnp.float32)
+    g = jnp.interp(n / tickf, xs, vs)
+    return jnp.clip(jnp.rint(x16.astype(jnp.float32) * g[:, None]),
+                    -32768, 32767).astype(jnp.int16)
 
 
 @jax.jit
@@ -139,25 +179,31 @@ def _finish_chunk(acc32, synth_stereo):
 
 
 def _mixdown_kernel(bank: jax.Array, hits_inst: jax.Array,
-                    hits_start: jax.Array, total: int) -> jax.Array:
+                    hits_start: jax.Array, total: int,
+                    hits_gain: Optional[jax.Array] = None) -> jax.Array:
     """All hits -> one scatter-add into the widened int32 song buffer.
 
     bank: [S, Lmax, C] int32; hits: [H].  Builds [batch, Lmax] frame
     indices (clipped rows drop via mode='drop') and scatter-adds the
-    gathered waveforms.  Hits are processed in memory-bounded batches
-    under ONE ``lax.scan`` (still a single device program): a dense song
-    with long samples would otherwise materialize an [H, Lmax, C] gather
-    of several GB.  Integer add is associative, so batching is bit-exact.
+    gathered waveforms, velocity-scaled by ``hits_gain`` (track volume
+    automation; None == all-ones == bit-exact integer path).  Hits are
+    processed in memory-bounded batches under ONE ``lax.scan`` (still a
+    single device program): a dense song with long samples would
+    otherwise materialize an [H, Lmax, C] gather of several GB.  Integer
+    add is associative, so batching is bit-exact.
     """
     H = int(hits_inst.shape[0])
     Lmax = int(bank.shape[1])
     C = int(bank.shape[2])
+    if hits_gain is None:
+        hits_gain = jnp.ones(H, jnp.float32)
     arange_l = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
     out = jnp.zeros((total, C), jnp.int32)
 
     batch = max(1, min(H, _SCATTER_BATCH_ELEMS // max(Lmax * C, 1)))
     if batch >= H:
-        vals = bank[hits_inst]                                # [H, Lmax, C]
+        vals = _scale_hits(bank[hits_inst],
+                           hits_gain[:, None, None])          # [H, Lmax, C]
         idx = hits_start[:, None] + arange_l
         return out.at[idx.reshape(-1)].add(vals.reshape(-1, C), mode="drop")
 
@@ -167,17 +213,19 @@ def _mixdown_kernel(bank: jax.Array, hits_inst: jax.Array,
     inst_p = jnp.concatenate([hits_inst, jnp.zeros(pad, jnp.int32)])
     start_p = jnp.concatenate([hits_start,
                                jnp.full(pad, total, jnp.int32)])
+    gain_p = jnp.concatenate([hits_gain, jnp.zeros(pad, jnp.float32)])
     inst_b = inst_p.reshape(nb, batch)
     start_b = start_p.reshape(nb, batch)
+    gain_b = gain_p.reshape(nb, batch)
 
     def body(acc, ib_sb):
-        ib, sb = ib_sb
-        vals = bank[ib]                                       # [batch, Lmax, C]
+        ib, sb, gb = ib_sb
+        vals = _scale_hits(bank[ib], gb[:, None, None])   # [batch, Lmax, C]
         idx = sb[:, None] + arange_l
         return acc.at[idx.reshape(-1)].add(vals.reshape(-1, C),
                                            mode="drop"), None
 
-    out, _ = jax.lax.scan(body, out, (inst_b, start_b))
+    out, _ = jax.lax.scan(body, out, (inst_b, start_b, gain_b))
     return out
 
 
@@ -204,6 +252,15 @@ class Song:
         #: rendered per-segment by the grouped voice bank — before it
         #: joins the int32 mix
         self.synth_fx: Dict[str, List[Tuple[str, dict]]] = {}
+        #: automation curves ([automation] ini section): breakpoint lists
+        #: of (tick, value) pairs, linearly interpolated, ends held.
+        #: ``track.NAME.volume`` scales each hit/note by the curve at its
+        #: start tick (velocity automation — applied at schedule compile,
+        #: so offline == streaming trivially); ``master.volume`` is a
+        #: continuous per-frame gain on the int16-saturated mix, applied
+        #: before the master [fx] chain (both paths evaluate the same
+        #: stateless absolute-frame formula)
+        self.automation: Dict[str, List[Tuple[float, float]]] = {}
 
     # -- loading ----------------------------------------------------------
 
@@ -288,6 +345,9 @@ class Song:
             if section.startswith("fx."):
                 inst = section[len("fx."):]
                 self.add_track_fx(inst, cp.items(section), base)
+        if cp.has_section("automation"):
+            for key, value in cp.items("automation"):
+                self.add_automation(key, value)
 
     def _load_fx_ir(self, filename: str, base: str) -> None:
         """Load a convolution impulse response, converted to the song's
@@ -325,6 +385,63 @@ class Song:
             self.synth_fx[instrument] = fx
         else:
             apply_fx_sample(self.instruments[instrument], fx, irs)
+
+    def add_automation(self, key: str, points) -> None:
+        """Attach an automation curve (the [automation] ini section).
+
+        ``key`` is ``master.volume`` or ``track.NAME.volume``; ``points``
+        is a breakpoint list — either ``[(tick, value), ...]`` or the ini
+        string form ``"0:1.0 16:0.5 32:1.0"``.  Ticks must be strictly
+        ascending; values are linearly interpolated between breakpoints
+        and held outside them.
+        """
+        if isinstance(points, str):
+            parsed = []
+            for tok in points.split():
+                if ":" not in tok:
+                    raise ValueError(f"automation {key}: breakpoint {tok!r} "
+                                     f"is not tick:value")
+                t, v = tok.split(":", 1)
+                parsed.append((float(t), float(v)))
+            points = parsed
+        pts = [(float(t), float(v)) for t, v in points]
+        if not pts:
+            raise ValueError(f"automation {key}: empty curve")
+        for (t0, _), (t1, _) in zip(pts, pts[1:]):
+            if t1 <= t0:
+                raise ValueError(f"automation {key}: ticks must be strictly "
+                                 f"ascending (got {t0} then {t1})")
+        for t, v in pts:
+            if not (np.isfinite(t) and np.isfinite(v)) or v < 0:
+                raise ValueError(f"automation {key}: bad breakpoint "
+                                 f"({t}, {v})")
+        parts = key.split(".")
+        if key == "master.volume":
+            pass
+        elif len(parts) == 3 and parts[0] == "track" and parts[2] == "volume":
+            name = parts[1]
+            if name not in self.instruments and name not in self.synths:
+                raise ValueError(f"automation {key}: unknown track "
+                                 f"{name!r}")
+        else:
+            raise ValueError(f"automation key {key!r} not understood "
+                             f"(master.volume or track.NAME.volume)")
+        self.automation[key] = pts
+
+    def _track_gain_at(self, name: str, tick: float) -> float:
+        pts = self.automation.get(f"track.{name}.volume")
+        if not pts:
+            return 1.0
+        xs = [t for t, _ in pts]
+        vs = [v for _, v in pts]
+        return float(np.interp(tick, xs, vs))
+
+    def _apply_master_volume(self, x16: jax.Array, n0: int) -> jax.Array:
+        pts = self.automation["master.volume"]
+        xs = jnp.asarray([t for t, _ in pts], jnp.float32)
+        vs = jnp.asarray([v for _, v in pts], jnp.float32)
+        tickf = jnp.float32(self.tick_duration * self.samplerate)
+        return _master_volume_fn(x16, xs, vs, jnp.int32(n0), tickf)
 
     def add_fx(self, name: str, ir: Optional[Sample] = None,
                **fx_params) -> None:
@@ -402,6 +519,7 @@ class Song:
             lengths[i] = len(a)
 
         hits: List[Tuple[int, int]] = []
+        gains: List[float] = []
         tickf = self.tick_duration * self.samplerate
         bar_start_ticks = 0
         for pname in self.pattern_sequence:
@@ -416,10 +534,13 @@ class Song:
                     if ch not in ". ":
                         start = int((bar_start_ticks + t) * tickf)
                         hits.append((index[inst], start))
+                        gains.append(self._track_gain_at(
+                            inst, bar_start_ticks + t))
             bar_start_ticks += nticks
         hits_arr = np.asarray(hits, np.int64).reshape(-1, 2)
         return HitSchedule(bank, lengths, names, hits_arr,
-                           self.samplerate, C)
+                           self.samplerate, C,
+                           gains=np.asarray(gains, np.float32))
 
     def compile_synth_voices(self, return_tracks: bool = False):
         """All melodic notes of the song -> one flat Voice list.
@@ -454,7 +575,8 @@ class Song:
                     voices.append(Voice(
                         wave=sd.wave,
                         frequency=note_freq(tok),
-                        amplitude=sd.amplitude,
+                        amplitude=sd.amplitude
+                        * self._track_gain_at(inst, bar_start + t),
                         pan=sd.pan,
                         start=(bar_start + t) * tick,
                         duration=held * tick,
@@ -635,13 +757,14 @@ class Song:
                 out32 = scatter_mix_sharded(
                     jnp.asarray(sched.bank),
                     sched.hits[:, 0].astype(np.int32),
-                    sched.hits[:, 1].astype(np.int32), total, mesh)
+                    sched.hits[:, 1].astype(np.int32), total, mesh,
+                    hits_gain=sched.gains)
             else:
                 out32 = _mixdown_kernel(
                     jnp.asarray(sched.bank),
                     jnp.asarray(sched.hits[:, 0].astype(np.int32)),
                     jnp.asarray(sched.hits[:, 1].astype(np.int32)),
-                    total)
+                    total, jnp.asarray(sched.gains))
         if voices:
             if mesh is not None:
                 from .parallel.mesh import (render_song_sharded,
@@ -677,16 +800,21 @@ class Song:
                 stereo = bank.render_song(vp, total)
                 out32 = out32 + jnp.rint(
                     stereo * jnp.float32(32767.0)).astype(jnp.int32)
-        if self.fx:
+        mv = self.automation.get("master.volume")
+        if self.fx or mv:
             # the master chain processes the int16-saturated mix — the SAME
             # signal the streaming path feeds its chunk processors, so fx
             # thresholds mean the same thing on both paths — and
-            # normalization happens LAST (mastering order: chain, then
-            # maximize).  The staged ops fuse into the mixdown program.
+            # normalization happens LAST (mastering order: volume
+            # automation, chain, then maximize).  The staged ops fuse into
+            # the mixdown program.
             from .effects import apply_fx_sample
             out16 = jnp.clip(out32, -32768, 32767).astype(jnp.int16)
+            if mv:
+                out16 = self._apply_master_volume(out16, 0)
             mixed = Sample.from_jax(out16, self.samplerate, 2, name="mixdown")
-            apply_fx_sample(mixed, self.fx, self.fx_irs)
+            if self.fx:
+                apply_fx_sample(mixed, self.fx, self.fx_irs)
             if normalize:
                 mixed.amplify_max()
             return mixed
@@ -711,6 +839,8 @@ class Song:
         is absent) — sonically fine, not bit-comparable.
         """
         gen = self._mix_generator_raw(chunk_frames, mesh, start_frame)
+        if "master.volume" in self.automation:
+            gen = self._volume_chunks(gen, start_frame)
         if not self.fx:
             yield from gen
             return
@@ -737,6 +867,17 @@ class Song:
                                   name=f"fxtail@{ck}")
             ck += 1
             left -= n
+
+    def _volume_chunks(self, gen: Iterator[Sample],
+                       start_frame: int) -> Iterator[Sample]:
+        """Apply master-volume automation chunk-wise (same absolute-frame
+        formula as the offline path — bit-exact at any chunk size)."""
+        n0 = int(start_frame)
+        for chunk in gen:
+            yield Sample.from_jax(
+                self._apply_master_volume(chunk.jax_frames, n0),
+                self.samplerate, 2, name=chunk.name)
+            n0 += chunk.nframes
 
     def _mix_generator_raw(self, chunk_frames: Optional[int] = None,
                            mesh=None, start_frame: int = 0) -> Iterator[Sample]:
@@ -825,14 +966,14 @@ class Song:
         if mesh is None:
             base_fn = _stream_chunk_fn(cf, lmax)
 
-            def chunk_fn(inst_k, start_k, valid_k, c0):
-                return base_fn(bank, inst_k, start_k, valid_k, c0)
+            def chunk_fn(inst_k, start_k, valid_k, gain_k, c0):
+                return base_fn(bank, inst_k, start_k, valid_k, gain_k, c0)
         else:
             from .parallel.mesh import stream_chunk_sharded_fn
             sharded_fn = stream_chunk_sharded_fn(mesh, cf, lmax)
 
-            def chunk_fn(inst_k, start_k, valid_k, c0):
-                return sharded_fn(bank, inst_k, start_k, valid_k, c0)
+            def chunk_fn(inst_k, start_k, valid_k, gain_k, c0):
+                return sharded_fn(bank, inst_k, start_k, valid_k, gain_k, c0)
 
         finish = _finish_chunk
 
@@ -840,12 +981,15 @@ class Song:
             hs = per_chunk[ci][:K]
             ii = insts[hs]
             ss = starts[hs]
+            gg = sched.gains[hs]
             pad = K - len(ii)
             inst_k = jnp.asarray(np.concatenate([ii, np.zeros(pad, np.int64)]).astype(np.int32))
             start_k = jnp.asarray(np.concatenate([ss, np.zeros(pad, np.int64)]).astype(np.int32))
             valid_k = jnp.asarray(np.concatenate([np.ones(len(ii), bool),
                                                   np.zeros(pad, bool)]))
-            acc = chunk_fn(inst_k, start_k, valid_k, jnp.int32(c0))
+            gain_k = jnp.asarray(np.concatenate([gg, np.zeros(pad, np.float32)])
+                                 .astype(np.float32))
+            acc = chunk_fn(inst_k, start_k, valid_k, gain_k, jnp.int32(c0))
             if synth_chunk_fn is not None:
                 synth_chunk = synth_chunk_fn(svp, jnp.int32(c0))
             elif gbank is not None:

@@ -1,0 +1,226 @@
+"""[automation] curves: track volume (per-hit/per-note velocity) and
+continuous master volume, on both the offline and streaming song paths.
+"""
+
+import numpy as np
+import pytest
+
+from synthesizer_tpu import WaveSynth
+from synthesizer_tpu.sequencer import Song, SynthDef
+
+SR = 44100
+
+
+def drum_song(curve=None):
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_instrument("kick", synth.sine(60.0, 0.08, amplitude=0.6)
+                        .fadeout(0.05).stereo())
+    song.add_pattern("a", {"kick": "x...x...x...x..."})
+    song.pattern_sequence = ["a"]
+    if curve is not None:
+        song.add_automation("track.kick.volume", curve)
+    return song
+
+
+def lead_song(track_curve=None, master_curve=None):
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_synth("lead", SynthDef(wave="square_bl", amplitude=0.3,
+                                    attack=0.005, release=0.05))
+    song.add_pattern("a", {"lead": "C4 .. .. .. C4 .. .. .."})
+    song.pattern_sequence = ["a"]
+    if track_curve is not None:
+        song.add_automation("track.lead.volume", track_curve)
+    if master_curve is not None:
+        song.add_automation("master.volume", master_curve)
+    return song
+
+
+# ---------------------------------------------------------------------------
+# Parsing / validation
+# ---------------------------------------------------------------------------
+
+def test_ini_automation_roundtrip(tmp_path):
+    ini = tmp_path / "song.ini"
+    wav = tmp_path / "kick.wav"
+    WaveSynth(samplerate=SR, samplewidth=2).sine(60, 0.05).stereo() \
+        .write_wav(str(wav))
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[instruments]
+kick = kick.wav
+[synth.lead]
+wave = sine
+[pattern.a]
+kick = x...x...
+lead = C4 .. C5 ..
+[automation]
+master.volume = 0:1.0 8:0.25
+track.kick.volume = 0:1 4:0.5
+track.lead.volume = 0:0.8
+""")
+    song = Song.from_ini(str(ini))
+    assert song.automation["master.volume"] == [(0.0, 1.0), (8.0, 0.25)]
+    assert song.automation["track.kick.volume"] == [(0.0, 1.0), (4.0, 0.5)]
+    assert song.automation["track.lead.volume"] == [(0.0, 0.8)]
+    # and it renders on both paths
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1000)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_automation_validation():
+    song = drum_song()
+    with pytest.raises(ValueError, match="strictly ascending"):
+        song.add_automation("track.kick.volume", "0:1 0:0.5")
+    with pytest.raises(ValueError, match="tick:value"):
+        song.add_automation("master.volume", "nonsense")
+    with pytest.raises(ValueError, match="unknown track"):
+        song.add_automation("track.ghost.volume", "0:1")
+    with pytest.raises(ValueError, match="not understood"):
+        song.add_automation("track.kick.cutoff", "0:1")
+    with pytest.raises(ValueError, match="bad breakpoint"):
+        song.add_automation("master.volume", "0:-1")
+    with pytest.raises(ValueError, match="empty"):
+        song.add_automation("master.volume", [])
+
+
+# ---------------------------------------------------------------------------
+# Track volume (velocity automation)
+# ---------------------------------------------------------------------------
+
+def test_drum_velocity_scales_hits():
+    """Hits pick up the curve value at their start tick: with the kick
+    at ticks 0/4/8/12 and a 1 -> 0.25 ramp over 12 ticks, each hit is an
+    exactly rint-scaled copy of the first."""
+    song = drum_song(curve="0:1 12:0.25")
+    sched = song.compile_schedule()
+    np.testing.assert_allclose(sched.gains, [1.0, 0.75, 0.5, 0.25])
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    kick = song.instruments["kick"].get_frame_array().astype(np.float64)
+    tickf = song.tick_duration * SR
+    for i, g in enumerate([1.0, 0.75, 0.5, 0.25]):
+        start = int(4 * i * tickf)
+        got = out[start:start + len(kick)]
+        expect = np.rint(kick * np.float32(g)).astype(np.int64)
+        np.testing.assert_array_equal(got.astype(np.int64), expect)
+
+
+def test_no_automation_is_bit_exact_integer_path():
+    """gain=1.0 must reproduce the historic pure-integer scatter."""
+    a = drum_song(curve=None).mix(normalize=False).get_frame_array()
+    b = drum_song(curve="0:1").mix(normalize=False).get_frame_array()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_synth_velocity_scales_notes():
+    """A note's amplitude scales by the curve at its start tick — the
+    second C4 at half volume equals a song whose synth amplitude is
+    halved for that note."""
+    song = lead_song(track_curve="0:1 4:0.5")
+    voices = song.compile_synth_voices()
+    assert [v.amplitude for v in voices] == pytest.approx([0.3, 0.15])
+    # oracle: same song, no automation, second-note synth def at half amp
+    out = song.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+    solo2 = lead_song()
+    solo2.synths["lead"].amplitude = 0.15
+    solo2.add_pattern("a", {"lead": ".. .. .. .. C4 .. .. .."})
+    b = solo2.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+    solo1 = lead_song()
+    solo1.add_pattern("a", {"lead": "C4 .. .. .. .. .. .. .."})
+    a = solo1.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+    n = min(len(out), len(a), len(b))
+    d = np.abs(out[:n].astype(np.int64)
+               - (a[:n].astype(np.int64) + b[:n].astype(np.int64))).max()
+    assert d <= 2, d
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_velocity_streaming_equals_offline(chunk):
+    song = drum_song(curve="0:1 12:0.1")
+    song.add_synth("lead", SynthDef(wave="sine", amplitude=0.2))
+    song.patterns["a"]["lead"] = "C4 - .. .. E4 - .. .."
+    song.add_automation("track.lead.volume", "0:1 8:0.3")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_velocity_sharded_mix_bit_exact():
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    song = drum_song(curve="0:1 12:0.25")
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False, mesh=voice_mesh(8)).get_frame_array()
+    np.testing.assert_array_equal(single, sharded)
+
+
+# ---------------------------------------------------------------------------
+# Master volume
+# ---------------------------------------------------------------------------
+
+def test_master_volume_fades_mix():
+    song = drum_song()
+    base = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    song.add_automation("master.volume", "0:1 16:0")
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    # expected: per-frame linear gain on the saturated mix
+    tickf = song.tick_duration * SR
+    n = np.arange(len(base), dtype=np.float32)
+    g = np.interp(n / np.float32(tickf), [0.0, 16.0], [1.0, 0.0]) \
+        .astype(np.float32)
+    expect = np.clip(np.rint(base.astype(np.float32) * g[:, None]),
+                     -32768, 32767).astype(np.int16)
+    d = np.abs(out.astype(np.int64) - expect.astype(np.int64)).max()
+    assert d <= 1, d        # host np.interp vs device interp rounding
+    # the fade actually fades: the last hit (tick 12, gain 0.25) renders
+    # at about a quarter of the unautomated peak
+    tick12 = int(12 * tickf)
+    seg = slice(tick12, tick12 + 1000)
+    assert np.abs(out[: 1000]).max() > 0
+    ratio = np.abs(out[seg]).max() / max(np.abs(base[seg]).max(), 1)
+    assert 0.15 < ratio < 0.35, ratio
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_master_volume_streaming_bit_exact(chunk):
+    song = lead_song(master_curve="0:1 8:0.2")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_master_volume_seek_bit_exact():
+    song = lead_song(master_curve="0:1 8:0.2")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    seek = 12345
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=2048,
+                                                      start_frame=seek)])
+    np.testing.assert_array_equal(got, off[seek:seek + len(got)])
+
+
+def test_master_volume_before_fx_chain():
+    """Mastering order: volume automation feeds the [fx] chain (a fade
+    into a compressor releases it, rather than the compressor output
+    being faded)."""
+    song = lead_song(master_curve="0:1 8:0")
+    song.add_fx("reverb", wet=0.5, dry=0.5, tail=0.1)
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    # with volume BEFORE the chain, the reverb tail of the faded signal
+    # still rings after the programme (it was fed pre-fade audio early on)
+    assert len(out) == song.duration_frames() + int(0.1 * SR)
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1470)])
+    assert len(got) == len(out)
+    d = np.abs(got.astype(np.int64) - out.astype(np.int64)).max()
+    assert d <= 8, d
