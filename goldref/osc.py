@@ -153,6 +153,30 @@ def _wave_values(node: S.Osc, p: np.ndarray, sr: int,
         lo = table[i]
         hi = table[(i + 1) % T]
         return (lo + (hi - lo) * frac).astype(np.float32)
+    if k == "pluck":
+        # Karplus-Strong, spectral form (goldref.spec docstring): random
+        # flat excitation with per-harmonic exponential decay whose rate
+        # is the KS averaging-loop gain cos(pi*k*f/sr) per period.
+        K = max(1, int(node.num_harmonics))
+        inc = S.phase_increment(node.frequency, sr)
+        ratio = np.float32(np.float32(inc) * np.float32(2.0 ** -32))
+        active = [kk for kk in range(1, K + 1)
+                  if inc != 0 and kk * inc < (1 << 31)]
+        u = noise_values(np.asarray(active or [1], np.uint32), node.seed)
+        denom = np.float32(max(np.abs(u.astype(np.float64)).sum(), 1e-30))
+        nrel = np.maximum(n_abs, 0).astype(np.float32)
+        acc = np.zeros(p.shape, np.float32)
+        for j, kk in enumerate(active):
+            a_k = np.float32(u[j] / denom)
+            phi = noise_u32(np.asarray([K + kk], np.uint32), node.seed)[0]
+            g = np.float32(np.cos(np.float32(math.pi) * np.float32(kk) * ratio))
+            alpha = (_F32(node.damping) * ratio
+                     * np.float32(np.log(np.maximum(g, np.float32(1e-30)))))
+            pk = ((p.astype(np.uint64) * np.uint64(kk)) + np.uint64(phi)) & _MASK
+            acc = acc + (a_k * np.exp(nrel * alpha)
+                         * np.sin(_TWO_PI * _phase_x(pk.astype(np.uint32)))
+                         .astype(np.float32))
+        return acc.astype(np.float32)
     if k == "sawtooth_bl":
         x = _phase_x(p)
         dt = node.frequency / sr

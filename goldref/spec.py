@@ -27,6 +27,26 @@ Numeric spec (the contract both evaluators implement):
 * value_n = bias + amplitude * wave(phase_n); the ``phase`` constructor
   argument is in turns.
 * White noise: sample-and-hold counter hash (``noise_u32``), seeded.
+* Pluck (Karplus–Strong in spectral form — the TPU-native formulation of
+  the classic delay-line/averager loop): with K = num_harmonics,
+  inc = phase_increment(f, sr), ratio = f32(inc) * 2**-32, and harmonic
+  k in 1..K active iff k*inc < 2**31 (below Nyquist):
+
+      u_k     = noise_values([k], seed)                      (excitation)
+      a_k     = u_k / f32(sum_f64 of |u_j| over active j)    (unit peak)
+      phi_k   = noise_u32([K + k], seed)                     (u32 phase)
+      alpha_k = damping * ratio * f32(log(cos(pi*k*ratio)))  (f32 steps)
+      value_n = sum_k a_k * exp(f32(n_rel) * alpha_k)
+                      * sin(2*pi * x(p*k + phi_k))
+
+  (the normalizing sum runs over the ACTIVE harmonics in float64, cast to
+  f32 once — |value| <= 1 by construction, like every other waveform)
+
+  cos(pi*k*ratio) is the one-pass gain of the KS averaging loop filter at
+  harmonic k; raising it to n*f/sr trips (= exp(n_rel*alpha)) is exactly
+  the recirculating decay, evaluated closed-form instead of sequentially.
+  n_rel is n_abs in the graph engine and (n - voice_start) in the voice
+  bank.
 """
 
 from __future__ import annotations
@@ -42,7 +62,7 @@ Node = Union[
 WAVEFORMS = (
     "sine", "triangle", "square", "sawtooth", "pulse", "semicircle",
     "pointy", "square_h", "sawtooth_h", "harmonics", "white_noise",
-    "sawtooth_bl", "square_bl", "wavetable",
+    "sawtooth_bl", "square_bl", "wavetable", "pluck",
 )
 
 
@@ -56,10 +76,11 @@ class Osc:
     fm_lfo: Optional[Node] = None
     pwm_lfo: Optional[Node] = None     # pulse only
     pulse_width: float = 0.5           # pulse only (no pwm_lfo)
-    num_harmonics: int = 8             # square_h / sawtooth_h
+    num_harmonics: int = 8             # square_h / sawtooth_h / pluck
     harmonics: Tuple[Tuple[float, float], ...] = ()  # harmonics kind: (ratio, amp)
-    seed: int = 0                      # white_noise
+    seed: int = 0                      # white_noise / pluck excitation
     table: Tuple[float, ...] = ()      # wavetable: one cycle, f32 values
+    damping: float = 1.0               # pluck: loop-loss exponent scale
 
     def __post_init__(self):
         if self.kind not in WAVEFORMS:

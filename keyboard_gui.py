@@ -30,7 +30,8 @@ from synthesizer_tpu.voice import RealtimeVoice
 
 WAVEFORMS = ["sine", "triangle", "square", "square_h", "sawtooth",
              "sawtooth_h", "pulse", "harmonics", "semicircle", "pointy",
-             "white_noise", "sawtooth_bl", "square_bl", "wavetable", "off"]
+             "white_noise", "sawtooth_bl", "square_bl", "wavetable",
+             "pluck", "off"]
 
 
 @dataclasses.dataclass
@@ -47,6 +48,8 @@ class OscSettings:
     num_harmonics: int = 16
     harmonics: Tuple[Tuple[float, float], ...] = ((1, 1.0), (2, 0.5), (4, 0.25))
     table: Tuple[float, ...] = (0.0, 0.7, 1.0, 0.7, 0.0, -0.7, -1.0, -0.7)
+    seed: int = 0                 # pluck/white_noise excitation
+    damping: float = 1.0          # pluck loop loss
 
 
 @dataclasses.dataclass
@@ -170,6 +173,10 @@ class SynthController:
             return osc.BandlimitedSquare(freq, **kw)
         if w == "wavetable":
             return osc.Wavetable(freq, s.table, fm_lfo=fm, **kw)
+        if w == "pluck":
+            return osc.Pluck(freq, amplitude=s.amplitude, phase=s.phase,
+                             num_harmonics=s.num_harmonics, seed=s.seed,
+                             damping=s.damping, samplerate=self.samplerate)
         raise ValueError(f"waveform {w!r}")
 
     def build_raw_patch(self, key_number: int,
@@ -377,6 +384,8 @@ class SynthController:
             s.phase = g.getfloat("phase", s.phase)
             s.pulse_width = g.getfloat("pulse_width", s.pulse_width)
             s.num_harmonics = g.getint("num_harmonics", s.num_harmonics)
+            s.seed = g.getint("seed", s.seed)
+            s.damping = g.getfloat("damping", s.damping)
             if g.get("table", "").strip():
                 s.table = tuple(float(x) for x in g.get("table").split())
             for attr in ("fm_source", "pwm_source"):

@@ -50,7 +50,7 @@ def max_lsb(got_f32, want_f32):
 GRAPH_KINDS = ("sine", "triangle", "square", "sawtooth", "pulse",
                "square_h", "sawtooth_h", "harmonics", "white_noise",
                "semicircle", "pointy", "sawtooth_bl", "square_bl",
-               "wavetable")
+               "wavetable", "pluck")
 #: waveforms with an infinite-slope edge: phase rounding puts isolated
 #: samples on the other side of the edge (documented budget, CLAUDE.md)
 EDGE_KINDS = {"semicircle", "square", "pulse", "square_bl", "sawtooth",
@@ -75,6 +75,9 @@ def section_graph(SR, n, blocksize):
         if kind == "wavetable":
             rng = np.random.default_rng(7)
             kw["table"] = tuple(float(x) for x in rng.uniform(-1, 1, 64))
+        if kind == "pluck":
+            kw["num_harmonics"] = 12
+            kw["seed"] = 5
         kw.update(over)
         freq = SR if kind == "white_noise" else 440.0
         return S.Osc(kind, freq, **kw)
@@ -127,6 +130,9 @@ def section_bank(SR, n):
         if wave == "wavetable":
             rngw = np.random.default_rng(13)
             kw["table"] = tuple(float(x) for x in rngw.uniform(-1, 1, 48))
+        if wave == "pluck":
+            kw["seed"] = 21
+            kw["damping"] = 1.5
         fm_ok = wave in ("sine", "triangle")
         voices = []
         for i in range(4):
@@ -143,10 +149,9 @@ def section_bank(SR, n):
                                     num_harmonics=4, layout=layout,
                                     nvoices=layout.nvoices)
         got = np.asarray(bank.render_song(vp, n))
-        if wave == "wavetable":
-            print("SKIP  bank/wavetable/xla_vs_pallas_compiled  "
-                  "(XLA engine only: Mosaic lacks the per-voice gather)",
-                  flush=True)
+        if wave in ("wavetable", "pluck"):
+            print(f"SKIP  bank/{wave}/xla_vs_pallas_compiled  "
+                  "(XLA engine only)", flush=True)
         else:
             pal = np.asarray(bank.render_song(vp, n, engine="pallas"))
             dd = np.abs(got - pal).max()

@@ -61,13 +61,31 @@ def poly_blep(t: jax.Array, dt: float) -> jax.Array:
                                            jnp.float32(0.0)))
 
 
-def _noise_values(idx: jax.Array, seed: int) -> jax.Array:
+def _noise_u32_host(idx: int, seed: int) -> int:
+    """Host twin of the counter hash (pluck's static per-harmonic
+    excitation constants; spec: goldref/spec.py docstring)."""
+    M = 0xFFFFFFFF
+    x = (idx * 0x9E3779B9 + (seed & M)) & M
+    x ^= x >> 16
+    x = (x * 0x7FEB352D) & M
+    x ^= x >> 15
+    x = (x * 0x846CA68B) & M
+    x ^= x >> 16
+    return x
+
+
+def _noise_u32(idx: jax.Array, seed: int) -> jax.Array:
     x = idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + jnp.uint32(seed & 0xFFFFFFFF)
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x7FEB352D)
     x = x ^ (x >> 15)
     x = x * jnp.uint32(0x846CA68B)
     x = x ^ (x >> 16)
+    return x
+
+
+def _noise_values(idx: jax.Array, seed: int) -> jax.Array:
+    x = _noise_u32(idx, seed)
     return (x >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -23) - jnp.float32(1.0)
 
 
@@ -142,6 +160,33 @@ def _wave_values(node: S.Osc, p: jax.Array, sr: int, n_abs: jax.Array,
         lo = table[i]
         hi = table[(i + 1) % T]
         return lo + (hi - lo) * frac
+    if k == "pluck":
+        # Karplus-Strong, spectral form (spec: goldref/spec.py docstring).
+        # The node is static, so the per-harmonic excitation amps, phase
+        # offsets, and decay exponents are host-computed f32 numpy (same
+        # steps as the spec); only exp(n*alpha)*sin(phase) traces.
+        K = max(1, int(node.num_harmonics))
+        inc = S.phase_increment(node.frequency, sr)
+        ratio = np.float32(np.float32(inc) * np.float32(2.0 ** -32))
+        active = [kk for kk in range(1, K + 1)
+                  if inc != 0 and kk * inc < (1 << 31)]
+        u = np.asarray([np.float32(
+            (_noise_u32_host(kk, node.seed) >> 8)
+            * np.float32(2.0 ** -23) - np.float32(1.0))
+            for kk in (active or [1])], np.float32)
+        denom = np.float32(max(np.abs(u.astype(np.float64)).sum(), 1e-30))
+        nrel = jnp.maximum(n_abs, 0).astype(jnp.float32)
+        acc = jnp.zeros(p.shape, jnp.float32)
+        for j, kk in enumerate(active):
+            a_k = np.float32(u[j] / denom)
+            phi = _noise_u32_host(K + kk, node.seed)
+            g = np.float32(np.cos(np.float32(np.pi) * np.float32(kk) * ratio))
+            alpha = np.float32(np.float32(node.damping) * ratio
+                               * np.log(max(g, np.float32(1e-30))))
+            pk = p * jnp.uint32(kk) + jnp.uint32(phi)
+            acc = acc + (jnp.float32(a_k) * jnp.exp(nrel * jnp.float32(alpha))
+                         * sin_turns(_phase_x(pk)))
+        return acc
     if k == "sawtooth_bl":
         x = _phase_x(p)
         dt = node.frequency / sr

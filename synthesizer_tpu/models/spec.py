@@ -45,7 +45,7 @@ Node = Union[
 WAVEFORMS = (
     "sine", "triangle", "square", "sawtooth", "pulse", "semicircle",
     "pointy", "square_h", "sawtooth_h", "harmonics", "white_noise",
-    "sawtooth_bl", "square_bl", "wavetable",
+    "sawtooth_bl", "square_bl", "wavetable", "pluck",
 )
 
 
@@ -59,10 +59,11 @@ class Osc:
     fm_lfo: Optional[Node] = None
     pwm_lfo: Optional[Node] = None     # pulse only
     pulse_width: float = 0.5           # pulse only (no pwm_lfo)
-    num_harmonics: int = 8             # square_h / sawtooth_h
+    num_harmonics: int = 8             # square_h / sawtooth_h / pluck
     harmonics: Tuple[Tuple[float, float], ...] = ()  # harmonics kind: (ratio, amp)
-    seed: int = 0                      # white_noise
+    seed: int = 0                      # white_noise / pluck excitation
     table: Tuple[float, ...] = ()      # wavetable: one cycle, f32 values
+    damping: float = 1.0               # pluck: loop-loss exponent scale
 
     def __post_init__(self):
         if self.kind not in WAVEFORMS:

@@ -32,7 +32,9 @@ Voice waveforms: 0=sine 1=triangle 2=square 3=sawtooth 4=pulse 5=semicircle
 6=pointy 7=white_noise (sample-and-hold via ``frequency``) 8=harmonics
 (integer partials 1..H with per-voice amplitudes) 9=sawtooth_bl
 10=square_bl (polyBLEP bandlimited) 11=wavetable (canonical 256-sample
-single-cycle table, linear interp; XLA engine only).
+single-cycle table, linear interp; XLA engine only) 12=pluck
+(Karplus-Strong in spectral form, per-harmonic exponential decay; spec in
+goldref/spec.py; XLA engine only).
 """
 
 from __future__ import annotations
@@ -55,9 +57,9 @@ _TWO_NEG32 = np.float32(2.0 ** -32)
 WAVE_IDS = {
     "sine": 0, "triangle": 1, "square": 2, "sawtooth": 3, "pulse": 4,
     "semicircle": 5, "pointy": 6, "white_noise": 7, "harmonics": 8,
-    "sawtooth_bl": 9, "square_bl": 10, "wavetable": 11,
+    "sawtooth_bl": 9, "square_bl": 10, "wavetable": 11, "pluck": 12,
 }
-ALL_WAVES = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+ALL_WAVES = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
 
 #: canonical single-cycle table length for banked wavetable voices: user
 #: tables of any length are resampled to this at pack time (linear interp
@@ -110,6 +112,7 @@ class VoiceParams(NamedTuple):
     noise_hold: jax.Array  # i32 sample-and-hold period (frames, >=1)
     harm_amps: jax.Array   # f32 [V, H] partial amplitudes (wave id 8)
     table: jax.Array       # f32 [V, BANK_TABLE_LEN] wavetable (wave id 11)
+    damping: jax.Array     # f32 pluck loop-loss exponent scale (wave 12)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +137,7 @@ class Voice:
     seed: int = 0
     table: Sequence[float] = ()       # wave="wavetable": one cycle
     harmonics: Sequence[float] = ()   # partial amps for wave="harmonics"
+    damping: float = 1.0              # wave="pluck": loop-loss scale
 
 
 @dataclasses.dataclass(frozen=True)
@@ -269,6 +273,7 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
                        np.int32),
         harm_amps=jnp.asarray(harm),
         table=jnp.asarray(tables),
+        damping=arr(lambda x: x.damping, np.float32),
     )
 
 
@@ -287,13 +292,18 @@ def _triangle(x):
                                four * x - four))
 
 
-def _noise(idx, seed):
+def _noise_u32(idx, seed):
     x = idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + seed[:, None]
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x7FEB352D)
     x = x ^ (x >> 15)
     x = x * jnp.uint32(0x846CA68B)
     x = x ^ (x >> 16)
+    return x
+
+
+def _noise(idx, seed):
+    x = _noise_u32(idx, seed)
     return (x >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -23) - jnp.float32(1.0)
 
 
@@ -351,6 +361,40 @@ def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
         hib = u1b * u1b + (u1b + u1b) + one
         blep2 = jnp.where(x2 < dt, lob, jnp.where(x2 > one - dt, hib, jnp.float32(0.0)))
         return naive + blep - blep2
+    if wid == 12:
+        # pluck (Karplus-Strong, spectral form; spec: goldref/spec.py).
+        # Per-voice constants are device-computed from seed/inc/damping
+        # (voices are traced data here, unlike the static graph nodes):
+        # the k loop is static over the bank's harmonic budget.
+        K = max(1, num_harmonics)
+        inc = vp.base_inc                                  # u32 [v]
+        ratio = inc.astype(jnp.float32) * _TWO_NEG32       # f32 [v]
+        nrel = jnp.maximum(n[None, :] - vp.start[:, None], 0).astype(jnp.float32)
+        ks = jnp.arange(1, K + 1, dtype=jnp.uint32)[None, :]          # [1,K]
+        u = _noise(jnp.broadcast_to(ks, (inc.shape[0], K)), vp.seed)  # [v,K]
+        # active iff k*inc < 2^31 (exact integer Nyquist mask)
+        lim = jnp.asarray([(2 ** 31 - 1) // k for k in range(1, K + 1)],
+                          jnp.uint32)[None, :]
+        active = (inc[:, None] <= lim) & (inc[:, None] > 0)           # [v,K]
+        denom = jnp.maximum(jnp.sum(jnp.abs(u) * active, axis=1),
+                            jnp.float32(1e-30))                       # [v]
+        phi = _noise_u32(jnp.broadcast_to(
+            jnp.arange(K + 1, 2 * K + 1, dtype=jnp.uint32)[None, :],
+            (inc.shape[0], K)), vp.seed)                              # [v,K]
+        g = jnp.cos(jnp.float32(math.pi)
+                    * ks.astype(jnp.float32) * ratio[:, None])
+        alpha = (vp.damping[:, None] * ratio[:, None]
+                 * jnp.log(jnp.maximum(g, jnp.float32(1e-30))))       # [v,K]
+        acc = jnp.zeros((inc.shape[0],) + n.shape, jnp.float32)
+        for j in range(K):
+            kk = j + 1
+            pk = p * jnp.uint32(kk) + phi[:, j][:, None]
+            term = ((u[:, j] / denom)[:, None]
+                    * jnp.exp(nrel * alpha[:, j][:, None])
+                    * sin_turns(_phase_x(pk)))
+            acc = acc + jnp.where(active[:, j][:, None], term,
+                                  jnp.float32(0.0))
+        return acc
     if wid == 11:
         # banked wavetable: canonical [v, BANK_TABLE_LEN] table, linear
         # interp with wraparound (same arithmetic as the graph engine on
@@ -368,7 +412,8 @@ def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
 def _wave_select(p, vp: VoiceParams, n, num_harmonics: int,
                  used_waves: tuple = ALL_WAVES):
     """Per-voice waveform select (mixed group): computes every used family."""
-    used = tuple(w for w in used_waves if w != 8 or num_harmonics > 0)
+    used = tuple(w for w in used_waves
+                 if w not in (8, 12) or num_harmonics > 0)
     wid = vp.wave[:, None]
     out = None
     for w in used:
@@ -568,7 +613,7 @@ class VoiceBank:
         """Bank statically specialized to the waveforms/FM these voices use."""
         used = tuple(sorted({WAVE_IDS[v.wave] for v in voices})) or (0,)
         use_fm = any(v.fm_depth != 0.0 for v in voices)
-        if 8 not in used:
+        if 8 not in used and 12 not in used:
             num_harmonics = 0
         return cls(nvoices or len(voices), samplerate, chunk_frames,
                    num_harmonics, used_waves=used, use_fm=use_fm, layout=layout)

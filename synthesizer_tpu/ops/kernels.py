@@ -78,6 +78,10 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
                 "wavetable voices are not supported by the pallas engine "
                 "(Mosaic lacks the per-voice dynamic gather); use the XLA "
                 "engine")
+        if wid == 12:
+            raise ValueError(
+                "pluck voices are not supported by the pallas engine; "
+                "use the XLA engine")
         sl = slice(gstart, gstart + gcount)
         inc = base_inc[sl]              # [g, 1] i32
         p = phase0[sl] + n * inc        # [g, T] i32 wrap == u32 mod 2^32

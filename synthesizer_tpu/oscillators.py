@@ -30,6 +30,7 @@ __all__ = [
     "Oscillator", "Sine", "Triangle", "Square", "SquareH", "Sawtooth",
     "SawtoothH", "Pulse", "Harmonics", "WhiteNoise", "Linear", "Semicircle",
     "Pointy", "BandlimitedSawtooth", "BandlimitedSquare", "Wavetable",
+    "Pluck",
     "FastSine", "FastTriangle", "FastSquare", "FastSawtooth",
     "FastPulse", "FastSemicircle", "FastPointy", "EnvelopeFilter",
     "MixingFilter", "AmpModulationFilter", "DelayFilter", "EchoFilter",
@@ -232,6 +233,25 @@ class Wavetable(Oscillator):
         super().__init__(S.Osc("wavetable", frequency, amplitude, phase, bias,
                                fm_lfo=_child(fm_lfo),
                                table=tuple(float(v) for v in table)),
+                         _sr(samplerate))
+
+
+class Pluck(Oscillator):
+    """Karplus-Strong plucked string, spectral form (beyond-reference):
+    a seeded random excitation whose harmonics each decay at the KS
+    averaging-loop rate cos(pi*k*f/sr) per period — the recirculating
+    delay line evaluated closed-form, batched over harmonics instead of
+    sequentially over samples (spec: goldref/spec.py docstring).
+    ``damping`` scales the loop loss (>1 = more muted, <1 = longer ring);
+    ``num_harmonics`` is the excitation's partial budget."""
+    def __init__(self, frequency: float, amplitude: float = 1.0,
+                 phase: float = 0.0, bias: float = 0.0,
+                 num_harmonics: int = 24, seed: int = 0,
+                 damping: float = 1.0,
+                 samplerate: Optional[int] = None):
+        super().__init__(S.Osc("pluck", frequency, amplitude, phase, bias,
+                               num_harmonics=num_harmonics, seed=seed,
+                               damping=damping),
                          _sr(samplerate))
 
 

@@ -92,6 +92,8 @@ class SynthDef:
     pulse_width: float = 0.5
     harmonics: tuple = ()
     table: tuple = ()            # wave="wavetable": one cycle of samples
+    damping: float = 1.0         # wave="pluck": loop-loss exponent scale
+    seed: int = 0                # wave="pluck"/"white_noise" excitation
 
 
 class HitSchedule:
@@ -330,6 +332,8 @@ class Song:
                     pulse_width=g.getfloat("pulse_width", 0.5),
                     harmonics=tuple(float(x) for x in g.get("harmonics", "").split()),
                     table=tuple(float(x) for x in g.get("table", "").split()),
+                    damping=g.getfloat("damping", 1.0),
+                    seed=g.getint("seed", 0),
                 )
         for section in cp.sections():
             if section.startswith("pattern."):
@@ -586,6 +590,8 @@ class Song:
                         pulse_width=sd.pulse_width,
                         harmonics=sd.harmonics,
                         table=sd.table,
+                        damping=sd.damping,
+                        seed=sd.seed,
                     ))
                     t += held
             bar_start += nticks

@@ -213,6 +213,24 @@ class WaveSynth:
                          fm_lfo, table=tuple(float(v) for v in table))
         return self._gen(node)
 
+    def pluck(self, frequency: float, duration: float = 1.0,
+              amplitude: float = 0.9999, phase: float = 0.0,
+              bias: float = 0.0, num_harmonics: int = 24, seed: int = 0,
+              damping: float = 1.0) -> Sample:
+        """Karplus-Strong plucked string (beyond-reference; spectral KS —
+        see oscillators.Pluck / goldref/spec.py for the numeric spec)."""
+        node = S.Osc("pluck", frequency, amplitude, phase, bias,
+                     num_harmonics=num_harmonics, seed=seed, damping=damping)
+        return self._render(node, duration, "pluck")
+
+    def pluck_gen(self, frequency: float, amplitude: float = 0.9999,
+                  phase: float = 0.0, bias: float = 0.0,
+                  num_harmonics: int = 24, seed: int = 0,
+                  damping: float = 1.0) -> Iterator[Sample]:
+        node = S.Osc("pluck", frequency, amplitude, phase, bias,
+                     num_harmonics=num_harmonics, seed=seed, damping=damping)
+        return self._gen(node)
+
     def white_noise(self, frequency: float = 0.0, duration: float = 1.0,
                     amplitude: float = 0.9999, bias: float = 0.0,
                     seed: int = 0) -> Sample:

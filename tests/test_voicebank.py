@@ -20,6 +20,41 @@ from synthesizer_tpu.models.voicebank import (BankLayout, Voice, VoiceBank,
 SR = 44100
 
 
+def _pluck_shim(v: Voice, n: int) -> np.ndarray:
+    """Spec twin of the BANK's pluck voice (goldref/spec.py docstring):
+    absolute DDS phase but decay from the voice's start frame (the bank's
+    n_rel = n - start convention).  Built on goldref hash primitives."""
+    start = int(v.start * SR)
+    K = max(1, _PLUCK_K)
+    inc = int(round(v.frequency / SR * 2 ** 32)) & 0xFFFFFFFF
+    ratio = np.float32(np.float32(inc) * np.float32(2.0 ** -32))
+    active = [k for k in range(1, K + 1) if inc and k * inc < 2 ** 31]
+    u = go.noise_values(np.asarray(active or [1], np.uint32), v.seed)
+    denom = np.float32(max(np.abs(u.astype(np.float64)).sum(), 1e-30))
+    nn = np.arange(n, dtype=np.int64)
+    p0 = int(round((v.phase % 1.0) * 2 ** 32)) & 0xFFFFFFFF
+    p = (np.uint64(p0) + nn.astype(np.uint64) * np.uint64(inc)) \
+        & np.uint64(0xFFFFFFFF)
+    nrel = np.maximum(nn - start, 0).astype(np.float32)
+    acc = np.zeros(n, np.float32)
+    for j, k in enumerate(active):
+        a = np.float32(u[j] / denom)
+        phi = go.noise_u32(np.asarray([K + k], np.uint32), v.seed)[0]
+        g = np.float32(np.cos(np.float32(np.pi) * np.float32(k) * ratio))
+        alpha = np.float32(np.float32(v.damping) * ratio
+                           * np.log(max(g, np.float32(1e-30))))
+        pk = (p * np.uint64(k) + np.uint64(phi)) & np.uint64(0xFFFFFFFF)
+        x = pk.astype(np.uint32).astype(np.float32) * np.float32(2.0 ** -32)
+        acc = acc + (a * np.exp(nrel * alpha)
+                     * np.sin(np.float32(2 * np.pi) * x).astype(np.float32))
+    return (np.float32(v.bias)
+            + np.float32(v.amplitude) * acc).astype(np.float32)
+
+
+#: harmonic budget the pluck shim mirrors (= the bank's num_harmonics)
+_PLUCK_K = 4
+
+
 def oracle_voice(v: Voice, n: int) -> np.ndarray:
     """Render one Voice -> stereo f32 [n, 2] via the goldref patch oracle
     (non-FM voices) or the closed-form f64 FM twin.
@@ -29,6 +64,16 @@ def oracle_voice(v: Voice, n: int) -> np.ndarray:
     frame and gates everything outside [start, start+total).
     """
     start = int(v.start * SR)
+    if v.wave == "pluck":
+        vals = _pluck_shim(v, n)
+        g = go.envelope_gains(np.arange(n) - start, SR, _env_spec(v))
+        mono = (vals * g).astype(np.float32)
+        total = sum(_env_args(v)[:3]) + _env_args(v)[4]
+        t = (np.arange(n) - start) / SR
+        mono = np.where((t >= 0) & (t < total), mono, 0.0).astype(np.float32)
+        lg = np.float32(min(1.0, 1.0 - v.pan))
+        rg = np.float32(min(1.0, 1.0 + v.pan))
+        return np.stack([mono * lg, mono * rg], axis=1)
     if v.fm_depth != 0.0:
         mono = _fm_twin(v, n)
         g = go.envelope_gains(np.arange(n) - start, SR, _env_spec(v))
@@ -214,7 +259,7 @@ def test_adsr_zero_segment_edges():
 
 WAVE_POOL = ["sine", "triangle", "square", "sawtooth", "pulse", "pointy",
              "semicircle", "harmonics", "white_noise", "sawtooth_bl",
-             "square_bl", "wavetable"]
+             "square_bl", "wavetable", "pluck"]
 
 
 def rand_voice(rng):
@@ -229,6 +274,9 @@ def rand_voice(rng):
     if wave == "wavetable":
         kw["table"] = tuple(float(x) for x in
                             rng.uniform(-1, 1, int(rng.integers(3, 300))))
+    if wave == "pluck":
+        kw["seed"] = int(rng.integers(0, 1000))
+        kw["damping"] = float(rng.uniform(0.3, 3.0))
     fm = wave in ("sine", "triangle") and rng.random() < 0.4
     return Voice(
         wave=wave, frequency=float(rng.uniform(40, 2000)),
