@@ -93,6 +93,18 @@ sustain_level = 0.6
 release = 0.09
 pan = 0.25
 
+[synth.gtr]
+; Karplus-Strong plucked string (beyond-reference physical modeling)
+wave = pluck
+amplitude = 0.3
+damping = 1.4
+seed = 4
+attack = 0.0
+decay = 0.0
+sustain_level = 1.0
+release = 0.12
+pan = -0.35
+
 [synth.sub]
 wave = sine
 amplitude = 0.35
@@ -127,6 +139,7 @@ hat   = x.x. x.x. x.x. x.xx
 bass  = x... ..x. x... ..x.
 stab  = .... .... x... ....
 lead  = E4 .. G4 A4 -  .. E5 D5 -  .. A4 -  G4 .. E4 -
+gtr   = E3 .. .. B3 .. .. G3 .. E3 .. .. B2 .. .. A2 ..
 sub   = E2 -  -  -  A1 -  -  -  C2 -  -  -  B1 -  -  -
 
 [pattern.fill]
