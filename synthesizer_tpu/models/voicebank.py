@@ -34,7 +34,7 @@ Voice waveforms: 0=sine 1=triangle 2=square 3=sawtooth 4=pulse 5=semicircle
 10=square_bl (polyBLEP bandlimited) 11=wavetable (canonical 256-sample
 single-cycle table, linear interp; XLA engine only) 12=pluck
 (Karplus-Strong in spectral form, per-harmonic exponential decay; spec in
-goldref/spec.py; XLA engine only).
+goldref/spec.py; XLA + Pallas engines).
 """
 
 from __future__ import annotations

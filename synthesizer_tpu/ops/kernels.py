@@ -60,7 +60,7 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
             base_inc, phase0, amp, bias, start, gate,
             attack, decay, sustain_level, release,
             fm_inc, fm_phase0, fm_depth, fm_r, fm_c0,
-            pulse_width, seed, noise_hold, harm_amps,
+            pulse_width, seed, noise_hold, harm_amps, damping,
             out_ref,                     # [2, TILE]
             *, tile: int, samplerate: int, layout: BankLayout):
     t = pl.program_id(0)
@@ -78,10 +78,6 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
                 "wavetable voices are not supported by the pallas engine "
                 "(Mosaic lacks the per-voice dynamic gather); use the XLA "
                 "engine")
-        if wid == 12:
-            raise ValueError(
-                "pluck voices are not supported by the pallas engine; "
-                "use the XLA engine")
         sl = slice(gstart, gstart + gcount)
         inc = base_inc[sl]              # [g, 1] i32
         p = phase0[sl] + n * inc        # [g, T] i32 wrap == u32 mod 2^32
@@ -163,6 +159,52 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
                 naive = jnp.where(p >= 0, one, -one)
                 x2 = jnp.where(x < 0.5, x + jnp.float32(0.5), x - jnp.float32(0.5))
                 w = naive + blep(x) - blep(x2)
+        elif wid == 12:                                # pluck (spectral KS)
+            # spec: goldref/spec.py.  Per-voice constants recompute per
+            # tile ([g,1] ops — cheap); the k loop is static over H.
+            sign = jnp.int32(-2**31)
+
+            def hash_i32(idx_i32):
+                x = idx_i32 * jnp.int32(0x9E3779B9 - 2**32) + seed[sl]
+                x = x ^ jax.lax.shift_right_logical(x, 16)
+                x = x * jnp.int32(0x7FEB352D)
+                x = x ^ jax.lax.shift_right_logical(x, 15)
+                x = x * jnp.int32(0x846CA68B - 2**32)
+                return x ^ jax.lax.shift_right_logical(x, 16)
+
+            K = max(1, H)
+            # inc is bitcast u32 in i32; any ACTIVE harmonic needs
+            # k*inc_u < 2^31, so inc_u < 2^31 and the i32 value is the
+            # true magnitude wherever the mask is on
+            ratio = jnp.clip(inc.astype(jnp.float32) * _TWO_NEG32,
+                             jnp.float32(0.0), jnp.float32(0.5))
+            nrel = jnp.maximum((n - start[sl]).astype(jnp.float32),
+                               jnp.float32(0.0))                  # [g, T]
+            us, actives = [], []
+            denom = jnp.zeros(inc.shape, jnp.float32)
+            for k in range(1, K + 1):
+                uk = (jax.lax.shift_right_logical(
+                    hash_i32(jnp.full(inc.shape, k, jnp.int32)), 8)
+                    .astype(jnp.float32) * jnp.float32(2.0 ** -23) - one)
+                lim = jnp.int32((2**31 - 1) // k)
+                ak = ((inc ^ sign) <= (lim ^ sign)) & (inc != 0)  # unsigned
+                us.append(uk)
+                actives.append(ak)
+                denom = denom + jnp.where(ak, jnp.abs(uk), jnp.float32(0.0))
+            denom = jnp.maximum(denom, jnp.float32(1e-30))
+            w = jnp.zeros(p.shape, jnp.float32)
+            for k in range(1, K + 1):
+                phi = hash_i32(jnp.full(inc.shape, K + k, jnp.int32))
+                # cos(pi*k*ratio) via the shared sine poly:
+                # cos(pi*y) = sin(2*pi*(0.25 - y/2))
+                gk = _sin_v(_fold(jnp.float32(0.25)
+                                  - jnp.float32(0.5 * k) * ratio))
+                alpha = (damping[sl] * ratio
+                         * jnp.log(jnp.maximum(gk, jnp.float32(1e-30))))
+                pk = p * jnp.int32(k) + phi
+                term = ((us[k - 1] / denom) * jnp.exp(nrel * alpha)
+                        * _sin_v(_phase_v(pk)))
+                w = w + jnp.where(actives[k - 1], term, jnp.float32(0.0))
         else:
             raise ValueError(f"bad wave id {wid} in pallas layout")
 
@@ -225,6 +267,7 @@ def render_stereo_pallas(vp: VoiceParams, n0: jax.Array, *, nframes: int,
         _col_f32(vp.pulse_width), _col_i32(vp.seed),
         _col_i32(vp.noise_hold),
         vp.harm_amps.astype(jnp.float32),
+        _col_f32(vp.damping),
     ]
     kernel = functools.partial(_kernel, tile=tile, samplerate=samplerate,
                                layout=layout)
