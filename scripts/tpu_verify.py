@@ -460,6 +460,25 @@ def section_effects(SR):
     check("fx/automation_velocity_and_fade", exact and d3 <= 1,
           f"stream==offline {exact}, hit3 max {d3} LSB")
 
+    # fx.filter.cutoff automation: the per-frame-coefficient companion
+    # scan (MXU 2x2 products) must agree between the offline whole-signal
+    # call and streaming chunks on the chip
+    song4 = Song()
+    song4.bpm = 240
+    song4.ticks = 4
+    song4.add_synth("saw", SynthDef(wave="sawtooth_bl", amplitude=0.4,
+                                    attack=0.002, release=0.05))
+    song4.add_pattern("a", {"saw": "C3 - - - C3 - - - C3 - - - C3 - - -"})
+    song4.pattern_sequence = ["a"]
+    song4.add_fx("filter", kind="lowpass", cutoff=1000.0, q=2.0)
+    song4.add_automation("fx.filter.cutoff", "0:300 8:6000 16:300")
+    off4 = song4.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got4 = np.concatenate([c.get_frame_array()
+                           for c in song4.mix_generator(chunk_frames=1470)])
+    d4 = np.abs(got4.astype(np.int64) - off4.astype(np.int64)).max()
+    check("fx/automation_filter_sweep", len(got4) == len(off4) and d4 <= 8,
+          f"max {d4} LSB over {len(got4)} frames")
+
 
 def main(argv=None) -> int:
     import argparse

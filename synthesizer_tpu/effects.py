@@ -130,6 +130,88 @@ class StreamingBiquad:
         return y
 
 
+def swept_biquad_chunk(x: jax.Array, n0: int, kind: str, q: float,
+                       xs: jax.Array, vs: jax.Array, tickf: float,
+                       samplerate: int, state=None):
+    """Cutoff-automated biquad (the ``fx.filter.cutoff`` curve): per-frame
+    cutoff from the breakpoint curve (linear interp over ticks, ends held,
+    clipped to [10, 0.49*sr] Hz), per-frame RBJ coefficients in f32 (the
+    same formulas as the graph engine's LFO-swept Biquad), applied through
+    the shared companion-matrix scan with carried (x1,x2,y1,y2) state.
+
+    Stateless in the absolute frame index ``n0`` apart from the filter
+    state, so the offline whole-signal call (n0=0) and streaming chunks
+    agree within the filter's scan-regrouping budget at any chunk size.
+    Returns (y_int, new_state)."""
+    key = ("swept_biquad", kind, x.shape, str(x.dtype), samplerate,
+           int(xs.shape[0]))
+
+    def build():
+        @jax.jit
+        def fn(x, n0, qv, xs, vs, tickf, state):
+            width = dpcm.width_of(x)
+            s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
+            n = (n0 + jnp.arange(x.shape[0], dtype=jnp.int32)) \
+                .astype(jnp.float32)
+            fc = jnp.clip(jnp.interp(n / tickf, xs, vs),
+                          jnp.float32(10.0), jnp.float32(0.49 * samplerate))
+            w0 = jnp.float32(2.0 * math.pi / samplerate) * fc
+            alpha = jnp.sin(w0) / (jnp.float32(2.0) * qv)
+            cw = jnp.cos(w0)
+            one = jnp.float32(1.0)
+            if kind == "lowpass":
+                b0 = (one - cw) * jnp.float32(0.5)
+                b1 = one - cw
+                b2 = b0
+            elif kind == "highpass":
+                b0 = (one + cw) * jnp.float32(0.5)
+                b1 = -(one + cw)
+                b2 = b0
+            else:                                    # bandpass
+                b0 = alpha
+                b1 = jnp.zeros_like(alpha)
+                b2 = -alpha
+            a0r = one / (one + alpha)
+            coeffs = (b0 * a0r, b1 * a0r, b2 * a0r,
+                      (jnp.float32(-2.0) * cw) * a0r, (one - alpha) * a0r)
+            y, state = dfx.biquad_apply(s, coeffs, state)
+            return dfx.to_int_samples(y, width), state
+        return fn
+
+    if state is None:
+        z = jnp.zeros(x.shape[1], jnp.float32)
+        state = (z, z, z, z)
+    return _cached(key, build)(x, jnp.int32(n0), jnp.float32(q), xs, vs,
+                               jnp.float32(tickf), state)
+
+
+class SweptStreamingBiquad:
+    """Streaming twin of the cutoff-automation path: tracks the absolute
+    frame position across chunks so the curve stays aligned (a seek passes
+    its ``start_frame``; the filter state itself starts cold, like every
+    other seek-with-fx)."""
+
+    def __init__(self, samplerate: int, nchannels: int, kind: str,
+                 q: float, curve, tickf: float, start_frame: int = 0):
+        self.kind = kind
+        self.q = float(q)
+        self.xs = jnp.asarray([t for t, _ in curve], jnp.float32)
+        self.vs = jnp.asarray([v for _, v in curve], jnp.float32)
+        self.tickf = float(tickf)
+        self.samplerate = samplerate
+        z = jnp.zeros(nchannels, jnp.float32)
+        self._state = (z, z, z, z)
+        self._n0 = int(start_frame)
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        y, self._state = swept_biquad_chunk(
+            x, self._n0, self.kind, self.q, self.xs, self.vs, self.tickf,
+            self.samplerate, self._state)
+        self._n0 += int(x.shape[0])
+        return y
+
+
 class StreamingGate:
     """Chunked twin of ``Sample.gate``: detector envelope and smoother
     carry across chunks (the spec starts a stream closed)."""
@@ -365,13 +447,23 @@ class FxChain:
 
     def __init__(self, fx: Sequence[Tuple[str, dict]], samplerate: int,
                  nchannels: int,
-                 ir_samples: Optional[Dict[str, "object"]] = None):
+                 ir_samples: Optional[Dict[str, "object"]] = None,
+                 cutoff_curve=None, tickf: float = 0.0,
+                 start_frame: int = 0):
         self.processors = []
         for name, p in fx:
             if name == "compress":
                 proc = StreamingCompressor(samplerate, **p)
             elif name == "filter":
-                proc = StreamingBiquad(samplerate, nchannels, **p)
+                if cutoff_curve is not None:
+                    # fx.filter.cutoff automation: the curve replaces the
+                    # entry's static cutoff
+                    proc = SweptStreamingBiquad(
+                        samplerate, nchannels, p["kind"],
+                        p.get("q", 0.7071), cutoff_curve, tickf,
+                        start_frame)
+                else:
+                    proc = StreamingBiquad(samplerate, nchannels, **p)
             elif name == "gate":
                 proc = StreamingGate(samplerate, **p)
             elif name == "reverb":
@@ -417,7 +509,8 @@ def chain_tail_frames(fx: Sequence[Tuple[str, dict]], samplerate: int,
 
 
 def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
-                    ir_samples: Optional[Dict[str, "object"]] = None):
+                    ir_samples: Optional[Dict[str, "object"]] = None,
+                    cutoff_curve=None, tickf: float = 0.0):
     """Apply the chain OFFLINE by staging the lazy Sample ops (the whole
     chain fuses into the sample's device program).  Returns the sample.
 
@@ -430,15 +523,22 @@ def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
     already reserved their decay room."""
     tail = chain_tail_frames(fx, sample.samplerate, ir_samples)
     sample.pad_frames(tail)
-    return run_fx_chain_ops(sample, fx, ir_samples)
+    return run_fx_chain_ops(sample, fx, ir_samples,
+                            cutoff_curve=cutoff_curve, tickf=tickf)
 
 
 def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
-                     ir_samples: Optional[Dict[str, "object"]] = None):
+                     ir_samples: Optional[Dict[str, "object"]] = None,
+                     cutoff_curve=None, tickf: float = 0.0):
     """The op loop of ``apply_fx_sample`` WITHOUT the tail pad — for
     callers that already reserved the chain's decay room in ``sample``
     (e.g. a song's per-synth-track bus, rendered out to the padded song
-    length).  Length is preserved."""
+    length).  Length is preserved.
+
+    With ``cutoff_curve`` (fx.filter.cutoff automation) the filter entry
+    runs eagerly as the whole-signal swept biquad (n0=0) instead of the
+    staged constant-coefficient op — the one automation point in the
+    chain; everything else still stages/fuses."""
     for name, p in fx:
         if name == "convolve":
             q = dict(p)
@@ -449,6 +549,13 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
             q = dict(p)
             q["tail"] = 0.0
             sample.reverb(**q)
+        elif name == "filter" and cutoff_curve is not None:
+            xs = jnp.asarray([t for t, _ in cutoff_curve], jnp.float32)
+            vs = jnp.asarray([v for _, v in cutoff_curve], jnp.float32)
+            y, _ = swept_biquad_chunk(
+                sample.jax_frames, 0, p["kind"], p.get("q", 0.7071),
+                xs, vs, tickf, sample.samplerate)
+            sample._replace_frames(y)
         else:
             getattr(sample, name)(**p)
     return sample

@@ -524,6 +524,17 @@ class Sample:
         s._nframes = int(data.shape[0])
         return s
 
+    def _replace_frames(self, data: jax.Array) -> "Sample":
+        """Swap in new device frames of the same format, in place (used by
+        the eager fx-automation path, which computes outside the lazy IR).
+        Any staged ops must already be materialized by the caller."""
+        assert not self._ops and data.ndim == 2 \
+            and data.dtype == _DTYPES[self._samplewidth]
+        self._base = data
+        self._nchannels = int(data.shape[1])
+        self._nframes = int(data.shape[0])
+        return self
+
     def copy(self) -> "Sample":
         s = Sample(name=self.name)
         s._base = self._base          # jax arrays are immutable

@@ -55,6 +55,7 @@ that is mixed with the sample scatter-add in the widened int32 domain.
     [automation]                  ; tick:value breakpoint curves
     master.volume = 0:1 32:0.5 64:1    ; continuous per-frame fade
     track.kick.volume = 0:1 16:0.25    ; per-hit / per-note velocity
+    fx.filter.cutoff = 0:200 64:8000   ; master-chain filter sweep (Hz)
 """
 
 from __future__ import annotations
@@ -422,6 +423,15 @@ class Song:
         parts = key.split(".")
         if key == "master.volume":
             pass
+        elif key == "fx.filter.cutoff":
+            nfilters = sum(1 for n, _ in self.fx if n == "filter")
+            if nfilters == 0:
+                raise ValueError("automation fx.filter.cutoff: the [fx] "
+                                 "chain has no filter entry (add it first)")
+            if nfilters > 1:
+                raise ValueError("automation fx.filter.cutoff: the [fx] "
+                                 "chain has several filters — only one "
+                                 "can be automated")
         elif len(parts) == 3 and parts[0] == "track" and parts[2] == "volume":
             name = parts[1]
             if name not in self.instruments and name not in self.synths:
@@ -429,7 +439,8 @@ class Song:
                                  f"{name!r}")
         else:
             raise ValueError(f"automation key {key!r} not understood "
-                             f"(master.volume or track.NAME.volume)")
+                             f"(master.volume, track.NAME.volume, or "
+                             f"fx.filter.cutoff)")
         self.automation[key] = pts
 
     def _track_gain_at(self, name: str, tick: float) -> float:
@@ -820,7 +831,10 @@ class Song:
                 out16 = self._apply_master_volume(out16, 0)
             mixed = Sample.from_jax(out16, self.samplerate, 2, name="mixdown")
             if self.fx:
-                apply_fx_sample(mixed, self.fx, self.fx_irs)
+                apply_fx_sample(mixed, self.fx, self.fx_irs,
+                                cutoff_curve=self.automation.get(
+                                    "fx.filter.cutoff"),
+                                tickf=self.tick_duration * self.samplerate)
             if normalize:
                 mixed.amplify_max()
             return mixed
@@ -852,7 +866,10 @@ class Song:
             return
         from .effects import FxChain
         chain = FxChain(self.fx, self.samplerate, self.nchannels,
-                        self.fx_irs)
+                        self.fx_irs,
+                        cutoff_curve=self.automation.get("fx.filter.cutoff"),
+                        tickf=self.tick_duration * self.samplerate,
+                        start_frame=int(start_frame))
         cf = chunk_frames or params.norm_frames_per_chunk
         ck = 0
         for chunk in gen:

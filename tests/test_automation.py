@@ -224,3 +224,86 @@ def test_master_volume_before_fx_chain():
     assert len(got) == len(out)
     d = np.abs(got.astype(np.int64) - out.astype(np.int64)).max()
     assert d <= 8, d
+
+
+# ---------------------------------------------------------------------------
+# fx.filter.cutoff (master-chain filter-sweep automation)
+# ---------------------------------------------------------------------------
+
+def bright_song():
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_synth("saw", SynthDef(wave="sawtooth_bl", amplitude=0.4,
+                                   attack=0.002, release=0.05))
+    song.add_pattern("a", {"saw": "C3 - - - C3 - - - C3 - - - C3 - - -"})
+    song.pattern_sequence = ["a"]
+    return song
+
+
+def test_fx_filter_cutoff_requires_filter():
+    song = bright_song()
+    with pytest.raises(ValueError, match="no filter"):
+        song.add_automation("fx.filter.cutoff", "0:200 16:8000")
+    song.add_fx("filter", kind="lowpass", cutoff=1000.0)
+    song.add_automation("fx.filter.cutoff", "0:200 16:8000")
+    song.add_fx("filter", kind="highpass", cutoff=100.0)
+    with pytest.raises(ValueError, match="several filters"):
+        song.add_automation("fx.filter.cutoff", "0:200 16:8000")
+
+
+def test_fx_filter_cutoff_sweeps_the_spectrum():
+    """A 200 Hz -> 8 kHz lowpass sweep: the late part of the song keeps
+    far more high-frequency energy than the early part."""
+    song = bright_song()
+    song.add_fx("filter", kind="lowpass", cutoff=1000.0, q=0.7071)
+    song.add_automation("fx.filter.cutoff", "0:200 16:8000")
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array() \
+        .astype(np.float64)
+
+    def hf_ratio(x):
+        d = np.diff(x[:, 0])
+        return np.sqrt(np.mean(d * d)) / max(
+            np.sqrt(np.mean(x[:, 0] * x[:, 0])), 1e-9)
+
+    n = len(out)
+    early = hf_ratio(out[: n // 8])               # cutoff ~200-1200 Hz
+    late = hf_ratio(out[6 * n // 8: 7 * n // 8])  # cutoff ~6-7 kHz
+    assert late > early * 1.8, (early, late)
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_filter_cutoff_streaming_equals_offline(chunk):
+    song = bright_song()
+    song.add_fx("filter", kind="lowpass", cutoff=1000.0, q=2.0)
+    song.add_automation("fx.filter.cutoff", "0:300 8:6000 16:300")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    # swept-filter scan regrouping at chunk boundaries (same class as the
+    # static filter's budget, amplified a little by Q=2)
+    assert d <= 8, d
+
+
+def test_fx_filter_cutoff_ini_roundtrip(tmp_path):
+    ini = tmp_path / "song.ini"
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[synth.saw]
+wave = sawtooth_bl
+[pattern.a]
+saw = C3 - C3 -
+[fx]
+filter = kind=lowpass cutoff=1000 q=1.5
+[automation]
+fx.filter.cutoff = 0:250 8:5000
+""")
+    song = Song.from_ini(str(ini))
+    assert song.automation["fx.filter.cutoff"] == [(0.0, 250.0), (8.0, 5000.0)]
+    out = song.mix(normalize=False).get_frame_array()
+    assert np.abs(out).max() > 100
