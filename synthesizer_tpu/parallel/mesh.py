@@ -78,7 +78,7 @@ def stream_chunk_sharded_fn(mesh: Mesh, cf: int, lmax: int):
             inrange = (pos >= 0) & (pos < lmax) & valid_k[:, None]
             pos_c = jnp.clip(pos, 0, lmax - 1)
             vals = bank[inst_k[:, None], pos_c]
-            vals = _scale_hits(vals, gain_k[:, None, None])
+            vals = _scale_hits(vals, gain_k[:, None, :])
             vals = jnp.where(inrange[:, :, None], vals, 0)
             return jax.lax.psum(vals.sum(axis=0), HITS_AXIS)
         _sharded_fn_cache[key] = fn
@@ -188,10 +188,12 @@ def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
     # valid-mask multiply is needed
     start = np.concatenate([np.asarray(hits_start, np.int32),
                             np.full(pad, total, np.int32)])
+    C = int(bank.shape[2])
     if hits_gain is None:
-        hits_gain = np.ones(H, np.float32)
-    gain = np.concatenate([np.asarray(hits_gain, np.float32),
-                           np.zeros(pad, np.float32)])
+        hits_gain = np.ones((H, C), np.float32)
+    gain = np.concatenate([np.asarray(hits_gain, np.float32)
+                           .reshape(H, C),
+                           np.zeros((pad, C), np.float32)])
 
     key = ("scatter", mesh, total)
     run = _sharded_fn_cache.get(key)

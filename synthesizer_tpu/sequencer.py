@@ -55,6 +55,7 @@ that is mixed with the sample scatter-add in the widened int32 domain.
     [automation]                  ; tick:value breakpoint curves
     master.volume = 0:1 32:0.5 64:1    ; continuous per-frame fade
     track.kick.volume = 0:1 16:0.25    ; per-hit / per-note velocity
+    track.kick.pan = 0:-1 64:1         ; per-hit / per-note placement
     fx.filter.cutoff = 0:200 64:8000   ; master-chain filter sweep (Hz)
 """
 
@@ -111,10 +112,10 @@ class HitSchedule:
         self.hits = hits              # [H, 2] (instrument_idx, start_frame)
         self.samplerate = samplerate
         self.nchannels = nchannels
-        #: per-hit velocity gains [H] f32 (track volume automation); a
-        #: gain of 1.0 reproduces the pure-integer path bit-exactly
+        #: per-hit per-channel gains [H, C] f32 (track volume/pan
+        #: automation); 1.0 reproduces the pure-integer path bit-exactly
         #: (bank values are int16-scale, exact in f32)
-        self.gains = (np.ones(len(hits), np.float32)
+        self.gains = (np.ones((len(hits), nchannels), np.float32)
                       if gains is None else np.asarray(gains, np.float32))
 
     @property
@@ -146,7 +147,7 @@ def _stream_chunk_fn(cf: int, lmax: int):
             inrange = (pos >= 0) & (pos < lmax) & valid_k[:, None]
             pos_c = jnp.clip(pos, 0, lmax - 1)
             vals = bank[inst_k[:, None], pos_c]          # [K, cf, C]
-            vals = _scale_hits(vals, gain_k[:, None, None])
+            vals = _scale_hits(vals, gain_k[:, None, :])
             vals = jnp.where(inrange[:, :, None], vals, 0)
             return vals.sum(axis=0)                       # int32 [cf, C]
         _chunk_fn_cache[key] = fn
@@ -199,14 +200,14 @@ def _mixdown_kernel(bank: jax.Array, hits_inst: jax.Array,
     Lmax = int(bank.shape[1])
     C = int(bank.shape[2])
     if hits_gain is None:
-        hits_gain = jnp.ones(H, jnp.float32)
+        hits_gain = jnp.ones((H, C), jnp.float32)
     arange_l = jnp.arange(Lmax, dtype=jnp.int32)[None, :]
     out = jnp.zeros((total, C), jnp.int32)
 
     batch = max(1, min(H, _SCATTER_BATCH_ELEMS // max(Lmax * C, 1)))
     if batch >= H:
         vals = _scale_hits(bank[hits_inst],
-                           hits_gain[:, None, None])          # [H, Lmax, C]
+                           hits_gain[:, None, :])             # [H, Lmax, C]
         idx = hits_start[:, None] + arange_l
         return out.at[idx.reshape(-1)].add(vals.reshape(-1, C), mode="drop")
 
@@ -216,14 +217,15 @@ def _mixdown_kernel(bank: jax.Array, hits_inst: jax.Array,
     inst_p = jnp.concatenate([hits_inst, jnp.zeros(pad, jnp.int32)])
     start_p = jnp.concatenate([hits_start,
                                jnp.full(pad, total, jnp.int32)])
-    gain_p = jnp.concatenate([hits_gain, jnp.zeros(pad, jnp.float32)])
+    gain_p = jnp.concatenate([hits_gain,
+                              jnp.zeros((pad, C), jnp.float32)])
     inst_b = inst_p.reshape(nb, batch)
     start_b = start_p.reshape(nb, batch)
-    gain_b = gain_p.reshape(nb, batch)
+    gain_b = gain_p.reshape(nb, batch, C)
 
     def body(acc, ib_sb):
         ib, sb, gb = ib_sb
-        vals = _scale_hits(bank[ib], gb[:, None, None])   # [batch, Lmax, C]
+        vals = _scale_hits(bank[ib], gb[:, None, :])      # [batch, Lmax, C]
         idx = sb[:, None] + arange_l
         return acc.at[idx.reshape(-1)].add(vals.reshape(-1, C),
                                            mode="drop"), None
@@ -416,8 +418,10 @@ class Song:
             if t1 <= t0:
                 raise ValueError(f"automation {key}: ticks must be strictly "
                                  f"ascending (got {t0} then {t1})")
+        is_pan = key.endswith(".pan")
         for t, v in pts:
-            if not (np.isfinite(t) and np.isfinite(v)) or v < 0:
+            if (not (np.isfinite(t) and np.isfinite(v))
+                    or (v < 0 and not is_pan)):
                 raise ValueError(f"automation {key}: bad breakpoint "
                                  f"({t}, {v})")
         parts = key.split(".")
@@ -432,15 +436,24 @@ class Song:
                 raise ValueError("automation fx.filter.cutoff: the [fx] "
                                  "chain has several filters — only one "
                                  "can be automated")
-        elif len(parts) == 3 and parts[0] == "track" and parts[2] == "volume":
+        elif (len(parts) == 3 and parts[0] == "track"
+              and parts[2] in ("volume", "pan")):
             name = parts[1]
             if name not in self.instruments and name not in self.synths:
                 raise ValueError(f"automation {key}: unknown track "
                                  f"{name!r}")
+            if parts[2] == "pan":
+                if self.nchannels != 2:
+                    raise ValueError(f"automation {key}: pan automation "
+                                     f"needs a stereo song")
+                for t, v in pts:
+                    if not -1.0 <= v <= 1.0:
+                        raise ValueError(f"automation {key}: pan values "
+                                         f"must be in [-1, 1] (got {v})")
         else:
             raise ValueError(f"automation key {key!r} not understood "
-                             f"(master.volume, track.NAME.volume, or "
-                             f"fx.filter.cutoff)")
+                             f"(master.volume, track.NAME.volume, "
+                             f"track.NAME.pan, or fx.filter.cutoff)")
         self.automation[key] = pts
 
     def _track_gain_at(self, name: str, tick: float) -> float:
@@ -450,6 +463,26 @@ class Song:
         xs = [t for t, _ in pts]
         vs = [v for _, v in pts]
         return float(np.interp(tick, xs, vs))
+
+    def _track_pan_at(self, name: str, tick: float):
+        """Pan-automation value at a tick, or None when not automated."""
+        pts = self.automation.get(f"track.{name}.pan")
+        if not pts:
+            return None
+        xs = [t for t, _ in pts]
+        vs = [v for _, v in pts]
+        return float(np.interp(tick, xs, vs))
+
+    def _hit_gain_at(self, name: str, tick: float) -> np.ndarray:
+        """Per-channel gain for one hit: velocity x the equal-gain pan
+        law (lg = min(1, 1-p), rg = min(1, 1+p) — the voice-bank law),
+        so a pan-automated drum hit places like a panned synth voice."""
+        vel = self._track_gain_at(name, tick)
+        pan = self._track_pan_at(name, tick)
+        if pan is None or self.nchannels == 1:
+            return np.full(self.nchannels, vel, np.float32)
+        return np.asarray([vel * min(1.0, 1.0 - pan),
+                           vel * min(1.0, 1.0 + pan)], np.float32)
 
     def _apply_master_volume(self, x16: jax.Array, n0: int) -> jax.Array:
         pts = self.automation["master.volume"]
@@ -549,13 +582,14 @@ class Song:
                     if ch not in ". ":
                         start = int((bar_start_ticks + t) * tickf)
                         hits.append((index[inst], start))
-                        gains.append(self._track_gain_at(
+                        gains.append(self._hit_gain_at(
                             inst, bar_start_ticks + t))
             bar_start_ticks += nticks
         hits_arr = np.asarray(hits, np.int64).reshape(-1, 2)
         return HitSchedule(bank, lengths, names, hits_arr,
                            self.samplerate, C,
-                           gains=np.asarray(gains, np.float32))
+                           gains=np.asarray(gains, np.float32)
+                           .reshape(-1, C))
 
     def compile_synth_voices(self, return_tracks: bool = False):
         """All melodic notes of the song -> one flat Voice list.
@@ -587,12 +621,13 @@ class Song:
                     while t + held < len(tokens) and tokens[t + held] == "-":
                         held += 1
                     tracks.append(inst)
+                    note_pan = self._track_pan_at(inst, bar_start + t)
                     voices.append(Voice(
                         wave=sd.wave,
                         frequency=note_freq(tok),
                         amplitude=sd.amplitude
                         * self._track_gain_at(inst, bar_start + t),
-                        pan=sd.pan,
+                        pan=sd.pan if note_pan is None else note_pan,
                         start=(bar_start + t) * tick,
                         duration=held * tick,
                         attack=sd.attack, decay=sd.decay,
@@ -1010,8 +1045,9 @@ class Song:
             start_k = jnp.asarray(np.concatenate([ss, np.zeros(pad, np.int64)]).astype(np.int32))
             valid_k = jnp.asarray(np.concatenate([np.ones(len(ii), bool),
                                                   np.zeros(pad, bool)]))
-            gain_k = jnp.asarray(np.concatenate([gg, np.zeros(pad, np.float32)])
-                                 .astype(np.float32))
+            gain_k = jnp.asarray(np.concatenate(
+                [gg, np.zeros((pad, self.nchannels), np.float32)])
+                .astype(np.float32))
             acc = chunk_fn(inst_k, start_k, valid_k, gain_k, jnp.int32(c0))
             if synth_chunk_fn is not None:
                 synth_chunk = synth_chunk_fn(svp, jnp.int32(c0))

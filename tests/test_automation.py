@@ -103,7 +103,8 @@ def test_drum_velocity_scales_hits():
     exactly rint-scaled copy of the first."""
     song = drum_song(curve="0:1 12:0.25")
     sched = song.compile_schedule()
-    np.testing.assert_allclose(sched.gains, [1.0, 0.75, 0.5, 0.25])
+    np.testing.assert_allclose(sched.gains,
+                               np.repeat([[1.0], [0.75], [0.5], [0.25]], 2, 1))
     out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
     kick = song.instruments["kick"].get_frame_array().astype(np.float64)
     tickf = song.tick_duration * SR
@@ -161,6 +162,79 @@ def test_velocity_sharded_mix_bit_exact():
     single = song.mix(normalize=False).get_frame_array()
     sharded = song.mix(normalize=False, mesh=voice_mesh(8)).get_frame_array()
     np.testing.assert_array_equal(single, sharded)
+
+
+# ---------------------------------------------------------------------------
+# Track pan automation
+# ---------------------------------------------------------------------------
+
+def test_drum_pan_places_hits():
+    """Pan automation on a drum track: a hit at pan p scales channels by
+    the equal-gain law (lg=min(1,1-p), rg=min(1,1+p)) at its start tick."""
+    song = drum_song()
+    song.add_automation("track.kick.volume", "0:0.5")
+    song.add_automation("track.kick.pan", "0:-1 12:1")
+    sched = song.compile_schedule()
+    # ticks 0/4/8/12 -> pans -1, -1/3, 1/3, 1
+    pans = [-1.0, -1/3, 1/3, 1.0]
+    want = np.asarray([[0.5 * min(1, 1 - p), 0.5 * min(1, 1 + p)]
+                       for p in pans], np.float32)
+    np.testing.assert_allclose(sched.gains, want, rtol=1e-6)
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    kick = song.instruments["kick"].get_frame_array().astype(np.float64)
+    tickf = song.tick_duration * SR
+    # first hit: hard left -> right channel silent
+    h0 = out[: len(kick)]
+    assert np.abs(h0[:, 1]).max() == 0 and np.abs(h0[:, 0]).max() > 0
+    # last hit: hard right
+    s3 = int(12 * tickf)
+    h3 = out[s3: s3 + len(kick)]
+    assert np.abs(h3[:, 0]).max() == 0 and np.abs(h3[:, 1]).max() > 0
+
+
+def test_synth_pan_automation_overrides_def():
+    song = lead_song()
+    song.add_automation("track.lead.pan", "0:-0.8 4:0.8")
+    voices = song.compile_synth_voices()
+    assert [v.pan for v in voices] == pytest.approx([-0.8, 0.8])
+    out = song.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+    tickf = song.tick_duration * SR
+    n1 = slice(0, int(2 * tickf))
+    n2 = slice(int(4 * tickf), int(6 * tickf))
+    # first note louder left, second louder right
+    def rms(x):
+        return np.sqrt(np.mean(np.square(x.astype(np.float64)), axis=0))
+    l1, r1 = rms(out[n1])
+    l2, r2 = rms(out[n2])
+    assert l1 > r1 * 2 and r2 > l2 * 2
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_pan_automation_streaming_equals_offline(chunk):
+    song = drum_song()
+    song.add_automation("track.kick.pan", "0:-1 12:1")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_pan_automation_sharded_bit_exact():
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    song = drum_song()
+    song.add_automation("track.kick.pan", "0:-0.5 12:0.5")
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False, mesh=voice_mesh(8)).get_frame_array()
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_pan_automation_validation():
+    song = drum_song()
+    with pytest.raises(ValueError, match=r"\[-1, 1\]"):
+        song.add_automation("track.kick.pan", "0:2")
+    song.nchannels = 1
+    with pytest.raises(ValueError, match="stereo"):
+        song.add_automation("track.kick.pan", "0:0.5")
 
 
 # ---------------------------------------------------------------------------
