@@ -100,3 +100,81 @@ def test_random_song(seed):
         want = np.clip(want32, -32768, 32767).astype(np.int16)
         np.testing.assert_array_equal(offline.get_frame_array(), want,
                                       err_msg=f"seed {seed}")
+
+
+def add_rand_automation(song, rng):
+    """Random velocity/pan/master curves (all bit-exact surfaces)."""
+    def curve(lo, hi, allow_neg=False):
+        npts = int(rng.integers(1, 4))
+        ticks = np.sort(rng.choice(np.arange(0, 64), npts, replace=False))
+        vals = rng.uniform(lo, hi, npts)
+        return " ".join(f"{t}:{v:.3f}" for t, v in zip(ticks, vals))
+    for name in list(song.instruments) + list(song.synths):
+        if rng.random() < 0.5:
+            song.add_automation(f"track.{name}.volume", curve(0.1, 1.2))
+        if rng.random() < 0.3:
+            song.add_automation(f"track.{name}.pan", curve(-1.0, 1.0))
+    if rng.random() < 0.5:
+        song.add_automation("master.volume", curve(0.0, 1.1))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_song_with_automation(seed):
+    """Velocity/pan/master-volume automation keeps streaming (incl. a
+    random mid-song seek) bit-identical to offline on random songs."""
+    rng = np.random.default_rng(seed + 6100)
+    song = rand_song(rng)
+    if rng.random() < 0.4 and song.synths:
+        # swap one synth to pluck (covers the banked KS path in the mix)
+        name = next(iter(song.synths))
+        song.synths[name].wave = "pluck"
+        song.synths[name].seed = int(rng.integers(0, 100))
+        song.synths[name].damping = float(rng.uniform(0.5, 2.5))
+    add_rand_automation(song, rng)
+    if not song.pattern_sequence:
+        pytest.skip("empty song")
+    offline = song.mix(normalize=False, tail_seconds=0.0)
+    if offline.nframes == 0:
+        return
+    off = offline.get_frame_array()
+    cf = int(rng.choice([977, 2048, 4096]))
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=cf)])
+    np.testing.assert_array_equal(got, off[:len(got)],
+                                  err_msg=f"seed {seed}")
+    seek = int(rng.integers(1, max(2, song.duration_frames())))
+    chunks = [c.get_frame_array()
+              for c in song.mix_generator(chunk_frames=cf, start_frame=seek)]
+    if chunks:
+        got2 = np.concatenate(chunks)
+        np.testing.assert_array_equal(got2, off[seek:seek + len(got2)],
+                                      err_msg=f"seed {seed} seek {seek}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_song_with_synth_fx(seed):
+    """Random tail-less per-synth-track chains stay within the composed
+    budgets between offline and streaming on random songs."""
+    rng = np.random.default_rng(seed + 6200)
+    song = rand_song(rng)
+    if not song.synths or not song.pattern_sequence:
+        pytest.skip("no synth tracks")
+    chains = [
+        [("filter", f"kind=lowpass cutoff={rng.integers(400, 6000)} q=1.0")],
+        [("compress", f"threshold_db={rng.uniform(-25, -10):.1f} ratio=4")],
+        [("filter", "kind=highpass cutoff=300 q=0.7071"),
+         ("compress", "threshold_db=-18 ratio=3")],
+    ]
+    for name in song.synths:
+        if rng.random() < 0.7:
+            song.add_track_fx(name, chains[rng.integers(len(chains))])
+    add_rand_automation(song, rng)
+    offline = song.mix(normalize=False, tail_seconds=0.0)
+    if offline.nframes == 0:
+        return
+    off = offline.get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1536)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, f"seed {seed}: {d}"

@@ -377,3 +377,57 @@ def test_render_voices_batching_coalesces_and_matches_solo(server):
         assert a.shape == b.shape
         d = np.abs(a.astype(np.int64) - b.astype(np.int64)).max()
         assert d <= 1, (i, d)
+
+
+AUTOMATION_SONG_INI = """
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+
+[instruments]
+kick = kick.wav
+
+[synth.gtr]
+wave = pluck
+amplitude = 0.4
+damping = 1.5
+seed = 3
+release = 0.08
+
+[pattern.a]
+kick = x...x...x...x...
+gtr  = E3 .. A3 .. D4 .. G4 ..
+
+[fx]
+filter = kind=lowpass cutoff=1000 q=1.5
+
+[automation]
+track.kick.volume = 0:1 12:0.25
+track.gtr.pan = 0:-0.8 12:0.8
+master.volume = 0:1 16:0.2
+fx.filter.cutoff = 0:300 16:6000
+"""
+
+
+def test_render_song_with_automation_and_pluck(server, tmp_path):
+    """Untrusted song text with the full [automation] surface (velocity,
+    pan, master fade, filter sweep) and a pluck synth track renders over
+    the socket like any other song."""
+    from synthesizer_tpu import WaveSynth
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    ws.sine(60, 0.08, amplitude=0.7).stereo().write_wav(
+        str(tmp_path / "kick.wav"))
+    server.sample_root = str(tmp_path)
+    try:
+        status, ctype, data = request(server, "POST", "/render/song",
+                                      AUTOMATION_SONG_INI,
+                                      ctype="text/plain")
+    finally:
+        server.sample_root = None
+    assert status == 200 and ctype == "audio/wav"
+    audio, rate = read_wav_bytes(data)
+    assert np.abs(audio).max() > 100
+    # the master fade: final region much quieter than the start
+    n = len(audio)
+    assert np.abs(audio[-n // 10:]).max() < np.abs(audio[: n // 10]).max()
