@@ -465,6 +465,11 @@ class SynthGUI:
                      orient=tk.HORIZONTAL, label="amp",
                      command=lambda v, i=i: self._set(i, "amplitude", float(v))
                      ).pack()
+            # pluck loop loss (ignored by other waveforms)
+            tk.Scale(f, from_=0.2, to=4.0, resolution=0.1, orient=tk.HORIZONTAL,
+                     label="damping",
+                     command=lambda v, i=i: self._set(i, "damping", float(v))
+                     ).pack()
             var.trace_add("write",
                           lambda *_, i=i, var=var: self._set(i, "waveform", var.get()))
 

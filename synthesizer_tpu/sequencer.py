@@ -678,9 +678,13 @@ class Song:
                     continue
                 for t, ch in enumerate(patstr):
                     if ch not in ". ":
+                        # velocity automation reaches the exported file
+                        # (synth notes carry it in their amplitudes)
+                        vel = max(1, min(127, int(round(
+                            100 * self._track_gain_at(inst, bar_start + t)))))
                         notes.append(MidiNote((bar_start + t) * tick,
                                               tick * 0.9, drum_keys[inst],
-                                              100, 9))
+                                              vel, 9))
             bar_start += nticks
         for v in self.compile_synth_voices():
             # invert note_to_freq: nearest equal-tempered note

@@ -188,3 +188,21 @@ def test_midi_roundtrip_fuzz(seed):
         assert g.note == w.note and g.channel == w.channel and g.velocity == w.velocity
         assert g.start == pytest.approx(w.start, abs=5e-3)
         assert g.duration == pytest.approx(w.duration, abs=1e-2)
+
+
+def test_export_midi_velocity_automation():
+    """track.NAME.volume curves reach exported drum velocities."""
+    from synthesizer_tpu import WaveSynth
+    from synthesizer_tpu.midi import parse_midi
+    from synthesizer_tpu.sequencer import Song
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_instrument("kick", ws.sine(60, 0.05, amplitude=0.5).stereo())
+    song.add_pattern("a", {"kick": "x...x...x...x..."})
+    song.pattern_sequence = ["a"]
+    song.add_automation("track.kick.volume", "0:1 12:0.25")
+    notes = parse_midi(song.export_midi())
+    vels = [n.velocity for n in sorted(notes, key=lambda n: n.start)]
+    assert vels == [100, 75, 50, 25]
