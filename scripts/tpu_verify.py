@@ -479,6 +479,35 @@ def section_effects(SR):
     check("fx/automation_filter_sweep", len(got4) == len(off4) and d4 <= 8,
           f"max {d4} LSB over {len(got4)} frames")
 
+    # pitched sampler tracks: the f32 interp gathers must behave
+    # identically on the chip — rate-1 passthrough bit-exact, streaming
+    # == offline bit-exact
+    song5 = Song()
+    song5.bpm = 240
+    song5.ticks = 4
+    gtr = ws.pluck(261.6255653005986, 0.25, amplitude=0.6, seed=3) \
+        .fadeout(0.04).stereo()
+    song5.add_sampler("gtr", gtr, base_note="C4")
+    song5.add_pattern("a", {"gtr": "C4 .. E4 G4 .. .. C5 C3"})
+    song5.pattern_sequence = ["a"]
+    off5 = song5.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got5 = np.concatenate([c.get_frame_array()
+                           for c in song5.mix_generator(chunk_frames=1470)])
+    solo = Song()
+    solo.bpm = 240
+    solo.ticks = 4
+    solo.add_sampler("gtr", gtr, base_note="C4")
+    solo.add_pattern("a", {"gtr": "C4 .. .. .. .. .. .. .."})
+    solo.pattern_sequence = ["a"]
+    src = solo.samplers["gtr"].sample.get_frame_array()
+    rate1 = solo.mix(normalize=False,
+                     tail_seconds=0.0).get_frame_array()[:len(src)]
+    check("fx/sampler_tracks",
+          np.array_equal(got5, off5[:len(got5)])
+          and np.array_equal(rate1, src),
+          f"stream==offline {np.array_equal(got5, off5[:len(got5)])}, "
+          f"rate1 passthrough {np.array_equal(rate1, src)}")
+
 
 def main(argv=None) -> int:
     import argparse

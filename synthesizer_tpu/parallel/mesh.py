@@ -212,3 +212,58 @@ def scatter_mix_sharded(bank: jax.Array, hits_inst, hits_start,
 
     return run(jnp.asarray(bank), jnp.asarray(inst), jnp.asarray(start),
                jnp.asarray(gain))
+
+
+def pitched_chunk_sharded_fn(mesh: Mesh, cf: int, lmax: int):
+    """Sharded pitched-sampler chunk: hit rows shard over the mesh, one
+    int32 psum merge (bit-exact — per-hit rint happens before the add)."""
+    key = ("pitched_chunk", mesh, cf, lmax)
+    fn = _sharded_fn_cache.get(key)
+    if fn is None:
+        from ..sequencer import _pitched_chunk_body
+
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS),
+                      P(HITS_AXIS), P(HITS_AXIS), P()),
+            out_specs=P())
+        def fn(bank, lens, idx_k, start_k, rate_k, gain_k, valid_k, c0):
+            out = _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k,
+                                      gain_k, valid_k, c0, cf, lmax)
+            return jax.lax.psum(out, HITS_AXIS)
+        _sharded_fn_cache[key] = fn
+    return fn
+
+
+def pitched_song_sharded(bank, lens, idx_b, start_b, rate_b, gain_b,
+                         valid_b, c0s, cf: int, lmax: int,
+                         mesh: Mesh) -> jax.Array:
+    """Sharded offline pitched mixdown: the bucketed hit ROWS (K axis)
+    shard over the mesh; each device scans all chunks over its rows and
+    ONE int32 psum merges at the end (bit-exact)."""
+    key = ("pitched_song", mesh, cf, lmax, tuple(idx_b.shape))
+    run = _sharded_fn_cache.get(key)
+    if run is None:
+        from ..sequencer import _pitched_chunk_body
+
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(None, HITS_AXIS), P(None, HITS_AXIS),
+                      P(None, HITS_AXIS), P(None, HITS_AXIS, None),
+                      P(None, HITS_AXIS), P()),
+            out_specs=P())
+        def run(bank, lens, idx_b, start_b, rate_b, gain_b, valid_b, c0s):
+            def body(_, xs):
+                ib, sb, rb, gb, vb, c0 = xs
+                return 0, _pitched_chunk_body(bank, lens, ib, sb, rb, gb,
+                                              vb, c0, cf, lmax)
+            _, out = jax.lax.scan(
+                body, 0, (idx_b, start_b, rate_b, gain_b, valid_b, c0s))
+            return jax.lax.psum(out.reshape(-1, bank.shape[2]), HITS_AXIS)
+        _sharded_fn_cache[key] = run
+    return run(jnp.asarray(bank), jnp.asarray(lens), jnp.asarray(idx_b),
+               jnp.asarray(start_b), jnp.asarray(rate_b),
+               jnp.asarray(gain_b), jnp.asarray(valid_b),
+               jnp.asarray(c0s))

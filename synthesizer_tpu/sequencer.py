@@ -43,6 +43,23 @@ at that tick, ``-`` ties (extends) the previous note, ``.``/``..`` is a
 rest.  All synth notes of the whole song compile into ONE VoiceBank render
 that is mixed with the sample scatter-add in the widened int32 domain.
 
+**Beyond the reference — pitched sampler tracks** (tracker/FL-style
+melodic WAV playback):
+
+    [sampler.gtr]
+    file = guitar.wav
+    base_note = C4
+    [pattern.pat1]
+    gtr = C4 .. E4 G4 .. .. C5 ..
+
+Each note token plays the WAV resampled by note_freq(note)/base_note's
+frequency — on device as batched linear-interp gathers at
+pos = (n - start) * rate (f32 on the note-relative index; rate 1.0 is a
+bit-exact passthrough), polyphonic, velocity/pan automation per note.
+Offline the whole song's pitched notes render as ONE scan over chunks;
+streaming shares the same stateless body, so both paths are
+bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
+
 **Beyond the reference — effects and automation sections.**
 
     [fx]                          ; master-bus chain, in order
@@ -77,6 +94,16 @@ from .synth import note_freq
 from .models.voicebank import Voice, VoiceBank, pack_voices
 
 __all__ = ["Song", "HitSchedule", "SynthDef"]
+
+
+@dataclasses.dataclass
+class SamplerDef:
+    """A pitched sampler instrument (the [sampler.NAME] ini section) —
+    tracker-style melodic sample playback: a note token plays the WAV
+    resampled by note_freq(note)/note_freq(base_note), polyphonic (notes
+    on the track may overlap; the full sample always plays out)."""
+    sample: Sample
+    base_freq: float = 261.6255653005986      # C4
 
 
 @dataclasses.dataclass
@@ -150,6 +177,66 @@ def _stream_chunk_fn(cf: int, lmax: int):
             vals = _scale_hits(vals, gain_k[:, None, :])
             vals = jnp.where(inrange[:, :, None], vals, 0)
             return vals.sum(axis=0)                       # int32 [cf, C]
+        _chunk_fn_cache[key] = fn
+    return fn
+
+
+def _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k, gain_k,
+                        valid_k, c0, cf: int, lmax: int) -> jax.Array:
+    """One chunk of pitched-sampler playback: each row reads its WAV at
+    pos = (n - start) * rate with f32 linear interpolation (n relative to
+    the note start, so f32 is exact to <0.05 frame over any realistic
+    sample length; rate == 1.0 reproduces the source bit-exactly incl.
+    the final frame), velocity/pan gains apply per channel, rows sum in
+    int32.  Stateless in the absolute frame index — streaming == offline
+    by construction."""
+    n_rel = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
+    pos = n_rel.astype(jnp.float32) * rate_k[:, None]          # [K, cf]
+    last = (lens[idx_k] - 1).astype(jnp.float32)[:, None]
+    inr = (n_rel >= 0) & (pos <= last) & valid_k[:, None]
+    i = jnp.clip(pos.astype(jnp.int32), 0,
+                 jnp.maximum(lens[idx_k][:, None] - 2, 0))
+    frac = pos - i.astype(jnp.float32)
+    v0 = bank[idx_k[:, None], i].astype(jnp.float32)           # [K, cf, C]
+    v1 = bank[idx_k[:, None],
+              jnp.minimum(i + 1, lmax - 1)].astype(jnp.float32)
+    vals = v0 + (v1 - v0) * frac[:, :, None]
+    vals = jnp.rint(vals * gain_k[:, None, :]).astype(jnp.int32)
+    vals = jnp.where(inr[:, :, None], vals, 0)
+    return vals.sum(axis=0)                                    # [cf, C] i32
+
+
+def _pitched_chunk_fn(cf: int, lmax: int):
+    key = ("pitched", cf, lmax)
+    fn = _chunk_fn_cache.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(bank, lens, idx_k, start_k, rate_k, gain_k, valid_k, c0):
+            return _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k,
+                                       gain_k, valid_k, c0, cf, lmax)
+        _chunk_fn_cache[key] = fn
+    return fn
+
+
+def _pitched_song_fn(cf: int, lmax: int):
+    """Whole-song pitched mixdown: ONE scan over chunks with the
+    per-chunk (bucketed) hit rows as scan inputs -> [nchunks*cf, C]."""
+    key = ("pitched_song", cf, lmax)
+    fn = _chunk_fn_cache.get(key)
+    if fn is None:
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("nchunks",))
+        def fn(bank, lens, idx_b, start_b, rate_b, gain_b, valid_b,
+               c0s, nchunks: int):
+            def body(_, xs):
+                idx_k, start_k, rate_k, gain_k, valid_k, c0 = xs
+                return 0, _pitched_chunk_body(
+                    bank, lens, idx_k, start_k, rate_k, gain_k, valid_k,
+                    c0, cf, lmax)
+            _, out = jax.lax.scan(
+                body, 0, (idx_b, start_b, rate_b, gain_b, valid_b, c0s))
+            return out.reshape(-1, bank.shape[2])
         _chunk_fn_cache[key] = fn
     return fn
 
@@ -244,6 +331,10 @@ class Song:
         self.patterns: Dict[str, Dict[str, str]] = {}
         self.instruments: Dict[str, Sample] = {}
         self.synths: Dict[str, SynthDef] = {}
+        #: pitched sampler instruments ([sampler.NAME] ini sections) —
+        #: tracker-style melodic WAV playback through per-note-rate
+        #: interpolating gathers (see compile_pitched_hits)
+        self.samplers: Dict[str, SamplerDef] = {}
         self.samplerate = params.norm_samplerate
         self.nchannels = params.norm_nchannels
         #: master-bus effects ([fx] ini section), applied in order to the
@@ -338,6 +429,13 @@ class Song:
                     damping=g.getfloat("damping", 1.0),
                     seed=g.getint("seed", 0),
                 )
+        for section in cp.sections():
+            if section.startswith("sampler."):
+                name = section[len("sampler."):]
+                g = cp[section]
+                smp = Sample(wave_file=os.path.join(base, g["file"]),
+                             name=name)
+                self.add_sampler(name, smp, g.get("base_note", "C4"))
         for section in cp.sections():
             if section.startswith("pattern."):
                 pname = section[len("pattern."):]
@@ -439,7 +537,8 @@ class Song:
         elif (len(parts) == 3 and parts[0] == "track"
               and parts[2] in ("volume", "pan")):
             name = parts[1]
-            if name not in self.instruments and name not in self.synths:
+            if (name not in self.instruments and name not in self.synths
+                    and name not in self.samplers):
                 raise ValueError(f"automation {key}: unknown track "
                                  f"{name!r}")
             if parts[2] == "pan":
@@ -529,12 +628,24 @@ class Song:
     def add_synth(self, name: str, synthdef: SynthDef) -> None:
         self.synths[name] = synthdef
 
+    def add_sampler(self, name: str, sample: Sample,
+                    base_note: str = "C4") -> None:
+        """Register a pitched sampler instrument: ``sample`` is played
+        back at note_freq(note)/note_freq(base_note) for each note token
+        on the track (normalized like a drum instrument; must match the
+        song's rate/channels)."""
+        sample = sample.copy().normalize()
+        self._check_format(name, sample)
+        self.samplers[name] = SamplerDef(sample, note_freq(base_note))
+        self.samplerate = sample.samplerate
+        self.nchannels = sample.nchannels
+
     def add_pattern(self, name: str, tracks: Dict[str, str]) -> None:
         """Drum tracks are contiguous x/. strings (spaces cosmetic); synth
         tracks are whitespace-separated note tokens and keep their spacing."""
         out = {}
         for inst, pat in tracks.items():
-            if inst in self.synths:
+            if inst in self.synths or inst in self.samplers:
                 out[inst] = " ".join(pat.split())
             else:
                 out[inst] = pat.replace(" ", "")
@@ -549,7 +660,9 @@ class Song:
     def pattern_ticks(self, pattern: Dict[str, str]) -> int:
         n = 0
         for inst, p in pattern.items():
-            n = max(n, len(p.split()) if inst in self.synths else len(p))
+            n = max(n, len(p.split())
+                    if (inst in self.synths or inst in self.samplers)
+                    else len(p))
         return n
 
     def compile_schedule(self) -> HitSchedule:
@@ -574,7 +687,7 @@ class Song:
             pattern = self.patterns[pname]
             nticks = self.pattern_ticks(pattern)
             for inst, patstr in pattern.items():
-                if inst in self.synths:
+                if inst in self.synths or inst in self.samplers:
                     continue
                 if inst not in index:
                     raise KeyError(f"pattern {pname} uses unknown instrument {inst}")
@@ -645,6 +758,121 @@ class Song:
             return voices, tracks
         return voices
 
+    def compile_pitched_hits(self):
+        """All sampler-track notes -> flat pitched-hit arrays plus the
+        padded sampler bank: (bank [P, Lmax, C] i32, lens [P] i32,
+        idx [N] i32, start [N] i64, rate [N] f32, gains [N, C] f32).
+        rate = note_freq(note)/base_freq; '-' and '.' tokens are rests
+        (the full sample always plays out, polyphonically)."""
+        names = sorted(self.samplers)
+        index = {n: i for i, n in enumerate(names)}
+        arrays = [self.samplers[n].sample.get_frame_array().astype(np.int32)
+                  for n in names]
+        lmax = max((len(a) for a in arrays), default=1)
+        C = self.nchannels
+        bank = np.zeros((max(len(arrays), 1), lmax, C), np.int32)
+        lens = np.zeros(max(len(arrays), 1), np.int64)
+        for i, a in enumerate(arrays):
+            bank[i, :len(a)] = a
+            lens[i] = len(a)
+        idx: List[int] = []
+        starts: List[int] = []
+        rates: List[float] = []
+        gains: List[np.ndarray] = []
+        tickf = self.tick_duration * self.samplerate
+        bar_start = 0
+        for pname in self.pattern_sequence:
+            pattern = self.patterns[pname]
+            nticks = self.pattern_ticks(pattern)
+            for inst, patstr in pattern.items():
+                if inst not in self.samplers:
+                    continue
+                sd = self.samplers[inst]
+                for t, tok in enumerate(patstr.split()):
+                    if tok == "-" or set(tok) <= {"."}:
+                        continue
+                    idx.append(index[inst])
+                    starts.append(int((bar_start + t) * tickf))
+                    rates.append(note_freq(tok) / sd.base_freq)
+                    gains.append(self._hit_gain_at(inst, bar_start + t))
+            bar_start += nticks
+        return (bank, lens, np.asarray(idx, np.int32),
+                np.asarray(starts, np.int64),
+                np.asarray(rates, np.float32),
+                np.asarray(gains, np.float32).reshape(-1, C))
+
+    def _pitched_end_frames(self, lens, idx, starts, rates) -> np.ndarray:
+        """Per-hit end frame (exclusive): the last in-range output frame
+        satisfies n_rel * rate <= len-1."""
+        if len(idx) == 0:
+            return np.zeros(0, np.int64)
+        # +2 frames of slack: the device mask decides in f32; a frame the
+        # host f64 bound would exclude must still be inside the rendered
+        # / bucketed range (it contributes zeros when masked out)
+        return (starts + np.floor((lens[idx] - 1)
+                                  / np.maximum(rates, 1e-9)).astype(np.int64)
+                + 2)
+
+    def _bucket_pitched(self, starts, ends, nchunks: int, cf: int,
+                        start_frame: int, ndev: int = 0):
+        """Per-chunk hit-row indices for the pitched path (chunk ci covers
+        [start_frame + ci*cf, ...)); returns (per_chunk lists, K)."""
+        first_c = np.maximum(0, (starts - start_frame) // cf)
+        last_c = np.minimum(nchunks - 1, (ends - 1 - start_frame) // cf)
+        per_chunk: List[List[int]] = [[] for _ in range(nchunks)]
+        for h in range(len(starts)):
+            for c in range(int(first_c[h]), int(last_c[h]) + 1):
+                per_chunk[c].append(h)
+        K = max((len(h) for h in per_chunk), default=1) or 1
+        if ndev:
+            K += -K % ndev
+        return per_chunk, K
+
+    def _pitched_rows(self, per_chunk, K, idx, starts, rates, gains):
+        """Pad bucketed hits into dense [nchunks, K(, C)] row arrays."""
+        nchunks = len(per_chunk)
+        C = self.nchannels
+        idx_b = np.zeros((nchunks, K), np.int32)
+        start_b = np.zeros((nchunks, K), np.int32)
+        rate_b = np.ones((nchunks, K), np.float32)
+        gain_b = np.zeros((nchunks, K, C), np.float32)
+        valid_b = np.zeros((nchunks, K), bool)
+        for c, hs in enumerate(per_chunk):
+            for j, h in enumerate(hs[:K]):
+                idx_b[c, j] = idx[h]
+                start_b[c, j] = starts[h]
+                rate_b[c, j] = rates[h]
+                gain_b[c, j] = gains[h]
+                valid_b[c, j] = True
+        return idx_b, start_b, rate_b, gain_b, valid_b
+
+    def _pitched_mix(self, bank, lens, idx, starts, rates, gains, ends,
+                     total: int, mesh=None, cf: int = 32768) -> jax.Array:
+        """Offline pitched-sampler mixdown: ONE scan over chunks (rows
+        bucketed per chunk); with ``mesh`` the rows shard over devices
+        and merge with one int32 psum (bit-exact — the per-hit rint
+        happens before the add)."""
+        nchunks = -(-total // cf)
+        ndev = int(mesh.devices.size) if mesh is not None else 0
+        per_chunk, K = self._bucket_pitched(starts, ends, nchunks, cf, 0,
+                                            ndev)
+        rows = self._pitched_rows(per_chunk, K, idx, starts, rates, gains)
+        c0s = np.arange(nchunks, dtype=np.int32) * cf
+        lmax = int(bank.shape[1])
+        lens32 = jnp.asarray(np.asarray(lens, np.int64).astype(np.int32))
+        if mesh is not None:
+            from .parallel.mesh import pitched_song_sharded
+            out = pitched_song_sharded(
+                jnp.asarray(bank), lens32,
+                *(jnp.asarray(r) for r in rows),
+                jnp.asarray(c0s), cf, lmax, mesh)
+        else:
+            fn = _pitched_song_fn(cf, lmax)
+            out = fn(jnp.asarray(bank), lens32,
+                     *(jnp.asarray(r) for r in rows),
+                     jnp.asarray(c0s), nchunks=nchunks)
+        return out[:total]
+
     def _synth_end_frame(self, voices: Sequence[Voice]) -> int:
         if not voices:
             return 0
@@ -675,6 +903,27 @@ class Song:
             nticks = self.pattern_ticks(pattern)
             for inst, patstr in pattern.items():
                 if inst in self.synths:
+                    continue
+                if inst in self.samplers:
+                    # pitched sampler notes export melodically on their
+                    # own channel (after the synth channels)
+                    base = len(self.synths)
+                    si = sorted(self.samplers).index(inst) + base
+                    chn = si if si < 9 else si + 1
+                    sd = self.samplers[inst]
+                    for t, tok in enumerate(patstr.split()):
+                        if tok == "-" or set(tok) <= {"."}:
+                            continue
+                        f = note_freq(tok)
+                        note = int(round(69 + 12 * _math.log2(f / 440.0)))
+                        vel = max(1, min(127, int(round(
+                            100 * self._track_gain_at(inst,
+                                                      bar_start + t)))))
+                        dur = ((sd.sample.nframes / self.samplerate)
+                               / max(f / sd.base_freq, 1e-9))
+                        notes.append(MidiNote((bar_start + t) * tick, dur,
+                                              max(0, min(127, note)), vel,
+                                              min(chn, 15)))
                     continue
                 for t, ch in enumerate(patstr):
                     if ch not in ". ":
@@ -760,7 +1009,11 @@ class Song:
         0.3 s) on top."""
         sched = self.compile_schedule()
         voices, vtracks = self.compile_synth_voices(return_tracks=True)
-        return (max(sched.total_frames, self._synth_end_frame(voices))
+        _, plens, pidx, pstart, prate, _pg = self.compile_pitched_hits()
+        pends = self._pitched_end_frames(plens, pidx, pstart, prate)
+        pitched_end = int(pends.max()) if len(pends) else 0
+        return (max(sched.total_frames, self._synth_end_frame(voices),
+                    pitched_end)
                 + self._synth_fx_tail(vtracks)
                 + int(tail_seconds * self.samplerate))
 
@@ -789,7 +1042,12 @@ class Song:
             raise ValueError("per-synth-track fx ([fx.SYNTH] sections) is "
                              "not supported with mesh= yet — render "
                              "single-device or move the chain to [fx]")
-        total = max(sched.total_frames, self._synth_end_frame(voices)) \
+        pbank, plens, pidx, pstart, prate, pgains = \
+            self.compile_pitched_hits()
+        pends = self._pitched_end_frames(plens, pidx, pstart, prate)
+        pitched_end = int(pends.max()) if len(pends) else 0
+        total = max(sched.total_frames, self._synth_end_frame(voices),
+                    pitched_end) \
             + self._synth_fx_tail(vtracks) \
             + int(tail_seconds * self.samplerate)
         if max_frames is not None:
@@ -804,19 +1062,23 @@ class Song:
                     f"mixdown of {with_tail} frames "
                     f"({with_tail / self.samplerate:.1f}s incl. fx tails) "
                     f"exceeds the caller's limit of {max_frames} frames")
-        if len(sched.hits) == 0 and not voices:
+        if len(sched.hits) == 0 and not voices and len(pidx) == 0:
             return Sample.from_raw_frames(b"", 2, self.samplerate, self.nchannels)
         out32 = jnp.zeros((total, self.nchannels), jnp.int32)
+        if len(pidx):
+            out32 = out32 + self._pitched_mix(pbank, plens, pidx, pstart,
+                                              prate, pgains, pends, total,
+                                              mesh=mesh)
         if len(sched.hits):
             if mesh is not None:
                 from .parallel.mesh import scatter_mix_sharded
-                out32 = scatter_mix_sharded(
+                out32 = out32 + scatter_mix_sharded(
                     jnp.asarray(sched.bank),
                     sched.hits[:, 0].astype(np.int32),
                     sched.hits[:, 1].astype(np.int32), total, mesh,
                     hits_gain=sched.gains)
             else:
-                out32 = _mixdown_kernel(
+                out32 = out32 + _mixdown_kernel(
                     jnp.asarray(sched.bank),
                     jnp.asarray(sched.hits[:, 0].astype(np.int32)),
                     jnp.asarray(sched.hits[:, 1].astype(np.int32)),
@@ -970,7 +1232,12 @@ class Song:
                              "not supported with mesh= yet — render "
                              "single-device or move the chain to [fx]")
         cf = chunk_frames or params.norm_frames_per_chunk
-        total = (max(sched.total_frames, self._synth_end_frame(voices))
+        pbank, plens, pidx, pstart, prate, pgains = \
+            self.compile_pitched_hits()
+        pends = self._pitched_end_frames(plens, pidx, pstart, prate)
+        pitched_end = int(pends.max()) if len(pends) else 0
+        total = (max(sched.total_frames, self._synth_end_frame(voices),
+                     pitched_end)
                  + self._synth_fx_tail(vtracks))
         start_frame = int(start_frame)
         if start_frame < 0:
@@ -1011,6 +1278,30 @@ class Song:
         # O(nchunks * hits) on long dense songs).  Chunk ci covers
         # [start_frame + ci*cf, start_frame + (ci+1)*cf).
         nchunks = -(-(total - start_frame) // cf)
+        pitched_rows = None
+        pitched_fn = None
+        if len(pidx):
+            ndev = int(mesh.devices.size) if mesh is not None else 0
+            pper, PK = self._bucket_pitched(pstart, pends, nchunks, cf,
+                                            start_frame, ndev)
+            pitched_rows = self._pitched_rows(pper, PK, pidx, pstart,
+                                              prate, pgains)
+            plmax = int(pbank.shape[1])
+            pbank_d = jnp.asarray(pbank)
+            plens_d = jnp.asarray(np.asarray(plens, np.int64)
+                                  .astype(np.int32))
+            if mesh is not None:
+                from .parallel.mesh import pitched_chunk_sharded_fn
+                base_pfn = pitched_chunk_sharded_fn(mesh, cf, plmax)
+            else:
+                base_pfn = _pitched_chunk_fn(cf, plmax)
+
+            def pitched_fn(ci, c0):
+                ib, sb, rb, gb, vb = (r[ci] for r in pitched_rows)
+                return base_pfn(pbank_d, plens_d, jnp.asarray(ib),
+                                jnp.asarray(sb), jnp.asarray(rb),
+                                jnp.asarray(gb), jnp.asarray(vb),
+                                jnp.int32(c0))
         lengths_of_hit = sched.lengths[insts]
         first_c = np.maximum(0, (starts - start_frame) // cf)
         last_c = np.minimum(nchunks - 1,
@@ -1053,6 +1344,8 @@ class Song:
                 [gg, np.zeros((pad, self.nchannels), np.float32)])
                 .astype(np.float32))
             acc = chunk_fn(inst_k, start_k, valid_k, gain_k, jnp.int32(c0))
+            if pitched_fn is not None:
+                acc = acc + pitched_fn(ci, c0)
             if synth_chunk_fn is not None:
                 synth_chunk = synth_chunk_fn(svp, jnp.int32(c0))
             elif gbank is not None:

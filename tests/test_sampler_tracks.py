@@ -1,0 +1,205 @@
+"""Pitched sampler tracks ([sampler.NAME] — tracker/FL-style melodic WAV
+playback): batched interpolating gathers vs a numpy spec twin, rate-1
+bit-exactness vs the source, streaming == offline, seeks, automation,
+mesh sharding, and the ini surface.
+"""
+
+import numpy as np
+import pytest
+
+from synthesizer_tpu import WaveSynth
+from synthesizer_tpu.sequencer import Song
+from synthesizer_tpu.synth import note_freq
+
+SR = 44100
+C4 = 261.6255653005986
+
+
+def guitar_sample(dur=0.3, seed=3):
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    return ws.pluck(C4, dur, amplitude=0.6, seed=seed) \
+        .fadeout(min(0.05, dur / 2)).stereo()
+
+
+def make_song(pattern="C4 .. E4 .. G4 .. C5 C3", base_note="C4", **auto):
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_sampler("gtr", guitar_sample(), base_note=base_note)
+    song.add_pattern("a", {"gtr": pattern})
+    song.pattern_sequence = ["a"]
+    for key, curve in auto.items():
+        song.add_automation(key.replace("__", "."), curve)
+    return song
+
+
+def pitched_oracle(song: Song, total: int) -> np.ndarray:
+    """Numpy twin of the pitched-playback spec: pos = n_rel * rate in
+    f32, linear interp, per-hit rint(gain * value), int64 sum."""
+    bank, lens, idx, starts, rates, gains = song.compile_pitched_hits()
+    out = np.zeros((total, song.nchannels), np.int64)
+    for h in range(len(idx)):
+        wav = bank[idx[h], : lens[idx[h]]].astype(np.float32)
+        L = int(lens[idx[h]])
+        n_rel = np.arange(total, dtype=np.int64) - starts[h]
+        pos = n_rel.astype(np.float32) * np.float32(rates[h])
+        inr = (n_rel >= 0) & (pos <= np.float32(L - 1))
+        i = np.clip(pos.astype(np.int32), 0, max(L - 2, 0))
+        frac = (pos - i.astype(np.float32)).astype(np.float32)
+        v0 = wav[i]
+        v1 = wav[np.minimum(i + 1, L - 1)]
+        vals = v0 + (v1 - v0) * frac[:, None]
+        vals = np.rint(vals * gains[h][None, :]).astype(np.int64)
+        out += np.where(inr[:, None], vals, 0)
+    return out
+
+
+def test_pitched_matches_numpy_twin():
+    song = make_song()
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    want = np.clip(pitched_oracle(song, len(off)), -32768, 32767)
+    np.testing.assert_array_equal(off.astype(np.int64), want)
+
+
+def test_base_note_is_bit_exact_passthrough():
+    """rate == 1.0: f32 pos is integral, interp collapses to the source
+    sample bit-for-bit (including the final frame)."""
+    song = make_song(pattern="C4 .. .. .. .. .. .. ..")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    src = song.samplers["gtr"].sample.get_frame_array()
+    np.testing.assert_array_equal(off[:len(src)], src)
+    assert np.abs(off[len(src):]).max() == 0
+
+
+def test_octave_pitching_scales_length_and_pitch():
+    src = guitar_sample()
+    n = src.nframes
+    up = make_song(pattern="C5 .. .. .. .. .. .. ..") \
+        .mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    dn = make_song(pattern="C3 - - - - - - - - - - - - - - -") \
+        .mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    nz_up = np.nonzero(np.abs(up).max(1))[0][-1] + 1
+    nz_dn = np.nonzero(np.abs(dn).max(1))[0][-1] + 1
+    assert abs(nz_up - n // 2) <= 4
+    assert abs(nz_dn - n * 2) <= 4
+    # spectral check with a pure-tone sample: a C5 note on a 440 Hz
+    # source plays the tone at 880 Hz
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    tone = ws.sine(440.0, 0.3, amplitude=0.6).stereo()
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_sampler("t", tone, base_note="C4")
+    song.add_pattern("a", {"t": "C5 .. .. .. .. .. .. .."})
+    song.pattern_sequence = ["a"]
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+
+    def peak_freq(x, nfft=8192):
+        w = np.abs(np.fft.rfft(x[:nfft, 0].astype(np.float64), nfft))
+        w[:20] = 0
+        return np.argmax(w) * SR / nfft
+
+    assert peak_freq(out) == pytest.approx(880.0, rel=0.02)
+
+
+@pytest.mark.parametrize("chunk", [977, 4096])
+def test_streaming_equals_offline(chunk):
+    song = make_song()
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_seek_bit_exact():
+    song = make_song()
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    seek = 7001
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=2048,
+                                                      start_frame=seek)])
+    np.testing.assert_array_equal(got, off[seek:seek + len(got)])
+
+
+def test_sampler_with_drums_and_synths():
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    from synthesizer_tpu.sequencer import SynthDef
+    song = make_song()
+    song.add_instrument("kick", ws.sine(60, 0.08, amplitude=0.5)
+                        .fadeout(0.05).stereo())
+    song.add_synth("lead", SynthDef(wave="sine", amplitude=0.2))
+    song.patterns["a"]["kick"] = "x.x.x.x."
+    song.patterns["a"]["lead"] = "C5 - .. .. E5 - .. .."
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1470)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_sampler_automation_velocity_and_pan():
+    song = make_song(pattern="C4 .. .. .. C4 .. .. ..",
+                     track__gtr__volume="0:1 4:0.5",
+                     track__gtr__pan="0:-1 4:1")
+    bank, lens, idx, starts, rates, gains = song.compile_pitched_hits()
+    np.testing.assert_allclose(gains, [[1.0, 0.0], [0.0, 0.5]], atol=1e-6)
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    want = np.clip(pitched_oracle(song, len(off)), -32768, 32767)
+    np.testing.assert_array_equal(off.astype(np.int64), want)
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1000)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_sampler_sharded_bit_exact():
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    song = make_song()
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False, mesh=voice_mesh(8)).get_frame_array()
+    np.testing.assert_array_equal(single, sharded)
+    # streaming under the mesh too
+    got = np.concatenate([c.get_frame_array() for c in
+                          song.mix_generator(chunk_frames=2048,
+                                             mesh=voice_mesh(8))])
+    np.testing.assert_array_equal(got, single[:len(got)])
+
+
+def test_sampler_ini_roundtrip(tmp_path):
+    guitar_sample().write_wav(str(tmp_path / "gtr.wav"))
+    (tmp_path / "song.ini").write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[sampler.gtr]
+file = gtr.wav
+base_note = C4
+[pattern.a]
+gtr = C4 .. E4 G4 .. .. C5 ..
+""")
+    song = Song.from_ini(str(tmp_path / "song.ini"))
+    assert "gtr" in song.samplers
+    assert song.samplers["gtr"].base_freq == pytest.approx(note_freq("C4"))
+    off = song.mix(normalize=False).get_frame_array()
+    assert np.abs(off).max() > 1000
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1470)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_sampler_duration_frames_covers_lowest_note():
+    song = make_song(pattern="C2 .. .. .. .. .. .. ..")
+    n = song.duration_frames()
+    src_n = song.samplers["gtr"].sample.nframes
+    # C2 plays at 1/4 speed: ~4x the source length
+    assert n >= (src_n - 1) * 4
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    assert len(out) >= n
+
+
+def test_sampler_export_midi():
+    song = make_song(pattern="C4 .. E4 .. .. .. .. ..")
+    from synthesizer_tpu.midi import parse_midi
+    notes = parse_midi(song.export_midi())
+    keys = sorted(n.note for n in notes)
+    assert keys == [60, 64]
+    assert all(n.channel not in (9,) for n in notes)
