@@ -55,6 +55,12 @@ def make_kit(outdir: str) -> None:
     synth.render_oscillator(pluck, 0.3, "bass").stereo().write_wav(
         os.path.join(outdir, "bass.wav"))
 
+    # melodic sampler source: a plucked C4 the [sampler.pluckgtr]
+    # track repitches per note (tracker-style)
+    synth.pluck(261.6255653005986, 0.35, amplitude=0.55, seed=14,
+                damping=1.3).fadeout(0.05).stereo().write_wav(
+        os.path.join(outdir, "pluckgtr.wav"))
+
     # stab chord
     stab = osc.EnvelopeFilter(
         osc.MixingFilter(
@@ -92,6 +98,11 @@ decay = 0.04
 sustain_level = 0.6
 release = 0.09
 pan = 0.25
+
+[sampler.pluckgtr]
+; tracker-style pitched sample playback (beyond-reference)
+file = pluckgtr.wav
+base_note = C4
 
 [synth.gtr]
 ; Karplus-Strong plucked string (beyond-reference physical modeling)
@@ -140,6 +151,7 @@ bass  = x... ..x. x... ..x.
 stab  = .... .... x... ....
 lead  = E4 .. G4 A4 -  .. E5 D5 -  .. A4 -  G4 .. E4 -
 gtr   = E3 .. .. B3 .. .. G3 .. E3 .. .. B2 .. .. A2 ..
+pluckgtr = .. E4 .. .. G4 .. .. B4 .. E5 .. .. B4 .. G4 ..
 sub   = E2 -  -  -  A1 -  -  -  C2 -  -  -  B1 -  -  -
 
 [pattern.fill]

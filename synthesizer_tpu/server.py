@@ -230,9 +230,13 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError("[paths] sections are not allowed in "
                              "server-submitted songs")
         # every file an untrusted song can name resolves ONLY under the
-        # sample root: instrument WAVs and [fx] convolve impulse responses
+        # sample root: instrument WAVs, [sampler.*] files, and [fx]
+        # convolve impulse responses
         files = list(cp.items("instruments")) if cp.has_section(
             "instruments") else []
+        for sec in cp.sections():
+            if sec.startswith("sampler.") and cp.has_option(sec, "file"):
+                files.append((f"[{sec}] file", cp.get(sec, "file")))
         from .effects import DEFAULT_REVERB_TAIL, parse_fx_items
         fx_sections = [s for s in cp.sections()
                        if s == "fx" or s.startswith("fx.")]

@@ -431,3 +431,38 @@ def test_render_song_with_automation_and_pluck(server, tmp_path):
     # the master fade: final region much quieter than the start
     n = len(audio)
     assert np.abs(audio[-n // 10:]).max() < np.abs(audio[: n // 10]).max()
+
+
+def test_render_song_sampler_sandbox(server, tmp_path):
+    """[sampler.*] file paths obey the same sample-root confinement as
+    instruments (no escapes), and an in-root sampler song renders."""
+    from synthesizer_tpu import WaveSynth
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    ws.sine(261.63, 0.1, amplitude=0.6).stereo().write_wav(
+        str(tmp_path / "gtr.wav"))
+    ok_ini = """
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[sampler.gtr]
+file = gtr.wav
+base_note = C4
+[pattern.a]
+gtr = C4 .. E4 .. G4 .. .. ..
+"""
+    server.sample_root = str(tmp_path)
+    try:
+        status, ctype, data = request(server, "POST", "/render/song",
+                                      ok_ini, ctype="text/plain")
+        assert status == 200 and ctype == "audio/wav"
+        bad = ok_ini.replace("file = gtr.wav", "file = ../../etc/passwd")
+        status, _, data = request(server, "POST", "/render/song", bad,
+                                  ctype="text/plain")
+        assert status == 400 and b"escapes" in data
+        bad2 = ok_ini.replace("file = gtr.wav", "file = /etc/passwd")
+        status, _, data = request(server, "POST", "/render/song", bad2,
+                                  ctype="text/plain")
+        assert status == 400 and b"escapes" in data
+    finally:
+        server.sample_root = None
