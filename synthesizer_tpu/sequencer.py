@@ -6,6 +6,7 @@ row 8, §4.2).  Song files use the same schema:
     [song]
     bpm = 128
     ticks = 4
+    swing = 0.0                  ; optional shuffle (odd ticks delayed)
     patterns = pat1 pat2 pat1
     [paths]                      ; optional
     samples = samples/
@@ -327,6 +328,12 @@ class Song:
     def __init__(self):
         self.bpm = 128
         self.ticks = 4
+        #: shuffle feel ([song] swing, 0..0.95): every ODD tick is
+        #: delayed by swing * half a tick — 0 is straight time, ~0.33
+        #: lands off-beats on the triplet.  Applied at schedule compile
+        #: (one place, _tick_pos), so drums, synth notes, and sampler
+        #: notes swing together bit-exactly on every path
+        self.swing = 0.0
         self.pattern_sequence: List[str] = []
         self.patterns: Dict[str, Dict[str, str]] = {}
         self.instruments: Dict[str, Sample] = {}
@@ -397,6 +404,10 @@ class Song:
         if self.bpm <= 0 or self.ticks <= 0:
             raise ValueError(f"bpm and ticks must be positive "
                              f"(got bpm={self.bpm}, ticks={self.ticks})")
+        self.swing = cp.getfloat("song", "swing", fallback=0.0)
+        if not 0.0 <= self.swing <= 0.95:
+            raise ValueError(f"swing must be in [0, 0.95] "
+                             f"(got {self.swing})")
         self.pattern_sequence = cp.get("song", "patterns").split()
         for name, filename in cp.items("instruments") if cp.has_section("instruments") else []:
             smp = Sample(wave_file=os.path.join(base, filename), name=name)
@@ -657,6 +668,12 @@ class Song:
     def tick_duration(self) -> float:
         return 60.0 / self.bpm / self.ticks
 
+    def _tick_pos(self, tick_idx: int) -> float:
+        """Grid tick index -> (possibly swung) tick position."""
+        if self.swing and tick_idx % 2:
+            return tick_idx + self.swing * 0.5
+        return float(tick_idx)
+
     def pattern_ticks(self, pattern: Dict[str, str]) -> int:
         n = 0
         for inst, p in pattern.items():
@@ -693,7 +710,8 @@ class Song:
                     raise KeyError(f"pattern {pname} uses unknown instrument {inst}")
                 for t, ch in enumerate(patstr):
                     if ch not in ". ":
-                        start = int((bar_start_ticks + t) * tickf)
+                        start = int(self._tick_pos(bar_start_ticks + t)
+                                    * tickf)
                         hits.append((index[inst], start))
                         gains.append(self._hit_gain_at(
                             inst, bar_start_ticks + t))
@@ -741,7 +759,7 @@ class Song:
                         amplitude=sd.amplitude
                         * self._track_gain_at(inst, bar_start + t),
                         pan=sd.pan if note_pan is None else note_pan,
-                        start=(bar_start + t) * tick,
+                        start=self._tick_pos(bar_start + t) * tick,
                         duration=held * tick,
                         attack=sd.attack, decay=sd.decay,
                         sustain_level=sd.sustain_level, release=sd.release,
@@ -792,7 +810,7 @@ class Song:
                     if tok == "-" or set(tok) <= {"."}:
                         continue
                     idx.append(index[inst])
-                    starts.append(int((bar_start + t) * tickf))
+                    starts.append(int(self._tick_pos(bar_start + t) * tickf))
                     rates.append(note_freq(tok) / sd.base_freq)
                     gains.append(self._hit_gain_at(inst, bar_start + t))
             bar_start += nticks
@@ -921,9 +939,9 @@ class Song:
                                                       bar_start + t)))))
                         dur = ((sd.sample.nframes / self.samplerate)
                                / max(f / sd.base_freq, 1e-9))
-                        notes.append(MidiNote((bar_start + t) * tick, dur,
-                                              max(0, min(127, note)), vel,
-                                              min(chn, 15)))
+                        notes.append(MidiNote(
+                            self._tick_pos(bar_start + t) * tick, dur,
+                            max(0, min(127, note)), vel, min(chn, 15)))
                     continue
                 for t, ch in enumerate(patstr):
                     if ch not in ". ":
@@ -931,9 +949,9 @@ class Song:
                         # (synth notes carry it in their amplitudes)
                         vel = max(1, min(127, int(round(
                             100 * self._track_gain_at(inst, bar_start + t)))))
-                        notes.append(MidiNote((bar_start + t) * tick,
-                                              tick * 0.9, drum_keys[inst],
-                                              vel, 9))
+                        notes.append(MidiNote(
+                            self._tick_pos(bar_start + t) * tick,
+                            tick * 0.9, drum_keys[inst], vel, 9))
             bar_start += nticks
         for v in self.compile_synth_voices():
             # invert note_to_freq: nearest equal-tempered note

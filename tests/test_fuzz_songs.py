@@ -38,6 +38,14 @@ def rand_song(rng):
             sustain_level=float(rng.uniform(0.3, 0.9)),
             release=float(rng.uniform(0.01, 0.1)),
             pan=float(rng.uniform(-0.8, 0.8)), **kw))
+    nsamp = int(rng.integers(0, 2))
+    for i in range(nsamp):
+        dur = float(rng.uniform(0.05, 0.2))
+        src = synth.pluck(261.6255653005986, dur,
+                          amplitude=float(rng.uniform(0.2, 0.5)),
+                          seed=int(rng.integers(0, 50)))
+        src.fadeout(dur / 3).stereo()
+        song.add_sampler(f"smp{i}", src, base_note="C4")
     npat = int(rng.integers(1, 3))
     for p in range(npat):
         nticks = int(rng.choice([8, 16]))
@@ -58,6 +66,12 @@ def rand_song(rng):
                     else:
                         toks.append(".")
                 tracks[f"syn{i}"] = " ".join(toks)
+        for i in range(nsamp):
+            if rng.random() < 0.8:
+                toks = [NOTES[rng.integers(len(NOTES))]
+                        if rng.random() < 0.25 else "."
+                        for _ in range(nticks)]
+                tracks[f"smp{i}"] = " ".join(toks)
         if tracks:
             song.add_pattern(f"p{p}", tracks)
     song.pattern_sequence = [f"p{i}" for i in
@@ -93,9 +107,9 @@ def test_random_song(seed):
         got = np.concatenate(chunks)
         np.testing.assert_array_equal(got, offline.get_frame_array()[:len(got)],
                                       err_msg=f"seed {seed}")
-    # drum part matches the oracle per-hit loop (subtract the synth part)
+    # drum part matches the oracle per-hit loop (pure-drum songs only)
     voices = song.compile_synth_voices()
-    if not voices:
+    if not voices and not song.samplers:
         want32 = oracle_drum_mix(song, offline.nframes)
         want = np.clip(want32, -32768, 32767).astype(np.int16)
         np.testing.assert_array_equal(offline.get_frame_array(), want,
@@ -109,7 +123,10 @@ def add_rand_automation(song, rng):
         ticks = np.sort(rng.choice(np.arange(0, 64), npts, replace=False))
         vals = rng.uniform(lo, hi, npts)
         return " ".join(f"{t}:{v:.3f}" for t, v in zip(ticks, vals))
-    for name in list(song.instruments) + list(song.synths):
+    if rng.random() < 0.4:
+        song.swing = float(rng.uniform(0.1, 0.6))
+    for name in (list(song.instruments) + list(song.synths)
+                 + list(song.samplers)):
         if rng.random() < 0.5:
             song.add_automation(f"track.{name}.volume", curve(0.1, 1.2))
         if rng.random() < 0.3:

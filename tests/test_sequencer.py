@@ -253,3 +253,56 @@ def test_long_dense_song_streaming_scales():
     assert audio >= 5 * 60
     rtf = audio / wall
     assert rtf > 20, f"dense-song streaming at {rtf:.1f}x realtime"
+
+
+def test_swing_delays_odd_ticks(tmp_path):
+    """swing shifts odd-tick hits by swing*tick/2 on every engine (drums,
+    synth notes, sampler notes), identically offline and streaming."""
+    from synthesizer_tpu.sequencer import SynthDef
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+
+    def build(swing):
+        song = Song()
+        song.bpm = 240
+        song.ticks = 4
+        song.swing = swing
+        song.add_instrument("hat", synth.white_noise(
+            duration=0.02, amplitude=0.4, seed=5).fadeout(0.01).stereo())
+        song.add_pattern("a", {"hat": "xxxx xxxx"})
+        song.pattern_sequence = ["a"]
+        return song
+
+    straight = build(0.0).compile_schedule()
+    swung = build(0.4).compile_schedule()
+    tickf = build(0.0).tick_duration * SR
+    shift = np.asarray(swung.hits[:, 1]) - np.asarray(straight.hits[:, 1])
+    want = [0 if t % 2 == 0 else int((t + 0.2) * tickf) - int(t * tickf)
+            for t in range(8)]
+    assert shift.tolist() == want
+    song = build(0.4)
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1000)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+
+
+def test_swing_ini_and_validation(tmp_path):
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    synth.sine(60, 0.05).stereo().write_wav(str(tmp_path / "k.wav"))
+    ini = tmp_path / "s.ini"
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+swing = 0.33
+patterns = a
+[instruments]
+k = k.wav
+[pattern.a]
+k = x.x.x.x.
+""")
+    song = Song.from_ini(str(ini))
+    assert song.swing == 0.33
+    ini.write_text(ini.read_text().replace("swing = 0.33", "swing = 1.5"))
+    with pytest.raises(ValueError, match="swing"):
+        Song.from_ini(str(ini))
