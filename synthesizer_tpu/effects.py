@@ -254,7 +254,13 @@ class StreamingReverb:
     def __init__(self, samplerate: int, nchannels: int,
                  roomsize: float = 0.7, damping: float = 0.5,
                  wet: float = 0.33, dry: float = 0.7, width: float = 1.0,
-                 tail: float = DEFAULT_REVERB_TAIL):
+                 tail: float = DEFAULT_REVERB_TAIL,
+                 wet_curve=None, dry_curve=None, tickf: float = 0.0,
+                 start_frame: int = 0):
+        """``wet_curve``/``dry_curve`` (fx.reverb.wet/.dry automation):
+        tick:value breakpoint lists replacing the static wet/dry with a
+        per-frame gain on the OUTPUT stage — the comb/allpass core is
+        untouched, so the automated mix stays within the same budget."""
         from goldref.effects import reverb_params, reverb_delays
         feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
                                                    width)
@@ -266,17 +272,44 @@ class StreamingReverb:
                       for ch in range(1 if nchannels == 1 else 2)]
         self._state = tuple(dfx.reverb_zero_state(c, a) for c, a in self._nets)
         self.tail_frames = int(tail * samplerate)
+        self._swept = wet_curve is not None or dry_curve is not None
+        if self._swept:
+            # a single-point curve interpolates to its constant value, so
+            # the un-automated knob just becomes [(0, value)]
+            wc = wet_curve if wet_curve is not None else [(0.0, wet)]
+            dc = dry_curve if dry_curve is not None else [(0.0, dry)]
+            self._wxs = jnp.asarray([t for t, _ in wc], jnp.float32)
+            self._wvs = jnp.asarray([v for _, v in wc], jnp.float32)
+            self._dxs = jnp.asarray([t for t, _ in dc], jnp.float32)
+            self._dvs = jnp.asarray([v for _, v in dc], jnp.float32)
+            # wet splits into the Freeverb stereo pair by the width law
+            self._w1f = np.float32(width / 2.0 + 0.5)
+            self._w2f = np.float32((1.0 - width) / 2.0)
+            self._tickf = float(tickf)
+            self._n0 = int(start_frame)
 
     def process(self, x: jax.Array) -> jax.Array:
-        key = ("reverb", x.shape, str(x.dtype), self._sr)
         nets = self._nets
         nch = self._nch
         width = dpcm.width_of(x)
+        swept = self._swept
+        key = ("reverb", swept, x.shape, str(x.dtype), self._sr,
+               (int(self._wxs.shape[0]), int(self._dxs.shape[0]))
+               if swept else ())
+        w1f = self._w1f if swept else None
+        w2f = self._w2f if swept else None
 
         def build():
             @jax.jit
-            def fn(x, states, knobs):
+            def fn(x, states, knobs, *curve):
                 feedback, damp, wet1, wet2, dry = (knobs[i] for i in range(5))
+                if swept:
+                    n0, wxs, wvs, dxs, dvs, tickf = curve
+                    n = (n0 + jnp.arange(x.shape[0], dtype=jnp.int32))                         .astype(jnp.float32) / tickf
+                    wet_n = jnp.interp(n, wxs, wvs)
+                    dry = jnp.interp(n, dxs, dvs)
+                    wet1 = wet_n * w1f
+                    wet2 = wet_n * w2f
                 s = dfx._norm(x)
                 from goldref.effects import FIXED_GAIN
                 mono_in = jnp.sum(s, axis=1) * jnp.float32(FIXED_GAIN)
@@ -297,7 +330,14 @@ class StreamingReverb:
                 return dfx.to_int_samples(out, width), tuple(new_states)
             return fn
 
-        y, self._state = _cached(key, build)(x, self._state, self._knobs)
+        if swept:
+            y, self._state = _cached(key, build)(
+                x, self._state, self._knobs, jnp.int32(self._n0),
+                self._wxs, self._wvs, self._dxs, self._dvs,
+                jnp.float32(self._tickf))
+            self._n0 += int(x.shape[0])
+        else:
+            y, self._state = _cached(key, build)(x, self._state, self._knobs)
         return y
 
 
@@ -448,8 +488,12 @@ class FxChain:
     def __init__(self, fx: Sequence[Tuple[str, dict]], samplerate: int,
                  nchannels: int,
                  ir_samples: Optional[Dict[str, "object"]] = None,
-                 cutoff_curve=None, tickf: float = 0.0,
-                 start_frame: int = 0):
+                 automation: Optional[Dict[str, list]] = None,
+                 tickf: float = 0.0, start_frame: int = 0):
+        auto = automation or {}
+        cutoff_curve = auto.get("fx.filter.cutoff")
+        rev_wet = auto.get("fx.reverb.wet")
+        rev_dry = auto.get("fx.reverb.dry")
         self.processors = []
         for name, p in fx:
             if name == "compress":
@@ -467,7 +511,13 @@ class FxChain:
             elif name == "gate":
                 proc = StreamingGate(samplerate, **p)
             elif name == "reverb":
-                proc = StreamingReverb(samplerate, nchannels, **p)
+                if rev_wet is not None or rev_dry is not None:
+                    proc = StreamingReverb(samplerate, nchannels,
+                                           wet_curve=rev_wet,
+                                           dry_curve=rev_dry, tickf=tickf,
+                                           start_frame=start_frame, **p)
+                else:
+                    proc = StreamingReverb(samplerate, nchannels, **p)
             elif name == "chorus":
                 proc = StreamingChorus(samplerate, nchannels, **p)
             elif name == "convolve":
@@ -510,7 +560,8 @@ def chain_tail_frames(fx: Sequence[Tuple[str, dict]], samplerate: int,
 
 def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
                     ir_samples: Optional[Dict[str, "object"]] = None,
-                    cutoff_curve=None, tickf: float = 0.0):
+                    automation: Optional[Dict[str, list]] = None,
+                    tickf: float = 0.0):
     """Apply the chain OFFLINE by staging the lazy Sample ops (the whole
     chain fuses into the sample's device program).  Returns the sample.
 
@@ -524,27 +575,41 @@ def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
     tail = chain_tail_frames(fx, sample.samplerate, ir_samples)
     sample.pad_frames(tail)
     return run_fx_chain_ops(sample, fx, ir_samples,
-                            cutoff_curve=cutoff_curve, tickf=tickf)
+                            automation=automation, tickf=tickf)
 
 
 def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
                      ir_samples: Optional[Dict[str, "object"]] = None,
-                     cutoff_curve=None, tickf: float = 0.0):
+                     automation: Optional[Dict[str, list]] = None,
+                     tickf: float = 0.0):
     """The op loop of ``apply_fx_sample`` WITHOUT the tail pad — for
     callers that already reserved the chain's decay room in ``sample``
     (e.g. a song's per-synth-track bus, rendered out to the padded song
     length).  Length is preserved.
 
-    With ``cutoff_curve`` (fx.filter.cutoff automation) the filter entry
-    runs eagerly as the whole-signal swept biquad (n0=0) instead of the
-    staged constant-coefficient op — the one automation point in the
-    chain; everything else still stages/fuses."""
+    With ``automation`` curves, the automated entries run eagerly as
+    whole-signal calls (n0=0) of the SAME code the streaming path uses —
+    fx.filter.cutoff as the swept biquad, fx.reverb.wet/.dry through the
+    streaming reverb with per-frame output gains; everything else still
+    stages/fuses."""
+    auto = automation or {}
+    cutoff_curve = auto.get("fx.filter.cutoff")
+    rev_wet = auto.get("fx.reverb.wet")
+    rev_dry = auto.get("fx.reverb.dry")
     for name, p in fx:
         if name == "convolve":
             q = dict(p)
             ir = (ir_samples or {})[q.pop("ir")]
             n = sample.nframes
             sample.convolve(ir, **q).truncate_frames(n)
+        elif name == "reverb" and (rev_wet is not None
+                                   or rev_dry is not None):
+            q = dict(p)
+            q["tail"] = 0.0
+            proc = StreamingReverb(sample.samplerate, sample.nchannels,
+                                   wet_curve=rev_wet, dry_curve=rev_dry,
+                                   tickf=tickf, start_frame=0, **q)
+            sample._replace_frames(proc.process(sample.jax_frames))
         elif name == "reverb":
             q = dict(p)
             q["tail"] = 0.0

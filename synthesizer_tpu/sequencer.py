@@ -75,6 +75,7 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     track.kick.volume = 0:1 16:0.25    ; per-hit / per-note velocity
     track.kick.pan = 0:-1 64:1         ; per-hit / per-note placement
     fx.filter.cutoff = 0:200 64:8000   ; master-chain filter sweep (Hz)
+    fx.reverb.wet = 0:0 32:0.4         ; reverb send rides up
 """
 
 from __future__ import annotations
@@ -536,15 +537,16 @@ class Song:
         parts = key.split(".")
         if key == "master.volume":
             pass
-        elif key == "fx.filter.cutoff":
-            nfilters = sum(1 for n, _ in self.fx if n == "filter")
-            if nfilters == 0:
-                raise ValueError("automation fx.filter.cutoff: the [fx] "
-                                 "chain has no filter entry (add it first)")
-            if nfilters > 1:
-                raise ValueError("automation fx.filter.cutoff: the [fx] "
-                                 "chain has several filters — only one "
-                                 "can be automated")
+        elif key in ("fx.filter.cutoff", "fx.reverb.wet", "fx.reverb.dry"):
+            target = key.split(".")[1]
+            nfx = sum(1 for n, _ in self.fx if n == target)
+            if nfx == 0:
+                raise ValueError(f"automation {key}: the [fx] chain has "
+                                 f"no {target} entry (add it first)")
+            if nfx > 1:
+                raise ValueError(f"automation {key}: the [fx] chain has "
+                                 f"several {target} entries — only one "
+                                 f"can be automated")
         elif (len(parts) == 3 and parts[0] == "track"
               and parts[2] in ("volume", "pan")):
             name = parts[1]
@@ -1151,8 +1153,7 @@ class Song:
             mixed = Sample.from_jax(out16, self.samplerate, 2, name="mixdown")
             if self.fx:
                 apply_fx_sample(mixed, self.fx, self.fx_irs,
-                                cutoff_curve=self.automation.get(
-                                    "fx.filter.cutoff"),
+                                automation=self.automation,
                                 tickf=self.tick_duration * self.samplerate)
             if normalize:
                 mixed.amplify_max()
@@ -1185,8 +1186,7 @@ class Song:
             return
         from .effects import FxChain
         chain = FxChain(self.fx, self.samplerate, self.nchannels,
-                        self.fx_irs,
-                        cutoff_curve=self.automation.get("fx.filter.cutoff"),
+                        self.fx_irs, automation=self.automation,
                         tickf=self.tick_duration * self.samplerate,
                         start_frame=int(start_frame))
         cf = chunk_frames or params.norm_frames_per_chunk

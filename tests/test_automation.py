@@ -322,7 +322,7 @@ def test_fx_filter_cutoff_requires_filter():
     song.add_fx("filter", kind="lowpass", cutoff=1000.0)
     song.add_automation("fx.filter.cutoff", "0:200 16:8000")
     song.add_fx("filter", kind="highpass", cutoff=100.0)
-    with pytest.raises(ValueError, match="several filters"):
+    with pytest.raises(ValueError, match="several filter"):
         song.add_automation("fx.filter.cutoff", "0:200 16:8000")
 
 
@@ -381,3 +381,49 @@ fx.filter.cutoff = 0:250 8:5000
     assert song.automation["fx.filter.cutoff"] == [(0.0, 250.0), (8.0, 5000.0)]
     out = song.mix(normalize=False).get_frame_array()
     assert np.abs(out).max() > 100
+
+
+# ---------------------------------------------------------------------------
+# fx.reverb.wet / fx.reverb.dry (output-stage gain automation)
+# ---------------------------------------------------------------------------
+
+def test_fx_reverb_wet_rides_up():
+    """wet 0 -> 0.8: early audio is (near) dry-only; the late half and
+    the tail carry reverb energy."""
+    song = bright_song()
+    song.add_fx("reverb", roomsize=0.8, wet=0.3, dry=0.6, tail=0.25)
+    song.add_automation("fx.reverb.wet", "0:0 16:0.8")
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    base = bright_song()
+    base.add_fx("reverb", roomsize=0.8, wet=0.0, dry=0.6, tail=0.25)
+    dry_only = base.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    n = min(len(out), len(dry_only))
+    # at the very start the curves agree (wet ~ 0): nearly identical
+    head = np.abs(out[:300].astype(np.int64)
+                  - dry_only[:300].astype(np.int64)).max()
+    assert head <= 8, head
+    # the tail rings only for the automated song (its wet ended at 0.8)
+    prog_end = bright_song().duration_frames()
+    assert np.abs(out[prog_end:prog_end + 4000]).max() > 50
+    assert np.abs(dry_only[prog_end:prog_end + 4000]).max() <= 2
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_reverb_automation_streaming_equals_offline(chunk):
+    song = bright_song()
+    song.add_fx("compress", threshold_db=-18.0, ratio=3.0)
+    song.add_fx("reverb", roomsize=0.7, wet=0.3, dry=0.7, tail=0.2)
+    song.add_automation("fx.reverb.wet", "0:0.1 8:0.6 16:0.1")
+    song.add_automation("fx.reverb.dry", "0:0.9 16:0.4")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_fx_reverb_automation_requires_reverb():
+    song = bright_song()
+    with pytest.raises(ValueError, match="no reverb"):
+        song.add_automation("fx.reverb.wet", "0:0.5")
