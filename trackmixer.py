@@ -65,9 +65,24 @@ class TrackmixerRepl(cmd.Cmd):
         """Show song metadata."""
         s = self.song
         print(f"song: {self.ini_file}")
+        extras = []
+        if s.synths:
+            extras.append(f"{len(s.synths)} synths")
+        if s.samplers:
+            extras.append(f"{len(s.samplers)} samplers")
+        if s.fx:
+            extras.append("fx: " + " ".join(n for n, _ in s.fx))
+        if s.synth_fx:
+            extras.append("track fx: " + " ".join(sorted(s.synth_fx)))
+        if s.automation:
+            extras.append("automation: " + " ".join(sorted(s.automation)))
+        if s.swing:
+            extras.append(f"swing {s.swing:g}")
         print(f"bpm {s.bpm}, {s.ticks} ticks/beat, "
               f"{len(s.instruments)} instruments, "
-              f"{len(s.patterns)} patterns, sequence: {' '.join(s.pattern_sequence)}")
+              f"{len(s.patterns)} patterns, sequence: "
+              f"{' '.join(s.pattern_sequence)}"
+              + ("".join("\n  " + e for e in extras)))
 
     def do_load(self, arg):
         """load <song.ini> — load another song file."""
