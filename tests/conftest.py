@@ -47,6 +47,25 @@ def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu"
 
 
+#: Every compiled XLA CPU executable holds several memory mappings; the
+#: full suite compiles thousands of programs in ONE process and marches
+#: into the kernel's vm.max_map_count (65530 default) — at ~65k maps the
+#: next LLVM mmap fails and the process SEGFAULTS mid-compile (measured:
+#: maps grow ~linearly to 65.1k right before the crash).  Dropping the
+#: jit caches every few hundred tests unmaps retired executables; the
+#: handful of cross-module programs recompile (~seconds), keeping the
+#: map count bounded far below the limit.
+_TESTS_PER_CACHE_CLEAR = 150
+_test_counter = 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    global _test_counter
+    _test_counter += 1
+    if _test_counter % _TESTS_PER_CACHE_CLEAR == 0:
+        jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xC0FFEE)
