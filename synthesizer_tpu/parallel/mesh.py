@@ -261,7 +261,8 @@ def pitched_song_sharded(bank, lens, idx_b, start_b, rate_b, gain_b,
                                               vb, c0, cf, lmax)
             _, out = jax.lax.scan(
                 body, 0, (idx_b, start_b, rate_b, gain_b, valid_b, c0s))
-            return jax.lax.psum(out.reshape(-1, bank.shape[2]), HITS_AXIS)
+            return jax.lax.psum(out.reshape(-1, bank.shape[2] // 2),
+                                HITS_AXIS)
         _sharded_fn_cache[key] = run
     return run(jnp.asarray(bank), jnp.asarray(lens), jnp.asarray(idx_b),
                jnp.asarray(start_b), jnp.asarray(rate_b),

@@ -192,6 +192,7 @@ def _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k, gain_k,
     the final frame), velocity/pan gains apply per channel, rows sum in
     int32.  Stateless in the absolute frame index — streaming == offline
     by construction."""
+    C = bank.shape[2] // 2
     n_rel = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
     pos = n_rel.astype(jnp.float32) * rate_k[:, None]          # [K, cf]
     last = (lens[idx_k] - 1).astype(jnp.float32)[:, None]
@@ -199,9 +200,12 @@ def _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k, gain_k,
     i = jnp.clip(pos.astype(jnp.int32), 0,
                  jnp.maximum(lens[idx_k][:, None] - 2, 0))
     frac = pos - i.astype(jnp.float32)
-    v0 = bank[idx_k[:, None], i].astype(jnp.float32)           # [K, cf, C]
-    v1 = bank[idx_k[:, None],
-              jnp.minimum(i + 1, lmax - 1)].astype(jnp.float32)
+    # bank is PAIR-packed [P, Lmax, 2C]: position i carries
+    # (wav[i], wav[i+1]) so ONE gather fetches both interp endpoints
+    # (gathers dominate this kernel on TPU — this halves them)
+    v01 = bank[idx_k[:, None], i].astype(jnp.float32)          # [K, cf, 2C]
+    v0 = v01[..., :C]
+    v1 = v01[..., C:]
     vals = v0 + (v1 - v0) * frac[:, :, None]
     vals = jnp.rint(vals * gain_k[:, None, :]).astype(jnp.int32)
     vals = jnp.where(inr[:, :, None], vals, 0)
@@ -238,7 +242,7 @@ def _pitched_song_fn(cf: int, lmax: int):
                     c0, cf, lmax)
             _, out = jax.lax.scan(
                 body, 0, (idx_b, start_b, rate_b, gain_b, valid_b, c0s))
-            return out.reshape(-1, bank.shape[2])
+            return out.reshape(-1, bank.shape[2] // 2)
         _chunk_fn_cache[key] = fn
     return fn
 
@@ -795,6 +799,11 @@ class Song:
         for i, a in enumerate(arrays):
             bank[i, :len(a)] = a
             lens[i] = len(a)
+        # pair-pack for the device kernel: position i holds
+        # (wav[i], wav[i+1]) so the interp needs ONE gather per read
+        bank = np.concatenate(
+            [bank, np.concatenate([bank[:, 1:], bank[:, -1:]], axis=1)],
+            axis=2)
         idx: List[int] = []
         starts: List[int] = []
         rates: List[float] = []

@@ -37,7 +37,9 @@ def pitched_oracle(song: Song, total: int) -> np.ndarray:
     """Numpy twin of the pitched-playback spec: pos = n_rel * rate in
     f32, linear interp, per-hit rint(gain * value), int64 sum."""
     bank, lens, idx, starts, rates, gains = song.compile_pitched_hits()
-    out = np.zeros((total, song.nchannels), np.int64)
+    C = song.nchannels
+    bank = bank[:, :, :C]       # the device bank is pair-packed [.., 2C]
+    out = np.zeros((total, C), np.int64)
     for h in range(len(idx)):
         wav = bank[idx[h], : lens[idx[h]]].astype(np.float32)
         L = int(lens[idx[h]])
