@@ -68,7 +68,12 @@ class StreamingCompressor:
 
     def __init__(self, samplerate: int, threshold_db: float = -20.0,
                  ratio: float = 4.0, attack: float = 0.005,
-                 release: float = 0.1, makeup_db: float = 0.0):
+                 release: float = 0.1, makeup_db: float = 0.0,
+                 makeup_curve=None, tickf: float = 0.0,
+                 start_frame: int = 0):
+        """``makeup_curve`` (fx.compress.makeup_db automation): per-frame
+        post-gain in dB; the detector/smoother recurrences are
+        untouched."""
         from goldref.effects import compressor_coeffs
         alpha, decay = compressor_coeffs(samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
@@ -79,14 +84,29 @@ class StreamingCompressor:
         self._env = jnp.float32(0.0)     # e_{-1}
         self._zdev = jnp.float32(0.0)    # z_{-1} = 1 - y_{-1}
         self.tail_frames = 0
+        self._swept = makeup_curve is not None
+        if self._swept:
+            self._mxs = jnp.asarray([t for t, _ in makeup_curve],
+                                    jnp.float32)
+            self._mvs = jnp.asarray([v for _, v in makeup_curve],
+                                    jnp.float32)
+            self._tickf = float(tickf)
+            self._n0 = int(start_frame)
 
     def process(self, x: jax.Array) -> jax.Array:
-        key = ("comp", x.shape, str(x.dtype))
+        swept = self._swept
+        key = ("comp", swept, x.shape, str(x.dtype),
+               int(self._mxs.shape[0]) if swept else 0)
 
         def build():
             @jax.jit
-            def fn(x, knobs, e0, z0):
+            def fn(x, knobs, e0, z0, *curve):
                 thr, slope, alpha, decay, makeup = (knobs[i] for i in range(5))
+                if swept:
+                    n0, mxs, mvs, tickf = curve
+                    n = (n0 + jnp.arange(x.shape[0], dtype=jnp.int32))                         .astype(jnp.float32) / tickf
+                    makeup = jnp.exp2(jnp.interp(n, mxs, mvs)
+                                      / jnp.float32(6.0206))
                 gains, e, z = dfx.compressor_gains_from_coeffs(
                     x, thr, slope, alpha, decay, e0=e0, z0=z0,
                     with_state=True)
@@ -94,8 +114,15 @@ class StreamingCompressor:
                 return y, e, z
             return fn
 
-        y, self._env, self._zdev = _cached(key, build)(
-            x, self._knobs, self._env, self._zdev)
+        if swept:
+            y, self._env, self._zdev = _cached(key, build)(
+                x, self._knobs, self._env, self._zdev,
+                jnp.int32(self._n0), self._mxs, self._mvs,
+                jnp.float32(self._tickf))
+            self._n0 += int(x.shape[0])
+        else:
+            y, self._env, self._zdev = _cached(key, build)(
+                x, self._knobs, self._env, self._zdev)
         return y
 
 
@@ -350,7 +377,12 @@ class StreamingChorus:
 
     def __init__(self, samplerate: int, nchannels: int, rate: float = 0.5,
                  depth: float = 0.002, delay: float = 0.02, voices: int = 3,
-                 wet: float = 0.4, dry: float = 1.0):
+                 wet: float = 0.4, dry: float = 1.0,
+                 wet_curve=None, dry_curve=None, tickf: float = 0.0,
+                 start_frame: int = 0):
+        """``wet_curve``/``dry_curve`` (fx.chorus.wet/.dry automation):
+        per-frame output-stage gains; the modulated-delay reads are
+        untouched."""
         self._sr = samplerate
         self._rate = float(rate)
         self._voices = int(voices)
@@ -359,18 +391,37 @@ class StreamingChorus:
         self._hist = jnp.zeros((hist, nchannels), jnp.float32)
         self._n0 = jnp.int32(0)
         self.tail_frames = 0
+        self._swept = wet_curve is not None or dry_curve is not None
+        if self._swept:
+            wc = wet_curve if wet_curve is not None else [(0.0, wet)]
+            dc = dry_curve if dry_curve is not None else [(0.0, dry)]
+            self._wxs = jnp.asarray([t for t, _ in wc], jnp.float32)
+            self._wvs = jnp.asarray([v for _, v in wc], jnp.float32)
+            self._dxs = jnp.asarray([t for t, _ in dc], jnp.float32)
+            self._dvs = jnp.asarray([v for _, v in dc], jnp.float32)
+            self._tickf = float(tickf)
+            self._curve_n0 = int(start_frame)
 
     def process(self, x: jax.Array) -> jax.Array:
-        key = ("chorus", x.shape, str(x.dtype), self._sr, self._rate,
-               self._voices, self._hist.shape)
+        swept = self._swept
+        key = ("chorus", swept, x.shape, str(x.dtype), self._sr, self._rate,
+               self._voices, self._hist.shape,
+               (int(self._wxs.shape[0]), int(self._dxs.shape[0]))
+               if swept else ())
         sr, rate, voices = self._sr, self._rate, self._voices
         width = dpcm.width_of(x)
         H = int(self._hist.shape[0])
 
         def build():
             @jax.jit
-            def fn(x, hist, n0, knobs):
+            def fn(x, hist, n0, knobs, *curve):
                 depth, delay, wet, dry = (knobs[i] for i in range(4))
+                if swept:
+                    cn0, wxs, wvs, dxs, dvs, tickf = curve
+                    n = (cn0 + n0
+                         + jnp.arange(x.shape[0], dtype=jnp.int32))                         .astype(jnp.float32) / tickf
+                    wet = jnp.interp(n, wxs, wvs)
+                    dry = jnp.interp(n, dxs, dvs)
                 s = dfx._norm(x)
                 out = dfx.chorus_core(s, n0, hist, sr, rate, depth, delay,
                                       voices, wet, dry)
@@ -380,8 +431,14 @@ class StreamingChorus:
                         n0 + jnp.int32(x.shape[0]))
             return fn
 
-        y, self._hist, self._n0 = _cached(key, build)(
-            x, self._hist, self._n0, self._knobs)
+        if swept:
+            y, self._hist, self._n0 = _cached(key, build)(
+                x, self._hist, self._n0, self._knobs,
+                jnp.int32(self._curve_n0), self._wxs, self._wvs,
+                self._dxs, self._dvs, jnp.float32(self._tickf))
+        else:
+            y, self._hist, self._n0 = _cached(key, build)(
+                x, self._hist, self._n0, self._knobs)
         return y
 
 
@@ -494,10 +551,18 @@ class FxChain:
         cutoff_curve = auto.get("fx.filter.cutoff")
         rev_wet = auto.get("fx.reverb.wet")
         rev_dry = auto.get("fx.reverb.dry")
+        cho_wet = auto.get("fx.chorus.wet")
+        cho_dry = auto.get("fx.chorus.dry")
+        makeup_curve = auto.get("fx.compress.makeup_db")
         self.processors = []
         for name, p in fx:
             if name == "compress":
-                proc = StreamingCompressor(samplerate, **p)
+                if makeup_curve is not None:
+                    proc = StreamingCompressor(
+                        samplerate, makeup_curve=makeup_curve, tickf=tickf,
+                        start_frame=start_frame, **p)
+                else:
+                    proc = StreamingCompressor(samplerate, **p)
             elif name == "filter":
                 if cutoff_curve is not None:
                     # fx.filter.cutoff automation: the curve replaces the
@@ -519,7 +584,13 @@ class FxChain:
                 else:
                     proc = StreamingReverb(samplerate, nchannels, **p)
             elif name == "chorus":
-                proc = StreamingChorus(samplerate, nchannels, **p)
+                if cho_wet is not None or cho_dry is not None:
+                    proc = StreamingChorus(samplerate, nchannels,
+                                           wet_curve=cho_wet,
+                                           dry_curve=cho_dry, tickf=tickf,
+                                           start_frame=start_frame, **p)
+                else:
+                    proc = StreamingChorus(samplerate, nchannels, **p)
             elif name == "convolve":
                 q = dict(p)
                 ir = (ir_samples or {})[q.pop("ir")]
@@ -596,6 +667,9 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
     cutoff_curve = auto.get("fx.filter.cutoff")
     rev_wet = auto.get("fx.reverb.wet")
     rev_dry = auto.get("fx.reverb.dry")
+    cho_wet = auto.get("fx.chorus.wet")
+    cho_dry = auto.get("fx.chorus.dry")
+    makeup_curve = auto.get("fx.compress.makeup_db")
     for name, p in fx:
         if name == "convolve":
             q = dict(p)
@@ -614,6 +688,17 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
             q = dict(p)
             q["tail"] = 0.0
             sample.reverb(**q)
+        elif name == "chorus" and (cho_wet is not None
+                                   or cho_dry is not None):
+            proc = StreamingChorus(sample.samplerate, sample.nchannels,
+                                   wet_curve=cho_wet, dry_curve=cho_dry,
+                                   tickf=tickf, start_frame=0, **p)
+            sample._replace_frames(proc.process(sample.jax_frames))
+        elif name == "compress" and makeup_curve is not None:
+            proc = StreamingCompressor(sample.samplerate,
+                                       makeup_curve=makeup_curve,
+                                       tickf=tickf, start_frame=0, **p)
+            sample._replace_frames(proc.process(sample.jax_frames))
         elif name == "filter" and cutoff_curve is not None:
             xs = jnp.asarray([t for t, _ in cutoff_curve], jnp.float32)
             vs = jnp.asarray([v for _, v in cutoff_curve], jnp.float32)

@@ -496,7 +496,10 @@ def chorus_core(s: jax.Array, n0, hist: jax.Array, samplerate: int, rate,
     n, nch = s.shape
     H = hist.shape[0]
     ext = jnp.concatenate([hist, s], axis=0)    # position j maps to ext[H+j]
-    out = jnp.asarray(dry, jnp.float32) * s
+    dryv = jnp.asarray(dry, jnp.float32)
+    if dryv.ndim == 1:                          # per-frame automation curve
+        dryv = dryv[:, None]
+    out = dryv * s
     wv = jnp.asarray(wet, jnp.float32) / jnp.float32(voices)
     idx = jnp.arange(n, dtype=jnp.int32)
     cols = []

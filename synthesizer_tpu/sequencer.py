@@ -76,6 +76,8 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     track.kick.pan = 0:-1 64:1         ; per-hit / per-note placement
     fx.filter.cutoff = 0:200 64:8000   ; master-chain filter sweep (Hz)
     fx.reverb.wet = 0:0 32:0.4         ; reverb send rides up
+    ; (also automatable: fx.reverb.dry, fx.chorus.wet/.dry,
+    ;  fx.compress.makeup_db — every [fx] output-stage gain)
 """
 
 from __future__ import annotations
@@ -532,16 +534,18 @@ class Song:
             if t1 <= t0:
                 raise ValueError(f"automation {key}: ticks must be strictly "
                                  f"ascending (got {t0} then {t1})")
-        is_pan = key.endswith(".pan")
+        neg_ok = key.endswith(".pan") or key.endswith(".makeup_db")
         for t, v in pts:
             if (not (np.isfinite(t) and np.isfinite(v))
-                    or (v < 0 and not is_pan)):
+                    or (v < 0 and not neg_ok)):
                 raise ValueError(f"automation {key}: bad breakpoint "
                                  f"({t}, {v})")
         parts = key.split(".")
         if key == "master.volume":
             pass
-        elif key in ("fx.filter.cutoff", "fx.reverb.wet", "fx.reverb.dry"):
+        elif key in ("fx.filter.cutoff", "fx.reverb.wet", "fx.reverb.dry",
+                     "fx.chorus.wet", "fx.chorus.dry",
+                     "fx.compress.makeup_db"):
             target = key.split(".")[1]
             nfx = sum(1 for n, _ in self.fx if n == target)
             if nfx == 0:
@@ -569,7 +573,9 @@ class Song:
         else:
             raise ValueError(f"automation key {key!r} not understood "
                              f"(master.volume, track.NAME.volume, "
-                             f"track.NAME.pan, or fx.filter.cutoff)")
+                             f"track.NAME.pan, fx.filter.cutoff, "
+                             f"fx.reverb.wet/.dry, fx.chorus.wet/.dry, "
+                             f"or fx.compress.makeup_db)")
         self.automation[key] = pts
 
     def _track_gain_at(self, name: str, tick: float) -> float:

@@ -427,3 +427,54 @@ def test_fx_reverb_automation_requires_reverb():
     song = bright_song()
     with pytest.raises(ValueError, match="no reverb"):
         song.add_automation("fx.reverb.wet", "0:0.5")
+
+
+# ---------------------------------------------------------------------------
+# fx.chorus.wet/.dry + fx.compress.makeup_db (output-stage gain curves)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_chorus_and_makeup_automation_streaming(chunk):
+    song = bright_song()
+    song.add_fx("chorus", rate=1.5, depth=0.002, delay=0.015, wet=0.4)
+    song.add_fx("compress", threshold_db=-18.0, ratio=3.0)
+    song.add_automation("fx.chorus.wet", "0:0 8:0.7 16:0")
+    song.add_automation("fx.chorus.dry", "0:1 16:0.7")
+    song.add_automation("fx.compress.makeup_db", "0:-6 16:6")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_fx_makeup_automation_gains():
+    """makeup -12 dB -> +0 dB over the song: the end is ~4x the start
+    relative to the un-automated render."""
+    base = bright_song()
+    base.add_fx("compress", threshold_db=-18.0, ratio=3.0, makeup_db=0.0)
+    a = base.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    song = bright_song()
+    song.add_fx("compress", threshold_db=-18.0, ratio=3.0)
+    song.add_automation("fx.compress.makeup_db", "0:-12 16:0")
+    b = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    n = min(len(a), len(b))
+
+    def rms(x):
+        return np.sqrt(np.mean(np.square(x.astype(np.float64))))
+    r_head = rms(b[: n // 8]) / max(rms(a[: n // 8]), 1e-9)
+    r_tail = rms(b[6 * n // 8: 7 * n // 8]) \
+        / max(rms(a[6 * n // 8: 7 * n // 8]), 1e-9)
+    assert r_head < 0.4            # ~-10.5 dB average over the first 8th
+    assert r_tail > 0.7            # approaching unity near the end
+
+
+def test_fx_automation_validation_targets():
+    song = bright_song()
+    with pytest.raises(ValueError, match="no chorus"):
+        song.add_automation("fx.chorus.wet", "0:0.5")
+    with pytest.raises(ValueError, match="no compress"):
+        song.add_automation("fx.compress.makeup_db", "0:3")
+    song.add_fx("compress", threshold_db=-18.0)
+    song.add_automation("fx.compress.makeup_db", "0:-6 8:6")   # negative ok
