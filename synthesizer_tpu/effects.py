@@ -69,11 +69,12 @@ class StreamingCompressor:
     def __init__(self, samplerate: int, threshold_db: float = -20.0,
                  ratio: float = 4.0, attack: float = 0.005,
                  release: float = 0.1, makeup_db: float = 0.0,
-                 makeup_curve=None, tickf: float = 0.0,
-                 start_frame: int = 0):
-        """``makeup_curve`` (fx.compress.makeup_db automation): per-frame
-        post-gain in dB; the detector/smoother recurrences are
-        untouched."""
+                 makeup_curve=None, threshold_curve=None, ratio_curve=None,
+                 tickf: float = 0.0, start_frame: int = 0):
+        """Automation curves (fx.compress.*): ``makeup_curve`` (post-gain
+        dB), ``threshold_curve`` (dB), ``ratio_curve`` — all enter the
+        gain computation elementwise, so per-frame values are exact; the
+        detector/smoother recurrences are untouched."""
         from goldref.effects import compressor_coeffs
         alpha, decay = compressor_coeffs(samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
@@ -84,29 +85,44 @@ class StreamingCompressor:
         self._env = jnp.float32(0.0)     # e_{-1}
         self._zdev = jnp.float32(0.0)    # z_{-1} = 1 - y_{-1}
         self.tail_frames = 0
-        self._swept = makeup_curve is not None
-        if self._swept:
-            self._mxs = jnp.asarray([t for t, _ in makeup_curve],
-                                    jnp.float32)
-            self._mvs = jnp.asarray([v for _, v in makeup_curve],
-                                    jnp.float32)
+        self._curves = {}
+        for name, curve in (("makeup", makeup_curve),
+                            ("thr", threshold_curve),
+                            ("ratio", ratio_curve)):
+            if curve is not None:
+                self._curves[name] = (
+                    jnp.asarray([t for t, _ in curve], jnp.float32),
+                    jnp.asarray([v for _, v in curve], jnp.float32))
+        if self._curves:
             self._tickf = float(tickf)
             self._n0 = int(start_frame)
 
     def process(self, x: jax.Array) -> jax.Array:
-        swept = self._swept
-        key = ("comp", swept, x.shape, str(x.dtype),
-               int(self._mxs.shape[0]) if swept else 0)
+        curves = self._curves
+        which = tuple(sorted(curves))
+        key = ("comp", which, x.shape, str(x.dtype),
+               tuple(int(curves[k][0].shape[0]) for k in which))
 
         def build():
             @jax.jit
-            def fn(x, knobs, e0, z0, *curve):
+            def fn(x, knobs, e0, z0, *extra):
                 thr, slope, alpha, decay, makeup = (knobs[i] for i in range(5))
-                if swept:
-                    n0, mxs, mvs, tickf = curve
+                if which:
+                    n0, tickf = extra[0], extra[1]
+                    cvs = extra[2:]
                     n = (n0 + jnp.arange(x.shape[0], dtype=jnp.int32))                         .astype(jnp.float32) / tickf
-                    makeup = jnp.exp2(jnp.interp(n, mxs, mvs)
-                                      / jnp.float32(6.0206))
+                    vals = {k: jnp.interp(n, cvs[2 * i], cvs[2 * i + 1])
+                            for i, k in enumerate(which)}
+                    if "makeup" in vals:
+                        makeup = jnp.exp2(vals["makeup"]
+                                          / jnp.float32(6.0206))
+                    if "thr" in vals:
+                        thr = vals["thr"]
+                    if "ratio" in vals:
+                        slope = (jnp.float32(1.0)
+                                 - jnp.float32(1.0)
+                                 / jnp.maximum(vals["ratio"],
+                                               jnp.float32(1.0)))
                 gains, e, z = dfx.compressor_gains_from_coeffs(
                     x, thr, slope, alpha, decay, e0=e0, z0=z0,
                     with_state=True)
@@ -114,11 +130,12 @@ class StreamingCompressor:
                 return y, e, z
             return fn
 
-        if swept:
+        if which:
+            extra = [jnp.int32(self._n0), jnp.float32(self._tickf)]
+            for k in which:
+                extra.extend(curves[k])
             y, self._env, self._zdev = _cached(key, build)(
-                x, self._knobs, self._env, self._zdev,
-                jnp.int32(self._n0), self._mxs, self._mvs,
-                jnp.float32(self._tickf))
+                x, self._knobs, self._env, self._zdev, *extra)
             self._n0 += int(x.shape[0])
         else:
             y, self._env, self._zdev = _cached(key, build)(
@@ -245,7 +262,12 @@ class StreamingGate:
 
     def __init__(self, samplerate: int, threshold_db: float = -50.0,
                  range_db: float = 80.0, attack: float = 0.001,
-                 release: float = 0.05):
+                 release: float = 0.05,
+                 threshold_curve=None, tickf: float = 0.0,
+                 start_frame: int = 0):
+        """``threshold_curve`` (fx.gate.threshold_db automation): the
+        threshold enters the open/closed comparison elementwise, so a
+        per-frame curve is exact."""
         from goldref.effects import gate_coeffs
         alpha, decay, floor_gain = gate_coeffs(samplerate, attack, release,
                                                range_db)
@@ -254,21 +276,42 @@ class StreamingGate:
         self._env = jnp.float32(0.0)
         self._z = jnp.float32(floor_gain)
         self.tail_frames = 0
+        self._swept = threshold_curve is not None
+        if self._swept:
+            self._txs = jnp.asarray([t for t, _ in threshold_curve],
+                                    jnp.float32)
+            self._tvs = jnp.asarray([v for _, v in threshold_curve],
+                                    jnp.float32)
+            self._tickf = float(tickf)
+            self._n0 = int(start_frame)
 
     def process(self, x: jax.Array) -> jax.Array:
-        key = ("gate", x.shape, str(x.dtype))
+        swept = self._swept
+        key = ("gate", swept, x.shape, str(x.dtype),
+               int(self._txs.shape[0]) if swept else 0)
 
         def build():
             @jax.jit
-            def fn(x, knobs, e0, z0):
+            def fn(x, knobs, e0, z0, *curve):
+                thr = knobs[0]
+                if swept:
+                    n0, txs, tvs, tickf = curve
+                    n = (n0 + jnp.arange(x.shape[0], dtype=jnp.int32))                         .astype(jnp.float32) / tickf
+                    thr = jnp.interp(n, txs, tvs)
                 g, e, z = dfx.gate_gains_from_coeffs(
-                    x, knobs[0], knobs[1], knobs[2], knobs[3], e0=e0, z0=z0,
+                    x, thr, knobs[1], knobs[2], knobs[3], e0=e0, z0=z0,
                     with_state=True)
                 return dpcm.gain_apply(x, g[:, None]), e, z
             return fn
 
-        y, self._env, self._z = _cached(key, build)(
-            x, self._knobs, self._env, self._z)
+        if swept:
+            y, self._env, self._z = _cached(key, build)(
+                x, self._knobs, self._env, self._z, jnp.int32(self._n0),
+                self._txs, self._tvs, jnp.float32(self._tickf))
+            self._n0 += int(x.shape[0])
+        else:
+            y, self._env, self._z = _cached(key, build)(
+                x, self._knobs, self._env, self._z)
         return y
 
 
@@ -553,14 +596,18 @@ class FxChain:
         rev_dry = auto.get("fx.reverb.dry")
         cho_wet = auto.get("fx.chorus.wet")
         cho_dry = auto.get("fx.chorus.dry")
-        makeup_curve = auto.get("fx.compress.makeup_db")
+        comp_curves = dict(
+            makeup_curve=auto.get("fx.compress.makeup_db"),
+            threshold_curve=auto.get("fx.compress.threshold_db"),
+            ratio_curve=auto.get("fx.compress.ratio"))
+        gate_thr = auto.get("fx.gate.threshold_db")
         self.processors = []
         for name, p in fx:
             if name == "compress":
-                if makeup_curve is not None:
+                if any(v is not None for v in comp_curves.values()):
                     proc = StreamingCompressor(
-                        samplerate, makeup_curve=makeup_curve, tickf=tickf,
-                        start_frame=start_frame, **p)
+                        samplerate, tickf=tickf, start_frame=start_frame,
+                        **comp_curves, **p)
                 else:
                     proc = StreamingCompressor(samplerate, **p)
             elif name == "filter":
@@ -574,7 +621,13 @@ class FxChain:
                 else:
                     proc = StreamingBiquad(samplerate, nchannels, **p)
             elif name == "gate":
-                proc = StreamingGate(samplerate, **p)
+                if gate_thr is not None:
+                    proc = StreamingGate(samplerate,
+                                         threshold_curve=gate_thr,
+                                         tickf=tickf,
+                                         start_frame=start_frame, **p)
+                else:
+                    proc = StreamingGate(samplerate, **p)
             elif name == "reverb":
                 if rev_wet is not None or rev_dry is not None:
                     proc = StreamingReverb(samplerate, nchannels,
@@ -669,7 +722,12 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
     rev_dry = auto.get("fx.reverb.dry")
     cho_wet = auto.get("fx.chorus.wet")
     cho_dry = auto.get("fx.chorus.dry")
-    makeup_curve = auto.get("fx.compress.makeup_db")
+    comp_curves = dict(
+        makeup_curve=auto.get("fx.compress.makeup_db"),
+        threshold_curve=auto.get("fx.compress.threshold_db"),
+        ratio_curve=auto.get("fx.compress.ratio"))
+    comp_swept = any(v is not None for v in comp_curves.values())
+    gate_thr = auto.get("fx.gate.threshold_db")
     for name, p in fx:
         if name == "convolve":
             q = dict(p)
@@ -694,10 +752,14 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
                                    wet_curve=cho_wet, dry_curve=cho_dry,
                                    tickf=tickf, start_frame=0, **p)
             sample._replace_frames(proc.process(sample.jax_frames))
-        elif name == "compress" and makeup_curve is not None:
-            proc = StreamingCompressor(sample.samplerate,
-                                       makeup_curve=makeup_curve,
-                                       tickf=tickf, start_frame=0, **p)
+        elif name == "compress" and comp_swept:
+            proc = StreamingCompressor(sample.samplerate, tickf=tickf,
+                                       start_frame=0, **comp_curves, **p)
+            sample._replace_frames(proc.process(sample.jax_frames))
+        elif name == "gate" and gate_thr is not None:
+            proc = StreamingGate(sample.samplerate,
+                                 threshold_curve=gate_thr, tickf=tickf,
+                                 start_frame=0, **p)
             sample._replace_frames(proc.process(sample.jax_frames))
         elif name == "filter" and cutoff_curve is not None:
             xs = jnp.asarray([t for t, _ in cutoff_curve], jnp.float32)

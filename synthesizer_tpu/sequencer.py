@@ -77,7 +77,8 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     fx.filter.cutoff = 0:200 64:8000   ; master-chain filter sweep (Hz)
     fx.reverb.wet = 0:0 32:0.4         ; reverb send rides up
     ; (also automatable: fx.reverb.dry, fx.chorus.wet/.dry,
-    ;  fx.compress.makeup_db — every [fx] output-stage gain)
+    ;  fx.compress.makeup_db/.threshold_db/.ratio,
+    ;  fx.gate.threshold_db)
 """
 
 from __future__ import annotations
@@ -534,7 +535,8 @@ class Song:
             if t1 <= t0:
                 raise ValueError(f"automation {key}: ticks must be strictly "
                                  f"ascending (got {t0} then {t1})")
-        neg_ok = key.endswith(".pan") or key.endswith(".makeup_db")
+        neg_ok = (key.endswith(".pan") or key.endswith(".makeup_db")
+                  or key.endswith(".threshold_db"))
         for t, v in pts:
             if (not (np.isfinite(t) and np.isfinite(v))
                     or (v < 0 and not neg_ok)):
@@ -545,7 +547,8 @@ class Song:
             pass
         elif key in ("fx.filter.cutoff", "fx.reverb.wet", "fx.reverb.dry",
                      "fx.chorus.wet", "fx.chorus.dry",
-                     "fx.compress.makeup_db"):
+                     "fx.compress.makeup_db", "fx.compress.threshold_db",
+                     "fx.compress.ratio", "fx.gate.threshold_db"):
             target = key.split(".")[1]
             nfx = sum(1 for n, _ in self.fx if n == target)
             if nfx == 0:

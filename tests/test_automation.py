@@ -478,3 +478,39 @@ def test_fx_automation_validation_targets():
         song.add_automation("fx.compress.makeup_db", "0:3")
     song.add_fx("compress", threshold_db=-18.0)
     song.add_automation("fx.compress.makeup_db", "0:-6 8:6")   # negative ok
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_threshold_and_ratio_automation_streaming(chunk):
+    song = bright_song()
+    song.add_fx("gate", threshold_db=-60.0, range_db=40.0)
+    song.add_fx("compress", threshold_db=-18.0, ratio=3.0)
+    song.add_automation("fx.compress.threshold_db", "0:-30 16:-10")
+    song.add_automation("fx.compress.ratio", "0:8 16:1.5")
+    song.add_automation("fx.gate.threshold_db", "0:-70 16:-35")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_fx_threshold_automation_compresses_more_when_low():
+    """threshold -40 -> -5 over the song: the early (deep-threshold) part
+    gets squashed harder than the late part, relative to no compression."""
+    base = bright_song().mix(normalize=False,
+                             tail_seconds=0.0).get_frame_array()
+    song = bright_song()
+    song.add_fx("compress", threshold_db=-18.0, ratio=8.0, attack=0.001,
+                release=0.02)
+    song.add_automation("fx.compress.threshold_db", "0:-40 16:-5")
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    n = min(len(base), len(out))
+
+    def rms(x):
+        return np.sqrt(np.mean(np.square(x.astype(np.float64))))
+    head = rms(out[: n // 8]) / max(rms(base[: n // 8]), 1e-9)
+    tail = rms(out[6 * n // 8: 7 * n // 8]) \
+        / max(rms(base[6 * n // 8: 7 * n // 8]), 1e-9)
+    assert head < tail * 0.7, (head, tail)
