@@ -137,6 +137,7 @@ chorus = rate=1.2 depth=0.002 delay=0.014 wet=0.35
 [automation]
 ; hats ride up across the song; the whole mix fades over the outro
 track.hat.volume = 0:0.6 48:1.0
+fx.reverb.wet = 0:0.10 64:0.22
 master.volume = 0:1 96:1 112:0
 
 [pattern.intro]

@@ -13,7 +13,7 @@ row 8, §4.2).  Song files use the same schema:
     [instruments]
     kick = kick.wav
     [pattern.pat1]
-    kick  = x... x... x... x...
+    kick  = x... X... x... o...   ; X = accent (1.5x), o = soft (0.5x)
     snare = .... x... .... x...
 
 Where the reference mixes offline with a Python loop of per-hit
@@ -37,7 +37,7 @@ synth instruments rendered through the batched voice bank:
     release = 0.1
     pan = 0.3
     [pattern.pat1]
-    lead = C4 .. E4 G4 - - .. C5
+    lead = C4 .. E4@0.5 G4 - - .. C5   ; note@velocity inline dynamics
 
 Synth pattern tracks are whitespace-token based: a note name starts a note
 at that tick, ``-`` ties (extends) the previous note, ``.``/``..`` is a
@@ -683,6 +683,26 @@ class Song:
     def tick_duration(self) -> float:
         return 60.0 / self.bpm / self.ticks
 
+    #: drum-pattern dynamics characters (tracker-style accents): any
+    #: other non-rest character is a normal 1.0 hit, so existing songs
+    #: are untouched
+    DRUM_DYNAMICS = {"X": 1.5, "o": 0.5}
+
+    @staticmethod
+    def _split_note_token(tok: str):
+        """'C4' -> ('C4', 1.0); 'C4@0.5' -> ('C4', 0.5) (inline per-note
+        velocity, multiplying any track volume curve)."""
+        if "@" in tok:
+            note, _, v = tok.partition("@")
+            try:
+                vel = float(v)
+            except ValueError:
+                raise ValueError(f"bad note velocity in token {tok!r}")
+            if not 0.0 <= vel:
+                raise ValueError(f"negative velocity in token {tok!r}")
+            return note, vel
+        return tok, 1.0
+
     def _tick_pos(self, tick_idx: int) -> float:
         """Grid tick index -> (possibly swung) tick position."""
         if self.swing and tick_idx % 2:
@@ -728,7 +748,8 @@ class Song:
                         start = int(self._tick_pos(bar_start_ticks + t)
                                     * tickf)
                         hits.append((index[inst], start))
-                        gains.append(self._hit_gain_at(
+                        dyn = np.float32(self.DRUM_DYNAMICS.get(ch, 1.0))
+                        gains.append(dyn * self._hit_gain_at(
                             inst, bar_start_ticks + t))
             bar_start_ticks += nticks
         hits_arr = np.asarray(hits, np.int64).reshape(-1, 2)
@@ -768,10 +789,11 @@ class Song:
                         held += 1
                     tracks.append(inst)
                     note_pan = self._track_pan_at(inst, bar_start + t)
+                    note, vel = self._split_note_token(tok)
                     voices.append(Voice(
                         wave=sd.wave,
-                        frequency=note_freq(tok),
-                        amplitude=sd.amplitude
+                        frequency=note_freq(note),
+                        amplitude=sd.amplitude * vel
                         * self._track_gain_at(inst, bar_start + t),
                         pan=sd.pan if note_pan is None else note_pan,
                         start=self._tick_pos(bar_start + t) * tick,
@@ -829,10 +851,12 @@ class Song:
                 for t, tok in enumerate(patstr.split()):
                     if tok == "-" or set(tok) <= {"."}:
                         continue
+                    note, vel = self._split_note_token(tok)
                     idx.append(index[inst])
                     starts.append(int(self._tick_pos(bar_start + t) * tickf))
-                    rates.append(note_freq(tok) / sd.base_freq)
-                    gains.append(self._hit_gain_at(inst, bar_start + t))
+                    rates.append(note_freq(note) / sd.base_freq)
+                    gains.append(np.float32(vel)
+                                 * self._hit_gain_at(inst, bar_start + t))
             bar_start += nticks
         return (bank, lens, np.asarray(idx, np.int32),
                 np.asarray(starts, np.int64),
@@ -952,6 +976,7 @@ class Song:
                     for t, tok in enumerate(patstr.split()):
                         if tok == "-" or set(tok) <= {"."}:
                             continue
+                        tok, _nv = self._split_note_token(tok)
                         f = note_freq(tok)
                         note = int(round(69 + 12 * _math.log2(f / 440.0)))
                         vel = max(1, min(127, int(round(
@@ -965,10 +990,13 @@ class Song:
                     continue
                 for t, ch in enumerate(patstr):
                     if ch not in ". ":
-                        # velocity automation reaches the exported file
-                        # (synth notes carry it in their amplitudes)
+                        # velocity automation + accent chars reach the
+                        # exported file (synth notes carry them in their
+                        # amplitudes)
+                        dyn = self.DRUM_DYNAMICS.get(ch, 1.0)
                         vel = max(1, min(127, int(round(
-                            100 * self._track_gain_at(inst, bar_start + t)))))
+                            100 * dyn
+                            * self._track_gain_at(inst, bar_start + t)))))
                         notes.append(MidiNote(
                             self._tick_pos(bar_start + t) * tick,
                             tick * 0.9, drum_keys[inst], vel, 9))

@@ -306,3 +306,55 @@ k = x.x.x.x.
     ini.write_text(ini.read_text().replace("swing = 0.33", "swing = 1.5"))
     with pytest.raises(ValueError, match="swing"):
         Song.from_ini(str(ini))
+
+
+def test_inline_drum_dynamics():
+    """Tracker accents: 'X' = 1.5x, 'o' = 0.5x, 'x' unchanged; they
+    multiply any velocity curve and reach both paths bit-exactly."""
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_instrument("kick", synth.sine(60.0, 0.05, amplitude=0.4)
+                        .fadeout(0.03).stereo())
+    song.add_pattern("a", {"kick": "x...X...o...x..."})
+    song.pattern_sequence = ["a"]
+    sched = song.compile_schedule()
+    np.testing.assert_allclose(sched.gains[:, 0], [1.0, 1.5, 0.5, 1.0])
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=977)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+    kick = song.instruments["kick"].get_frame_array().astype(np.float64)
+    tickf = song.tick_duration * SR
+    s4 = int(4 * tickf)
+    np.testing.assert_array_equal(
+        off[s4:s4 + len(kick)].astype(np.int64),
+        np.rint(kick * np.float32(1.5)).astype(np.int64))
+
+
+def test_inline_note_velocity():
+    """'C4@0.5' halves that note's amplitude (synth and sampler)."""
+    from synthesizer_tpu.sequencer import SynthDef
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_synth("lead", SynthDef(wave="sine", amplitude=0.4))
+    song.add_pattern("a", {"lead": "C4 .. C4@0.5 .."})
+    song.pattern_sequence = ["a"]
+    voices = song.compile_synth_voices()
+    assert [v.amplitude for v in voices] == pytest.approx([0.4, 0.2])
+
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    song2 = Song()
+    song2.bpm = 240
+    song2.ticks = 4
+    song2.add_sampler("g", synth.sine(261.63, 0.05, amplitude=0.4).stereo())
+    song2.add_pattern("a", {"g": "C4 .. C4@0.25 .."})
+    song2.pattern_sequence = ["a"]
+    _, _, _, _, _, gains = song2.compile_pitched_hits()
+    np.testing.assert_allclose(gains[:, 0], [1.0, 0.25])
+    with pytest.raises(ValueError, match="velocity"):
+        song2.add_pattern("b", {"g": "C4@oops"})
+        song2.pattern_sequence = ["b"]
+        song2.compile_pitched_hits()
