@@ -226,19 +226,22 @@ def pitched_chunk_sharded_fn(mesh: Mesh, cf: int, lmax: int):
         @functools.partial(
             jax.shard_map, mesh=mesh,
             in_specs=(P(), P(), P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS),
-                      P(HITS_AXIS), P(HITS_AXIS), P()),
+                      P(HITS_AXIS), P(HITS_AXIS), P(HITS_AXIS),
+                      P(HITS_AXIS), P()),
             out_specs=P())
-        def fn(bank, lens, idx_k, start_k, rate_k, gain_k, valid_k, c0):
+        def fn(bank, lens, idx_k, start_k, rate_k, gain_k, valid_k,
+               loopf_k, loopu_k, c0):
             out = _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k,
-                                      gain_k, valid_k, c0, cf, lmax)
+                                      gain_k, valid_k, loopf_k, loopu_k,
+                                      c0, cf, lmax)
             return jax.lax.psum(out, HITS_AXIS)
         _sharded_fn_cache[key] = fn
     return fn
 
 
 def pitched_song_sharded(bank, lens, idx_b, start_b, rate_b, gain_b,
-                         valid_b, c0s, cf: int, lmax: int,
-                         mesh: Mesh) -> jax.Array:
+                         valid_b, loopf_b, loopu_b, c0s, cf: int,
+                         lmax: int, mesh: Mesh) -> jax.Array:
     """Sharded offline pitched mixdown: the bucketed hit ROWS (K axis)
     shard over the mesh; each device scans all chunks over its rows and
     ONE int32 psum merges at the end (bit-exact)."""
@@ -252,19 +255,23 @@ def pitched_song_sharded(bank, lens, idx_b, start_b, rate_b, gain_b,
             jax.shard_map, mesh=mesh,
             in_specs=(P(), P(), P(None, HITS_AXIS), P(None, HITS_AXIS),
                       P(None, HITS_AXIS), P(None, HITS_AXIS, None),
-                      P(None, HITS_AXIS), P()),
+                      P(None, HITS_AXIS), P(None, HITS_AXIS, None),
+                      P(None, HITS_AXIS, None), P()),
             out_specs=P())
-        def run(bank, lens, idx_b, start_b, rate_b, gain_b, valid_b, c0s):
+        def run(bank, lens, idx_b, start_b, rate_b, gain_b, valid_b,
+                loopf_b, loopu_b, c0s):
             def body(_, xs):
-                ib, sb, rb, gb, vb, c0 = xs
+                ib, sb, rb, gb, vb, lf, lu, c0 = xs
                 return 0, _pitched_chunk_body(bank, lens, ib, sb, rb, gb,
-                                              vb, c0, cf, lmax)
+                                              vb, lf, lu, c0, cf, lmax)
             _, out = jax.lax.scan(
-                body, 0, (idx_b, start_b, rate_b, gain_b, valid_b, c0s))
+                body, 0, (idx_b, start_b, rate_b, gain_b, valid_b,
+                          loopf_b, loopu_b, c0s))
             return jax.lax.psum(out.reshape(-1, bank.shape[2] // 2),
                                 HITS_AXIS)
         _sharded_fn_cache[key] = run
     return run(jnp.asarray(bank), jnp.asarray(lens), jnp.asarray(idx_b),
                jnp.asarray(start_b), jnp.asarray(rate_b),
                jnp.asarray(gain_b), jnp.asarray(valid_b),
+               jnp.asarray(loopf_b), jnp.asarray(loopu_b),
                jnp.asarray(c0s))

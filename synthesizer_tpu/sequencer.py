@@ -57,6 +57,11 @@ Each note token plays the WAV resampled by note_freq(note)/base_note's
 frequency — on device as batched linear-interp gathers at
 pos = (n - start) * rate (f32 on the note-relative index; rate 1.0 is a
 bit-exact passthrough), polyphonic, velocity/pan automation per note.
+With ``loop_start``/``loop_end`` keys the note SUSTAINS by cycling the
+loop region for its tie length ('-' tokens) and then fades over
+``release`` seconds; the looped read position is a 32-bit DDS phase over
+the loop (the oscillators' fixed-point-turn trick), so it cannot drift
+no matter how long the hold.
 Offline the whole song's pitched notes render as ONE scan over chunks;
 streaming shares the same stateless body, so both paths are
 bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
@@ -106,9 +111,19 @@ class SamplerDef:
     """A pitched sampler instrument (the [sampler.NAME] ini section) —
     tracker-style melodic sample playback: a note token plays the WAV
     resampled by note_freq(note)/note_freq(base_note), polyphonic (notes
-    on the track may overlap; the full sample always plays out)."""
+    on the track may overlap).  Without a loop the full sample always
+    plays out; with ``loop_start < loop_end`` (seconds in the source)
+    the note sustains by cycling the loop region while held (its tie
+    length gates it), then fades linearly over ``release`` seconds."""
     sample: Sample
     base_freq: float = 261.6255653005986      # C4
+    loop_start: float = -1.0                  # seconds; <0 = no loop
+    loop_end: float = -1.0
+    release: float = 0.01                     # post-gate fade (looped)
+
+    @property
+    def looped(self) -> bool:
+        return 0.0 <= self.loop_start < self.loop_end
 
 
 @dataclasses.dataclass
@@ -187,19 +202,42 @@ def _stream_chunk_fn(cf: int, lmax: int):
 
 
 def _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k, gain_k,
-                        valid_k, c0, cf: int, lmax: int) -> jax.Array:
+                        valid_k, loopf_k, loopu_k, c0,
+                        cf: int, lmax: int) -> jax.Array:
     """One chunk of pitched-sampler playback: each row reads its WAV at
     pos = (n - start) * rate with f32 linear interpolation (n relative to
     the note start, so f32 is exact to <0.05 frame over any realistic
     sample length; rate == 1.0 reproduces the source bit-exactly incl.
     the final frame), velocity/pan gains apply per channel, rows sum in
     int32.  Stateless in the absolute frame index — streaming == offline
-    by construction."""
+    by construction.
+
+    LOOPED rows (loopf = (flag, ls, lp, gate_total, fade_r); loopu =
+    (inc, p0)): past the loop end the read position comes from a 32-bit
+    DDS phase over the loop — pos = ls + x(p0 + n_rel*inc) * lp, exact
+    and non-drifting for any hold length (the same fixed-point-turn trick
+    as the oscillators) — and a linear release fade gates the note after
+    its tie length: g = clip((gate_total - n_rel) * fade_r, 0, 1)."""
     C = bank.shape[2] // 2
     n_rel = (c0 + jnp.arange(cf, dtype=jnp.int32))[None, :] - start_k[:, None]
-    pos = n_rel.astype(jnp.float32) * rate_k[:, None]          # [K, cf]
+    n_rel_f = n_rel.astype(jnp.float32)
+    pos = n_rel_f * rate_k[:, None]                            # [K, cf]
     last = (lens[idx_k] - 1).astype(jnp.float32)[:, None]
-    inr = (n_rel >= 0) & (pos <= last) & valid_k[:, None]
+    flag = loopf_k[:, 0:1] > 0
+    ls = loopf_k[:, 1:2]
+    lp = loopf_k[:, 2:3]
+    gate_total = loopf_k[:, 3:4]
+    fade_r = loopf_k[:, 4:5]
+    phase = (loopu_k[:, 1:2]
+             + n_rel.astype(jnp.uint32) * loopu_k[:, 0:2][:, 0:1])
+    pos_loop = ls + phase.astype(jnp.float32)         * jnp.float32(2.0 ** -32) * lp
+    use_loop = flag & (pos > ls + lp)
+    pos = jnp.where(use_loop, pos_loop, pos)
+    env = jnp.where(flag,
+                    jnp.clip((gate_total - n_rel_f) * fade_r,
+                             jnp.float32(0.0), jnp.float32(1.0)),
+                    jnp.float32(1.0))
+    inr = (n_rel >= 0) & valid_k[:, None]         & jnp.where(flag, n_rel_f < gate_total, pos <= last)
     i = jnp.clip(pos.astype(jnp.int32), 0,
                  jnp.maximum(lens[idx_k][:, None] - 2, 0))
     frac = pos - i.astype(jnp.float32)
@@ -210,7 +248,8 @@ def _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k, gain_k,
     v0 = v01[..., :C]
     v1 = v01[..., C:]
     vals = v0 + (v1 - v0) * frac[:, :, None]
-    vals = jnp.rint(vals * gain_k[:, None, :]).astype(jnp.int32)
+    vals = jnp.rint(vals * (gain_k[:, None, :]
+                            * env[:, :, None])).astype(jnp.int32)
     vals = jnp.where(inr[:, :, None], vals, 0)
     return vals.sum(axis=0)                                    # [cf, C] i32
 
@@ -220,9 +259,11 @@ def _pitched_chunk_fn(cf: int, lmax: int):
     fn = _chunk_fn_cache.get(key)
     if fn is None:
         @jax.jit
-        def fn(bank, lens, idx_k, start_k, rate_k, gain_k, valid_k, c0):
+        def fn(bank, lens, idx_k, start_k, rate_k, gain_k, valid_k,
+               loopf_k, loopu_k, c0):
             return _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k,
-                                       gain_k, valid_k, c0, cf, lmax)
+                                       gain_k, valid_k, loopf_k, loopu_k,
+                                       c0, cf, lmax)
         _chunk_fn_cache[key] = fn
     return fn
 
@@ -237,14 +278,15 @@ def _pitched_song_fn(cf: int, lmax: int):
 
         @_ft.partial(jax.jit, static_argnames=("nchunks",))
         def fn(bank, lens, idx_b, start_b, rate_b, gain_b, valid_b,
-               c0s, nchunks: int):
+               loopf_b, loopu_b, c0s, nchunks: int):
             def body(_, xs):
-                idx_k, start_k, rate_k, gain_k, valid_k, c0 = xs
+                idx_k, start_k, rate_k, gain_k, valid_k, lf, lu, c0 = xs
                 return 0, _pitched_chunk_body(
                     bank, lens, idx_k, start_k, rate_k, gain_k, valid_k,
-                    c0, cf, lmax)
+                    lf, lu, c0, cf, lmax)
             _, out = jax.lax.scan(
-                body, 0, (idx_b, start_b, rate_b, gain_b, valid_b, c0s))
+                body, 0, (idx_b, start_b, rate_b, gain_b, valid_b,
+                          loopf_b, loopu_b, c0s))
             return out.reshape(-1, bank.shape[2] // 2)
         _chunk_fn_cache[key] = fn
     return fn
@@ -454,7 +496,10 @@ class Song:
                 g = cp[section]
                 smp = Sample(wave_file=os.path.join(base, g["file"]),
                              name=name)
-                self.add_sampler(name, smp, g.get("base_note", "C4"))
+                self.add_sampler(name, smp, g.get("base_note", "C4"),
+                                 loop_start=g.getfloat("loop_start", -1.0),
+                                 loop_end=g.getfloat("loop_end", -1.0),
+                                 release=g.getfloat("release", 0.01))
         for section in cp.sections():
             if section.startswith("pattern."):
                 pname = section[len("pattern."):]
@@ -655,14 +700,27 @@ class Song:
         self.synths[name] = synthdef
 
     def add_sampler(self, name: str, sample: Sample,
-                    base_note: str = "C4") -> None:
+                    base_note: str = "C4", loop_start: float = -1.0,
+                    loop_end: float = -1.0,
+                    release: float = 0.01) -> None:
         """Register a pitched sampler instrument: ``sample`` is played
         back at note_freq(note)/note_freq(base_note) for each note token
         on the track (normalized like a drum instrument; must match the
-        song's rate/channels)."""
+        song's rate/channels).  ``loop_start``/``loop_end`` (seconds)
+        define an optional sustain loop (see SamplerDef)."""
         sample = sample.copy().normalize()
         self._check_format(name, sample)
-        self.samplers[name] = SamplerDef(sample, note_freq(base_note))
+        sd = SamplerDef(sample, note_freq(base_note), loop_start, loop_end,
+                        release)
+        if sd.looped:
+            n = sample.nframes
+            le = int(sd.loop_end * sample.samplerate)
+            ls = int(sd.loop_start * sample.samplerate)
+            if le > n or le - ls < 2:
+                raise ValueError(
+                    f"sampler {name!r}: loop region [{sd.loop_start}, "
+                    f"{sd.loop_end}]s is outside the sample or too short")
+        self.samplers[name] = sd
         self.samplerate = sample.samplerate
         self.nchannels = sample.nchannels
 
@@ -815,10 +873,16 @@ class Song:
 
     def compile_pitched_hits(self):
         """All sampler-track notes -> flat pitched-hit arrays plus the
-        padded sampler bank: (bank [P, Lmax, C] i32, lens [P] i32,
-        idx [N] i32, start [N] i64, rate [N] f32, gains [N, C] f32).
-        rate = note_freq(note)/base_freq; '-' and '.' tokens are rests
-        (the full sample always plays out, polyphonically)."""
+        padded sampler bank: (bank [P, Lmax, 2C] i32 pair-packed,
+        lens [P] i64, idx [N] i32, start [N] i64, rate [N] f32,
+        gains [N, C] f32, loopf [N, 5] f32, loopu [N, 2] u32).
+
+        rate = note_freq(note)/base_freq; '.' tokens are rests.  For a
+        LOOPED sampler a note's '-' ties set its gate (sustain) length;
+        loopf rows are (flag, loop_start, loop_len, gate_total, 1/fade)
+        in source/output frames and loopu rows are the loop-phase DDS
+        (increment, initial phase) — see _pitched_chunk_body.  One-shot
+        samplers ignore ties (the full sample always plays out)."""
         names = sorted(self.samplers)
         index = {n: i for i, n in enumerate(names)}
         arrays = [self.samplers[n].sample.get_frame_array().astype(np.int32)
@@ -839,7 +903,10 @@ class Song:
         starts: List[int] = []
         rates: List[float] = []
         gains: List[np.ndarray] = []
+        loopf: List[tuple] = []
+        loopu: List[tuple] = []
         tickf = self.tick_duration * self.samplerate
+        sr = self.samplerate
         bar_start = 0
         for pname in self.pattern_sequence:
             pattern = self.patterns[pname]
@@ -848,32 +915,65 @@ class Song:
                 if inst not in self.samplers:
                     continue
                 sd = self.samplers[inst]
-                for t, tok in enumerate(patstr.split()):
+                tokens = patstr.split()
+                t = 0
+                while t < len(tokens):
+                    tok = tokens[t]
                     if tok == "-" or set(tok) <= {"."}:
+                        t += 1
                         continue
+                    held = 1
+                    while t + held < len(tokens) and tokens[t + held] == "-":
+                        held += 1
                     note, vel = self._split_note_token(tok)
+                    rate = note_freq(note) / sd.base_freq
                     idx.append(index[inst])
                     starts.append(int(self._tick_pos(bar_start + t) * tickf))
-                    rates.append(note_freq(note) / sd.base_freq)
+                    rates.append(rate)
                     gains.append(np.float32(vel)
                                  * self._hit_gain_at(inst, bar_start + t))
+                    if sd.looped:
+                        ls = float(int(sd.loop_start * sr))
+                        le = float(int(sd.loop_end * sr))
+                        lp = le - ls
+                        fade = max(1, int(sd.release * sr))
+                        gate_total = held * tickf + fade
+                        inc = int(round(rate / lp * 4294967296.0))                             & 0xFFFFFFFF
+                        p0 = int(round(((-ls / lp) % 1.0)
+                                       * 4294967296.0)) & 0xFFFFFFFF
+                        loopf.append((1.0, ls, lp, gate_total, 1.0 / fade))
+                        loopu.append((inc, p0))
+                    else:
+                        loopf.append((0.0, 0.0, 1.0, 0.0, 1.0))
+                        loopu.append((0, 0))
+                    t += held
             bar_start += nticks
         return (bank, lens, np.asarray(idx, np.int32),
                 np.asarray(starts, np.int64),
                 np.asarray(rates, np.float32),
-                np.asarray(gains, np.float32).reshape(-1, C))
+                np.asarray(gains, np.float32).reshape(-1, C),
+                np.asarray(loopf, np.float32).reshape(-1, 5),
+                np.asarray(loopu, np.uint32).reshape(-1, 2))
 
-    def _pitched_end_frames(self, lens, idx, starts, rates) -> np.ndarray:
-        """Per-hit end frame (exclusive): the last in-range output frame
-        satisfies n_rel * rate <= len-1."""
+    def _pitched_end_frames(self, lens, idx, starts, rates,
+                            loopf=None) -> np.ndarray:
+        """Per-hit end frame (exclusive): one-shot hits end when
+        n_rel * rate passes len-1; looped hits end at their gate_total
+        (tie length + release fade)."""
         if len(idx) == 0:
             return np.zeros(0, np.int64)
         # +2 frames of slack: the device mask decides in f32; a frame the
         # host f64 bound would exclude must still be inside the rendered
         # / bucketed range (it contributes zeros when masked out)
-        return (starts + np.floor((lens[idx] - 1)
+        ends = (starts + np.floor((lens[idx] - 1)
                                   / np.maximum(rates, 1e-9)).astype(np.int64)
                 + 2)
+        if loopf is not None and len(loopf):
+            looped = loopf[:, 0] > 0
+            ends = np.where(looped,
+                            starts + loopf[:, 3].astype(np.int64) + 2,
+                            ends)
+        return ends
 
     def _bucket_pitched(self, starts, ends, nchunks: int, cf: int,
                         start_frame: int, ndev: int = 0):
@@ -890,8 +990,9 @@ class Song:
             K += -K % ndev
         return per_chunk, K
 
-    def _pitched_rows(self, per_chunk, K, idx, starts, rates, gains):
-        """Pad bucketed hits into dense [nchunks, K(, C)] row arrays."""
+    def _pitched_rows(self, per_chunk, K, idx, starts, rates, gains,
+                      loopf, loopu):
+        """Pad bucketed hits into dense [nchunks, K(, ...)] row arrays."""
         nchunks = len(per_chunk)
         C = self.nchannels
         idx_b = np.zeros((nchunks, K), np.int32)
@@ -899,17 +1000,24 @@ class Song:
         rate_b = np.ones((nchunks, K), np.float32)
         gain_b = np.zeros((nchunks, K, C), np.float32)
         valid_b = np.zeros((nchunks, K), bool)
+        loopf_b = np.zeros((nchunks, K, 5), np.float32)
+        loopf_b[:, :, 2] = 1.0
+        loopf_b[:, :, 4] = 1.0
+        loopu_b = np.zeros((nchunks, K, 2), np.uint32)
         for c, hs in enumerate(per_chunk):
             for j, h in enumerate(hs[:K]):
                 idx_b[c, j] = idx[h]
                 start_b[c, j] = starts[h]
                 rate_b[c, j] = rates[h]
                 gain_b[c, j] = gains[h]
+                loopf_b[c, j] = loopf[h]
+                loopu_b[c, j] = loopu[h]
                 valid_b[c, j] = True
-        return idx_b, start_b, rate_b, gain_b, valid_b
+        return idx_b, start_b, rate_b, gain_b, valid_b, loopf_b, loopu_b
 
-    def _pitched_mix(self, bank, lens, idx, starts, rates, gains, ends,
-                     total: int, mesh=None, cf: int = 32768) -> jax.Array:
+    def _pitched_mix(self, bank, lens, idx, starts, rates, gains,
+                     loopf, loopu, ends, total: int, mesh=None,
+                     cf: int = 32768) -> jax.Array:
         """Offline pitched-sampler mixdown: ONE scan over chunks (rows
         bucketed per chunk); with ``mesh`` the rows shard over devices
         and merge with one int32 psum (bit-exact — the per-hit rint
@@ -918,7 +1026,8 @@ class Song:
         ndev = int(mesh.devices.size) if mesh is not None else 0
         per_chunk, K = self._bucket_pitched(starts, ends, nchunks, cf, 0,
                                             ndev)
-        rows = self._pitched_rows(per_chunk, K, idx, starts, rates, gains)
+        rows = self._pitched_rows(per_chunk, K, idx, starts, rates, gains,
+                                  loopf, loopu)
         c0s = np.arange(nchunks, dtype=np.int32) * cf
         lmax = int(bank.shape[1])
         lens32 = jnp.asarray(np.asarray(lens, np.int64).astype(np.int32))
@@ -1075,8 +1184,9 @@ class Song:
         0.3 s) on top."""
         sched = self.compile_schedule()
         voices, vtracks = self.compile_synth_voices(return_tracks=True)
-        _, plens, pidx, pstart, prate, _pg = self.compile_pitched_hits()
-        pends = self._pitched_end_frames(plens, pidx, pstart, prate)
+        (_, plens, pidx, pstart, prate, _pg, ploopf,
+         _plu) = self.compile_pitched_hits()
+        pends = self._pitched_end_frames(plens, pidx, pstart, prate, ploopf)
         pitched_end = int(pends.max()) if len(pends) else 0
         return (max(sched.total_frames, self._synth_end_frame(voices),
                     pitched_end)
@@ -1108,9 +1218,9 @@ class Song:
             raise ValueError("per-synth-track fx ([fx.SYNTH] sections) is "
                              "not supported with mesh= yet — render "
                              "single-device or move the chain to [fx]")
-        pbank, plens, pidx, pstart, prate, pgains = \
-            self.compile_pitched_hits()
-        pends = self._pitched_end_frames(plens, pidx, pstart, prate)
+        (pbank, plens, pidx, pstart, prate, pgains, ploopf,
+         ploopu) = self.compile_pitched_hits()
+        pends = self._pitched_end_frames(plens, pidx, pstart, prate, ploopf)
         pitched_end = int(pends.max()) if len(pends) else 0
         total = max(sched.total_frames, self._synth_end_frame(voices),
                     pitched_end) \
@@ -1133,7 +1243,8 @@ class Song:
         out32 = jnp.zeros((total, self.nchannels), jnp.int32)
         if len(pidx):
             out32 = out32 + self._pitched_mix(pbank, plens, pidx, pstart,
-                                              prate, pgains, pends, total,
+                                              prate, pgains, ploopf,
+                                              ploopu, pends, total,
                                               mesh=mesh)
         if len(sched.hits):
             if mesh is not None:
@@ -1296,9 +1407,9 @@ class Song:
                              "not supported with mesh= yet — render "
                              "single-device or move the chain to [fx]")
         cf = chunk_frames or params.norm_frames_per_chunk
-        pbank, plens, pidx, pstart, prate, pgains = \
-            self.compile_pitched_hits()
-        pends = self._pitched_end_frames(plens, pidx, pstart, prate)
+        (pbank, plens, pidx, pstart, prate, pgains, ploopf,
+         ploopu) = self.compile_pitched_hits()
+        pends = self._pitched_end_frames(plens, pidx, pstart, prate, ploopf)
         pitched_end = int(pends.max()) if len(pends) else 0
         total = (max(sched.total_frames, self._synth_end_frame(voices),
                      pitched_end)
@@ -1349,7 +1460,8 @@ class Song:
             pper, PK = self._bucket_pitched(pstart, pends, nchunks, cf,
                                             start_frame, ndev)
             pitched_rows = self._pitched_rows(pper, PK, pidx, pstart,
-                                              prate, pgains)
+                                              prate, pgains, ploopf,
+                                              ploopu)
             plmax = int(pbank.shape[1])
             pbank_d = jnp.asarray(pbank)
             plens_d = jnp.asarray(np.asarray(plens, np.int64)
@@ -1361,10 +1473,11 @@ class Song:
                 base_pfn = _pitched_chunk_fn(cf, plmax)
 
             def pitched_fn(ci, c0):
-                ib, sb, rb, gb, vb = (r[ci] for r in pitched_rows)
+                ib, sb, rb, gb, vb, lf, lu = (r[ci] for r in pitched_rows)
                 return base_pfn(pbank_d, plens_d, jnp.asarray(ib),
                                 jnp.asarray(sb), jnp.asarray(rb),
                                 jnp.asarray(gb), jnp.asarray(vb),
+                                jnp.asarray(lf), jnp.asarray(lu),
                                 jnp.int32(c0))
         lengths_of_hit = sched.lengths[insts]
         first_c = np.maximum(0, (starts - start_frame) // cf)

@@ -36,7 +36,8 @@ def make_song(pattern="C4 .. E4 .. G4 .. C5 C3", base_note="C4", **auto):
 def pitched_oracle(song: Song, total: int) -> np.ndarray:
     """Numpy twin of the pitched-playback spec: pos = n_rel * rate in
     f32, linear interp, per-hit rint(gain * value), int64 sum."""
-    bank, lens, idx, starts, rates, gains = song.compile_pitched_hits()
+    (bank, lens, idx, starts, rates, gains, loopf,
+     loopu) = song.compile_pitched_hits()
     C = song.nchannels
     bank = bank[:, :, :C]       # the device bank is pair-packed [.., 2C]
     out = np.zeros((total, C), np.int64)
@@ -44,14 +45,30 @@ def pitched_oracle(song: Song, total: int) -> np.ndarray:
         wav = bank[idx[h], : lens[idx[h]]].astype(np.float32)
         L = int(lens[idx[h]])
         n_rel = np.arange(total, dtype=np.int64) - starts[h]
-        pos = n_rel.astype(np.float32) * np.float32(rates[h])
-        inr = (n_rel >= 0) & (pos <= np.float32(L - 1))
+        n_rel_f = n_rel.astype(np.float32)
+        pos = n_rel_f * np.float32(rates[h])
+        flag, ls, lp, gate_total, fade_r = (np.float32(v) for v in loopf[h])
+        env = np.float32(1.0)
+        if flag > 0:
+            inc, p0 = (int(v) for v in loopu[h])
+            phase = ((p0 + n_rel.astype(np.uint64) * inc)
+                     & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            posL = ls + (phase.astype(np.float32)
+                         * np.float32(2.0 ** -32) * lp)
+            pos = np.where(pos > ls + lp, posL, pos).astype(np.float32)
+            env = np.clip((gate_total - n_rel_f) * fade_r,
+                          np.float32(0), np.float32(1)).astype(np.float32)
+            inr = (n_rel >= 0) & (n_rel_f < gate_total)
+        else:
+            inr = (n_rel >= 0) & (pos <= np.float32(L - 1))
         i = np.clip(pos.astype(np.int32), 0, max(L - 2, 0))
         frac = (pos - i.astype(np.float32)).astype(np.float32)
         v0 = wav[i]
         v1 = wav[np.minimum(i + 1, L - 1)]
         vals = v0 + (v1 - v0) * frac[:, None]
-        vals = np.rint(vals * gains[h][None, :]).astype(np.int64)
+        # same multiply order as the device: (gain * env) first
+        ge = gains[h][None, :] * (env[:, None] if np.ndim(env) else env)
+        vals = np.rint(vals * ge).astype(np.int64)
         out += np.where(inr[:, None], vals, 0)
     return out
 
@@ -142,7 +159,8 @@ def test_sampler_automation_velocity_and_pan():
     song = make_song(pattern="C4 .. .. .. C4 .. .. ..",
                      track__gtr__volume="0:1 4:0.5",
                      track__gtr__pan="0:-1 4:1")
-    bank, lens, idx, starts, rates, gains = song.compile_pitched_hits()
+    bank, lens, idx, starts, rates, gains, _lf, _lu = \
+        song.compile_pitched_hits()
     np.testing.assert_allclose(gains, [[1.0, 0.0], [0.0, 0.5]], atol=1e-6)
     off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
     want = np.clip(pitched_oracle(song, len(off)), -32768, 32767)
@@ -205,3 +223,98 @@ def test_sampler_export_midi():
     keys = sorted(n.note for n in notes)
     assert keys == [60, 64]
     assert all(n.channel not in (9,) for n in notes)
+
+
+# ---------------------------------------------------------------------------
+# Sustain loops (loop_start/loop_end + tie-gated notes)
+# ---------------------------------------------------------------------------
+
+def looped_song(pattern, release=0.02):
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    src = ws.sine(C4, 0.1, amplitude=0.5).stereo()
+    song = Song()
+    song.bpm = 120
+    song.ticks = 4
+    song.add_sampler("pad", src, base_note="C4", loop_start=0.02,
+                     loop_end=0.08, release=release)
+    song.add_pattern("a", {"pad": pattern})
+    song.pattern_sequence = ["a"]
+    return song
+
+
+def test_loop_sustains_and_releases():
+    """A held note loops far past the 0.1 s source, then fades out over
+    `release` after its tie length."""
+    song = looped_song("C4 - - - - - - - .. .. .. .. .. .. .. ..")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    gate = int(8 * song.tick_duration * SR)
+    mid = off[int(0.5 * SR): int(0.6 * SR)]     # way past the source
+    assert np.sqrt(np.mean(mid.astype(np.float64) ** 2)) > 2000
+    after = off[gate + int(0.03 * SR):]
+    assert len(after) == 0 or np.abs(after).max() == 0
+    # matches the numpy twin within 1 LSB (looped positions have
+    # arbitrary f32 fractions, so the interp multiply-add may contract
+    # to FMA differently — the documented class; one-shot rate-1 reads
+    # stay bit-exact)
+    want = np.clip(pitched_oracle(song, len(off)), -32768, 32767)
+    d = np.abs(off.astype(np.int64) - want)
+    assert d.max() <= 1 and (d > 0).mean() < 0.02
+
+
+def test_loop_pitch_follows_note():
+    """A looped 440 Hz-content source played at E4 sustains the
+    transposed tone (still periodic and louder than silence) for the
+    whole hold."""
+    song = looped_song("E4 - - - - - - - - - - - - - - -")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+
+    def peak_freq(x, nfft=16384):
+        w = np.abs(np.fft.rfft(x[:, 0].astype(np.float64), nfft))
+        w[:20] = 0
+        return np.argmax(w) * SR / nfft
+
+    seg = off[int(0.8 * SR): int(1.4 * SR)]      # pure looped region
+    f = peak_freq(seg)
+    want = C4 * note_freq("E4") / note_freq("C4")
+    assert f == pytest.approx(want, rel=0.03)
+
+
+@pytest.mark.parametrize("chunk", [977, 4096])
+def test_loop_streaming_and_seek_bit_exact(chunk):
+    song = looped_song("C4 - - - E4 - - - .. .. G4 - - - - -")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    np.testing.assert_array_equal(got, off[:len(got)])
+    seek = 31337
+    got2 = np.concatenate([c.get_frame_array() for c in song.mix_generator(
+        chunk_frames=chunk, start_frame=seek)])
+    np.testing.assert_array_equal(got2, off[seek:seek + len(got2)])
+
+
+def test_loop_validation(tmp_path):
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    src = ws.sine(C4, 0.1, amplitude=0.5).stereo()
+    song = Song()
+    with pytest.raises(ValueError, match="loop region"):
+        song.add_sampler("bad", src, loop_start=0.05, loop_end=0.5)
+    src.write_wav(str(tmp_path / "pad.wav"))
+    (tmp_path / "s.ini").write_text("""
+[song]
+bpm = 120
+ticks = 4
+patterns = a
+[sampler.pad]
+file = pad.wav
+base_note = C4
+loop_start = 0.02
+loop_end = 0.08
+release = 0.03
+[pattern.a]
+pad = C4 - - - - - - -
+""")
+    song2 = Song.from_ini(str(tmp_path / "s.ini"))
+    assert song2.samplers["pad"].looped
+    assert song2.samplers["pad"].release == 0.03
+    out = song2.mix(normalize=False).get_frame_array()
+    assert np.abs(out[int(0.3 * SR): int(0.4 * SR)]).max() > 1000

@@ -352,7 +352,7 @@ def test_inline_note_velocity():
     song2.add_sampler("g", synth.sine(261.63, 0.05, amplitude=0.4).stereo())
     song2.add_pattern("a", {"g": "C4 .. C4@0.25 .."})
     song2.pattern_sequence = ["a"]
-    _, _, _, _, _, gains = song2.compile_pitched_hits()
+    gains = song2.compile_pitched_hits()[5]
     np.testing.assert_allclose(gains[:, 0], [1.0, 0.25])
     with pytest.raises(ValueError, match="velocity"):
         song2.add_pattern("b", {"g": "C4@oops"})
