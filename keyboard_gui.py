@@ -121,6 +121,10 @@ class SynthController:
         self.a4 = 440.0
         #: blocks rendered per device round trip (None = pick by platform)
         self.voice_lookahead: Optional[int] = None
+        #: sampler mode: a loaded Sample played repitched per key (FL
+        #: sampler-channel style); None = synthesize from the osc panels
+        self.sampler_sample: Optional[Sample] = None
+        self.sampler_base_key: int = 60            # C4
         self.synth = WaveSynth(samplerate=self.samplerate, samplewidth=2)
         self.output = output
         self._active: Dict[int, int] = {}   # key number -> playback sid
@@ -285,9 +289,42 @@ class SynthController:
         per_sync = (time.perf_counter() - t0) / 3
         return 4 if per_sync > 0.005 else 1
 
+    def load_sampler(self, wav_file_or_sample, base_key: int = 60) -> None:
+        """Enter sampler mode: keys play ``wav_file_or_sample`` repitched
+        by the equal-tempered ratio from ``base_key`` (Sample.speed — the
+        exact audioop-ratecv resampler).  ``clear_sampler()`` returns to
+        the synthesizer panels."""
+        if isinstance(wav_file_or_sample, Sample):
+            smp = wav_file_or_sample.copy()
+        else:
+            smp = Sample(wave_file=wav_file_or_sample)
+        if smp.samplerate != self.samplerate:
+            smp.resample(self.samplerate)
+        self.sampler_sample = smp
+        self.sampler_base_key = int(base_key)
+
+    def clear_sampler(self) -> None:
+        self.sampler_sample = None
+
+    def render_sampler_key(self, key_number: int) -> Sample:
+        """The loaded sampler WAV repitched for one key."""
+        assert self.sampler_sample is not None
+        ratio = 2.0 ** ((key_number - self.sampler_base_key) / 12.0)
+        out = self.sampler_sample.copy().speed(ratio)
+        out.name = f"smp{key_number}"
+        return out
+
     def key_down(self, key_number: int) -> None:
         """Start a gate-driven streaming voice (held until key_up)."""
         if self.output is None or key_number in self._active:
+            return
+        if self.sampler_sample is not None:
+            smp = self.render_sampler_key(key_number)
+            if self.output.nchannels == 2 and smp.nchannels == 1:
+                smp.stereo()
+            self.meter.update(smp)
+            sid = self.output.play_sample(smp)
+            self._active[key_number] = (sid, None)
             return
         if self.arp.enabled:
             cycle = self.render_arpeggio(key_number)
@@ -527,6 +564,9 @@ class SynthGUI:
                  command=lambda v: _set_reverb("wet", float(v))).pack()
         ttk.Button(echo, text="save preset", command=self._save).pack()
         ttk.Button(echo, text="load preset", command=self._load).pack()
+        ttk.Button(echo, text="sampler wav", command=self._load_sampler).pack()
+        ttk.Button(echo, text="synth mode",
+                   command=self.ctrl.clear_sampler).pack()
 
         self.canvas = tk.Canvas(self.root, width=840, height=120, bg="white")
         self.canvas.pack(side=tk.BOTTOM)
@@ -552,6 +592,12 @@ class SynthGUI:
         idx = KEYBOARD_KEYS.find(ev.char)
         if idx >= 0:
             self.ctrl.key_up(FIRST_KEY + idx)
+
+    def _load_sampler(self):
+        path = self.filedialog.askopenfilename(
+            filetypes=[("WAV files", "*.wav")])
+        if path:
+            self.ctrl.load_sampler(path)
 
     def _save(self):
         path = self.filedialog.asksaveasfilename(defaultextension=".ini")

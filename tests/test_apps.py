@@ -348,3 +348,35 @@ def test_controller_master_reverb(tmp_path):
         assert out.fx is None
     finally:
         out.close()
+
+
+def test_keyboard_sampler_mode(tmp_path):
+    """Sampler mode: keys play the loaded WAV repitched from base_key
+    (an octave up halves the length); clear_sampler returns to synth."""
+    from keyboard_gui import SynthController
+    from synthesizer_tpu import Output, WaveSynth
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    src = ws.sine(261.63, 0.2, amplitude=0.5).fadeout(0.05)
+    c = SynthController()
+    c.load_sampler(src.copy().stereo(), base_key=60)
+    up = c.render_sampler_key(72)
+    assert abs(up.nframes - src.nframes / 2) <= 2
+    same = c.render_sampler_key(60)
+    assert same.nframes == src.nframes
+    # plays through an Output like any sample
+    wav = str(tmp_path / "smp.wav")
+    with Output(mixing="mixed", frames_per_chunk=2048, wav_file=wav) as out:
+        c.output = out
+        c.key_down(67)
+        import time as _t
+        deadline = _t.time() + 10.0
+        while out.still_playing() and _t.time() < deadline:
+            _t.sleep(0.01)
+        c.key_up(67)
+    import wave as _w
+    import numpy as _np
+    w = _w.open(wav)
+    a = _np.frombuffer(w.readframes(w.getnframes()), _np.int16)
+    assert _np.abs(a).max() > 1000
+    c.clear_sampler()
+    assert c.sampler_sample is None
