@@ -85,6 +85,7 @@ class StreamingCompressor:
         self._env = jnp.float32(0.0)     # e_{-1}
         self._zdev = jnp.float32(0.0)    # z_{-1} = 1 - y_{-1}
         self.tail_frames = 0
+        _require_tickf(tickf, makeup_curve, threshold_curve, ratio_curve)
         self._curves = {}
         for name, curve in (("makeup", makeup_curve),
                             ("thr", threshold_curve),
@@ -237,6 +238,7 @@ class SweptStreamingBiquad:
 
     def __init__(self, samplerate: int, nchannels: int, kind: str,
                  q: float, curve, tickf: float, start_frame: int = 0):
+        _require_tickf(tickf, curve)
         self.kind = kind
         self.q = float(q)
         self.xs = jnp.asarray([t for t, _ in curve], jnp.float32)
@@ -276,6 +278,7 @@ class StreamingGate:
         self._env = jnp.float32(0.0)
         self._z = jnp.float32(floor_gain)
         self.tail_frames = 0
+        _require_tickf(tickf, threshold_curve)
         self._swept = threshold_curve is not None
         if self._swept:
             self._txs = jnp.asarray([t for t, _ in threshold_curve],
@@ -342,6 +345,7 @@ class StreamingReverb:
                       for ch in range(1 if nchannels == 1 else 2)]
         self._state = tuple(dfx.reverb_zero_state(c, a) for c, a in self._nets)
         self.tail_frames = int(tail * samplerate)
+        _require_tickf(tickf, wet_curve, dry_curve)
         self._swept = wet_curve is not None or dry_curve is not None
         if self._swept:
             # a single-point curve interpolates to its constant value, so
@@ -434,6 +438,7 @@ class StreamingChorus:
         self._hist = jnp.zeros((hist, nchannels), jnp.float32)
         self._n0 = jnp.int32(0)
         self.tail_frames = 0
+        _require_tickf(tickf, wet_curve, dry_curve)
         self._swept = wet_curve is not None or dry_curve is not None
         if self._swept:
             wc = wet_curve if wet_curve is not None else [(0.0, wet)]
@@ -578,6 +583,35 @@ def parse_fx_items(items: Sequence[Tuple[str, str]]) -> List[Tuple[str, dict]]:
     return out
 
 
+
+
+def _fx_curves(automation):
+    """The automation curves the fx machinery understands, parsed ONCE —
+    shared by FxChain (streaming) and run_fx_chain_ops (offline) so the
+    two paths cannot drift apart when a key is added."""
+    auto = automation or {}
+    return dict(
+        cutoff_curve=auto.get("fx.filter.cutoff"),
+        rev_wet=auto.get("fx.reverb.wet"),
+        rev_dry=auto.get("fx.reverb.dry"),
+        cho_wet=auto.get("fx.chorus.wet"),
+        cho_dry=auto.get("fx.chorus.dry"),
+        comp_curves=dict(
+            makeup_curve=auto.get("fx.compress.makeup_db"),
+            threshold_curve=auto.get("fx.compress.threshold_db"),
+            ratio_curve=auto.get("fx.compress.ratio")),
+        gate_thr=auto.get("fx.gate.threshold_db"),
+    )
+
+
+def _require_tickf(tickf: float, *curves):
+    """Guard the curve-time base: a curve with the default tickf=0 would
+    silently freeze at its last breakpoint (n/0 = inf in the interp)."""
+    if any(c is not None for c in curves) and not tickf > 0.0:
+        raise ValueError("automation curves need tickf > 0 (the frames "
+                         "per tick that curve ticks are measured in)")
+
+
 class FxChain:
     """An ordered master-bus chain for the STREAMING path.  Built from the
     parsed ``[fx]`` spec plus resolved IR samples; processes int chunks in
@@ -590,17 +624,12 @@ class FxChain:
                  ir_samples: Optional[Dict[str, "object"]] = None,
                  automation: Optional[Dict[str, list]] = None,
                  tickf: float = 0.0, start_frame: int = 0):
-        auto = automation or {}
-        cutoff_curve = auto.get("fx.filter.cutoff")
-        rev_wet = auto.get("fx.reverb.wet")
-        rev_dry = auto.get("fx.reverb.dry")
-        cho_wet = auto.get("fx.chorus.wet")
-        cho_dry = auto.get("fx.chorus.dry")
-        comp_curves = dict(
-            makeup_curve=auto.get("fx.compress.makeup_db"),
-            threshold_curve=auto.get("fx.compress.threshold_db"),
-            ratio_curve=auto.get("fx.compress.ratio"))
-        gate_thr = auto.get("fx.gate.threshold_db")
+        cv = _fx_curves(automation)
+        cutoff_curve = cv["cutoff_curve"]
+        rev_wet, rev_dry = cv["rev_wet"], cv["rev_dry"]
+        cho_wet, cho_dry = cv["cho_wet"], cv["cho_dry"]
+        comp_curves = cv["comp_curves"]
+        gate_thr = cv["gate_thr"]
         self.processors = []
         for name, p in fx:
             if name == "compress":
@@ -716,18 +745,13 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
     fx.filter.cutoff as the swept biquad, fx.reverb.wet/.dry through the
     streaming reverb with per-frame output gains; everything else still
     stages/fuses."""
-    auto = automation or {}
-    cutoff_curve = auto.get("fx.filter.cutoff")
-    rev_wet = auto.get("fx.reverb.wet")
-    rev_dry = auto.get("fx.reverb.dry")
-    cho_wet = auto.get("fx.chorus.wet")
-    cho_dry = auto.get("fx.chorus.dry")
-    comp_curves = dict(
-        makeup_curve=auto.get("fx.compress.makeup_db"),
-        threshold_curve=auto.get("fx.compress.threshold_db"),
-        ratio_curve=auto.get("fx.compress.ratio"))
+    cv = _fx_curves(automation)
+    cutoff_curve = cv["cutoff_curve"]
+    rev_wet, rev_dry = cv["rev_wet"], cv["rev_dry"]
+    cho_wet, cho_dry = cv["cho_wet"], cv["cho_dry"]
+    comp_curves = cv["comp_curves"]
     comp_swept = any(v is not None for v in comp_curves.values())
-    gate_thr = auto.get("fx.gate.threshold_db")
+    gate_thr = cv["gate_thr"]
     for name, p in fx:
         if name == "convolve":
             q = dict(p)

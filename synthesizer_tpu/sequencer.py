@@ -233,6 +233,10 @@ def _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k, gain_k,
     pos_loop = ls + phase.astype(jnp.float32)         * jnp.float32(2.0 ** -32) * lp
     use_loop = flag & (pos > ls + lp)
     pos = jnp.where(use_loop, pos_loop, pos)
+    # a loop region ending at the sample's last frame (le == len) sweeps
+    # pos through (len-1, len): clamp to the final frame instead of
+    # letting frac > 1 extrapolate past wav[len-1]
+    pos = jnp.where(flag, jnp.minimum(pos, last), pos)
     env = jnp.where(flag,
                     jnp.clip((gate_total - n_rel_f) * fade_r,
                              jnp.float32(0.0), jnp.float32(1.0)),
@@ -540,6 +544,12 @@ class Song:
         track's own stereo bus at mix time (synths shadow same-named
         sample instruments here, matching pattern-track resolution)."""
         from .effects import apply_fx_sample, parse_fx_items
+        if instrument in self.samplers and instrument not in self.synths \
+                and instrument not in self.instruments:
+            raise ValueError(f"[fx.{instrument}]: per-sampler-track fx is "
+                             f"not supported (sampler notes repitch at mix "
+                             f"time — apply the chain to the source WAV, "
+                             f"or move it to [fx])")
         if instrument not in self.instruments and instrument not in self.synths:
             raise ValueError(f"[fx.{instrument}]: unknown instrument "
                              f"{instrument!r} (define it in [instruments] "
@@ -623,7 +633,8 @@ class Song:
                              f"(master.volume, track.NAME.volume, "
                              f"track.NAME.pan, fx.filter.cutoff, "
                              f"fx.reverb.wet/.dry, fx.chorus.wet/.dry, "
-                             f"or fx.compress.makeup_db)")
+                             f"fx.compress.makeup_db/.threshold_db/"
+                             f".ratio, or fx.gate.threshold_db)")
         self.automation[key] = pts
 
     def _track_gain_at(self, name: str, tick: float) -> float:
@@ -677,9 +688,10 @@ class Song:
         self.fx.append((name, validate_fx_params(name, params)))
 
     def _check_format(self, name: str, sample: Sample) -> None:
-        """All instruments must agree on rate/channels — a silent mismatch
-        would schedule and bank hits at the wrong rate (last-one-wins bug)."""
-        if not self.instruments:
+        """All instruments AND samplers must agree on rate/channels — a
+        silent mismatch would schedule and bank hits at the wrong rate
+        (last-one-wins bug)."""
+        if not self.instruments and not self.samplers:
             return
         if (sample.samplerate != self.samplerate
                 or sample.nchannels != self.nchannels):
@@ -741,9 +753,11 @@ class Song:
     def tick_duration(self) -> float:
         return 60.0 / self.bpm / self.ticks
 
-    #: drum-pattern dynamics characters (tracker-style accents): any
-    #: other non-rest character is a normal 1.0 hit, so existing songs
-    #: are untouched
+    #: drum-pattern dynamics characters (tracker-style accents); any
+    #: other non-rest character stays a normal 1.0 hit.  NOTE: a legacy
+    #: song that used 'X' or 'o' as plain hit markers (the reference's
+    #: own demos used 'x') now renders them accented — documented in
+    #: docs/MIGRATION.md
     DRUM_DYNAMICS = {"X": 1.5, "o": 0.5}
 
     @staticmethod
@@ -1085,12 +1099,12 @@ class Song:
                     for t, tok in enumerate(patstr.split()):
                         if tok == "-" or set(tok) <= {"."}:
                             continue
-                        tok, _nv = self._split_note_token(tok)
+                        tok, nv = self._split_note_token(tok)
                         f = note_freq(tok)
                         note = int(round(69 + 12 * _math.log2(f / 440.0)))
                         vel = max(1, min(127, int(round(
-                            100 * self._track_gain_at(inst,
-                                                      bar_start + t)))))
+                            100 * nv * self._track_gain_at(
+                                inst, bar_start + t)))))
                         dur = ((sd.sample.nframes / self.samplerate)
                                / max(f / sd.base_freq, 1e-9))
                         notes.append(MidiNote(

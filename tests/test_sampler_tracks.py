@@ -56,6 +56,7 @@ def pitched_oracle(song: Song, total: int) -> np.ndarray:
             posL = ls + (phase.astype(np.float32)
                          * np.float32(2.0 ** -32) * lp)
             pos = np.where(pos > ls + lp, posL, pos).astype(np.float32)
+            pos = np.minimum(pos, np.float32(L - 1)).astype(np.float32)
             env = np.clip((gate_total - n_rel_f) * fade_r,
                           np.float32(0), np.float32(1)).astype(np.float32)
             inr = (n_rel >= 0) & (n_rel_f < gate_total)
@@ -318,3 +319,54 @@ pad = C4 - - - - - - -
     assert song2.samplers["pad"].release == 0.03
     out = song2.mix(normalize=False).get_frame_array()
     assert np.abs(out[int(0.3 * SR): int(0.4 * SR)]).max() > 1000
+
+
+def test_sampler_format_mismatch_normalized():
+    """A sampler WAV at a different rate/width/channel count is CONVERTED
+    to the song's normalization targets at load (like instruments), so
+    mixed-format sources cannot silently bank at the wrong rate."""
+    ws44 = WaveSynth(samplerate=44100, samplewidth=2)
+    ws22 = WaveSynth(samplerate=22050, samplewidth=2)
+    song = Song()
+    song.add_sampler("a", ws44.sine(200, 0.05).stereo())
+    song.add_sampler("b", ws22.sine(200, 0.1))        # mono, half rate
+    sb = song.samplers["b"].sample
+    assert sb.samplerate == 44100 and sb.nchannels == 2
+    # and the converted sample still plays ~0.1 s of 200 Hz content
+    assert abs(sb.nframes - int(0.1 * 44100)) <= 4
+
+
+def test_loop_to_sample_end_no_extrapolation():
+    """A loop region ending exactly at the sample's last frame must not
+    extrapolate past wav[len-1] (review finding: frac > 1 at the seam)."""
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    src = ws.sine(C4, 0.1, amplitude=0.5).stereo()
+    song = Song()
+    song.bpm = 120
+    song.ticks = 4
+    song.add_sampler("pad", src, base_note="C4", loop_start=0.02,
+                     loop_end=0.1, release=0.02)   # le == sample end
+    song.add_pattern("a", {"pad": "D4 - - - - - - - - - - - - - - -"})
+    song.pattern_sequence = ["a"]
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    src_peak = np.abs(src.get_frame_array().astype(np.int64)).max()
+    # no sample of the output may exceed the source peak (interp convex
+    # combination; extrapolation would overshoot)
+    assert np.abs(off.astype(np.int64)).max() <= src_peak + 1
+    want = np.clip(pitched_oracle(song, len(off)), -32768, 32767)
+    d = np.abs(off.astype(np.int64) - want)
+    assert d.max() <= 1
+
+
+def test_sampler_track_fx_rejected_clearly():
+    song = make_song()
+    with pytest.raises(ValueError, match="per-sampler-track fx"):
+        song.add_track_fx("gtr", [("reverb", "wet=0.3")])
+
+
+def test_automation_curve_requires_tickf():
+    from synthesizer_tpu.effects import StreamingCompressor, StreamingGate
+    with pytest.raises(ValueError, match="tickf"):
+        StreamingCompressor(SR, threshold_curve=[(0.0, -30.0)])
+    with pytest.raises(ValueError, match="tickf"):
+        StreamingGate(SR, threshold_curve=[(0.0, -50.0)])
