@@ -488,7 +488,11 @@ def section_effects(SR):
     gtr = ws.pluck(261.6255653005986, 0.25, amplitude=0.6, seed=3) \
         .fadeout(0.04).stereo()
     song5.add_sampler("gtr", gtr, base_note="C4")
-    song5.add_pattern("a", {"gtr": "C4 .. E4 G4 .. .. C5 C3"})
+    pad = ws.sine(261.6255653005986, 0.1, amplitude=0.4).stereo()
+    song5.add_sampler("pad", pad, base_note="C4", loop_start=0.02,
+                      loop_end=0.08, release=0.02)   # DDS sustain loop
+    song5.add_pattern("a", {"gtr": "C4 .. E4 G4 .. .. C5 C3",
+                            "pad": "E3 - - - - - - -"})
     song5.pattern_sequence = ["a"]
     off5 = song5.mix(normalize=False, tail_seconds=0.0).get_frame_array()
     got5 = np.concatenate([c.get_frame_array()
