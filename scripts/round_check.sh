@@ -47,7 +47,7 @@ srv.stop()
 EOF
 
 echo "=== 6/7 bench (real TPU; fresh process pays the axon bootstrap) ==="
-timeout 880 python bench.py
+timeout 1600 python bench.py   # axon bootstrap measured 63-820 s
 
 echo "=== 7/7 on-chip fidelity battery (HARD GATE: must pass on TPU) ==="
 # every waveform x {FM, PWM, ADSR, echo}, XLA vs compiled Pallas, and all
