@@ -409,6 +409,11 @@ class Song:
         #: rendered per-segment by the grouped voice bank — before it
         #: joins the int32 mix
         self.synth_fx: Dict[str, List[Tuple[str, dict]]] = {}
+        #: per-SAMPLER-track effects ([fx.SAMPLERNAME]): the track's
+        #: pitched mix renders as its own int16 bus and the chain
+        #: processes it before it joins the int32 mix (same pattern as
+        #: synth_fx)
+        self.sampler_fx: Dict[str, List[Tuple[str, dict]]] = {}
         #: automation curves ([automation] ini section): breakpoint lists
         #: of (tick, value) pairs, linearly interpolated, ends held.
         #: ``track.NAME.volume`` scales each hit/note by the curve at its
@@ -544,16 +549,13 @@ class Song:
         track's own stereo bus at mix time (synths shadow same-named
         sample instruments here, matching pattern-track resolution)."""
         from .effects import apply_fx_sample, parse_fx_items
-        if instrument in self.samplers and instrument not in self.synths \
-                and instrument not in self.instruments:
-            raise ValueError(f"[fx.{instrument}]: per-sampler-track fx is "
-                             f"not supported (sampler notes repitch at mix "
-                             f"time — apply the chain to the source WAV, "
-                             f"or move it to [fx])")
-        if instrument not in self.instruments and instrument not in self.synths:
+        if (instrument not in self.instruments
+                and instrument not in self.synths
+                and instrument not in self.samplers):
             raise ValueError(f"[fx.{instrument}]: unknown instrument "
-                             f"{instrument!r} (define it in [instruments] "
-                             f"or [synth.{instrument}] first)")
+                             f"{instrument!r} (define it in [instruments], "
+                             f"[synth.{instrument}], or "
+                             f"[sampler.{instrument}] first)")
         fx = parse_fx_items(list(items))
         irs = {}
         for name, p in fx:
@@ -562,6 +564,8 @@ class Song:
                 irs[p["ir"]] = self.fx_irs[p["ir"]]
         if instrument in self.synths:
             self.synth_fx[instrument] = fx
+        elif instrument in self.samplers:
+            self.sampler_fx[instrument] = fx
         else:
             apply_fx_sample(self.instruments[instrument], fx, irs)
 
@@ -919,6 +923,7 @@ class Song:
         gains: List[np.ndarray] = []
         loopf: List[tuple] = []
         loopu: List[tuple] = []
+        ptracks: List[str] = []
         tickf = self.tick_duration * self.samplerate
         sr = self.samplerate
         bar_start = 0
@@ -941,6 +946,7 @@ class Song:
                         held += 1
                     note, vel = self._split_note_token(tok)
                     rate = note_freq(note) / sd.base_freq
+                    ptracks.append(inst)
                     idx.append(index[inst])
                     starts.append(int(self._tick_pos(bar_start + t) * tickf))
                     rates.append(rate)
@@ -962,6 +968,7 @@ class Song:
                         loopu.append((0, 0))
                     t += held
             bar_start += nticks
+        self._last_pitched_tracks = ptracks   # aligned with the hit rows
         return (bank, lens, np.asarray(idx, np.int32),
                 np.asarray(starts, np.int64),
                 np.asarray(rates, np.float32),
@@ -1159,6 +1166,19 @@ class Song:
         return max(chain_tail_frames(self.synth_fx[n], self.samplerate,
                                      self.fx_irs) for n in names)
 
+    def _fx_sampler_tracks(self, ptracks: Sequence[str]) -> List[str]:
+        present = set(ptracks)
+        return [n for n in sorted(self.sampler_fx) if n in present]
+
+    def _sampler_fx_tail(self, ptracks: Sequence[str]) -> int:
+        """Longest per-sampler-track chain decay tail, in frames."""
+        names = self._fx_sampler_tracks(ptracks)
+        if not names:
+            return 0
+        from .effects import chain_tail_frames
+        return max(chain_tail_frames(self.sampler_fx[n], self.samplerate,
+                                     self.fx_irs) for n in names)
+
     def _synth_fx_groups(self, voices: Sequence[Voice],
                          vtracks: Sequence[str], chunk_frames: int):
         """Pack ALL synth voices into ONE grouped bank whose pan matmul
@@ -1204,7 +1224,8 @@ class Song:
         pitched_end = int(pends.max()) if len(pends) else 0
         return (max(sched.total_frames, self._synth_end_frame(voices),
                     pitched_end)
-                + self._synth_fx_tail(vtracks)
+                + max(self._synth_fx_tail(vtracks),
+                      self._sampler_fx_tail(self._last_pitched_tracks))
                 + int(tail_seconds * self.samplerate))
 
     # -- offline mixdown ------------------------------------------------------
@@ -1238,7 +1259,8 @@ class Song:
         pitched_end = int(pends.max()) if len(pends) else 0
         total = max(sched.total_frames, self._synth_end_frame(voices),
                     pitched_end) \
-            + self._synth_fx_tail(vtracks) \
+            + max(self._synth_fx_tail(vtracks),
+                  self._sampler_fx_tail(self._last_pitched_tracks)) \
             + int(tail_seconds * self.samplerate)
         if max_frames is not None:
             # a caller-imposed limit (the render server's DoS bound) must
@@ -1256,10 +1278,37 @@ class Song:
             return Sample.from_raw_frames(b"", 2, self.samplerate, self.nchannels)
         out32 = jnp.zeros((total, self.nchannels), jnp.int32)
         if len(pidx):
-            out32 = out32 + self._pitched_mix(pbank, plens, pidx, pstart,
-                                              prate, pgains, ploopf,
-                                              ploopu, pends, total,
-                                              mesh=mesh)
+            ptr = np.asarray(self._last_pitched_tracks)
+            sfx = self._fx_sampler_tracks(self._last_pitched_tracks)
+            if sfx and mesh is not None:
+                raise ValueError("per-sampler-track fx ([fx.SAMPLER] "
+                                 "sections) is not supported with mesh= "
+                                 "yet — render single-device or move the "
+                                 "chain to [fx]")
+            if sfx:
+                from .effects import run_fx_chain_ops
+                clean = ~np.isin(ptr, sfx)
+                if clean.any():
+                    out32 = out32 + self._pitched_mix(
+                        pbank, plens, pidx[clean], pstart[clean],
+                        prate[clean], pgains[clean], ploopf[clean],
+                        ploopu[clean], pends[clean], total)
+                for tname in sfx:
+                    m = ptr == tname
+                    bus32 = self._pitched_mix(
+                        pbank, plens, pidx[m], pstart[m], prate[m],
+                        pgains[m], ploopf[m], ploopu[m], pends[m], total)
+                    t16 = jnp.clip(bus32, -32768, 32767).astype(jnp.int16)
+                    ts = Sample.from_jax(t16, self.samplerate, 2,
+                                         name=f"strack:{tname}")
+                    run_fx_chain_ops(ts, self.sampler_fx[tname],
+                                     self.fx_irs)
+                    out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
+            else:
+                out32 = out32 + self._pitched_mix(pbank, plens, pidx,
+                                                  pstart, prate, pgains,
+                                                  ploopf, ploopu, pends,
+                                                  total, mesh=mesh)
         if len(sched.hits):
             if mesh is not None:
                 from .parallel.mesh import scatter_mix_sharded
@@ -1427,7 +1476,8 @@ class Song:
         pitched_end = int(pends.max()) if len(pends) else 0
         total = (max(sched.total_frames, self._synth_end_frame(voices),
                      pitched_end)
-                 + self._synth_fx_tail(vtracks))
+                 + max(self._synth_fx_tail(vtracks),
+                       self._sampler_fx_tail(self._last_pitched_tracks)))
         start_frame = int(start_frame)
         if start_frame < 0:
             raise ValueError("start_frame must be >= 0")
@@ -1467,15 +1517,24 @@ class Song:
         # O(nchunks * hits) on long dense songs).  Chunk ci covers
         # [start_frame + ci*cf, start_frame + (ci+1)*cf).
         nchunks = -(-(total - start_frame) // cf)
-        pitched_rows = None
-        pitched_fn = None
+        pitched_groups = []     # (fn(ci, c0) -> int32 [cf, C], chain|None)
         if len(pidx):
             ndev = int(mesh.devices.size) if mesh is not None else 0
-            pper, PK = self._bucket_pitched(pstart, pends, nchunks, cf,
-                                            start_frame, ndev)
-            pitched_rows = self._pitched_rows(pper, PK, pidx, pstart,
-                                              prate, pgains, ploopf,
-                                              ploopu)
+            ptr = np.asarray(self._last_pitched_tracks)
+            sfx = self._fx_sampler_tracks(self._last_pitched_tracks)
+            if sfx and mesh is not None:
+                raise ValueError("per-sampler-track fx ([fx.SAMPLER] "
+                                 "sections) is not supported with mesh= "
+                                 "yet — render single-device or move the "
+                                 "chain to [fx]")
+            if sfx:
+                masks = []
+                clean = ~np.isin(ptr, sfx)
+                if clean.any():
+                    masks.append((clean, None))
+                masks += [(ptr == n, n) for n in sfx]
+            else:
+                masks = [(np.ones(len(pidx), bool), None)]
             plmax = int(pbank.shape[1])
             pbank_d = jnp.asarray(pbank)
             plens_d = jnp.asarray(np.asarray(plens, np.int64)
@@ -1485,14 +1544,28 @@ class Song:
                 base_pfn = pitched_chunk_sharded_fn(mesh, cf, plmax)
             else:
                 base_pfn = _pitched_chunk_fn(cf, plmax)
+            from .effects import FxChain
+            for m, tname in masks:
+                pper, PK = self._bucket_pitched(
+                    pstart[m], pends[m], nchunks, cf, start_frame, ndev)
+                rows = self._pitched_rows(pper, PK, pidx[m], pstart[m],
+                                          prate[m], pgains[m], ploopf[m],
+                                          ploopu[m])
 
-            def pitched_fn(ci, c0):
-                ib, sb, rb, gb, vb, lf, lu = (r[ci] for r in pitched_rows)
-                return base_pfn(pbank_d, plens_d, jnp.asarray(ib),
-                                jnp.asarray(sb), jnp.asarray(rb),
-                                jnp.asarray(gb), jnp.asarray(vb),
-                                jnp.asarray(lf), jnp.asarray(lu),
-                                jnp.int32(c0))
+                def pfn(ci, c0, rows=rows):
+                    ib, sb, rb, gb, vb, lf, lu = (r[ci] for r in rows)
+                    return base_pfn(pbank_d, plens_d, jnp.asarray(ib),
+                                    jnp.asarray(sb), jnp.asarray(rb),
+                                    jnp.asarray(gb), jnp.asarray(vb),
+                                    jnp.asarray(lf), jnp.asarray(lu),
+                                    jnp.int32(c0))
+
+                chain = None
+                if tname is not None:
+                    chain = FxChain(self.sampler_fx[tname],
+                                    self.samplerate, self.nchannels,
+                                    self.fx_irs)
+                pitched_groups.append((pfn, chain))
         lengths_of_hit = sched.lengths[insts]
         first_c = np.maximum(0, (starts - start_frame) // cf)
         last_c = np.minimum(nchunks - 1,
@@ -1535,8 +1608,13 @@ class Song:
                 [gg, np.zeros((pad, self.nchannels), np.float32)])
                 .astype(np.float32))
             acc = chunk_fn(inst_k, start_k, valid_k, gain_k, jnp.int32(c0))
-            if pitched_fn is not None:
-                acc = acc + pitched_fn(ci, c0)
+            for pfn, pchain in pitched_groups:
+                pc = pfn(ci, c0)
+                if pchain is None:
+                    acc = acc + pc
+                else:
+                    p16 = jnp.clip(pc, -32768, 32767).astype(jnp.int16)
+                    acc = acc + pchain.process(p16).astype(jnp.int32)
             if synth_chunk_fn is not None:
                 synth_chunk = synth_chunk_fn(svp, jnp.int32(c0))
             elif gbank is not None:

@@ -358,10 +358,53 @@ def test_loop_to_sample_end_no_extrapolation():
     assert d.max() <= 1
 
 
-def test_sampler_track_fx_rejected_clearly():
+def test_sampler_track_fx_offline_matches_solo():
+    """[fx.SAMPLER] chains process the track's own pitched bus: a solo
+    fx'd sampler song equals (quantize bus to int16, run the chain over
+    the tail-padded length)."""
+    from synthesizer_tpu.effects import run_fx_chain_ops
+    from synthesizer_tpu import Sample
+    import jax.numpy as jnp
     song = make_song()
-    with pytest.raises(ValueError, match="per-sampler-track fx"):
-        song.add_track_fx("gtr", [("reverb", "wet=0.3")])
+    song.add_track_fx("gtr", [("filter", "kind=lowpass cutoff=1200 q=1.5"),
+                              ("compress", "threshold_db=-20 ratio=4")])
+    got = song.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+    base = make_song()
+    total = len(got)
+    bus = np.clip(pitched_oracle(base, total), -32768, 32767)         .astype(np.int16)
+    ts = Sample.from_jax(jnp.asarray(bus), SR, 2)
+    run_fx_chain_ops(ts, song.sampler_fx["gtr"], {})
+    want = ts.get_frame_array()
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 4, d
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_sampler_track_fx_streaming_equals_offline(chunk):
+    song = make_song()
+    song.add_track_fx("gtr", [("compress",
+                               "threshold_db=-18 ratio=4"),
+                              ("reverb",
+                               "roomsize=0.6 wet=0.3 dry=0.7 tail=0.15")])
+    # plus drums so the mixed paths compose
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    song.add_instrument("kick", ws.sine(60, 0.08, amplitude=0.4)
+                        .fadeout(0.05).stereo())
+    song.patterns["a"]["kick"] = "x.x.x.x."
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_sampler_track_fx_mesh_raises():
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    song = make_song()
+    song.add_track_fx("gtr", [("compress", "threshold_db=-18")])
+    with pytest.raises(ValueError, match="not supported with mesh"):
+        song.mix(mesh=voice_mesh(8))
 
 
 def test_automation_curve_requires_tickf():
