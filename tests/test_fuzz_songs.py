@@ -174,8 +174,9 @@ def test_random_song_with_synth_fx(seed):
     budgets between offline and streaming on random songs."""
     rng = np.random.default_rng(seed + 6200)
     song = rand_song(rng)
-    if not song.synths or not song.pattern_sequence:
-        pytest.skip("no synth tracks")
+    if (not song.synths and not song.samplers) \
+            or not song.pattern_sequence:
+        pytest.skip("no melodic tracks")
     chains = [
         [("filter", f"kind=lowpass cutoff={rng.integers(400, 6000)} q=1.0")],
         [("compress", f"threshold_db={rng.uniform(-25, -10):.1f} ratio=4")],
@@ -184,6 +185,9 @@ def test_random_song_with_synth_fx(seed):
     ]
     for name in song.synths:
         if rng.random() < 0.7:
+            song.add_track_fx(name, chains[rng.integers(len(chains))])
+    for name in song.samplers:
+        if rng.random() < 0.5:
             song.add_track_fx(name, chains[rng.integers(len(chains))])
     add_rand_automation(song, rng)
     offline = song.mix(normalize=False, tail_seconds=0.0)
