@@ -380,3 +380,32 @@ def test_keyboard_sampler_mode(tmp_path):
     assert _np.abs(a).max() > 1000
     c.clear_sampler()
     assert c.sampler_sample is None
+
+
+def test_tracker_example_song(tmp_path):
+    """examples/make_tracker_song.py exercises the whole song-layer
+    surface (samplers + loops + accents + swing + per-track fx + full
+    automation) through the real ini path."""
+    import importlib.util
+    import sys as _sys
+    spec = importlib.util.spec_from_file_location(
+        "make_tracker_song",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "examples", "make_tracker_song.py"))
+    mod = importlib.util.module_from_spec(spec)
+    _sys.argv = ["make_tracker_song", str(tmp_path)]
+    spec.loader.exec_module(mod)
+    mod.main()
+    from synthesizer_tpu.sequencer import Song
+    song = Song.from_ini(str(tmp_path / "tracker.ini"))
+    assert song.swing == 0.25
+    assert song.samplers["pad"].looped and not song.samplers["pluck"].looped
+    assert "pluck" in song.sampler_fx and "fx.filter.cutoff" in song.automation
+    song.pattern_sequence = ["a"]        # one bar keeps CI light
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    assert np.abs(off).max() > 1000
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=2048)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
