@@ -331,7 +331,7 @@ class SynthController:
             if self.output.nchannels == 2:
                 cycle.stereo()
             sid = self.output.play_sample(cycle, repeat=True)
-            self._active[key_number] = (sid, None)
+            self._active[key_number] = (sid, "arp")
             return
         if self.output.mixing == "mixed":
             e = self.env
@@ -361,10 +361,13 @@ class SynthController:
         if entry is None:
             return
         sid, voice = entry
-        if voice is not None:
+        if voice == "arp":
+            # looping arpeggio cycles stop on release; one-shot sampler
+            # notes (voice is None) play out regardless of the arp toggle
+            if sid is not None and self.output is not None:
+                self.output.stop_sample(sid)
+        elif voice is not None:
             voice.release()
-        elif self.arp.enabled and sid is not None and self.output is not None:
-            self.output.stop_sample(sid)
 
     def apply_reverb(self) -> None:
         """(Re)install the master reverb chain on the output's mixed bus

@@ -229,7 +229,7 @@ def _pitched_chunk_body(bank, lens, idx_k, start_k, rate_k, gain_k,
     gate_total = loopf_k[:, 3:4]
     fade_r = loopf_k[:, 4:5]
     phase = (loopu_k[:, 1:2]
-             + n_rel.astype(jnp.uint32) * loopu_k[:, 0:2][:, 0:1])
+             + n_rel.astype(jnp.uint32) * loopu_k[:, 0:1])
     pos_loop = ls + phase.astype(jnp.float32)         * jnp.float32(2.0 ** -32) * lp
     use_loop = flag & (pos > ls + lp)
     pos = jnp.where(use_loop, pos_loop, pos)
@@ -713,6 +713,10 @@ class Song:
         self.nchannels = sample.nchannels
 
     def add_synth(self, name: str, synthdef: SynthDef) -> None:
+        if name in self.samplers:
+            raise ValueError(f"synth {name!r}: a sampler with that name "
+                             f"already exists (one instrument per track "
+                             f"name)")
         self.synths[name] = synthdef
 
     def add_sampler(self, name: str, sample: Sample,
@@ -724,10 +728,19 @@ class Song:
         on the track (normalized like a drum instrument; must match the
         song's rate/channels).  ``loop_start``/``loop_end`` (seconds)
         define an optional sustain loop (see SamplerDef)."""
+        if name in self.synths:
+            raise ValueError(f"sampler {name!r}: a synth with that name "
+                             f"already exists (one instrument per track "
+                             f"name)")
         sample = sample.copy().normalize()
         self._check_format(name, sample)
         sd = SamplerDef(sample, note_freq(base_note), loop_start, loop_end,
                         release)
+        if (loop_start >= 0.0 or loop_end >= 0.0) and not sd.looped:
+            raise ValueError(
+                f"sampler {name!r}: loop region [{loop_start}, "
+                f"{loop_end}]s is inverted or incomplete (need "
+                f"0 <= loop_start < loop_end)")
         if sd.looped:
             n = sample.nframes
             le = int(sd.loop_end * sample.samplerate)
@@ -931,7 +944,7 @@ class Song:
             pattern = self.patterns[pname]
             nticks = self.pattern_ticks(pattern)
             for inst, patstr in pattern.items():
-                if inst not in self.samplers:
+                if inst not in self.samplers or inst in self.synths:
                     continue
                 sd = self.samplers[inst]
                 tokens = patstr.split()
@@ -1103,20 +1116,33 @@ class Song:
                     si = sorted(self.samplers).index(inst) + base
                     chn = si if si < 9 else si + 1
                     sd = self.samplers[inst]
-                    for t, tok in enumerate(patstr.split()):
+                    tokens = patstr.split()
+                    t = 0
+                    while t < len(tokens):
+                        tok = tokens[t]
                         if tok == "-" or set(tok) <= {"."}:
+                            t += 1
                             continue
+                        held = 1
+                        while (t + held < len(tokens)
+                               and tokens[t + held] == "-"):
+                            held += 1
                         tok, nv = self._split_note_token(tok)
                         f = note_freq(tok)
                         note = int(round(69 + 12 * _math.log2(f / 440.0)))
                         vel = max(1, min(127, int(round(
                             100 * nv * self._track_gain_at(
                                 inst, bar_start + t)))))
-                        dur = ((sd.sample.nframes / self.samplerate)
-                               / max(f / sd.base_freq, 1e-9))
+                        if sd.looped:
+                            # a looped note holds for its tie length
+                            dur = held * tick
+                        else:
+                            dur = ((sd.sample.nframes / self.samplerate)
+                                   / max(f / sd.base_freq, 1e-9))
                         notes.append(MidiNote(
                             self._tick_pos(bar_start + t) * tick, dur,
                             max(0, min(127, note)), vel, min(chn, 15)))
+                        t += held
                     continue
                 for t, ch in enumerate(patstr):
                     if ch not in ". ":
@@ -1169,6 +1195,27 @@ class Song:
     def _fx_sampler_tracks(self, ptracks: Sequence[str]) -> List[str]:
         present = set(ptracks)
         return [n for n in sorted(self.sampler_fx) if n in present]
+
+    def _sampler_fx_masks(self, ptracks: Sequence[str], mesh):
+        """(mask, track-or-None) groups for the pitched paths: one clean
+        group for un-fx'd tracks plus a group per fx'd sampler track.
+        ONE place owns the grouping and the mesh guard, shared by mix()
+        and mix_generator()."""
+        ptr = np.asarray(ptracks)
+        sfx = self._fx_sampler_tracks(ptracks)
+        if sfx and mesh is not None:
+            raise ValueError("per-sampler-track fx ([fx.SAMPLER] "
+                             "sections) is not supported with mesh= "
+                             "yet — render single-device or move the "
+                             "chain to [fx]")
+        if not sfx:
+            return [(np.ones(len(ptr), bool), None)]
+        masks = []
+        clean = ~np.isin(ptr, sfx)
+        if clean.any():
+            masks.append((clean, None))
+        masks += [(ptr == n, n) for n in sfx]
+        return masks
 
     def _sampler_fx_tail(self, ptracks: Sequence[str]) -> int:
         """Longest per-sampler-track chain decay tail, in frames."""
@@ -1278,37 +1325,21 @@ class Song:
             return Sample.from_raw_frames(b"", 2, self.samplerate, self.nchannels)
         out32 = jnp.zeros((total, self.nchannels), jnp.int32)
         if len(pidx):
-            ptr = np.asarray(self._last_pitched_tracks)
-            sfx = self._fx_sampler_tracks(self._last_pitched_tracks)
-            if sfx and mesh is not None:
-                raise ValueError("per-sampler-track fx ([fx.SAMPLER] "
-                                 "sections) is not supported with mesh= "
-                                 "yet — render single-device or move the "
-                                 "chain to [fx]")
-            if sfx:
-                from .effects import run_fx_chain_ops
-                clean = ~np.isin(ptr, sfx)
-                if clean.any():
-                    out32 = out32 + self._pitched_mix(
-                        pbank, plens, pidx[clean], pstart[clean],
-                        prate[clean], pgains[clean], ploopf[clean],
-                        ploopu[clean], pends[clean], total)
-                for tname in sfx:
-                    m = ptr == tname
-                    bus32 = self._pitched_mix(
-                        pbank, plens, pidx[m], pstart[m], prate[m],
-                        pgains[m], ploopf[m], ploopu[m], pends[m], total)
-                    t16 = jnp.clip(bus32, -32768, 32767).astype(jnp.int16)
-                    ts = Sample.from_jax(t16, self.samplerate, 2,
-                                         name=f"strack:{tname}")
-                    run_fx_chain_ops(ts, self.sampler_fx[tname],
-                                     self.fx_irs)
-                    out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
-            else:
-                out32 = out32 + self._pitched_mix(pbank, plens, pidx,
-                                                  pstart, prate, pgains,
-                                                  ploopf, ploopu, pends,
-                                                  total, mesh=mesh)
+            from .effects import run_fx_chain_ops
+            for m, tname in self._sampler_fx_masks(
+                    self._last_pitched_tracks, mesh):
+                bus32 = self._pitched_mix(
+                    pbank, plens, pidx[m], pstart[m], prate[m],
+                    pgains[m], ploopf[m], ploopu[m], pends[m], total,
+                    mesh=mesh if tname is None else None)
+                if tname is None:
+                    out32 = out32 + bus32
+                    continue
+                t16 = jnp.clip(bus32, -32768, 32767).astype(jnp.int16)
+                ts = Sample.from_jax(t16, self.samplerate, 2,
+                                     name=f"strack:{tname}")
+                run_fx_chain_ops(ts, self.sampler_fx[tname], self.fx_irs)
+                out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
         if len(sched.hits):
             if mesh is not None:
                 from .parallel.mesh import scatter_mix_sharded
@@ -1520,21 +1551,7 @@ class Song:
         pitched_groups = []     # (fn(ci, c0) -> int32 [cf, C], chain|None)
         if len(pidx):
             ndev = int(mesh.devices.size) if mesh is not None else 0
-            ptr = np.asarray(self._last_pitched_tracks)
-            sfx = self._fx_sampler_tracks(self._last_pitched_tracks)
-            if sfx and mesh is not None:
-                raise ValueError("per-sampler-track fx ([fx.SAMPLER] "
-                                 "sections) is not supported with mesh= "
-                                 "yet — render single-device or move the "
-                                 "chain to [fx]")
-            if sfx:
-                masks = []
-                clean = ~np.isin(ptr, sfx)
-                if clean.any():
-                    masks.append((clean, None))
-                masks += [(ptr == n, n) for n in sfx]
-            else:
-                masks = [(np.ones(len(pidx), bool), None)]
+            masks = self._sampler_fx_masks(self._last_pitched_tracks, mesh)
             plmax = int(pbank.shape[1])
             pbank_d = jnp.asarray(pbank)
             plens_d = jnp.asarray(np.asarray(plens, np.int64)

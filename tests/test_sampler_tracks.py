@@ -413,3 +413,31 @@ def test_automation_curve_requires_tickf():
         StreamingCompressor(SR, threshold_curve=[(0.0, -30.0)])
     with pytest.raises(ValueError, match="tickf"):
         StreamingGate(SR, threshold_curve=[(0.0, -50.0)])
+
+
+def test_loop_region_and_name_collision_validation():
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    src = ws.sine(C4, 0.1, amplitude=0.5).stereo()
+    song = Song()
+    with pytest.raises(ValueError, match="inverted or incomplete"):
+        song.add_sampler("bad", src, loop_start=0.08, loop_end=0.02)
+    with pytest.raises(ValueError, match="inverted or incomplete"):
+        song.add_sampler("bad", src, loop_end=0.08)   # start unset
+    from synthesizer_tpu.sequencer import SynthDef
+    song.add_synth("lead", SynthDef())
+    with pytest.raises(ValueError, match="already exists"):
+        song.add_sampler("lead", src)
+    song.add_sampler("gtr", src)
+    with pytest.raises(ValueError, match="already exists"):
+        song.add_synth("gtr", SynthDef())
+
+
+def test_looped_sampler_midi_export_holds():
+    song = looped_song("C4 - - - - - - - .. .. .. .. .. .. .. ..")
+    from synthesizer_tpu.midi import parse_midi
+    notes = parse_midi(song.export_midi())
+    assert len(notes) == 1
+    # the exported note holds for its tie length (8 ticks), not the
+    # 0.1 s one-shot source duration
+    assert notes[0].duration == pytest.approx(8 * song.tick_duration,
+                                              rel=0.01)
