@@ -409,3 +409,31 @@ def test_tracker_example_song(tmp_path):
     assert len(got) == len(off)
     d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
     assert d <= 8, d
+
+
+def test_repl_play_pattern_with_samplers(tmp_path, capsys, monkeypatch):
+    """REPL 'play <pattern>' works on songs with sampler tracks and
+    carries the song's samplers/fx/automation into the sub-song."""
+    from synthesizer_tpu import WaveSynth
+    from synthesizer_tpu.sequencer import Song
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    ws.sine(261.63, 0.08, amplitude=0.5).stereo().write_wav(
+        str(tmp_path / "g.wav"))
+    (tmp_path / "s.ini").write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[sampler.g]
+file = g.wav
+base_note = C4
+[pattern.a]
+g = C4 .. E4 ..
+[automation]
+track.g.volume = 0:1 2:0.5
+""")
+    song = Song.from_ini(str(tmp_path / "s.ini"))
+    repl = trackmixer.TrackmixerRepl(song, str(tmp_path / "s.ini"))
+    repl.onecmd("play a")
+    out = capsys.readouterr().out
+    assert "played pattern a" in out, out

@@ -72,8 +72,9 @@ class TrackmixerRepl(cmd.Cmd):
             extras.append(f"{len(s.samplers)} samplers")
         if s.fx:
             extras.append("fx: " + " ".join(n for n, _ in s.fx))
-        if s.synth_fx:
-            extras.append("track fx: " + " ".join(sorted(s.synth_fx)))
+        tfx = sorted(set(s.synth_fx) | set(s.sampler_fx))
+        if tfx:
+            extras.append("track fx: " + " ".join(tfx))
         if s.automation:
             extras.append("automation: " + " ".join(sorted(s.automation)))
         if s.swing:
@@ -114,8 +115,14 @@ class TrackmixerRepl(cmd.Cmd):
             return
         sub = Song()
         sub.bpm, sub.ticks = self.song.bpm, self.song.ticks
+        sub.swing = self.song.swing
         sub.instruments = self.song.instruments
         sub.synths = self.song.synths
+        sub.samplers = self.song.samplers
+        sub.synth_fx = self.song.synth_fx
+        sub.sampler_fx = self.song.sampler_fx
+        sub.fx_irs = self.song.fx_irs
+        sub.automation = self.song.automation
         sub.samplerate, sub.nchannels = self.song.samplerate, self.song.nchannels
         sub.patterns = {name: self.song.patterns[name]}
         sub.pattern_sequence = [name]
