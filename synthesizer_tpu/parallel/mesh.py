@@ -98,6 +98,88 @@ def song_synth_shards(voices, samplerate: int, mesh: Mesh,
     return shard_voice_params(vp, mesh), used, use_fm
 
 
+def song_synth_shards_grouped(voices, vtracks, fx_tracks, samplerate: int,
+                              mesh: Mesh, num_harmonics: int = 8):
+    """Pack a song's synth voices WITH per-track segment tags for the mesh:
+    (sharded VoiceParams, sharded seg [V] i32, used_waves, use_fm).
+
+    Segment 0 is the shared clean bus; segment i+1 is ``fx_tracks[i]``'s own
+    stereo bus (the per-synth-track fx path).  Tags shard over the same
+    voice axis as the params; pad voices are silent and carry tag 0, so the
+    clean bus they land in receives exact zeros."""
+    from ..models.voicebank import WAVE_IDS, pack_voices
+    seg_index = {n: i + 1 for i, n in enumerate(fx_tracks)}
+    tags = [seg_index.get(t, 0) for t in vtracks]
+    vp = pack_voices(voices, samplerate, num_harmonics=num_harmonics,
+                     pad_to=int(mesh.devices.size))
+    V = int(vp.base_inc.shape[0])
+    seg = jnp.asarray(np.asarray(tags + [0] * (V - len(tags)), np.int32))
+    used = tuple(sorted({WAVE_IDS[v.wave] for v in voices}))
+    use_fm = any(v.fm_depth != 0.0 for v in voices)
+    sh = NamedSharding(mesh, P(AXIS))
+    return (shard_voice_params(vp, mesh), jax.device_put(seg, sh), used,
+            use_fm)
+
+
+def render_song_grouped_sharded(vp: VoiceParams, seg: jax.Array, nseg: int,
+                                total_frames: int, samplerate: int,
+                                chunk_frames: int, num_harmonics: int,
+                                mesh: Mesh, used_waves: tuple,
+                                use_fm: bool) -> jax.Array:
+    """Offline GROUPED mixdown over the mesh: each device scans the song's
+    chunks over its local voice shard, scattering every local voice into
+    its segment's stereo bus (the grouped pan matmul of
+    ``render_block(seg=)``), and one f32 psum per chunk merges the
+    [chunk, nseg, 2] partial buses.  Output is the replicated bus stack
+    f32 [total_frames, nseg, 2] — ≤1 LSB vs the single-device grouped
+    render after int16 quantization (cross-shard summation order)."""
+    nchunks = -(-total_frames // chunk_frames)
+    key = ("song_grouped", mesh, nchunks, chunk_frames, samplerate,
+           num_harmonics, used_waves, use_fm, int(nseg))
+    run = _sharded_fn_cache.get(key)
+    if run is None:
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS)), out_specs=P())
+        def run(vp_shard: VoiceParams, seg_shard) -> jax.Array:
+            def body(_, i):
+                buses = render_block(vp_shard, i * chunk_frames,
+                                     chunk_frames, samplerate,
+                                     num_harmonics, used_waves=used_waves,
+                                     use_fm=use_fm, seg=seg_shard,
+                                     nseg=nseg)
+                return 0, jax.lax.psum(buses, AXIS)
+            _, out = jax.lax.scan(body, 0,
+                                  jnp.arange(nchunks, dtype=jnp.int32))
+            return out.reshape(-1, nseg, 2)
+        _sharded_fn_cache[key] = run
+    return run(vp, seg)[:total_frames]
+
+
+def render_chunk_grouped_sharded_fn(mesh: Mesh, chunk_frames: int,
+                                    samplerate: int, num_harmonics: int,
+                                    used_waves: tuple, use_fm: bool,
+                                    nseg: int):
+    """Jitted (vp_shard, seg_shard, c0) -> psum'ed [chunk, nseg, 2] bus
+    stack (the streaming counterpart of
+    :func:`render_song_grouped_sharded`'s scan body)."""
+    key = ("chunk_grouped", mesh, chunk_frames, samplerate, num_harmonics,
+           used_waves, use_fm, int(nseg))
+    fn = _sharded_fn_cache.get(key)
+    if fn is None:
+        @jax.jit
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(AXIS), P(AXIS), P()), out_specs=P())
+        def fn(vp_shard: VoiceParams, seg_shard, c0) -> jax.Array:
+            buses = render_block(vp_shard, c0, chunk_frames, samplerate,
+                                 num_harmonics, used_waves=used_waves,
+                                 use_fm=use_fm, seg=seg_shard, nseg=nseg)
+            return jax.lax.psum(buses, AXIS)
+        _sharded_fn_cache[key] = fn
+    return fn
+
+
 def render_chunk_sharded_fn(mesh: Mesh, chunk_frames: int, samplerate: int,
                             num_harmonics: int, used_waves: tuple,
                             use_fm: bool):

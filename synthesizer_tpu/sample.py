@@ -822,7 +822,7 @@ class Sample:
         ducking — a kick keyed against a bass); the key's own staged chain
         fuses in as a sub-program.  Past the key's end the envelope decays
         and the gain releases back to 1."""
-        from goldref.effects import compressor_coeffs
+        from .ops.coeffs import compressor_coeffs
         alpha, decay = compressor_coeffs(self._samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
         makeup = float(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))
@@ -845,7 +845,7 @@ class Sample:
         ops.effects); extends the sample by ``tail`` seconds of decay.
         Spec/tolerance: goldref.effects.reverb.  Knobs are dyn — no
         recompile on tweak."""
-        from goldref.effects import reverb_params
+        from .ops.coeffs import reverb_params
         feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
                                                    width)
         tail_frames = self._n(tail)
@@ -871,7 +871,7 @@ class Sample:
         on device — ops.effects.companion_scan); spec/tolerance:
         goldref.effects.biquad_filter.  Coefficients travel in the dyn
         vector, so cutoff/q/kind tweaks reuse the compiled program."""
-        from goldref.spec import biquad_coeffs
+        from .ops.coeffs import biquad_coeffs
         coeffs = biquad_coeffs(kind, cutoff, q, self._samplerate)
         self._stage("biquad", dyn=coeffs)
         return self
@@ -880,7 +880,7 @@ class Sample:
              attack: float = 0.001, release: float = 0.05) -> "Sample":
         """Noise gate (decaying-max detector + one-pole smoother as
         parallel scans); spec/tolerance: goldref.effects.gate_gains."""
-        from goldref.effects import gate_coeffs
+        from .ops.coeffs import gate_coeffs
         alpha, decay, floor_gain = gate_coeffs(self._samplerate, attack,
                                                release, range_db)
         self._stage("gate", dyn=(threshold_db, floor_gain, alpha, decay))
@@ -911,7 +911,7 @@ class Sample:
         gather + one scatter-add on device); spec/tolerance:
         goldref.effects.granulate.  Position/jitter params are static (the
         grain grid is host-computed, jitter from the house counter hash)."""
-        from goldref.effects import grain_grid
+        from .ops.coeffs import grain_grid
         _, _, _, out_len = grain_grid(self._nframes, self._samplerate,
                                       duration, grain, density, jitter, seed)
         self._stage("granulate",
@@ -927,7 +927,7 @@ class Sample:
         batched device FFTs + parallel phase cumsum (ops.effects.stretch);
         spec/tolerance: goldref.effects.stretch.  ``factor`` is static
         (the analysis grid is host-computed)."""
-        from goldref.effects import stretch_grid
+        from .ops.coeffs import stretch_grid
         _, target = stretch_grid(self._nframes, factor, frame, hop)
         self._stage("stretch", static=(float(factor), int(frame), int(hop)))
         self._nframes = target

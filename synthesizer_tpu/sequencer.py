@@ -1196,18 +1196,15 @@ class Song:
         present = set(ptracks)
         return [n for n in sorted(self.sampler_fx) if n in present]
 
-    def _sampler_fx_masks(self, ptracks: Sequence[str], mesh):
+    def _sampler_fx_masks(self, ptracks: Sequence[str]):
         """(mask, track-or-None) groups for the pitched paths: one clean
         group for un-fx'd tracks plus a group per fx'd sampler track.
-        ONE place owns the grouping and the mesh guard, shared by mix()
-        and mix_generator()."""
+        ONE place owns the grouping, shared by mix() and mix_generator().
+        Under ``mesh=`` each group's hit rows shard over the devices and
+        merge with a bit-exact int32 psum, so an fx'd track's bus — and
+        its chain output — is IDENTICAL to the single-device render."""
         ptr = np.asarray(ptracks)
         sfx = self._fx_sampler_tracks(ptracks)
-        if sfx and mesh is not None:
-            raise ValueError("per-sampler-track fx ([fx.SAMPLER] "
-                             "sections) is not supported with mesh= "
-                             "yet — render single-device or move the "
-                             "chain to [fx]")
         if not sfx:
             return [(np.ones(len(ptr), bool), None)]
         masks = []
@@ -1244,6 +1241,27 @@ class Song:
                                     num_harmonics=8, layout=layout,
                                     nvoices=layout.nvoices)
         return bank, vp, seg, fx_tracks
+
+    def _add_synth_buses(self, out32: jax.Array, buses: jax.Array,
+                         fx_tracks: Sequence[str], total: int) -> jax.Array:
+        """Fold a grouped bus stack [total, nseg, 2] into the int32 mix:
+        bus 0 (clean) adds directly; each fx'd track's bus quantizes to
+        int16 (exactly what a banked sample instrument would be), runs its
+        chain over the already-tail-padded song length, and joins the mix.
+        ONE place owns this, shared by the single-device and mesh grouped
+        offline paths."""
+        from .effects import run_fx_chain_ops
+        out32 = out32 + jnp.rint(
+            buses[:, 0] * jnp.float32(32767.0)).astype(jnp.int32)
+        for i, tname in enumerate(fx_tracks):
+            t16 = jnp.clip(
+                jnp.rint(buses[:, i + 1] * jnp.float32(32767.0)),
+                -32768, 32767).astype(jnp.int16)
+            ts = Sample.from_jax(t16, self.samplerate, 2,
+                                 name=f"track:{tname}")
+            run_fx_chain_ops(ts, self.synth_fx[tname], self.fx_irs)
+            out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
+        return out32
 
     def _synth_bank(self, voices: Sequence[Voice], chunk_frames: int):
         if self.nchannels != 2:
@@ -1296,10 +1314,6 @@ class Song:
         voices, vtracks = self.compile_synth_voices(return_tracks=True)
         self._check_synth_format(voices)
         fx_tracks = self._fx_synth_tracks(vtracks)
-        if fx_tracks and mesh is not None:
-            raise ValueError("per-synth-track fx ([fx.SYNTH] sections) is "
-                             "not supported with mesh= yet — render "
-                             "single-device or move the chain to [fx]")
         (pbank, plens, pidx, pstart, prate, pgains, ploopf,
          ploopu) = self.compile_pitched_hits()
         pends = self._pitched_end_frames(plens, pidx, pstart, prate, ploopf)
@@ -1327,11 +1341,11 @@ class Song:
         if len(pidx):
             from .effects import run_fx_chain_ops
             for m, tname in self._sampler_fx_masks(
-                    self._last_pitched_tracks, mesh):
+                    self._last_pitched_tracks):
                 bus32 = self._pitched_mix(
                     pbank, plens, pidx[m], pstart[m], prate[m],
                     pgains[m], ploopf[m], ploopu[m], pends[m], total,
-                    mesh=mesh if tname is None else None)
+                    mesh=mesh)
                 if tname is None:
                     out32 = out32 + bus32
                     continue
@@ -1355,7 +1369,24 @@ class Song:
                     jnp.asarray(sched.hits[:, 1].astype(np.int32)),
                     total, jnp.asarray(sched.gains))
         if voices:
-            if mesh is not None:
+            if mesh is not None and fx_tracks:
+                # grouped render OVER THE MESH: voices (with their segment
+                # tags) shard across devices; one f32 psum per chunk merges
+                # the per-track bus stack, then each fx'd bus runs its
+                # chain on the replicated result — same bus processing as
+                # the single-device grouped path (≤1 LSB per bus from
+                # cross-shard summation order)
+                from .parallel.mesh import (render_song_grouped_sharded,
+                                            song_synth_shards_grouped)
+                vp, seg, uw, ufm = song_synth_shards_grouped(
+                    voices, vtracks, fx_tracks, self.samplerate, mesh)
+                buses = render_song_grouped_sharded(
+                    vp, seg, len(fx_tracks) + 1, total, self.samplerate,
+                    chunk_frames=32768, num_harmonics=8, mesh=mesh,
+                    used_waves=uw, use_fm=ufm)
+                out32 = self._add_synth_buses(out32, buses, fx_tracks,
+                                              total)
+            elif mesh is not None:
                 from .parallel.mesh import (render_song_sharded,
                                             song_synth_shards)
                 vp, uw, ufm = song_synth_shards(voices, self.samplerate, mesh)
@@ -1369,21 +1400,12 @@ class Song:
                 # stereo bus per fx'd track; each bus quantizes to int16
                 # (exactly what a banked sample instrument would be) and
                 # its chain runs over the already-tail-padded song length
-                from .effects import run_fx_chain_ops
                 bank, vp, seg, fx_tracks = self._synth_fx_groups(
                     voices, vtracks, chunk_frames=32768)
                 buses = bank.render_song_grouped(vp, seg,
                                                  len(fx_tracks) + 1, total)
-                out32 = out32 + jnp.rint(
-                    buses[:, 0] * jnp.float32(32767.0)).astype(jnp.int32)
-                for i, tname in enumerate(fx_tracks):
-                    t16 = jnp.clip(
-                        jnp.rint(buses[:, i + 1] * jnp.float32(32767.0)),
-                        -32768, 32767).astype(jnp.int16)
-                    ts = Sample.from_jax(t16, self.samplerate, 2,
-                                         name=f"track:{tname}")
-                    run_fx_chain_ops(ts, self.synth_fx[tname], self.fx_irs)
-                    out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
+                out32 = self._add_synth_buses(out32, buses, fx_tracks,
+                                              total)
             else:
                 bank, vp = self._synth_bank(voices, chunk_frames=32768)
                 stereo = bank.render_song(vp, total)
@@ -1496,10 +1518,6 @@ class Song:
         voices, vtracks = self.compile_synth_voices(return_tracks=True)
         self._check_synth_format(voices)
         fx_tracks = self._fx_synth_tracks(vtracks)
-        if fx_tracks and mesh is not None:
-            raise ValueError("per-synth-track fx ([fx.SYNTH] sections) is "
-                             "not supported with mesh= yet — render "
-                             "single-device or move the chain to [fx]")
         cf = chunk_frames or params.norm_frames_per_chunk
         (pbank, plens, pidx, pstart, prate, pgains, ploopf,
          ploopu) = self.compile_pitched_hits()
@@ -1520,25 +1538,44 @@ class Song:
         insts = sched.hits[:, 0]
         sbank = svp = None
         synth_chunk_fn = None
-        gbank = gvp = gseg = None
+        grouped_chunk_fn = None
         track_chains: Dict[str, "object"] = {}
         if voices:
-            if mesh is not None:
+            if fx_tracks:
+                # grouped chunk render + one stateful chain per fx'd
+                # track (the mesh variant shards the tagged voices and
+                # psums the bus stack — same downstream processing).
+                # Seeking starts the chains cold at start_frame (same
+                # caveat as the master [fx] chain).
+                from .effects import FxChain
+                nseg = len(fx_tracks) + 1
+                if mesh is not None:
+                    from .parallel.mesh import (
+                        render_chunk_grouped_sharded_fn,
+                        song_synth_shards_grouped)
+                    gvp, gseg, uw, ufm = song_synth_shards_grouped(
+                        voices, vtracks, fx_tracks, self.samplerate, mesh)
+                    gfn = render_chunk_grouped_sharded_fn(
+                        mesh, cf, self.samplerate, 8, uw, ufm, nseg)
+
+                    def grouped_chunk_fn(c0):
+                        return gfn(gvp, gseg, jnp.int32(c0))
+                else:
+                    gbank, gvp, gseg, fx_tracks = self._synth_fx_groups(
+                        voices, vtracks, chunk_frames=cf)
+
+                    def grouped_chunk_fn(c0):
+                        return gbank.render_chunk_grouped(gvp, gseg,
+                                                          nseg, c0)
+                track_chains = {
+                    n: FxChain(self.synth_fx[n], self.samplerate, 2,
+                               self.fx_irs) for n in fx_tracks}
+            elif mesh is not None:
                 from .parallel.mesh import (render_chunk_sharded_fn,
                                             song_synth_shards)
                 svp, uw, ufm = song_synth_shards(voices, self.samplerate, mesh)
                 synth_chunk_fn = render_chunk_sharded_fn(
                     mesh, cf, self.samplerate, 8, uw, ufm)
-            elif fx_tracks:
-                # grouped chunk render + one stateful chain per fx'd
-                # track.  Seeking starts the chains cold at start_frame
-                # (same caveat as the master [fx] chain).
-                from .effects import FxChain
-                gbank, gvp, gseg, fx_tracks = self._synth_fx_groups(
-                    voices, vtracks, chunk_frames=cf)
-                track_chains = {
-                    n: FxChain(self.synth_fx[n], self.samplerate, 2,
-                               self.fx_irs) for n in fx_tracks}
             else:
                 sbank, svp = self._synth_bank(voices, chunk_frames=cf)
                 synth_chunk_fn = None
@@ -1551,7 +1588,7 @@ class Song:
         pitched_groups = []     # (fn(ci, c0) -> int32 [cf, C], chain|None)
         if len(pidx):
             ndev = int(mesh.devices.size) if mesh is not None else 0
-            masks = self._sampler_fx_masks(self._last_pitched_tracks, mesh)
+            masks = self._sampler_fx_masks(self._last_pitched_tracks)
             plmax = int(pbank.shape[1])
             pbank_d = jnp.asarray(pbank)
             plens_d = jnp.asarray(np.asarray(plens, np.int64)
@@ -1634,9 +1671,8 @@ class Song:
                     acc = acc + pchain.process(p16).astype(jnp.int32)
             if synth_chunk_fn is not None:
                 synth_chunk = synth_chunk_fn(svp, jnp.int32(c0))
-            elif gbank is not None:
-                buses = gbank.render_chunk_grouped(gvp, gseg,
-                                                   len(fx_tracks) + 1, c0)
+            elif grouped_chunk_fn is not None:
+                buses = grouped_chunk_fn(c0)
                 synth_chunk = buses[:, 0]
                 for i, tname in enumerate(fx_tracks):
                     t16 = jnp.clip(

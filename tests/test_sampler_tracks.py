@@ -399,12 +399,27 @@ def test_sampler_track_fx_streaming_equals_offline(chunk):
     assert d <= 8, d
 
 
-def test_sampler_track_fx_mesh_raises():
+def test_sampler_track_fx_mesh_bit_exact():
+    """Per-sampler-track fx under mesh= (round-3): the track's hit rows
+    shard with a bit-exact int32 psum, so the bus — and therefore the
+    chain output and the whole mix — is IDENTICAL to single-device."""
     from synthesizer_tpu.parallel.mesh import voice_mesh
     song = make_song()
-    song.add_track_fx("gtr", [("compress", "threshold_db=-18")])
-    with pytest.raises(ValueError, match="not supported with mesh"):
-        song.mix(mesh=voice_mesh(8))
+    song.add_track_fx("gtr", [("compress", "threshold_db=-18"),
+                              ("filter", "kind=highpass cutoff=200")])
+    mesh = voice_mesh(8)
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False, mesh=mesh).get_frame_array()
+    np.testing.assert_array_equal(sharded, single)
+    # streaming twin on the mesh == offline slice
+    off = song.mix(normalize=False, tail_seconds=0.0,
+                   mesh=mesh).get_frame_array()
+    got = np.concatenate(
+        [c.get_frame_array()
+         for c in song.mix_generator(chunk_frames=1024, mesh=mesh)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
 
 
 def test_automation_curve_requires_tickf():

@@ -401,13 +401,36 @@ def test_synth_track_fx_tail_rings():
     assert np.abs(tail[: int(0.05 * SR)]).max() > 0
 
 
-def test_synth_track_fx_mesh_raises():
-    import jax
-    from jax.sharding import Mesh
-    fx = [("compress", "threshold_db=-18")]
+def test_synth_track_fx_mesh_matches_single_device():
+    """Per-synth-track fx under mesh= (round-3): the tagged voices shard
+    over the 8-device mesh and the psum'ed bus stack feeds the SAME chain
+    processing as single-device.  The bus differs only by cross-shard f32
+    summation order (≤1 LSB after int16 quantization); a chain maps that
+    to a few LSB at most (rounding once more at its output)."""
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    fx = [("filter", "kind=lowpass cutoff=6000"),
+          ("compress", "threshold_db=-18 ratio=4")]
+    song = make_synth_song(lead_fx=fx, with_pad=True, with_drums=True)
+    mesh = voice_mesh(8)
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False, mesh=mesh).get_frame_array()
+    d = np.abs(sharded.astype(np.int64) - single.astype(np.int64)).max()
+    assert d <= 3, f"mesh grouped mix off by {d} LSB"
+
+
+def test_synth_track_fx_mesh_streaming_equals_offline():
+    """The sharded streaming grouped path carries the same stateful chains
+    as the single-device one: chunks must match the sharded offline render
+    within the chain's chunk-regrouping budget."""
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    fx = [("compress", "threshold_db=-18 ratio=4")]
     song = make_synth_song(lead_fx=fx)
-    mesh = Mesh(np.array(jax.devices()[:1]), ("voices",))
-    with pytest.raises(ValueError, match="not supported with mesh"):
-        song.mix(mesh=mesh)
-    with pytest.raises(ValueError, match="not supported with mesh"):
-        next(song.mix_generator(mesh=mesh))
+    mesh = voice_mesh(8)
+    offline = song.mix(normalize=False, tail_seconds=0.0,
+                       mesh=mesh).get_frame_array()
+    got = np.concatenate(
+        [c.get_frame_array()
+         for c in song.mix_generator(chunk_frames=1000, mesh=mesh)])
+    assert len(got) == len(offline)
+    d = np.abs(got.astype(np.int64) - offline.astype(np.int64)).max()
+    assert d <= 2, f"sharded streaming off by {d} LSB vs sharded offline"
