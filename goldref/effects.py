@@ -118,6 +118,44 @@ def compressor_gains_from_level(a: np.ndarray, samplerate: int,
     return gains
 
 
+def compressor_gains_swept(a: np.ndarray, alpha: np.ndarray,
+                           decay: np.ndarray, threshold_db,
+                           slope) -> np.ndarray:
+    """Per-sample-coefficient twin of :func:`compressor_gains_from_level`
+    — the [automation] ``fx.compress.attack``/``.release`` spec: ``alpha``
+    and ``decay`` are per-sample f32 COEFFICIENT GRIDS (derived on host
+    in f64 from the breakpoint curves, see synthesizer_tpu.ops.coeffs),
+    entering the recurrences at their frame:
+
+        e_n = max(a_n, e_{n-1} * decay_n)
+        y_n = y_{n-1} + alpha_n (g_n - y_{n-1})
+
+    Constant grids reproduce the static recurrence bit-exactly.  The
+    device twin evaluates the same per-sample-coefficient recurrences as
+    associative scans (the decaying max still composes:
+    (x1,d1)∘(x2,d2) = (max(x2, x1 d2), d1 d2) with per-element d); same
+    budget as the static compressor (<= 2e-6 on gains, <= 2 LSB applied).
+    ``threshold_db``/``slope`` may be scalars or per-sample arrays."""
+    n = a.shape[0]
+    alpha = np.broadcast_to(np.asarray(alpha, np.float32), (n,))
+    decay = np.broadcast_to(np.asarray(decay, np.float32), (n,))
+    thr = np.broadcast_to(np.asarray(threshold_db, np.float32), (n,))
+    slope = np.broadcast_to(np.asarray(slope, np.float32), (n,))
+    gains = np.empty(n, np.float32)
+    e = np.float32(0.0)
+    y = np.float32(1.0)
+    for i in range(n):
+        e = max(a[i], np.float32(e * decay[i]))
+        level_db = np.float32(20.0) * np.float32(
+            np.log10(max(e, np.float32(1e-10))))
+        g_db = min(np.float32(0.0), np.float32((thr[i] - level_db)
+                                               * slope[i]))
+        g = np.float32(np.exp2(np.float32(g_db * np.float32(1.0 / 6.0206))))
+        y = np.float32(y + alpha[i] * np.float32(g - y))
+        gains[i] = y
+    return gains
+
+
 def sidechain_level(key_frames: np.ndarray, key_width: int,
                     n: int) -> np.ndarray:
     """Detector input from a SIDECHAIN key: a_n = max over channels of
@@ -197,7 +235,10 @@ def _reverb_network(mono_in: np.ndarray, combs, aps, feedback: float,
         buf[pos] = in_n + b*0.5
     """
     n = mono_in.shape[0]
-    fb = np.float32(feedback)
+    # feedback may be a per-sample array (fx.reverb.roomsize automation:
+    # fb_n = 0.7 + 0.28*roomsize_n, entering the comb WRITE of its frame —
+    # the recurrence structure is unchanged)
+    fb = np.broadcast_to(np.asarray(feedback, np.float32), (n,))
     d1 = np.float32(damp)
     d2 = np.float32(1.0 - damp)
     cbufs = [np.zeros(D, np.float32) for D in combs]
@@ -210,7 +251,7 @@ def _reverb_network(mono_in: np.ndarray, combs, aps, feedback: float,
             p = i % D
             y = cbufs[k][p]
             fstores[k] = np.float32(y * d2 + fstores[k] * d1)
-            cbufs[k][p] = np.float32(x + fstores[k] * fb)
+            cbufs[k][p] = np.float32(x + fstores[k] * fb[i])
             acc = np.float32(acc + y)
         out[i] = acc
     g = np.float32(ALLPASS_FEEDBACK)
@@ -229,7 +270,8 @@ def _reverb_network(mono_in: np.ndarray, combs, aps, feedback: float,
 def reverb(frames: np.ndarray, width: int, samplerate: int,
            roomsize: float = 0.7, damping: float = 0.5, wet: float = 0.33,
            dry: float = 0.7, stereo_width: float = 1.0,
-           tail_frames: int = 0) -> np.ndarray:
+           tail_frames: int = 0,
+           feedback_curve: "np.ndarray" = None) -> np.ndarray:
     """Freeverb-style reverb.  The input (zero-padded by ``tail_frames``)
     feeds every network as ``in = (sum of channels) * 0.015``; mono samples
     run one network (channel-0 tuning), stereo runs two (channel 1 spread
@@ -249,6 +291,11 @@ def reverb(frames: np.ndarray, width: int, samplerate: int,
     mono_in = (np.sum(s, axis=1) * np.float32(FIXED_GAIN)).astype(np.float32)
     feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
                                                stereo_width)
+    if feedback_curve is not None:
+        # fx.reverb.roomsize automation: per-sample feedback grid [total]
+        # (host f64 fb_n = 0.7 + 0.28*roomsize_n, cast f32) replaces the
+        # static knob in every comb write
+        feedback = np.asarray(feedback_curve, np.float32)
     if nch == 1:
         combs, aps = reverb_delays(samplerate, 0)
         rev = _reverb_network(mono_in, combs, aps, feedback, damp)
@@ -323,6 +370,60 @@ def chorus(frames: np.ndarray, width: int, samplerate: int,
         for v in range(voices):
             d = chorus_delay_f32(0, n, samplerate, rate, depth, delay, v,
                                  voices, ch)
+            df = np.floor(d)
+            fr = (d - df).astype(np.float64)
+            i0 = idx - df.astype(np.int64)
+            v0 = (i0 - 1 >= 0) & (i0 - 1 < n)
+            v1 = (i0 >= 0) & (i0 < n)
+            x0 = np.where(v0, s[np.clip(i0 - 1, 0, n - 1), ch], 0.0)
+            x1 = np.where(v1, s[np.clip(i0, 0, n - 1), ch], 0.0)
+            out[:, ch] += wv * (x0 * fr + x1 * (1.0 - fr))
+    return _to_int(out.astype(np.float32), width)
+
+
+def chorus_delay_swept(P: np.ndarray, depth: np.ndarray, samplerate: int,
+                       delay: float, voice: int, voices: int,
+                       channel: int) -> np.ndarray:
+    """Per-frame voice delay curve for RATE/DEPTH-automated chorus
+    (fx.chorus.rate/.depth spec).  The LFO phase comes from a shared
+    CUMULATIVE phase ``P`` [n] (u32): P_n = (sum_{m<n} inc_m) mod 2^32
+    with per-frame increments inc_m = round(rate_m/sr * 2^32) derived on
+    host in f64 from the breakpoint curve (synthesizer_tpu.ops.coeffs).
+    A constant rate curve gives P_n = n*inc — bit-identical to the static
+    chorus_delay_f32 phase.  ``depth`` is the per-frame f32 depth grid:
+
+        p_n = (phase0(voice, channel) + P_n) mod 2^32
+        d_n = (f32(delay) + depth_n * lfo_n) * f32(sr)
+    """
+    phi = (voice / voices + 0.25 * channel) % 1.0
+    phase0 = int(round(phi * 4294967296.0)) & 0xFFFFFFFF
+    p = (np.uint64(phase0) + np.asarray(P, np.uint64)) \
+        & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    lfo = (np.float32(0.5) + np.float32(0.5)
+           * np.sin(2.0 * np.pi * x.astype(np.float64)).astype(np.float32))
+    return ((np.float32(delay) + np.asarray(depth, np.float32) * lfo)
+            * np.float32(samplerate))
+
+
+def chorus_swept(frames: np.ndarray, width: int, samplerate: int,
+                 P: np.ndarray, depth: np.ndarray, delay: float,
+                 voices: int, wet, dry) -> np.ndarray:
+    """Rate/depth-automated chorus: :func:`chorus` with every voice's
+    delay from :func:`chorus_delay_swept` (shared cumulative phase P and
+    per-frame depth grid); ``wet``/``dry`` may be scalars or per-frame
+    arrays (output-stage automation composes).  Same device budget as the
+    static chorus (<= 2 LSB at 16-bit)."""
+    n, nch = frames.shape
+    s = _norm(frames, width).astype(np.float64)
+    dryv = np.broadcast_to(np.asarray(dry, np.float64), (n,))
+    wv = np.broadcast_to(np.asarray(wet, np.float64), (n,)) / voices
+    out = dryv[:, None] * s
+    idx = np.arange(n, dtype=np.int64)
+    for ch in range(nch):
+        for v in range(voices):
+            d = chorus_delay_swept(P, depth, samplerate, delay, v,
+                                   voices, ch)
             df = np.floor(d)
             fr = (d - df).astype(np.float64)
             i0 = idx - df.astype(np.int64)

@@ -381,6 +381,11 @@ class SynthController:
                 [("reverb", dict(roomsize=r.roomsize, damping=r.damping,
                                  wet=r.wet, dry=r.dry, tail=r.tail))],
                 self.samplerate, self.output.nchannels)
+            # superblock the bus (round 3): one device round trip per 4
+            # chunks — what lets the master reverb clear realtime on the
+            # link-attached relay (the realtime-voice lookahead trick);
+            # costs up to 3 chunks (~0.1 s) of reverb onset latency
+            self.output.fx_lookahead = 4
         else:
             self.output.fx = None
 

@@ -512,6 +512,76 @@ def section_effects(SR):
           f"stream==offline {np.array_equal(got5, off5[:len(got5)])}, "
           f"rate1 passthrough {np.array_equal(rate1, src)}")
 
+    # recurrence-internal automation (round 3): the swept-coefficient
+    # compressor, roomsize-swept reverb, and constant-rate chorus
+    # identity — on the chip, vs the per-sample goldref oracles
+    import jax.numpy as jnp
+    import goldref.effects as _gfx
+    from synthesizer_tpu.effects import (StreamingChorus,
+                                         StreamingCompressor,
+                                         StreamingReverb)
+    from synthesizer_tpu.ops.coeffs import (compressor_coeff_grids,
+                                            curve_grid,
+                                            reverb_feedback_grid)
+    tickf = SR / 8.0
+    xa = a[:3000]
+    att_c = [(0.0, 0.001), (8.0, 0.05)]
+    rel_c = [(0.0, 0.02), (8.0, 0.4)]
+    proc = StreamingCompressor(SR, threshold_db=-20.0, ratio=4.0,
+                               attack_curve=att_c, release_curve=rel_c,
+                               tickf=tickf)
+    got_c = np.asarray(proc.process(jnp.asarray(xa)))
+    alpha, decay = compressor_coeff_grids(
+        curve_grid(att_c, 0, 3000, tickf),
+        curve_grid(rel_c, 0, 3000, tickf), SR)
+    lvl = np.max(np.abs(xa.astype(np.float32) / np.float32(32767.0)),
+                 axis=1).astype(np.float32)
+    gains = _gfx.compressor_gains_swept(lvl, alpha, decay,
+                                        np.float32(-20.0),
+                                        np.float32(0.75))
+    want_c = _gfx._gain_floor(xa, gains[:, None], 2)
+    dc = np.abs(got_c.astype(np.int64) - want_c.astype(np.int64)).max()
+    check("fx/auto_compress_coeff_grids", dc <= 2,
+          f"max {dc} LSB (budget 2)")
+
+    room_c = [(0.0, 0.2), (8.0, 0.9)]
+    procr = StreamingReverb(SR, 2, roomsize=0.5, damping=0.4, wet=0.3,
+                            dry=0.7, tail=0.0, roomsize_curve=room_c,
+                            tickf=tickf)
+    got_r = np.asarray(procr.process(jnp.asarray(xa)))
+    fbg = reverb_feedback_grid(curve_grid(room_c, 0, 3000, tickf))
+    want_r = _gfx.reverb(xa, 2, SR, roomsize=0.5, damping=0.4, wet=0.3,
+                         dry=0.7, tail_frames=0, feedback_curve=fbg)
+    dr2 = np.abs(got_r.astype(np.int64) - want_r.astype(np.int64)).max()
+    check("fx/auto_reverb_roomsize", dr2 <= 4, f"max {dr2} LSB (budget 4)")
+
+    pc = StreamingChorus(SR, 2, rate=1.5, depth=0.002, delay=0.012,
+                         voices=3, wet=0.5, dry=0.9,
+                         rate_curve=[(0.0, 1.5)], tickf=tickf)
+    ps = StreamingChorus(SR, 2, rate=1.5, depth=0.002, delay=0.012,
+                         voices=3, wet=0.5, dry=0.9)
+    yc = np.asarray(pc.process(jnp.asarray(xa)))
+    ys = np.asarray(ps.process(jnp.asarray(xa)))
+    check("fx/auto_chorus_const_rate_exact", np.array_equal(yc, ys),
+          "P_n == n*inc identity")
+
+    # general wide-division ratecv (round 3): pathological reduced rates
+    # run the sign-magnitude limb path ON THE CHIP, bit-exact vs the
+    # int64 oracle at full int32 range (uint32 semantics are exactly the
+    # kind of thing Mosaic/XLA backends can diverge on — check on hw)
+    from synthesizer_tpu.ops import resample as drs
+    from goldref import pcm as gpcm
+    xr = rng.integers(-2**31, 2**31, size=(400, 2),
+                      dtype=np.int64).astype(np.int32)
+    xr[0] = (-2**31, 2**31 - 1)
+    yw, stw = drs.resample(xr, 44100, 96001, width=4)
+    wb, wst = gpcm.ratecv(gpcm.tobytes(xr.reshape(-1), 4), 4, 2,
+                          44100, 96001, None)
+    wantw = gpcm.frombytes(wb, 4).reshape(-1, 2)
+    check("fx/ratecv_wide_division",
+          np.array_equal(yw, wantw) and stw.to_audioop(4) == wst,
+          f"{len(wantw)} frames, width 4, reduced outr 96001")
+
 
 def main(argv=None) -> int:
     import argparse

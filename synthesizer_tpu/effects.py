@@ -70,11 +70,19 @@ class StreamingCompressor:
                  ratio: float = 4.0, attack: float = 0.005,
                  release: float = 0.1, makeup_db: float = 0.0,
                  makeup_curve=None, threshold_curve=None, ratio_curve=None,
+                 attack_curve=None, release_curve=None,
                  tickf: float = 0.0, start_frame: int = 0):
         """Automation curves (fx.compress.*): ``makeup_curve`` (post-gain
         dB), ``threshold_curve`` (dB), ``ratio_curve`` — all enter the
-        gain computation elementwise, so per-frame values are exact; the
-        detector/smoother recurrences are untouched."""
+        gain computation elementwise, so per-frame values are exact.
+        ``attack_curve``/``release_curve`` (seconds) automate INSIDE the
+        recurrences: they become per-frame (alpha, decay) coefficient
+        grids, derived on HOST in f64 at absolute frames
+        (ops.coeffs.compressor_coeff_grids — the one rule shared by the
+        offline and streaming paths, bit-identical at any chunk size or
+        seek) and fed to the same associative scans, which compose with
+        per-element coefficients (spec:
+        goldref.effects.compressor_gains_swept)."""
         from .ops.coeffs import compressor_coeffs
         alpha, decay = compressor_coeffs(samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
@@ -82,10 +90,12 @@ class StreamingCompressor:
             [threshold_db, slope, alpha, decay,
              float(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))],
             np.float32)
+        self._sr = samplerate
         self._env = jnp.float32(0.0)     # e_{-1}
         self._zdev = jnp.float32(0.0)    # z_{-1} = 1 - y_{-1}
         self.tail_frames = 0
-        _require_tickf(tickf, makeup_curve, threshold_curve, ratio_curve)
+        _require_tickf(tickf, makeup_curve, threshold_curve, ratio_curve,
+                       attack_curve, release_curve)
         self._curves = {}
         for name, curve in (("makeup", makeup_curve),
                             ("thr", threshold_curve),
@@ -94,23 +104,48 @@ class StreamingCompressor:
                 self._curves[name] = (
                     jnp.asarray([t for t, _ in curve], jnp.float32),
                     jnp.asarray([v for _, v in curve], jnp.float32))
-        if self._curves:
+        #: host-evaluated coefficient-grid curves (attack/release seconds)
+        self._grid_curves = {}
+        if attack_curve is not None:
+            self._grid_curves["attack"] = attack_curve
+        if release_curve is not None:
+            self._grid_curves["release"] = release_curve
+        # static fallbacks for the un-automated coefficient of the pair
+        self._static_attack = float(attack)
+        self._static_release = float(release)
+        if self._curves or self._grid_curves:
             self._tickf = float(tickf)
             self._n0 = int(start_frame)
+
+    def _coeff_grids(self, n: int):
+        """Per-frame (alpha, decay) f32 grids for [n0, n0+n)."""
+        from .ops.coeffs import compressor_coeff_grids, curve_grid
+        ac = self._grid_curves.get("attack")
+        rc = self._grid_curves.get("release")
+        att = (curve_grid(ac, self._n0, n, self._tickf) if ac is not None
+               else np.full(n, self._static_attack))
+        rel = (curve_grid(rc, self._n0, n, self._tickf) if rc is not None
+               else np.full(n, self._static_release))
+        return compressor_coeff_grids(att, rel, self._sr)
 
     def process(self, x: jax.Array) -> jax.Array:
         curves = self._curves
         which = tuple(sorted(curves))
-        key = ("comp", which, x.shape, str(x.dtype),
+        has_grids = bool(self._grid_curves)
+        key = ("comp", which, has_grids, x.shape, str(x.dtype),
                tuple(int(curves[k][0].shape[0]) for k in which))
 
         def build():
             @jax.jit
             def fn(x, knobs, e0, z0, *extra):
                 thr, slope, alpha, decay, makeup = (knobs[i] for i in range(5))
+                off = 0
+                if has_grids:
+                    alpha, decay = extra[0], extra[1]
+                    off = 2
                 if which:
-                    n0, tickf = extra[0], extra[1]
-                    cvs = extra[2:]
+                    n0, tickf = extra[off], extra[off + 1]
+                    cvs = extra[off + 2:]
                     n = (n0 + jnp.arange(x.shape[0], dtype=jnp.int32))                         .astype(jnp.float32) / tickf
                     vals = {k: jnp.interp(n, cvs[2 * i], cvs[2 * i + 1])
                             for i, k in enumerate(which)}
@@ -131,10 +166,15 @@ class StreamingCompressor:
                 return y, e, z
             return fn
 
-        if which:
-            extra = [jnp.int32(self._n0), jnp.float32(self._tickf)]
-            for k in which:
-                extra.extend(curves[k])
+        if which or has_grids:
+            extra = []
+            if has_grids:
+                alpha_g, decay_g = self._coeff_grids(int(x.shape[0]))
+                extra += [jnp.asarray(alpha_g), jnp.asarray(decay_g)]
+            if which:
+                extra += [jnp.int32(self._n0), jnp.float32(self._tickf)]
+                for k in which:
+                    extra.extend(curves[k])
             y, self._env, self._zdev = _cached(key, build)(
                 x, self._knobs, self._env, self._zdev, *extra)
             self._n0 += int(x.shape[0])
@@ -328,12 +368,17 @@ class StreamingReverb:
                  roomsize: float = 0.7, damping: float = 0.5,
                  wet: float = 0.33, dry: float = 0.7, width: float = 1.0,
                  tail: float = DEFAULT_REVERB_TAIL,
-                 wet_curve=None, dry_curve=None, tickf: float = 0.0,
-                 start_frame: int = 0):
+                 wet_curve=None, dry_curve=None, roomsize_curve=None,
+                 tickf: float = 0.0, start_frame: int = 0):
         """``wet_curve``/``dry_curve`` (fx.reverb.wet/.dry automation):
         tick:value breakpoint lists replacing the static wet/dry with a
         per-frame gain on the OUTPUT stage — the comb/allpass core is
-        untouched, so the automated mix stays within the same budget."""
+        untouched, so the automated mix stays within the same budget.
+        ``roomsize_curve`` (fx.reverb.roomsize) automates INSIDE the comb
+        recurrences: a per-frame feedback grid fb_n = 0.7+0.28*roomsize_n
+        (host f64, ops.coeffs.reverb_feedback_grid — absolute-frame, so
+        offline == streaming by construction) enters each frame's comb
+        write elementwise (spec: goldref _reverb_network array feedback)."""
         from .ops.coeffs import reverb_params, reverb_delays
         feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
                                                    width)
@@ -345,7 +390,8 @@ class StreamingReverb:
                       for ch in range(1 if nchannels == 1 else 2)]
         self._state = tuple(dfx.reverb_zero_state(c, a) for c, a in self._nets)
         self.tail_frames = int(tail * samplerate)
-        _require_tickf(tickf, wet_curve, dry_curve)
+        _require_tickf(tickf, wet_curve, dry_curve, roomsize_curve)
+        self._room_curve = roomsize_curve
         self._swept = wet_curve is not None or dry_curve is not None
         if self._swept:
             # a single-point curve interpolates to its constant value, so
@@ -359,6 +405,7 @@ class StreamingReverb:
             # wet splits into the Freeverb stereo pair by the width law
             self._w1f = np.float32(width / 2.0 + 0.5)
             self._w2f = np.float32((1.0 - width) / 2.0)
+        if self._swept or self._room_curve is not None:
             self._tickf = float(tickf)
             self._n0 = int(start_frame)
 
@@ -367,7 +414,8 @@ class StreamingReverb:
         nch = self._nch
         width = dpcm.width_of(x)
         swept = self._swept
-        key = ("reverb", swept, x.shape, str(x.dtype), self._sr,
+        has_fb = self._room_curve is not None
+        key = ("reverb", swept, has_fb, x.shape, str(x.dtype), self._sr,
                (int(self._wxs.shape[0]), int(self._dxs.shape[0]))
                if swept else ())
         w1f = self._w1f if swept else None
@@ -377,8 +425,12 @@ class StreamingReverb:
             @jax.jit
             def fn(x, states, knobs, *curve):
                 feedback, damp, wet1, wet2, dry = (knobs[i] for i in range(5))
+                off = 0
+                if has_fb:
+                    feedback = curve[0]          # per-frame fb grid [n]
+                    off = 1
                 if swept:
-                    n0, wxs, wvs, dxs, dvs, tickf = curve
+                    n0, wxs, wvs, dxs, dvs, tickf = curve[off:]
                     n = (n0 + jnp.arange(x.shape[0], dtype=jnp.int32))                         .astype(jnp.float32) / tickf
                     wet_n = jnp.interp(n, wxs, wvs)
                     dry = jnp.interp(n, dxs, dvs)
@@ -404,11 +456,19 @@ class StreamingReverb:
                 return dfx.to_int_samples(out, width), tuple(new_states)
             return fn
 
-        if swept:
+        if swept or has_fb:
+            extra = []
+            if has_fb:
+                from .ops.coeffs import curve_grid, reverb_feedback_grid
+                fbg = reverb_feedback_grid(curve_grid(
+                    self._room_curve, self._n0, int(x.shape[0]),
+                    self._tickf))
+                extra.append(jnp.asarray(fbg))
+            if swept:
+                extra += [jnp.int32(self._n0), self._wxs, self._wvs,
+                          self._dxs, self._dvs, jnp.float32(self._tickf)]
             y, self._state = _cached(key, build)(
-                x, self._state, self._knobs, jnp.int32(self._n0),
-                self._wxs, self._wvs, self._dxs, self._dvs,
-                jnp.float32(self._tickf))
+                x, self._state, self._knobs, *extra)
             self._n0 += int(x.shape[0])
         else:
             y, self._state = _cached(key, build)(x, self._state, self._knobs)
@@ -425,20 +485,36 @@ class StreamingChorus:
     def __init__(self, samplerate: int, nchannels: int, rate: float = 0.5,
                  depth: float = 0.002, delay: float = 0.02, voices: int = 3,
                  wet: float = 0.4, dry: float = 1.0,
-                 wet_curve=None, dry_curve=None, tickf: float = 0.0,
+                 wet_curve=None, dry_curve=None, rate_curve=None,
+                 depth_curve=None, tickf: float = 0.0,
                  start_frame: int = 0):
         """``wet_curve``/``dry_curve`` (fx.chorus.wet/.dry automation):
         per-frame output-stage gains; the modulated-delay reads are
-        untouched."""
+        untouched.  ``rate_curve``/``depth_curve`` automate the LFO
+        itself: the rate curve becomes per-frame u32 DDS increments whose
+        cumulative phase P_n is mirrored EXACTLY on host
+        (ops.coeffs.chorus_inc_grid/chorus_phase_grid — integer mod-2^32
+        math, so offline == streaming bit-exactly and a constant curve
+        reproduces the static phase n*inc); the depth curve is a
+        per-frame f32 grid in the delay formula (spec:
+        goldref.effects.chorus_swept).  The history window is sized for
+        the curve's MAXIMUM depth."""
         self._sr = samplerate
         self._rate = float(rate)
         self._voices = int(voices)
         self._knobs = np.asarray([depth, delay, wet, dry], np.float32)
-        hist = int(math.ceil((delay + depth) * samplerate)) + 2
+        _require_tickf(tickf, wet_curve, dry_curve, rate_curve, depth_curve)
+        self._rate_curve = rate_curve
+        self._depth_curve = depth_curve
+        self._static_depth = float(depth)
+        max_depth = (max(v for _, v in depth_curve)
+                     if depth_curve is not None else depth)
+        hist = int(math.ceil((delay + max_depth) * samplerate)) + 2
         self._hist = jnp.zeros((hist, nchannels), jnp.float32)
         self._n0 = jnp.int32(0)
+        #: host-mirrored cumulative LFO phase (rate automation)
+        self._p_carry = 0
         self.tail_frames = 0
-        _require_tickf(tickf, wet_curve, dry_curve)
         self._swept = wet_curve is not None or dry_curve is not None
         if self._swept:
             wc = wet_curve if wet_curve is not None else [(0.0, wet)]
@@ -447,13 +523,29 @@ class StreamingChorus:
             self._wvs = jnp.asarray([v for _, v in wc], jnp.float32)
             self._dxs = jnp.asarray([t for t, _ in dc], jnp.float32)
             self._dvs = jnp.asarray([v for _, v in dc], jnp.float32)
+        if (self._swept or rate_curve is not None
+                or depth_curve is not None):
             self._tickf = float(tickf)
+            #: fixed start offset for the device-side wet/dry interp (the
+            #: jitted fn adds its own advancing n0 counter)
             self._curve_n0 = int(start_frame)
+            #: advancing absolute frame for host-evaluated grids
+            self._host_n0 = int(start_frame)
+            if rate_curve is not None and start_frame:
+                # seek: replay the exact phase sum over [0, start_frame)
+                from .ops.coeffs import chorus_inc_grid, curve_grid
+                inc = chorus_inc_grid(
+                    curve_grid(rate_curve, 0, int(start_frame), tickf),
+                    samplerate)
+                self._p_carry = int(inc.astype(np.uint64).sum()
+                                    & 0xFFFFFFFF)
 
     def process(self, x: jax.Array) -> jax.Array:
         swept = self._swept
-        key = ("chorus", swept, x.shape, str(x.dtype), self._sr, self._rate,
-               self._voices, self._hist.shape,
+        has_P = self._rate_curve is not None
+        has_depth = self._depth_curve is not None
+        key = ("chorus", swept, has_P, has_depth, x.shape, str(x.dtype),
+               self._sr, self._rate, self._voices, self._hist.shape,
                (int(self._wxs.shape[0]), int(self._dxs.shape[0]))
                if swept else ())
         sr, rate, voices = self._sr, self._rate, self._voices
@@ -464,26 +556,52 @@ class StreamingChorus:
             @jax.jit
             def fn(x, hist, n0, knobs, *curve):
                 depth, delay, wet, dry = (knobs[i] for i in range(4))
+                off = 0
+                P = None
+                if has_P:
+                    P = curve[0]
+                    off += 1
+                if has_depth:
+                    depth = curve[off]
+                    off += 1
                 if swept:
-                    cn0, wxs, wvs, dxs, dvs, tickf = curve
+                    cn0, wxs, wvs, dxs, dvs, tickf = curve[off:]
                     n = (cn0 + n0
                          + jnp.arange(x.shape[0], dtype=jnp.int32))                         .astype(jnp.float32) / tickf
                     wet = jnp.interp(n, wxs, wvs)
                     dry = jnp.interp(n, dxs, dvs)
                 s = dfx._norm(x)
                 out = dfx.chorus_core(s, n0, hist, sr, rate, depth, delay,
-                                      voices, wet, dry)
+                                      voices, wet, dry, P=P)
                 ext = jnp.concatenate([hist, s], axis=0)
                 new_hist = ext[-H:]
                 return (dfx.to_int_samples(out, width), new_hist,
                         n0 + jnp.int32(x.shape[0]))
             return fn
 
-        if swept:
+        if swept or has_P or has_depth:
+            from .ops.coeffs import (chorus_inc_grid, chorus_phase_grid,
+                                     curve_grid)
+            n = int(x.shape[0])
+            extra = []
+            if has_P:
+                inc = chorus_inc_grid(
+                    curve_grid(self._rate_curve, self._host_n0, n,
+                               self._tickf), sr)
+                P, self._p_carry = chorus_phase_grid(inc, self._p_carry)
+                extra.append(jnp.asarray(P.astype(np.int64)
+                                         .astype(np.int32)))
+            if has_depth:
+                extra.append(jnp.asarray(
+                    curve_grid(self._depth_curve, self._host_n0, n,
+                               self._tickf).astype(np.float32)))
+            if swept:
+                extra += [jnp.int32(self._curve_n0),
+                          self._wxs, self._wvs, self._dxs, self._dvs,
+                          jnp.float32(self._tickf)]
             y, self._hist, self._n0 = _cached(key, build)(
-                x, self._hist, self._n0, self._knobs,
-                jnp.int32(self._curve_n0), self._wxs, self._wvs,
-                self._dxs, self._dvs, jnp.float32(self._tickf))
+                x, self._hist, self._n0, self._knobs, *extra)
+            self._host_n0 += n
         else:
             y, self._hist, self._n0 = _cached(key, build)(
                 x, self._hist, self._n0, self._knobs)
@@ -594,12 +712,17 @@ def _fx_curves(automation):
         cutoff_curve=auto.get("fx.filter.cutoff"),
         rev_wet=auto.get("fx.reverb.wet"),
         rev_dry=auto.get("fx.reverb.dry"),
+        rev_room=auto.get("fx.reverb.roomsize"),
         cho_wet=auto.get("fx.chorus.wet"),
         cho_dry=auto.get("fx.chorus.dry"),
+        cho_rate=auto.get("fx.chorus.rate"),
+        cho_depth=auto.get("fx.chorus.depth"),
         comp_curves=dict(
             makeup_curve=auto.get("fx.compress.makeup_db"),
             threshold_curve=auto.get("fx.compress.threshold_db"),
-            ratio_curve=auto.get("fx.compress.ratio")),
+            ratio_curve=auto.get("fx.compress.ratio"),
+            attack_curve=auto.get("fx.compress.attack"),
+            release_curve=auto.get("fx.compress.release")),
         gate_thr=auto.get("fx.gate.threshold_db"),
     )
 
@@ -627,7 +750,9 @@ class FxChain:
         cv = _fx_curves(automation)
         cutoff_curve = cv["cutoff_curve"]
         rev_wet, rev_dry = cv["rev_wet"], cv["rev_dry"]
+        rev_room = cv["rev_room"]
         cho_wet, cho_dry = cv["cho_wet"], cv["cho_dry"]
+        cho_rate, cho_depth = cv["cho_rate"], cv["cho_depth"]
         comp_curves = cv["comp_curves"]
         gate_thr = cv["gate_thr"]
         self.processors = []
@@ -658,18 +783,25 @@ class FxChain:
                 else:
                     proc = StreamingGate(samplerate, **p)
             elif name == "reverb":
-                if rev_wet is not None or rev_dry is not None:
+                if (rev_wet is not None or rev_dry is not None
+                        or rev_room is not None):
                     proc = StreamingReverb(samplerate, nchannels,
                                            wet_curve=rev_wet,
-                                           dry_curve=rev_dry, tickf=tickf,
+                                           dry_curve=rev_dry,
+                                           roomsize_curve=rev_room,
+                                           tickf=tickf,
                                            start_frame=start_frame, **p)
                 else:
                     proc = StreamingReverb(samplerate, nchannels, **p)
             elif name == "chorus":
-                if cho_wet is not None or cho_dry is not None:
+                if (cho_wet is not None or cho_dry is not None
+                        or cho_rate is not None or cho_depth is not None):
                     proc = StreamingChorus(samplerate, nchannels,
                                            wet_curve=cho_wet,
-                                           dry_curve=cho_dry, tickf=tickf,
+                                           dry_curve=cho_dry,
+                                           rate_curve=cho_rate,
+                                           depth_curve=cho_depth,
+                                           tickf=tickf,
                                            start_frame=start_frame, **p)
                 else:
                     proc = StreamingChorus(samplerate, nchannels, **p)
@@ -748,7 +880,9 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
     cv = _fx_curves(automation)
     cutoff_curve = cv["cutoff_curve"]
     rev_wet, rev_dry = cv["rev_wet"], cv["rev_dry"]
+    rev_room = cv["rev_room"]
     cho_wet, cho_dry = cv["cho_wet"], cv["cho_dry"]
+    cho_rate, cho_depth = cv["cho_rate"], cv["cho_depth"]
     comp_curves = cv["comp_curves"]
     comp_swept = any(v is not None for v in comp_curves.values())
     gate_thr = cv["gate_thr"]
@@ -759,11 +893,13 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
             n = sample.nframes
             sample.convolve(ir, **q).truncate_frames(n)
         elif name == "reverb" and (rev_wet is not None
-                                   or rev_dry is not None):
+                                   or rev_dry is not None
+                                   or rev_room is not None):
             q = dict(p)
             q["tail"] = 0.0
             proc = StreamingReverb(sample.samplerate, sample.nchannels,
                                    wet_curve=rev_wet, dry_curve=rev_dry,
+                                   roomsize_curve=rev_room,
                                    tickf=tickf, start_frame=0, **q)
             sample._replace_frames(proc.process(sample.jax_frames))
         elif name == "reverb":
@@ -771,9 +907,13 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
             q["tail"] = 0.0
             sample.reverb(**q)
         elif name == "chorus" and (cho_wet is not None
-                                   or cho_dry is not None):
+                                   or cho_dry is not None
+                                   or cho_rate is not None
+                                   or cho_depth is not None):
             proc = StreamingChorus(sample.samplerate, sample.nchannels,
                                    wet_curve=cho_wet, dry_curve=cho_dry,
+                                   rate_curve=cho_rate,
+                                   depth_curve=cho_depth,
                                    tickf=tickf, start_frame=0, **p)
             sample._replace_frames(proc.process(sample.jax_frames))
         elif name == "compress" and comp_swept:

@@ -26,7 +26,76 @@ __all__ = [
     "reverb_delays", "reverb_params", "FIXED_GAIN", "ALLPASS_FEEDBACK",
     "COMB_TUNING", "ALLPASS_TUNING", "STEREO_SPREAD",
     "stretch_grid", "grain_grid", "noise_u32",
+    "curve_grid", "compressor_coeff_grids", "reverb_feedback_grid",
+    "chorus_inc_grid", "chorus_phase_grid",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Automation coefficient grids (recurrence-internal automation, round 3)
+#
+# Breakpoint curves that automate parameters INSIDE a recurrence
+# (compressor attack/release, chorus rate/depth, reverb roomsize) are
+# evaluated on HOST in f64 at absolute frame positions and shipped to the
+# device as f32/u32 coefficient grids — the one evaluation rule shared by
+# the offline and streaming paths, so both are bit-identical by
+# construction at any chunk size or seek position.
+# ---------------------------------------------------------------------------
+
+def curve_grid(points, n0: int, n: int, tickf: float) -> np.ndarray:
+    """Evaluate a tick:value breakpoint curve at absolute frames
+    [n0, n0+n) — f64 linear interpolation over ticks, ends held (the same
+    rule as the device-side jnp.interp curves, but in host f64)."""
+    xs = np.asarray([t for t, _ in points], np.float64)
+    vs = np.asarray([v for _, v in points], np.float64)
+    t = (n0 + np.arange(n, dtype=np.float64)) / float(tickf)
+    return np.interp(t, xs, vs)
+
+
+def compressor_coeff_grids(attack: np.ndarray, release: np.ndarray,
+                           samplerate: int):
+    """Per-frame (alpha, decay) f32 grids from per-frame attack/release
+    values in seconds — the vectorized :func:`compressor_coeffs` (f64,
+    same <= 0 -> instant convention)."""
+    attack = np.asarray(attack, np.float64)
+    release = np.asarray(release, np.float64)
+    alpha = np.where(attack <= 0, 1.0,
+                     1.0 - np.exp(-1.0 / (np.maximum(attack, 1e-300)
+                                          * samplerate)))
+    decay = np.where(release <= 0, 0.0,
+                     np.exp(-1.0 / (np.maximum(release, 1e-300)
+                                    * samplerate)))
+    return alpha.astype(np.float32), decay.astype(np.float32)
+
+
+def reverb_feedback_grid(roomsize: np.ndarray) -> np.ndarray:
+    """Per-frame comb feedback f32 grid from per-frame roomsize values
+    (the Freeverb mapping's feedback row: 0.7 + 0.28*roomsize)."""
+    return (0.7 + 0.28 * np.asarray(roomsize, np.float64)) \
+        .astype(np.float32)
+
+
+def chorus_inc_grid(rate: np.ndarray, samplerate: int) -> np.ndarray:
+    """Per-frame LFO DDS increments (u32) from per-frame rates in Hz:
+    inc_n = round(rate_n/sr * 2^32) mod 2^32, exact f64 rounding (the
+    host-exact-round rule of the static chorus)."""
+    inc = np.rint(np.asarray(rate, np.float64) / samplerate
+                  * 4294967296.0).astype(np.int64)
+    return (inc % (1 << 32)).astype(np.uint32)
+
+
+def chorus_phase_grid(inc: np.ndarray, p_carry: int):
+    """(P [n] u32, new_carry): cumulative LFO phase P_n = p_carry +
+    sum_{m<n} inc_m (mod 2^32) — exclusive prefix sum, plus the carry for
+    the next chunk.  A constant-rate grid reproduces P_n = n*inc, the
+    static chorus phase, bit-exactly."""
+    inc = np.asarray(inc, np.uint64)
+    csum = np.concatenate([np.zeros(1, np.uint64), np.cumsum(inc)[:-1]]) \
+        if len(inc) else np.zeros(0, np.uint64)
+    P = ((np.uint64(p_carry & 0xFFFFFFFF) + csum)
+         & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    new_carry = int((p_carry + int(inc.sum())) & 0xFFFFFFFF)
+    return P, new_carry
 
 
 # ---------------------------------------------------------------------------

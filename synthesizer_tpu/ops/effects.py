@@ -265,17 +265,24 @@ def reverb_zero_state(combs: Tuple[int, ...], aps: Tuple[int, ...]):
 
 
 def _network_step(combs: Tuple[int, ...], aps: Tuple[int, ...], block: int,
-                  fb, d1, d2):
+                  fb, d1, d2, fb_swept: bool = False):
     """One blocked step of the Freeverb network: reads/writes ``block``
     frames of every ring buffer.  Requires block <= min delay, so all
     delayed reads land at least ``block`` frames behind the write head and
     the whole block evaluates in parallel; the comb damping one-pole is the
     only within-block recurrence and runs as an affine associative scan.
+    With ``fb_swept`` the scan input is (xblk, fbblk) and each frame's
+    comb write uses ITS feedback value (fx.reverb.roomsize automation —
+    elementwise in the write, the recurrence structure is unchanged).
     Formulas: goldref.effects._reverb_network."""
     apg = jnp.float32(0.5)
     arange_b = jnp.arange(block, dtype=jnp.int32)
 
-    def step(carry, xblk):
+    def step(carry, xs):
+        if fb_swept:
+            xblk, fbv = xs
+        else:
+            xblk, fbv = xs, fb
         comb_buf, fstores, ap_buf, n0 = carry
         offs = n0 + arange_b
         acc = jnp.zeros(block, jnp.float32)
@@ -285,7 +292,7 @@ def _network_step(combs: Tuple[int, ...], aps: Tuple[int, ...], block: int,
             y = comb_buf[k, idx]
             fs = affine_scan(jnp.broadcast_to(d1, (block,)), d2 * y,
                              fstores[k])
-            new_rows.append(comb_buf[k].at[idx].set(xblk + fs * fb))
+            new_rows.append(comb_buf[k].at[idx].set(xblk + fs * fbv))
             new_fs.append(fs[-1])
             acc = acc + y
         comb_buf = jnp.stack(new_rows)
@@ -310,22 +317,27 @@ def reverb_network_apply(state, mono_in: jax.Array, combs: Tuple[int, ...],
     ``lax.scan``; the remainder (< block) is a single differently-shaped
     step — the write position advances by exactly len(mono_in), so chunked
     invocation is the same recurrence as whole-signal (f32 scan regrouping
-    differs; goldref.effects.reverb documents the budget)."""
+    differs; goldref.effects.reverb documents the budget).  ``feedback``
+    may be a per-frame [n] grid (roomsize automation)."""
     n = int(mono_in.shape[0])
     block = min(128, min(min(combs), min(aps)))
     fb = jnp.asarray(feedback, jnp.float32)
+    fb_swept = fb.ndim == 1
     d1 = jnp.asarray(damp, jnp.float32)
     d2 = jnp.float32(1.0) - d1
     nb, rem = divmod(n, block)
     outs = []
     if nb:
-        step = _network_step(combs, aps, block, fb, d1, d2)
-        state, out_full = jax.lax.scan(step, state,
-                                       mono_in[:nb * block].reshape(nb, block))
+        step = _network_step(combs, aps, block, fb, d1, d2, fb_swept)
+        head = mono_in[:nb * block].reshape(nb, block)
+        xs = (head, fb[:nb * block].reshape(nb, block)) if fb_swept else head
+        state, out_full = jax.lax.scan(step, state, xs)
         outs.append(out_full.reshape(-1))
     if rem:
-        step_r = _network_step(combs, aps, rem, fb, d1, d2)
-        state, out_r = step_r(state, mono_in[nb * block:])
+        step_r = _network_step(combs, aps, rem, fb, d1, d2, fb_swept)
+        tail_x = mono_in[nb * block:]
+        xs_r = (tail_x, fb[nb * block:]) if fb_swept else tail_x
+        state, out_r = step_r(state, xs_r)
         outs.append(out_r)
     if not outs:
         return state, jnp.zeros((0,), jnp.float32)
@@ -465,7 +477,7 @@ def reverb_from_params(frames: jax.Array, samplerate: int, feedback, damp,
 
 def _chorus_lfo_delay(n0, n: int, samplerate: int, rate: float, depth,
                       delay, voice: int, voices: int,
-                      channel: int) -> jax.Array:
+                      channel: int, P=None) -> jax.Array:
     """The spec's integer-DDS delay curve (goldref.effects.chorus_delay_f32)
     in-trace: wrapped i32 phase (wrap == mod 2^32 in two's complement; the
     f32 reinterpretation x = p*2^-32 lands in [-0.5, 0.5), which the
@@ -473,14 +485,21 @@ def _chorus_lfo_delay(n0, n: int, samplerate: int, rate: float, depth,
 
     ``rate`` is STATIC: the DDS increment must be the host's exact f64
     round (a traced f32 rint would mis-round by up to ~inc*2^-24 and drift
-    the phase visibly over minutes of audio)."""
-    i = int(round(float(rate) / samplerate * 4294967296.0)) & 0xFFFFFFFF
-    inc = jnp.int32(i - (1 << 32) if i >= (1 << 31) else i)
+    the phase visibly over minutes of audio).  With ``P`` (a traced i32
+    [n] cumulative-phase grid — fx.chorus.rate automation, derived on
+    host by ops.coeffs.chorus_phase_grid) the phase is phase0 + P_n
+    instead, and ``rate``/``n0`` are unused; ``depth`` may be a traced
+    per-frame grid (fx.chorus.depth automation)."""
     phi = (voice / voices + 0.25 * channel) % 1.0
     p0 = int(round(phi * 4294967296.0)) & 0xFFFFFFFF
     phase0 = jnp.int32(p0 - (1 << 32) if p0 >= (1 << 31) else p0)
-    idx = n0 + jnp.arange(n, dtype=jnp.int32)
-    p = phase0 + idx * inc                      # wrapping i32 == mod 2^32
+    if P is not None:
+        p = phase0 + P                          # wrapping i32 == mod 2^32
+    else:
+        i = int(round(float(rate) / samplerate * 4294967296.0)) & 0xFFFFFFFF
+        inc = jnp.int32(i - (1 << 32) if i >= (1 << 31) else i)
+        idx = n0 + jnp.arange(n, dtype=jnp.int32)
+        p = phase0 + idx * inc                  # wrapping i32 == mod 2^32
     x = p.astype(jnp.float32) * jnp.float32(2.0 ** -32)
     lfo = jnp.float32(0.5) + jnp.float32(0.5) * sin_turns(x)
     return (jnp.asarray(delay, jnp.float32)
@@ -489,10 +508,12 @@ def _chorus_lfo_delay(n0, n: int, samplerate: int, rate: float, depth,
 
 
 def chorus_core(s: jax.Array, n0, hist: jax.Array, samplerate: int, rate,
-                depth, delay, voices: int, wet, dry) -> jax.Array:
+                depth, delay, voices: int, wet, dry, P=None) -> jax.Array:
     """Chorus on a normalized f32 chunk [n, ch] starting at absolute frame
     ``n0``, reading past input from ``hist`` [H, ch] (the H frames before
-    n0; zeros at stream start).  Pure gathers + lerp — no recurrence."""
+    n0; zeros at stream start).  Pure gathers + lerp — no recurrence.
+    ``P``/per-frame ``depth`` thread through to the LFO (rate/depth
+    automation); ``wet``/``dry`` may be per-frame arrays."""
     n, nch = s.shape
     H = hist.shape[0]
     ext = jnp.concatenate([hist, s], axis=0)    # position j maps to ext[H+j]
@@ -507,7 +528,7 @@ def chorus_core(s: jax.Array, n0, hist: jax.Array, samplerate: int, rate,
         acc = out[:, ch]
         for v in range(voices):
             d = _chorus_lfo_delay(n0, n, samplerate, rate, depth, delay,
-                                  v, voices, ch)
+                                  v, voices, ch, P=P)
             df = jnp.floor(d)
             fr = d - df
             i0 = H + idx - df.astype(jnp.int32)     # ext row of s[n - df]

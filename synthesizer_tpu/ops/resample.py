@@ -14,10 +14,13 @@ For widths 1/2 the emission is provably ``floor(S / outrate)`` in the
 ``outrate < 2**(32-8w)`` (derivation: the 32-bit-domain trunc-toward-zero
 followed by the arithmetic narrowing shift collapses to a single floor
 division) — pure int32, bit-exact to audioop, VPU-friendly.  Width 4 (the
-32-bit domain itself, trunc-toward-zero division) runs on device too, via
-exact 16-bit-limb long division (``_interp_trunc_i32`` — TPUs have no
-int64) for reduced ``outrate <= 2**15``.  Only pathological reduced rates
-fall back to the int64 host oracle.
+32-bit domain itself, trunc-toward-zero division) runs via exact
+16-bit-limb long division (``_interp_trunc_i32`` — TPUs have no int64)
+for reduced ``outrate <= 2**15``.  Pathological reduced rates beyond
+those bounds take the fully general device path (round 3): the exact
+32-bit-domain interpolation in sign-magnitude uint32 limb arithmetic
+with a bit-serial 63-step long division (``_interp_trunc_wide``) — every
+width, every rate pair, all on device; no host fallback remains.
 
 Chunked/streaming use carries ``(d, prev, cur)`` state exactly like
 audioop, so scan-over-chunks output is bit-identical to whole-buffer
@@ -34,7 +37,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from goldref import pcm as _gold
 from . import pcm as dpcm
 
 
@@ -101,6 +103,108 @@ def _interp_trunc_i32(prev: jax.Array, cur: jax.Array, dk: jax.Array,
     return floor_q + ((H < 0) & (r2 != 0)).astype(jnp.int32)
 
 
+def _mul_u32(a: jax.Array, b: jax.Array):
+    """Full 32x32 -> 64-bit UNSIGNED product as a (hi, lo) uint32 pair,
+    via 16-bit limbs (TPUs have no int64/uint64)."""
+    mask = jnp.uint32(0xFFFF)
+    a0, a1 = a & mask, a >> 16
+    b0, b1 = b & mask, b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = lh + hl                               # may wrap once (2^32)
+    midc = (mid < lh).astype(jnp.uint32)
+    lo = ll + (mid << 16)                       # wrapping low word
+    c1 = (lo < ll).astype(jnp.uint32)
+    hi = hh + (mid >> 16) + (midc << 16) + c1
+    return hi, lo
+
+
+def _interp_trunc_wide(prev32: jax.Array, cur32: jax.Array, dk: jax.Array,
+                       outr: int) -> jax.Array:
+    """Exact ``(int)((prev32*d + cur32*(outr-d)) / outr)`` (trunc toward
+    zero) for FULL-RANGE int32 values and ANY reduced ``outr < 2^31`` —
+    the general 32-bit-domain ratecv interpolation (spec:
+    goldref.pcm.ratecv, exact int64 there; exact uint32 limbs here).
+
+    Shape: sign-magnitude.  |v|*d products via :func:`_mul_u32` are 63-bit
+    (hi, lo) pairs; S combines them with a 64-bit add (same signs) or
+    ordered subtract (mixed signs); the magnitude divides by ``outr``
+    with a bit-serial long division — 63 fori_loop steps of vector
+    uint32 ops (rem < outr <= 2^31-1, so rem<<1|bit fits uint32).
+    Truncation toward zero == sign * floor(|S|/outr).  The quotient
+    magnitude is <= 2^31 (a weighted average of two int32 magnitudes),
+    so the uint32->int32 cast (with 2^31 -> INT32_MIN on the all-minimum
+    edge) is exact."""
+    d = dk.astype(jnp.uint32)
+    e = jnp.uint32(outr) - d
+
+    def mag(v):
+        neg = v < 0
+        m = v.astype(jnp.uint32)
+        return jnp.where(neg, ~m + jnp.uint32(1), m), neg
+
+    mp, sp = mag(prev32)
+    mc, sc = mag(cur32)
+    h1, l1 = _mul_u32(mp, d)
+    h2, l2 = _mul_u32(mc, e)
+    same = sp == sc
+    ge = (h1 > h2) | ((h1 == h2) & (l1 >= l2))
+    # sum (same signs) — carries; |difference| (mixed signs) — borrows
+    lo_a = l1 + l2
+    hi_a = h1 + h2 + (lo_a < l1).astype(jnp.uint32)
+    lo_d1 = l1 - l2
+    hi_d1 = h1 - h2 - (l1 < l2).astype(jnp.uint32)
+    lo_d2 = l2 - l1
+    hi_d2 = h2 - h1 - (l2 < l1).astype(jnp.uint32)
+    hm = jnp.where(same, hi_a, jnp.where(ge, hi_d1, hi_d2))
+    lm = jnp.where(same, lo_a, jnp.where(ge, lo_d1, lo_d2))
+    sign = jnp.where(same, sp, jnp.where(ge, sp, sc))
+
+    outr_u = jnp.uint32(outr)
+    nbits = 63
+
+    def body(i, carry):
+        rem, q = carry
+        bitpos = jnp.uint32(nbits - 1) - i.astype(jnp.uint32)
+        from_hi = bitpos >= 32
+        sh_hi = jnp.where(from_hi, bitpos - 32, jnp.uint32(0))
+        sh_lo = jnp.where(from_hi, jnp.uint32(0), bitpos)
+        bit = jnp.where(from_hi, (hm >> sh_hi) & 1, (lm >> sh_lo) & 1)
+        rem = (rem << 1) | bit
+        geq = rem >= outr_u
+        rem = jnp.where(geq, rem - outr_u, rem)
+        q = (q << 1) | geq.astype(jnp.uint32)
+        return rem, q
+
+    zeros = jnp.zeros_like(hm)
+    _, q = jax.lax.fori_loop(0, nbits, body, (zeros, zeros))
+    qi = q.astype(jnp.int32)
+    return jnp.where(sign, -qi, qi)
+
+
+def _interp_exact(prev: jax.Array, cur: jax.Array, dk: jax.Array,
+                  outr: int, dtype) -> jax.Array:
+    """Route one (prev, cur, d) interpolation batch to the cheapest EXACT
+    device formula for this (width, reduced outrate): the collapsed
+    sample-domain floor division (widths 1/2, small outr), the width-4
+    limb division (outr <= 2^15), or the fully general 32-bit-domain
+    sign-magnitude path.  ``prev``/``cur`` are int32 in the SAMPLE
+    domain; returns samples in ``dtype``."""
+    width = jnp.dtype(dtype).itemsize
+    if width == 4:
+        if outr <= (1 << 15):
+            return _interp_trunc_i32(prev, cur, dk, outr).astype(dtype)
+        return _interp_trunc_wide(prev, cur, dk, outr).astype(dtype)
+    if outr < (1 << (32 - 8 * width)):
+        s = prev * dk + cur * (outr - dk)
+        return (s // outr).astype(dtype)
+    sh = 32 - 8 * width
+    q = _interp_trunc_wide(prev << sh, cur << sh, dk, outr)
+    return (q >> sh).astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("inr", "outr", "d0", "nout"))
 def _ratecv_kernel(x: jax.Array, prev0: jax.Array, cur0: jax.Array,
                    *, inr: int, outr: int, d0: int, nout: int):
@@ -119,13 +223,7 @@ def _ratecv_kernel(x: jax.Array, prev0: jax.Array, cur0: jax.Array,
     cur = jnp.where(cur_idx[:, None] >= 0, xi[safe(cur_idx)], c0[None, :])
     prev = jnp.where(prev_idx[:, None] >= 0, xi[safe(prev_idx)],
                      jnp.where(prev_idx[:, None] == -1, c0[None, :], p0[None, :]))
-    if x.dtype == jnp.int32:
-        # width 4: the sample domain IS the 32-bit domain; exact truncating
-        # division via int32 limb arithmetic
-        y = _interp_trunc_i32(prev, cur, dk[:, None], outr).astype(x.dtype)
-    else:
-        s = prev * dk[:, None] + cur * (outr - dk[:, None])
-        y = (s // outr).astype(x.dtype)
+    y = _interp_exact(prev, cur, dk[:, None], outr, x.dtype)
     if L >= 2:
         prev_end, cur_end = xi[L - 2], xi[L - 1]
     elif L == 1:
@@ -141,12 +239,11 @@ def _max_segment(inr: int, outr: int) -> int:
 
 
 def device_path_ok(width: int, outr: int) -> bool:
-    """True when the reduced outrate fits the int32 device kernel: the
-    floor-collapse bound for widths 1/2, the limb-division bound (2^15)
-    for width 4."""
-    if width == 4:
-        return outr <= (1 << 15)
-    return outr < (1 << (32 - 8 * width))
+    """Always True since round 3: every width and reduced rate runs the
+    exact on-device kernel (_interp_exact routes small outrates to the
+    cheap collapsed formulas and the rest to the general limb path).
+    Kept so callers can keep guarding compositions uniformly."""
+    return True
 
 
 def resample(
@@ -158,10 +255,9 @@ def resample(
 ) -> Tuple[np.ndarray, RatecvState]:
     """Resample [n, ch] int samples from inrate to outrate, audioop-exact.
 
-    All widths run the closed-form int32 gather on device (width 4 via
-    limb division); only pathological reduced outrates use the int64 host
-    oracle.  Returns the output array and the carry state for chunked
-    streaming.
+    Every width and rate pair runs the closed-form int32 gather on device
+    (_interp_exact routes to the cheapest exact formula).  Returns the
+    output array and the carry state for chunked streaming.
     """
     x = np.asarray(x)
     if x.ndim == 1:
@@ -173,31 +269,35 @@ def resample(
     if state is None:
         state = RatecvState.initial(nch, outr)
 
-    if not device_path_ok(width, outr):
-        frag = _gold.tobytes(x.reshape(-1), width)
-        out, st = _gold.ratecv(frag, width, nch, inr, outr, state.to_audioop(width))
-        y = _gold.frombytes(out, width).reshape(-1, nch)
-        sh = 32 - 8 * width
-        prev = np.array([p >> sh for p, _ in st[1]], dtype=x.dtype)
-        cur = np.array([c >> sh for _, c in st[1]], dtype=x.dtype)
-        return y, RatecvState(st[0], prev, cur)
-
     seg = _max_segment(inr, outr)
     outs = []
     d, prev, cur = state.d, np.asarray(state.prev, x.dtype), np.asarray(state.cur, x.dtype)
-    for s0 in range(0, max(len(x), 1), seg):
+    if len(x) <= seg:
+        # single-kernel fast path: static d0/nout, no padding
+        kmax = len(x) * outr + d
+        nout = 0 if kmax < 0 else kmax // inr + 1
+        y, prev_j, cur_j = _ratecv_kernel(
+            jnp.asarray(x), jnp.asarray(prev), jnp.asarray(cur),
+            inr=inr, outr=outr, d0=int(d), nout=int(nout))
+        d = d + len(x) * outr - nout * inr
+        return np.asarray(y), RatecvState(
+            int(d), np.asarray(prev_j), np.asarray(cur_j))
+    # segmented path (keeps k*inr / i*outr inside int32 for any rates):
+    # the STREAM kernel traces d0, so every full segment reuses ONE
+    # compiled program — a static-d0 kernel per segment would recompile
+    # for each carried phase (pathological rates make seg tiny)
+    for s0 in range(0, len(x), seg):
         xs = x[s0:s0 + seg]
         L = len(xs)
         kmax = L * outr + d
         nout = 0 if kmax < 0 else kmax // inr + 1
-        y, prev_j, cur_j = _ratecv_kernel(
-            jnp.asarray(xs), jnp.asarray(prev), jnp.asarray(cur),
-            inr=inr, outr=outr, d0=int(d), nout=int(nout))
-        outs.append(np.asarray(y))
+        max_out = L * outr // inr + 1
+        y, prev_j, cur_j = _ratecv_stream_kernel(
+            jnp.asarray(xs), jnp.int32(d), jnp.asarray(prev),
+            jnp.asarray(cur), inr=inr, outr=outr, max_out=int(max_out))
+        outs.append(np.asarray(y)[:nout])
         prev, cur = np.asarray(prev_j), np.asarray(cur_j)
         d = d + L * outr - nout * inr
-        if L == 0:
-            break
     y = np.concatenate(outs, axis=0) if outs else np.zeros((0, nch), x.dtype)
     return y, RatecvState(int(d), prev, cur)
 
@@ -208,8 +308,6 @@ def resample_jax(x: jax.Array, inrate: int, outrate: int) -> jax.Array:
     Stateless (fresh stream), static output length; stays on device.
     """
     inr, outr = _reduce(inrate, outrate)
-    if not device_path_ok(x.dtype.itemsize, outr):
-        raise ValueError("reduced outrate too large for the int32 device path")
     L = x.shape[0]
     nch = x.shape[1]
     nout = nframes_out(L, inr, outr)
@@ -241,11 +339,7 @@ def _ratecv_stream_kernel(x: jax.Array, d0: jax.Array, prev0: jax.Array,
     cur = jnp.where(cur_idx[:, None] >= 0, xi[safe(cur_idx)], c0[None, :])
     prev = jnp.where(prev_idx[:, None] >= 0, xi[safe(prev_idx)],
                      jnp.where(prev_idx[:, None] == -1, c0[None, :], p0[None, :]))
-    if x.dtype == jnp.int32:
-        y = _interp_trunc_i32(prev, cur, dk[:, None], outr).astype(x.dtype)
-    else:
-        s = prev * dk[:, None] + cur * (outr - dk[:, None])
-        y = (s // jnp.int32(outr)).astype(x.dtype)
+    y = _interp_exact(prev, cur, dk[:, None], outr, x.dtype)
     if L >= 2:
         prev_end, cur_end = xi[L - 2], xi[L - 1]
     elif L == 1:
@@ -272,9 +366,6 @@ class StreamingResampler:
     def __init__(self, inrate: int, outrate: int, nchannels: int = 2,
                  dtype=jnp.int16):
         self.inr, self.outr = _reduce(inrate, outrate)
-        width = jnp.dtype(dtype).itemsize
-        if not device_path_ok(width, self.outr):
-            raise ValueError("reduced outrate too large for the int32 device path")
         self.d = -self.outr
         self.prev = jnp.zeros((nchannels,), dtype)
         self.cur = jnp.zeros((nchannels,), dtype)

@@ -287,7 +287,7 @@ class Output:
                  nchannels: int = 0, frames_per_chunk: int = 0,
                  mixing: str = "mixed", queue_size: int = 100,
                  wav_file: Optional[str] = None, api: Optional[AudioApi] = None,
-                 meter=None, fx=None):
+                 meter=None, fx=None, fx_lookahead: int = 1):
         self.samplerate = samplerate or params.norm_samplerate
         self.samplewidth = samplewidth or params.norm_samplewidth
         self.nchannels = nchannels or params.norm_nchannels
@@ -301,11 +301,20 @@ class Output:
         self.meter = meter  # optional LevelMeter updated per mixed chunk
         #: optional master-bus FxChain (synthesizer_tpu.effects) applied to
         #: every mixed chunk before the sink — the playback twin of the
-        #: song [fx] section.  Each chunk pays a host->device->host round
-        #: trip (fine for file sinks and production-attached TPUs; on a
-        #: link-attached relay the ~30 ms sync would dominate realtime
-        #: chunks — see ROADMAP).  Mixed mode only.
+        #: song [fx] section.  Mixed mode only.
+        #:
+        #: ``fx_lookahead`` (round 3, the realtime-voice superblock trick
+        #: applied to the master bus): process N chunks per device round
+        #: trip — ONE host->device->host sync per N*chunk frames instead
+        #: of per chunk, which is what lets a master reverb clear realtime
+        #: on a link-attached relay whose ~30-60 ms sync would otherwise
+        #: eat the whole ~33 ms chunk budget.  Trade-off: new voices join
+        #: the fx bus up to N-1 chunks late (the mixer itself still mixes
+        #: them immediately).  The chain is stateful and evaluates the
+        #: same recurrences at any chunk size, so lookahead changes audio
+        #: only within each effect's documented chunk-regrouping budget.
         self.fx = fx
+        self.fx_lookahead = max(1, int(fx_lookahead))
         if fx is not None and mixing != "mixed":
             raise ValueError("fx requires mixed-mode output")
         self._notify_played: List[Callable[[Sample], None]] = []
@@ -331,29 +340,51 @@ class Output:
         gen = self.mixer.chunks()
         had_audio = False
         while not self._closing:
-            chunk = next(gen)
+            L = self.fx_lookahead if self.fx is not None else 1
+            chunks = [next(gen)]
+            # capture voice activity NOW: a short voice can start AND end
+            # inside one superblock, and a post-collection check would
+            # then skip the fx for the very block that carries it
+            active = self.mixer.active_count > 0
+            if L > 1 and (active or had_audio):
+                # superblock: pull L-1 more chunks so the fx chain runs
+                # ONE fused device program (and one host sync) per
+                # superblock — the voice.py lookahead trick on the bus
+                for _ in range(L - 1):
+                    if self._closing:
+                        return
+                    chunks.append(next(gen))
+                active = active or self.mixer.active_count > 0
             if self.fx is not None:
-                active = self.mixer.active_count > 0
                 if active or had_audio:
                     # keep feeding the chain while tails ring after the
                     # last voice ends (reverb/convolution decay)
-                    chunk = np.asarray(self.fx.process(chunk))
+                    block = (chunks[0] if len(chunks) == 1
+                             else np.concatenate(chunks, axis=0))
+                    out = np.asarray(self.fx.process(block))
+                    cf = self.frames_per_chunk
+                    chunks = [out[j * cf:(j + 1) * cf]
+                              for j in range(len(chunks))]
                 had_audio = active or (
-                    had_audio and np.any(chunk))
+                    had_audio and any(np.any(c) for c in chunks))
             if self._closing:
                 break
-            try:
-                self.api.play_chunk(chunk)
-            except Exception:
-                # close() joins with a timeout; if a slow iteration (first
-                # fx/jit compile) overran it, the sink may already be shut
+            for chunk in chunks:
+                try:
+                    self.api.play_chunk(chunk)
+                except Exception:
+                    # close() joins with a timeout; if a slow iteration
+                    # (first fx/jit compile) overran it, the sink may
+                    # already be shut
+                    if self._closing:
+                        break
+                    raise
+                if self.meter is not None and self.mixer.active_count:
+                    # the mixed chunk is already host memory: meter
+                    # natively, no device round-trip on the realtime path
+                    self.meter.update_frames(chunk, self.samplerate)
                 if self._closing:
                     break
-                raise
-            if self.meter is not None and self.mixer.active_count:
-                # the mixed chunk is already host memory: meter natively,
-                # no device round-trip on the realtime path
-                self.meter.update_frames(chunk, self.samplerate)
             if self.mixer.active_count == 0:
                 self._all_played.set()
                 if not isinstance(self.api, (MiniaudioSink, SounddeviceSink)):

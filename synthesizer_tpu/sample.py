@@ -977,11 +977,11 @@ class Sample:
         g = math.gcd(inrate, outrate)
         inr, outr = inrate // g, outrate // g
         nout = dresample.nframes_out(self._nframes, inr, outr)
-        if dresample.device_path_ok(self._samplewidth, outr) \
-                and self._nframes < (1 << 30) // max(inr, outr):
+        if self._nframes < (1 << 30) // max(inr, outr):
             self._stage("ratecv", static=(inr, outr, nout))
         else:
-            # exact int64 host path (pathological reduced rates / huge inputs)
+            # huge inputs: the segmented device wrapper keeps k*inr and
+            # i*outr inside int32 (still exact, still on device)
             y, _ = dresample.resample(np.asarray(self._materialize()),
                                       inr, outr, width=self._samplewidth)
             self._base = jnp.asarray(y)

@@ -81,9 +81,10 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     track.kick.pan = 0:-1 64:1         ; per-hit / per-note placement
     fx.filter.cutoff = 0:200 64:8000   ; master-chain filter sweep (Hz)
     fx.reverb.wet = 0:0 32:0.4         ; reverb send rides up
-    ; (also automatable: fx.reverb.dry, fx.chorus.wet/.dry,
-    ;  fx.compress.makeup_db/.threshold_db/.ratio,
-    ;  fx.gate.threshold_db)
+    ; (also automatable: fx.reverb.dry/.roomsize, fx.chorus.wet/.dry,
+    ;  fx.chorus.rate/.depth, fx.compress.makeup_db/.threshold_db/.ratio,
+    ;  fx.compress.attack/.release, fx.gate.threshold_db — the
+    ;  recurrence-internal ones ride host-derived coefficient grids)
 """
 
 from __future__ import annotations
@@ -605,9 +606,12 @@ class Song:
         if key == "master.volume":
             pass
         elif key in ("fx.filter.cutoff", "fx.reverb.wet", "fx.reverb.dry",
+                     "fx.reverb.roomsize",
                      "fx.chorus.wet", "fx.chorus.dry",
+                     "fx.chorus.rate", "fx.chorus.depth",
                      "fx.compress.makeup_db", "fx.compress.threshold_db",
-                     "fx.compress.ratio", "fx.gate.threshold_db"):
+                     "fx.compress.ratio", "fx.compress.attack",
+                     "fx.compress.release", "fx.gate.threshold_db"):
             target = key.split(".")[1]
             nfx = sum(1 for n, _ in self.fx if n == target)
             if nfx == 0:
@@ -617,6 +621,11 @@ class Song:
                 raise ValueError(f"automation {key}: the [fx] chain has "
                                  f"several {target} entries — only one "
                                  f"can be automated")
+            if key == "fx.reverb.roomsize":
+                for t, v in pts:
+                    if not 0.0 <= v <= 1.0:
+                        raise ValueError(f"automation {key}: roomsize "
+                                         f"must be in [0, 1] (got {v})")
         elif (len(parts) == 3 and parts[0] == "track"
               and parts[2] in ("volume", "pan")):
             name = parts[1]
@@ -636,9 +645,11 @@ class Song:
             raise ValueError(f"automation key {key!r} not understood "
                              f"(master.volume, track.NAME.volume, "
                              f"track.NAME.pan, fx.filter.cutoff, "
-                             f"fx.reverb.wet/.dry, fx.chorus.wet/.dry, "
+                             f"fx.reverb.wet/.dry/.roomsize, "
+                             f"fx.chorus.wet/.dry/.rate/.depth, "
                              f"fx.compress.makeup_db/.threshold_db/"
-                             f".ratio, or fx.gate.threshold_db)")
+                             f".ratio/.attack/.release, or "
+                             f"fx.gate.threshold_db)")
         self.automation[key] = pts
 
     def _track_gain_at(self, name: str, tick: float) -> float:

@@ -3,10 +3,12 @@
 Rebuild of ``synthplayer/streaming.py`` (SURVEY.md §3.1 row 7, §4.4):
 
 * ``AudiofileToWavStream`` — decode any audio file to a PCM WAV pipe.  WAV
-  (and raw PCM) files stream natively; other formats spawn an ffmpeg (or
-  oggdec) subprocess when the binary exists — this machine has neither
-  (SURVEY.md §8), so the subprocess path is present but exercised only when
-  available.
+  (and raw PCM) files stream natively; AIFF/AIFF-C, Sun AU, and compressed
+  WAV codecs (G.711 u-law/A-law, IMA ADPCM, IEEE float) decode IN-PROCESS
+  (utils.decoders — no external binary needed); the remaining formats
+  (mp3/ogg/flac...) spawn an ffmpeg (or oggdec) subprocess when the binary
+  exists — this machine has neither (SURVEY.md §8), so the subprocess path
+  is present but exercised only when available.
 * ``SampleStream`` — iterate a WAV stream as fixed-size device Samples.
 * ``EndlessFramesFilter`` — pad a finished stream with endless silence.
 * ``VolumeFilter`` — per-stream volume (device amplify per chunk).
@@ -71,8 +73,12 @@ class AudiofileToWavStream(io.RawIOBase):
         self._stream: Optional[BinaryIO] = None
         self._proc: Optional[subprocess.Popen] = None
         self.format_probe = None
-        if filename.lower().endswith((".wav", ".wave")):
+        lower = filename.lower()
+        if lower.endswith((".wav", ".wave")):
             self._open_wav()
+        elif lower.endswith((".aif", ".aiff", ".aifc", ".au", ".snd")):
+            # spec-stable formats decode in-process (no ffmpeg needed)
+            self._open_host_decoder()
         else:
             self._open_ffmpeg()
 
@@ -83,13 +89,31 @@ class AudiofileToWavStream(io.RawIOBase):
                 and not self.startfrom and not self.duration)
 
     def _open_wav(self) -> None:
-        with wave.open(self.filename, "rb") as w:
-            ok = self._target_format_ok(w)
+        try:
+            with wave.open(self.filename, "rb") as w:
+                ok = self._target_format_ok(w)
+        except (wave.Error, EOFError):
+            # compressed WAV (u-law/A-law/IMA-ADPCM/float): in-process
+            self._open_host_decoder()
+            return
         if ok:
             self._stream = open(self.filename, "rb")
             return
         # normalize via the device Sample pipeline, emit an in-memory WAV
         self._stream = self._normalized_wav(Sample(wave_file=self.filename))
+
+    def _open_host_decoder(self) -> None:
+        """Decode AIFF/AU/compressed-WAV with the in-process parsers
+        (utils.decoders), then normalize through the same device pipeline
+        every other rung uses."""
+        from .utils.decoders import DecodeError, decode_audio_file
+        try:
+            frames, rate, width, nch = decode_audio_file(self.filename)
+        except DecodeError as e:
+            raise StreamingError(str(e)) from e
+        smp = Sample.from_raw_frames(
+            np.ascontiguousarray(frames).tobytes(), width, rate, nch)
+        self._stream = self._normalized_wav(smp)
 
     def _normalized_wav(self, smp: Sample) -> io.BytesIO:
         """Clip/resample/width/channel-convert a decoded Sample to the
@@ -120,9 +144,16 @@ class AudiofileToWavStream(io.RawIOBase):
                     and _oggdec_path() is not None):
                 self._open_oggdec()
                 return
+            from .utils.decoders import DecodeError
+            try:
+                # magic-sniffing catches misnamed wav/aiff/au files
+                self._open_host_decoder()
+                return
+            except (StreamingError, DecodeError, OSError):
+                pass
             raise StreamingError(
                 f"cannot decode {self.filename!r}: no ffmpeg available "
-                "and file is not WAV")
+                "and no in-process decoder recognizes it")
         if _ffprobe_path():
             try:
                 out = subprocess.run(
@@ -284,12 +315,8 @@ class RateConvertFilter:
         if chunk.samplerate == self.target_rate:
             return chunk
         if self._rs is None:
-            if chunk.samplewidth > 2:
-                raise StreamingError(
-                    "RateConvertFilter supports 8/16-bit streams (the int32 "
-                    "device ratecv path); make_16bit() the stream first")
             import jax.numpy as jnp
-            dt = jnp.int8 if chunk.samplewidth == 1 else jnp.int16
+            dt = {1: jnp.int8, 2: jnp.int16, 4: jnp.int32}[chunk.samplewidth]
             self._rs = self._make(chunk.samplerate, self.target_rate,
                                   nchannels=chunk.nchannels, dtype=dt)
         y, n = self._rs.push(chunk.jax_frames)

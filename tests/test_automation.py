@@ -514,3 +514,199 @@ def test_fx_threshold_automation_compresses_more_when_low():
     tail = rms(out[6 * n // 8: 7 * n // 8]) \
         / max(rms(base[6 * n // 8: 7 * n // 8]), 1e-9)
     assert head < tail * 0.7, (head, tail)
+
+
+# ---------------------------------------------------------------------------
+# Recurrence-internal automation (round 3): fx.compress.attack/.release,
+# fx.chorus.rate/.depth, fx.reverb.roomsize — host-derived coefficient
+# grids entering the recurrences themselves.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_compress_attack_release_automation_streaming(chunk):
+    song = bright_song()
+    song.add_fx("compress", threshold_db=-25.0, ratio=6.0, attack=0.005,
+                release=0.1)
+    song.add_automation("fx.compress.attack", "0:0.0005 16:0.05")
+    song.add_automation("fx.compress.release", "0:0.02 16:0.5")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_fx_compress_coeff_automation_vs_goldref():
+    """Device swept compressor vs the per-sample-coefficient oracle
+    (goldref.effects.compressor_gains_swept) with the SAME host grids —
+    the static budget applies (<= 2 LSB applied at 16-bit)."""
+    import goldref.effects as gfx
+    from synthesizer_tpu.effects import StreamingCompressor
+    from synthesizer_tpu.ops.coeffs import (compressor_coeff_grids,
+                                            curve_grid)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0xA77AC)
+    n = 6000
+    x = (rng.integers(-28000, 28000, size=(n, 2))).astype(np.int16)
+    tickf = 44100 / 8.0
+    att_c = [(0.0, 0.0008), (16.0, 0.04)]
+    rel_c = [(0.0, 0.03), (16.0, 0.4)]
+    proc = StreamingCompressor(44100, threshold_db=-22.0, ratio=5.0,
+                               attack_curve=att_c, release_curve=rel_c,
+                               tickf=tickf)
+    got = np.asarray(proc.process(jnp.asarray(x)))
+    alpha, decay = compressor_coeff_grids(
+        curve_grid(att_c, 0, n, tickf), curve_grid(rel_c, 0, n, tickf),
+        44100)
+    a = np.max(np.abs(x.astype(np.float32) / np.float32(32767.0)),
+               axis=1).astype(np.float32)
+    slope = np.float32(1.0 - 1.0 / 5.0)
+    gains = gfx.compressor_gains_swept(a, alpha, decay,
+                                       np.float32(-22.0), slope)
+    want = gfx._gain_floor(x, gains[:, None], 2)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 2, d
+    # constant grids == the static compressor, bit-exact
+    proc_c = StreamingCompressor(44100, threshold_db=-22.0, ratio=5.0,
+                                 attack_curve=[(0.0, 0.005)],
+                                 release_curve=[(0.0, 0.1)], tickf=tickf)
+    proc_s = StreamingCompressor(44100, threshold_db=-22.0, ratio=5.0,
+                                 attack=0.005, release=0.1)
+    yc = np.asarray(proc_c.process(jnp.asarray(x)))
+    ys = np.asarray(proc_s.process(jnp.asarray(x)))
+    d2 = np.abs(yc.astype(np.int64) - ys.astype(np.int64)).max()
+    assert d2 <= 1, d2
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_chorus_rate_depth_automation_streaming(chunk):
+    song = bright_song()
+    song.add_fx("chorus", rate=0.8, depth=0.002, delay=0.015, wet=0.5)
+    song.add_automation("fx.chorus.rate", "0:0.2 16:6.0")
+    song.add_automation("fx.chorus.depth", "0:0.0005 16:0.004")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    # gathers are exact and the phase mirror is integer math: the only
+    # per-chunk difference is FMA regrouping in the lerp
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 2, d
+
+
+def test_fx_chorus_rate_automation_vs_goldref():
+    """Device swept chorus vs goldref.effects.chorus_swept with the same
+    cumulative phase/depth grids (<= 2 LSB, the static chorus budget);
+    a CONSTANT rate curve reproduces the static chorus exactly (P_n ==
+    n*inc by integer math)."""
+    import goldref.effects as gfx
+    from synthesizer_tpu.effects import StreamingChorus
+    from synthesizer_tpu.ops.coeffs import (chorus_inc_grid,
+                                            chorus_phase_grid, curve_grid)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0xC0DA)
+    n = 5000
+    x = (rng.integers(-20000, 20000, size=(n, 2))).astype(np.int16)
+    tickf = 44100 / 8.0
+    rate_c = [(0.0, 0.3), (8.0, 5.0)]
+    depth_c = [(0.0, 0.001), (8.0, 0.003)]
+    proc = StreamingChorus(44100, 2, rate=0.5, depth=0.002, delay=0.012,
+                           voices=3, wet=0.5, dry=0.9,
+                           rate_curve=rate_c, depth_curve=depth_c,
+                           tickf=tickf)
+    got = np.asarray(proc.process(jnp.asarray(x)))
+    inc = chorus_inc_grid(curve_grid(rate_c, 0, n, tickf), 44100)
+    P, _ = chorus_phase_grid(inc, 0)
+    depth = curve_grid(depth_c, 0, n, tickf).astype(np.float32)
+    want = gfx.chorus_swept(x, 2, 44100, P, depth, 0.012, 3, 0.5, 0.9)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 2, d
+    # constant-rate curve == static chorus (identical integer phases)
+    proc_c = StreamingChorus(44100, 2, rate=1.5, depth=0.002, delay=0.012,
+                             voices=3, wet=0.5, dry=0.9,
+                             rate_curve=[(0.0, 1.5)], tickf=tickf)
+    proc_s = StreamingChorus(44100, 2, rate=1.5, depth=0.002, delay=0.012,
+                             voices=3, wet=0.5, dry=0.9)
+    yc = np.asarray(proc_c.process(jnp.asarray(x)))
+    ys = np.asarray(proc_s.process(jnp.asarray(x)))
+    np.testing.assert_array_equal(yc, ys)
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_reverb_roomsize_automation_streaming(chunk):
+    song = bright_song()
+    song.add_fx("reverb", roomsize=0.5, wet=0.35, dry=0.6, tail=0.25)
+    song.add_automation("fx.reverb.roomsize", "0:0.1 16:0.95")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_fx_reverb_roomsize_automation_vs_goldref():
+    """Device roomsize-swept reverb vs the oracle's per-sample feedback
+    network (goldref reverb(feedback_curve=)) — the reverb budget
+    (<= 4 LSB) applies."""
+    import goldref.effects as gfx
+    from synthesizer_tpu.effects import StreamingReverb
+    from synthesizer_tpu.ops.coeffs import curve_grid, reverb_feedback_grid
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0xF00F)
+    n = 4000
+    x = (rng.integers(-20000, 20000, size=(n, 2))).astype(np.int16)
+    tickf = 44100 / 8.0
+    room_c = [(0.0, 0.2), (8.0, 0.9)]
+    proc = StreamingReverb(44100, 2, roomsize=0.5, damping=0.4, wet=0.3,
+                           dry=0.7, tail=0.0, roomsize_curve=room_c,
+                           tickf=tickf)
+    got = np.asarray(proc.process(jnp.asarray(x)))
+    fb = reverb_feedback_grid(curve_grid(room_c, 0, n, tickf))
+    want = gfx.reverb(x, 2, 44100, roomsize=0.5, damping=0.4, wet=0.3,
+                      dry=0.7, tail_frames=0, feedback_curve=fb)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 4, d
+    # a bigger room rings longer: compare energy after the programme
+    # against a small-room render of the same signal
+    proc_small = StreamingReverb(44100, 2, roomsize=0.5, damping=0.4,
+                                 wet=0.3, dry=0.7, tail=0.0,
+                                 roomsize_curve=[(0.0, 0.05)],
+                                 tickf=tickf)
+    zs = np.zeros((4000, 2), np.int16)
+    tail_big = np.asarray(proc.process(jnp.asarray(zs)))
+    tail_small = np.asarray(proc_small.process(jnp.asarray(x)))
+    tail_small = np.asarray(proc_small.process(jnp.asarray(zs)))
+    assert np.abs(tail_big).max() > 4 * max(np.abs(tail_small).max(), 1)
+
+
+def test_recurrence_automation_seek_alignment():
+    """Seeking with recurrence-internal curves: the host coefficient
+    mirrors (chorus phase carry, grid positions) replay to start_frame, so
+    a seeked stream matches the offline slice after effect state warms up
+    (state starts cold at the seek, like every seek-with-fx)."""
+    song = bright_song()
+    song.add_fx("chorus", rate=0.8, depth=0.002, delay=0.015, wet=0.5)
+    song.add_automation("fx.chorus.rate", "0:0.2 16:6.0")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    k = 9000
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1024,
+                                                      start_frame=k)])
+    # the chorus history is cold for its first window (~delay+depth
+    # seconds); past the warmup the automated LFO must be phase-aligned
+    warm = int(0.02 * SR)
+    d = np.abs(got[warm:].astype(np.int64)
+               - off[k + warm:k + len(got)].astype(np.int64)).max()
+    assert d <= 2, d
+
+
+def test_recurrence_automation_validation():
+    song = bright_song()
+    with pytest.raises(ValueError, match="no compress"):
+        song.add_automation("fx.compress.attack", "0:0.01")
+    song.add_fx("reverb", roomsize=0.5)
+    with pytest.raises(ValueError, match="roomsize"):
+        song.add_automation("fx.reverb.roomsize", "0:1.5")
+    song.add_automation("fx.reverb.roomsize", "0:0.2 8:0.9")   # valid

@@ -125,6 +125,61 @@ def test_resample_matches_audioop(rng, width, nch, inrate, outrate):
     assert st.to_audioop(width) == want_st
 
 
+#: reduced outrates past every fast-path bound (width-1 2^8, width-2 2^16,
+#: width-4 2^15) — the general sign-magnitude limb path (round 3)
+WIDE_RATE_PAIRS = [
+    (44100, 96001),            # coprime, outr 96001
+    (12345, 2**20 + 7),        # outr ~1M
+    (2**28 + 1, 2**28 - 1),    # both near 2^28, coprime
+    (96001, 44100),            # big INrate (downsample through wide d0)
+]
+
+
+@pytest.mark.parametrize("width", [1, 2, 4])
+@pytest.mark.parametrize("inrate,outrate", WIDE_RATE_PAIRS)
+def test_resample_pathological_rates_exact(rng, width, inrate, outrate):
+    """The wide device path (no host fallback remains): bit-exact vs the
+    int64 oracle at full-range values for ANY reduced rate pair."""
+    x = rand_arr(rng, 300, width, nch=2)
+    info = np.iinfo(x.dtype)
+    x[0] = info.min
+    x[1] = info.max
+    x[2] = (info.min, info.max)
+    y, st = dr.resample(x, inrate, outrate)
+    want_b, want_st = gp.ratecv(gp.tobytes(x.ravel(), width), width, 2,
+                                inrate, outrate, None)
+    want = gp.frombytes(want_b, width).reshape(-1, 2)
+    np.testing.assert_array_equal(y, want)
+    assert st.to_audioop(width) == want_st
+
+
+def test_resample_pathological_chunked_matches_whole(rng):
+    x = rand_arr(rng, 800, 4, nch=2)
+    whole, _ = dr.resample(x, 44100, 96001)
+    st = None
+    parts = []
+    for i in range(0, 800, 123):
+        y, st = dr.resample(x[i:i + 123], 44100, 96001, state=st)
+        parts.append(y)
+    np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+
+def test_streaming_resampler_wide_path(rng):
+    """StreamingResampler accepts pathological reduced rates since round 3
+    (the ctor guard is gone) and stays exact."""
+    x = rand_arr(rng, 600, 2, nch=2)
+    rs = dr.StreamingResampler(44100, 96001, nchannels=2)
+    outs = []
+    for i in range(0, 600, 200):
+        y, n = rs.push(jnp.asarray(x[i:i + 200]))
+        outs.append(np.asarray(y)[:n])
+    got = np.concatenate(outs)
+    want_b, _ = gp.ratecv(gp.tobytes(x.ravel(), 2), 2, 2, 44100, 96001,
+                          None)
+    want = gp.frombytes(want_b, 2).reshape(-1, 2)
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("inrate,outrate", [(44100, 48000), (44100, 22050), (3, 7)])
 def test_resample_chunked_matches_whole(rng, inrate, outrate):
     x = rand_arr(rng, 1000, 2, nch=2)

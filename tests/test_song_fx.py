@@ -261,6 +261,66 @@ def test_output_master_fx(tmp_path):
     assert np.abs(tail).max() > 50   # the reverb tail rings after the tone
 
 
+def test_output_fx_lookahead_superblocks(tmp_path):
+    """Output(fx=, fx_lookahead=4) runs the chain once per 4 chunks (one
+    device sync per superblock — the relay-realtime fix).  The chain is
+    stateful at any chunk size, so the audio matches lookahead=1 within
+    the effect's chunk-regrouping budget, and the reverb tail still rings
+    past the voice end."""
+    import time as _t
+    import wave as _wave
+    from synthesizer_tpu import Output
+
+    def render(lookahead):
+        chain = FxChain([("reverb", dict(roomsize=0.8, wet=0.6, dry=0.5,
+                                         tail=0.2))], SR, 2)
+        # pre-compile this run's chunk shape through a THROWAWAY chain
+        # (the jitted programs are cached per shape at module level): a
+        # cold reverb compile takes tens of seconds on CPU and would
+        # stall the pump past the Output close timeout, losing the tone
+        import jax.numpy as jnp
+        warm = FxChain([("reverb", dict(roomsize=0.8, wet=0.6, dry=0.5,
+                                        tail=0.2))], SR, 2)
+        warm.process(jnp.zeros((2000 * lookahead, 2), jnp.int16))
+        wavpath = str(tmp_path / f"fx_la{lookahead}.wav")
+        with Output(samplerate=SR, nchannels=2, frames_per_chunk=2000,
+                    mixing="mixed", wav_file=wavpath, fx=chain,
+                    fx_lookahead=lookahead) as out:
+            tone = WaveSynth(samplerate=SR, samplewidth=2) \
+                .sine(440, 0.15, amplitude=0.7).stereo()
+            out.play_sample(tone)
+            deadline = _t.time() + 15.0
+            while out.still_playing() and _t.time() < deadline:
+                _t.sleep(0.01)
+            _t.sleep(0.5)   # let tail superblocks pump
+        w = _wave.open(wavpath)
+        return np.frombuffer(w.readframes(w.getnframes()),
+                             np.int16).reshape(-1, 2)
+
+    a1 = render(1)
+    a4 = render(4)
+    n_tone = int(0.15 * SR)
+
+    def from_onset(a):
+        # the pump races play_sample, so each render has a different
+        # count of leading silence chunks (the fx chain is untouched by
+        # them — it only engages with the first active chunk); align on
+        # the audio itself
+        nz = np.argwhere(np.abs(a).max(axis=1) > 100)
+        assert len(nz), "no audio rendered"
+        return a[int(nz[0][0]):]
+
+    b1 = from_onset(a1)
+    b4 = from_onset(a4)
+    # the reverb tail rings on the superblocked path too
+    assert np.abs(b4[n_tone + 2000:]).max() > 50
+    # identical recurrences, different scan chunking: tiny budget
+    n = min(len(b1), len(b4))
+    assert n > n_tone
+    d = np.abs(b1[:n].astype(np.int64) - b4[:n].astype(np.int64)).max()
+    assert d <= 8, d
+
+
 def test_output_fx_requires_mixed():
     from synthesizer_tpu import Output
     chain = FxChain([("compress", {})], SR, 2)
