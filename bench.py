@@ -146,6 +146,46 @@ def main() -> None:
                      time.perf_counter() - t0)[1])(time.perf_counter())
         for _ in range(4))
 
+    # scaling gates (VERDICT r2 #10: the flat-throughput claim is checked
+    # by every round, not a one-off): 1024 simultaneous voices, and a
+    # 10-minute render — both via the same slope methodology
+    def scaled_rtf(nv, dur, k_hi=5):
+        v2 = build_song(nv, dur, samplerate)
+        vp2, ly2 = pack_voices(v2, samplerate, num_harmonics=nharm,
+                               sort_by_wave=True)
+        bank2 = VoiceBank.for_voices(v2, samplerate, chunk_frames=chunk,
+                                     num_harmonics=nharm, layout=ly2,
+                                     nvoices=ly2.nvoices)
+        nck = -(-int(dur * samplerate) // chunk)
+
+        @functools.partial(jax.jit, static_argnames=("k", "nchunks"))
+        def rep2(vp, k, nchunks):
+            def body(c, _):
+                vpp = vp._replace(phase0=vp.phase0 + c.astype(jnp.uint32))
+                o = bank2._song_fn(vpp, nchunks)
+                s = jnp.mean(jnp.abs(bank2.to_int16(o).astype(jnp.float32)))
+                return (s * 0) + s % 1, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return c
+
+        float(np.asarray(rep2(vp2, k=1, nchunks=nck)))      # compile
+        float(np.asarray(rep2(vp2, k=k_hi, nchunks=nck)))
+
+        def best2(k):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(rep2(vp2, k=k, nchunks=nck))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        el = max((best2(k_hi) - best2(1)) / (k_hi - 1), 1e-9)
+        return (dur / el,
+                ly2.nvoices * int(dur * samplerate) / el / 1e6)
+
+    scale_rtf, scale_vms = scaled_rtf(1024, 10.0)
+    long_rtf, _ = scaled_rtf(64, 600.0, k_hi=3)
+
     dev = jax.devices()[0]
     peak = int(np.abs(np.asarray(out)).max())
     print(json.dumps({
@@ -168,6 +208,9 @@ def main() -> None:
         "config3_wall_x_realtime": round(c3_dur / c3_wall, 1),
         "config3_audio_seconds": round(c3_dur, 2),
         "config3_wall_seconds": round(c3_wall, 4),
+        "scale_1024voice_x_realtime": round(scale_rtf, 1),
+        "scale_1024voice_voice_msamples": round(scale_vms, 1),
+        "long_render_600s_x_realtime": round(long_rtf, 1),
     }))
 
 

@@ -149,15 +149,15 @@ def section_bank(SR, n):
                                     num_harmonics=4, layout=layout,
                                     nvoices=layout.nvoices)
         got = np.asarray(bank.render_song(vp, n))
-        if wave == "wavetable":
-            print("SKIP  bank/wavetable/xla_vs_pallas_compiled  "
-                  "(XLA engine only: Mosaic lacks the per-voice gather)",
-                  flush=True)
-        else:
-            pal = np.asarray(bank.render_song(vp, n, engine="pallas"))
-            dd = np.abs(got - pal).max()
-            check(f"bank/{wave}/xla_vs_pallas_compiled", dd < 1e-4,
-                  f"max f32 diff {dd:.2e}")
+        # round 3: wavetable renders too — the hybrid engine evaluates
+        # table groups on the XLA side of the same jitted program (the
+        # gather probe below documents why they cannot live in-kernel)
+        pal = np.asarray(bank.render_song(vp, n, engine="pallas"))
+        dd = np.abs(got - pal).max()
+        check(f"bank/{wave}/xla_vs_pallas_compiled", dd < 1e-4,
+              f"max f32 diff {dd:.2e}"
+              + (" (hybrid: table groups on the XLA side)"
+                 if wave == "wavetable" else ""))
         want = np.zeros((n, 2), np.float32)
         for v in voices:
             want = want + T.oracle_voice(v, n)
@@ -165,6 +165,51 @@ def section_bank(SR, n):
         tol = 3
         check(f"bank/{wave}/vs_oracle", (d > tol).mean() < 1e-4,
               f"max {d.max():.0f} LSB, frac>tol {(d > tol).mean():.1e}")
+
+    _wavetable_gather_probe()
+
+
+def _wavetable_gather_probe():
+    """Document WHY wavetable groups live on the XLA side of the hybrid:
+    attempt the per-voice table gather as a real Mosaic kernel.  EXPECTED
+    to fail on this platform (the axon remote compiler crashes on the
+    gather op even though jax-level pallas lowering accepts the
+    same-shape take_along_axis form).  If a compiler upgrade ever makes
+    it compile AND return correct values, this check FAILS as a tripwire:
+    move the wavetable into the kernel (ops/kernels.py wid 11)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    if jax.default_backend() == "cpu":
+        print("SKIP  pallas/wavetable_gather_probe  (interpret mode would "
+              "trivially succeed; the probe targets the Mosaic compiler)",
+              flush=True)
+        return
+
+    table = jnp.asarray(np.random.default_rng(5)
+                        .standard_normal((8, 256)).astype(np.float32))
+    idx = jnp.asarray(np.random.default_rng(6)
+                      .integers(0, 256, (8, 256)).astype(np.int32))
+
+    def k(table_ref, idx_ref, out_ref):
+        out_ref[...] = jnp.take_along_axis(table_ref[...], idx_ref[...],
+                                           axis=1)
+
+    try:
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.float32))(
+                table, idx)
+        ok = np.array_equal(np.asarray(out),
+                            np.take_along_axis(np.asarray(table),
+                                               np.asarray(idx), axis=1))
+        check("pallas/wavetable_gather_probe", not ok,
+              "Mosaic NOW COMPILES the per-voice gather — move wavetable "
+              "groups into the kernel (currently XLA-side hybrid)")
+    except Exception as e:
+        check("pallas/wavetable_gather_probe", True,
+              f"gather still unsupported by the Mosaic backend "
+              f"({type(e).__name__}) — XLA-side hybrid justified")
 
 
 # -- section C: the five BASELINE configs -------------------------------------

@@ -106,7 +106,18 @@ def companion_scan(u: jax.Array, a1, a2, y1, y2) -> jax.Array:
     default, which quantizes the cumulative 2x2 products to ~2^-8
     relative and destroys the recurrence (caught by the on-chip battery —
     the round-1 hardware bug class).  Shared by the graph Biquad lowering
-    and the Sample-level filter op."""
+    and the Sample-level filter op.
+
+    Numeric conditioning (root cause of the high-Q drift, derived in
+    tests/test_filters.scan_error_bound_lsb): the scan's error vs the
+    sequential f32 recurrence is governed by the DENOMINATOR only —
+    Gpole = max|1/A| amplifies each f32 regrouping rounding into the
+    state, and the pole time constant tau = 1/(1-r) sets how many such
+    roundings accumulate (as a ~sqrt(tau) random walk through the
+    log-depth tree):  err <= 2 + 2*eps*maxval*log2(n)*Gpole*sqrt(tau).
+    High-Q low-cutoff filters (r -> 1) therefore drift several LSB; a
+    bound-model test fails if the scan ever degrades past this (e.g. a
+    precision regression)."""
     ones = jnp.ones_like(u)
     zeros = jnp.zeros_like(u)
     row0 = jnp.stack([-a1 * ones, -a2 * ones], axis=-1)       # [B, 2]

@@ -74,10 +74,15 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
 
     for (wid, has_fm, gstart, gcount) in layout.groups:
         if wid == 11:
-            raise ValueError(
-                "wavetable voices are not supported by the pallas engine "
-                "(Mosaic lacks the per-voice dynamic gather); use the XLA "
-                "engine")
+            # wavetable groups render on the XLA side of the hybrid
+            # (render_stereo_pallas adds them): the per-voice table
+            # gather does not lower on this platform's Mosaic backend —
+            # jax-level pallas lowering accepts the same-shape
+            # take_along_axis form, but the axon remote compiler crashes
+            # on the gather op (probed on hardware; the battery's
+            # pallas/wavetable_gather_probe check keeps this cited and
+            # trips if a compiler upgrade ever makes it compile)
+            continue
         sl = slice(gstart, gstart + gcount)
         inc = base_inc[sl]              # [g, 1] i32
         p = phase0[sl] + n * inc        # [g, T] i32 wrap == u32 mod 2^32
@@ -280,4 +285,28 @@ def render_stereo_pallas(vp: VoiceParams, n0: jax.Array, *, nframes: int,
         out_shape=jax.ShapeDtypeStruct((2, padded), jnp.float32),
         interpret=jax.default_backend() == "cpu",   # CI runs on CPU
     )(jnp.asarray(n0, jnp.int32).reshape(1), *args)
-    return out.T[:nframes]
+    stereo = out.T
+
+    # hybrid side-path (round 3, closes the wavetable SKIP): table-lookup
+    # groups evaluate as normal XLA inside the SAME jitted program (the
+    # gather lowers fine outside Mosaic) and add onto the kernel's mix —
+    # still one device program, identical _one_wave formulas
+    wt_groups = [g for g in layout.groups if g[0] == 11]
+    if wt_groups:
+        from ..models.voicebank import render_block, _slice_params
+        n0_i = jnp.asarray(n0, jnp.int32)
+
+        def wt_tile(_, i):
+            acc = jnp.zeros((tile, 2), jnp.float32)
+            for (wid, has_fm, gs, gc) in wt_groups:
+                sub = _slice_params(vp, gs, gc)
+                sub_layout = BankLayout(((wid, has_fm, 0, gc),), gc,
+                                        layout.num_harmonics)
+                acc = acc + render_block(sub, n0_i + i * tile, tile,
+                                         samplerate, layout.num_harmonics,
+                                         layout=sub_layout)
+            return 0, acc
+
+        _, wt = jax.lax.scan(wt_tile, 0, jnp.arange(ntiles, dtype=jnp.int32))
+        stereo = stereo + wt.reshape(-1, 2)
+    return stereo[:nframes]
