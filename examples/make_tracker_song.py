@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
-"""Generate a tracker-style demo song exercising the round-2 song-layer
+"""Generate a tracker-style demo song exercising the round-2/3 song-layer
 surface end to end: pitched samplers (one-shot + sustain-looped), tracker
 accents and note@velocity, swing, per-track fx on all three track kinds,
-and the full [automation] set (velocity/pan curves, filter sweep, reverb
-send, master fade).
+an AIFF instrument (decoded in-process — no ffmpeg), and the full
+[automation] set (velocity/pan curves, filter sweep, reverb send, master
+fade, plus the recurrence-internal compressor-release and reverb-roomsize
+curves).
 
     python examples/make_tracker_song.py [outdir]
     python trackmixer.py outdir/tracker.ini -o tracker.wav
@@ -39,7 +41,24 @@ def make_kit(outdir: str) -> None:
                              osc.WhiteNoise(amplitude=0.5, seed=3,
                                             samplerate=SR)),
             0.001, 0.1, 0.0, 0.2, 0.03), 0.14, "snare")
-    snare.fadeout(0.04).stereo().write_wav(os.path.join(outdir, "snare.wav"))
+    snare.fadeout(0.04).stereo()
+    # write the snare as AIFF (big-endian PCM): the song loads it through
+    # the in-process decoder (utils/decoders.py) — no ffmpeg involved
+    import struct
+    import numpy as np
+    frames = snare.get_frame_array().astype(">i2")
+    m = SR
+    e = 0
+    while m < (1 << 63):
+        m <<= 1
+        e += 1
+    rate80 = struct.pack(">HII", 16383 + 63 - e, m >> 32, m & 0xFFFFFFFF)
+    comm = struct.pack(">HIH", 2, len(frames), 16) + rate80
+    ssnd = struct.pack(">II", 0, 0) + frames.tobytes()
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    with open(os.path.join(outdir, "snare.aiff"), "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", len(body)) + body)
 
     hat = synth.white_noise(duration=0.04, amplitude=0.3, seed=5)
     hat.fadeout(0.03).stereo().write_wav(os.path.join(outdir, "hat.wav"))
@@ -70,7 +89,7 @@ samples = .
 
 [instruments]
 kick = kick.wav
-snare = snare.wav
+snare = snare.aiff
 hat = hat.wav
 
 [sampler.pluck]
@@ -101,6 +120,10 @@ track.hat.volume = 0:0.5 32:1.0
 track.pluck.pan = 0:-0.6 48:0.6
 fx.filter.cutoff = 0:900 24:9000 96:9000
 fx.reverb.wet = 0:0.08 64:0.2
+; recurrence-internal curves (round 3): the compressor releases slower and
+; the room grows as the song builds
+fx.compress.release = 0:0.05 48:0.25
+fx.reverb.roomsize = 0:0.35 64:0.7
 master.volume = 0:1 80:1 96:0
 
 [pattern.a]

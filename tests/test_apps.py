@@ -401,6 +401,12 @@ def test_tracker_example_song(tmp_path):
     assert song.swing == 0.25
     assert song.samplers["pad"].looped and not song.samplers["pluck"].looped
     assert "pluck" in song.sampler_fx and "fx.filter.cutoff" in song.automation
+    # round 3: the snare arrives as AIFF through the in-process decoder,
+    # and the recurrence-internal curves parse
+    assert "snare" in song.instruments
+    assert song.instruments["snare"].nframes > 1000
+    assert "fx.compress.release" in song.automation
+    assert "fx.reverb.roomsize" in song.automation
     song.pattern_sequence = ["a"]        # one bar keeps CI light
     off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
     assert np.abs(off).max() > 1000
