@@ -12,9 +12,15 @@ from __future__ import annotations
 import os
 import sqlite3
 import wave
+
+
+def _decode_probe(path):
+    from synthesizer_tpu.utils.decoders import decode_audio_file
+    return decode_audio_file(path)
 from typing import List, NamedTuple, Optional
 
-AUDIO_EXTENSIONS = (".wav", ".wave", ".mp3", ".ogg", ".flac", ".m4a", ".aac")
+AUDIO_EXTENSIONS = (".wav", ".wave", ".aif", ".aiff", ".aifc", ".au",
+                    ".snd", ".mp3", ".ogg", ".flac", ".m4a", ".aac")
 
 
 class Track(NamedTuple):
@@ -63,6 +69,20 @@ class MusicLibrary:
                     rate = w.getframerate()
                     nch = w.getnchannels()
                     duration = w.getnframes() / rate
+            except Exception:
+                # compressed WAV: probe through the in-process decoder
+                try:
+                    frames, rate, _w, nch = _decode_probe(path)
+                    duration = len(frames) / rate
+                except Exception:
+                    return False
+        elif path.lower().endswith((".aif", ".aiff", ".aifc", ".au",
+                                    ".snd")):
+            # in-process formats (round 3): full duration metadata with
+            # no external binary
+            try:
+                frames, rate, _w, nch = _decode_probe(path)
+                duration = len(frames) / rate
             except Exception:
                 return False
         try:

@@ -132,6 +132,39 @@ def test_music_library_scan_and_search(tmp_path):
     lib.close()
 
 
+def test_music_library_indexes_aiff_and_au(tmp_path):
+    """Round 3: the library probes AIFF/AU (and compressed WAV) through
+    the in-process decoders — full duration metadata, no ffmpeg — and the
+    jukebox deck streams them through AudiofileToWavStream."""
+    import aifc as _aifc
+    import warnings as _warnings
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    tone = synth.sine(220.0, 0.25).stereo()
+    frames = tone.get_frame_array()
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        with _aifc.open(str(tmp_path / "brass.aiff"), "wb") as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(SR)
+            f.writeframes(frames.astype(">i2").tobytes())
+    synth.sine(330.0, 0.2).stereo().write_wav(str(tmp_path / "plain.wav"))
+    lib = MusicLibrary()
+    assert lib.scan(str(tmp_path)) == 2
+    hits = lib.search("brass")
+    assert len(hits) == 1
+    assert hits[0].duration == pytest.approx(0.25, abs=0.01)
+    assert hits[0].samplerate == SR and hits[0].nchannels == 2
+    # the deck path decodes it too
+    from jukebox.box import Jukebox
+    box = Jukebox(lib, crossfade=0.05)
+    box.enqueue(hits[0])
+    chunks = list(box.chunks())
+    total = sum(c.nframes for c in chunks)
+    assert total >= int(0.2 * 44100)
+    lib.close()
+
+
 def test_jukebox_crossfade(tmp_path):
     synth = WaveSynth(samplerate=SR, samplewidth=2)
     # two 1s tones at normalized format
