@@ -71,6 +71,7 @@ class StreamingCompressor:
                  release: float = 0.1, makeup_db: float = 0.0,
                  makeup_curve=None, threshold_curve=None, ratio_curve=None,
                  attack_curve=None, release_curve=None,
+                 key_fn=None,
                  tickf: float = 0.0, start_frame: int = 0):
         """Automation curves (fx.compress.*): ``makeup_curve`` (post-gain
         dB), ``threshold_curve`` (dB), ``ratio_curve`` — all enter the
@@ -82,7 +83,15 @@ class StreamingCompressor:
         offline and streaming paths, bit-identical at any chunk size or
         seek) and fed to the same associative scans, which compose with
         per-element coefficients (spec:
-        goldref.effects.compressor_gains_swept)."""
+        goldref.effects.compressor_gains_swept).
+
+        ``key_fn`` (sidechain ducking): a callable ``(n0, n) -> int16
+        device array [n, ch]`` providing the KEY signal at absolute
+        frames — the detector listens to the key while the gain applies
+        to the processed audio (goldref.effects.sidechain_level; the
+        song layer feeds a drum instrument's own hits bus here).
+        Stateless in the absolute index, so streaming == offline at any
+        chunk size or seek."""
         from .ops.coeffs import compressor_coeffs
         alpha, decay = compressor_coeffs(samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
@@ -113,6 +122,8 @@ class StreamingCompressor:
         # static fallbacks for the un-automated coefficient of the pair
         self._static_attack = float(attack)
         self._static_release = float(release)
+        self._key_fn = key_fn
+        self._key_n0 = int(start_frame)
         if self._curves or self._grid_curves:
             self._tickf = float(tickf)
             self._n0 = int(start_frame)
@@ -132,7 +143,8 @@ class StreamingCompressor:
         curves = self._curves
         which = tuple(sorted(curves))
         has_grids = bool(self._grid_curves)
-        key = ("comp", which, has_grids, x.shape, str(x.dtype),
+        has_key = self._key_fn is not None
+        key = ("comp", which, has_grids, has_key, x.shape, str(x.dtype),
                tuple(int(curves[k][0].shape[0]) for k in which))
 
         def build():
@@ -140,9 +152,13 @@ class StreamingCompressor:
             def fn(x, knobs, e0, z0, *extra):
                 thr, slope, alpha, decay, makeup = (knobs[i] for i in range(5))
                 off = 0
+                key_arr = None
+                if has_key:
+                    key_arr = extra[0]
+                    off += 1
                 if has_grids:
-                    alpha, decay = extra[0], extra[1]
-                    off = 2
+                    alpha, decay = extra[off], extra[off + 1]
+                    off += 2
                 if which:
                     n0, tickf = extra[off], extra[off + 1]
                     cvs = extra[off + 2:]
@@ -159,15 +175,25 @@ class StreamingCompressor:
                                  - jnp.float32(1.0)
                                  / jnp.maximum(vals["ratio"],
                                                jnp.float32(1.0)))
-                gains, e, z = dfx.compressor_gains_from_coeffs(
-                    x, thr, slope, alpha, decay, e0=e0, z0=z0,
-                    with_state=True)
+                if has_key:
+                    # ducking: the detector listens to the KEY level
+                    a = jnp.max(jnp.abs(dfx._norm(key_arr)), axis=1)
+                    gains, e, z = dfx.compressor_gains_from_level(
+                        a, thr, slope, alpha, decay, e0=e0, z0=z0,
+                        with_state=True)
+                else:
+                    gains, e, z = dfx.compressor_gains_from_coeffs(
+                        x, thr, slope, alpha, decay, e0=e0, z0=z0,
+                        with_state=True)
                 y = dpcm.gain_apply(x, (gains * makeup)[:, None])
                 return y, e, z
             return fn
 
-        if which or has_grids:
+        if which or has_grids or has_key:
             extra = []
+            if has_key:
+                extra.append(self._key_fn(self._key_n0, int(x.shape[0])))
+                self._key_n0 += int(x.shape[0])
             if has_grids:
                 alpha_g, decay_g = self._coeff_grids(int(x.shape[0]))
                 extra += [jnp.asarray(alpha_g), jnp.asarray(decay_g)]
@@ -177,7 +203,8 @@ class StreamingCompressor:
                     extra.extend(curves[k])
             y, self._env, self._zdev = _cached(key, build)(
                 x, self._knobs, self._env, self._zdev, *extra)
-            self._n0 += int(x.shape[0])
+            if which or has_grids:
+                self._n0 += int(x.shape[0])
         else:
             y, self._env, self._zdev = _cached(key, build)(
                 x, self._knobs, self._env, self._zdev)
@@ -647,8 +674,9 @@ class StreamingConvolver:
 
 #: effect name -> (allowed params, params that are not plain floats)
 FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
-    "compress": (("threshold_db", "ratio", "attack", "release", "makeup_db"),
-                 {}),
+    "compress": (("threshold_db", "ratio", "attack", "release", "makeup_db",
+                  "sidechain"),
+                 {"sidechain": str}),
     "reverb": (("roomsize", "damping", "wet", "dry", "width", "tail"), {}),
     "chorus": (("rate", "depth", "delay", "voices", "wet", "dry"),
                {"voices": int}),
@@ -746,7 +774,11 @@ class FxChain:
                  nchannels: int,
                  ir_samples: Optional[Dict[str, "object"]] = None,
                  automation: Optional[Dict[str, list]] = None,
-                 tickf: float = 0.0, start_frame: int = 0):
+                 tickf: float = 0.0, start_frame: int = 0,
+                 sidechain_keys: Optional[Dict[str, "object"]] = None):
+        """``sidechain_keys``: name -> ``key_fn(n0, n) -> int16 [n, ch]``
+        providers consumed by ``compress`` entries with ``sidechain=name``
+        (the song layer passes each drum instrument's own hits bus)."""
         cv = _fx_curves(automation)
         cutoff_curve = cv["cutoff_curve"]
         rev_wet, rev_dry = cv["rev_wet"], cv["rev_dry"]
@@ -758,12 +790,30 @@ class FxChain:
         self.processors = []
         for name, p in fx:
             if name == "compress":
-                if any(v is not None for v in comp_curves.values()):
+                q = dict(p)
+                sc = q.pop("sidechain", None)
+                key_fn = None
+                if sc is not None:
+                    key_fn = (sidechain_keys or {}).get(sc)
+                    if key_fn is None:
+                        raise ValueError(
+                            f"compress sidechain={sc!r}: no key provider "
+                            f"(the song layer supplies drum-instrument "
+                            f"buses)")
+                swept_comp = any(v is not None
+                                 for v in comp_curves.values())
+                if key_fn is not None and swept_comp:
+                    # the offline staged sidechain op takes no curves —
+                    # keep the two paths' capabilities identical
+                    raise ValueError(
+                        "sidechain compression cannot be combined with "
+                        "fx.compress.* automation curves (pick one)")
+                if swept_comp or key_fn is not None:
                     proc = StreamingCompressor(
                         samplerate, tickf=tickf, start_frame=start_frame,
-                        **comp_curves, **p)
+                        key_fn=key_fn, **comp_curves, **q)
                 else:
-                    proc = StreamingCompressor(samplerate, **p)
+                    proc = StreamingCompressor(samplerate, **q)
             elif name == "filter":
                 if cutoff_curve is not None:
                     # fx.filter.cutoff automation: the curve replaces the
@@ -846,7 +896,7 @@ def chain_tail_frames(fx: Sequence[Tuple[str, dict]], samplerate: int,
 def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
                     ir_samples: Optional[Dict[str, "object"]] = None,
                     automation: Optional[Dict[str, list]] = None,
-                    tickf: float = 0.0):
+                    tickf: float = 0.0, sidechain_keys=None):
     """Apply the chain OFFLINE by staging the lazy Sample ops (the whole
     chain fuses into the sample's device program).  Returns the sample.
 
@@ -860,13 +910,14 @@ def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
     tail = chain_tail_frames(fx, sample.samplerate, ir_samples)
     sample.pad_frames(tail)
     return run_fx_chain_ops(sample, fx, ir_samples,
-                            automation=automation, tickf=tickf)
+                            automation=automation, tickf=tickf,
+                            sidechain_keys=sidechain_keys)
 
 
 def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
                      ir_samples: Optional[Dict[str, "object"]] = None,
                      automation: Optional[Dict[str, list]] = None,
-                     tickf: float = 0.0):
+                     tickf: float = 0.0, sidechain_keys=None):
     """The op loop of ``apply_fx_sample`` WITHOUT the tail pad — for
     callers that already reserved the chain's decay room in ``sample``
     (e.g. a song's per-synth-track bus, rendered out to the padded song
@@ -892,6 +943,20 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
             ir = (ir_samples or {})[q.pop("ir")]
             n = sample.nframes
             sample.convolve(ir, **q).truncate_frames(n)
+        elif name == "compress" and p.get("sidechain"):
+            # ducking: the key is a whole-length Sample of the named
+            # instrument's own hits bus; the staged sidechain op fuses
+            q = dict(p)
+            sc = q.pop("sidechain")
+            key = (sidechain_keys or {}).get(sc)
+            if key is None:
+                raise ValueError(
+                    f"compress sidechain={sc!r}: no key provider")
+            if comp_swept:
+                raise ValueError(
+                    "sidechain compression cannot be combined with "
+                    "fx.compress.* automation curves (pick one)")
+            sample.compress(sidechain=key, **q)
         elif name == "reverb" and (rev_wet is not None
                                    or rev_dry is not None
                                    or rev_room is not None):

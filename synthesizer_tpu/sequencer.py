@@ -71,6 +71,11 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     [fx]                          ; master-bus chain, in order
     compress = threshold_db=-15 ratio=4
     reverb = roomsize=0.7 wet=0.3 tail=0.25
+    [fx.pad]                      ; sidechain ducking (tracker pump):
+    compress = threshold_db=-30 ratio=8 sidechain=kick
+    ;   the detector listens to the NAMED [instruments] track's own hits
+    ;   bus while the gain applies to this chain's audio — valid on
+    ;   synth/sampler track chains and the master [fx] chain
     [fx.kick]                     ; per-track chain (sample instrument:
     filter = kind=lowpass cutoff=500   ; baked into the banked WAV)
     [fx.lead]                     ; per-track chain (synth: processes the
@@ -568,6 +573,13 @@ class Song:
         elif instrument in self.samplers:
             self.sampler_fx[instrument] = fx
         else:
+            if any(n == "compress" and p.get("sidechain")
+                   for n, p in fx):
+                raise ValueError(
+                    f"[fx.{instrument}]: sidechain compression is only "
+                    f"available on synth/sampler track chains and the "
+                    f"master [fx] chain (a sample instrument's chain "
+                    f"bakes into its WAV, which has no timeline)")
             apply_fx_sample(self.instruments[instrument], fx, irs)
 
     def add_automation(self, key: str, points) -> None:
@@ -1234,6 +1246,82 @@ class Song:
         return max(chain_tail_frames(self.sampler_fx[n], self.samplerate,
                                      self.fx_irs) for n in names)
 
+    def _used_sidechains(self) -> set:
+        """Instrument names referenced by ``compress sidechain=`` entries
+        across the master and per-track chains."""
+        names = set()
+        for chain in ([self.fx] + list(self.synth_fx.values())
+                      + list(self.sampler_fx.values())):
+            for n, p in chain:
+                if n == "compress" and p.get("sidechain"):
+                    names.add(p["sidechain"])
+        return names
+
+    def _sidechain_hit_rows(self, name: str):
+        """(bank jnp, lmax, starts [H], gains [H, C], length) for one
+        instrument's own hits — the ducking KEY source."""
+        sched = self.compile_schedule()
+        if name not in sched.instruments:
+            raise ValueError(
+                f"compress sidechain={name!r}: unknown sample instrument "
+                f"(sidechain keys come from [instruments] tracks)")
+        idx = sched.instruments.index(name)
+        m = sched.hits[:, 0] == idx
+        return (jnp.asarray(sched.bank), int(sched.bank.shape[1]), idx,
+                sched.hits[m, 1], sched.gains[m],
+                int(sched.lengths[idx]))
+
+    def _sidechain_key_samples(self, total: int) -> Dict[str, Sample]:
+        """Offline KEY buses: {name: int16 Sample of length ``total``} of
+        each referenced instrument's own hits (velocity/pan automation
+        included — what the listener would hear of that track)."""
+        out: Dict[str, Sample] = {}
+        for name in self._used_sidechains():
+            bank, _lmax, idx, starts, gains, _length = \
+                self._sidechain_hit_rows(name)
+            acc = _mixdown_kernel(
+                bank, jnp.asarray(np.full(len(starts), idx, np.int32)),
+                jnp.asarray(np.asarray(starts, np.int64).astype(np.int32)),
+                total, jnp.asarray(gains))
+            k16 = jnp.clip(acc, -32768, 32767).astype(jnp.int16)
+            out[name] = Sample.from_jax(k16, self.samplerate,
+                                        self.nchannels, name=f"key:{name}")
+        return out
+
+    def _sidechain_key_fns(self) -> Dict[str, "object"]:
+        """Streaming KEY providers: {name: key_fn(n0, n) -> int16 [n, C]}
+        — stateless in the absolute frame index (seek-exact), hit rows
+        padded to a power of two so chunk-size recompiles stay bounded."""
+        fns: Dict[str, "object"] = {}
+        C = self.nchannels
+        for name in self._used_sidechains():
+            bank, lmax, idx, starts, gains, length = \
+                self._sidechain_hit_rows(name)
+            starts = np.asarray(starts, np.int64)
+            gains = np.asarray(gains, np.float32).reshape(-1, C)
+
+            def key_fn(n0, n, idx=idx, starts=starts, gains=gains,
+                       length=length, bank=bank, lmax=lmax):
+                act = np.nonzero((starts < n0 + n)
+                                 & (starts + length > n0))[0]
+                K = 1 << max(0, max(len(act), 1) - 1).bit_length()
+                pad = K - len(act)
+                inst_k = jnp.asarray(np.full(K, idx, np.int32))
+                start_k = jnp.asarray(np.concatenate(
+                    [starts[act], np.zeros(pad, np.int64)])
+                    .astype(np.int32))
+                valid_k = jnp.asarray(np.concatenate(
+                    [np.ones(len(act), bool), np.zeros(pad, bool)]))
+                gain_k = jnp.asarray(np.concatenate(
+                    [gains[act], np.zeros((pad, C), np.float32)]))
+                fn = _stream_chunk_fn(int(n), lmax)
+                acc = fn(bank, inst_k, start_k, valid_k, gain_k,
+                         jnp.int32(n0))
+                return jnp.clip(acc, -32768, 32767).astype(jnp.int16)
+
+            fns[name] = key_fn
+        return fns
+
     def _synth_fx_groups(self, voices: Sequence[Voice],
                          vtracks: Sequence[str], chunk_frames: int):
         """Pack ALL synth voices into ONE grouped bank whose pan matmul
@@ -1254,7 +1342,8 @@ class Song:
         return bank, vp, seg, fx_tracks
 
     def _add_synth_buses(self, out32: jax.Array, buses: jax.Array,
-                         fx_tracks: Sequence[str], total: int) -> jax.Array:
+                         fx_tracks: Sequence[str], total: int,
+                         sidechain_keys=None) -> jax.Array:
         """Fold a grouped bus stack [total, nseg, 2] into the int32 mix:
         bus 0 (clean) adds directly; each fx'd track's bus quantizes to
         int16 (exactly what a banked sample instrument would be), runs its
@@ -1270,7 +1359,8 @@ class Song:
                 -32768, 32767).astype(jnp.int16)
             ts = Sample.from_jax(t16, self.samplerate, 2,
                                  name=f"track:{tname}")
-            run_fx_chain_ops(ts, self.synth_fx[tname], self.fx_irs)
+            run_fx_chain_ops(ts, self.synth_fx[tname], self.fx_irs,
+                             sidechain_keys=sidechain_keys)
             out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
         return out32
 
@@ -1348,6 +1438,9 @@ class Song:
                     f"exceeds the caller's limit of {max_frames} frames")
         if len(sched.hits) == 0 and not voices and len(pidx) == 0:
             return Sample.from_raw_frames(b"", 2, self.samplerate, self.nchannels)
+        #: ducking KEY buses (compress sidechain= entries), length-`total`
+        sc_keys = (self._sidechain_key_samples(total)
+                   if self._used_sidechains() else {})
         out32 = jnp.zeros((total, self.nchannels), jnp.int32)
         if len(pidx):
             from .effects import run_fx_chain_ops
@@ -1363,7 +1456,8 @@ class Song:
                 t16 = jnp.clip(bus32, -32768, 32767).astype(jnp.int16)
                 ts = Sample.from_jax(t16, self.samplerate, 2,
                                      name=f"strack:{tname}")
-                run_fx_chain_ops(ts, self.sampler_fx[tname], self.fx_irs)
+                run_fx_chain_ops(ts, self.sampler_fx[tname], self.fx_irs,
+                                 sidechain_keys=sc_keys)
                 out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
         if len(sched.hits):
             if mesh is not None:
@@ -1396,7 +1490,7 @@ class Song:
                     chunk_frames=32768, num_harmonics=8, mesh=mesh,
                     used_waves=uw, use_fm=ufm)
                 out32 = self._add_synth_buses(out32, buses, fx_tracks,
-                                              total)
+                                              total, sc_keys)
             elif mesh is not None:
                 from .parallel.mesh import (render_song_sharded,
                                             song_synth_shards)
@@ -1416,7 +1510,7 @@ class Song:
                 buses = bank.render_song_grouped(vp, seg,
                                                  len(fx_tracks) + 1, total)
                 out32 = self._add_synth_buses(out32, buses, fx_tracks,
-                                              total)
+                                              total, sc_keys)
             else:
                 bank, vp = self._synth_bank(voices, chunk_frames=32768)
                 stereo = bank.render_song(vp, total)
@@ -1438,7 +1532,8 @@ class Song:
             if self.fx:
                 apply_fx_sample(mixed, self.fx, self.fx_irs,
                                 automation=self.automation,
-                                tickf=self.tick_duration * self.samplerate)
+                                tickf=self.tick_duration * self.samplerate,
+                                sidechain_keys=sc_keys)
             if normalize:
                 mixed.amplify_max()
             return mixed
@@ -1472,7 +1567,8 @@ class Song:
         chain = FxChain(self.fx, self.samplerate, self.nchannels,
                         self.fx_irs, automation=self.automation,
                         tickf=self.tick_duration * self.samplerate,
-                        start_frame=int(start_frame))
+                        start_frame=int(start_frame),
+                        sidechain_keys=self._sidechain_key_fns())
         cf = chunk_frames or params.norm_frames_per_chunk
         ck = 0
         for chunk in gen:
@@ -1578,9 +1674,12 @@ class Song:
                     def grouped_chunk_fn(c0):
                         return gbank.render_chunk_grouped(gvp, gseg,
                                                           nseg, c0)
+                sc_fns = self._sidechain_key_fns()
                 track_chains = {
                     n: FxChain(self.synth_fx[n], self.samplerate, 2,
-                               self.fx_irs) for n in fx_tracks}
+                               self.fx_irs, start_frame=start_frame,
+                               sidechain_keys=sc_fns)
+                    for n in fx_tracks}
             elif mesh is not None:
                 from .parallel.mesh import (render_chunk_sharded_fn,
                                             song_synth_shards)
@@ -1629,7 +1728,8 @@ class Song:
                 if tname is not None:
                     chain = FxChain(self.sampler_fx[tname],
                                     self.samplerate, self.nchannels,
-                                    self.fx_irs)
+                                    self.fx_irs, start_frame=start_frame,
+                                    sidechain_keys=self._sidechain_key_fns())
                 pitched_groups.append((pfn, chain))
         lengths_of_hit = sched.lengths[insts]
         first_c = np.maximum(0, (starts - start_frame) // cf)

@@ -494,3 +494,120 @@ def test_synth_track_fx_mesh_streaming_equals_offline():
     assert len(got) == len(offline)
     d = np.abs(got.astype(np.int64) - offline.astype(np.int64)).max()
     assert d <= 2, f"sharded streaming off by {d} LSB vs sharded offline"
+
+
+# ---------------------------------------------------------------------------
+# Sidechain ducking (round 3): compress sidechain=INSTRUMENT in track /
+# master chains — the detector listens to a drum track's own hits bus.
+# ---------------------------------------------------------------------------
+
+def make_duck_song(sidechain=True, master=False, with_pad=True):
+    from synthesizer_tpu.sequencer import SynthDef
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_instrument("kick", ws.sine(60.0, 0.1, amplitude=0.7)
+                        .fadeout(0.08).stereo())
+    tracks = {"kick": "x...x...x...x..."}
+    if with_pad:
+        song.add_synth("pad", SynthDef(wave="sine", amplitude=0.12,
+                                       attack=0.005, release=0.05))
+        tracks["pad"] = "C3 - - - - - - - - - - - - - - -"
+    song.add_pattern("a", tracks)
+    song.pattern_sequence = ["a", "a"]
+    # the PAD (-18 dBFS) sits just under the threshold: without the
+    # sidechain the compressor never acts on it; the KICK (-3 dBFS) key
+    # punches well above it
+    fx = "threshold_db=-16 ratio=12 attack=0.001 release=0.08"
+    if sidechain:
+        fx += " sidechain=kick"
+    from synthesizer_tpu.effects import parse_fx_items
+    if master:
+        song.fx = parse_fx_items([("compress", fx)])
+    elif with_pad:
+        song.synth_fx["pad"] = parse_fx_items([("compress", fx)])
+    return song
+
+
+def test_sidechain_ducking_pumps_the_pad():
+    """With sidechain=kick the pad dips when the kick hits and recovers
+    between hits; without it the (under-threshold) pad is untouched.  The
+    pad bus is recovered exactly by subtracting a kick-only render (the
+    int32 mix never saturates at these levels)."""
+    ducked = make_duck_song(sidechain=True) \
+        .mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    plain = make_duck_song(sidechain=False) \
+        .mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    kick_only = make_duck_song(with_pad=False) \
+        .mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    n = len(kick_only)
+    pad_d = ducked[:n].astype(np.int64) - kick_only.astype(np.int64)
+    pad_p = plain[:n].astype(np.int64) - kick_only.astype(np.int64)
+    tickf = 60.0 / 240 / 4 * SR
+    kick_len = int(0.1 * SR)
+
+    def rms(a, f0, f1):
+        seg = a[int(f0):int(f1)].astype(np.float64)
+        return np.sqrt(np.mean(np.square(seg))) if len(seg) else 0.0
+
+    k = 8 * tickf                       # third kick of bar 1
+    during = rms(pad_d, k + kick_len * 0.2, k + kick_len * 0.8)
+    between = rms(pad_d, k + 2.8 * tickf, k + 3.8 * tickf)
+    assert between > 2.0 * during, (during, between)
+    # un-sidechained: the pad is below threshold, so no pump at all
+    during_p = rms(pad_p, k + kick_len * 0.2, k + kick_len * 0.8)
+    between_p = rms(pad_p, k + 2.8 * tickf, k + 3.8 * tickf)
+    assert 0.7 < between_p / max(during_p, 1e-9) < 1.5, \
+        (during_p, between_p)
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_sidechain_streaming_equals_offline(chunk):
+    song = make_duck_song(sidechain=True)
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_sidechain_master_chain_and_seek():
+    song = make_duck_song(sidechain=True, master=True)
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1024)])
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+    # seek: the key provider is stateless in the absolute index; only the
+    # compressor envelope starts cold (like every seek-with-fx), so the
+    # stream re-converges within a release time
+    k = 7000
+    got2 = np.concatenate([
+        c.get_frame_array()
+        for c in song.mix_generator(chunk_frames=1024, start_frame=k)])
+    warm = int(0.2 * SR)
+    d2 = np.abs(got2[warm:].astype(np.int64)
+                - off[k + warm:k + len(got2)].astype(np.int64)).max()
+    assert d2 <= 8, d2
+
+
+def test_sidechain_validation():
+    song = make_duck_song(sidechain=False)
+    # unknown key instrument fails at mix time with a clear message
+    from synthesizer_tpu.effects import parse_fx_items
+    song.synth_fx["pad"] = parse_fx_items(
+        [("compress", "threshold_db=-30 sidechain=ghost")])
+    with pytest.raises(ValueError, match="unknown sample instrument"):
+        song.mix(normalize=False)
+    # a drum instrument's own chain cannot sidechain (no timeline)
+    song2 = make_duck_song(sidechain=False)
+    with pytest.raises(ValueError, match="bakes into its WAV"):
+        song2.add_track_fx(
+            "kick", [("compress", "threshold_db=-30 sidechain=kick")])
+    # sidechain + compress automation curves are mutually exclusive
+    song3 = make_duck_song(sidechain=True, master=True)
+    song3.add_automation("fx.compress.release", "0:0.05 16:0.3")
+    with pytest.raises(ValueError, match="cannot be combined"):
+        song3.mix(normalize=False)
