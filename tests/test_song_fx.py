@@ -611,3 +611,15 @@ def test_sidechain_validation():
     song3.add_automation("fx.compress.release", "0:0.05 16:0.3")
     with pytest.raises(ValueError, match="cannot be combined"):
         song3.mix(normalize=False)
+
+
+def test_sidechain_under_mesh():
+    """Sidechain ducking composes with mesh=: the pad bus shards (f32
+    psum, <=1 LSB) and the key bus/chain run on the replicated result."""
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    song = make_duck_song(sidechain=True)
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False,
+                       mesh=voice_mesh(8)).get_frame_array()
+    d = np.abs(sharded.astype(np.int64) - single.astype(np.int64)).max()
+    assert d <= 3, d
