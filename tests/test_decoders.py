@@ -18,7 +18,14 @@ from synthesizer_tpu.sample import Sample
 from synthesizer_tpu.streaming import AudiofileToWavStream, SampleStream
 from synthesizer_tpu.utils import decoders
 
-audioop = pytest.importorskip("audioop")
+try:
+    import audioop
+except ImportError:          # the SYNTH_TPU_HIDE_AUDIOOP (py3.13) world:
+    audioop = None           # only the audioop-comparison pins skip
+
+needs_audioop = pytest.mark.skipif(
+    audioop is None, reason="audioop hidden (comparison oracle only — "
+    "the decoders themselves are audioop-free)")
 
 SR = 22050
 
@@ -32,6 +39,7 @@ def tone(n=2000, nch=2, amp=12000, dtype=np.int16):
 
 # -- G.711 / ADPCM primitives vs the C module ------------------------------
 
+@needs_audioop
 def test_ulaw_table_matches_audioop():
     data = bytes(range(256)) * 3
     np.testing.assert_array_equal(
@@ -39,6 +47,7 @@ def test_ulaw_table_matches_audioop():
         np.frombuffer(audioop.ulaw2lin(data, 2), np.int16))
 
 
+@needs_audioop
 def test_alaw_table_matches_audioop():
     data = bytes(range(256)) * 3
     np.testing.assert_array_equal(
@@ -46,6 +55,7 @@ def test_alaw_table_matches_audioop():
         np.frombuffer(audioop.alaw2lin(data, 2), np.int16))
 
 
+@needs_audioop
 def test_ima_inner_loop_matches_audioop(rng):
     """audioop.adpcm2lin implements the same Intel/DVI (== IMA) decoder,
     consuming the HIGH nibble first; repack and compare states."""
@@ -88,6 +98,7 @@ def test_aiff_pcm16_roundtrip(tmp_path):
     np.testing.assert_array_equal(frames2, x)
 
 
+@needs_audioop
 def test_aifc_ulaw_matches_audioop(tmp_path):
     x = tone(nch=1)
     p = tmp_path / "t.aifc"
@@ -134,7 +145,7 @@ def test_extended80_roundtrip():
 
 # -- Sun AU (files written by the independent stdlib sunau writer) ---------
 
-def test_au_pcm16_and_ulaw(tmp_path):
+def test_au_pcm16(tmp_path):
     import sunau
     x = tone()
     p = tmp_path / "t.au"
@@ -148,6 +159,10 @@ def test_au_pcm16_and_ulaw(tmp_path):
     assert (rate, width, nch) == (SR, 2, 2)
     np.testing.assert_array_equal(frames, x)
 
+
+@needs_audioop
+def test_au_ulaw(tmp_path):
+    import sunau
     pu = tmp_path / "u.au"
     with sunau.open(str(pu), "wb") as f:
         f.setnchannels(1)
@@ -185,6 +200,7 @@ def _wav_blob(tag, nch, rate, bits, block_align, data, nframes=None,
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+@needs_audioop
 def test_wav_ulaw_alaw_codecs(tmp_path):
     x = tone(nch=1)
     for tag, lin2, ext in ((7, audioop.lin2ulaw, False),
@@ -333,6 +349,7 @@ def test_audiofile_stream_decodes_aiff_and_au(tmp_path):
     np.testing.assert_array_equal(np.concatenate(chunks), x)
 
 
+@needs_audioop
 def test_audiofile_stream_decodes_compressed_wav(tmp_path):
     x = tone(nch=1)
     data = audioop.lin2ulaw(x.tobytes(), 2)
@@ -382,6 +399,7 @@ def test_undecodable_raises(tmp_path):
         AudiofileToWavStream(str(p))
 
 
+@needs_audioop
 def test_golden_checksums(tmp_path):
     """Regression pins: decoded PCM checksums for each format family."""
     x = tone(n=1500, nch=1, amp=11000)
