@@ -1543,6 +1543,101 @@ class Song:
         out16 = jnp.clip(out32, -32768, 32767).astype(jnp.int16)
         return Sample.from_jax(out16, self.samplerate, 2, name="mixdown")
 
+    def mix_stems(self, tail_seconds: float = 0.3) -> Dict[str, Sample]:
+        """Render every track as its own stereo int16 STEM (the DAW
+        export convention): one Sample per drum instrument, synth track,
+        and sampler track, all of identical length, with per-track fx
+        applied.  The master [fx] chain, master.volume automation, and
+        normalization are NOT applied — stems are pre-master by
+        definition; summing them reproduces ``mix(normalize=False)``'s
+        pre-master bus (bit-exactly for the integer drum/sampler stems;
+        within 1 LSB for synth stems, whose grouped pan matmul sums
+        voices per track instead of all at once).
+
+        Track fx: a drum instrument's [fx.NAME] chain is already baked
+        into its banked WAV; synth/sampler chains run on the track's own
+        bus exactly as in ``mix()``.
+        """
+        sched = self.compile_schedule()
+        voices, vtracks = self.compile_synth_voices(return_tracks=True)
+        self._check_synth_format(voices)
+        (pbank, plens, pidx, pstart, prate, pgains, ploopf,
+         ploopu) = self.compile_pitched_hits()
+        pends = self._pitched_end_frames(plens, pidx, pstart, prate, ploopf)
+        pitched_end = int(pends.max()) if len(pends) else 0
+        total = max(sched.total_frames, self._synth_end_frame(voices),
+                    pitched_end) \
+            + max(self._synth_fx_tail(vtracks),
+                  self._sampler_fx_tail(self._last_pitched_tracks)) \
+            + int(tail_seconds * self.samplerate)
+        if total == 0:
+            return {}
+        sc_keys = (self._sidechain_key_samples(total)
+                   if self._used_sidechains() else {})
+        from .effects import run_fx_chain_ops
+        stems: Dict[str, Sample] = {}
+
+        # drum instruments: each one's own scatter (velocity/pan incl.)
+        for i, name in enumerate(sched.instruments):
+            m = sched.hits[:, 0] == i
+            if not m.any():
+                continue
+            acc = _mixdown_kernel(
+                jnp.asarray(sched.bank),
+                jnp.asarray(sched.hits[m, 0].astype(np.int32)),
+                jnp.asarray(sched.hits[m, 1].astype(np.int32)),
+                total, jnp.asarray(sched.gains[m]))
+            stems[name] = Sample.from_jax(
+                jnp.clip(acc, -32768, 32767).astype(jnp.int16),
+                self.samplerate, self.nchannels, name=f"stem:{name}")
+
+        # sampler tracks: each track's own pitched rows (+ its chain)
+        ptr = np.asarray(self._last_pitched_tracks)
+        for name in sorted(self.samplers):
+            m = ptr == name
+            if not m.any():
+                continue
+            bus32 = self._pitched_mix(pbank, plens, pidx[m], pstart[m],
+                                      prate[m], pgains[m], ploopf[m],
+                                      ploopu[m], pends[m], total)
+            smp = Sample.from_jax(
+                jnp.clip(bus32, -32768, 32767).astype(jnp.int16),
+                self.samplerate, self.nchannels, name=f"stem:{name}")
+            if name in self.sampler_fx:
+                run_fx_chain_ops(smp, self.sampler_fx[name], self.fx_irs,
+                                 sidechain_keys=sc_keys)
+                smp.truncate_frames(total)
+            stems[name] = smp
+
+        # synth tracks: ONE grouped render scatters every voice onto its
+        # track's bus (the per-track-fx machinery, with every track
+        # getting a segment instead of only the fx'd ones)
+        if voices:
+            track_names = sorted(set(vtracks))
+            seg_index = {n: i for i, n in enumerate(track_names)}
+            tags = [seg_index[t] for t in vtracks]
+            vp, layout, seg = pack_voices(voices, self.samplerate,
+                                          num_harmonics=8,
+                                          sort_by_wave=True, tags=tags)
+            bank = VoiceBank.for_voices(voices, self.samplerate,
+                                        chunk_frames=32768,
+                                        num_harmonics=8, layout=layout,
+                                        nvoices=layout.nvoices)
+            buses = bank.render_song_grouped(vp, seg, len(track_names),
+                                             total)
+            for i, name in enumerate(track_names):
+                t16 = jnp.clip(
+                    jnp.rint(buses[:, i] * jnp.float32(32767.0)),
+                    -32768, 32767).astype(jnp.int16)
+                smp = Sample.from_jax(t16, self.samplerate, 2,
+                                      name=f"stem:{name}")
+                if name in self.synth_fx:
+                    run_fx_chain_ops(smp, self.synth_fx[name],
+                                     self.fx_irs, sidechain_keys=sc_keys)
+                    smp.truncate_frames(total)
+                stems[name] = smp
+        return stems
+
     # -- streaming mixdown ------------------------------------------------------
 
     def mix_generator(self, chunk_frames: Optional[int] = None,

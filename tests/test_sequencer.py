@@ -358,3 +358,109 @@ def test_inline_note_velocity():
         song2.add_pattern("b", {"g": "C4@oops"})
         song2.pattern_sequence = ["b"]
         song2.compile_pitched_hits()
+
+
+# ---------------------------------------------------------------------------
+# Stem export (round 3): every track as its own pre-master Sample
+# ---------------------------------------------------------------------------
+
+def _stems_song():
+    from synthesizer_tpu import WaveSynth
+    from synthesizer_tpu.sequencer import Song, SynthDef
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_instrument("kick", ws.sine(60, 0.08, amplitude=0.5)
+                        .fadeout(0.05).stereo())
+    song.add_instrument("hat", ws.white_noise(duration=0.02, amplitude=0.3,
+                                              seed=3).stereo())
+    song.add_sampler("gtr", ws.pluck(261.63, 0.12, amplitude=0.4, seed=7)
+                     .fadeout(0.03).stereo(), base_note="C4")
+    song.add_synth("lead", SynthDef(wave="square_bl", amplitude=0.2,
+                                    release=0.02, pan=0.3))
+    song.add_synth("bass", SynthDef(wave="sine", amplitude=0.25,
+                                    release=0.02, pan=-0.4))
+    song.add_pattern("a", {"kick": "x.x.x.X.", "hat": "xxoxxxox",
+                           "gtr": "C4 .. E4 .. G4 .. .. ..",
+                           "lead": "C4 . E4 . G4 . C5 .",
+                           "bass": "C2 - - - G2 - - -"})
+    song.pattern_sequence = ["a", "a"]
+    return song
+
+
+def test_mix_stems_sum_equals_premaster_mix():
+    """Summing the stems reproduces mix(normalize=False): drum/sampler
+    stems partition the integer scatter exactly; synth stems differ only
+    by the per-track grouped matmul's summation order (<= 1 LSB/track)."""
+    song = _stems_song()
+    stems = song.mix_stems(tail_seconds=0.3)
+    assert set(stems) == {"kick", "hat", "gtr", "lead", "bass"}
+    lens = {s.nframes for s in stems.values()}
+    assert len(lens) == 1, "stems must share one length"
+    total = np.zeros((lens.pop(), 2), np.int64)
+    for s in stems.values():
+        assert s.samplewidth == 2 and s.nchannels == 2
+        total += s.get_frame_array().astype(np.int64)
+    mix = song.mix(normalize=False, tail_seconds=0.3).get_frame_array()
+    summed = np.clip(total, -32768, 32767)
+    d = np.abs(summed - mix.astype(np.int64)).max()
+    assert d <= 3, d
+
+
+def test_mix_stems_track_fx_and_sidechain():
+    """Per-track chains apply to their stem; a sidechain entry sees the
+    drum key exactly as in mix()."""
+    from synthesizer_tpu.effects import parse_fx_items
+    song = _stems_song()
+    song.synth_fx["bass"] = parse_fx_items(
+        [("compress", "threshold_db=-16 ratio=10 attack=0.001 "
+                      "release=0.08 sidechain=kick")])
+    stems = song.mix_stems(tail_seconds=0.1)
+    # the unducked render of the same stem is louder on average
+    plain = _stems_song().mix_stems(tail_seconds=0.1)
+    b_d = stems["bass"].get_frame_array().astype(np.float64)
+    b_p = plain["bass"].get_frame_array().astype(np.float64)
+    assert np.sqrt(np.mean(b_d ** 2)) < 0.9 * np.sqrt(np.mean(b_p ** 2))
+    # and the ducked-stem song still sums to its own mix
+    total = np.zeros((stems["kick"].nframes, 2), np.int64)
+    for s in stems.values():
+        total += s.get_frame_array().astype(np.int64)
+    mix = song.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+    d = np.abs(np.clip(total, -32768, 32767) - mix.astype(np.int64)).max()
+    assert d <= 3, d
+
+
+def test_stems_cli(tmp_path):
+    import subprocess
+    import sys as _sys
+    import wave as _wave
+    from synthesizer_tpu import WaveSynth
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    ws.sine(200, 0.05, amplitude=0.5).stereo().write_wav(
+        str(tmp_path / "k.wav"))
+    (tmp_path / "s.ini").write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[instruments]
+k = k.wav
+[synth.lead]
+wave = sine
+amplitude = 0.2
+release = 0.02
+[pattern.a]
+k = x.x.
+lead = C4 . E4 .
+""")
+    out = subprocess.run(
+        [_sys.executable, "/root/repo/trackmixer.py",
+         str(tmp_path / "s.ini"), "--stems", str(tmp_path / "stems")],
+        capture_output=True, text=True, timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"})
+    assert out.returncode == 0, out.stderr
+    for name in ("k", "lead"):
+        with _wave.open(str(tmp_path / "stems" / f"{name}.wav")) as w:
+            assert w.getnframes() > 0

@@ -167,6 +167,10 @@ def main(argv=None) -> int:
                          "mid-song resume)")
     ap.add_argument("--no-normalize", action="store_true",
                     help="skip peak normalization in offline mixdown")
+    ap.add_argument("--stems", metavar="DIR",
+                    help="render every track to DIR/NAME.wav (pre-master "
+                         "stems: per-track fx applied, master chain and "
+                         "normalization skipped) and exit")
     args = ap.parse_args(argv)
     if args.start < 0:
         ap.error("--start must be >= 0")
@@ -186,6 +190,19 @@ def main(argv=None) -> int:
                   f"({sample.duration / dt:.0f}x realtime) -> {out}")
             return 0
         song = Song.from_ini(args.song)
+        if args.stems:
+            import os as _os
+            import time as _t
+            _os.makedirs(args.stems, exist_ok=True)
+            t0 = _t.perf_counter()
+            stems = song.mix_stems()
+            for name, smp in stems.items():
+                smp.write_wav(_os.path.join(args.stems, f"{name}.wav"))
+            dt = _t.perf_counter() - t0
+            dur = next(iter(stems.values())).duration if stems else 0.0
+            print(f"rendered {len(stems)} stems x {dur:.2f}s in {dt:.3f}s "
+                  f"-> {args.stems}/")
+            return 0
         if args.output:
             mix_to_wav(song, args.output, normalize=not args.no_normalize)
             return 0
