@@ -142,6 +142,21 @@ class TrackmixerRepl(cmd.Cmd):
         outfile = arg.strip() or "mixdown.wav"
         mix_to_wav(self.song, outfile)
 
+    def do_stems(self, arg):
+        """stems [dir] — render every track to dir/NAME.wav (pre-master:
+        per-track fx applied, master chain/normalization skipped)."""
+        import os as _os
+        import time as _t
+        outdir = arg.strip() or "stems"
+        _os.makedirs(outdir, exist_ok=True)
+        t0 = _t.perf_counter()
+        stems = self.song.mix_stems()
+        for name, smp in stems.items():
+            smp.write_wav(_os.path.join(outdir, f"{name}.wav"))
+        dur = next(iter(stems.values())).duration if stems else 0.0
+        print(f"rendered {len(stems)} stems x {dur:.2f}s in "
+              f"{_t.perf_counter() - t0:.3f}s -> {outdir}/")
+
     def do_stream(self, _):
         """Stream the whole song through the playback engine."""
         play_streaming(self.song)
