@@ -668,17 +668,22 @@ def test_fx_reverb_roomsize_automation_vs_goldref():
                       dry=0.7, tail_frames=0, feedback_curve=fb)
     d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
     assert d <= 4, d
-    # a bigger room rings longer: compare energy after the programme
-    # against a small-room render of the same signal
-    proc_small = StreamingReverb(44100, 2, roomsize=0.5, damping=0.4,
-                                 wet=0.3, dry=0.7, tail=0.0,
-                                 roomsize_curve=[(0.0, 0.05)],
-                                 tickf=tickf)
-    zs = np.zeros((4000, 2), np.int16)
-    tail_big = np.asarray(proc.process(jnp.asarray(zs)))
-    tail_small = np.asarray(proc_small.process(jnp.asarray(x)))
-    tail_small = np.asarray(proc_small.process(jnp.asarray(zs)))
-    assert np.abs(tail_big).max() > 4 * max(np.abs(tail_small).max(), 1)
+    # a bigger room rings longer: constant high/low roomsize CURVES
+    # (still the automation machinery) — after ~0.3 s of silence the
+    # fb=0.952 room carries far more energy than the fb=0.714 one.  The
+    # FIRST tail chunk is dominated by immediate echoes in both rooms,
+    # so compare a later window, by RMS.
+    def ring(room):
+        p = StreamingReverb(44100, 2, roomsize=0.5, damping=0.4, wet=0.3,
+                            dry=0.7, tail=0.0,
+                            roomsize_curve=[(0.0, room)], tickf=tickf)
+        np.asarray(p.process(jnp.asarray(x)))        # programme
+        zs = np.zeros((4000, 2), np.int16)
+        for _ in range(3):
+            tail = np.asarray(p.process(jnp.asarray(zs)))
+        return np.sqrt(np.mean(np.square(tail.astype(np.float64))))
+
+    assert ring(0.9) > 4 * max(ring(0.05), 1.0)
 
 
 def test_recurrence_automation_seek_alignment():
