@@ -14,9 +14,13 @@ import sqlite3
 import wave
 
 
-def _decode_probe(path):
-    from synthesizer_tpu.utils.decoders import decode_audio_file
-    return decode_audio_file(path)
+def _probe(path):
+    """(duration_seconds, rate, nch) from the container HEADERS only —
+    no PCM is decoded (indexing directories of long files stays O(1)
+    per file)."""
+    from synthesizer_tpu.utils.decoders import probe_audio_file
+    nframes, rate, nch = probe_audio_file(path)
+    return (nframes / rate if rate else 0.0), rate, nch
 from typing import List, NamedTuple, Optional
 
 AUDIO_EXTENSIONS = (".wav", ".wave", ".aif", ".aiff", ".aifc", ".au",
@@ -70,19 +74,17 @@ class MusicLibrary:
                     nch = w.getnchannels()
                     duration = w.getnframes() / rate
             except Exception:
-                # compressed WAV: probe through the in-process decoder
+                # compressed WAV: header-only in-process probe
                 try:
-                    frames, rate, _w, nch = _decode_probe(path)
-                    duration = len(frames) / rate
+                    duration, rate, nch = _probe(path)
                 except Exception:
                     return False
         elif path.lower().endswith((".aif", ".aiff", ".aifc", ".au",
                                     ".snd")):
             # in-process formats (round 3): full duration metadata with
-            # no external binary
+            # no external binary, headers only
             try:
-                frames, rate, _w, nch = _decode_probe(path)
-                duration = len(frames) / rate
+                duration, rate, nch = _probe(path)
             except Exception:
                 return False
         try:

@@ -560,12 +560,18 @@ class StreamingChorus:
             self._host_n0 = int(start_frame)
             if rate_curve is not None and start_frame:
                 # seek: replay the exact phase sum over [0, start_frame)
+                # in bounded slabs (a deep seek would otherwise
+                # materialize O(start_frame) f64 intermediates at once)
                 from .ops.coeffs import chorus_inc_grid, curve_grid
-                inc = chorus_inc_grid(
-                    curve_grid(rate_curve, 0, int(start_frame), tickf),
-                    samplerate)
-                self._p_carry = int(inc.astype(np.uint64).sum()
-                                    & 0xFFFFFFFF)
+                carry = 0
+                SLAB = 1 << 20
+                for s0 in range(0, int(start_frame), SLAB):
+                    n = min(SLAB, int(start_frame) - s0)
+                    inc = chorus_inc_grid(
+                        curve_grid(rate_curve, s0, n, tickf), samplerate)
+                    carry = (carry + int(inc.astype(np.uint64).sum())) \
+                        & 0xFFFFFFFF
+                self._p_carry = carry
 
     def process(self, x: jax.Array) -> jax.Array:
         swept = self._swept

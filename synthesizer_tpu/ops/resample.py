@@ -60,6 +60,10 @@ class RatecvState(NamedTuple):
 def _reduce(inrate: int, outrate: int) -> Tuple[int, int]:
     if inrate <= 0 or outrate <= 0:
         raise ValueError("sampling rates must be > 0")
+    if inrate >= (1 << 31) or outrate >= (1 << 31):
+        # audioop's own domain (C int rates); the device kernels assume
+        # reduced rates < 2^31 (the wide path's uint32 long division)
+        raise ValueError("sampling rates must be < 2**31")
     g = math.gcd(inrate, outrate)
     return inrate // g, outrate // g
 
@@ -238,14 +242,6 @@ def _max_segment(inr: int, outr: int) -> int:
     return max(1, min((1 << 30) // max(inr, 1), (1 << 30) // max(outr, 1)))
 
 
-def device_path_ok(width: int, outr: int) -> bool:
-    """Always True since round 3: every width and reduced rate runs the
-    exact on-device kernel (_interp_exact routes small outrates to the
-    cheap collapsed formulas and the rest to the general limb path).
-    Kept so callers can keep guarding compositions uniformly."""
-    return True
-
-
 def resample(
     x: np.ndarray,
     inrate: int,
@@ -263,8 +259,9 @@ def resample(
     if x.ndim == 1:
         x = x[:, None]
     nch = x.shape[1]
-    if width is None:
-        width = x.dtype.itemsize
+    if width is not None and width != x.dtype.itemsize:
+        raise ValueError(f"width {width} does not match array dtype "
+                         f"{x.dtype} (the sample domain is the dtype)")
     inr, outr = _reduce(inrate, outrate)
     if state is None:
         state = RatecvState.initial(nch, outr)

@@ -1257,10 +1257,13 @@ class Song:
                     names.add(p["sidechain"])
         return names
 
-    def _sidechain_hit_rows(self, name: str):
+    def _sidechain_hit_rows(self, name: str, sched=None):
         """(bank jnp, lmax, starts [H], gains [H, C], length) for one
-        instrument's own hits — the ducking KEY source."""
-        sched = self.compile_schedule()
+        instrument's own hits — the ducking KEY source.  Pass a
+        precompiled ``sched`` when building several providers (one
+        schedule compile, one bank materialization)."""
+        if sched is None:
+            sched = self.compile_schedule()
         if name not in sched.instruments:
             raise ValueError(
                 f"compress sidechain={name!r}: unknown sample instrument "
@@ -1276,16 +1279,18 @@ class Song:
         each referenced instrument's own hits (velocity/pan automation
         included — what the listener would hear of that track)."""
         out: Dict[str, Sample] = {}
-        for name in self._used_sidechains():
+        names = self._used_sidechains()
+        sched = self.compile_schedule() if names else None
+        for name in names:
             bank, _lmax, idx, starts, gains, _length = \
-                self._sidechain_hit_rows(name)
+                self._sidechain_hit_rows(name, sched)
             acc = _mixdown_kernel(
                 bank, jnp.asarray(np.full(len(starts), idx, np.int32)),
                 jnp.asarray(np.asarray(starts, np.int64).astype(np.int32)),
                 total, jnp.asarray(gains))
             k16 = jnp.clip(acc, -32768, 32767).astype(jnp.int16)
-            out[name] = Sample.from_jax(k16, self.samplerate,
-                                        self.nchannels, name=f"key:{name}")
+            out[name] = Sample.from_jax(k16, self.samplerate, 2,
+                                        name=f"key:{name}")
         return out
 
     def _sidechain_key_fns(self) -> Dict[str, "object"]:
@@ -1294,9 +1299,11 @@ class Song:
         padded to a power of two so chunk-size recompiles stay bounded."""
         fns: Dict[str, "object"] = {}
         C = self.nchannels
-        for name in self._used_sidechains():
+        names = self._used_sidechains()
+        sched = self.compile_schedule() if names else None
+        for name in names:
             bank, lmax, idx, starts, gains, length = \
-                self._sidechain_hit_rows(name)
+                self._sidechain_hit_rows(name, sched)
             starts = np.asarray(starts, np.int64)
             gains = np.asarray(gains, np.float32).reshape(-1, C)
 
@@ -1550,9 +1557,13 @@ class Song:
         applied.  The master [fx] chain, master.volume automation, and
         normalization are NOT applied — stems are pre-master by
         definition; summing them reproduces ``mix(normalize=False)``'s
-        pre-master bus (bit-exactly for the integer drum/sampler stems;
+        pre-master bus (exactly for the integer drum/sampler stems;
         within 1 LSB for synth stems, whose grouped pan matmul sums
-        voices per track instead of all at once).
+        voices per track instead of all at once) — PROVIDED no single
+        track's solo bus exceeds int16 full scale: each stem clips
+        independently at ±32767, while mix() sums every track in int32
+        headroom and clips once, so a clipping solo bus diverges from
+        the mix by the clipped amount.
 
         Track fx: a drum instrument's [fx.NAME] chain is already baked
         into its banked WAV; synth/sampler chains run on the track's own
@@ -1589,7 +1600,7 @@ class Song:
                 total, jnp.asarray(sched.gains[m]))
             stems[name] = Sample.from_jax(
                 jnp.clip(acc, -32768, 32767).astype(jnp.int16),
-                self.samplerate, self.nchannels, name=f"stem:{name}")
+                self.samplerate, 2, name=f"stem:{name}")
 
         # sampler tracks: each track's own pitched rows (+ its chain)
         ptr = np.asarray(self._last_pitched_tracks)
@@ -1602,7 +1613,7 @@ class Song:
                                       ploopu[m], pends[m], total)
             smp = Sample.from_jax(
                 jnp.clip(bus32, -32768, 32767).astype(jnp.int16),
-                self.samplerate, self.nchannels, name=f"stem:{name}")
+                self.samplerate, 2, name=f"stem:{name}")
             if name in self.sampler_fx:
                 run_fx_chain_ops(smp, self.sampler_fx[name], self.fx_irs,
                                  sidechain_keys=sc_keys)
@@ -1652,7 +1663,10 @@ class Song:
         the effect state cold at ``start_frame`` (the pre-seek reverb tail
         is absent) — sonically fine, not bit-comparable.
         """
-        gen = self._mix_generator_raw(chunk_frames, mesh, start_frame)
+        sc_fns = (self._sidechain_key_fns() if self._used_sidechains()
+                  else {})
+        gen = self._mix_generator_raw(chunk_frames, mesh, start_frame,
+                                      sc_fns)
         if "master.volume" in self.automation:
             gen = self._volume_chunks(gen, start_frame)
         if not self.fx:
@@ -1663,7 +1677,7 @@ class Song:
                         self.fx_irs, automation=self.automation,
                         tickf=self.tick_duration * self.samplerate,
                         start_frame=int(start_frame),
-                        sidechain_keys=self._sidechain_key_fns())
+                        sidechain_keys=sc_fns)
         cf = chunk_frames or params.norm_frames_per_chunk
         ck = 0
         for chunk in gen:
@@ -1697,7 +1711,9 @@ class Song:
             n0 += chunk.nframes
 
     def _mix_generator_raw(self, chunk_frames: Optional[int] = None,
-                           mesh=None, start_frame: int = 0) -> Iterator[Sample]:
+                           mesh=None, start_frame: int = 0,
+                           sidechain_keys: Optional[Dict] = None
+                           ) -> Iterator[Sample]:
         """Stream the song as fixed-size chunks rendered on device.
 
         Host control flow walks the hit schedule; each chunk is one device
@@ -1769,7 +1785,9 @@ class Song:
                     def grouped_chunk_fn(c0):
                         return gbank.render_chunk_grouped(gvp, gseg,
                                                           nseg, c0)
-                sc_fns = self._sidechain_key_fns()
+                sc_fns = (sidechain_keys
+                          if sidechain_keys is not None
+                          else self._sidechain_key_fns())
                 track_chains = {
                     n: FxChain(self.synth_fx[n], self.samplerate, 2,
                                self.fx_irs, start_frame=start_frame,
@@ -1821,10 +1839,13 @@ class Song:
 
                 chain = None
                 if tname is not None:
-                    chain = FxChain(self.sampler_fx[tname],
-                                    self.samplerate, self.nchannels,
-                                    self.fx_irs, start_frame=start_frame,
-                                    sidechain_keys=self._sidechain_key_fns())
+                    chain = FxChain(
+                        self.sampler_fx[tname], self.samplerate,
+                        self.nchannels, self.fx_irs,
+                        start_frame=start_frame,
+                        sidechain_keys=(sidechain_keys
+                                        if sidechain_keys is not None
+                                        else self._sidechain_key_fns()))
                 pitched_groups.append((pfn, chain))
         lengths_of_hit = sched.lengths[insts]
         first_c = np.maximum(0, (starts - start_frame) // cf)

@@ -21,7 +21,8 @@ from typing import BinaryIO, Tuple, Union
 
 import numpy as np
 
-__all__ = ["decode_audio_file", "read_aiff", "read_au", "read_wav_any",
+__all__ = ["decode_audio_file", "probe_audio_file", "read_aiff",
+           "read_au", "read_wav_any",
            "ulaw_decode", "alaw_decode", "ima_adpcm_decode_block",
            "DecodeError"]
 
@@ -30,6 +31,23 @@ FileLike = Union[str, BinaryIO]
 
 class DecodeError(Exception):
     pass
+
+
+def _malformed_as_decode_error(fn):
+    """Malformed/truncated containers surface as DecodeError, not raw
+    struct.error / numpy ValueError from deep inside the parser — the
+    exception type callers (streaming ladder, jukebox scan) rely on."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except DecodeError:
+            raise
+        except (struct.error, ValueError, IndexError) as e:
+            raise DecodeError(f"malformed audio file: {e}") from e
+    return wrapped
 
 
 def _open(file: FileLike):
@@ -130,35 +148,51 @@ def _ima_decode_wav_data(data: bytes, nchannels: int, block_align: int,
     Block layout per channel: 4-byte header (int16 predictor, uint8 index,
     reserved), then interleaved 4-byte nibble groups per channel (8
     samples each, LOW nibble first).  The header predictor IS the block's
-    first output sample.
+    first output sample.  A PARTIAL final block (truncated transfer, or
+    an encoder that stops at exactly nframes) decodes its present nibble
+    groups instead of being dropped.
     """
     ba = block_align
     nblocks = len(data) // ba
-    if nblocks == 0:
+    rem = len(data) - nblocks * ba
+
+    def decode_blocks(raw: np.ndarray, nb: int, width: int) -> np.ndarray:
+        """[nb, width] uint8 blocks -> [nb * samples, nch] int16."""
+        cols = []
+        for ch in range(nchannels):
+            hdr = raw[:, 4 * ch: 4 * ch + 4]
+            pred0 = (hdr[:, 0].astype(np.uint16)
+                     | (hdr[:, 1].astype(np.uint16) << 8)).astype(np.int16)
+            idx0 = hdr[:, 2].astype(np.int32)
+            body = raw[:, 4 * nchannels:]
+            groups = body.reshape(nb, -1, 4 * nchannels)
+            chbytes = groups[:, :, 4 * ch: 4 * ch + 4].reshape(nb, -1)
+            lo = chbytes & 0x0F
+            hi = chbytes >> 4
+            nib = np.stack([lo, hi], axis=2).reshape(nb, -1)
+            # the header predictor is sample 0; nibbles decode samples 1..
+            dec = ima_adpcm_decode_block(nib, pred0.astype(np.int32), idx0)
+            samples = np.concatenate([pred0[:, None], dec], axis=1)
+            cols.append(samples.reshape(-1))
+        return np.stack(cols, axis=1)
+
+    parts = []
+    if nblocks:
+        raw = np.frombuffer(data[:nblocks * ba],
+                            np.uint8).reshape(nblocks, ba)
+        parts.append(decode_blocks(raw, nblocks, ba))
+    if rem >= 4 * nchannels:
+        # short final block: keep only whole interleaved nibble groups
+        body_len = (rem - 4 * nchannels) // (4 * nchannels) \
+            * (4 * nchannels)
+        width = 4 * nchannels + body_len
+        raw_r = np.frombuffer(data[nblocks * ba:nblocks * ba + width],
+                              np.uint8).reshape(1, width)
+        parts.append(decode_blocks(raw_r, 1, width))
+    if not parts:
         return np.zeros((0, nchannels), np.int16)
-    raw = np.frombuffer(data[:nblocks * ba], np.uint8).reshape(nblocks, ba)
-    spb = (ba - 4 * nchannels) // (4 * nchannels) * 8 + 1  # samples/block/ch
-    cols = []
-    for ch in range(nchannels):
-        hdr = raw[:, 4 * ch: 4 * ch + 4]
-        pred0 = (hdr[:, 0].astype(np.uint16)
-                 | (hdr[:, 1].astype(np.uint16) << 8)).astype(np.int16)
-        idx0 = hdr[:, 2].astype(np.int32)
-        body = raw[:, 4 * nchannels:]
-        groups = body.reshape(nblocks, -1, 4 * nchannels)
-        chbytes = groups[:, :, 4 * ch: 4 * ch + 4].reshape(nblocks, -1)
-        lo = chbytes & 0x0F
-        hi = chbytes >> 4
-        nib = np.stack([lo, hi], axis=2).reshape(nblocks, -1)
-        # the header predictor is sample 0; nibbles decode samples 1..
-        dec = ima_adpcm_decode_block(nib, pred0.astype(np.int32), idx0)
-        samples = np.concatenate([pred0[:, None], dec], axis=1)
-        cols.append(samples.reshape(-1))
-    out = np.stack(cols, axis=1)
+    out = np.concatenate(parts, axis=0)
     total = min(len(out), nframes if nframes > 0 else len(out))
-    # defensively honor the fact chunk's frame count (last block may be
-    # partial); spb documents the per-block layout for the reshape above
-    assert spb * nblocks >= total
     return out[:total]
 
 
@@ -166,6 +200,7 @@ def _ima_decode_wav_data(data: bytes, nchannels: int, block_align: int,
 # RIFF/WAVE with non-PCM codecs (stdlib wave rejects these)
 # ---------------------------------------------------------------------------
 
+@_malformed_as_decode_error
 def read_wav_any(file: FileLike) -> Tuple[np.ndarray, int, int, int]:
     """Read a WAV file of ANY supported codec -> (frames [n, ch] signed
     int array, rate, width, nch).  Codecs: PCM (1), IEEE float (3),
@@ -256,6 +291,7 @@ def _read_extended80(b: bytes) -> float:
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 
+@_malformed_as_decode_error
 def read_aiff(file: FileLike) -> Tuple[np.ndarray, int, int, int]:
     """Read AIFF / AIFF-C -> (frames [n, ch], rate, width, nch).
 
@@ -329,6 +365,7 @@ def read_aiff(file: FileLike) -> Tuple[np.ndarray, int, int, int]:
 # Sun AU / SND
 # ---------------------------------------------------------------------------
 
+@_malformed_as_decode_error
 def read_au(file: FileLike) -> Tuple[np.ndarray, int, int, int]:
     """Read a Sun .au/.snd file -> (frames [n, ch], rate, width, nch).
 
@@ -369,6 +406,80 @@ def read_au(file: FileLike) -> Tuple[np.ndarray, int, int, int]:
 # ---------------------------------------------------------------------------
 # Dispatcher
 # ---------------------------------------------------------------------------
+
+@_malformed_as_decode_error
+def probe_audio_file(filename: str) -> Tuple[int, int, int]:
+    """Header-only probe -> (nframes, samplerate, nchannels) WITHOUT
+    decoding any audio — the container headers carry everything (library
+    indexers want metadata for directories of long files)."""
+    with open(filename, "rb") as f:
+        magic = f.read(12)
+        f.seek(0)
+        if magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
+            f.read(12)
+            fmt = None
+            data_size = 0
+            fact = -1
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, size = struct.unpack("<4sI", hdr)
+                if cid == b"fmt ":
+                    fmt = f.read(size)
+                elif cid == b"fact" and size >= 4:
+                    fact = struct.unpack("<I", f.read(4))[0]
+                    f.seek(size - 4, 1)
+                elif cid == b"data":
+                    data_size = size
+                    f.seek(size, 1)
+                else:
+                    f.seek(size, 1)
+                if size % 2:
+                    f.seek(1, 1)
+            if fmt is None:
+                raise DecodeError("WAV missing fmt chunk")
+            (tag, nch, rate, _br, ba,
+             bits) = struct.unpack("<HHIIHH", fmt[:16])
+            if tag == 0xFFFE and len(fmt) >= 26:
+                tag = struct.unpack("<H", fmt[24:26])[0]
+            if nch < 1:
+                raise DecodeError("WAV with zero channels")
+            if fact >= 0:
+                return fact, rate, nch
+            if tag == 0x11:
+                spb = (ba - 4 * nch) // (4 * nch) * 8 + 1
+                return (data_size // max(ba, 1)) * spb, rate, nch
+            if tag in (6, 7):
+                return data_size // nch, rate, nch
+            bytes_per_frame = max(nch * max(bits, 8) // 8, 1)
+            return data_size // bytes_per_frame, rate, nch
+        if magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
+            f.read(12)
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, size = struct.unpack(">4sI", hdr)
+                if cid == b"COMM":
+                    body = f.read(size)
+                    nch, nframes, _bits = struct.unpack(">HIH", body[:8])
+                    rate = int(round(_read_extended80(body[8:18])))
+                    return nframes, rate, nch
+                f.seek(size + (size % 2), 1)
+            raise DecodeError("AIFF missing COMM chunk")
+        if magic[:4] == b".snd":
+            hdr = f.read(24)
+            _off, size, enc, rate, nch = struct.unpack(">IIIII", hdr[4:24])
+            bpf = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 27: 1}.get(enc)
+            if bpf is None:
+                raise DecodeError(f"unsupported AU encoding {enc}")
+            if size == 0xFFFFFFFF:
+                import os
+                size = max(os.fstat(f.fileno()).st_size - _off, 0)
+            return size // (bpf * max(nch, 1)), rate, nch
+    raise DecodeError(f"cannot probe {filename!r} (magic {magic[:4]!r})")
+
 
 def decode_audio_file(filename: str) -> Tuple[np.ndarray, int, int, int]:
     """Decode a file by magic bytes (extension-agnostic) -> (frames

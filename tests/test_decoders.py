@@ -423,3 +423,78 @@ def test_golden_checksums(tmp_path):
     ima2 = int(np.sum(
         decoders.read_wav_any(io.BytesIO(blob))[0].astype(np.int64)))
     assert sums["wav_ima"] == ima2
+
+
+def test_wav_ima_partial_final_block(tmp_path):
+    """A short final block (truncated transfer / exact-frame encoders)
+    decodes its present nibble groups instead of being dropped."""
+    rng = np.random.default_rng(0xCAFE)
+    t = np.arange(1200)
+    x = (np.sin(2 * np.pi * 180.0 * t / SR) * 8000).astype(np.int16)
+    data, ba = _ima_encode(x, 505)
+    # cut mid-way through the second block, on a 4-byte group boundary
+    cut = ba + 4 + 40
+    blob = _wav_blob(0x11, 1, SR, 4, ba, data[:cut])
+    frames, rate, width, nch = decoders.read_wav_any(io.BytesIO(blob))
+    expect = 505 + 1 + 40 * 2          # block 1 + header pred + 80 nibbles
+    assert len(frames) == expect
+    full, *_ = decoders.read_wav_any(
+        io.BytesIO(_wav_blob(0x11, 1, SR, 4, ba, data, nframes=1200)))
+    np.testing.assert_array_equal(frames[:, 0], full[:expect, 0])
+
+
+def test_malformed_files_raise_decode_error(tmp_path):
+    """Truncated/odd-sized containers surface as DecodeError (and as
+    StreamingError through the ladder), never raw struct/numpy errors."""
+    # stereo AIFF whose SSND payload is not a whole number of frames
+    x = tone(nch=1)
+    comm = struct.pack(">HIH", 2, len(x), 16) + _extended80(SR) + b"NONE"
+    ssnd = struct.pack(">II", 0, 0) + x.astype(">i2").tobytes()[:-3]
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    blob = b"FORM" + struct.pack(">I", len(body)) + body
+    with pytest.raises(decoders.DecodeError):
+        decoders.read_aiff(io.BytesIO(blob))
+    # short COMM chunk
+    body2 = b"AIFF" + b"COMM" + struct.pack(">I", 4) + b"\x00\x01\x00\x00" \
+        + b"SSND" + struct.pack(">I", 8) + struct.pack(">II", 0, 0)
+    with pytest.raises(decoders.DecodeError):
+        decoders.read_aiff(io.BytesIO(b"FORM"
+                                      + struct.pack(">I", len(body2))
+                                      + body2))
+    # the streaming ladder maps it to StreamingError
+    from synthesizer_tpu.streaming import StreamingError
+    p = tmp_path / "bad.aiff"
+    p.write_bytes(blob)
+    with pytest.raises(StreamingError):
+        AudiofileToWavStream(str(p))
+
+
+def test_probe_audio_file_headers_only(tmp_path):
+    """probe_audio_file returns (nframes, rate, nch) from headers for
+    every supported family — no PCM decode."""
+    x = tone(n=1234)
+    pa = tmp_path / "p.aiff"
+    _write_aiff(pa, x)
+    assert decoders.probe_audio_file(str(pa)) == (1234, SR, 2)
+
+    import sunau
+    pu = tmp_path / "p.au"
+    with sunau.open(str(pu), "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(SR)
+        f.setcomptype("NONE", "")
+        f.writeframes(x.astype(">i2").tobytes())
+    assert decoders.probe_audio_file(str(pu)) == (1234, SR, 2)
+
+    pw = tmp_path / "p.wav"
+    pw.write_bytes(_wav_blob(1, 2, SR, 16, 4, x.astype("<i2").tobytes()))
+    assert decoders.probe_audio_file(str(pw)) == (1234, SR, 2)
+
+    if audioop is not None:
+        mono = tone(nch=1)
+        data = audioop.lin2ulaw(mono.tobytes(), 2)
+        pc = tmp_path / "c.wav"
+        pc.write_bytes(_wav_blob(7, 1, SR, 8, 1, data, nframes=len(mono)))
+        assert decoders.probe_audio_file(str(pc)) == (len(mono), SR, 1)

@@ -25,10 +25,10 @@ AMPMAX_GAIN = 12
 ECHO_GAIN = 3       # 1 + amount taps (amount=2 below)
 # effects (beyond-reference): budget from goldref.effects plus a small
 # multiplier for how they propagate an existing input error (dry+wet paths)
-FX_MULT = {"chorus": 2, "compress": 2, "reverb": 2, "convolve": 2,
-           "filter": 2, "gate": 2}
-FX_COST = {"chorus": 2, "compress": 2, "reverb": 4, "convolve": 8,
-           "filter": 4, "gate": 2}
+FX_MULT = {"chorus": 2, "compress": 2, "compress_sc": 2, "reverb": 2,
+           "convolve": 2, "filter": 2, "gate": 2}
+FX_COST = {"chorus": 2, "compress": 2, "compress_sc": 2, "reverb": 4,
+           "convolve": 8, "filter": 4, "gate": 2}
 # (stretch is deliberately NOT in the pool: the phase vocoder is nonlinear
 # in the signal — a tiny accumulated input difference flips princarg wrap
 # branches at near-zero bins and diverges arbitrarily; it gets its own
@@ -44,6 +44,21 @@ def _fuzz_convolve(s):
         return s.convolve(gs.Sample(ir, s.samplerate, 2, 1), wet=0.4, dry=0.6)
     return s.convolve(Sample.from_raw_frames(ir.tobytes(), 2, s.samplerate, 1),
                       wet=0.4, dry=0.6)
+def _fuzz_compress_sc(s):
+    """Sidechain ducking in a chain: a deterministic pulse-train KEY at
+    the sample's (possibly resampled) rate, composed as a sub-program on
+    the device side (CLAUDE.md: every staged op joins this pool)."""
+    key = np.zeros((800, 1), np.int16)
+    key[::200] = 24000
+    kw = dict(threshold_db=-20.0, ratio=6.0, attack=0.001, release=0.02)
+    if isinstance(s, gs.Sample):
+        return s.compress(sidechain=gs.Sample(key, s.samplerate, 2, 1),
+                          **kw)
+    return s.compress(
+        sidechain=Sample.from_raw_frames(key.tobytes(), 2,
+                                         s.samplerate, 1), **kw)
+
+
 OPS = [
     ("amplify", lambda s: s.amplify(0.7), 0),
     ("amplify_neg", lambda s: s.amplify(-0.4), 0),
@@ -67,6 +82,7 @@ OPS = [
                                   wet=0.4), 0),
     ("compress", lambda s: s.compress(threshold_db=-18.0, ratio=3.0,
                                       attack=0.002, release=0.05), 0),
+    ("compress_sc", lambda s: _fuzz_compress_sc(s), 0),
     ("reverb", lambda s: s.reverb(roomsize=0.6, damping=0.5, wet=0.25,
                                   dry=0.7, tail=0.03), 0),
     ("convolve", _fuzz_convolve, 0),

@@ -464,3 +464,38 @@ lead = C4 . E4 .
     for name in ("k", "lead"):
         with _wave.open(str(tmp_path / "stems" / f"{name}.wav")) as w:
             assert w.getnframes() > 0
+
+
+def test_mono_song_stems_and_sidechain(monkeypatch):
+    """Mono songs (params.norm_nchannels = 1 — instrument normalization
+    otherwise upmixes everything to stereo) go through mix_stems and
+    sidechain keys too (the from_jax width-vs-channels argument bug
+    class, review r3 #1)."""
+    from synthesizer_tpu import WaveSynth, params
+    from synthesizer_tpu.sequencer import Song
+    from synthesizer_tpu.effects import parse_fx_items
+    monkeypatch.setattr(params, "norm_nchannels", 1)
+    ws = WaveSynth(samplerate=44100, samplewidth=2)
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_instrument("kick", ws.sine(60, 0.08, amplitude=0.5)
+                        .fadeout(0.05))             # MONO instrument
+    song.add_sampler("gtr", ws.pluck(261.63, 0.1, amplitude=0.4, seed=5)
+                     .fadeout(0.03), base_note="C4")
+    song.add_pattern("a", {"kick": "x.x.x.x.", "gtr": "C4 .. E4 .. .. .."})
+    song.pattern_sequence = ["a"]
+    song.sampler_fx["gtr"] = parse_fx_items(
+        [("compress", "threshold_db=-16 ratio=8 sidechain=kick")])
+    assert song.nchannels == 1
+    off = song.mix(normalize=False, tail_seconds=0.1).get_frame_array()
+    assert off.shape[1] == 1 and np.abs(off).max() > 1000
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1024)])
+    d = np.abs(got.astype(np.int64)
+               - off[:len(got)].astype(np.int64)).max()
+    assert d <= 8, d
+    stems = song.mix_stems(tail_seconds=0.1)
+    assert set(stems) == {"kick", "gtr"}
+    for s in stems.values():
+        assert s.samplewidth == 2
