@@ -110,6 +110,10 @@ filter = kind=highpass cutoff=6000 q=0.7071
 ; per-sampler-track chain: the pluck gets its own slap-room
 reverb = roomsize=0.35 damping=0.7 wet=0.2 dry=0.9 tail=0.25
 
+[fx.pad]
+; sidechain ducking (round 3): the pad pumps under the kick
+compress = threshold_db=-14 ratio=8 attack=0.002 release=0.11 sidechain=kick
+
 [fx]
 compress = threshold_db=-11 ratio=3 attack=0.004 release=0.1 makeup_db=1
 filter = kind=lowpass cutoff=9000 q=0.7071

@@ -440,6 +440,8 @@ def test_tracker_example_song(tmp_path):
     assert song.instruments["snare"].nframes > 1000
     assert "fx.compress.release" in song.automation
     assert "fx.reverb.roomsize" in song.automation
+    assert any(n == "compress" and p.get("sidechain") == "kick"
+               for n, p in song.sampler_fx["pad"])
     song.pattern_sequence = ["a"]        # one bar keeps CI light
     off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
     assert np.abs(off).max() > 1000
