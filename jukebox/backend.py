@@ -80,7 +80,7 @@ class MusicLibrary:
                 except Exception:
                     return False
         elif path.lower().endswith((".aif", ".aiff", ".aifc", ".au",
-                                    ".snd")):
+                                    ".snd", ".flac")):
             # in-process formats (round 3): full duration metadata with
             # no external binary, headers only
             try:

@@ -3,10 +3,10 @@
 Rebuild of ``synthplayer/streaming.py`` (SURVEY.md §3.1 row 7, §4.4):
 
 * ``AudiofileToWavStream`` — decode any audio file to a PCM WAV pipe.  WAV
-  (and raw PCM) files stream natively; AIFF/AIFF-C, Sun AU, and compressed
-  WAV codecs (G.711 u-law/A-law, IMA ADPCM, IEEE float) decode IN-PROCESS
-  (utils.decoders — no external binary needed); the remaining formats
-  (mp3/ogg/flac...) spawn an ffmpeg (or oggdec) subprocess when the binary
+  (and raw PCM) files stream natively; AIFF/AIFF-C, Sun AU, FLAC, and
+  compressed WAV codecs (G.711 u-law/A-law, IMA ADPCM, IEEE float) decode
+  IN-PROCESS (utils.decoders / utils.flac — no external binary needed);
+  the remaining formats (mp3/ogg/...) spawn an ffmpeg (or oggdec) subprocess when the binary
   exists — this machine has neither (SURVEY.md §8), so the subprocess path
   is present but exercised only when available.
 * ``SampleStream`` — iterate a WAV stream as fixed-size device Samples.
@@ -76,7 +76,8 @@ class AudiofileToWavStream(io.RawIOBase):
         lower = filename.lower()
         if lower.endswith((".wav", ".wave")):
             self._open_wav()
-        elif lower.endswith((".aif", ".aiff", ".aifc", ".au", ".snd")):
+        elif lower.endswith((".aif", ".aiff", ".aifc", ".au", ".snd",
+                             ".flac")):
             # spec-stable formats decode in-process (no ffmpeg needed)
             self._open_host_decoder()
         else:

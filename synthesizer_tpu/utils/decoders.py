@@ -2,7 +2,8 @@
 
 "Decode anything" (SURVEY.md §3.1 row 7) must not depend on an ffmpeg
 binary this machine does not have: these parsers make AIFF / AIFF-C, Sun
-AU, and the common compressed WAV codecs (G.711 u-law/A-law, IMA ADPCM)
+AU, FLAC (utils/flac.py — Rice/LPC hot loops in native/flacdec.c), and
+the common compressed WAV codecs (G.711 u-law/A-law, IMA ADPCM)
 decodable in-process, feeding the existing device convert pipeline
 (AudiofileToWavStream._normalized_wav).  Pure numpy — container walking
 and bit-twiddling is host work; the PCM goes to the device afterwards.
@@ -478,6 +479,12 @@ def probe_audio_file(filename: str) -> Tuple[int, int, int]:
                 import os
                 size = max(os.fstat(f.fileno()).st_size - _off, 0)
             return size // (bpf * max(nch, 1)), rate, nch
+        if magic[:4] == b"fLaC":
+            from .flac import FlacError, probe_flac
+            try:
+                return probe_flac(filename)
+            except FlacError as e:
+                raise DecodeError(str(e)) from e
     raise DecodeError(f"cannot probe {filename!r} (magic {magic[:4]!r})")
 
 
@@ -493,5 +500,11 @@ def decode_audio_file(filename: str) -> Tuple[np.ndarray, int, int, int]:
         return read_aiff(filename)
     if magic[:4] == b".snd":
         return read_au(filename)
+    if magic[:4] == b"fLaC":
+        from .flac import FlacError, read_flac
+        try:
+            return read_flac(filename)
+        except FlacError as e:
+            raise DecodeError(str(e)) from e
     raise DecodeError(f"cannot decode {filename!r} in-process "
                       f"(magic {magic[:4]!r})")
