@@ -150,3 +150,28 @@ uint16_t flac_crc16(const uint8_t *buf, long long n) {
     }
     return c;
 }
+
+/* Append zigzag+Rice-coded residuals at a bit position; returns the new
+ * bit position or -1 if the buffer would overflow (caller falls back to
+ * a verbatim subframe).  The encoding twin of the decode loop above. */
+long long flac_write_rice(uint8_t *buf, long long cap_bytes,
+                          long long bitpos, const int32_t *res, int n,
+                          int k) {
+    long long cap = cap_bytes * 8;
+    for (int i = 0; i < n; i++) {
+        int64_t r = res[i];
+        uint64_t u = (r < 0) ? ((uint64_t)(-(r + 1)) << 1) | 1
+                             : (uint64_t)r << 1;
+        uint64_t q = u >> k;
+        if (bitpos + (long long)q + 1 + k > cap) return -1;
+        bitpos += (long long)q;            /* q zero bits (buf pre-zeroed) */
+        buf[bitpos >> 3] |= (uint8_t)(0x80 >> (bitpos & 7));
+        bitpos++;
+        for (int j = k - 1; j >= 0; j--) {
+            if ((u >> j) & 1)
+                buf[bitpos >> 3] |= (uint8_t)(0x80 >> (bitpos & 7));
+            bitpos++;
+        }
+    }
+    return bitpos;
+}

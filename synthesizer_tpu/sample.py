@@ -632,6 +632,20 @@ class Sample:
                         self._samplewidth, self._nchannels)
         return self
 
+    def write_flac(self, file) -> "Sample":
+        """Write the sample losslessly as FLAC (utils.flac encoder —
+        fixed predictors + native Rice coding; decode is bit-identical)."""
+        from .utils.flac import write_flac
+        write_flac(file, self.get_frame_array(), self._samplerate,
+                   self._samplewidth, self._nchannels)
+        return self
+
+    def write_audio(self, file) -> "Sample":
+        """Write WAV or FLAC, chosen by the filename extension."""
+        if isinstance(file, str) and file.lower().endswith(".flac"):
+            return self.write_flac(file)
+        return self.write_wav(file)
+
     # -- scaling -----------------------------------------------------------------------
 
     def amplify(self, factor: float) -> "Sample":

@@ -350,3 +350,67 @@ def test_flac_through_streaming_and_jukebox(tmp_path):
     hit = lib.search("t")[0]
     assert hit.duration == pytest.approx(2000 / SR, abs=1e-6)
     lib.close()
+
+
+# ---------------------------------------------------------------------------
+# encoder (write_flac): decode(encode(x)) is identity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("width", [1, 2, 4])
+def test_write_flac_roundtrip_widths(width, rng):
+    dt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+    info = np.iinfo(dt)
+    n = 9000
+    t = np.arange(n)
+    smooth = np.rint(np.sin(2 * np.pi * 220 * t / SR)
+                     * (info.max * 0.7)).astype(np.int64)
+    noisy = rng.integers(info.min, info.max + 1, n).astype(np.int64)
+    x = np.stack([smooth, noisy], axis=1).astype(dt)
+    x[:500] = info.min                       # constant run + extremes
+    bio = io.BytesIO()
+    F.write_flac(bio, x, SR, width, 2)
+    y, rate, w2, nch = F.read_flac(io.BytesIO(bio.getvalue()))
+    assert (rate, w2, nch) == (SR, width, 2)
+    np.testing.assert_array_equal(y, x)
+
+
+def test_write_flac_compresses_smooth_audio():
+    n = 40000
+    t = np.arange(n)
+    sig = np.rint(np.sin(2 * np.pi * 220 * t / SR) * 12000).astype(np.int16)
+    x = np.stack([sig, sig], axis=1)
+    bio = io.BytesIO()
+    F.write_flac(bio, x, SR, 2, 2)
+    assert bio.tell() < 0.6 * x.nbytes       # fixed predictors earn keep
+
+
+def test_sample_write_flac_and_cli(tmp_path):
+    import subprocess
+    import sys as _sys
+    from synthesizer_tpu import WaveSynth
+    from synthesizer_tpu.sample import Sample
+    smp = WaveSynth(samplerate=SR, samplewidth=2) \
+        .sine(330, 0.2, amplitude=0.6).stereo()
+    p = tmp_path / "s.flac"
+    smp.write_flac(str(p))
+    back = Sample(wave_file=str(p))          # loader round-trips via magic
+    np.testing.assert_array_equal(back.get_frame_array(),
+                                  smp.get_frame_array())
+    # write_audio dispatches on extension
+    smp.write_audio(str(tmp_path / "s2.flac"))
+    assert (tmp_path / "s2.flac").read_bytes()[:4] == b"fLaC"
+    # trackmixer -o out.flac goes through the same path
+    WaveSynth(samplerate=44100, samplewidth=2).sine(200, 0.05).stereo() \
+        .write_wav(str(tmp_path / "k.wav"))
+    (tmp_path / "s.ini").write_text(
+        "[song]\nbpm = 240\nticks = 4\npatterns = a\n"
+        "[instruments]\nk = k.wav\n[pattern.a]\nk = x.x.\n")
+    out = subprocess.run(
+        [_sys.executable, "/root/repo/trackmixer.py",
+         str(tmp_path / "s.ini"), "-o", str(tmp_path / "mix.flac")],
+        capture_output=True, text=True, timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"})
+    assert out.returncode == 0, out.stderr
+    frames, rate, width, nch = F.read_flac(str(tmp_path / "mix.flac"))
+    assert rate == 44100 and nch == 2 and len(frames) > 1000

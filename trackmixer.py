@@ -25,7 +25,7 @@ from synthesizer_tpu import LevelMeter, Output, Song
 def mix_to_wav(song: Song, outfile: str, normalize: bool = True) -> None:
     t0 = time.perf_counter()
     mixed = song.mix(normalize=normalize)
-    mixed.write_wav(outfile)
+    mixed.write_audio(outfile)          # .flac extension -> lossless FLAC
     dt = time.perf_counter() - t0
     print(f"mixed {mixed.duration:.2f}s of audio in {dt:.3f}s "
           f"({mixed.duration / dt:.0f}x realtime) -> {outfile}")
@@ -186,6 +186,9 @@ def main(argv=None) -> int:
                     help="render every track to DIR/NAME.wav (pre-master "
                          "stems: per-track fx applied, master chain and "
                          "normalization skipped) and exit")
+    ap.add_argument("--stem-format", choices=("wav", "flac"),
+                    default="wav", help="stem file format (flac = "
+                    "in-process lossless encoder)")
     args = ap.parse_args(argv)
     if args.start < 0:
         ap.error("--start must be >= 0")
@@ -211,8 +214,9 @@ def main(argv=None) -> int:
             _os.makedirs(args.stems, exist_ok=True)
             t0 = _t.perf_counter()
             stems = song.mix_stems()
+            ext = ".flac" if args.stem_format == "flac" else ".wav"
             for name, smp in stems.items():
-                smp.write_wav(_os.path.join(args.stems, f"{name}.wav"))
+                smp.write_audio(_os.path.join(args.stems, f"{name}{ext}"))
             dt = _t.perf_counter() - t0
             dur = next(iter(stems.values())).duration if stems else 0.0
             print(f"rendered {len(stems)} stems x {dur:.2f}s in {dt:.3f}s "
