@@ -82,11 +82,13 @@ class MusicLibrary:
         elif path.lower().endswith((".aif", ".aiff", ".aifc", ".au",
                                     ".snd", ".flac")):
             # in-process formats (round 3): full duration metadata with
-            # no external binary, headers only
+            # no external binary, headers only.  A file the probe cannot
+            # parse still gets indexed with zero duration (an
+            # ffmpeg-equipped deck may play it anyway)
             try:
                 duration, rate, nch = _probe(path)
             except Exception:
-                return False
+                pass
         try:
             self.db.execute(
                 "INSERT OR IGNORE INTO tracks(path, title, duration, samplerate, nchannels) "

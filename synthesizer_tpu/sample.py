@@ -642,9 +642,12 @@ class Sample:
 
     def write_audio(self, file) -> "Sample":
         """Write WAV or FLAC, chosen by the filename extension."""
-        if isinstance(file, str) and file.lower().endswith(".flac"):
-            return self.write_flac(file)
-        return self.write_wav(file)
+        import os as _os
+        name = _os.fspath(file) if isinstance(file, (str, _os.PathLike)) \
+            else None
+        if isinstance(name, str) and name.lower().endswith(".flac"):
+            return self.write_flac(name)
+        return self.write_wav(name if name is not None else file)
 
     # -- scaling -----------------------------------------------------------------------
 

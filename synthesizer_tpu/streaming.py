@@ -78,8 +78,15 @@ class AudiofileToWavStream(io.RawIOBase):
             self._open_wav()
         elif lower.endswith((".aif", ".aiff", ".aifc", ".au", ".snd",
                              ".flac")):
-            # spec-stable formats decode in-process (no ffmpeg needed)
-            self._open_host_decoder()
+            # spec-stable formats decode in-process (no ffmpeg needed);
+            # files the in-process decoder rejects (ID3-prefixed flac,
+            # damaged frames) still get ffmpeg when it exists
+            try:
+                self._open_host_decoder()
+            except StreamingError:
+                if _ffmpeg_path() is None:
+                    raise
+                self._open_ffmpeg()
         else:
             self._open_ffmpeg()
 

@@ -125,6 +125,29 @@ class _BitReader:
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
+    def sint_array(self, n_items: int, width: int) -> np.ndarray:
+        """n_items back-to-back width-bit signed ints, vectorized (the
+        VERBATIM subframe path — a per-sample Python loop here would cost
+        ~width interpreter iterations per sample)."""
+        if width == 0:
+            return np.zeros(n_items, np.int64)
+        start = self.pos
+        total = n_items * width
+        if start + total > len(self.data) * 8:
+            raise FlacError("truncated FLAC stream")
+        b0 = start >> 3
+        b1 = (start + total + 7) >> 3
+        bits = np.unpackbits(np.frombuffer(self.data, np.uint8,
+                                           count=b1 - b0, offset=b0))
+        bits = bits[start - 8 * b0: start - 8 * b0 + total]             .reshape(n_items, width).astype(np.int64)
+        weights = (np.int64(1) << np.arange(width - 1, -1, -1,
+                                            dtype=np.int64))
+        vals = bits @ weights
+        vals = np.where(bits[:, 0] == 1, vals - (np.int64(1) << width),
+                        vals)
+        self.pos = start + total
+        return vals
+
 
 # ---------------------------------------------------------------------------
 # CRCs (FLAC: CRC-8 poly 0x07 over the frame header, CRC-16 poly 0x8005
@@ -304,14 +327,21 @@ def _decode_subframe(data: bytes, br: _BitReader, n: int, bps: int
     eff = bps - wasted
     if eff <= 0:
         raise FlacError("wasted bits exceed sample size")
+    if eff > 32:
+        # a 32-bit stream's SIDE channel is 33 bits wide; the int32
+        # decode pipeline cannot represent it — refuse loudly instead of
+        # silently wrapping through the LPC arithmetic shift
+        raise FlacError("33-bit side channel (32-bps decorrelated "
+                        "stereo) is not supported")
     out = np.zeros(n, np.int32)
     if stype == 0:                                   # CONSTANT
         out[:] = br.sint(eff)
     elif stype == 1:                                 # VERBATIM
-        for i in range(n):
-            out[i] = br.sint(eff)
+        out[:] = br.sint_array(n, eff)
     elif 8 <= stype <= 12:                           # FIXED order 0-4
         order = stype - 8
+        if order > n:
+            raise FlacError("predictor order exceeds blocksize")
         for i in range(order):
             out[i] = br.sint(eff)
         method = br.uint(2)
@@ -322,6 +352,8 @@ def _decode_subframe(data: bytes, br: _BitReader, n: int, bps: int
                                    part_order, None, 0, 0, order)
     elif stype >= 32:                                # LPC order 1-32
         order = (stype & 31) + 1
+        if order > n:
+            raise FlacError("predictor order exceeds blocksize")
         for i in range(order):
             out[i] = br.sint(eff)
         prec = br.uint(4)
@@ -539,6 +571,23 @@ class _BitBuf:
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
+    def sint_array(self, values: np.ndarray, width: int) -> None:
+        """Append back-to-back width-bit signed ints, vectorized (the
+        VERBATIM encode path)."""
+        vals = values.astype(np.int64) & ((np.int64(1) << width) - 1)
+        shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+        bits = ((vals[:, None] >> shifts[None, :]) & 1)             .astype(np.uint8).reshape(-1)
+        start = self.pos
+        lead = start & 7
+        padded = np.concatenate([np.zeros(lead, np.uint8), bits])
+        tail = (-len(padded)) % 8
+        if tail:
+            padded = np.concatenate([padded, np.zeros(tail, np.uint8)])
+        packed = np.packbits(padded)
+        b0 = start >> 3
+        self.buf[b0:b0 + len(packed)] |= packed
+        self.pos = start + bits.size
+
     def bytes_out(self) -> bytes:
         assert self.pos % 8 == 0
         return self.buf[: self.pos // 8].tobytes()
@@ -549,7 +598,6 @@ def _utf8_number(w: _BitBuf, v: int) -> None:
     if v < 0x80:
         w.uint(v, 8)
         return
-    payload = []
     nbytes = 2
     while v >= (1 << (6 * (nbytes - 1) + (7 - nbytes))):
         nbytes += 1
@@ -628,6 +676,10 @@ def write_flac(file: FileLike, frames: np.ndarray, samplerate: int,
     bps_code = {8: 1, 16: 4, 32: 7}[bps]
     if samplerate >= (1 << 20):
         raise FlacError("samplerate too large for STREAMINFO")
+    if not 1 <= nchannels <= 8:
+        raise FlacError("FLAC supports 1-8 channels")
+    if not 16 <= blocksize <= 65535:
+        raise FlacError("blocksize must be in [16, 65535]")
     out = bytearray(b"fLaC")
     si = _BitBuf(64)
     si.uint(min(blocksize, max(n, 16)), 16)
@@ -723,5 +775,4 @@ def _encode_subframe(w: _BitBuf, s: np.ndarray, bs: int, bps: int) -> None:
     w.uint(0, 1)
     w.uint(1, 6)                              # VERBATIM
     w.uint(0, 1)
-    for v in s:
-        w.sint(int(v), bps)
+    w.sint_array(np.asarray(s), bps)
