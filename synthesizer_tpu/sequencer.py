@@ -420,6 +420,12 @@ class Song:
         #: processes it before it joins the int32 mix (same pattern as
         #: synth_fx)
         self.sampler_fx: Dict[str, List[Tuple[str, dict]]] = {}
+        #: DRUM-instrument chains that need a TIMELINE (sidechain
+        #: compression): instead of baking into the banked WAV, the
+        #: instrument's own hits render as a separate bus and the chain
+        #: processes it at mix time — what makes "duck the hat by the
+        #: kick" expressible
+        self.drum_fx_bus: Dict[str, List[Tuple[str, dict]]] = {}
         #: automation curves ([automation] ini section): breakpoint lists
         #: of (tick, value) pairs, linearly interpolated, ends held.
         #: ``track.NAME.volume`` scales each hit/note by the curve at its
@@ -575,12 +581,11 @@ class Song:
         else:
             if any(n == "compress" and p.get("sidechain")
                    for n, p in fx):
-                raise ValueError(
-                    f"[fx.{instrument}]: sidechain compression is only "
-                    f"available on synth/sampler track chains and the "
-                    f"master [fx] chain (a sample instrument's chain "
-                    f"bakes into its WAV, which has no timeline)")
-            apply_fx_sample(self.instruments[instrument], fx, irs)
+                # a timeline-dependent chain cannot bake into the WAV:
+                # the instrument's hits get their own bus at mix time
+                self.drum_fx_bus[instrument] = fx
+            else:
+                apply_fx_sample(self.instruments[instrument], fx, irs)
 
     def add_automation(self, key: str, points) -> None:
         """Attach an automation curve (the [automation] ini section).
@@ -1237,6 +1242,14 @@ class Song:
         masks += [(ptr == n, n) for n in sfx]
         return masks
 
+    def _drum_bus_tail(self) -> int:
+        """Longest drum-bus chain decay tail, in frames."""
+        if not self.drum_fx_bus:
+            return 0
+        from .effects import chain_tail_frames
+        return max(chain_tail_frames(fx, self.samplerate, self.fx_irs)
+                   for fx in self.drum_fx_bus.values())
+
     def _sampler_fx_tail(self, ptracks: Sequence[str]) -> int:
         """Longest per-sampler-track chain decay tail, in frames."""
         names = self._fx_sampler_tracks(ptracks)
@@ -1246,12 +1259,29 @@ class Song:
         return max(chain_tail_frames(self.sampler_fx[n], self.samplerate,
                                      self.fx_irs) for n in names)
 
+    def _drum_bus_split(self, sched: HitSchedule):
+        """(main_mask [H] bool, {name: hit_mask}) — hits of drum-bus
+        instruments leave the main scatter and render as their own
+        buses."""
+        main = np.ones(len(sched.hits), bool)
+        buses = {}
+        for name in sorted(self.drum_fx_bus):
+            if name not in sched.instruments:
+                continue
+            idx = sched.instruments.index(name)
+            m = sched.hits[:, 0] == idx
+            if m.any():
+                buses[name] = m
+                main &= ~m
+        return main, buses
+
     def _used_sidechains(self) -> set:
         """Instrument names referenced by ``compress sidechain=`` entries
         across the master and per-track chains."""
         names = set()
         for chain in ([self.fx] + list(self.synth_fx.values())
-                      + list(self.sampler_fx.values())):
+                      + list(self.sampler_fx.values())
+                      + list(self.drum_fx_bus.values())):
             for n, p in chain:
                 if n == "compress" and p.get("sidechain"):
                     names.add(p["sidechain"])
@@ -1398,7 +1428,8 @@ class Song:
         return (max(sched.total_frames, self._synth_end_frame(voices),
                     pitched_end)
                 + max(self._synth_fx_tail(vtracks),
-                      self._sampler_fx_tail(self._last_pitched_tracks))
+                      self._sampler_fx_tail(self._last_pitched_tracks),
+                      self._drum_bus_tail())
                 + int(tail_seconds * self.samplerate))
 
     # -- offline mixdown ------------------------------------------------------
@@ -1429,7 +1460,8 @@ class Song:
         total = max(sched.total_frames, self._synth_end_frame(voices),
                     pitched_end) \
             + max(self._synth_fx_tail(vtracks),
-                  self._sampler_fx_tail(self._last_pitched_tracks)) \
+                  self._sampler_fx_tail(self._last_pitched_tracks),
+                  self._drum_bus_tail()) \
             + int(tail_seconds * self.samplerate)
         if max_frames is not None:
             # a caller-imposed limit (the render server's DoS bound) must
@@ -1467,19 +1499,34 @@ class Song:
                                  sidechain_keys=sc_keys)
                 out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
         if len(sched.hits):
+            main_m, drum_buses = self._drum_bus_split(sched)
             if mesh is not None:
                 from .parallel.mesh import scatter_mix_sharded
-                out32 = out32 + scatter_mix_sharded(
-                    jnp.asarray(sched.bank),
-                    sched.hits[:, 0].astype(np.int32),
-                    sched.hits[:, 1].astype(np.int32), total, mesh,
-                    hits_gain=sched.gains)
-            else:
+                if main_m.any():
+                    out32 = out32 + scatter_mix_sharded(
+                        jnp.asarray(sched.bank),
+                        sched.hits[main_m, 0].astype(np.int32),
+                        sched.hits[main_m, 1].astype(np.int32), total,
+                        mesh, hits_gain=sched.gains[main_m])
+            elif main_m.any():
                 out32 = out32 + _mixdown_kernel(
                     jnp.asarray(sched.bank),
-                    jnp.asarray(sched.hits[:, 0].astype(np.int32)),
-                    jnp.asarray(sched.hits[:, 1].astype(np.int32)),
-                    total, jnp.asarray(sched.gains))
+                    jnp.asarray(sched.hits[main_m, 0].astype(np.int32)),
+                    jnp.asarray(sched.hits[main_m, 1].astype(np.int32)),
+                    total, jnp.asarray(sched.gains[main_m]))
+            from .effects import run_fx_chain_ops
+            for name, m in drum_buses.items():
+                acc = _mixdown_kernel(
+                    jnp.asarray(sched.bank),
+                    jnp.asarray(sched.hits[m, 0].astype(np.int32)),
+                    jnp.asarray(sched.hits[m, 1].astype(np.int32)),
+                    total, jnp.asarray(sched.gains[m]))
+                ds = Sample.from_jax(
+                    jnp.clip(acc, -32768, 32767).astype(jnp.int16),
+                    self.samplerate, 2, name=f"dbus:{name}")
+                run_fx_chain_ops(ds, self.drum_fx_bus[name], self.fx_irs,
+                                 sidechain_keys=sc_keys)
+                out32 = out32 + ds.jax_frames[:total].astype(jnp.int32)
         if voices:
             if mesh is not None and fx_tracks:
                 # grouped render OVER THE MESH: voices (with their segment
@@ -1579,7 +1626,8 @@ class Song:
         total = max(sched.total_frames, self._synth_end_frame(voices),
                     pitched_end) \
             + max(self._synth_fx_tail(vtracks),
-                  self._sampler_fx_tail(self._last_pitched_tracks)) \
+                  self._sampler_fx_tail(self._last_pitched_tracks),
+                  self._drum_bus_tail()) \
             + int(tail_seconds * self.samplerate)
         if total == 0:
             return {}
@@ -1598,9 +1646,16 @@ class Song:
                 jnp.asarray(sched.hits[m, 0].astype(np.int32)),
                 jnp.asarray(sched.hits[m, 1].astype(np.int32)),
                 total, jnp.asarray(sched.gains[m]))
-            stems[name] = Sample.from_jax(
+            smp = Sample.from_jax(
                 jnp.clip(acc, -32768, 32767).astype(jnp.int16),
                 self.samplerate, 2, name=f"stem:{name}")
+            if name in self.drum_fx_bus:
+                # timeline-dependent drum chain: the stem is post-chain,
+                # exactly what this track contributes to mix()
+                run_fx_chain_ops(smp, self.drum_fx_bus[name],
+                                 self.fx_irs, sidechain_keys=sc_keys)
+                smp.truncate_frames(total)
+            stems[name] = smp
 
         # sampler tracks: each track's own pitched rows (+ its chain)
         ptr = np.asarray(self._last_pitched_tracks)
@@ -1744,7 +1799,8 @@ class Song:
         total = (max(sched.total_frames, self._synth_end_frame(voices),
                      pitched_end)
                  + max(self._synth_fx_tail(vtracks),
-                       self._sampler_fx_tail(self._last_pitched_tracks)))
+                       self._sampler_fx_tail(self._last_pitched_tracks),
+                       self._drum_bus_tail()))
         start_frame = int(start_frame)
         if start_frame < 0:
             raise ValueError("start_frame must be >= 0")
@@ -1851,11 +1907,38 @@ class Song:
         first_c = np.maximum(0, (starts - start_frame) // cf)
         last_c = np.minimum(nchunks - 1,
                             (starts + lengths_of_hit - 1 - start_frame) // cf)
+        # drum-bus instruments leave the main chunk rows and run their
+        # own per-chunk scatter + stateful chain (mirrors the offline
+        # split; the bus renders unsharded even under mesh= — it is one
+        # instrument's hits, tiny next to the main scatter)
+        main_m, drum_buses = self._drum_bus_split(sched)
+        bus_of_hit: Dict[int, str] = {}
+        for bname, bm in drum_buses.items():
+            for h in np.nonzero(bm)[0]:
+                bus_of_hit[int(h)] = bname
         per_chunk: List[List[int]] = [[] for _ in range(nchunks)]
+        bus_chunks: Dict[str, List[List[int]]] = {
+            bname: [[] for _ in range(nchunks)] for bname in drum_buses}
         for h in range(len(starts)):
+            target = (bus_chunks[bus_of_hit[h]] if h in bus_of_hit
+                      else per_chunk)
             for c in range(int(first_c[h]), int(last_c[h]) + 1):
-                per_chunk[c].append(h)
+                target[c].append(h)
         max_active = max((len(h) for h in per_chunk), default=1) or 1
+        drum_chains: Dict[str, "object"] = {}
+        bus_K: Dict[str, int] = {}
+        if drum_buses:
+            from .effects import FxChain
+            sc = (sidechain_keys if sidechain_keys is not None
+                  else self._sidechain_key_fns())
+            for bname in drum_buses:
+                drum_chains[bname] = FxChain(
+                    self.drum_fx_bus[bname], self.samplerate,
+                    self.nchannels, self.fx_irs,
+                    start_frame=start_frame, sidechain_keys=sc)
+                kb = max((len(h) for h in bus_chunks[bname]),
+                         default=1) or 1
+                bus_K[bname] = 1 << max(0, kb - 1).bit_length()
 
         K = max_active
         if mesh is not None:
@@ -1889,6 +1972,27 @@ class Song:
                 [gg, np.zeros((pad, self.nchannels), np.float32)])
                 .astype(np.float32))
             acc = chunk_fn(inst_k, start_k, valid_k, gain_k, jnp.int32(c0))
+            for bname, chunks_b in bus_chunks.items():
+                hb = chunks_b[ci][:bus_K[bname]]
+                padb = bus_K[bname] - len(hb)
+                accb = _stream_chunk_fn(cf, lmax)(
+                    bank,
+                    jnp.asarray(np.concatenate(
+                        [insts[hb], np.zeros(padb, np.int64)])
+                        .astype(np.int32)),
+                    jnp.asarray(np.concatenate(
+                        [starts[hb], np.zeros(padb, np.int64)])
+                        .astype(np.int32)),
+                    jnp.asarray(np.concatenate(
+                        [np.ones(len(hb), bool), np.zeros(padb, bool)])),
+                    jnp.asarray(np.concatenate(
+                        [sched.gains[hb],
+                         np.zeros((padb, self.nchannels), np.float32)])
+                        .astype(np.float32)),
+                    jnp.int32(c0))
+                b16 = jnp.clip(accb, -32768, 32767).astype(jnp.int16)
+                acc = acc + drum_chains[bname].process(b16) \
+                    .astype(jnp.int32)
             for pfn, pchain in pitched_groups:
                 pc = pfn(ci, c0)
                 if pchain is None:

@@ -601,11 +601,15 @@ def test_sidechain_validation():
         [("compress", "threshold_db=-30 sidechain=ghost")])
     with pytest.raises(ValueError, match="unknown sample instrument"):
         song.mix(normalize=False)
-    # a drum instrument's own chain cannot sidechain (no timeline)
+    # a drum chain WITH sidechain routes to its own bus (round 3);
+    # timeline-free drum chains still bake into the WAV
     song2 = make_duck_song(sidechain=False)
-    with pytest.raises(ValueError, match="bakes into its WAV"):
-        song2.add_track_fx(
-            "kick", [("compress", "threshold_db=-30 sidechain=kick")])
+    song2.add_track_fx(
+        "kick", [("compress", "threshold_db=-30 sidechain=kick")])
+    assert "kick" in song2.drum_fx_bus
+    nbaked = song2.instruments["kick"].nframes
+    song2.add_track_fx("kick", [("filter", "kind=lowpass cutoff=2000")])
+    assert song2.instruments["kick"].nframes == nbaked   # baked in place
     # sidechain + compress automation curves are mutually exclusive
     song3 = make_duck_song(sidechain=True, master=True)
     song3.add_automation("fx.compress.release", "0:0.05 16:0.3")
@@ -623,3 +627,70 @@ def test_sidechain_under_mesh():
                        mesh=voice_mesh(8)).get_frame_array()
     d = np.abs(sharded.astype(np.int64) - single.astype(np.int64)).max()
     assert d <= 3, d
+
+
+def test_drum_bus_sidechain_duck_hat_by_kick():
+    """[fx.hat] compress sidechain=kick — a DRUM chain with a timeline
+    routes the hat onto its own bus instead of baking (round-3
+    completion of the sidechain story): the hat dips under each kick,
+    offline == streaming, and the hat stem is post-chain."""
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+
+    def build(duck=True):
+        song = Song()
+        song.bpm = 240
+        song.ticks = 4
+        song.add_instrument("kick", ws.sine(55.0, 0.1, amplitude=0.7)
+                            .fadeout(0.08).stereo())
+        song.add_instrument("hat", ws.white_noise(duration=0.25,
+                                                  amplitude=0.25, seed=5)
+                            .fadeout(0.2).stereo())
+        song.add_pattern("a", {"kick": "x...x...x...x...",
+                               "hat": "x...x...x...x..."})
+        song.pattern_sequence = ["a", "a"]
+        if duck:
+            song.add_track_fx("hat", [
+                ("compress", "threshold_db=-16 ratio=10 attack=0.001 "
+                             "release=0.06 sidechain=kick")])
+        return song
+
+    song = build(True)
+    assert "hat" in song.drum_fx_bus       # routed to a bus, not baked
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    # hat-only bus recovered by subtracting a kick-only render
+    kick_only = build(False)
+    for p in kick_only.patterns.values():
+        p.pop("hat", None)
+    ko = kick_only.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    n = min(len(off), len(ko))
+    hat_bus = off[:n].astype(np.int64) - ko[:n].astype(np.int64)
+    plain = build(False).mix(normalize=False,
+                             tail_seconds=0.0).get_frame_array()
+    hat_plain = plain[:n].astype(np.int64) - ko[:n].astype(np.int64)
+
+    def rms(a, f0, f1):
+        seg = a[int(f0):int(f1)].astype(np.float64)
+        return np.sqrt(np.mean(np.square(seg)))
+
+    tickf = 60.0 / 240 / 4 * SR
+    k = 8 * tickf
+    during_d = rms(hat_bus, k + 200, k + 0.05 * SR)
+    during_p = rms(hat_plain, k + 200, k + 0.05 * SR)
+    assert during_d < 0.5 * during_p, (during_d, during_p)
+
+    # streaming equals offline within the compressor budget
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1300)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+    # the hat stem is post-chain and the stem sum still matches the mix
+    stems = song.mix_stems(tail_seconds=0.0)
+    total = np.zeros((stems["hat"].nframes, 2), np.int64)
+    for s in stems.values():
+        total += s.get_frame_array().astype(np.int64)
+    mix = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    d2 = np.abs(np.clip(total, -32768, 32767)
+                - mix[:len(total)].astype(np.int64)).max()
+    assert d2 <= 3, d2
