@@ -24,7 +24,8 @@ def _probe(path):
 from typing import List, NamedTuple, Optional
 
 AUDIO_EXTENSIONS = (".wav", ".wave", ".aif", ".aiff", ".aifc", ".au",
-                    ".snd", ".mp3", ".ogg", ".flac", ".m4a", ".aac")
+                    ".snd", ".mp3", ".mp2", ".ogg", ".oga", ".flac",
+                    ".m4a", ".aac")
 
 
 class Track(NamedTuple):
@@ -80,10 +81,12 @@ class MusicLibrary:
                 except Exception:
                     return False
         elif path.lower().endswith((".aif", ".aiff", ".aifc", ".au",
-                                    ".snd", ".flac")):
+                                    ".snd", ".flac", ".mp3", ".mp2",
+                                    ".ogg", ".oga")):
             # in-process formats (round 3): full duration metadata with
-            # no external binary, headers only.  A file the probe cannot
-            # parse still gets indexed with zero duration (an
+            # no external binary — mp3/ogg via the system codec library
+            # bindings when present, headers only.  A file the probe
+            # cannot parse still gets indexed with zero duration (an
             # ffmpeg-equipped deck may play it anyway)
             try:
                 duration, rate, nch = _probe(path)

@@ -640,13 +640,45 @@ class Sample:
                    self._samplewidth, self._nchannels)
         return self
 
+    def _frames_16bit(self) -> np.ndarray:
+        """int16 frame array for the lossy encoders (width-converted
+        through the product's own make_16bit semantics, self untouched)."""
+        if self._samplewidth == 2:
+            return self.get_frame_array()
+        return self.copy().make_16bit(
+            maximize_amplitude=False).get_frame_array()
+
+    def write_mp3(self, file, bitrate: int = 192) -> "Sample":
+        """Encode to MP3 (CBR kbps, LAME info tag for gapless decode)
+        via the system libmp3lame binding (utils.codecs).  Lossy: the
+        sample is width-converted to 16-bit for the encoder."""
+        from .utils.codecs import write_mp3
+        write_mp3(file, self._frames_16bit(), self._samplerate,
+                  self._nchannels, bitrate=bitrate)
+        return self
+
+    def write_ogg(self, file, quality: float = 0.4) -> "Sample":
+        """Encode to Ogg Vorbis (VBR quality -0.1..1.0) via the system
+        libvorbisenc binding (utils.codecs).  Lossy: 16-bit input."""
+        from .utils.codecs import write_vorbis
+        write_vorbis(file, self._frames_16bit(), self._samplerate,
+                     self._nchannels, quality=quality)
+        return self
+
     def write_audio(self, file) -> "Sample":
-        """Write WAV or FLAC, chosen by the filename extension."""
+        """Write WAV, FLAC, MP3, or Ogg Vorbis, chosen by the filename
+        extension (lossy formats need the system codec libraries)."""
         import os as _os
         name = _os.fspath(file) if isinstance(file, (str, _os.PathLike)) \
             else None
-        if isinstance(name, str) and name.lower().endswith(".flac"):
-            return self.write_flac(name)
+        if isinstance(name, str):
+            lower = name.lower()
+            if lower.endswith(".flac"):
+                return self.write_flac(name)
+            if lower.endswith(".mp3"):
+                return self.write_mp3(name)
+            if lower.endswith((".ogg", ".oga")):
+                return self.write_ogg(name)
         return self.write_wav(name if name is not None else file)
 
     # -- scaling -----------------------------------------------------------------------

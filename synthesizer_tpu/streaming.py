@@ -6,9 +6,10 @@ Rebuild of ``synthplayer/streaming.py`` (SURVEY.md §3.1 row 7, §4.4):
   (and raw PCM) files stream natively; AIFF/AIFF-C, Sun AU, FLAC, and
   compressed WAV codecs (G.711 u-law/A-law, IMA ADPCM, IEEE float) decode
   IN-PROCESS (utils.decoders / utils.flac — no external binary needed);
-  the remaining formats (mp3/ogg/...) spawn an ffmpeg (or oggdec) subprocess when the binary
-  exists — this machine has neither (SURVEY.md §8), so the subprocess path
-  is present but exercised only when available.
+  mp3/mp2 and Ogg Vorbis decode in-process too via ctypes bindings of the
+  system codec libraries when present (utils.codecs — libmpg123 /
+  libvorbisfile); only the remaining formats (opus/aac/...) spawn an
+  ffmpeg (or oggdec) subprocess when the binary exists.
 * ``SampleStream`` — iterate a WAV stream as fixed-size device Samples.
 * ``EndlessFramesFilter`` — pad a finished stream with endless silence.
 * ``VolumeFilter`` — per-stream volume (device amplify per chunk).
@@ -77,14 +78,20 @@ class AudiofileToWavStream(io.RawIOBase):
         if lower.endswith((".wav", ".wave")):
             self._open_wav()
         elif lower.endswith((".aif", ".aiff", ".aifc", ".au", ".snd",
-                             ".flac")):
+                             ".flac", ".mp3", ".mp2", ".ogg", ".oga")):
             # spec-stable formats decode in-process (no ffmpeg needed);
-            # files the in-process decoder rejects (ID3-prefixed flac,
-            # damaged frames) still get ffmpeg when it exists
+            # mp3/ogg decode in-process too when the system codec
+            # libraries exist (utils.codecs ctypes bindings); files the
+            # in-process rung rejects (opus-in-ogg, damaged frames,
+            # missing libs) still get ffmpeg when it exists
             try:
                 self._open_host_decoder()
             except StreamingError:
-                if _ffmpeg_path() is None:
+                # keep the specific in-process error unless a subprocess
+                # rung (ffmpeg, or oggdec for .ogg) can still try
+                if _ffmpeg_path() is None and not (
+                        lower.endswith((".ogg", ".oga"))
+                        and _oggdec_path() is not None):
                     raise
                 self._open_ffmpeg()
         else:

@@ -7,6 +7,10 @@ the common compressed WAV codecs (G.711 u-law/A-law, IMA ADPCM)
 decodable in-process, feeding the existing device convert pipeline
 (AudiofileToWavStream._normalized_wav).  Pure numpy — container walking
 and bit-twiddling is host work; the PCM goes to the device afterwards.
+MPEG audio (mp3/mp2/mp1) and Ogg Vorbis dispatch to ctypes bindings of
+the system codec libraries when present (utils/codecs.py — libmpg123 /
+libvorbisfile), still in-process; only their absence falls back to
+ffmpeg.
 
 Decoding conventions match the C audioop module (the tests fuzz the G.711
 expanders against ``audioop.ulaw2lin``/``alaw2lin`` and the ADPCM inner
@@ -485,13 +489,25 @@ def probe_audio_file(filename: str) -> Tuple[int, int, int]:
                 return probe_flac(filename)
             except FlacError as e:
                 raise DecodeError(str(e)) from e
+        from . import codecs
+        if codecs.looks_like_ogg(magic):
+            try:
+                return codecs.probe_vorbis(filename)
+            except codecs.CodecError as e:
+                raise DecodeError(str(e)) from e
+        if codecs.looks_like_mpeg(magic):
+            try:
+                return codecs.probe_mpeg(filename)
+            except codecs.CodecError as e:
+                raise DecodeError(str(e)) from e
     raise DecodeError(f"cannot probe {filename!r} (magic {magic[:4]!r})")
 
 
 def decode_audio_file(filename: str) -> Tuple[np.ndarray, int, int, int]:
     """Decode a file by magic bytes (extension-agnostic) -> (frames
     [n, ch], rate, width, nch).  Raises DecodeError for formats that
-    still need an external decoder (mp3/ogg/flac...)."""
+    still need an external decoder (opus, aac, or mp3/ogg on hosts
+    without the codec shared libraries)."""
     with open(filename, "rb") as f:
         magic = f.read(12)
     if magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
@@ -505,6 +521,20 @@ def decode_audio_file(filename: str) -> Tuple[np.ndarray, int, int, int]:
         try:
             return read_flac(filename)
         except FlacError as e:
+            raise DecodeError(str(e)) from e
+    from . import codecs
+    if codecs.looks_like_ogg(magic):
+        # Ogg container: Vorbis decodes via the system libvorbisfile
+        # binding; other payloads (opus/theora) raise -> ffmpeg ladder
+        try:
+            return codecs.read_vorbis(filename)
+        except codecs.CodecError as e:
+            raise DecodeError(str(e)) from e
+    if codecs.looks_like_mpeg(magic):
+        # MPEG audio (mp3/mp2/mp1, ID3-tagged or raw) via libmpg123
+        try:
+            return codecs.read_mpeg(filename)
+        except codecs.CodecError as e:
             raise DecodeError(str(e)) from e
     raise DecodeError(f"cannot decode {filename!r} in-process "
                       f"(magic {magic[:4]!r})")

@@ -25,7 +25,7 @@ from synthesizer_tpu import LevelMeter, Output, Song
 def mix_to_wav(song: Song, outfile: str, normalize: bool = True) -> None:
     t0 = time.perf_counter()
     mixed = song.mix(normalize=normalize)
-    mixed.write_audio(outfile)          # .flac extension -> lossless FLAC
+    mixed.write_audio(outfile)   # .flac -> lossless, .mp3/.ogg -> lossy
     dt = time.perf_counter() - t0
     print(f"mixed {mixed.duration:.2f}s of audio in {dt:.3f}s "
           f"({mixed.duration / dt:.0f}x realtime) -> {outfile}")
@@ -174,7 +174,8 @@ class TrackmixerRepl(cmd.Cmd):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("song", help="song .ini file (or a .mid file to render)")
-    ap.add_argument("-o", "--output", help="mix offline to this WAV and exit")
+    ap.add_argument("-o", "--output", help="mix offline to this file and "
+                    "exit (.wav/.flac/.mp3/.ogg by extension)")
     ap.add_argument("--play", action="store_true",
                     help="stream the whole song and exit")
     ap.add_argument("--start", type=float, default=0.0, metavar="SECONDS",
@@ -186,9 +187,10 @@ def main(argv=None) -> int:
                     help="render every track to DIR/NAME.wav (pre-master "
                          "stems: per-track fx applied, master chain and "
                          "normalization skipped) and exit")
-    ap.add_argument("--stem-format", choices=("wav", "flac"),
+    ap.add_argument("--stem-format", choices=("wav", "flac", "mp3", "ogg"),
                     default="wav", help="stem file format (flac = "
-                    "in-process lossless encoder)")
+                    "in-process lossless encoder; mp3/ogg = lossy via the "
+                    "system codec libraries)")
     args = ap.parse_args(argv)
     if args.start < 0:
         ap.error("--start must be >= 0")
@@ -214,7 +216,8 @@ def main(argv=None) -> int:
             _os.makedirs(args.stems, exist_ok=True)
             t0 = _t.perf_counter()
             stems = song.mix_stems()
-            ext = ".flac" if args.stem_format == "flac" else ".wav"
+            ext = "." + args.stem_format if args.stem_format != "wav" \
+                else ".wav"
             for name, smp in stems.items():
                 smp.write_audio(_os.path.join(args.stems, f"{name}{ext}"))
             dt = _t.perf_counter() - t0
