@@ -24,8 +24,8 @@ def _probe(path):
 from typing import List, NamedTuple, Optional
 
 AUDIO_EXTENSIONS = (".wav", ".wave", ".aif", ".aiff", ".aifc", ".au",
-                    ".snd", ".mp3", ".mp2", ".ogg", ".oga", ".flac",
-                    ".m4a", ".aac")
+                    ".snd", ".mp3", ".mp2", ".ogg", ".oga", ".opus",
+                    ".flac", ".m4a", ".aac")
 
 
 class Track(NamedTuple):
@@ -82,7 +82,7 @@ class MusicLibrary:
                     return False
         elif path.lower().endswith((".aif", ".aiff", ".aifc", ".au",
                                     ".snd", ".flac", ".mp3", ".mp2",
-                                    ".ogg", ".oga")):
+                                    ".ogg", ".oga", ".opus")):
             # in-process formats (round 3): full duration metadata with
             # no external binary — mp3/ogg via the system codec library
             # bindings when present, headers only.  A file the probe

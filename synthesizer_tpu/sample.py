@@ -665,9 +665,23 @@ class Sample:
                      self._nchannels, quality=quality)
         return self
 
+    def write_opus(self, file, bitrate: int = 128000) -> "Sample":
+        """Encode to Ogg Opus via the system libopus binding
+        (utils.codecs; the Ogg mux is ours).  Opus encodes only at
+        8/12/16/24/48 kHz — other rates resample a COPY to 48 kHz with
+        the product's exact ratecv first (self untouched)."""
+        from .utils.codecs import write_opus
+        smp = self
+        if self._samplerate not in (8000, 12000, 16000, 24000, 48000):
+            smp = self.copy().resample(48000)
+        write_opus(file, smp._frames_16bit(), smp._samplerate,
+                   smp._nchannels, bitrate=bitrate)
+        return self
+
     def write_audio(self, file) -> "Sample":
-        """Write WAV, FLAC, MP3, or Ogg Vorbis, chosen by the filename
-        extension (lossy formats need the system codec libraries)."""
+        """Write WAV, FLAC, MP3, Ogg Vorbis, or Opus, chosen by the
+        filename extension (lossy formats need the system codec
+        libraries)."""
         import os as _os
         name = _os.fspath(file) if isinstance(file, (str, _os.PathLike)) \
             else None
@@ -679,6 +693,8 @@ class Sample:
                 return self.write_mp3(name)
             if lower.endswith((".ogg", ".oga")):
                 return self.write_ogg(name)
+            if lower.endswith(".opus"):
+                return self.write_opus(name)
         return self.write_wav(name if name is not None else file)
 
     # -- scaling -----------------------------------------------------------------------

@@ -78,7 +78,8 @@ class AudiofileToWavStream(io.RawIOBase):
         if lower.endswith((".wav", ".wave")):
             self._open_wav()
         elif lower.endswith((".aif", ".aiff", ".aifc", ".au", ".snd",
-                             ".flac", ".mp3", ".mp2", ".ogg", ".oga")):
+                             ".flac", ".mp3", ".mp2", ".ogg", ".oga",
+                             ".opus")):
             # spec-stable formats decode in-process (no ffmpeg needed);
             # mp3/ogg decode in-process too when the system codec
             # libraries exist (utils.codecs ctypes bindings); files the

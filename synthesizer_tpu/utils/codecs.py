@@ -1,11 +1,15 @@
-"""In-process mp3 / Ogg Vorbis codecs via the system codec libraries.
+"""In-process mp3 / Ogg Vorbis / Ogg Opus codecs via the system codec
+libraries.
 
 Closes the last "decode anything needs ffmpeg" dependency (SURVEY.md §3.1
 row 7: the reference's AudiofileToWavStream decodes mp3/ogg through
 miniaudio/ffmpeg — reference synthplayer/streaming.py): when the host has
-the stock codec shared libraries (libmpg123, libvorbisfile; encoders
-libmp3lame, libvorbisenc + libogg), we bind them directly with ctypes —
-no subprocess, no python package, no copy of the codec.  Every entry
+the stock codec shared libraries (libmpg123, libvorbisfile, libopus;
+encoders libmp3lame, libvorbisenc + libogg), we bind them directly with
+ctypes — no subprocess, no python package, no copy of the codec.  For
+Opus there is no libopusfile on this image, so the Ogg container layer
+(demux AND mux, RFC 7845 granule/preskip rules) is implemented here on
+top of libogg.  Every entry
 point degrades to ``DecodeError``/``EncodeError`` when a library is
 absent so the streaming ladder can fall through to ffmpeg.
 
@@ -23,15 +27,16 @@ from __future__ import annotations
 import ctypes
 import os
 from ctypes import (POINTER, byref, c_char_p, c_double, c_float, c_int,
-                    c_int64, c_long, c_size_t, c_ubyte, c_void_p)
+                    c_int32, c_int64, c_long, c_size_t, c_ubyte, c_void_p)
 from typing import Optional, Tuple
 
 import numpy as np
 
 __all__ = [
     "CodecError", "have_mpg123", "have_lame", "have_vorbisfile",
-    "have_vorbisenc", "read_mpeg", "probe_mpeg", "write_mp3",
-    "read_vorbis", "probe_vorbis", "write_vorbis",
+    "have_vorbisenc", "have_opus", "read_mpeg", "probe_mpeg",
+    "write_mp3", "read_vorbis", "probe_vorbis", "write_vorbis",
+    "read_opus", "probe_opus", "write_opus",
     "looks_like_mpeg", "looks_like_ogg",
 ]
 
@@ -99,6 +104,14 @@ def have_vorbisfile() -> bool:
 def have_vorbisenc() -> bool:
     return (_vorbisenc() is not None and _vorbis() is not None
             and _ogg() is not None)
+
+
+def _opus():
+    return _lib("opus", ("libopus.so.0", "libopus.so"))
+
+
+def have_opus() -> bool:
+    return _opus() is not None and _ogg() is not None
 
 
 # ---------------------------------------------------------------------------
@@ -597,4 +610,321 @@ def write_vorbis(file, frames: np.ndarray, samplerate: int,
             vor.vorbis_comment_clear(vc)
         vor.vorbis_info_clear.argtypes = [c_void_p]
         vor.vorbis_info_clear(vi)
+    _write_bytes(file, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# Ogg Opus (libopus + our own libogg demux/mux — no libopusfile needed)
+# ---------------------------------------------------------------------------
+
+_SYNC_SIZE = 1024          # sizeof(ogg_sync_state) is ~32; opaque here
+_OPUS_APPLICATION_AUDIO = 2049
+_OPUS_SET_BITRATE = 4002
+_OPUS_GET_LOOKAHEAD = 4027
+_OPUS_MAX_FRAME = 5760     # 120 ms at 48 kHz, the decode buffer bound
+
+
+def _ogg_demux(data: bytes, bos_magic: bytes):
+    """Demux the first logical Ogg stream whose BOS packet starts with
+    ``bos_magic`` -> (packets: list[bytes], packet_granules: list[int],
+    final_granulepos).  Packets not ending a page carry granule -1."""
+    ogg = _ogg()
+    if ogg is None:
+        raise CodecError("libogg is not available on this system")
+    oy = ctypes.create_string_buffer(_SYNC_SIZE)
+    os_ = ctypes.create_string_buffer(_STREAM_SIZE)
+    ogg.ogg_sync_init.argtypes = [c_void_p]
+    ogg.ogg_sync_init(oy)
+    stream_live = False
+    try:
+        ogg.ogg_sync_buffer.argtypes = [c_void_p, c_long]
+        ogg.ogg_sync_buffer.restype = c_void_p
+        ogg.ogg_sync_wrote.argtypes = [c_void_p, c_long]
+        ogg.ogg_sync_pageout.argtypes = [c_void_p, POINTER(_OggPage)]
+        ogg.ogg_sync_pageout.restype = c_int
+        ogg.ogg_page_serialno.argtypes = [POINTER(_OggPage)]
+        ogg.ogg_page_serialno.restype = c_int
+        ogg.ogg_page_bos.argtypes = [POINTER(_OggPage)]
+        ogg.ogg_page_bos.restype = c_int
+        ogg.ogg_page_granulepos.argtypes = [POINTER(_OggPage)]
+        ogg.ogg_page_granulepos.restype = c_int64
+        ogg.ogg_stream_init.argtypes = [c_void_p, c_int]
+        ogg.ogg_stream_pagein.argtypes = [c_void_p, POINTER(_OggPage)]
+        ogg.ogg_stream_packetout.argtypes = [c_void_p,
+                                             POINTER(_OggPacket)]
+        ogg.ogg_stream_packetout.restype = c_int
+        ogg.ogg_stream_clear.argtypes = [c_void_p]
+
+        buf = ogg.ogg_sync_buffer(oy, len(data))
+        if not buf:
+            raise CodecError("ogg_sync_buffer failed")
+        ctypes.memmove(buf, data, len(data))
+        ogg.ogg_sync_wrote(oy, len(data))
+
+        og = _OggPage()
+        op = _OggPacket()
+        serial = None
+        packets: list = []
+        granules: list = []
+        final_granule = -1
+        while ogg.ogg_sync_pageout(oy, byref(og)) == 1:
+            sn = ogg.ogg_page_serialno(byref(og))
+            if serial is None:
+                if not ogg.ogg_page_bos(byref(og)):
+                    continue
+                # peek this BOS page's first packet through a temp stream
+                tmp = ctypes.create_string_buffer(_STREAM_SIZE)
+                ogg.ogg_stream_init(tmp, sn)
+                try:
+                    ogg.ogg_stream_pagein(tmp, byref(og))
+                    if (ogg.ogg_stream_packetout(tmp, byref(op)) != 1
+                            or ctypes.string_at(op.packet,
+                                                min(op.bytes, 8))
+                            != bos_magic):
+                        continue
+                finally:
+                    ogg.ogg_stream_clear(tmp)
+                serial = sn
+                ogg.ogg_stream_init(os_, sn)
+                stream_live = True
+                ogg.ogg_stream_pagein(os_, byref(og))
+            elif sn == serial:
+                ogg.ogg_stream_pagein(os_, byref(og))
+            else:
+                continue
+            pg = ogg.ogg_page_granulepos(byref(og))
+            if pg >= 0:
+                final_granule = pg
+            while ogg.ogg_stream_packetout(os_, byref(op)) == 1:
+                packets.append(ctypes.string_at(op.packet, op.bytes))
+                granules.append(int(op.granulepos))
+        if serial is None:
+            raise CodecError(
+                f"no Ogg stream starting with {bos_magic!r}")
+        return packets, granules, final_granule
+    finally:
+        if stream_live:
+            ogg.ogg_stream_clear(os_)
+        ogg.ogg_sync_clear.argtypes = [c_void_p]
+        ogg.ogg_sync_clear(oy)
+
+
+def _parse_opus_head(head: bytes):
+    """OpusHead (RFC 7845 §5.1) -> (channels, preskip, input_rate,
+    gain_q8db, family, streams, coupled, mapping)."""
+    import struct
+    if len(head) < 19 or head[:8] != b"OpusHead":
+        raise CodecError("malformed OpusHead packet")
+    version, ch = head[8], head[9]
+    if version >> 4 != 0:
+        raise CodecError(f"unsupported Opus version {version}")
+    preskip, rate, gain = struct.unpack("<HIh", head[10:18])
+    family = head[18]
+    if family == 0:
+        if ch not in (1, 2):
+            raise CodecError(f"family-0 Opus with {ch} channels")
+        streams, coupled, mapping = 1, ch - 1, bytes(range(ch))
+    elif len(head) >= 21 + ch:
+        streams, coupled = head[19], head[20]
+        mapping = head[21:21 + ch]
+    else:
+        raise CodecError("truncated Opus channel mapping table")
+    return ch, preskip, rate, gain, family, streams, coupled, mapping
+
+
+def read_opus(filename: str) -> Tuple[np.ndarray, int, int, int]:
+    """Decode an Ogg Opus file -> (frames [n, ch] int16, 48000, 2, nch).
+    Our libogg demux feeds the raw libopus decoder (this host has no
+    libopusfile); preskip/end-trim follow RFC 7845 granule rules, so an
+    encode→decode round trip is sample-count exact."""
+    opus = _opus()
+    if opus is None:
+        raise CodecError("libopus is not available on this system")
+    with open(filename, "rb") as f:
+        data = f.read()
+    packets, _granules, final_granule = _ogg_demux(data, b"OpusHead")
+    if len(packets) < 2:
+        raise CodecError(f"no Opus audio packets in {filename!r}")
+    (ch, preskip, _in_rate, gain, family, streams, coupled,
+     mapping) = _parse_opus_head(packets[0])
+    err = c_int(0)
+    if family == 0:
+        opus.opus_decoder_create.restype = c_void_p
+        opus.opus_decoder_create.argtypes = [c_int, c_int,
+                                             POINTER(c_int)]
+        dec = opus.opus_decoder_create(48000, ch, byref(err))
+        decode = opus.opus_decode
+        destroy = opus.opus_decoder_destroy
+    else:
+        f_ = opus.opus_multistream_decoder_create
+        f_.restype = c_void_p
+        f_.argtypes = [c_int, c_int, c_int, c_int, c_char_p,
+                       POINTER(c_int)]
+        dec = f_(48000, ch, streams, coupled, bytes(mapping), byref(err))
+        decode = opus.opus_multistream_decode
+        destroy = opus.opus_multistream_decoder_destroy
+    if err.value != 0 or not dec:
+        raise CodecError(f"opus decoder create failed ({err.value})")
+    decode.argtypes = [c_void_p, c_char_p, c_int, c_void_p, c_int, c_int]
+    decode.restype = c_int
+    destroy.argtypes = [c_void_p]
+    try:
+        pcm = np.empty((_OPUS_MAX_FRAME, ch), np.int16)
+        chunks = []
+        for pkt in packets[2:]:          # [0]=OpusHead [1]=OpusTags
+            n = decode(dec, pkt, len(pkt), pcm.ctypes.data,
+                       _OPUS_MAX_FRAME, 0)
+            if n < 0:
+                raise CodecError(f"opus_decode failed ({n})")
+            chunks.append(pcm[:n].copy())
+    finally:
+        destroy(dec)
+    if not chunks:
+        raise CodecError(f"no Opus audio packets in {filename!r}")
+    a = np.concatenate(chunks)
+    # RFC 7845: drop preskip from the head; the final granulepos bounds
+    # the real sample count (encoder padding trims off the tail)
+    end = (final_granule - preskip if final_granule >= 0
+           else len(a) - preskip)
+    a = a[preskip:preskip + max(end, 0)]
+    if gain:
+        scale = 10.0 ** (gain / (20.0 * 256.0))
+        a = np.clip(np.rint(a.astype(np.float64) * scale),
+                    -32768, 32767).astype(np.int16)
+    if not len(a):
+        raise CodecError(f"empty Opus stream in {filename!r}")
+    return a, 48000, 2, ch
+
+
+def probe_opus(filename: str) -> Tuple[int, int, int]:
+    """Header + page-walk probe -> (nframes, 48000, nch) from the final
+    granulepos (no PCM synthesis)."""
+    with open(filename, "rb") as f:
+        data = f.read()
+    packets, _granules, final_granule = _ogg_demux(data, b"OpusHead")
+    if not packets:
+        raise CodecError(f"no Opus stream in {filename!r}")
+    ch, preskip, *_ = _parse_opus_head(packets[0])
+    if final_granule < 0:
+        raise CodecError(f"no granulepos in {filename!r}")
+    return max(final_granule - preskip, 0), 48000, ch
+
+
+def write_opus(file, frames: np.ndarray, samplerate: int,
+               nchannels: int, bitrate: int = 128000) -> None:
+    """Encode int16 frames [n, ch] to Ogg Opus (``bitrate`` bits/s).
+    Opus encodes only at 8/12/16/24/48 kHz — callers with other rates
+    resample first (Sample.write_opus does).  The stream carries exact
+    preskip/end-trim granules, so decode recovers the sample count."""
+    import struct as _struct
+    opus, ogg = _opus(), _ogg()
+    if opus is None or ogg is None:
+        raise CodecError("libopus/libogg are not available "
+                         "on this system")
+    if samplerate not in (8000, 12000, 16000, 24000, 48000):
+        raise CodecError(f"opus encodes at 8/12/16/24/48 kHz, "
+                         f"not {samplerate}")
+    frames = np.ascontiguousarray(frames, np.int16)
+    if frames.ndim == 1:
+        frames = frames[:, None]
+    n, ch = frames.shape
+    if ch != nchannels:
+        raise CodecError(f"frame array has {ch} channels, "
+                         f"caller says {nchannels}")
+    if ch not in (1, 2):
+        raise CodecError(f"family-0 Opus writes 1 or 2 channels, "
+                         f"got {ch}")
+    err = c_int(0)
+    opus.opus_encoder_create.restype = c_void_p
+    opus.opus_encoder_create.argtypes = [c_int, c_int, c_int,
+                                         POINTER(c_int)]
+    enc = opus.opus_encoder_create(samplerate, ch,
+                                   _OPUS_APPLICATION_AUDIO, byref(err))
+    if err.value != 0 or not enc:
+        raise CodecError(f"opus encoder create failed ({err.value})")
+    out = bytearray()
+    os_ = ctypes.create_string_buffer(_STREAM_SIZE)
+    stream_live = False
+    try:
+        opus.opus_encoder_ctl(c_void_p(enc), c_int(_OPUS_SET_BITRATE),
+                              c_int(bitrate))
+        look = c_int(0)
+        opus.opus_encoder_ctl(c_void_p(enc), c_int(_OPUS_GET_LOOKAHEAD),
+                              byref(look))
+        to48 = 48000 // samplerate
+        preskip48 = look.value * to48
+        ogg.ogg_stream_init.argtypes = [c_void_p, c_int]
+        ogg.ogg_stream_init(os_, 0x4F50)
+        stream_live = True
+        ogg.ogg_stream_packetin.argtypes = [c_void_p, c_void_p]
+        ogg.ogg_stream_flush.argtypes = [c_void_p, POINTER(_OggPage)]
+        ogg.ogg_stream_flush.restype = c_int
+        ogg.ogg_stream_pageout.argtypes = [c_void_p, POINTER(_OggPage)]
+        ogg.ogg_stream_pageout.restype = c_int
+        og = _OggPage()
+
+        def _page_bytes(pg: _OggPage) -> bytes:
+            return (ctypes.string_at(pg.header, pg.header_len)
+                    + ctypes.string_at(pg.body, pg.body_len))
+
+        def _packetin(payload: bytes, granule: int, packetno: int,
+                      bos: bool = False, eos: bool = False) -> None:
+            buf = ctypes.create_string_buffer(payload, len(payload))
+            pkt = _OggPacket(
+                ctypes.cast(buf, POINTER(c_ubyte)), len(payload),
+                int(bos), int(eos), granule, packetno)
+            ogg.ogg_stream_packetin(os_, byref(pkt))
+
+        head = (b"OpusHead" + bytes([1, ch])
+                + _struct.pack("<HIh", preskip48, samplerate, 0)
+                + bytes([0]))
+        _packetin(head, 0, 0, bos=True)
+        while ogg.ogg_stream_flush(os_, byref(og)):
+            out += _page_bytes(og)
+        vendor = b"synthesizer_tpu"
+        tags = (b"OpusTags" + _struct.pack("<I", len(vendor)) + vendor
+                + _struct.pack("<I", 0))
+        _packetin(tags, 0, 1)
+        while ogg.ogg_stream_flush(os_, byref(og)):
+            out += _page_bytes(og)
+
+        opus.opus_encode.argtypes = [c_void_p, c_void_p, c_int,
+                                     c_void_p, c_int32]
+        opus.opus_encode.restype = c_int32
+        pktbuf = ctypes.create_string_buffer(1 << 14)
+        fsize = samplerate // 50                      # 20 ms frames
+        total48 = n * to48
+        # RFC 7845 §4: the decoder discards preskip samples up front, so
+        # the encoder must run PAST the input by at least the lookahead
+        # (zero padding; the final granulepos trims it on decode)
+        target = n + look.value
+        packetno = 2
+        pos = 0
+        while pos < target:
+            seg = frames[pos:pos + fsize]
+            if len(seg) < fsize:                      # zero-pad the tail
+                seg = np.concatenate(
+                    [seg, np.zeros((fsize - len(seg), ch), np.int16)])
+            seg = np.ascontiguousarray(seg)
+            nb = opus.opus_encode(enc, seg.ctypes.data, fsize, pktbuf,
+                                  len(pktbuf))
+            if nb < 0:
+                raise CodecError(f"opus_encode failed ({nb})")
+            pos += fsize
+            eos = pos >= target
+            # granulepos caps at the REAL sample count on the last
+            # packet so decoders trim the zero padding
+            gran = preskip48 + min(pos * to48, total48)
+            _packetin(pktbuf.raw[:nb], gran, packetno, eos=eos)
+            packetno += 1
+            while ogg.ogg_stream_pageout(os_, byref(og)):
+                out.extend(_page_bytes(og))
+        while ogg.ogg_stream_flush(os_, byref(og)):
+            out += _page_bytes(og)
+    finally:
+        if stream_live:
+            ogg.ogg_stream_clear.argtypes = [c_void_p]
+            ogg.ogg_stream_clear(os_)
+        opus.opus_encoder_destroy.argtypes = [c_void_p]
+        opus.opus_encoder_destroy(enc)
     _write_bytes(file, bytes(out))

@@ -493,8 +493,11 @@ def probe_audio_file(filename: str) -> Tuple[int, int, int]:
         if codecs.looks_like_ogg(magic):
             try:
                 return codecs.probe_vorbis(filename)
-            except codecs.CodecError as e:
-                raise DecodeError(str(e)) from e
+            except codecs.CodecError as first:
+                try:
+                    return codecs.probe_opus(filename)
+                except codecs.CodecError:
+                    raise DecodeError(str(first)) from first
         if codecs.looks_like_mpeg(magic):
             try:
                 return codecs.probe_mpeg(filename)
@@ -524,12 +527,15 @@ def decode_audio_file(filename: str) -> Tuple[np.ndarray, int, int, int]:
             raise DecodeError(str(e)) from e
     from . import codecs
     if codecs.looks_like_ogg(magic):
-        # Ogg container: Vorbis decodes via the system libvorbisfile
-        # binding; other payloads (opus/theora) raise -> ffmpeg ladder
+        # Ogg container: Vorbis via libvorbisfile, Opus via libopus +
+        # our libogg demux; other payloads (theora...) -> ffmpeg ladder
         try:
             return codecs.read_vorbis(filename)
-        except codecs.CodecError as e:
-            raise DecodeError(str(e)) from e
+        except codecs.CodecError as first:
+            try:
+                return codecs.read_opus(filename)
+            except codecs.CodecError:
+                raise DecodeError(str(first)) from first
     if codecs.looks_like_mpeg(magic):
         # MPEG audio (mp3/mp2/mp1, ID3-tagged or raw) via libmpg123
         try:

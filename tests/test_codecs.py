@@ -160,6 +160,104 @@ def test_non_vorbis_ogg_raises(tmp_path):
         codecs.read_vorbis(str(p))
 
 
+# -- ogg opus --------------------------------------------------------------
+
+needs_opus = pytest.mark.skipif(not codecs.have_opus(),
+                                reason="libopus/libogg not installed")
+
+
+@needs_opus
+def test_opus_roundtrip_stereo(tmp_path):
+    """libopus encode behind OUR libogg mux -> OUR demux + libopus
+    decode: RFC 7845 preskip/end-trim granule handling makes the sample
+    count exact."""
+    n = 24000
+    t = np.arange(n) / 48000
+    ref = np.ascontiguousarray(np.rint(np.stack(
+        [np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 660 * t)], 1)
+        * 0.5 * 32767)).astype(np.int16)
+    p = tmp_path / "t.opus"
+    codecs.write_opus(p, ref, 48000, 2)
+    got, rate, width, nch = codecs.read_opus(str(p))
+    assert (rate, width, nch) == (48000, 2, 2)
+    assert len(got) == n                           # preskip + padding trim
+    assert snr_db(ref, got) > 25.0
+    assert codecs.probe_opus(str(p)) == (n, 48000, 2)
+
+
+@needs_opus
+def test_opus_low_rate_input(tmp_path):
+    """A 16 kHz input stream decodes at the canonical 48 kHz with the
+    granule-exact sample count (16k samples x3)."""
+    n = 8000
+    ref = (np.sin(2 * np.pi * 300 * np.arange(n) / 16000)
+           * 12000).astype(np.int16).reshape(-1, 1)
+    p = tmp_path / "l.opus"
+    codecs.write_opus(p, ref, 16000, 1)
+    got, rate, _, nch = codecs.read_opus(str(p))
+    assert (rate, nch, len(got)) == (48000, 1, n * 3)
+
+
+@needs_opus
+def test_opus_invalid_rate_raises(tmp_path):
+    with pytest.raises(codecs.CodecError, match="8/12/16/24/48"):
+        codecs.write_opus(tmp_path / "x.opus",
+                          np.zeros((100, 2), np.int16), 44100, 2)
+
+
+@needs_opus
+def test_sample_write_opus_resamples(tmp_path):
+    """Sample.write_opus: a 44.1 kHz sample resamples a COPY to 48 kHz
+    through the exact ratecv before encoding; self is untouched."""
+    ref = tone(n=SR // 4)
+    smp = Sample.from_raw_frames(ref.tobytes(), 2, SR, 2)
+    p = tmp_path / "s.opus"
+    smp.write_audio(p)                     # extension dispatch
+    assert smp.samplerate == SR
+    nf, rate, nch = codecs.probe_opus(str(p))
+    assert (rate, nch) == (48000, 2)
+    assert abs(nf - SR // 4 * 48000 // SR) <= 2    # ratecv truncation
+    frames, rate2, _, nch2 = decoders.decode_audio_file(str(p))
+    assert (rate2, nch2, len(frames)) == (48000, 2, nf)
+
+
+@needs_opus
+def test_opus_through_stream_ladder(tmp_path):
+    ref = tone(n=SR // 4)
+    smp = Sample.from_raw_frames(ref.tobytes(), 2, SR, 2)
+    p = tmp_path / "s.opus"
+    smp.write_opus(p)
+    with AudiofileToWavStream(str(p), samplerate=SR, nchannels=2,
+                              samplewidth=2) as st:
+        with wave.open(io.BytesIO(st.read()), "rb") as w:
+            assert w.getframerate() == SR
+            got = np.frombuffer(w.readframes(w.getnframes()),
+                                np.int16).reshape(-1, 2)
+    # 44.1k -> 48k (encode) -> 44.1k (normalize): lossy + two exact
+    # ratecv hops; the 440 Hz fundamental must dominate
+    spec = np.abs(np.fft.rfft(got[:SR // 8, 0].astype(np.float64)))
+    freqs = np.fft.rfftfreq(SR // 8, 1 / SR)
+    assert abs(freqs[int(np.argmax(spec))] - 440.0) < 8.0
+
+
+@needs_opus
+def test_opus_probe_audio_file(tmp_path):
+    n = 12000
+    ref = (np.sin(2 * np.pi * 500 * np.arange(n) / 48000)
+           * 9000).astype(np.int16).reshape(-1, 1)
+    p = tmp_path / "x.opus"
+    codecs.write_opus(p, ref, 48000, 1)
+    assert decoders.probe_audio_file(str(p)) == (n, 48000, 1)
+
+
+@needs_opus
+def test_opus_garbage_raises(tmp_path):
+    p = tmp_path / "bad.opus"
+    p.write_bytes(b"OggS" + bytes(40))
+    with pytest.raises(codecs.CodecError):
+        codecs.read_opus(str(p))
+
+
 # -- magic sniffing --------------------------------------------------------
 
 def test_mpeg_magic_sniffer():
