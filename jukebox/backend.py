@@ -25,7 +25,8 @@ from typing import List, NamedTuple, Optional
 
 AUDIO_EXTENSIONS = (".wav", ".wave", ".aif", ".aiff", ".aifc", ".au",
                     ".snd", ".mp3", ".mp2", ".ogg", ".oga", ".opus",
-                    ".flac", ".m4a", ".aac")
+                    ".flac", ".m4a", ".aac",
+                    ".mod", ".xm", ".it", ".s3m", ".mptm")
 
 
 class Track(NamedTuple):
@@ -67,6 +68,13 @@ class MusicLibrary:
 
     def _probe_and_insert(self, path: str) -> bool:
         title = os.path.splitext(os.path.basename(path))[0]
+        if path.lower().endswith((".mod", ".xm", ".it", ".s3m", ".mptm")):
+            # tracker modules carry an embedded song title
+            try:
+                from synthesizer_tpu.utils.modules import module_title
+                title = module_title(path) or title
+            except Exception:
+                pass
         duration, rate, nch = 0.0, 0, 0
         if path.lower().endswith((".wav", ".wave")):
             try:
@@ -82,7 +90,8 @@ class MusicLibrary:
                     return False
         elif path.lower().endswith((".aif", ".aiff", ".aifc", ".au",
                                     ".snd", ".flac", ".mp3", ".mp2",
-                                    ".ogg", ".oga", ".opus")):
+                                    ".ogg", ".oga", ".opus", ".mod",
+                                    ".xm", ".it", ".s3m", ".mptm")):
             # in-process formats (round 3): full duration metadata with
             # no external binary — mp3/ogg via the system codec library
             # bindings when present, headers only.  A file the probe

@@ -79,7 +79,8 @@ class AudiofileToWavStream(io.RawIOBase):
             self._open_wav()
         elif lower.endswith((".aif", ".aiff", ".aifc", ".au", ".snd",
                              ".flac", ".mp3", ".mp2", ".ogg", ".oga",
-                             ".opus")):
+                             ".opus", ".mod", ".xm", ".it", ".s3m",
+                             ".mptm")):
             # spec-stable formats decode in-process (no ffmpeg needed);
             # mp3/ogg decode in-process too when the system codec
             # libraries exist (utils.codecs ctypes bindings); files the
@@ -119,17 +120,40 @@ class AudiofileToWavStream(io.RawIOBase):
         self._stream = self._normalized_wav(Sample(wave_file=self.filename))
 
     def _open_host_decoder(self) -> None:
-        """Decode AIFF/AU/compressed-WAV with the in-process parsers
-        (utils.decoders), then normalize through the same device pipeline
-        every other rung uses."""
+        """Decode AIFF/AU/compressed-WAV/mp3/ogg/opus with the
+        in-process parsers (utils.decoders), then normalize through the
+        same device pipeline every other rung uses."""
         from .utils.decoders import DecodeError, decode_audio_file
         try:
             frames, rate, width, nch = decode_audio_file(self.filename)
         except DecodeError as e:
             raise StreamingError(str(e)) from e
+        if (self.hqresample and rate != self.samplerate and width == 2
+                and self._lossy_source()):
+            # the reference's hqresample flag (ffmpeg swr quality) maps
+            # to soxr for lossy music sources; the audioop-contract
+            # formats below keep the bit-exact device ratecv
+            from .utils.soxr import SoxrError, have_soxr, soxr_resample
+            if have_soxr():
+                try:
+                    frames = soxr_resample(frames, rate, self.samplerate)
+                    rate = self.samplerate
+                except SoxrError:
+                    pass               # fall back to the exact ratecv
         smp = Sample.from_raw_frames(
             np.ascontiguousarray(frames).tobytes(), width, rate, nch)
         self._stream = self._normalized_wav(smp)
+
+    def _lossy_source(self) -> bool:
+        """mp3/ogg/opus by magic (these came through a lossy codec, so
+        the exact-ratecv numeric contract does not apply to them)."""
+        from .utils.codecs import looks_like_mpeg, looks_like_ogg
+        try:
+            with open(self.filename, "rb") as f:
+                magic = f.read(12)
+        except OSError:
+            return False
+        return looks_like_mpeg(magic) or looks_like_ogg(magic)
 
     def _normalized_wav(self, smp: Sample) -> io.BytesIO:
         """Clip/resample/width/channel-convert a decoded Sample to the

@@ -503,6 +503,14 @@ def probe_audio_file(filename: str) -> Tuple[int, int, int]:
                 return codecs.probe_mpeg(filename)
             except codecs.CodecError as e:
                 raise DecodeError(str(e)) from e
+        from . import modules
+        f.seek(0)
+        header = f.read(1084)
+        if modules.looks_like_module(header):
+            try:
+                return modules.probe_module(filename)
+            except modules.ModuleError as e:
+                raise DecodeError(str(e)) from e
     raise DecodeError(f"cannot probe {filename!r} (magic {magic[:4]!r})")
 
 
@@ -541,6 +549,15 @@ def decode_audio_file(filename: str) -> Tuple[np.ndarray, int, int, int]:
         try:
             return codecs.read_mpeg(filename)
         except codecs.CodecError as e:
+            raise DecodeError(str(e)) from e
+    from . import modules
+    with open(filename, "rb") as f:
+        header = f.read(1084)          # MOD magic sits at offset 1080
+    if modules.looks_like_module(header):
+        # tracker modules render through the system libopenmpt
+        try:
+            return modules.read_module(filename)
+        except modules.ModuleError as e:
             raise DecodeError(str(e)) from e
     raise DecodeError(f"cannot decode {filename!r} in-process "
                       f"(magic {magic[:4]!r})")

@@ -401,3 +401,193 @@ def test_missing_libs_raise_codec_error(monkeypatch):
         codecs.read_vorbis("/nonexistent.ogg")
     with pytest.raises(codecs.CodecError, match="not available"):
         codecs.write_vorbis("/x.ogg", np.zeros((4, 2), np.int16), SR, 2)
+
+
+# -- soxr hqresample rung --------------------------------------------------
+
+from synthesizer_tpu.utils import soxr as soxr_mod
+
+needs_soxr = pytest.mark.skipif(not soxr_mod.have_soxr(),
+                                reason="libsoxr not installed")
+
+
+@needs_soxr
+def test_soxr_resample_quality():
+    """soxr 22050->44100 of a pure tone: near-ideal SNR vs the analytic
+    target (far beyond linear interpolation's)."""
+    sr_in, sr_out = 22050, 44100
+    n = sr_in
+    sig = (np.sin(2 * np.pi * 1000 * np.arange(n) / sr_in)
+           * 12000).astype(np.int16).reshape(-1, 1)
+    out = soxr_mod.soxr_resample(sig, sr_in, sr_out)
+    assert abs(len(out) - 2 * n) <= 16
+    m = len(out) - 2000
+    ideal = np.sin(2 * np.pi * 1000 * np.arange(1000, 1000 + m)
+                   / sr_out) * 12000
+    err = out[1000:1000 + m, 0].astype(np.float64) - ideal[:m]
+    snr = 10 * np.log10(np.mean(ideal ** 2) / np.mean(err ** 2))
+    assert snr > 55.0, snr
+
+
+@needs_soxr
+def test_soxr_identity_and_empty():
+    sig = (np.arange(32, dtype=np.int16) * 100).reshape(-1, 2)
+    np.testing.assert_array_equal(
+        soxr_mod.soxr_resample(sig, 44100, 44100), sig)
+    assert len(soxr_mod.soxr_resample(np.zeros((0, 2), np.int16),
+                                      22050, 44100)) == 0
+
+
+@needs_mpeg
+@needs_soxr
+def test_hqresample_uses_soxr_for_lossy(tmp_path):
+    """A 22.05 kHz mp3 normalized to 44.1 kHz: hqresample=True routes
+    through soxr (different samples from the exact-ratecv path, better
+    high-frequency image rejection), hqresample=False keeps ratecv."""
+    sr_in = 22050
+    n = sr_in // 2
+    sig = (np.sin(2 * np.pi * 8000 * np.arange(n) / sr_in)
+           * 11000).astype(np.int16).reshape(-1, 1)
+    p = tmp_path / "hq.mp3"
+    codecs.write_mp3(p, sig, sr_in, 1)
+
+    def decoded(hq):
+        with AudiofileToWavStream(str(p), samplerate=44100, nchannels=1,
+                                  samplewidth=2, hqresample=hq) as st:
+            with wave.open(io.BytesIO(st.read()), "rb") as w:
+                return np.frombuffer(w.readframes(w.getnframes()),
+                                     np.int16)
+
+    hq, lo = decoded(True), decoded(False)
+    assert abs(len(hq) - len(lo)) <= 32
+    m = min(len(hq), len(lo))
+    assert np.abs(hq[:m].astype(np.int64) - lo[:m].astype(np.int64)).max() > 0
+
+    def image_ratio(x):
+        k = min(len(x), sr_in)
+        spec = np.abs(np.fft.rfft(x[:k].astype(np.float64)))
+        freqs = np.fft.rfftfreq(k, 1 / 44100)
+        fund = spec[(freqs > 7500) & (freqs < 8500)].max()
+        image = spec[(freqs > 13000) & (freqs < 15000)].max()
+        return fund / max(image, 1e-9)
+
+    # the 8 kHz tone's 14.05 kHz mirror image: soxr crushes it, linear
+    # interpolation leaves it audible
+    assert image_ratio(hq) > 4 * image_ratio(lo)
+
+
+@needs_soxr
+def test_exact_formats_keep_ratecv(tmp_path):
+    """A FLAC (lossless contract) at 22.05 kHz normalized to 44.1 kHz
+    must be bit-exact with the device ratecv even under hqresample."""
+    from synthesizer_tpu.utils.flac import write_flac
+    sig = tone(n=4000, nch=1)
+    p = tmp_path / "c.flac"
+    write_flac(str(p), sig, 22050, 2, 1)
+    with AudiofileToWavStream(str(p), samplerate=44100, nchannels=1,
+                              samplewidth=2, hqresample=True) as st:
+        with wave.open(io.BytesIO(st.read()), "rb") as w:
+            got = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    want = Sample.from_raw_frames(sig.tobytes(), 2, 22050, 1) \
+        .resample(44100).get_frame_array()
+    np.testing.assert_array_equal(got, want.reshape(-1))
+
+
+# -- tracker modules (libopenmpt) ------------------------------------------
+
+from synthesizer_tpu.utils import modules as mod_rung
+
+needs_openmpt = pytest.mark.skipif(not mod_rung.have_openmpt(),
+                                   reason="libopenmpt not installed")
+
+
+def make_protracker_mod(path, title=b"graft test mod"):
+    """A REAL (minimal) ProTracker MOD written to the published format:
+    one 32-word square-wave sample, one pattern, C-3 on row 0."""
+    import struct
+    out = bytearray()
+    out += title.ljust(20, b"\0")
+    out += (b"square".ljust(22, b"\0") + struct.pack(">H", 32)
+            + bytes([0, 64]) + struct.pack(">HH", 0, 1))
+    for _ in range(30):
+        out += (b"\0" * 22 + struct.pack(">H", 0) + bytes([0, 0])
+                + struct.pack(">HH", 0, 1))
+    out += bytes([1, 127])
+    out += bytes([0]) + b"\0" * 127
+    out += b"M.K."
+    pat = bytearray(1024)
+    pat[0:4] = bytes([214 >> 8, 214 & 0xFF, 0x10, 0])   # smp 1, period 214
+    out += pat
+    sq = np.concatenate([np.full(32, 100, np.int8),
+                         np.full(32, -100, np.int8)])
+    out += sq.tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+@needs_openmpt
+def test_mod_renders(tmp_path):
+    p = tmp_path / "t.mod"
+    make_protracker_mod(p)
+    frames, rate, width, nch = mod_rung.read_module(str(p))
+    assert (rate, width, nch) == (48000, 2, 2)
+    assert len(frames) > 5 * 48000        # 64 rows at speed 6 ≈ 7.7 s
+    assert np.abs(frames).max() > 2000    # the square wave is audible
+    assert mod_rung.module_title(str(p)) == "graft test mod"
+
+
+@needs_openmpt
+def test_mod_through_dispatcher_and_probe(tmp_path):
+    p = tmp_path / "t.mod"
+    make_protracker_mod(p)
+    frames, rate, _, nch = decoders.decode_audio_file(str(p))
+    assert (rate, nch) == (48000, 2)
+    n, rate2, nch2 = decoders.probe_audio_file(str(p))
+    assert (rate2, nch2) == (48000, 2)
+    assert 0.8 * len(frames) < n <= len(frames)   # probe excludes fade tail
+
+
+@needs_openmpt
+def test_mod_through_stream_ladder(tmp_path):
+    p = tmp_path / "t.mod"
+    make_protracker_mod(p)
+    with AudiofileToWavStream(str(p), samplerate=SR, nchannels=2,
+                              samplewidth=2) as st:
+        with wave.open(io.BytesIO(st.read()), "rb") as w:
+            assert w.getframerate() == SR and w.getnchannels() == 2
+            got = np.frombuffer(w.readframes(w.getnframes()),
+                                np.int16).reshape(-1, 2)
+    assert len(got) > 5 * SR and np.abs(got).max() > 2000
+
+
+@needs_openmpt
+def test_jukebox_indexes_mod_with_embedded_title(tmp_path):
+    from jukebox.backend import MusicLibrary
+    p = tmp_path / "file_name.mod"
+    make_protracker_mod(p, title=b"Embedded Song Title")
+    lib = MusicLibrary()
+    assert lib.scan(str(tmp_path)) == 1
+    (t,) = lib.search()
+    assert t.title == "Embedded Song Title"
+    assert t.samplerate == 48000 and t.nchannels == 2
+    assert t.duration > 5.0
+
+
+def test_module_sniffer():
+    assert mod_rung.looks_like_module(b"IMPM" + bytes(100))
+    assert mod_rung.looks_like_module(b"Extended Module: hello")
+    assert mod_rung.looks_like_module(bytes(44) + b"SCRM")
+    assert mod_rung.looks_like_module(bytes(1080) + b"M.K." + b"...")
+    assert not mod_rung.looks_like_module(b"RIFF" + bytes(2000))
+    assert not mod_rung.looks_like_module(b"IMP")
+
+
+@needs_openmpt
+def test_module_garbage_raises(tmp_path):
+    """A truncated IT header raises ModuleError.  (Classic MOD is
+    header-only-validated by libopenmpt — a zero-filled M.K. file loads
+    as an empty song, so the garbage check uses IT.)"""
+    p = tmp_path / "bad.it"
+    p.write_bytes(b"IMPM" + bytes(4))
+    with pytest.raises(mod_rung.ModuleError, match="cannot parse"):
+        mod_rung.read_module(str(p))
