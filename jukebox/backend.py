@@ -25,7 +25,7 @@ from typing import List, NamedTuple, Optional
 
 AUDIO_EXTENSIONS = (".wav", ".wave", ".aif", ".aiff", ".aifc", ".au",
                     ".snd", ".mp3", ".mp2", ".ogg", ".oga", ".opus",
-                    ".flac", ".m4a", ".aac",
+                    ".flac", ".m4a", ".aac", ".wma", ".mka", ".webm",
                     ".mod", ".xm", ".it", ".s3m", ".mptm")
 
 
@@ -91,10 +91,13 @@ class MusicLibrary:
         elif path.lower().endswith((".aif", ".aiff", ".aifc", ".au",
                                     ".snd", ".flac", ".mp3", ".mp2",
                                     ".ogg", ".oga", ".opus", ".mod",
-                                    ".xm", ".it", ".s3m", ".mptm")):
+                                    ".xm", ".it", ".s3m", ".mptm",
+                                    ".m4a", ".aac", ".mp4", ".wma",
+                                    ".mka", ".webm")):
             # in-process formats (round 3): full duration metadata with
             # no external binary — mp3/ogg via the system codec library
-            # bindings when present, headers only.  A file the probe
+            # bindings, m4a/aac/wma/mka via the libav catch-all shim
+            # when present, headers only.  A file the probe
             # cannot parse still gets indexed with zero duration (an
             # ffmpeg-equipped deck may play it anyway)
             try:

@@ -678,9 +678,19 @@ class Sample:
                    smp._nchannels, bitrate=bitrate)
         return self
 
+    def write_m4a(self, file, bitrate: int = 128000) -> "Sample":
+        """Encode to AAC in MP4 (.m4a) — or raw ADTS when the name ends
+        in .aac — via the libav shim (utils.libav).  Lossy: 16-bit."""
+        import os
+        from .utils.libav import write_with_libav
+        write_with_libav(os.fspath(file), self._frames_16bit(),
+                         self._samplerate, self._nchannels,
+                         bitrate=bitrate)
+        return self
+
     def write_audio(self, file) -> "Sample":
-        """Write WAV, FLAC, MP3, Ogg Vorbis, or Opus, chosen by the
-        filename extension (lossy formats need the system codec
+        """Write WAV, FLAC, MP3, Ogg Vorbis, Opus, or AAC/M4A, chosen by
+        the filename extension (lossy formats need the system codec
         libraries)."""
         import os as _os
         name = _os.fspath(file) if isinstance(file, (str, _os.PathLike)) \
@@ -695,6 +705,8 @@ class Sample:
                 return self.write_ogg(name)
             if lower.endswith(".opus"):
                 return self.write_opus(name)
+            if lower.endswith((".m4a", ".aac")):
+                return self.write_m4a(name)
         return self.write_wav(name if name is not None else file)
 
     # -- scaling -----------------------------------------------------------------------

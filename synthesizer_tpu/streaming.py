@@ -80,12 +80,14 @@ class AudiofileToWavStream(io.RawIOBase):
         elif lower.endswith((".aif", ".aiff", ".aifc", ".au", ".snd",
                              ".flac", ".mp3", ".mp2", ".ogg", ".oga",
                              ".opus", ".mod", ".xm", ".it", ".s3m",
-                             ".mptm")):
+                             ".mptm", ".m4a", ".aac", ".mp4", ".wma",
+                             ".mka", ".webm")):
             # spec-stable formats decode in-process (no ffmpeg needed);
             # mp3/ogg decode in-process too when the system codec
-            # libraries exist (utils.codecs ctypes bindings); files the
-            # in-process rung rejects (opus-in-ogg, damaged frames,
-            # missing libs) still get ffmpeg when it exists
+            # libraries exist (utils.codecs ctypes bindings), and
+            # m4a/aac/wma/mka via the libav catch-all shim; files every
+            # in-process rung rejects (damaged frames, missing libs)
+            # still get ffmpeg when it exists
             try:
                 self._open_host_decoder()
             except StreamingError:
@@ -145,15 +147,23 @@ class AudiofileToWavStream(io.RawIOBase):
         self._stream = self._normalized_wav(smp)
 
     def _lossy_source(self) -> bool:
-        """mp3/ogg/opus by magic (these came through a lossy codec, so
-        the exact-ratecv numeric contract does not apply to them)."""
+        """mp3/ogg/opus/aac/wma/mka by magic (these came through a lossy
+        codec, so the exact-ratecv numeric contract does not apply)."""
         from .utils.codecs import looks_like_mpeg, looks_like_ogg
         try:
             with open(self.filename, "rb") as f:
                 magic = f.read(12)
         except OSError:
             return False
-        return looks_like_mpeg(magic) or looks_like_ogg(magic)
+        if looks_like_mpeg(magic) or looks_like_ogg(magic):
+            return True
+        if magic[4:8] == b"ftyp":                  # MP4 family (m4a)
+            return True
+        if (len(magic) >= 2 and magic[0] == 0xFF
+                and (magic[1] & 0xF6) == 0xF0):    # ADTS AAC
+            return True
+        return magic[:4] in (b"\x30\x26\xb2\x75",  # ASF (wma)
+                             b"\x1a\x45\xdf\xa3")  # EBML (mka/webm)
 
     def _normalized_wav(self, smp: Sample) -> io.BytesIO:
         """Clip/resample/width/channel-convert a decoded Sample to the

@@ -511,14 +511,22 @@ def probe_audio_file(filename: str) -> Tuple[int, int, int]:
                 return modules.probe_module(filename)
             except modules.ModuleError as e:
                 raise DecodeError(str(e)) from e
+    from . import libav
+    if libav.have_libav():
+        # universal catch-all: anything the host's libavformat knows
+        try:
+            return libav.probe_libav(filename)
+        except libav.LibavError as e:
+            raise DecodeError(str(e)) from e
     raise DecodeError(f"cannot probe {filename!r} (magic {magic[:4]!r})")
 
 
 def decode_audio_file(filename: str) -> Tuple[np.ndarray, int, int, int]:
     """Decode a file by magic bytes (extension-agnostic) -> (frames
-    [n, ch], rate, width, nch).  Raises DecodeError for formats that
-    still need an external decoder (opus, aac, or mp3/ogg on hosts
-    without the codec shared libraries)."""
+    [n, ch], rate, width, nch).  Our own parsers and direct codec
+    bindings take the known formats; anything else goes to the libav
+    catch-all rung (utils/libav.py) when the host has the ffmpeg
+    shared libraries.  Raises DecodeError only when no rung applies."""
     with open(filename, "rb") as f:
         magic = f.read(12)
     if magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
@@ -558,6 +566,14 @@ def decode_audio_file(filename: str) -> Tuple[np.ndarray, int, int, int]:
         try:
             return modules.read_module(filename)
         except modules.ModuleError as e:
+            raise DecodeError(str(e)) from e
+    from . import libav
+    if libav.have_libav():
+        # universal catch-all (m4a/aac, wma, mka/webm, ...): the C shim
+        # over the host's own libavformat/libavcodec
+        try:
+            return libav.read_with_libav(filename)
+        except libav.LibavError as e:
             raise DecodeError(str(e)) from e
     raise DecodeError(f"cannot decode {filename!r} in-process "
                       f"(magic {magic[:4]!r})")
