@@ -557,7 +557,16 @@ def biquad_filter(frames: np.ndarray, width: int, samplerate: int,
     parallel companion-matrix scan, same budget as the graph Biquad node
     (a few LSB; up to ~16 LSB near the unit circle at q >~ 8)."""
     from .spec import biquad_coeffs
-    b0, b1, b2, a1, a2 = biquad_coeffs(kind, cutoff, q, samplerate)
+    return biquad_seq_coeffs(frames, width,
+                             biquad_coeffs(kind, cutoff, q, samplerate))
+
+
+def biquad_seq_coeffs(frames: np.ndarray, width: int,
+                      coeffs) -> np.ndarray:
+    """The sequential-f64 biquad arbiter with explicit normalized
+    (b0, b1, b2, a1, a2) — shared by :func:`biquad_filter` and the
+    parametric-EQ oracle."""
+    b0, b1, b2, a1, a2 = coeffs
     s = _norm(frames, width).astype(np.float64)
     n, nch = s.shape
     out = np.empty_like(s)
@@ -570,6 +579,21 @@ def biquad_filter(frames: np.ndarray, width: int, samplerate: int,
             y2, y1 = y1, y
             out[i, ch] = y
     return _to_int(out.astype(np.float32), width)
+
+
+def eq(frames: np.ndarray, width: int, samplerate: int,
+       bands) -> np.ndarray:
+    """Parametric-EQ oracle: each ``(kind, freq, gain_db, q)`` band runs
+    the sequential biquad with the oracle's own
+    :func:`goldref.spec.eq_band_coeffs`, round-tripping through int PCM
+    between bands (matching the product's chain of staged per-band
+    biquad ops)."""
+    from .spec import eq_band_coeffs
+    out = frames
+    for kind, freq, gain_db, q in bands:
+        out = biquad_seq_coeffs(
+            out, width, eq_band_coeffs(kind, freq, gain_db, q, samplerate))
+    return out
 
 
 def gate_coeffs(samplerate: int, attack: float, release: float,

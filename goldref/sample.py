@@ -331,12 +331,39 @@ class Sample:
                                      voices, wet, dry)
         return self
 
-    def filter(self, kind: str, cutoff: float, q: float = 0.7071) -> "Sample":
-        """Resonant RBJ biquad on the PCM (lowpass/highpass/bandpass);
-        spec: goldref.effects.biquad_filter."""
+    def filter(self, kind: str, cutoff: float, q: float = 0.7071,
+               gain_db: float = 0.0) -> "Sample":
+        """Resonant RBJ biquad on the PCM (lowpass/highpass/bandpass plus
+        the gain kinds lowshelf/highshelf/peaking); spec:
+        goldref.effects.biquad_filter / goldref.spec.eq_band_coeffs."""
         from . import effects
-        self.frames = effects.biquad_filter(self.frames, self.samplewidth,
-                                            self.samplerate, kind, cutoff, q)
+        if kind in ("lowshelf", "highshelf", "peaking"):
+            self.frames = effects.eq(self.frames, self.samplewidth,
+                                     self.samplerate,
+                                     [(kind, cutoff, gain_db, q)])
+        else:
+            self.frames = effects.biquad_filter(
+                self.frames, self.samplewidth, self.samplerate, kind,
+                cutoff, q)
+        return self
+
+    def eq(self, low_db: float = 0.0, mid_db: float = 0.0,
+           high_db: float = 0.0, low_freq: float = 120.0,
+           mid_freq: float = 1000.0, mid_q: float = 1.0,
+           high_freq: float = 8000.0) -> "Sample":
+        """Three-band parametric EQ (low shelf / peaking mid / high
+        shelf; zero-gain bands skipped); spec: goldref.effects.eq."""
+        from . import effects
+        bands = [(kind, f, g, q)
+                 for kind, f, g, q in (("lowshelf", low_freq, low_db,
+                                        0.7071),
+                                       ("peaking", mid_freq, mid_db,
+                                        mid_q),
+                                       ("highshelf", high_freq, high_db,
+                                        0.7071))
+                 if g != 0.0]
+        self.frames = effects.eq(self.frames, self.samplewidth,
+                                 self.samplerate, bands)
         return self
 
     def gate(self, threshold_db: float = -50.0, range_db: float = 80.0,

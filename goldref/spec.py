@@ -202,6 +202,43 @@ def biquad_coeffs(kind: str, cutoff: float, q: float,
     return (b0 / a0, b1 / a0, b2 / a0, (-2 * cw) / a0, (1 - alpha) / a0)
 
 
+def eq_band_coeffs(kind: str, freq: float, gain_db: float, q: float,
+                   samplerate: int) -> Tuple[float, float, float, float,
+                                             float]:
+    """RBJ cookbook shelving/peaking coefficients (b0, b1, b2, a1, a2),
+    normalized by a0, host f64 — the oracle's OWN copy of the parametric-EQ
+    mapping (conformance-pinned against the product's in
+    tests/test_coeffs_conformance.py).  A = 10^(gain_db/40); freq clamped
+    to 0.49*samplerate."""
+    import math
+    A = 10.0 ** (gain_db / 40.0)
+    w0 = 2.0 * math.pi * min(freq, samplerate * 0.49) / samplerate
+    alpha = math.sin(w0) / (2.0 * q)
+    cw = math.cos(w0)
+    if kind == "peaking":
+        b0, b1, b2 = 1 + alpha * A, -2 * cw, 1 - alpha * A
+        a0, a1, a2 = 1 + alpha / A, -2 * cw, 1 - alpha / A
+    elif kind == "lowshelf":
+        sa = 2.0 * math.sqrt(A) * alpha
+        b0 = A * ((A + 1) - (A - 1) * cw + sa)
+        b1 = 2 * A * ((A - 1) - (A + 1) * cw)
+        b2 = A * ((A + 1) - (A - 1) * cw - sa)
+        a0 = (A + 1) + (A - 1) * cw + sa
+        a1 = -2 * ((A - 1) + (A + 1) * cw)
+        a2 = (A + 1) + (A - 1) * cw - sa
+    elif kind == "highshelf":
+        sa = 2.0 * math.sqrt(A) * alpha
+        b0 = A * ((A + 1) + (A - 1) * cw + sa)
+        b1 = -2 * A * ((A - 1) + (A + 1) * cw)
+        b2 = A * ((A + 1) + (A - 1) * cw - sa)
+        a0 = (A + 1) - (A - 1) * cw + sa
+        a1 = 2 * ((A - 1) - (A + 1) * cw)
+        a2 = (A + 1) - (A - 1) * cw - sa
+    else:
+        raise ValueError(f"unknown eq band kind {kind!r}")
+    return (b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0)
+
+
 @dataclasses.dataclass(frozen=True)
 class Clip:
     source: Node

@@ -414,6 +414,15 @@ def section_effects(SR):
                - gold.gate(**kw).frames.astype(np.int64)).max()
     check("fx/gate", d <= 2, f"max {d} LSB")
 
+    # parametric EQ (shelving/peaking): low-shelf poles near z=1 follow
+    # the scan-conditioning budget (tests/test_filters)
+    gold, dev = pair()
+    kw = dict(low_db=4.0, mid_db=-6.0, high_db=3.0, mid_freq=900.0,
+              mid_q=1.4)
+    d = np.abs(dev.eq(**kw).get_frame_array().astype(np.int64)
+               - gold.eq(**kw).frames.astype(np.int64)).max()
+    check("fx/eq_three_band", d <= 96, f"max {d} LSB")
+
     # phase-vocoder stretch: batched on-chip FFT + phase cumsum vs the
     # f64 host oracle (the FFT path has no other on-hardware coverage)
     t = np.arange(9000) / SR

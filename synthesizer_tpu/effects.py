@@ -216,10 +216,13 @@ class StreamingBiquad:
     carries across chunks (ops.effects.biquad_apply)."""
 
     def __init__(self, samplerate: int, nchannels: int, kind: str,
-                 cutoff: float, q: float = 0.7071):
-        from .ops.coeffs import biquad_coeffs
-        self._knobs = np.asarray(biquad_coeffs(kind, cutoff, q, samplerate),
-                                 np.float32)
+                 cutoff: float, q: float = 0.7071, gain_db: float = 0.0):
+        from .ops.coeffs import biquad_coeffs, eq_band_coeffs
+        if kind in ("lowshelf", "highshelf", "peaking"):
+            knobs = eq_band_coeffs(kind, cutoff, gain_db, q, samplerate)
+        else:
+            knobs = biquad_coeffs(kind, cutoff, q, samplerate)
+        self._knobs = np.asarray(knobs, np.float32)
         z = jnp.zeros(nchannels, jnp.float32)
         self._state = (z, z, z, z)
         self.tail_frames = 0
@@ -255,6 +258,11 @@ def swept_biquad_chunk(x: jax.Array, n0: int, kind: str, q: float,
     state, so the offline whole-signal call (n0=0) and streaming chunks
     agree within the filter's scan-regrouping budget at any chunk size.
     Returns (y_int, new_state)."""
+    if kind not in ("lowpass", "highpass", "bandpass"):
+        raise ValueError("fx.filter.cutoff automation supports "
+                         "lowpass/highpass/bandpass only (shelving kinds "
+                         "have a gain coefficient the sweep does not "
+                         "carry)")
     key = ("swept_biquad", kind, x.shape, str(x.dtype), samplerate,
            int(xs.shape[0]))
 
@@ -297,6 +305,32 @@ def swept_biquad_chunk(x: jax.Array, n0: int, kind: str, q: float,
                                jnp.float32(tickf), state)
 
 
+class StreamingEQ:
+    """Chunked twin of ``Sample.eq``: one carried biquad state per
+    NONZERO band, bands applied in low/mid/high order with the int PCM
+    round trip between bands (the staged-op semantics, so streaming ==
+    offline bit-exactly given identical chunk contents)."""
+
+    def __init__(self, samplerate: int, nchannels: int,
+                 low_db: float = 0.0, mid_db: float = 0.0,
+                 high_db: float = 0.0, low_freq: float = 120.0,
+                 mid_freq: float = 1000.0, mid_q: float = 1.0,
+                 high_freq: float = 8000.0):
+        self._procs = [
+            StreamingBiquad(samplerate, nchannels, kind, f, q, gain_db=g)
+            for kind, f, g, q in (("lowshelf", low_freq, low_db, 0.7071),
+                                  ("peaking", mid_freq, mid_db, mid_q),
+                                  ("highshelf", high_freq, high_db,
+                                   0.7071))
+            if g != 0.0]
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        for p in self._procs:
+            x = p.process(x)
+        return x
+
+
 class SweptStreamingBiquad:
     """Streaming twin of the cutoff-automation path: tracks the absolute
     frame position across chunks so the curve stays aligned (a seek passes
@@ -306,6 +340,11 @@ class SweptStreamingBiquad:
     def __init__(self, samplerate: int, nchannels: int, kind: str,
                  q: float, curve, tickf: float, start_frame: int = 0):
         _require_tickf(tickf, curve)
+        if kind not in ("lowpass", "highpass", "bandpass"):
+            raise ValueError("fx.filter.cutoff automation supports "
+                             "lowpass/highpass/bandpass only (shelving "
+                             "kinds have a gain coefficient the sweep "
+                             "does not carry)")
         self.kind = kind
         self.q = float(q)
         self.xs = jnp.asarray([t for t, _ in curve], jnp.float32)
@@ -687,9 +726,14 @@ FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
     "chorus": (("rate", "depth", "delay", "voices", "wet", "dry"),
                {"voices": int}),
     "convolve": (("ir", "wet", "dry"), {"ir": str}),
-    "filter": (("kind", "cutoff", "q"), {"kind": str}),
+    "filter": (("kind", "cutoff", "q", "gain_db"), {"kind": str}),
+    "eq": (("low_db", "mid_db", "high_db", "low_freq", "mid_freq",
+            "mid_q", "high_freq"), {}),
     "gate": (("threshold_db", "range_db", "attack", "release"), {}),
 }
+
+FILTER_KINDS = ("lowpass", "highpass", "bandpass",
+                "lowshelf", "highshelf", "peaking")
 
 
 def validate_fx_params(name: str, params: dict) -> dict:
@@ -712,7 +756,7 @@ def validate_fx_params(name: str, params: dict) -> dict:
     if name == "filter":
         if not {"kind", "cutoff"} <= set(out):
             raise ValueError("[fx] filter needs kind= and cutoff=")
-        if out["kind"] not in ("lowpass", "highpass", "bandpass"):
+        if out["kind"] not in FILTER_KINDS:
             raise ValueError(f"[fx] filter: unknown kind {out['kind']!r}")
     return out
 
@@ -830,6 +874,8 @@ class FxChain:
                         start_frame)
                 else:
                     proc = StreamingBiquad(samplerate, nchannels, **p)
+            elif name == "eq":
+                proc = StreamingEQ(samplerate, nchannels, **p)
             elif name == "gate":
                 if gate_thr is not None:
                     proc = StreamingGate(samplerate,

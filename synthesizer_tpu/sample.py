@@ -943,14 +943,41 @@ class Sample:
                     dyn=(depth, delay, wet, dry))
         return self
 
-    def filter(self, kind: str, cutoff: float, q: float = 0.7071) -> "Sample":
+    def filter(self, kind: str, cutoff: float, q: float = 0.7071,
+               gain_db: float = 0.0) -> "Sample":
         """Resonant RBJ biquad on the PCM (parallel companion-matrix scan
         on device — ops.effects.companion_scan); spec/tolerance:
-        goldref.effects.biquad_filter.  Coefficients travel in the dyn
-        vector, so cutoff/q/kind tweaks reuse the compiled program."""
-        from .ops.coeffs import biquad_coeffs
-        coeffs = biquad_coeffs(kind, cutoff, q, self._samplerate)
+        goldref.effects.biquad_filter.  Kinds: lowpass/highpass/bandpass,
+        plus the gain kinds lowshelf/highshelf/peaking (``gain_db`` boosts
+        or cuts; spec goldref.effects.eq).  Coefficients travel in the dyn
+        vector, so knob tweaks reuse the compiled program."""
+        from .ops.coeffs import biquad_coeffs, eq_band_coeffs
+        if kind in ("lowshelf", "highshelf", "peaking"):
+            coeffs = eq_band_coeffs(kind, cutoff, gain_db, q,
+                                    self._samplerate)
+        else:
+            coeffs = biquad_coeffs(kind, cutoff, q, self._samplerate)
         self._stage("biquad", dyn=coeffs)
+        return self
+
+    def eq(self, low_db: float = 0.0, mid_db: float = 0.0,
+           high_db: float = 0.0, low_freq: float = 120.0,
+           mid_freq: float = 1000.0, mid_q: float = 1.0,
+           high_freq: float = 8000.0) -> "Sample":
+        """Three-band parametric EQ: low shelf at ``low_freq``, peaking
+        mid at ``(mid_freq, mid_q)``, high shelf at ``high_freq``.  Each
+        NONZERO band stages one RBJ biquad (the parallel companion scan),
+        identical to chaining ``filter()`` calls; zero-gain bands stage
+        nothing (a unity band would still drift the f32 scan by an LSB).
+        Spec/tolerance: goldref.effects.eq."""
+        from .ops.coeffs import eq_band_coeffs
+        for kind, f, g, q in (("lowshelf", low_freq, low_db, 0.7071),
+                              ("peaking", mid_freq, mid_db, mid_q),
+                              ("highshelf", high_freq, high_db, 0.7071)):
+            if g != 0.0:
+                self._stage("biquad",
+                            dyn=eq_band_coeffs(kind, f, g, q,
+                                               self._samplerate))
         return self
 
     def gate(self, threshold_db: float = -50.0, range_db: float = 80.0,

@@ -154,3 +154,16 @@ def test_product_imports_without_goldref(tmp_path):
                               "PYTHONPATH": "/root/repo"})
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+def test_eq_band_coeffs_match():
+    for sr in (8000, 44100, 48000):
+        for kind in ("lowshelf", "highshelf", "peaking"):
+            for freq in (60.0, 1000.0, 8000.0, 30000.0):
+                for gain in (-12.0, -3.0, 0.0, 4.5, 12.0):
+                    for q in (0.5, 0.7071, 1.0, 4.0):
+                        assert C.eq_band_coeffs(kind, freq, gain, q, sr) \
+                            == goldspec.eq_band_coeffs(kind, freq, gain,
+                                                       q, sr)
+    with pytest.raises(ValueError):
+        C.eq_band_coeffs("notch", 1000.0, 3.0, 1.0, 44100)

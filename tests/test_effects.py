@@ -443,3 +443,99 @@ def test_granulate_short_input():
     out = dev.granulate(duration=0.1, grain=0.05).get_frame_array()
     assert len(out) == int(0.1 * SR)
     assert np.abs(out).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Parametric EQ (shelving/peaking biquads)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind,freq,gain,q,budget", [
+    # budgets follow the scan-conditioning model (tests/test_filters.
+    # scan_error_bound_lsb): error grows with Gpole*sqrt(tau), i.e. with
+    # poles near z=1 — low shelf frequencies and high-Q peaking measure
+    # ~35 / ~110 LSB on full-scale noise (-51 dB relative); margin 2-3x
+    ("peaking", 1000.0, 6.0, 1.0, 4),
+    ("peaking", 3000.0, -9.0, 4.0, 4),
+    ("peaking", 250.0, 12.0, 8.0, 256),   # strong low resonance
+    ("lowshelf", 200.0, 5.0, 0.7071, 96),
+    ("lowshelf", 120.0, -12.0, 0.7071, 96),
+    ("highshelf", 6000.0, -6.0, 0.7071, 4),
+    ("highshelf", 8000.0, 9.0, 0.7071, 4),
+])
+def test_filter_gain_kinds_match_oracle(rng, kind, freq, gain, q, budget):
+    gold, dev = make_pair(rng, n=4000, nch=2)
+    check_lsb(gold.filter(kind, freq, q, gain_db=gain),
+              dev.filter(kind, freq, q, gain_db=gain), budget)
+
+
+def test_eq_matches_oracle(rng):
+    gold, dev = make_pair(rng, n=4000, nch=2, quiet=True)
+    kw = dict(low_db=4.0, mid_db=-6.0, high_db=3.0, low_freq=150.0,
+              mid_freq=900.0, mid_q=1.4, high_freq=5000.0)
+    # three chained scans, each within the standard biquad budget
+    check_lsb(gold.eq(**kw), dev.eq(**kw), 12)
+
+
+def test_eq_equals_chained_filters(rng):
+    _, dev1 = make_pair(rng, n=3000, nch=2)
+    rng2 = np.random.default_rng(0xC0FFEE)
+    _, dev2 = make_pair(rng2, n=3000, nch=2)
+    a = dev1.eq(low_db=3.0, mid_db=-4.0, high_db=2.0).get_frame_array()
+    b = dev2.filter("lowshelf", 120.0, 0.7071, gain_db=3.0) \
+            .filter("peaking", 1000.0, 1.0, gain_db=-4.0) \
+            .filter("highshelf", 8000.0, 0.7071, gain_db=2.0) \
+            .get_frame_array()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_eq_zero_gain_bands_stage_nothing(rng):
+    _, dev = make_pair(rng, n=2000, nch=2)
+    before = dev.get_frame_array().copy()
+    out = dev.eq().get_frame_array()      # all-zero gains: identity
+    np.testing.assert_array_equal(out, before)
+
+
+def test_peaking_gain_anchor():
+    """First-principles: a sine at the peaking band's center frequency
+    comes out boosted by gain_db (the RBJ |H| at w0 is exactly A^2 ...
+    normalized a/b symmetry makes it 10^(gain/20))."""
+    n = SR
+    t = np.arange(n) / SR
+    a = (0.1 * 32767.0 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.int16)
+    dev = Sample.from_raw_frames(np.repeat(a[:, None], 2, 1).tobytes(),
+                                 2, SR, 2)
+    out = dev.filter("peaking", 1000.0, 2.0, gain_db=6.0).get_frame_array()
+    seg = slice(n // 2, n)                # past the transient
+    ratio = (np.sqrt(np.mean(out[seg, 0].astype(np.float64) ** 2))
+             / np.sqrt(np.mean(np.asarray(a[seg], np.float64) ** 2)))
+    assert abs(ratio - 10 ** (6.0 / 20.0)) < 0.03 * ratio
+
+
+def test_shelf_gain_anchor():
+    """A low-frequency sine through a +6 dB low shelf gains ~6 dB; the
+    same sine through a high shelf centred far above it is untouched."""
+    n = SR
+    t = np.arange(n) / SR
+    a = (0.1 * 32767.0 * np.sin(2 * np.pi * 80.0 * t)).astype(np.int16)
+    dev1 = Sample.from_raw_frames(a.tobytes(), 2, SR, 1)
+    dev2 = Sample.from_raw_frames(a.tobytes(), 2, SR, 1)
+    seg = slice(n // 2, n)
+    rms0 = np.sqrt(np.mean(np.asarray(a[seg], np.float64) ** 2))
+    lo = dev1.filter("lowshelf", 500.0, gain_db=6.0).get_frame_array()
+    hi = dev2.filter("highshelf", 8000.0, gain_db=6.0).get_frame_array()
+    r_lo = np.sqrt(np.mean(lo[seg, 0].astype(np.float64) ** 2)) / rms0
+    r_hi = np.sqrt(np.mean(hi[seg, 0].astype(np.float64) ** 2)) / rms0
+    assert abs(r_lo - 10 ** (6.0 / 20.0)) < 0.05 * r_lo
+    assert abs(r_hi - 1.0) < 0.02
+
+
+def test_streaming_eq_chunk_invariance(rng):
+    from synthesizer_tpu.effects import StreamingEQ
+    x = rng.integers(-15000, 15000, size=(7000, 2)).astype(np.int16)
+    kw = dict(low_db=4.0, mid_db=-5.0, high_db=3.0, mid_q=2.0)
+    a = _chunked(lambda: StreamingEQ(SR, 2, **kw), x, [7000])
+    b = _chunked(lambda: StreamingEQ(SR, 2, **kw), x, [997, 1024, 333])
+    # the 120 Hz low-shelf poles sit near z=1: scan-regrouping error
+    # follows the conditioning model (measured ~90 LSB on full-scale
+    # noise, -51 dB relative)
+    assert np.abs(a.astype(np.int64) - b.astype(np.int64)).max() <= 192

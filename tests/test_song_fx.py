@@ -694,3 +694,45 @@ def test_drum_bus_sidechain_duck_hat_by_kick():
     d2 = np.abs(np.clip(total, -32768, 32767)
                 - mix[:len(total)].astype(np.int64)).max()
     assert d2 <= 3, d2
+
+
+# ---------------------------------------------------------------------------
+# Parametric EQ in the chain
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("chunk", [1500, 4096])
+def test_eq_fx_streaming_equals_offline(chunk):
+    song = make_song([("eq", dict(low_db=4.0, mid_db=-5.0, high_db=3.0,
+                                  mid_freq=1200.0, mid_q=2.0))])
+    offline = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(offline)
+    d = np.abs(got.astype(np.int64) - offline.astype(np.int64)).max()
+    # the 120 Hz low shelf's poles sit near z=1 and the kick is
+    # full-scale right in that band: scan-regrouping error follows the
+    # conditioning model (tests/test_filters.scan_error_bound_lsb;
+    # measured ~220 LSB = -43 dB relative to the kick peaks)
+    assert d <= 512, d
+
+
+def test_eq_fx_ini_roundtrip(tmp_path):
+    items = parse_fx_items([("eq", "low_db=3 high_db=-2 mid_q=1.5")])
+    assert items == [("eq", dict(low_db=3.0, high_db=-2.0, mid_q=1.5))]
+    with pytest.raises(ValueError, match="unknown parameter"):
+        parse_fx_items([("eq", "bass=3")])
+
+
+def test_filter_fx_gain_kinds_parse():
+    items = parse_fx_items([("filter",
+                             "kind=highshelf cutoff=6000 gain_db=4")])
+    assert items[0][1]["kind"] == "highshelf"
+    with pytest.raises(ValueError, match="unknown kind"):
+        parse_fx_items([("filter", "kind=notch cutoff=1000")])
+
+
+def test_eq_cutoff_automation_rejects_shelf_kinds():
+    from synthesizer_tpu.effects import SweptStreamingBiquad
+    with pytest.raises(ValueError, match="lowpass/highpass/bandpass"):
+        SweptStreamingBiquad(SR, 2, "highshelf", 0.7071,
+                             [(0, 500.0), (4, 2000.0)], tickf=5512.5)
