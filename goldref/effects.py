@@ -596,6 +596,74 @@ def eq(frames: np.ndarray, width: int, samplerate: int,
     return out
 
 
+def _biquad_seq_f64(s: np.ndarray, coeffs) -> np.ndarray:
+    """Pure-f64 sequential biquad on a normalized [n, ch] signal (no int
+    round trip) — the loudness oracle's K-weighting stage."""
+    b0, b1, b2, a1, a2 = coeffs
+    n, nch = s.shape
+    out = np.empty_like(s)
+    for ch in range(nch):
+        x1 = x2 = y1 = y2 = 0.0
+        x = s[:, ch]
+        for i in range(n):
+            y = b0 * x[i] + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+            x2, x1 = x1, x[i]
+            y2, y1 = y1, y
+            out[i, ch] = y
+    return out
+
+
+def loudness_lufs(frames: np.ndarray, width: int,
+                  samplerate: int) -> float:
+    """Integrated programme loudness (LUFS) per ITU-R BS.1770-4, pure
+    host f64: K-weighting (goldref.spec.kweight_coeffs, sequential
+    biquads), 400 ms gating blocks at 75 % overlap, -70 LUFS absolute
+    gate then the -10 LU relative gate.  Channel weights 1.0 (the
+    pipeline is mono/stereo).  -inf when no block survives."""
+    from .spec import kweight_coeffs
+    s = _norm(frames, width).astype(np.float64)
+    for coeffs in kweight_coeffs(samplerate):
+        s = _biquad_seq_f64(s, coeffs)
+    hop = int(round(0.1 * samplerate))
+    th = s.shape[0] // hop
+    nblocks = th - 3
+    if nblocks <= 0:
+        return float("-inf")
+    hs = (s[:th * hop] ** 2).reshape(th, hop, s.shape[1]).sum(axis=1)
+    zsum = sum(hs[k:k + nblocks] for k in range(4)).sum(axis=1) \
+        / (4 * hop)
+    lj = -0.691 + 10.0 * np.log10(np.maximum(zsum, 1e-300))
+    keep = lj > -70.0
+    if not keep.any():
+        return float("-inf")
+    gamma = -0.691 + 10.0 * np.log10(zsum[keep].mean()) - 10.0
+    keep &= lj > gamma
+    if not keep.any():
+        return float("-inf")
+    return float(-0.691 + 10.0 * np.log10(zsum[keep].mean()))
+
+
+def true_peak_dbtp(frames: np.ndarray, width: int,
+                   samplerate: int) -> float:
+    """True peak (dBTP) per BS.1770-4 Annex 2, pure host f64: 4x
+    oversample by zero-stuffed convolution with the polyphase
+    interpolation FIR (goldref.spec.true_peak_filter), max |y| with the
+    sampled peak included.  -inf for silence."""
+    from .spec import true_peak_filter
+    s = _norm(frames, width).astype(np.float64)
+    if s.shape[0] == 0:
+        return float("-inf")
+    h = true_peak_filter()
+    peak = float(np.abs(s).max())
+    for ch in range(s.shape[1]):
+        up = np.zeros(s.shape[0] * 4, np.float64)
+        up[::4] = s[:, ch]
+        peak = max(peak, float(np.abs(np.convolve(up, h)).max()))
+    if peak <= 0.0:
+        return float("-inf")
+    return 20.0 * math.log10(peak)
+
+
 def gate_coeffs(samplerate: int, attack: float, release: float,
                 range_db: float) -> Tuple[float, float, float]:
     """(alpha, decay, floor_gain) for the gate — host f64, shared."""

@@ -366,6 +366,18 @@ class Sample:
                                  self.samplerate, bands)
         return self
 
+    def loudness_lufs(self) -> float:
+        """Integrated loudness (LUFS); spec: goldref.effects.loudness_lufs."""
+        from . import effects
+        return effects.loudness_lufs(self.frames, self.samplewidth,
+                                     self.samplerate)
+
+    def true_peak_dbtp(self) -> float:
+        """True peak (dBTP); spec: goldref.effects.true_peak_dbtp."""
+        from . import effects
+        return effects.true_peak_dbtp(self.frames, self.samplewidth,
+                                      self.samplerate)
+
     def gate(self, threshold_db: float = -50.0, range_db: float = 80.0,
              attack: float = 0.001, release: float = 0.05) -> "Sample":
         """Noise gate; spec: goldref.effects.gate_gains."""

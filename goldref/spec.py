@@ -239,6 +239,56 @@ def eq_band_coeffs(kind: str, freq: float, gain_db: float, q: float,
     return (b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0)
 
 
+# -- BS.1770-4 loudness / true peak (the oracle's OWN copies, pinned equal
+#    to the product's in tests/test_loudness.py) ------------------------------
+
+_KW_SHELF = (1681.974450955533, 3.999843853973347, 0.7071752369554196)
+_KW_SHELF_VB_EXP = 0.499666774155
+_KW_HIGHPASS = (38.13547087602444, 0.5003270373238773)
+
+
+def kweight_coeffs(samplerate: int):
+    """The two K-weighting stages as normalized (b0, b1, b2, a1, a2)
+    biquads, host f64 (bilinear re-derivation that reproduces the
+    BS.1770-4 48 kHz tables to 1e-13)."""
+    import math
+    f0, G, Q = _KW_SHELF
+    K = math.tan(math.pi * f0 / samplerate)
+    Vh = 10.0 ** (G / 20.0)
+    Vb = Vh ** _KW_SHELF_VB_EXP
+    a0 = 1.0 + K / Q + K * K
+    stage1 = ((Vh + Vb * K / Q + K * K) / a0,
+              2.0 * (K * K - Vh) / a0,
+              (Vh - Vb * K / Q + K * K) / a0,
+              2.0 * (K * K - 1.0) / a0,
+              (1.0 - K / Q + K * K) / a0)
+    f0, Q = _KW_HIGHPASS
+    w0 = 2.0 * math.pi * f0 / samplerate
+    alpha = math.sin(w0) / (2.0 * Q)
+    cw = math.cos(w0)
+    a0 = 1.0 + alpha
+    stage2 = (1.0, -2.0, 1.0, (-2.0 * cw) / a0, (1.0 - alpha) / a0)
+    return stage1, stage2
+
+
+_TP_PHASES = 4
+_TP_TAPS = 48
+
+
+def true_peak_filter():
+    """The 4x-oversampling interpolation FIR for true-peak measurement:
+    48-tap Kaiser(beta=8)-windowed sinc, each polyphase leg normalized to
+    unit DC gain, f64 (the oracle's own copy)."""
+    import numpy as np
+    L, N = _TP_PHASES, _TP_TAPS
+    n = np.arange(N, dtype=np.float64)
+    x = (n - (N - 1) / 2.0) / L
+    h = np.sinc(x) * np.kaiser(N, 8.0)
+    for p in range(L):
+        h[p::L] /= h[p::L].sum()
+    return h
+
+
 @dataclasses.dataclass(frozen=True)
 class Clip:
     source: Node

@@ -423,6 +423,21 @@ def section_effects(SR):
                - gold.eq(**kw).frames.astype(np.int64)).max()
     check("fx/eq_three_band", d <= 96, f"max {d} LSB")
 
+    # BS.1770 loudness + true peak: the EBU 3341 anchor (a -23 dBFS
+    # stereo 997 Hz sine reads -23 LUFS) and the f64 oracle, on chip
+    t = np.arange(SR)
+    a = np.rint(10 ** (-23 / 20) * 32767.0
+                * np.sin(2 * np.pi * 997.0 / SR * t)).astype(np.int16)
+    st = np.repeat(a[:, None], 2, 1)
+    dev = Sample.from_raw_frames(st.tobytes(), 2, SR, 2)
+    gold = gs.Sample(st.copy(), SR, 2, 2)
+    li, lg = dev.loudness_lufs(), gold.loudness_lufs()
+    tp, tg = dev.true_peak_dbtp(), gold.true_peak_dbtp()
+    check("fx/loudness_lufs", abs(li + 23.0) < 0.1 and abs(li - lg) < 0.01,
+          f"dev {li:.3f} LUFS oracle {lg:.3f}")
+    check("fx/true_peak", abs(tp - tg) < 0.01,
+          f"dev {tp:.3f} dBTP oracle {tg:.3f}")
+
     # phase-vocoder stretch: batched on-chip FFT + phase cumsum vs the
     # f64 host oracle (the FFT path has no other on-hardware coverage)
     t = np.arange(9000) / SR

@@ -23,6 +23,7 @@ import numpy as np
 
 __all__ = [
     "compressor_coeffs", "gate_coeffs", "biquad_coeffs", "eq_band_coeffs",
+    "kweight_coeffs", "true_peak_filter",
     "reverb_delays", "reverb_params", "FIXED_GAIN", "ALLPASS_FEEDBACK",
     "COMB_TUNING", "ALLPASS_TUNING", "STEREO_SPREAD",
     "stretch_grid", "grain_grid", "noise_u32",
@@ -180,6 +181,62 @@ def eq_band_coeffs(kind: str, freq: float, gain_db: float, q: float,
     else:
         raise ValueError(f"unknown eq band kind {kind!r}")
     return (b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0)
+
+
+# ---------------------------------------------------------------------------
+# BS.1770-4 loudness (K-weighting) and true peak
+# ---------------------------------------------------------------------------
+
+#: analog-domain parameters that reproduce the ITU-R BS.1770 filter tables
+#: (the published 48 kHz coefficients) when re-run through the bilinear
+#: transform — the standard re-derivation used to K-weight at any rate.
+_KW_SHELF = (1681.974450955533, 3.999843853973347, 0.7071752369554196)
+_KW_SHELF_VB_EXP = 0.499666774155
+_KW_HIGHPASS = (38.13547087602444, 0.5003270373238773)
+
+
+def kweight_coeffs(samplerate: int):
+    """The two K-weighting stages as normalized (b0, b1, b2, a1, a2)
+    biquads, host f64: a +4 dB high shelf (head model, bilinear-
+    transformed analog prototype with the band gain Vb = Vh^0.499667)
+    then the RLB high-pass with the ITU's unit numerator (1, -2, 1).
+    At 48 kHz this reproduces the BS.1770-4 table coefficients to 1e-13
+    (pinned in tests/test_loudness.py)."""
+    f0, G, Q = _KW_SHELF
+    K = math.tan(math.pi * f0 / samplerate)
+    Vh = 10.0 ** (G / 20.0)
+    Vb = Vh ** _KW_SHELF_VB_EXP
+    a0 = 1.0 + K / Q + K * K
+    stage1 = ((Vh + Vb * K / Q + K * K) / a0,
+              2.0 * (K * K - Vh) / a0,
+              (Vh - Vb * K / Q + K * K) / a0,
+              2.0 * (K * K - 1.0) / a0,
+              (1.0 - K / Q + K * K) / a0)
+    f0, Q = _KW_HIGHPASS
+    w0 = 2.0 * math.pi * f0 / samplerate
+    alpha = math.sin(w0) / (2.0 * Q)
+    cw = math.cos(w0)
+    a0 = 1.0 + alpha
+    stage2 = (1.0, -2.0, 1.0, (-2.0 * cw) / a0, (1.0 - alpha) / a0)
+    return stage1, stage2
+
+
+_TP_PHASES = 4
+_TP_TAPS = 48
+
+
+def true_peak_filter() -> np.ndarray:
+    """The 4x-oversampling interpolation FIR for true-peak (dBTP)
+    measurement: 48-tap Kaiser(beta=8)-windowed sinc, each polyphase leg
+    normalized to unit DC gain, f64.  Consumed zero-stuffed (every 4th
+    output sample uses one leg h[p::4])."""
+    L, N = _TP_PHASES, _TP_TAPS
+    n = np.arange(N, dtype=np.float64)
+    x = (n - (N - 1) / 2.0) / L
+    h = np.sinc(x) * np.kaiser(N, 8.0)
+    for p in range(L):
+        h[p::L] /= h[p::L].sum()
+    return h
 
 
 # ---------------------------------------------------------------------------

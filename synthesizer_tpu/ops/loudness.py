@@ -1,0 +1,146 @@
+"""BS.1770-4 programme loudness (LUFS) and true peak (dBTP) on device.
+
+TPU-first split of the standard's pipeline:
+
+* the HOT part — K-weighting (two biquads through the shared parallel
+  companion-matrix scan, ``ops.effects.biquad_apply``), squaring, and the
+  100 ms gating-hop energy sums — runs as ONE jitted device program over
+  the whole signal;
+* the data-dependent gating logic (absolute -70 LUFS gate, then the
+  relative -10 LU gate) runs on HOST in f64 over the tiny [hops, ch]
+  energy table — gating selects a varying subset of blocks, which would
+  force dynamic shapes on device for microseconds of host work.
+
+True peak follows BS.1770-4 Annex 2: the signal is 4x oversampled with a
+polyphase interpolation FIR (``ops.coeffs.true_peak_filter``) — on device
+this is one ``lax.conv_general_dilated`` with ``lhs_dilation=4`` (the
+transposed-conv zero-stuffing, so the MXU sees a dense conv) — and the
+true peak is the max |oversampled| (the sampled peak included: no
+polyphase leg is an exact identity).
+
+Channel weights are 1.0 (the pipeline's channel model is mono/stereo —
+the standard's 1.41 surround weights have no surface here).  Oracle:
+``goldref.effects.loudness_lufs`` / ``true_peak_dbtp`` (sequential f64).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import effects as dfx
+from . import pcm as dpcm
+from .coeffs import kweight_coeffs, true_peak_filter
+
+__all__ = ["kweighted_hop_sums", "gated_loudness", "loudness_integrated",
+           "true_peak_norm", "BLOCK_HOPS", "ABS_GATE_LUFS",
+           "REL_GATE_LU", "LOUDNESS_OFFSET"]
+
+#: 400 ms gating blocks at 75 % overlap = 4 hops of 100 ms
+BLOCK_HOPS = 4
+ABS_GATE_LUFS = -70.0
+REL_GATE_LU = -10.0
+LOUDNESS_OFFSET = -0.691
+
+_cache: dict = {}
+
+
+def _cached(key, build):
+    fn = _cache.get(key)
+    if fn is None:
+        fn = _cache[key] = build()
+    return fn
+
+
+def hop_frames(samplerate: int) -> int:
+    return int(round(0.1 * samplerate))
+
+
+def kweighted_hop_sums(x: jax.Array, samplerate: int) -> np.ndarray:
+    """[hops, ch] f32 sums of squares of the K-weighted normalized signal
+    over consecutive 100 ms hops (trailing partial hop dropped — the
+    standard gates on full 400 ms blocks only)."""
+    hop = hop_frames(samplerate)
+    n, ch = x.shape
+    th = n // hop
+    if th == 0:
+        return np.zeros((0, ch), np.float32)
+    key = ("kw_hops", x.shape, str(x.dtype), samplerate)
+
+    def build():
+        s1, s2 = kweight_coeffs(samplerate)
+        c1 = tuple(jnp.float32(c) for c in s1)
+        c2 = tuple(jnp.float32(c) for c in s2)
+        width = dpcm.width_of(x)
+
+        @jax.jit
+        def fn(x):
+            s = (x[:th * hop].astype(jnp.float32)
+                 / jnp.float32(dpcm.MAXVAL[width]))
+            y, _ = dfx.biquad_apply(s, c1)
+            y, _ = dfx.biquad_apply(y, c2)
+            return (y * y).reshape(th, hop, ch).sum(axis=1)
+        return fn
+
+    return np.asarray(_cached(key, build)(x))
+
+
+def gated_loudness(hop_sums: np.ndarray, hop: int) -> float:
+    """Integrated loudness (LUFS) from per-hop K-weighted energy sums —
+    the BS.1770-4 two-stage gating, host f64.  -inf when no block
+    survives (silence, or programme shorter than one 400 ms block)."""
+    hs = np.asarray(hop_sums, np.float64)
+    nblocks = hs.shape[0] - (BLOCK_HOPS - 1)
+    if nblocks <= 0:
+        return float("-inf")
+    block = BLOCK_HOPS * hop
+    # z_j = channel-weighted mean square of gating block j (weights 1.0)
+    zsum = sum(hs[k:k + nblocks] for k in range(BLOCK_HOPS)).sum(axis=1) \
+        / block
+    lj = LOUDNESS_OFFSET + 10.0 * np.log10(np.maximum(zsum, 1e-300))
+    keep = lj > ABS_GATE_LUFS
+    if not keep.any():
+        return float("-inf")
+    gamma = (LOUDNESS_OFFSET + 10.0 * np.log10(zsum[keep].mean())
+             + REL_GATE_LU)
+    keep &= lj > gamma
+    if not keep.any():
+        return float("-inf")
+    return float(LOUDNESS_OFFSET + 10.0 * np.log10(zsum[keep].mean()))
+
+
+def loudness_integrated(x: jax.Array, samplerate: int) -> float:
+    """Integrated programme loudness of int PCM frames [n, ch], LUFS."""
+    return gated_loudness(kweighted_hop_sums(x, samplerate),
+                          hop_frames(samplerate))
+
+
+def true_peak_norm(x: jax.Array) -> float:
+    """max |4x-oversampled normalized signal| (linear; >= sampled peak).
+    dBTP = 20*log10 of this."""
+    n, ch = x.shape
+    if n == 0:
+        return 0.0
+    key = ("true_peak", x.shape, str(x.dtype))
+
+    def build():
+        h = true_peak_filter()
+        L = 4
+        N = len(h)
+        taps = jnp.asarray(h[::-1].copy(), jnp.float32)[None, None, :]
+        width = dpcm.width_of(x)
+
+        @jax.jit
+        def fn(x):
+            s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
+            lhs = s.T[:, None, :]                       # [ch, 1, n]
+            y = jax.lax.conv_general_dilated(
+                lhs, taps, window_strides=(1,),
+                padding=[(N - 1, N - 1)], lhs_dilation=(L,))
+            return jnp.maximum(jnp.abs(y).max(), jnp.abs(s).max())
+        return fn
+
+    return float(np.asarray(_cached(key, build)(x)))

@@ -980,6 +980,42 @@ class Sample:
                                                self._samplerate))
         return self
 
+    def loudness_lufs(self) -> float:
+        """Integrated programme loudness (LUFS, ITU-R BS.1770-4):
+        K-weighted 400 ms gating-block energies as one device program,
+        the two-stage gate on host f64 (ops/loudness.py).  -inf for
+        silence or programmes shorter than one 400 ms block.
+        Spec/tolerance: goldref.effects.loudness_lufs."""
+        from .ops import loudness as dl
+        return dl.loudness_integrated(self.jax_frames, self._samplerate)
+
+    def true_peak_dbtp(self) -> float:
+        """True peak (dBTP, BS.1770-4 Annex 2): 4x polyphase
+        oversampling as one device transposed-conv; -inf for silence.
+        Spec/tolerance: goldref.effects.true_peak_dbtp."""
+        from .ops import loudness as dl
+        tp = dl.true_peak_norm(self.jax_frames)
+        return float("-inf") if tp <= 0.0 else 20.0 * math.log10(tp)
+
+    def normalize_lufs(self, target_lufs: float = -14.0,
+                       true_peak_db: float = -1.0) -> "Sample":
+        """Loudness-normalize to a streaming target (default -14 LUFS,
+        the common platform spec): gain = target - measured, capped so
+        the predicted true peak stays <= ``true_peak_db`` dBTP — the
+        EBU R128 mastering workflow.  Measures eagerly (two device
+        reductions), then stages one ``amplify`` (f32-factor contract).
+        Silence is returned unchanged."""
+        from .ops import loudness as dl
+        li = dl.loudness_integrated(self.jax_frames, self._samplerate)
+        if not math.isfinite(li):
+            return self
+        gain_db = target_lufs - li
+        tp = dl.true_peak_norm(self.jax_frames)
+        if tp > 0.0:
+            gain_db = min(gain_db,
+                          true_peak_db - 20.0 * math.log10(tp))
+        return self.amplify(float(10.0 ** (gain_db / 20.0)))
+
     def gate(self, threshold_db: float = -50.0, range_db: float = 80.0,
              attack: float = 0.001, release: float = 0.05) -> "Sample":
         """Noise gate (decaying-max detector + one-pole smoother as

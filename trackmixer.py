@@ -22,9 +22,15 @@ import time
 from synthesizer_tpu import LevelMeter, Output, Song
 
 
-def mix_to_wav(song: Song, outfile: str, normalize: bool = True) -> None:
+def mix_to_wav(song: Song, outfile: str, normalize: bool = True,
+               lufs: float = None) -> None:
     t0 = time.perf_counter()
-    mixed = song.mix(normalize=normalize)
+    mixed = song.mix(normalize=normalize and lufs is None)
+    if lufs is not None:
+        before = mixed.loudness_lufs()
+        mixed.normalize_lufs(lufs)
+        print(f"loudness {before:.1f} LUFS -> target {lufs:.1f} LUFS "
+              f"(true peak {mixed.true_peak_dbtp():.1f} dBTP)")
     mixed.write_audio(outfile)   # .flac -> lossless, .mp3/.ogg -> lossy
     dt = time.perf_counter() - t0
     print(f"mixed {mixed.duration:.2f}s of audio in {dt:.3f}s "
@@ -181,6 +187,10 @@ def main(argv=None) -> int:
     ap.add_argument("--start", type=float, default=0.0, metavar="SECONDS",
                     help="with --play: seek before streaming (bit-exact "
                          "mid-song resume)")
+    ap.add_argument("--lufs", type=float, metavar="TARGET",
+                    help="loudness-normalize the mixdown to TARGET LUFS "
+                         "(BS.1770-4 integrated, true peak capped at "
+                         "-1 dBTP) instead of peak normalization")
     ap.add_argument("--no-normalize", action="store_true",
                     help="skip peak normalization in offline mixdown")
     ap.add_argument("--stems", metavar="DIR",
@@ -204,6 +214,11 @@ def main(argv=None) -> int:
             import time as _t
             t0 = _t.perf_counter()
             sample = render_midi(args.song)
+            if args.lufs is not None:
+                before = sample.loudness_lufs()
+                sample.normalize_lufs(args.lufs)
+                print(f"loudness {before:.1f} LUFS -> target "
+                      f"{args.lufs:.1f} LUFS")
             sample.write_wav(out)
             dt = _t.perf_counter() - t0
             print(f"rendered MIDI {sample.duration:.2f}s in {dt:.3f}s "
@@ -226,7 +241,8 @@ def main(argv=None) -> int:
                   f"-> {args.stems}/")
             return 0
         if args.output:
-            mix_to_wav(song, args.output, normalize=not args.no_normalize)
+            mix_to_wav(song, args.output, normalize=not args.no_normalize,
+                       lufs=args.lufs)
             return 0
         if args.play:
             play_streaming(song, start_seconds=args.start)
