@@ -643,6 +643,70 @@ def loudness_lufs(frames: np.ndarray, width: int,
     return float(-0.691 + 10.0 * np.log10(zsum[keep].mean()))
 
 
+def _kweighted_hop_sums_f64(frames: np.ndarray, width: int,
+                            samplerate: int):
+    """([hops, ch] f64 K-weighted energy sums over 100 ms hops, hop)."""
+    from .spec import kweight_coeffs
+    s = _norm(frames, width).astype(np.float64)
+    for coeffs in kweight_coeffs(samplerate):
+        s = _biquad_seq_f64(s, coeffs)
+    hop = int(round(0.1 * samplerate))
+    th = s.shape[0] // hop
+    hs = (s[:th * hop] ** 2).reshape(th, hop, s.shape[1]).sum(axis=1)
+    return hs, hop
+
+
+def _window_loudness_f64(hs: np.ndarray, hop: int,
+                         window_hops: int) -> np.ndarray:
+    h1 = hs.sum(axis=1)
+    n = h1.shape[0] - (window_hops - 1)
+    if n <= 0:
+        return np.zeros(0, np.float64)
+    c = np.concatenate([[0.0], np.cumsum(h1)])
+    z = (c[window_hops:] - c[:n]) / (window_hops * hop)
+    return -0.691 + 10.0 * np.log10(np.maximum(z, 1e-300))
+
+
+def loudness_stats(frames: np.ndarray, width: int,
+                   samplerate: int) -> dict:
+    """EBU R128 meter-set oracle, pure host f64: integrated (BS.1770-4
+    gating), LRA (Tech 3342: p95 - p10 of the 3 s short-term
+    distribution after -70 LUFS absolute and -20 LU relative gates),
+    momentary (400 ms) and short-term maxima."""
+    hs, hop = _kweighted_hop_sums_f64(frames, width, samplerate)
+    nblocks = hs.shape[0] - 3
+    if nblocks <= 0:
+        integrated = float("-inf")
+    else:
+        zsum = sum(hs[k:k + nblocks] for k in range(4)).sum(axis=1) \
+            / (4 * hop)
+        lj = -0.691 + 10.0 * np.log10(np.maximum(zsum, 1e-300))
+        keep = lj > -70.0
+        if not keep.any():
+            integrated = float("-inf")
+        else:
+            gamma = -0.691 + 10.0 * np.log10(zsum[keep].mean()) - 10.0
+            keep &= lj > gamma
+            integrated = float("-inf") if not keep.any() else \
+                float(-0.691 + 10.0 * np.log10(zsum[keep].mean()))
+    mom = _window_loudness_f64(hs, hop, 4)
+    st = _window_loudness_f64(hs, hop, 30)
+    stg = st[st > -70.0]
+    if stg.size == 0:
+        lra = 0.0
+    else:
+        mean_lufs = 10.0 * np.log10(np.mean(10.0 ** (stg / 10.0)))
+        stg = stg[stg > mean_lufs - 20.0]
+        lra = 0.0 if stg.size < 2 else \
+            float(np.percentile(stg, 95.0) - np.percentile(stg, 10.0))
+    return dict(
+        integrated=integrated,
+        lra=lra,
+        momentary_max=float(mom.max()) if mom.size else float("-inf"),
+        short_term_max=float(st.max()) if st.size else float("-inf"),
+    )
+
+
 def true_peak_dbtp(frames: np.ndarray, width: int,
                    samplerate: int) -> float:
     """True peak (dBTP) per BS.1770-4 Annex 2, pure host f64: 4x

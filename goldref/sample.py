@@ -372,6 +372,12 @@ class Sample:
         return effects.loudness_lufs(self.frames, self.samplewidth,
                                      self.samplerate)
 
+    def loudness_stats(self) -> dict:
+        """EBU R128 meter set; spec: goldref.effects.loudness_stats."""
+        from . import effects
+        return effects.loudness_stats(self.frames, self.samplewidth,
+                                      self.samplerate)
+
     def true_peak_dbtp(self) -> float:
         """True peak (dBTP); spec: goldref.effects.true_peak_dbtp."""
         from . import effects

@@ -36,13 +36,19 @@ from . import pcm as dpcm
 from .coeffs import kweight_coeffs, true_peak_filter
 
 __all__ = ["kweighted_hop_sums", "gated_loudness", "loudness_integrated",
-           "true_peak_norm", "BLOCK_HOPS", "ABS_GATE_LUFS",
-           "REL_GATE_LU", "LOUDNESS_OFFSET"]
+           "true_peak_norm", "window_loudness", "loudness_range",
+           "loudness_stats", "BLOCK_HOPS", "SHORT_TERM_HOPS",
+           "ABS_GATE_LUFS", "REL_GATE_LU", "LRA_REL_GATE_LU",
+           "LOUDNESS_OFFSET"]
 
 #: 400 ms gating blocks at 75 % overlap = 4 hops of 100 ms
 BLOCK_HOPS = 4
+#: 3 s short-term windows = 30 hops (EBU R128 / Tech 3342)
+SHORT_TERM_HOPS = 30
 ABS_GATE_LUFS = -70.0
 REL_GATE_LU = -10.0
+#: the LRA relative gate is -20 LU (Tech 3342), not the -10 of BS.1770
+LRA_REL_GATE_LU = -20.0
 LOUDNESS_OFFSET = -0.691
 
 _cache: dict = {}
@@ -116,6 +122,55 @@ def loudness_integrated(x: jax.Array, samplerate: int) -> float:
     """Integrated programme loudness of int PCM frames [n, ch], LUFS."""
     return gated_loudness(kweighted_hop_sums(x, samplerate),
                           hop_frames(samplerate))
+
+
+def window_loudness(hop_sums: np.ndarray, hop: int,
+                    window_hops: int) -> np.ndarray:
+    """Per-position loudness (LUFS) of every full sliding window of
+    ``window_hops`` hops — window_hops=4 gives the momentary (400 ms)
+    meter values, 30 the short-term (3 s) ones; host f64."""
+    hs = np.asarray(hop_sums, np.float64).sum(axis=1)
+    n = hs.shape[0] - (window_hops - 1)
+    if n <= 0:
+        return np.zeros(0, np.float64)
+    c = np.concatenate([[0.0], np.cumsum(hs)])
+    z = (c[window_hops:] - c[:n]) / (window_hops * hop)
+    return LOUDNESS_OFFSET + 10.0 * np.log10(np.maximum(z, 1e-300))
+
+
+def loudness_range(hop_sums: np.ndarray, hop: int) -> float:
+    """Loudness range (LRA, LU) per EBU Tech 3342: the p95 - p10 spread
+    of the short-term (3 s) loudness distribution after an absolute
+    -70 LUFS gate and a relative -20 LU gate.  0.0 when fewer than two
+    windows survive (short or constant programmes)."""
+    st = window_loudness(hop_sums, hop, SHORT_TERM_HOPS)
+    st = st[st > ABS_GATE_LUFS]
+    if st.size == 0:
+        return 0.0
+    # gate relative to the power mean of the absolute-gated values
+    mean_lufs = 10.0 * np.log10(np.mean(10.0 ** (st / 10.0)))
+    st = st[st > mean_lufs + LRA_REL_GATE_LU]
+    if st.size < 2:
+        return 0.0
+    lo, hi = np.percentile(st, [10.0, 95.0])
+    return float(hi - lo)
+
+
+def loudness_stats(x: jax.Array, samplerate: int) -> dict:
+    """One-pass EBU R128 meter set from a single device program:
+    ``integrated`` (LUFS), ``lra`` (LU), ``momentary_max`` and
+    ``short_term_max`` (LUFS; -inf when the programme is shorter than
+    the respective window)."""
+    hop = hop_frames(samplerate)
+    hs = kweighted_hop_sums(x, samplerate)
+    mom = window_loudness(hs, hop, BLOCK_HOPS)
+    st = window_loudness(hs, hop, SHORT_TERM_HOPS)
+    return dict(
+        integrated=gated_loudness(hs, hop),
+        lra=loudness_range(hs, hop),
+        momentary_max=float(mom.max()) if mom.size else float("-inf"),
+        short_term_max=float(st.max()) if st.size else float("-inf"),
+    )
 
 
 def true_peak_norm(x: jax.Array) -> float:

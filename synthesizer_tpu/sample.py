@@ -989,6 +989,14 @@ class Sample:
         from .ops import loudness as dl
         return dl.loudness_integrated(self.jax_frames, self._samplerate)
 
+    def loudness_stats(self) -> dict:
+        """The EBU R128 meter set in one device pass: ``integrated``
+        (LUFS), ``lra`` (loudness range, LU, EBU Tech 3342),
+        ``momentary_max`` (400 ms) and ``short_term_max`` (3 s) LUFS
+        maxima.  Spec/tolerance: goldref.effects.loudness_stats."""
+        from .ops import loudness as dl
+        return dl.loudness_stats(self.jax_frames, self._samplerate)
+
     def true_peak_dbtp(self) -> float:
         """True peak (dBTP, BS.1770-4 Annex 2): 4x polyphase
         oversampling as one device transposed-conv; -inf for silence.

@@ -189,3 +189,55 @@ def test_normalize_stays_chainable(rng):
     assert out.shape == (SR, 2)
     li = Sample.from_raw_frames(out.tobytes(), 2, SR, 2).loudness_lufs()
     assert abs(li + 26.0) < 0.15                # -20 then -6.02
+
+
+# ---------------------------------------------------------------------------
+# EBU R128 meter set: momentary / short-term / LRA
+# ---------------------------------------------------------------------------
+
+def test_stats_constant_tone():
+    """A stationary tone: integrated == momentary == short-term (within
+    block smear) and LRA ~ 0."""
+    gold, dev = pair(sine(997.0, -23.0, 4.0))
+    s = dev.loudness_stats()
+    assert abs(s["integrated"] + 23.0) < 0.1
+    assert abs(s["momentary_max"] + 23.0) < 0.1
+    assert abs(s["short_term_max"] + 23.0) < 0.1
+    assert s["lra"] < 0.2
+
+
+def test_stats_two_level_lra():
+    """EBU 3342-style two-level programme: 5 s at -33 then 5 s at -23
+    spans an LRA of ~10 LU (p95 - p10 of the bimodal short-term
+    distribution; edges smear a little)."""
+    frames = np.concatenate([sine(997.0, -33.0, 5.0),
+                             sine(997.0, -23.0, 5.0)])
+    gold, dev = pair(frames)
+    s = dev.loudness_stats()
+    g = gold.loudness_stats()
+    assert abs(s["lra"] - 10.0) < 1.5, s
+    for k in ("integrated", "lra", "momentary_max", "short_term_max"):
+        assert abs(s[k] - g[k]) < 0.02, (k, s[k], g[k])
+
+
+def test_stats_burst_raises_momentary_over_short_term():
+    """A lone 30 ms burst lifts the 400 ms momentary meter far above the
+    3 s short-term one (the transient dilutes 7.5x more in the longer
+    window — the classic reason the momentary meter exists)."""
+    frames = sine(997.0, -30.0, 4.0)
+    frames[2 * SR:2 * SR + 1440, :] = np.int16(0.9 * 32767)
+    _, dev = pair(frames)
+    s = dev.loudness_stats()
+    assert s["momentary_max"] > s["short_term_max"] + 3.0, s
+
+
+def test_stats_short_programme_edges():
+    _, dev = pair(sine(997.0, -23.0, 1.0))      # >= 400 ms, < 3 s
+    s = dev.loudness_stats()
+    assert math.isfinite(s["momentary_max"])
+    assert s["short_term_max"] == float("-inf")
+    assert s["lra"] == 0.0
+    _, dev = pair(np.zeros((SR // 5, 2), np.int16))
+    s = dev.loudness_stats()
+    assert s["momentary_max"] == float("-inf")
+    assert s["integrated"] == float("-inf")

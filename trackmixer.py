@@ -59,7 +59,8 @@ def play_streaming(song: Song, with_meter: bool = True,
 
 class TrackmixerRepl(cmd.Cmd):
     intro = ("Track mixer.  Commands: load <song.ini>, patterns, "
-             "play <pattern>, mix [file], record [file], stream, info, quit")
+             "play <pattern>, mix [file], record [file], stems [dir], "
+             "stream, loudness, info, quit")
     prompt = "mix> "
 
     def __init__(self, song: Song, ini_file: str):
@@ -162,6 +163,17 @@ class TrackmixerRepl(cmd.Cmd):
         dur = next(iter(stems.values())).duration if stems else 0.0
         print(f"rendered {len(stems)} stems x {dur:.2f}s in "
               f"{_t.perf_counter() - t0:.3f}s -> {outdir}/")
+
+    def do_loudness(self, _):
+        """Measure the mixdown's EBU R128 meter set (integrated LUFS,
+        loudness range, momentary/short-term maxima, true peak)."""
+        mixed = self.song.mix(normalize=False)
+        s = mixed.loudness_stats()
+        print(f"integrated   {s['integrated']:7.1f} LUFS")
+        print(f"range (LRA)  {s['lra']:7.1f} LU")
+        print(f"momentary    {s['momentary_max']:7.1f} LUFS max")
+        print(f"short-term   {s['short_term_max']:7.1f} LUFS max")
+        print(f"true peak    {mixed.true_peak_dbtp():7.1f} dBTP")
 
     def do_stream(self, _):
         """Stream the whole song through the playback engine."""
