@@ -581,6 +581,32 @@ def biquad_seq_coeffs(frames: np.ndarray, width: int,
     return _to_int(out.astype(np.float32), width)
 
 
+def eq_swept(frames: np.ndarray, width: int, samplerate: int, kind: str,
+             freq: float, q: float, gains_db: np.ndarray) -> np.ndarray:
+    """One EQ band with a per-frame gain curve: the sequential-f64
+    recurrence driven by the shared per-frame f32 coefficient grids
+    (goldref.spec.eq_coeff_grids — the recurrence-internal-automation
+    rule: grids are derived on host in f64, cast f32, and BOTH
+    evaluators consume the same grids)."""
+    from .spec import eq_coeff_grids
+    b0, b1, b2, a1, a2 = (np.asarray(g, np.float64) for g in
+                          eq_coeff_grids(kind, freq, gains_db, q,
+                                         samplerate))
+    s = _norm(frames, width).astype(np.float64)
+    n, nch = s.shape
+    out = np.empty_like(s)
+    for ch in range(nch):
+        x1 = x2 = y1 = y2 = 0.0
+        x = s[:, ch]
+        for i in range(n):
+            y = (b0[i] * x[i] + b1[i] * x1 + b2[i] * x2
+                 - a1[i] * y1 - a2[i] * y2)
+            x2, x1 = x1, x[i]
+            y2, y1 = y1, y
+            out[i, ch] = y
+    return _to_int(out.astype(np.float32), width)
+
+
 def eq(frames: np.ndarray, width: int, samplerate: int,
        bands) -> np.ndarray:
     """Parametric-EQ oracle: each ``(kind, freq, gain_db, q)`` band runs

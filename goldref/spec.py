@@ -239,6 +239,43 @@ def eq_band_coeffs(kind: str, freq: float, gain_db: float, q: float,
     return (b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0)
 
 
+def eq_coeff_grids(kind: str, freq: float, gains_db, q: float,
+                   samplerate: int):
+    """Per-frame (b0, b1, b2, a1, a2) f32 grids from a per-frame gain_db
+    array — the oracle's own copy of the vectorized eq_band_coeffs
+    (conformance-pinned in tests/test_automation.py)."""
+    import math
+    import numpy as np
+    A = 10.0 ** (np.asarray(gains_db, np.float64) / 40.0)
+    w0 = 2.0 * math.pi * min(freq, samplerate * 0.49) / samplerate
+    alpha = math.sin(w0) / (2.0 * q)
+    cw = math.cos(w0)
+    one = np.ones_like(A)
+    if kind == "peaking":
+        b0, b1, b2 = 1 + alpha * A, -2 * cw * one, 1 - alpha * A
+        a0, a1, a2 = 1 + alpha / A, -2 * cw * one, 1 - alpha / A
+    elif kind == "lowshelf":
+        sa = 2.0 * np.sqrt(A) * alpha
+        b0 = A * ((A + 1) - (A - 1) * cw + sa)
+        b1 = 2 * A * ((A - 1) - (A + 1) * cw)
+        b2 = A * ((A + 1) - (A - 1) * cw - sa)
+        a0 = (A + 1) + (A - 1) * cw + sa
+        a1 = -2 * ((A - 1) + (A + 1) * cw)
+        a2 = (A + 1) + (A - 1) * cw - sa
+    elif kind == "highshelf":
+        sa = 2.0 * np.sqrt(A) * alpha
+        b0 = A * ((A + 1) + (A - 1) * cw + sa)
+        b1 = -2 * A * ((A - 1) + (A + 1) * cw)
+        b2 = A * ((A + 1) + (A - 1) * cw - sa)
+        a0 = (A + 1) - (A - 1) * cw + sa
+        a1 = 2 * ((A - 1) - (A + 1) * cw)
+        a2 = (A + 1) - (A - 1) * cw - sa
+    else:
+        raise ValueError(f"unknown eq band kind {kind!r}")
+    return tuple(np.asarray(c / a0, np.float32)
+                 for c in (b0, b1, b2, a1, a2))
+
+
 # -- BS.1770-4 loudness / true peak (the oracle's OWN copies, pinned equal
 #    to the product's in tests/test_loudness.py) ------------------------------
 

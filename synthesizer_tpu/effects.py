@@ -305,24 +305,80 @@ def swept_biquad_chunk(x: jax.Array, n0: int, kind: str, q: float,
                                jnp.float32(tickf), state)
 
 
+class SweptEQBand:
+    """One parametric-EQ band with a per-frame gain curve
+    (``fx.eq.*_db`` automation): coefficient grids derived on HOST in
+    f64 at absolute frames (ops.coeffs.eq_coeff_grids — a constant
+    curve yields bit-identical f32 coefficients to the static band, and
+    output within 1 LSB: vector-vs-scalar coefficient operands contract
+    the FMA chain differently), applied through the shared companion
+    scan with carried state.  Spec: goldref.effects.eq_swept."""
+
+    def __init__(self, samplerate: int, nchannels: int, kind: str,
+                 freq: float, q: float, curve, tickf: float,
+                 start_frame: int = 0):
+        _require_tickf(tickf, curve)
+        self.kind, self.freq, self.q = kind, float(freq), float(q)
+        self.curve = curve
+        self.tickf = float(tickf)
+        self.samplerate = samplerate
+        z = jnp.zeros(nchannels, jnp.float32)
+        self._state = (z, z, z, z)
+        self._n0 = int(start_frame)
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        from .ops.coeffs import curve_grid, eq_coeff_grids
+        n = int(x.shape[0])
+        g = curve_grid(self.curve, self._n0, n, self.tickf)
+        grids = eq_coeff_grids(self.kind, self.freq, g, self.q,
+                               self.samplerate)
+        key = ("swept_eq", x.shape, str(x.dtype))
+
+        def build():
+            @jax.jit
+            def fn(x, state, b0, b1, b2, a1, a2):
+                width = dpcm.width_of(x)
+                s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
+                y, state = dfx.biquad_apply(s, (b0, b1, b2, a1, a2),
+                                            state)
+                return dfx.to_int_samples(y, width), state
+            return fn
+
+        y, self._state = _cached(key, build)(
+            x, self._state, *(jnp.asarray(gr) for gr in grids))
+        self._n0 += n
+        return y
+
+
 class StreamingEQ:
     """Chunked twin of ``Sample.eq``: one carried biquad state per
-    NONZERO band, bands applied in low/mid/high order with the int PCM
+    active band, bands applied in low/mid/high order with the int PCM
     round trip between bands (the staged-op semantics, so streaming ==
-    offline bit-exactly given identical chunk contents)."""
+    offline bit-exactly given identical chunk contents).  A band with a
+    ``*_curve`` breakpoint list runs as a :class:`SweptEQBand` (its
+    static gain is ignored); without a curve, zero-gain bands are
+    skipped exactly like ``Sample.eq``."""
 
     def __init__(self, samplerate: int, nchannels: int,
                  low_db: float = 0.0, mid_db: float = 0.0,
                  high_db: float = 0.0, low_freq: float = 120.0,
                  mid_freq: float = 1000.0, mid_q: float = 1.0,
-                 high_freq: float = 8000.0):
-        self._procs = [
-            StreamingBiquad(samplerate, nchannels, kind, f, q, gain_db=g)
-            for kind, f, g, q in (("lowshelf", low_freq, low_db, 0.7071),
-                                  ("peaking", mid_freq, mid_db, mid_q),
-                                  ("highshelf", high_freq, high_db,
-                                   0.7071))
-            if g != 0.0]
+                 high_freq: float = 8000.0,
+                 low_curve=None, mid_curve=None, high_curve=None,
+                 tickf: float = 0.0, start_frame: int = 0):
+        self._procs = []
+        for kind, f, g, q, curve in (
+                ("lowshelf", low_freq, low_db, 0.7071, low_curve),
+                ("peaking", mid_freq, mid_db, mid_q, mid_curve),
+                ("highshelf", high_freq, high_db, 0.7071, high_curve)):
+            if curve is not None:
+                self._procs.append(SweptEQBand(samplerate, nchannels,
+                                               kind, f, q, curve, tickf,
+                                               start_frame))
+            elif g != 0.0:
+                self._procs.append(StreamingBiquad(samplerate, nchannels,
+                                                   kind, f, q, gain_db=g))
         self.tail_frames = 0
 
     def process(self, x: jax.Array) -> jax.Array:
@@ -802,6 +858,9 @@ def _fx_curves(automation):
             attack_curve=auto.get("fx.compress.attack"),
             release_curve=auto.get("fx.compress.release")),
         gate_thr=auto.get("fx.gate.threshold_db"),
+        eq_low=auto.get("fx.eq.low_db"),
+        eq_mid=auto.get("fx.eq.mid_db"),
+        eq_high=auto.get("fx.eq.high_db"),
     )
 
 
@@ -875,7 +934,15 @@ class FxChain:
                 else:
                     proc = StreamingBiquad(samplerate, nchannels, **p)
             elif name == "eq":
-                proc = StreamingEQ(samplerate, nchannels, **p)
+                eq_c = (cv["eq_low"], cv["eq_mid"], cv["eq_high"])
+                if any(c is not None for c in eq_c):
+                    proc = StreamingEQ(samplerate, nchannels,
+                                       low_curve=eq_c[0],
+                                       mid_curve=eq_c[1],
+                                       high_curve=eq_c[2], tickf=tickf,
+                                       start_frame=start_frame, **p)
+                else:
+                    proc = StreamingEQ(samplerate, nchannels, **p)
             elif name == "gate":
                 if gate_thr is not None:
                     proc = StreamingGate(samplerate,
@@ -989,6 +1056,7 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
     comp_curves = cv["comp_curves"]
     comp_swept = any(v is not None for v in comp_curves.values())
     gate_thr = cv["gate_thr"]
+    eq_curves = (cv["eq_low"], cv["eq_mid"], cv["eq_high"])
     for name, p in fx:
         if name == "convolve":
             q = dict(p)
@@ -1041,6 +1109,13 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
             proc = StreamingGate(sample.samplerate,
                                  threshold_curve=gate_thr, tickf=tickf,
                                  start_frame=0, **p)
+            sample._replace_frames(proc.process(sample.jax_frames))
+        elif name == "eq" and any(c is not None for c in eq_curves):
+            proc = StreamingEQ(sample.samplerate, sample.nchannels,
+                               low_curve=eq_curves[0],
+                               mid_curve=eq_curves[1],
+                               high_curve=eq_curves[2], tickf=tickf,
+                               start_frame=0, **p)
             sample._replace_frames(proc.process(sample.jax_frames))
         elif name == "filter" and cutoff_curve is not None:
             xs = jnp.asarray([t for t, _ in cutoff_curve], jnp.float32)

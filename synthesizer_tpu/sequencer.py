@@ -88,8 +88,9 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     fx.reverb.wet = 0:0 32:0.4         ; reverb send rides up
     ; (also automatable: fx.reverb.dry/.roomsize, fx.chorus.wet/.dry,
     ;  fx.chorus.rate/.depth, fx.compress.makeup_db/.threshold_db/.ratio,
-    ;  fx.compress.attack/.release, fx.gate.threshold_db — the
-    ;  recurrence-internal ones ride host-derived coefficient grids)
+    ;  fx.compress.attack/.release, fx.gate.threshold_db,
+    ;  fx.eq.low_db/.mid_db/.high_db — the recurrence-internal ones
+    ;  ride host-derived coefficient grids)
 """
 
 from __future__ import annotations
@@ -613,7 +614,8 @@ class Song:
                 raise ValueError(f"automation {key}: ticks must be strictly "
                                  f"ascending (got {t0} then {t1})")
         neg_ok = (key.endswith(".pan") or key.endswith(".makeup_db")
-                  or key.endswith(".threshold_db"))
+                  or key.endswith(".threshold_db")
+                  or key.startswith("fx.eq."))
         for t, v in pts:
             if (not (np.isfinite(t) and np.isfinite(v))
                     or (v < 0 and not neg_ok)):
@@ -628,7 +630,8 @@ class Song:
                      "fx.chorus.rate", "fx.chorus.depth",
                      "fx.compress.makeup_db", "fx.compress.threshold_db",
                      "fx.compress.ratio", "fx.compress.attack",
-                     "fx.compress.release", "fx.gate.threshold_db"):
+                     "fx.compress.release", "fx.gate.threshold_db",
+                     "fx.eq.low_db", "fx.eq.mid_db", "fx.eq.high_db"):
             target = key.split(".")[1]
             nfx = sum(1 for n, _ in self.fx if n == target)
             if nfx == 0:
@@ -665,8 +668,9 @@ class Song:
                              f"fx.reverb.wet/.dry/.roomsize, "
                              f"fx.chorus.wet/.dry/.rate/.depth, "
                              f"fx.compress.makeup_db/.threshold_db/"
-                             f".ratio/.attack/.release, or "
-                             f"fx.gate.threshold_db)")
+                             f".ratio/.attack/.release, "
+                             f"fx.gate.threshold_db, or "
+                             f"fx.eq.low_db/.mid_db/.high_db)")
         self.automation[key] = pts
 
     def _track_gain_at(self, name: str, tick: float) -> float:

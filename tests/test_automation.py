@@ -715,3 +715,125 @@ def test_recurrence_automation_validation():
     with pytest.raises(ValueError, match="roomsize"):
         song.add_automation("fx.reverb.roomsize", "0:1.5")
     song.add_automation("fx.reverb.roomsize", "0:0.2 8:0.9")   # valid
+
+
+# ---------------------------------------------------------------------------
+# fx.eq band-gain automation (round-3 continuation): gains enter the RBJ
+# b/a coefficients themselves, so the curves ride per-frame coefficient
+# grids through the shared companion scan (the recurrence-internal
+# pattern).  Spec: goldref.effects.eq_swept.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_eq_automation_streaming(chunk):
+    song = bright_song()
+    song.add_fx("eq", mid_db=5.0, mid_freq=1200.0, mid_q=1.0,
+                high_db=3.0, high_freq=5000.0)
+    song.add_automation("fx.eq.mid_db", "0:-12 16:9")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    # two scans (swept mid + static high shelf), each within the biquad
+    # chunk-regrouping budget
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
+def test_fx_eq_automation_vs_goldref():
+    """Device swept EQ band vs the sequential-f64 oracle driven by the
+    SAME host coefficient grids (goldref.effects.eq_swept); a CONSTANT
+    gain curve reproduces the static band within 1 LSB (identical f32
+    coefficients, but vector-vs-scalar coefficient operands let LLVM
+    contract the feed-forward FMA chain differently — the documented
+    contraction class)."""
+    import goldref.effects as gfx
+    import jax.numpy as jnp
+    from synthesizer_tpu.effects import StreamingBiquad, SweptEQBand
+    from synthesizer_tpu.ops.coeffs import curve_grid
+    rng = np.random.default_rng(0xE0B0)
+    n = 6000
+    x = (rng.integers(-24000, 24000, size=(n, 2))).astype(np.int16)
+    tickf = 44100 / 8.0
+    gain_c = [(0.0, -10.0), (8.0, 8.0)]
+    proc = SweptEQBand(44100, 2, "peaking", 1500.0, 1.2, gain_c, tickf)
+    got = np.asarray(proc.process(jnp.asarray(x)))
+    g = curve_grid(gain_c, 0, n, tickf)
+    want = gfx.eq_swept(x, 2, 44100, "peaking", 1500.0, 1.2, g)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 4, d
+    # constant curve == static band
+    pc = SweptEQBand(44100, 2, "highshelf", 5000.0, 0.7071,
+                     [(0.0, 4.0)], tickf)
+    ps = StreamingBiquad(44100, 2, "highshelf", 5000.0, 0.7071,
+                         gain_db=4.0)
+    yc = np.asarray(pc.process(jnp.asarray(x)))
+    ys = np.asarray(ps.process(jnp.asarray(x)))
+    dc = np.abs(yc.astype(np.int64) - ys.astype(np.int64)).max()
+    assert dc <= 1, dc
+
+
+def test_fx_eq_automation_brightens_over_time():
+    """high_db riding -15 -> +9 dB: the late part of the song carries
+    more high-frequency energy than the early part, relative to the
+    un-automated mix."""
+    base = bright_song()
+    base.add_fx("eq", high_db=1.0, high_freq=3000.0)
+    b = base.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    song = bright_song()
+    song.add_fx("eq", high_db=1.0, high_freq=3000.0)
+    song.add_automation("fx.eq.high_db", "0:-15 16:9")
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    n = min(len(b), len(out))
+
+    def hf_energy(x):
+        s = x.astype(np.float64).mean(axis=1)
+        spec = np.abs(np.fft.rfft(s)) ** 2
+        freqs = np.fft.rfftfreq(len(s), 1.0 / SR)
+        return spec[freqs > 3000.0].sum()
+
+    head = hf_energy(out[: n // 4]) / max(hf_energy(b[: n // 4]), 1e-12)
+    tail = hf_energy(out[3 * n // 4: n]) \
+        / max(hf_energy(b[3 * n // 4: n]), 1e-12)
+    assert head < 0.5, head       # cut region: well below the base
+    assert tail > 1.2 * head, (head, tail)
+
+
+def test_fx_eq_automation_validation():
+    song = bright_song()
+    with pytest.raises(ValueError, match="no eq"):
+        song.add_automation("fx.eq.mid_db", "0:-6 16:6")
+    song.add_fx("eq", mid_db=3.0)
+    song.add_automation("fx.eq.mid_db", "0:-6 16:6")     # valid (neg ok)
+    with pytest.raises(ValueError, match="not understood"):
+        song.add_automation("fx.eq.mid_freq", "0:500 16:2000")
+
+
+def test_fx_eq_automation_ini_roundtrip(tmp_path):
+    ini = tmp_path / "song.ini"
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+[synth.saw]
+wave = sawtooth_bl
+amplitude = 0.4
+[pattern.a]
+saw = C3 - - - C3 - - -
+[fx]
+eq = low_db=2 mid_db=4 mid_freq=1100 high_db=1
+[automation]
+fx.eq.low_db = 0:-8 8:6
+fx.eq.high_db = 0:0 8:5
+""")
+    song = Song.from_ini(str(ini))
+    assert song.automation["fx.eq.low_db"] == [(0.0, -8.0), (8.0, 6.0)]
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1500)])
+    assert len(got) == len(off)
+    # low shelf at 120 Hz: poles near z=1, the derived-conditioning-model
+    # budget dominates (ROADMAP "Parametric EQ" note)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 64, d

@@ -167,3 +167,23 @@ def test_eq_band_coeffs_match():
                                                        q, sr)
     with pytest.raises(ValueError):
         C.eq_band_coeffs("notch", 1000.0, 3.0, 1.0, 44100)
+
+
+def test_eq_coeff_grids_match():
+    g = np.linspace(-12.0, 12.0, 257)
+    for sr in (8000, 44100):
+        for kind in ("lowshelf", "highshelf", "peaking"):
+            for freq in (120.0, 1000.0, 8000.0):
+                for q in (0.7071, 2.0):
+                    a = C.eq_coeff_grids(kind, freq, g, q, sr)
+                    b = goldspec.eq_coeff_grids(kind, freq, g, q, sr)
+                    for x, y in zip(a, b):
+                        np.testing.assert_array_equal(x, y)
+    # a constant grid reproduces the scalar coefficients (f32-cast) exactly
+    for kind in ("lowshelf", "highshelf", "peaking"):
+        grids = C.eq_coeff_grids(kind, 1000.0, np.full(8, 5.0), 1.0, 44100)
+        scal = C.eq_band_coeffs(kind, 1000.0, 5.0, 1.0, 44100)
+        for gr, s in zip(grids, scal):
+            assert np.all(gr == np.float32(s))
+    with pytest.raises(ValueError):
+        C.eq_coeff_grids("notch", 1000.0, g, 1.0, 44100)
