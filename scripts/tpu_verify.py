@@ -426,9 +426,11 @@ def section_effects(SR):
     # BS.1770 loudness + true peak: the EBU 3341 anchor (a -23 dBFS
     # stereo 997 Hz sine reads -23 LUFS) and the f64 oracle, on chip
     t = np.arange(SR)
-    a = np.rint(10 ** (-23 / 20) * 32767.0
-                * np.sin(2 * np.pi * 997.0 / SR * t)).astype(np.int16)
-    st = np.repeat(a[:, None], 2, 1)
+    # NB: own name — `a` is the fx test signal the recurrence-automation
+    # checks below slice (shadowing it broke them silently once)
+    tone23 = np.rint(10 ** (-23 / 20) * 32767.0
+                     * np.sin(2 * np.pi * 997.0 / SR * t)).astype(np.int16)
+    st = np.repeat(tone23[:, None], 2, 1)
     dev = Sample.from_raw_frames(st.tobytes(), 2, SR, 2)
     gold = gs.Sample(st.copy(), SR, 2, 2)
     li, lg = dev.loudness_lufs(), gold.loudness_lufs()
@@ -437,6 +439,23 @@ def section_effects(SR):
           f"dev {li:.3f} LUFS oracle {lg:.3f}")
     check("fx/true_peak", abs(tp - tg) < 0.01,
           f"dev {tp:.3f} dBTP oracle {tg:.3f}")
+
+    # LIVE loudness meter: chunk-fed StreamingLoudness == the one-program
+    # whole-signal loudness_stats, on chip (carried K-weight biquad state
+    # across chunk boundaries is the thing only hardware can disprove)
+    import jax.numpy as _jnp
+    from synthesizer_tpu.ops.loudness import StreamingLoudness
+    sl = StreamingLoudness(SR, 2)
+    for i in range(0, len(st), 4410):
+        sl.update(_jnp.asarray(st[i:i + 4410]))
+    live = sl.stats()
+    whole = dev.loudness_stats()
+    dmom = abs(live["momentary_max"] - whole["momentary_max"])
+    dint = abs(live["integrated"] - whole["integrated"])
+    check("fx/live_loudness_meter", dmom < 0.02 and dint < 0.02,
+          f"Mmax live {live['momentary_max']:.3f} whole "
+          f"{whole['momentary_max']:.3f}, I live {live['integrated']:.3f} "
+          f"whole {whole['integrated']:.3f}")
 
     # phase-vocoder stretch: batched on-chip FFT + phase cumsum vs the
     # f64 host oracle (the FFT path has no other on-hardware coverage)
@@ -633,6 +652,17 @@ def section_effects(SR):
     ys = np.asarray(ps.process(jnp.asarray(xa)))
     check("fx/auto_chorus_const_rate_exact", np.array_equal(yc, ys),
           "P_n == n*inc identity")
+
+    # swept EQ band (fx.eq.*_db automation): per-frame RBJ coefficient
+    # grids through the companion scan vs the sequential-f64 oracle
+    from synthesizer_tpu.effects import SweptEQBand
+    gain_c = [(0.0, -10.0), (8.0, 8.0)]
+    pe = SweptEQBand(SR, 2, "peaking", 1500.0, 1.2, gain_c, tickf)
+    got_e = np.asarray(pe.process(jnp.asarray(xa)))
+    want_e = _gfx.eq_swept(xa, 2, SR, "peaking", 1500.0, 1.2,
+                           curve_grid(gain_c, 0, len(xa), tickf))
+    de = np.abs(got_e.astype(np.int64) - want_e.astype(np.int64)).max()
+    check("fx/auto_eq_gain_grids", de <= 4, f"max {de} LSB (budget 4)")
 
     # general wide-division ratecv (round 3): pathological reduced rates
     # run the sign-magnitude limb path ON THE CHIP, bit-exact vs the

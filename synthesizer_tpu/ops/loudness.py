@@ -37,9 +37,9 @@ from .coeffs import kweight_coeffs, true_peak_filter
 
 __all__ = ["kweighted_hop_sums", "gated_loudness", "loudness_integrated",
            "true_peak_norm", "window_loudness", "loudness_range",
-           "loudness_stats", "BLOCK_HOPS", "SHORT_TERM_HOPS",
-           "ABS_GATE_LUFS", "REL_GATE_LU", "LRA_REL_GATE_LU",
-           "LOUDNESS_OFFSET"]
+           "loudness_stats", "StreamingLoudness", "BLOCK_HOPS",
+           "SHORT_TERM_HOPS", "ABS_GATE_LUFS", "REL_GATE_LU",
+           "LRA_REL_GATE_LU", "LOUDNESS_OFFSET"]
 
 #: 400 ms gating blocks at 75 % overlap = 4 hops of 100 ms
 BLOCK_HOPS = 4
@@ -173,6 +173,184 @@ def loudness_stats(x: jax.Array, samplerate: int) -> dict:
     )
 
 
+def _np_affine_scan2(u: np.ndarray, a1: float, a2: float,
+                     y1: np.ndarray, y2: np.ndarray) -> np.ndarray:
+    """Host-f64 twin of ``ops.effects.companion_scan`` for CONSTANT
+    coefficients: y_n = u_n - a1 y_{n-1} - a2 y_{n-2} as a Hillis-Steele
+    doubling scan (log2(n) vectorized numpy passes — no Python
+    per-sample loop, so the realtime meter path never touches the
+    device).  With a constant companion matrix M the combine matrix at
+    doubling offset o is just M^o, shared by every position and channel.
+    ``u`` is [n, ch]; ``y1``/``y2`` are [ch] initial state."""
+    n, ch = u.shape
+    M = np.array([[-a1, -a2], [1.0, 0.0]], np.float64)
+    b = np.zeros((n, ch, 2), np.float64)
+    b[:, :, 0] = u
+    # fold the initial state into element 0:  s_0 = M s_{-1} + [u_0, 0]
+    b[0, :, 0] += -a1 * y1 - a2 * y2
+    b[0, :, 1] = y1
+    off, Ap = 1, M
+    while off < n:
+        b[off:] += np.einsum("rs,mcs->mcr", Ap, b[:-off])
+        Ap = Ap @ Ap
+        off *= 2
+    return b[:, :, 0]
+
+
+def _np_biquad(s: np.ndarray, coeffs, state):
+    """Host-f64 chunked biquad (feed-forward taps + the doubling scan)
+    with carried (x1, x2, y1, y2) state — the realtime loudness meter's
+    K-weighting stage.  Mirrors ``ops.effects.biquad_apply``."""
+    b0, b1, b2, a1, a2 = (float(c) for c in coeffs)
+    n, ch = s.shape
+    x1, x2, y1, y2 = state
+    xp1 = np.concatenate([x1[None], s[:-1]])
+    if n >= 2:
+        xp2 = np.concatenate([x2[None], x1[None], s[:-2]])
+    else:
+        xp2 = x2[None]
+    u = b0 * s + b1 * xp1 + b2 * xp2
+    y = _np_affine_scan2(u, a1, a2, y1, y2)
+    new_state = (s[-1], s[-2] if n >= 2 else x1,
+                 y[-1], y[-2] if n >= 2 else y1)
+    return y, new_state
+
+
+class StreamingLoudness:
+    """LIVE EBU R128 meter: feed int PCM chunks of ANY size; exposes the
+    running ``momentary`` (400 ms) and ``short_term`` (3 s) LUFS values,
+    their maxima, and (via :meth:`stats`) the gated integrated loudness
+    and LRA of everything heard so far — the chunk-fed twin of
+    :func:`loudness_stats` (same hop grid, gating, and windows; spec
+    goldref.effects.loudness_stats).
+
+    Two feed paths share one hop accumulator:
+
+    * :meth:`update` — device chunks: one jitted program (K-weighting
+      biquads through the shared companion scan + squaring) and ONE host
+      materialization per chunk; biquad state carries on device.
+    * :meth:`update_host` — realtime host chunks (the mixer's buffers
+      are already host memory): the same pipeline in f64 numpy via a
+      log-depth doubling scan (``_np_affine_scan2``) — no device round
+      trip, so the relay's ~30 ms sync cost never enters the realtime
+      audio path.
+
+    State is ~30 hop energies + biquad taps: O(1) memory live, plus the
+    (tiny, 10/s) full hop-sum history for integrated/LRA."""
+
+    def __init__(self, samplerate: int, nchannels: int):
+        self.samplerate = int(samplerate)
+        self.nchannels = int(nchannels)
+        self.hop = hop_frames(samplerate)
+        self._c1, self._c2 = kweight_coeffs(samplerate)
+        self._dev_state = None          # ((x1,x2,y1,y2), (…)) on device
+        z = np.zeros(nchannels, np.float64)
+        self._host_state = ((z, z, z, z), (z, z, z, z))
+        self._resid = np.zeros(nchannels, np.float64)
+        self._resid_n = 0
+        self._hops: list = []           # completed [ch] f64 energy sums
+        self.momentary = float("-inf")
+        self.short_term = float("-inf")
+        self.momentary_max = float("-inf")
+        self.short_term_max = float("-inf")
+
+    # -- device path --------------------------------------------------------
+    def update(self, x: jax.Array):
+        """Feed one device int chunk [n, ch]; returns
+        (momentary, short_term) LUFS after this chunk."""
+        n, ch = x.shape
+        if ch != self.nchannels:
+            raise ValueError(f"chunk has {ch} channels, meter was built "
+                             f"for {self.nchannels}")
+        if n == 0:
+            return self.momentary, self.short_term
+        key = ("live_kw", x.shape, str(x.dtype), self.samplerate)
+
+        def build():
+            c1 = tuple(jnp.float32(c) for c in self._c1)
+            c2 = tuple(jnp.float32(c) for c in self._c2)
+            width = dpcm.width_of(x)
+
+            @jax.jit
+            def fn(x, s1, s2):
+                s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
+                y, s1 = dfx.biquad_apply(s, c1, s1)
+                y, s2 = dfx.biquad_apply(y, c2, s2)
+                return y * y, s1, s2
+            return fn
+
+        s1, s2 = self._dev_state or (None, None)
+        y2, s1, s2 = _cached(key, build)(x, s1, s2)
+        self._dev_state = (s1, s2)
+        self._accumulate(np.asarray(y2, np.float64))
+        return self.momentary, self.short_term
+
+    # -- host path -----------------------------------------------------------
+    def update_host(self, frames: np.ndarray, maxvalue: float = 32767.0):
+        """Feed one host int chunk [n, ch] (realtime mixer buffers);
+        returns (momentary, short_term) LUFS after this chunk."""
+        a = np.asarray(frames)
+        if a.ndim == 1:
+            a = a[:, None]
+        if a.shape[1] != self.nchannels:
+            raise ValueError(f"chunk has {a.shape[1]} channels, meter "
+                             f"was built for {self.nchannels}")
+        if len(a) == 0:
+            return self.momentary, self.short_term
+        s = a.astype(np.float64) / float(maxvalue)
+        st1, st2 = self._host_state
+        y, st1 = _np_biquad(s, self._c1, st1)
+        y, st2 = _np_biquad(y, self._c2, st2)
+        self._host_state = (st1, st2)
+        self._accumulate(y * y)
+        return self.momentary, self.short_term
+
+    # -- shared hop accumulator ----------------------------------------------
+    def _accumulate(self, y2: np.ndarray) -> None:
+        n, ch = y2.shape
+        t = self._resid_n
+        if t + n < self.hop:                     # still inside one hop
+            self._resid += y2.sum(axis=0)
+            self._resid_n += n
+            return
+        k0 = self.hop - t
+        self._hops.append(self._resid + y2[:k0].sum(axis=0))
+        rest = y2[k0:]
+        m = len(rest) // self.hop
+        if m:
+            mid = rest[: m * self.hop].reshape(m, self.hop, ch).sum(axis=1)
+            self._hops.extend(mid)
+        tail = rest[m * self.hop:]
+        self._resid = tail.sum(axis=0)
+        self._resid_n = len(tail)
+        self._refresh()
+
+    def _window_lufs(self, window_hops: int) -> float:
+        if len(self._hops) < window_hops:
+            return float("-inf")
+        z = float(np.sum(self._hops[-window_hops:])) \
+            / (window_hops * self.hop)
+        return LOUDNESS_OFFSET + 10.0 * math.log10(max(z, 1e-300))
+
+    def _refresh(self) -> None:
+        self.momentary = self._window_lufs(BLOCK_HOPS)
+        self.short_term = self._window_lufs(SHORT_TERM_HOPS)
+        self.momentary_max = max(self.momentary_max, self.momentary)
+        self.short_term_max = max(self.short_term_max, self.short_term)
+
+    def stats(self) -> dict:
+        """The R128 meter set over everything fed so far (same keys as
+        :func:`loudness_stats`)."""
+        hs = (np.asarray(self._hops, np.float64) if self._hops
+              else np.zeros((0, self.nchannels)))
+        return dict(
+            integrated=gated_loudness(hs, self.hop),
+            lra=loudness_range(hs, self.hop),
+            momentary_max=self.momentary_max,
+            short_term_max=self.short_term_max,
+        )
+
+
 def true_peak_norm(x: jax.Array) -> float:
     """max |4x-oversampled normalized signal| (linear; >= sampled peak).
     dBTP = 20*log10 of this."""
@@ -192,9 +370,14 @@ def true_peak_norm(x: jax.Array) -> float:
         def fn(x):
             s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
             lhs = s.T[:, None, :]                       # [ch, 1, n]
+            # precision=HIGHEST: the TPU MXU convolves in bf16 by default,
+            # which moved the measured true peak by ~0.04 dB on chip (the
+            # round-1 bf16 bug class — caught by fx/true_peak in the
+            # battery); the polyphase FIR must run in full f32
             y = jax.lax.conv_general_dilated(
                 lhs, taps, window_strides=(1,),
-                padding=[(N - 1, N - 1)], lhs_dilation=(L,))
+                padding=[(N - 1, N - 1)], lhs_dilation=(L,),
+                precision=jax.lax.Precision.HIGHEST)
             return jnp.maximum(jnp.abs(y).max(), jnp.abs(s).max())
         return fn
 

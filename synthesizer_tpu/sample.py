@@ -1249,23 +1249,54 @@ class LevelMeter:
     DECAY_DB_PER_SEC = 30.0
     PEAK_HOLD_SEC = 0.4
 
-    def __init__(self, rms_mode: bool = False, lowest: float = -60.0):
+    def __init__(self, rms_mode: bool = False, lowest: float = -60.0,
+                 loudness: bool = False):
+        """``loudness=True`` adds a LIVE EBU R128 readout: ``momentary``
+        / ``short_term`` LUFS (and their maxima) track every chunk fed
+        through :meth:`update` / :meth:`update_frames`, via
+        ``ops.loudness.StreamingLoudness`` (device chunks run one jitted
+        K-weight program; realtime host chunks use the f64 numpy
+        doubling scan, no device round trip)."""
         assert lowest < 0
         self.rms_mode = rms_mode
         self.lowest = float(lowest)
         self.level_left = self.level_right = lowest
         self.peak_left = self.peak_right = lowest
         self._peak_left_hold = self._peak_right_hold = 0.0
+        self._want_loudness = bool(loudness)
+        self.loudness_meter = None      # built lazily (needs samplerate)
 
     def reset(self) -> None:
         self.level_left = self.level_right = self.lowest
         self.peak_left = self.peak_right = self.lowest
         self._peak_left_hold = self._peak_right_hold = 0.0
+        self.loudness_meter = None
+
+    @property
+    def momentary_lufs(self) -> float:
+        return (self.loudness_meter.momentary if self.loudness_meter
+                else float("-inf"))
+
+    @property
+    def short_term_lufs(self) -> float:
+        return (self.loudness_meter.short_term if self.loudness_meter
+                else float("-inf"))
+
+    def _loudness(self, samplerate: int, nchannels: int):
+        if self.loudness_meter is None:
+            from .ops.loudness import StreamingLoudness
+            self.loudness_meter = StreamingLoudness(samplerate, nchannels)
+        return self.loudness_meter
 
     def update(self, sample: Sample):
         """Process one sample/chunk; returns (level_l, peak_l, level_r, peak_r)."""
         maxvalue = float(sample.maxvalue)
         data = sample.jax_frames
+        if self._want_loudness:
+            # original channel layout (dual-mono VU expansion would read
+            # +3 LU high); its own single-sync program per chunk
+            self._loudness(sample.samplerate,
+                           sample.nchannels).update(data)
         if sample.nchannels == 1:
             data = jnp.concatenate([data, data], axis=1)
         # one stacked device reduction -> ONE host materialization per chunk
@@ -1276,11 +1307,15 @@ class LevelMeter:
                       maxvalue: float = 32767.0):
         """Host-side metering for realtime int16 chunks: the mixer's chunk
         is already host memory, so the reductions run in the native pcmops
-        library (numpy fallback) with NO device round-trip."""
+        library (numpy fallback) with NO device round-trip (the live
+        loudness readout, when enabled, stays on host too)."""
         from .utils import native
         a = np.asarray(frames)
         if a.ndim == 1:
             a = a[:, None]
+        if self._want_loudness:
+            self._loudness(samplerate, a.shape[1]).update_host(
+                a, maxvalue)
         if a.shape[1] == 1:
             a = np.repeat(a, 2, axis=1)
         pl, pr, msl, msr = native.vu_i16(a)
@@ -1323,4 +1358,10 @@ class LevelMeter:
         peak_indicator = int(bar_width - bar_width * peak_mixed / self.lowest)
         db_meter = ("#" * db_level).ljust(bar_width)
         db_meter = db_meter[:peak_indicator] + ":" + db_meter[peak_indicator:]
-        print(f"{int(db_mixed):d} dB |{db_meter}| 0 dB", end="\r")
+        lufs = ""
+        if self.loudness_meter is not None:
+            m = self.loudness_meter.momentary
+            s = self.loudness_meter.short_term
+            lufs = (f"  M {m:6.1f}" if math.isfinite(m) else "  M   ----") \
+                + (f" S {s:6.1f} LUFS" if math.isfinite(s) else "")
+        print(f"{int(db_mixed):d} dB |{db_meter}| 0 dB{lufs}", end="\r")

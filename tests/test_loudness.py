@@ -241,3 +241,111 @@ def test_stats_short_programme_edges():
     s = dev.loudness_stats()
     assert s["momentary_max"] == float("-inf")
     assert s["integrated"] == float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# Live meter: StreamingLoudness (chunk-fed twin of loudness_stats) and the
+# LevelMeter(loudness=True) integration
+# ---------------------------------------------------------------------------
+
+def programme(seconds=5.0):
+    rng = np.random.default_rng(0x10FD)
+    frames = np.concatenate([sine(997.0, -33.0, seconds / 2),
+                             sine(440.0, -23.0, seconds / 2)])
+    frames += rng.integers(-400, 400, size=frames.shape).astype(np.int16)
+    return frames
+
+
+@pytest.mark.parametrize("chunk", [1470, 4800, 37])
+def test_live_meter_matches_whole_signal(chunk):
+    import jax.numpy as jnp
+    frames = programme()
+    _, dev = pair(frames)
+    whole = dev.loudness_stats()
+    sl = dl.StreamingLoudness(SR, 2)
+    for i in range(0, len(frames), chunk):
+        sl.update(jnp.asarray(frames[i:i + chunk]))
+    live = sl.stats()
+    for k in ("integrated", "lra", "momentary_max", "short_term_max"):
+        assert abs(live[k] - whole[k]) < 0.02, (k, live[k], whole[k])
+
+
+def test_live_meter_host_path_matches_device_path():
+    import jax.numpy as jnp
+    frames = programme(4.0)
+    a = dl.StreamingLoudness(SR, 2)
+    b = dl.StreamingLoudness(SR, 2)
+    traces_a, traces_b = [], []
+    for i in range(0, len(frames), 2400):
+        traces_a.append(a.update(jnp.asarray(frames[i:i + 2400])))
+        traces_b.append(b.update_host(frames[i:i + 2400]))
+    for (ma, sa), (mb, sb) in zip(traces_a, traces_b):
+        if math.isfinite(ma) or math.isfinite(mb):
+            assert abs(ma - mb) < 0.02, (ma, mb)
+        if math.isfinite(sa) or math.isfinite(sb):
+            assert abs(sa - sb) < 0.02, (sa, sb)
+    sta, stb = a.stats(), b.stats()
+    for k in ("integrated", "lra", "momentary_max", "short_term_max"):
+        assert abs(sta[k] - stb[k]) < 0.02, (k, sta[k], stb[k])
+
+
+def test_live_meter_momentary_tracks_level_change():
+    """-33 dBFS then -23 dBFS: the momentary readout follows within its
+    400 ms window; maxima reflect the loud half; the EBU anchor value
+    holds live (a -23 dBFS 997 Hz sine reads -23 LUFS momentary)."""
+    frames = np.concatenate([sine(997.0, -33.0, 2.0),
+                             sine(997.0, -23.0, 2.0)])
+    sl = dl.StreamingLoudness(SR, 2)
+    mid = late = None
+    hop = SR // 10
+    for i in range(0, len(frames), hop):
+        m, _ = sl.update_host(frames[i:i + hop])
+        if i == len(frames) // 2 - hop:
+            mid = m
+        late = m
+    assert mid is not None and abs(mid + 33.0) < 0.2, mid
+    assert abs(late + 23.0) < 0.2, late
+    assert abs(sl.momentary_max + 23.0) < 0.2, sl.momentary_max
+
+
+def test_live_meter_chunk_boundaries_vs_hop_grid():
+    """Chunks that never align with the 100 ms hop grid (prime sizes)
+    still land every hop energy on the same absolute grid as the
+    whole-signal meter."""
+    frames = programme(2.0)
+    sl = dl.StreamingLoudness(SR, 2)
+    for i in range(0, len(frames), 997):
+        sl.update_host(frames[i:i + 997])
+    hs_live = np.asarray(sl._hops)
+    hs_whole = dl.kweighted_hop_sums(
+        Sample.from_raw_frames(frames.tobytes(), 2, SR, 2).jax_frames, SR)
+    assert hs_live.shape == hs_whole.shape
+    rel = (np.abs(hs_live - hs_whole)
+           / np.maximum(np.abs(hs_whole), 1e-12)).max()
+    # f64 host pipeline vs f32 device hop sums: ~1e-3 relative is the
+    # precision gap; a grid MISALIGNMENT would be order-1 relative
+    assert rel < 5e-3, rel
+
+
+def test_levelmeter_loudness_integration():
+    from synthesizer_tpu.sample import LevelMeter
+    frames = sine(997.0, -23.0, 1.0)
+    lm = LevelMeter(loudness=True)
+    # device path: feed as Sample chunks
+    step = SR // 5
+    for i in range(0, len(frames), step):
+        lm.update(Sample.from_raw_frames(
+            frames[i:i + step].tobytes(), 2, SR, 2))
+    assert abs(lm.momentary_lufs + 23.0) < 0.2, lm.momentary_lufs
+    # host path on a fresh meter (realtime mixer chunks)
+    lm2 = LevelMeter(loudness=True)
+    for i in range(0, len(frames), 1470):
+        lm2.update_frames(frames[i:i + 1470], SR)
+    assert abs(lm2.momentary_lufs + 23.0) < 0.2, lm2.momentary_lufs
+    assert lm2.short_term_lufs == float("-inf")    # < 3 s heard
+    lm2.reset()
+    assert lm2.momentary_lufs == float("-inf")
+    # plain meters never build the loudness machinery
+    lm3 = LevelMeter()
+    lm3.update_frames(frames[:1470], SR)
+    assert lm3.loudness_meter is None

@@ -39,7 +39,9 @@ def mix_to_wav(song: Song, outfile: str, normalize: bool = True,
 
 def play_streaming(song: Song, with_meter: bool = True,
                    start_seconds: float = 0.0) -> None:
-    meter = LevelMeter() if with_meter else None
+    # loudness=True: the console bar carries a live momentary/short-term
+    # LUFS readout next to the VU levels (EBU R128 M/S meters)
+    meter = LevelMeter(loudness=True) if with_meter else None
     start_frame = int(start_seconds * song.samplerate)
     # ~0.2 s chunks: sequential playback doesn't need mixer-sized blocks,
     # and on link-attached TPUs the ~30 ms per-chunk host sync amortizes
