@@ -1360,8 +1360,10 @@ class LevelMeter:
         db_meter = db_meter[:peak_indicator] + ":" + db_meter[peak_indicator:]
         lufs = ""
         if self.loudness_meter is not None:
+            # fixed width: the \r-overwritten console line must not vary
             m = self.loudness_meter.momentary
             s = self.loudness_meter.short_term
-            lufs = (f"  M {m:6.1f}" if math.isfinite(m) else "  M   ----") \
-                + (f" S {s:6.1f} LUFS" if math.isfinite(s) else "")
+            ms = f"{m:6.1f}" if math.isfinite(m) else "  ----"
+            ss = f"{s:6.1f}" if math.isfinite(s) else "  ----"
+            lufs = f"  M {ms} S {ss} LUFS"
         print(f"{int(db_mixed):d} dB |{db_meter}| 0 dB{lufs}", end="\r")

@@ -837,3 +837,19 @@ fx.eq.high_db = 0:0 8:5
     # budget dominates (ROADMAP "Parametric EQ" note)
     d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
     assert d <= 64, d
+
+
+def test_fx_eq_automation_sharded():
+    """fx.eq curves under mesh=: the master chain runs on the gathered
+    bus after the psums, so the swept EQ applies identically — the only
+    divergence is the synth bus's f32-psum summation order (≤1 LSB)
+    amplified through the band (≤ a few LSB end to end)."""
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    song = bright_song()
+    song.add_fx("eq", mid_db=3.0, mid_freq=1200.0, high_db=2.0)
+    song.add_automation("fx.eq.mid_db", "0:-9 16:6")
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False,
+                       mesh=voice_mesh(8)).get_frame_array()
+    d = np.abs(single.astype(np.int64) - sharded.astype(np.int64)).max()
+    assert d <= 4, d
