@@ -582,16 +582,19 @@ def biquad_seq_coeffs(frames: np.ndarray, width: int,
 
 
 def eq_swept(frames: np.ndarray, width: int, samplerate: int, kind: str,
-             freq: float, q: float, gains_db: np.ndarray) -> np.ndarray:
+             freq: float, q: float, gains_db: np.ndarray,
+             grids_dtype=None) -> np.ndarray:
     """One EQ band with a per-frame gain curve: the sequential-f64
-    recurrence driven by the shared per-frame f32 coefficient grids
+    recurrence driven by the shared per-frame coefficient grids
     (goldref.spec.eq_coeff_grids — the recurrence-internal-automation
-    rule: grids are derived on host in f64, cast f32, and BOTH
-    evaluators consume the same grids)."""
+    rule: grids are derived on host in f64 and BOTH evaluators consume
+    the same grids; ``grids_dtype`` matches the evaluator under test —
+    f32 for the plain scan, float64 for the compensated float-float
+    path, whose coefficients are f64-split pairs)."""
     from .spec import eq_coeff_grids
     b0, b1, b2, a1, a2 = (np.asarray(g, np.float64) for g in
                           eq_coeff_grids(kind, freq, gains_db, q,
-                                         samplerate))
+                                         samplerate, dtype=grids_dtype))
     s = _norm(frames, width).astype(np.float64)
     n, nch = s.shape
     out = np.empty_like(s)

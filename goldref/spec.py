@@ -240,10 +240,11 @@ def eq_band_coeffs(kind: str, freq: float, gain_db: float, q: float,
 
 
 def eq_coeff_grids(kind: str, freq: float, gains_db, q: float,
-                   samplerate: int):
+                   samplerate: int, dtype=None):
     """Per-frame (b0, b1, b2, a1, a2) f32 grids from a per-frame gain_db
     array — the oracle's own copy of the vectorized eq_band_coeffs
-    (conformance-pinned in tests/test_automation.py)."""
+    (conformance-pinned in tests/test_automation.py).  ``dtype=float64``
+    keeps the unrounded grids (the compensated-scan comparison)."""
     import math
     import numpy as np
     A = 10.0 ** (np.asarray(gains_db, np.float64) / 40.0)
@@ -272,7 +273,7 @@ def eq_coeff_grids(kind: str, freq: float, gains_db, q: float,
         a2 = (A + 1) - (A - 1) * cw - sa
     else:
         raise ValueError(f"unknown eq band kind {kind!r}")
-    return tuple(np.asarray(c / a0, np.float32)
+    return tuple(np.asarray(c / a0, dtype or np.float32)
                  for c in (b0, b1, b2, a1, a2))
 
 

@@ -414,14 +414,16 @@ def section_effects(SR):
                - gold.gate(**kw).frames.astype(np.int64)).max()
     check("fx/gate", d <= 2, f"max {d} LSB")
 
-    # parametric EQ (shelving/peaking): low-shelf poles near z=1 follow
-    # the scan-conditioning budget (tests/test_filters)
+    # parametric EQ (shelving/peaking): the low shelf and mid bands
+    # route through the compensated float-float scan (was budget 96 on
+    # the plain scan — the 120 Hz shelf conditioning), so the whole
+    # chain now tracks the f64 oracle to a few LSB
     gold, dev = pair()
     kw = dict(low_db=4.0, mid_db=-6.0, high_db=3.0, mid_freq=900.0,
               mid_q=1.4)
     d = np.abs(dev.eq(**kw).get_frame_array().astype(np.int64)
                - gold.eq(**kw).frames.astype(np.int64)).max()
-    check("fx/eq_three_band", d <= 96, f"max {d} LSB")
+    check("fx/eq_three_band", d <= 8, f"max {d} LSB (ff scan)")
 
     # BS.1770 loudness + true peak: the EBU 3341 anchor (a -23 dBFS
     # stereo 997 Hz sine reads -23 LUFS) and the f64 oracle, on chip
@@ -659,10 +661,44 @@ def section_effects(SR):
     gain_c = [(0.0, -10.0), (8.0, 8.0)]
     pe = SweptEQBand(SR, 2, "peaking", 1500.0, 1.2, gain_c, tickf)
     got_e = np.asarray(pe.process(jnp.asarray(xa)))
+    # the band routes through the float-float scan -> f64 oracle grids
     want_e = _gfx.eq_swept(xa, 2, SR, "peaking", 1500.0, 1.2,
-                           curve_grid(gain_c, 0, len(xa), tickf))
+                           curve_grid(gain_c, 0, len(xa), tickf),
+                           grids_dtype=np.float64 if pe._ff else None)
     de = np.abs(got_e.astype(np.int64) - want_e.astype(np.int64)).max()
     check("fx/auto_eq_gain_grids", de <= 4, f"max {de} LSB (budget 4)")
+
+    # float-float compensated scan on HARDWARE: Dekker/Knuth EFTs assume
+    # exact IEEE f32 add/mul — the TPU VPU and the compiler's contraction
+    # choices are exactly what could silently break them.  Pathological
+    # highpass (Q=30 @ 40 Hz): plain scan drifts >1000 LSB from the f64
+    # oracle; the ff path must stay <= 2.
+    from synthesizer_tpu.ops.coeffs import (biquad_coeffs as _bq,
+                                            ff_split as _ffs)
+    from synthesizer_tpu.ops.effects import (biquad_apply as _ba,
+                                             biquad_apply_ff as _baff)
+    co_ff = _bq("highpass", 40.0, 30.0, SR)
+    xs32 = (xa.astype(np.float32) / np.float32(32767.0))
+    b0, b1, b2, a1, a2 = (np.float64(c) for c in co_ff)
+    sd = xs32.astype(np.float64)
+    outd = np.empty_like(sd)
+    for ch2 in range(2):
+        x1 = x2 = yy1 = yy2 = 0.0
+        v = sd[:, ch2]
+        for i in range(len(v)):
+            yv = b0 * v[i] + b1 * x1 + b2 * x2 - a1 * yy1 - a2 * yy2
+            x2, x1 = x1, v[i]
+            yy2, yy1 = yy1, yv
+            outd[i, ch2] = yv
+    want_ff = np.rint(np.clip(outd * 32767, -32768, 32767))
+    yp, _ = _ba(jnp.asarray(xs32), co_ff)
+    d_plain = np.abs(np.rint(np.clip(
+        np.asarray(yp, np.float64) * 32767, -32768, 32767)) - want_ff).max()
+    yf, _ = _baff(jnp.asarray(xs32), tuple(_ffs(c) for c in co_ff))
+    d_ff = np.abs(np.rint(np.clip(
+        np.asarray(yf, np.float64) * 32767, -32768, 32767)) - want_ff).max()
+    check("fx/ff_scan_eft_on_hw", d_ff <= 2 and d_plain > 100,
+          f"ff {d_ff:.0f} LSB vs f64 oracle (plain {d_plain:.0f})")
 
     # general wide-division ratecv (round 3): pathological reduced rates
     # run the sign-magnitude limb path ON THE CHIP, bit-exact vs the

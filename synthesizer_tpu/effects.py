@@ -217,27 +217,42 @@ class StreamingBiquad:
 
     def __init__(self, samplerate: int, nchannels: int, kind: str,
                  cutoff: float, q: float = 0.7071, gain_db: float = 0.0):
-        from .ops.coeffs import biquad_coeffs, eq_band_coeffs
+        from .ops.coeffs import (biquad_coeffs, eq_band_coeffs, ff_split,
+                                 wants_ff_scan)
         if kind in ("lowshelf", "highshelf", "peaking"):
             knobs = eq_band_coeffs(kind, cutoff, gain_db, q, samplerate)
         else:
             knobs = biquad_coeffs(kind, cutoff, q, samplerate)
-        self._knobs = np.asarray(knobs, np.float32)
+        # identical routing decision to Sample._stage_biquad, from the
+        # identical f64 coefficients — so streaming == offline paths
+        self._ff = wants_ff_scan(knobs)
         z = jnp.zeros(nchannels, jnp.float32)
-        self._state = (z, z, z, z)
+        if self._ff:
+            self._knobs = np.asarray([v for c in knobs
+                                      for v in ff_split(c)], np.float32)
+            self._state = (z, z, z, z, z, z)
+        else:
+            self._knobs = np.asarray(knobs, np.float32)
+            self._state = (z, z, z, z)
         self.tail_frames = 0
 
     def process(self, x: jax.Array) -> jax.Array:
-        key = ("biquad", x.shape, str(x.dtype))
+        key = ("biquad", self._ff, x.shape, str(x.dtype))
         width = dpcm.width_of(x)
+        ff = self._ff
 
         def build():
             @jax.jit
             def fn(x, state, knobs):
                 w = dpcm.width_of(x)
                 s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[w])
-                y, state = dfx.biquad_apply(
-                    s, tuple(knobs[i] for i in range(5)), state)
+                if ff:
+                    pairs = tuple((knobs[2 * i], knobs[2 * i + 1])
+                                  for i in range(5))
+                    y, state = dfx.biquad_apply_ff(s, pairs, state)
+                else:
+                    y, state = dfx.biquad_apply(
+                        s, tuple(knobs[i] for i in range(5)), state)
                 return dfx.to_int_samples(y, width), state
             return fn
 
@@ -317,36 +332,54 @@ class SweptEQBand:
     def __init__(self, samplerate: int, nchannels: int, kind: str,
                  freq: float, q: float, curve, tickf: float,
                  start_frame: int = 0):
+        from .ops.coeffs import eq_band_coeffs, wants_ff_scan
         _require_tickf(tickf, curve)
         self.kind, self.freq, self.q = kind, float(freq), float(q)
         self.curve = curve
         self.tickf = float(tickf)
         self.samplerate = samplerate
+        # conditioning routing (the static bands' rule, evaluated at
+        # every breakpoint gain): shelf/high-Q bands run the compensated
+        # float-float scan with f64-derived coefficient grids
+        self._ff = any(
+            wants_ff_scan(eq_band_coeffs(kind, freq, g, q, samplerate))
+            for _, g in curve)
         z = jnp.zeros(nchannels, jnp.float32)
-        self._state = (z, z, z, z)
+        self._state = (z, z, z, z, z, z) if self._ff else (z, z, z, z)
         self._n0 = int(start_frame)
         self.tail_frames = 0
 
     def process(self, x: jax.Array) -> jax.Array:
-        from .ops.coeffs import curve_grid, eq_coeff_grids
+        from .ops.coeffs import curve_grid, eq_coeff_grids, ff_split
         n = int(x.shape[0])
         g = curve_grid(self.curve, self._n0, n, self.tickf)
-        grids = eq_coeff_grids(self.kind, self.freq, g, self.q,
-                               self.samplerate)
-        key = ("swept_eq", x.shape, str(x.dtype))
+        key = ("swept_eq", self._ff, x.shape, str(x.dtype))
+        ff = self._ff
 
         def build():
             @jax.jit
-            def fn(x, state, b0, b1, b2, a1, a2):
+            def fn(x, state, *coefs):
                 width = dpcm.width_of(x)
                 s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
-                y, state = dfx.biquad_apply(s, (b0, b1, b2, a1, a2),
-                                            state)
+                if ff:
+                    pairs = tuple((coefs[2 * i], coefs[2 * i + 1])
+                                  for i in range(5))
+                    y, state = dfx.biquad_apply_ff(s, pairs, state)
+                else:
+                    y, state = dfx.biquad_apply(s, coefs, state)
                 return dfx.to_int_samples(y, width), state
             return fn
 
-        y, self._state = _cached(key, build)(
-            x, self._state, *(jnp.asarray(gr) for gr in grids))
+        if ff:
+            grids = eq_coeff_grids(self.kind, self.freq, g, self.q,
+                                   self.samplerate, dtype=np.float64)
+            coefs = [jnp.asarray(part) for gr in grids
+                     for part in ff_split(gr)]
+        else:
+            grids = eq_coeff_grids(self.kind, self.freq, g, self.q,
+                                   self.samplerate)
+            coefs = [jnp.asarray(gr) for gr in grids]
+        y, self._state = _cached(key, build)(x, self._state, *coefs)
         self._n0 += n
         return y
 

@@ -184,11 +184,13 @@ def eq_band_coeffs(kind: str, freq: float, gain_db: float, q: float,
 
 
 def eq_coeff_grids(kind: str, freq: float, gains_db: np.ndarray, q: float,
-                   samplerate: int):
+                   samplerate: int, dtype=np.float32):
     """Per-frame (b0, b1, b2, a1, a2) f32 grids from a per-frame gain_db
     array — the vectorized :func:`eq_band_coeffs` (host f64, same
     formulas), for recurrence-internal EQ gain automation.  A constant
-    gains_db array reproduces the static coefficients bit-exactly."""
+    gains_db array reproduces the static coefficients bit-exactly.
+    ``dtype=np.float64`` keeps the unrounded grids (the compensated-scan
+    path splits them into float-float pairs)."""
     A = 10.0 ** (np.asarray(gains_db, np.float64) / 40.0)
     w0 = 2.0 * math.pi * min(freq, samplerate * 0.49) / samplerate
     alpha = math.sin(w0) / (2.0 * q)
@@ -215,8 +217,58 @@ def eq_coeff_grids(kind: str, freq: float, gains_db: np.ndarray, q: float,
         a2 = (A + 1) - (A - 1) * cw - sa
     else:
         raise ValueError(f"unknown eq band kind {kind!r}")
-    return tuple(np.asarray(c / a0, np.float32)
+    return tuple(np.asarray(c / a0, dtype)
                  for c in (b0, b1, b2, a1, a2))
+
+
+# ---------------------------------------------------------------------------
+# Compensated-scan routing: which coefficient sets need float-float
+# ---------------------------------------------------------------------------
+
+def ff_split(c):
+    """Split f64 scalar/array coefficients into a non-overlapping f32
+    (hi, lo) pair: hi = fl32(c), lo = fl32(c - hi) — the exact residual
+    (representable because it is ~2^-24 of hi).  Consumed by
+    ``ops.effects.biquad_apply_ff``."""
+    c64 = np.asarray(c, np.float64)
+    hi = c64.astype(np.float32)
+    lo = (c64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def pole_gain(a1: float, a2: float, ngrid: int = 8192) -> float:
+    """max |1/A(e^jw)| over the frequency axis — the factor by which the
+    companion scan amplifies an f32 rounding into the filter state (the
+    derived conditioning model's Gpole)."""
+    w = np.linspace(0.0, np.pi, ngrid)
+    z1 = np.exp(-1j * w)
+    return float((1.0 / np.abs(1.0 + a1 * z1 + a2 * z1 * z1)).max())
+
+
+def predicted_scan_error_lsb(coeffs, n: int = 1 << 20) -> float:
+    """Host predictor of the plain-f32 companion scan's drift vs the
+    sequential recurrence at 16-bit full scale — the derived bound
+    err <= 2 + 2*eps*32768*log2(n)*Gpole*sqrt(tau) (independently
+    re-derived and measured in tests/test_filters.scan_error_bound_lsb;
+    n defaults to a long-programme worst case so the routing decision
+    does not depend on signal length)."""
+    a1, a2 = float(coeffs[3]), float(coeffs[4])
+    r = math.sqrt(max(a2, 0.0))
+    tau = 1.0 / max(1.0 - r, 1e-9)
+    return 2.0 + 2.0 * 2.0 ** -24 * 32768.0 * math.log2(n) \
+        * pole_gain(a1, a2) * math.sqrt(tau)
+
+
+#: plain-scan drift (LSB) above which the staged/streaming biquads route
+#: through the float-float scan
+FF_SCAN_THRESHOLD_LSB = 6.0
+
+
+def wants_ff_scan(coeffs) -> bool:
+    """True when ``coeffs`` (f64 (b0, b1, b2, a1, a2)) are conditioned
+    badly enough that the plain f32 scan would drift past
+    FF_SCAN_THRESHOLD_LSB — route these through biquad_apply_ff."""
+    return predicted_scan_error_lsb(coeffs) > FF_SCAN_THRESHOLD_LSB
 
 
 # ---------------------------------------------------------------------------

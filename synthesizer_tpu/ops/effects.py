@@ -139,6 +139,182 @@ def companion_scan(u: jax.Array, a1, a2, y1, y2) -> jax.Array:
     return ys[:, 0]
 
 
+# ---------------------------------------------------------------------------
+# Compensated (float-float) companion scan
+#
+# Near-unit-pole filters (low shelves at bass frequencies, high-Q low
+# cutoffs) defeat plain f32 twice over: (a) the scan conditioning above
+# (Gpole * sqrt(tau) amplification of every f32 regrouping), and (b) the
+# f32 COEFFICIENT quantization itself — a low shelf at 120 Hz has
+# |A(1)| ~ w0^2 ~ 3e-4, so the ~1e-7 relative rounding of a1/a2 shifts
+# the DC gain by ~1e-3 relative (~tens of LSB at full scale) before any
+# arithmetic happens.  The fix is therefore float-float end to end:
+# coefficients arrive as non-overlapping (hi, lo) f32 pairs split from
+# f64 on host, and the feed-forward taps, companion-matrix products, and
+# affine terms all run in Dekker/Knuth error-free-transformation
+# arithmetic (~2^-45 effective precision) on the VPU — f64 in disguise,
+# on hardware with no f64 units.  ~8x the flops of the plain scan; used
+# only where ops.coeffs.predicted_scan_error_lsb says the plain scan
+# would drift (the staged filter/eq ops and the streaming twins decide
+# per coefficient set on host).
+#
+# EFT safety on this backend: TwoSum is contraction-proof (no multiply);
+# Dekker's product error term survives FMA contraction because ah*bh is
+# EXACT in f32 (12-bit x 12-bit splits), so fma(ah, bh, -p) ==
+# round(ah*bh - p) == the uncontracted value.
+# ---------------------------------------------------------------------------
+
+def _ff_norm(hi, lo):
+    """Renormalize a (hi, lo) pair (Knuth fast-two-sum, |lo| <= |hi|)."""
+    s = hi + lo
+    return s, lo - (s - hi)
+
+
+def _prod_err(a, b, p):
+    """Dekker: the exact f32 rounding error of p = fl(a * b)."""
+    c = jnp.float32(4097.0)             # 2^12 + 1 splits f32's 24 bits
+    t = a * c
+    ah = t - (t - a)
+    al = a - ah
+    t = b * c
+    bh = t - (t - b)
+    bl = b - bh
+    return ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def ff_add(ah, al, bh, bl):
+    """(ah, al) + (bh, bl) in float-float (Knuth TwoSum + tail fold)."""
+    s = ah + bh
+    bb = s - ah
+    err = (ah - (s - bb)) + (bh - bb)
+    return _ff_norm(s, err + (al + bl))
+
+
+def ff_mul(ah, al, bh, bl):
+    """(ah, al) * (bh, bl) in float-float (Dekker TwoProd + cross terms)."""
+    p = ah * bh
+    e = _prod_err(ah, bh, p) + (ah * bl + al * bh)
+    return _ff_norm(p, e)
+
+
+def _ff_mat2mul(Ah, Al, Bh, Bl):
+    """2x2 float-float matrix product A @ B, batched over leading dims
+    ([..., 2, 2] hi/lo arrays)."""
+    ch = [[None, None], [None, None]]
+    cl = [[None, None], [None, None]]
+    for i in range(2):
+        for j in range(2):
+            t0 = ff_mul(Ah[..., i, 0], Al[..., i, 0],
+                        Bh[..., 0, j], Bl[..., 0, j])
+            t1 = ff_mul(Ah[..., i, 1], Al[..., i, 1],
+                        Bh[..., 1, j], Bl[..., 1, j])
+            ch[i][j], cl[i][j] = ff_add(*t0, *t1)
+    Ch = jnp.stack([jnp.stack(ch[0], axis=-1),
+                    jnp.stack(ch[1], axis=-1)], axis=-2)
+    Cl = jnp.stack([jnp.stack(cl[0], axis=-1),
+                    jnp.stack(cl[1], axis=-1)], axis=-2)
+    return Ch, Cl
+
+
+def _ff_mat2vec(Ah, Al, vh, vl):
+    """2x2 float-float matrix times float-float 2-vector ([..., 2])."""
+    out_h, out_l = [], []
+    for i in range(2):
+        t0 = ff_mul(Ah[..., i, 0], Al[..., i, 0], vh[..., 0], vl[..., 0])
+        t1 = ff_mul(Ah[..., i, 1], Al[..., i, 1], vh[..., 1], vl[..., 1])
+        h, l = ff_add(*t0, *t1)
+        out_h.append(h)
+        out_l.append(l)
+    return jnp.stack(out_h, axis=-1), jnp.stack(out_l, axis=-1)
+
+
+def companion_scan_ff(uh, ul, a1h, a1l, a2h, a2l, y1h, y1l, y2h, y2l):
+    """Float-float twin of :func:`companion_scan`: solves y_n = u_n -
+    a1 y_{n-1} - a2 y_{n-2} with every quantity a (hi, lo) pair.  The
+    a1/a2 pairs may be scalars or [B] grids (swept coefficients); the u
+    pair carries the feed-forward taps' own compensation; y1/y2 pairs
+    carry state across chunks without re-rounding it to f32.  Returns
+    (y_hi, y_lo) — y_hi is fl(y_hi + y_lo), the correctly rounded f32
+    output."""
+    zeros = jnp.zeros_like(uh)
+    ones = jnp.ones_like(uh)
+
+    def bc(c):
+        return jnp.asarray(c, jnp.float32) * ones
+
+    row0h = jnp.stack([-bc(a1h), -bc(a2h)], axis=-1)
+    row0l = jnp.stack([-bc(a1l), -bc(a2l)], axis=-1)
+    row1h = jnp.stack([ones, zeros], axis=-1)
+    row1l = jnp.stack([zeros, zeros], axis=-1)
+    Msh = jnp.stack([row0h, row1h], axis=-2)               # [B, 2, 2]
+    Msl = jnp.stack([row0l, row1l], axis=-2)
+    csh = jnp.stack([uh, zeros], axis=-1)                  # [B, 2]
+    csl = jnp.stack([ul, zeros], axis=-1)
+
+    def combine(l, r):
+        Mlh, Mll, clh, cll = l
+        Mrh, Mrl, crh, crl = r
+        Ch, Cl = _ff_mat2mul(Mrh, Mrl, Mlh, Mll)
+        dh, dl = _ff_mat2vec(Mrh, Mrl, clh, cll)
+        eh, el = ff_add(dh, dl, crh, crl)
+        return Ch, Cl, eh, el
+
+    Mh, Ml, ch, cl = jax.lax.associative_scan(
+        combine, (Msh, Msl, csh, csl))
+    s0h = jnp.stack([jnp.asarray(y1h, jnp.float32),
+                     jnp.asarray(y2h, jnp.float32)])
+    s0l = jnp.stack([jnp.asarray(y1l, jnp.float32),
+                     jnp.asarray(y2l, jnp.float32)])
+    vh, vl = _ff_mat2vec(Mh, Ml, s0h[None, :], s0l[None, :])
+    yh, yl = ff_add(vh, vl, ch, cl)
+    return yh[:, 0], yl[:, 0]
+
+
+def biquad_apply_ff(s: jax.Array, coeff_pairs, state=None):
+    """Compensated twin of :func:`biquad_apply`.  ``coeff_pairs`` is
+    ((b0h, b0l), ..., (a2h, a2l)) — five (hi, lo) pairs split from f64
+    coefficients on host (``ops.coeffs.ff_split``), scalars or [n]
+    grids.  ``state`` is (x1, x2, y1h, y1l, y2h, y2l), each [ch]: the x
+    history is exact f32, the y history carries its compensation so
+    chunk boundaries do not re-round the state.  Returns (y, state) with
+    y the correctly rounded f32 signal."""
+    n, nch = s.shape
+    (b0h, b0l), (b1h, b1l), (b2h, b2l), (a1h, a1l), (a2h, a2l) = \
+        tuple((jnp.asarray(h, jnp.float32), jnp.asarray(l, jnp.float32))
+              for h, l in coeff_pairs)
+    if state is None:
+        z = jnp.zeros(nch, jnp.float32)
+        state = (z, z, z, z, z, z)
+    x1, x2, y1h, y1l, y2h, y2l = state
+
+    def tap(bh, bl, x):
+        # ff coefficient times EXACT f32 signal value
+        p = bh * x
+        e = _prod_err(bh, x, p) + bl * x
+        return _ff_norm(p, e)
+
+    cols_h, ny1h, ny1l, ny2h, ny2l = [], [], [], [], []
+    for ch_i in range(nch):
+        x = s[:, ch_i]
+        xp1 = jnp.concatenate([x1[ch_i][None], x[:-1]])
+        xp2 = jnp.concatenate([x2[ch_i][None], x1[ch_i][None], x[:-2]])
+        uh, ul = ff_add(*ff_add(*tap(b0h, b0l, x), *tap(b1h, b1l, xp1)),
+                        *tap(b2h, b2l, xp2))
+        yh, yl = companion_scan_ff(uh, ul, a1h, a1l, a2h, a2l,
+                                   y1h[ch_i], y1l[ch_i],
+                                   y2h[ch_i], y2l[ch_i])
+        cols_h.append(yh)
+        ny1h.append(yh[-1])
+        ny1l.append(yl[-1])
+        ny2h.append(yh[-2] if n >= 2 else y1h[ch_i])
+        ny2l.append(yl[-2] if n >= 2 else y1l[ch_i])
+    out = jnp.stack(cols_h, axis=1)
+    new_state = (s[-1], s[-2] if n >= 2 else x1,
+                 jnp.stack(ny1h), jnp.stack(ny1l),
+                 jnp.stack(ny2h), jnp.stack(ny2l))
+    return out, new_state
+
+
 def biquad_apply(s: jax.Array, coeffs, state=None):
     """Constant-coefficient biquad on a normalized f32 signal [n, ch]:
     y_n = b0 x_n + b1 x_{n-1} + b2 x_{n-2} - a1 y_{n-1} - a2 y_{n-2},

@@ -308,6 +308,17 @@ def _x_biquad(x, st, dyn, leaves):
     return dfx.to_int_samples(y, w)
 
 
+def _x_biquad_ff(x, st, dyn, leaves):
+    # badly-conditioned coefficients (ops.coeffs.wants_ff_scan): the
+    # float-float scan with (hi, lo) coefficient pairs in the dyn vector
+    from .ops import effects as dfx
+    w = dpcm.width_of(x)
+    s = x.astype(jnp.float32) / jnp.float32(MAXVAL[w])
+    pairs = tuple((dyn[2 * i], dyn[2 * i + 1]) for i in range(5))
+    y, _ = dfx.biquad_apply_ff(s, pairs)
+    return dfx.to_int_samples(y, w)
+
+
 def _x_gate(x, st, dyn, leaves):
     from .ops import effects as dfx
     g = dfx.gate_gains_from_coeffs(x, dyn[0], dyn[1], dyn[2], dyn[3],
@@ -358,7 +369,8 @@ _EXEC = {
     "pan_patch": _x_pan_patch, "pan_sample": _x_pan_sample,
     "compress": _x_compress, "reverb": _x_reverb, "chorus": _x_chorus,
     "convolve": _x_convolve, "stretch": _x_stretch,
-    "biquad": _x_biquad, "gate": _x_gate, "compress_sc": _x_compress_sc,
+    "biquad": _x_biquad, "biquad_ff": _x_biquad_ff,
+    "gate": _x_gate, "compress_sc": _x_compress_sc,
     "granulate": _x_granulate,
 }
 
@@ -957,8 +969,25 @@ class Sample:
                                     self._samplerate)
         else:
             coeffs = biquad_coeffs(kind, cutoff, q, self._samplerate)
-        self._stage("biquad", dyn=coeffs)
+        self._stage_biquad(coeffs)
         return self
+
+    def _stage_biquad(self, coeffs) -> None:
+        """Stage one biquad, routed by conditioning: badly-conditioned
+        coefficient sets (near-unit poles — low shelves, high-Q low
+        cutoffs; ops.coeffs.wants_ff_scan) run the compensated
+        float-float scan with (hi, lo) pairs in the dyn vector (~1 LSB
+        of the f64 oracle where the plain scan drifts tens-to-thousands
+        of LSB); the rest keep the plain scan.  The streaming twin
+        (effects.StreamingBiquad) makes the identical decision from the
+        identical f64 coefficients."""
+        from .ops.coeffs import ff_split, wants_ff_scan
+        if wants_ff_scan(coeffs):
+            self._stage("biquad_ff",
+                        dyn=tuple(float(v) for c in coeffs
+                                  for v in ff_split(c)))
+        else:
+            self._stage("biquad", dyn=coeffs)
 
     def eq(self, low_db: float = 0.0, mid_db: float = 0.0,
            high_db: float = 0.0, low_freq: float = 120.0,
@@ -975,9 +1004,8 @@ class Sample:
                               ("peaking", mid_freq, mid_db, mid_q),
                               ("highshelf", high_freq, high_db, 0.7071)):
             if g != 0.0:
-                self._stage("biquad",
-                            dyn=eq_band_coeffs(kind, f, g, q,
-                                               self._samplerate))
+                self._stage_biquad(eq_band_coeffs(kind, f, g, q,
+                                                  self._samplerate))
         return self
 
     def loudness_lufs(self) -> float:

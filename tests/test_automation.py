@@ -759,9 +759,13 @@ def test_fx_eq_automation_vs_goldref():
     proc = SweptEQBand(44100, 2, "peaking", 1500.0, 1.2, gain_c, tickf)
     got = np.asarray(proc.process(jnp.asarray(x)))
     g = curve_grid(gain_c, 0, n, tickf)
-    want = gfx.eq_swept(x, 2, 44100, "peaking", 1500.0, 1.2, g)
+    # this band routes through the compensated float-float scan
+    # (ops.coeffs.wants_ff_scan), so the oracle consumes the f64 grids
+    assert proc._ff
+    want = gfx.eq_swept(x, 2, 44100, "peaking", 1500.0, 1.2, g,
+                        grids_dtype=np.float64)
     d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
-    assert d <= 4, d
+    assert d <= 2, d
     # constant curve == static band
     pc = SweptEQBand(44100, 2, "highshelf", 5000.0, 0.7071,
                      [(0.0, 4.0)], tickf)
@@ -853,3 +857,27 @@ def test_fx_eq_automation_sharded():
                        mesh=voice_mesh(8)).get_frame_array()
     d = np.abs(single.astype(np.int64) - sharded.astype(np.int64)).max()
     assert d <= 4, d
+
+
+def test_fx_eq_lowshelf_automation_ff_scan():
+    """A low-shelf gain curve routes the band through the compensated
+    float-float scan (the 120 Hz shelf was the scan-conditioning worst
+    case at ~35-220 LSB); with f64-split coefficient grids it tracks the
+    sequential-f64 oracle to <= 2 LSB."""
+    import goldref.effects as gfx
+    import jax.numpy as jnp
+    from synthesizer_tpu.effects import SweptEQBand
+    from synthesizer_tpu.ops.coeffs import curve_grid
+    rng = np.random.default_rng(0x10F5)
+    n = 9000
+    x = rng.integers(-28000, 28000, size=(n, 2)).astype(np.int16)
+    tickf = 44100 / 8.0
+    gc = [(0.0, -8.0), (8.0, 8.0)]
+    band = SweptEQBand(44100, 2, "lowshelf", 120.0, 0.7071, gc, tickf)
+    assert band._ff
+    got = np.asarray(band.process(jnp.asarray(x)))
+    want = gfx.eq_swept(x, 2, 44100, "lowshelf", 120.0, 0.7071,
+                        curve_grid(gc, 0, n, tickf),
+                        grids_dtype=np.float64)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 2, d

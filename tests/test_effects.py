@@ -450,15 +450,16 @@ def test_granulate_short_input():
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("kind,freq,gain,q,budget", [
-    # budgets follow the scan-conditioning model (tests/test_filters.
-    # scan_error_bound_lsb): error grows with Gpole*sqrt(tau), i.e. with
-    # poles near z=1 — low shelf frequencies and high-Q peaking measure
-    # ~35 / ~110 LSB on full-scale noise (-51 dB relative); margin 2-3x
+    # badly-conditioned bands (poles near z=1: low shelves, high-Q
+    # peaking — ops.coeffs.wants_ff_scan) route through the compensated
+    # float-float scan and track the f64 oracle to ~1-2 LSB (they
+    # measured ~35-110 LSB on the plain scan); the well-conditioned
+    # rest keep the plain scan's scan-conditioning-model budget
     ("peaking", 1000.0, 6.0, 1.0, 4),
     ("peaking", 3000.0, -9.0, 4.0, 4),
-    ("peaking", 250.0, 12.0, 8.0, 256),   # strong low resonance
-    ("lowshelf", 200.0, 5.0, 0.7071, 96),
-    ("lowshelf", 120.0, -12.0, 0.7071, 96),
+    ("peaking", 250.0, 12.0, 8.0, 4),     # ff: was 256 on the plain scan
+    ("lowshelf", 200.0, 5.0, 0.7071, 4),  # ff: was 96
+    ("lowshelf", 120.0, -12.0, 0.7071, 4),  # ff: was 96
     ("highshelf", 6000.0, -6.0, 0.7071, 4),
     ("highshelf", 8000.0, 9.0, 0.7071, 4),
 ])
@@ -472,8 +473,9 @@ def test_eq_matches_oracle(rng):
     gold, dev = make_pair(rng, n=4000, nch=2, quiet=True)
     kw = dict(low_db=4.0, mid_db=-6.0, high_db=3.0, low_freq=150.0,
               mid_freq=900.0, mid_q=1.4, high_freq=5000.0)
-    # three chained scans, each within the standard biquad budget
-    check_lsb(gold.eq(**kw), dev.eq(**kw), 12)
+    # low shelf + mid route through the ff scan, high shelf stays plain:
+    # three chained scans, each ~1 LSB of the f64 oracle
+    check_lsb(gold.eq(**kw), dev.eq(**kw), 4)
 
 
 def test_eq_equals_chained_filters(rng):

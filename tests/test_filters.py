@@ -198,3 +198,151 @@ def test_biquad_scan_error_within_derived_bound(rng):
                 bound = scan_error_bound_lsb(c, n)
                 assert err_lsb <= bound, \
                     (kind, q, n, err_lsb, bound)
+
+
+# ---------------------------------------------------------------------------
+# Compensated (float-float) scan: badly-conditioned biquads route through
+# ops.effects.biquad_apply_ff with (hi, lo) coefficient pairs — ~1 LSB of
+# the sequential-f64 oracle where the plain scan drifts tens-to-thousands
+# of LSB (low shelves, high-Q low cutoffs).
+# ---------------------------------------------------------------------------
+
+def _seq_f64(x, coeffs):
+    b0, b1, b2, a1, a2 = (np.float64(c) for c in coeffs)
+    s = x.astype(np.float64)
+    out = np.empty_like(s)
+    for ch in range(s.shape[1]):
+        x1 = x2 = y1 = y2 = 0.0
+        v = s[:, ch]
+        for i in range(len(v)):
+            y = b0 * v[i] + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+            x2, x1 = x1, v[i]
+            y2, y1 = y1, y
+            out[i, ch] = y
+    return out
+
+
+FF_CASES = [
+    ("lowshelf", 120.0, 4.0, 0.7071),
+    ("lowshelf", 60.0, 12.0, 0.7071),
+    ("lowshelf", 120.0, -9.0, 0.7071),
+    ("highshelf", 200.0, 6.0, 0.7071),
+    ("peaking", 100.0, 8.0, 4.0),
+]
+
+
+@pytest.mark.parametrize("kind,freq,gain,q", FF_CASES)
+def test_ff_scan_tracks_f64_oracle(kind, freq, gain, q, rng):
+    import jax.numpy as jnp
+    from synthesizer_tpu.ops import effects as dfx
+    from synthesizer_tpu.ops.coeffs import (eq_band_coeffs, ff_split,
+                                            wants_ff_scan)
+    co = eq_band_coeffs(kind, freq, gain, q, SR)
+    assert wants_ff_scan(co), "case should route ff"
+    n = 30000
+    x = (rng.integers(-32768, 32768, size=(n, 2)) / 32767.0) \
+        .astype(np.float32)
+    want = np.rint(np.clip(_seq_f64(x, co) * 32767, -32768, 32767))
+    pairs = tuple(ff_split(c) for c in co)
+    y, _ = dfx.biquad_apply_ff(jnp.asarray(x), pairs)
+    got = np.rint(np.clip(np.asarray(y, np.float64) * 32767,
+                          -32768, 32767))
+    d = np.abs(got - want).max()
+    assert d <= 2, f"{kind}@{freq}: {d} LSB vs f64 oracle"
+
+
+def test_ff_scan_pathological_highpass(rng):
+    """highpass Q=30 at 40 Hz: the plain scan drifts thousands of LSB
+    from the f64 oracle (coefficient quantization + conditioning); the
+    float-float path stays within 2."""
+    import jax.numpy as jnp
+    from synthesizer_tpu.ops import effects as dfx
+    from synthesizer_tpu.ops.coeffs import biquad_coeffs, ff_split
+    co = biquad_coeffs("highpass", 40.0, 30.0, SR)
+    n = 30000
+    x = (rng.integers(-32768, 32768, size=(n, 1)) / 32767.0) \
+        .astype(np.float32)
+    want = np.rint(np.clip(_seq_f64(x, co) * 32767, -32768, 32767))
+    yp, _ = dfx.biquad_apply(jnp.asarray(x), co)
+    dp = np.abs(np.rint(np.clip(np.asarray(yp, np.float64) * 32767,
+                                -32768, 32767)) - want).max()
+    yf, _ = dfx.biquad_apply_ff(
+        jnp.asarray(x), tuple(ff_split(c) for c in co))
+    df = np.abs(np.rint(np.clip(np.asarray(yf, np.float64) * 32767,
+                                -32768, 32767)) - want).max()
+    assert dp > 100, f"plain unexpectedly accurate ({dp} LSB)"
+    assert df <= 2, f"ff path {df} LSB"
+
+
+def test_ff_state_carries_across_chunks(rng):
+    """Chunked biquad_apply_ff (carried 6-tuple state incl. the y lo
+    parts) == whole-signal within 1 LSB at any chunk size."""
+    import jax.numpy as jnp
+    from synthesizer_tpu.ops import effects as dfx
+    from synthesizer_tpu.ops.coeffs import eq_band_coeffs, ff_split
+    co = eq_band_coeffs("lowshelf", 120.0, 4.0, 0.7071, SR)
+    pairs = tuple(ff_split(c) for c in co)
+    n = 20000
+    x = (rng.integers(-32768, 32768, size=(n, 2)) / 32767.0) \
+        .astype(np.float32)
+    whole, _ = dfx.biquad_apply_ff(jnp.asarray(x), pairs)
+    whole = np.asarray(whole)
+    for chunk in (997, 4096):
+        state = None
+        parts = []
+        for i in range(0, n, chunk):
+            y, state = dfx.biquad_apply_ff(jnp.asarray(x[i:i + chunk]),
+                                           pairs, state)
+            parts.append(np.asarray(y))
+        got = np.concatenate(parts)
+        d = np.abs(np.rint(got.astype(np.float64) * 32767)
+                   - np.rint(whole.astype(np.float64) * 32767)).max()
+        assert d <= 1, (chunk, d)
+
+
+def test_ff_split_exact():
+    """The (hi, lo) split carries ~49 bits: hi = fl32(c), lo = fl32 of
+    the exact residual — so hi + lo recovers c to 2^-24 OF THE RESIDUAL
+    (~2^-48 relative), and the pair is non-overlapping."""
+    from synthesizer_tpu.ops.coeffs import eq_band_coeffs, ff_split
+    for c in eq_band_coeffs("lowshelf", 60.0, 12.0, 0.7071, SR):
+        hi, lo = ff_split(c)
+        err = abs(np.float64(hi) + np.float64(lo) - np.float64(c))
+        assert err <= 2.0 ** -46 * abs(np.float64(c)), (c, err)
+        assert abs(lo) <= 2.0 ** -24 * abs(hi) * 1.01
+
+
+def test_routing_predictor_matches_test_model():
+    """Product-owned predictor == this file's independently derived
+    bound (the two-copies rule: routing must not drift from the model
+    the tests pin)."""
+    from synthesizer_tpu.ops.coeffs import (biquad_coeffs,
+                                            eq_band_coeffs,
+                                            predicted_scan_error_lsb)
+    cases = [biquad_coeffs("lowpass", 500.0, 8.0, SR),
+             biquad_coeffs("highpass", 300.0, 0.7071, SR),
+             eq_band_coeffs("lowshelf", 120.0, 4.0, 0.7071, SR)]
+    for co in cases:
+        a = predicted_scan_error_lsb(co, n=1 << 20)
+        b = scan_error_bound_lsb(co, 1 << 20)
+        assert abs(a - b) <= 1e-6 * max(abs(a), abs(b)), (a, b)
+
+
+def test_sample_filter_routes_and_matches_streaming(rng):
+    """Sample.filter (staged biquad_ff) and StreamingBiquad (chunked)
+    make the same routing decision and agree within 1 LSB for a
+    conditioned shelf."""
+    import jax.numpy as jnp
+    from synthesizer_tpu.effects import StreamingBiquad
+    from synthesizer_tpu.sample import Sample
+    x = rng.integers(-28000, 28000, size=(12000, 2)).astype(np.int16)
+    dev = Sample.from_raw_frames(x.tobytes(), 2, SR, 2)
+    off = dev.filter("lowshelf", 120.0, 0.7071, gain_db=6.0) \
+        .get_frame_array()
+    proc = StreamingBiquad(SR, 2, "lowshelf", 120.0, 0.7071, gain_db=6.0)
+    assert proc._ff
+    parts = [np.asarray(proc.process(jnp.asarray(x[i:i + 1470])))
+             for i in range(0, len(x), 1470)]
+    got = np.concatenate(parts)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 1, d
