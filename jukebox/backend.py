@@ -36,6 +36,12 @@ class Track(NamedTuple):
     duration: float
     samplerate: int
     nchannels: int
+    #: measured EBU R128 integrated loudness (LUFS) — None until
+    #: measure_loudness() runs (measuring decodes the whole file, so it
+    #: is NOT part of the headers-only scan)
+    lufs: Optional[float] = None
+    #: measured sample peak (linear, 1.0 = full scale) — the boost cap
+    peak: Optional[float] = None
 
 
 class MusicLibrary:
@@ -50,7 +56,15 @@ class MusicLibrary:
                    title TEXT NOT NULL,
                    duration REAL NOT NULL DEFAULT 0,
                    samplerate INTEGER NOT NULL DEFAULT 0,
-                   nchannels INTEGER NOT NULL DEFAULT 0)""")
+                   nchannels INTEGER NOT NULL DEFAULT 0,
+                   lufs REAL,
+                   peak REAL)""")
+        for col in ("lufs", "peak"):
+            # migrate pre-loudness databases in place
+            try:
+                self.db.execute(f"ALTER TABLE tracks ADD COLUMN {col} REAL")
+            except sqlite3.OperationalError:
+                pass
         self.db.commit()
 
     def scan(self, directory: str) -> int:
@@ -112,18 +126,69 @@ class MusicLibrary:
         except sqlite3.Error:
             return False
 
+    _COLS = "id, path, title, duration, samplerate, nchannels, lufs, peak"
+
     def search(self, query: str = "") -> List[Track]:
         cur = self.db.execute(
-            "SELECT id, path, title, duration, samplerate, nchannels FROM tracks "
+            f"SELECT {self._COLS} FROM tracks "
             "WHERE title LIKE ? ORDER BY title", (f"%{query}%",))
         return [Track(*row) for row in cur.fetchall()]
 
     def get(self, track_id: int) -> Optional[Track]:
         cur = self.db.execute(
-            "SELECT id, path, title, duration, samplerate, nchannels FROM tracks "
-            "WHERE id = ?", (track_id,))
+            f"SELECT {self._COLS} FROM tracks WHERE id = ?", (track_id,))
         row = cur.fetchone()
         return Track(*row) if row else None
 
+    def measure_loudness(self, track_id: int) -> Optional[Track]:
+        """Decode the track once, measure its EBU R128 integrated
+        loudness + sample peak (measure_track_loudness), store both, and
+        return the refreshed row.  Decks use this lazily for
+        level-matched playback — scan() stays headers-only."""
+        track = self.get(track_id)
+        if track is None:
+            return None
+        lufs, peak = measure_track_loudness(track.path)
+        self.db.execute("UPDATE tracks SET lufs = ?, peak = ? WHERE id = ?",
+                        (lufs, peak, track_id))
+        self.db.commit()
+        return self.get(track_id)
+
     def close(self) -> None:
         self.db.close()
+
+
+def measure_track_loudness(path: str):
+    """(integrated LUFS, linear sample peak) of a whole audio file,
+    memory-bounded: the decoded stream feeds the chunk-fed R128 meter
+    (ops.loudness.StreamingLoudness, host-f64 path — no device round
+    trips) one block at a time.  LUFS is None for silence/too-short
+    programmes (gated to -inf)."""
+    import math
+
+    import numpy as np
+
+    from synthesizer_tpu.ops.loudness import StreamingLoudness
+    from synthesizer_tpu.streaming import AudiofileToWavStream, SampleStream
+
+    wav = AudiofileToWavStream(path)
+    stream = SampleStream(wav, 32768)
+    meter = None
+    peak = 0.0
+    try:
+        for chunk in stream:
+            a = chunk.get_frame_array()
+            if a.ndim == 1:
+                a = a[:, None]
+            if meter is None:
+                meter = StreamingLoudness(chunk.samplerate, a.shape[1])
+            meter.update_host(a, maxvalue=float(chunk.maxvalue))
+            peak = max(peak, float(np.abs(a.astype(np.int64)).max())
+                       / float(chunk.maxvalue))
+    finally:
+        stream.close()
+        wav.close()
+    if meter is None:
+        return None, None
+    lufs = meter.stats()["integrated"]
+    return (lufs if math.isfinite(lufs) else None), peak

@@ -22,22 +22,30 @@ from .backend import MusicLibrary, Track
 
 
 class Deck:
-    """One playback deck: a decoded sample stream with its own volume."""
+    """One playback deck: a decoded sample stream with its own volume.
 
-    def __init__(self, track: Track, frames_per_chunk: int):
+    ``trim`` is a static level-match gain (R128 loudness normalization)
+    multiplied under the 0..1 crossfade ``volume`` — the fade ramps the
+    FRACTION, the trim carries the track's loudness correction."""
+
+    def __init__(self, track: Track, frames_per_chunk: int,
+                 trim: float = 1.0):
         self.track = track
+        self.trim = float(trim)
+        self._fade = 1.0
         self.wav = AudiofileToWavStream(track.path)
         self.stream = SampleStream(self.wav, frames_per_chunk)
-        self.volume_filter = VolumeFilter(self.stream, 1.0)
+        self.volume_filter = VolumeFilter(self.stream, self.trim)
         self.exhausted = False
 
     @property
     def volume(self) -> float:
-        return self.volume_filter.volume
+        return self._fade
 
     @volume.setter
     def volume(self, v: float) -> None:
-        self.volume_filter.volume = max(0.0, min(1.0, v))
+        self._fade = max(0.0, min(1.0, v))
+        self.volume_filter.volume = self._fade * self.trim
 
     def close(self) -> None:
         self.stream.close()
@@ -52,11 +60,24 @@ class Jukebox:
     duration is known) or when the deck runs dry.
     """
 
+    #: never boost a level-matched track past +12 dB (broken/near-silent
+    #: measurements would otherwise explode the gain)
+    MAX_TRIM = 4.0
+
     def __init__(self, library: Optional[MusicLibrary] = None,
-                 crossfade: float = 3.0, frames_per_chunk: int = 0):
+                 crossfade: float = 3.0, frames_per_chunk: int = 0,
+                 level_match: bool = False, target_lufs: float = -18.0):
+        """``level_match=True`` plays every track at ``target_lufs``
+        (EBU R128 loudness normalization, the streaming-player
+        convention): each deck loads with a static trim gain of
+        target - integrated LUFS, capped so the track's sample peak
+        never exceeds full scale.  Unmeasured library tracks are
+        measured (and cached in the sqlite index) on first load."""
         self.library = library or MusicLibrary()
         self.crossfade = crossfade
         self.frames_per_chunk = frames_per_chunk or params.norm_frames_per_chunk
+        self.level_match = bool(level_match)
+        self.target_lufs = float(target_lufs)
         self.playlist: List[Track] = []
         self.decks: List[Optional[Deck]] = [None, None]
         self.active_deck = 0
@@ -88,6 +109,31 @@ class Jukebox:
 
     # -- engine ----------------------------------------------------------------
 
+    def _trim_for(self, track: Track) -> float:
+        """Static level-match gain for a track (1.0 when disabled or
+        unmeasurable): 10^((target - LUFS)/20), capped at the sample
+        peak's headroom and MAX_TRIM."""
+        if not self.level_match:
+            return 1.0
+        lufs, peak = track.lufs, track.peak
+        if lufs is None and track.track_id >= 0:
+            refreshed = self.library.measure_loudness(track.track_id)
+            if refreshed is not None:
+                lufs, peak = refreshed.lufs, refreshed.peak
+        if lufs is None:
+            # ad-hoc path (enqueue_path): measure without a library row
+            from .backend import measure_track_loudness
+            try:
+                lufs, peak = measure_track_loudness(track.path)
+            except Exception:
+                return 1.0
+        if lufs is None:
+            return 1.0
+        trim = 10.0 ** ((self.target_lufs - lufs) / 20.0)
+        if peak:
+            trim = min(trim, 1.0 / peak)    # boost never clips the peak
+        return min(trim, self.MAX_TRIM)
+
     def _load_next(self, deck_index: int) -> bool:
         if not self.playlist:
             return False
@@ -95,7 +141,8 @@ class Jukebox:
         old = self.decks[deck_index]
         if old:
             old.close()
-        self.decks[deck_index] = Deck(track, self.frames_per_chunk)
+        self.decks[deck_index] = Deck(track, self.frames_per_chunk,
+                                      trim=self._trim_for(track))
         return True
 
     def _start_fade(self) -> None:
@@ -234,12 +281,17 @@ def main() -> None:
                     help="directories to index")
     ap.add_argument("--play", action="store_true",
                     help="headless: enqueue everything and play (no GUI)")
+    ap.add_argument("--level-match", action="store_true",
+                    help="R128 loudness normalization across tracks")
+    ap.add_argument("--target-lufs", type=float, default=-18.0,
+                    help="level-match target (default -18 LUFS)")
     args = ap.parse_args()
     lib = MusicLibrary()
     for d in args.dirs:
         print(f"indexed {lib.scan(d)} tracks from {d}")
     if args.play:
-        box = Jukebox(lib, crossfade=1.0)
+        box = Jukebox(lib, crossfade=1.0, level_match=args.level_match,
+                      target_lufs=args.target_lufs)
         for t in lib.search(""):
             box.enqueue(t)
             print(f"queued: {t.title} ({t.duration:.1f}s)")

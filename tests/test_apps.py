@@ -478,3 +478,93 @@ track.g.volume = 0:1 2:0.5
     repl.onecmd("play a")
     out = capsys.readouterr().out
     assert "played pattern a" in out, out
+
+
+def test_jukebox_level_match(tmp_path):
+    """R128 loudness normalization: the library measures + caches
+    integrated LUFS / sample peak, and level-matched decks play a loud
+    and a quiet track at comparable level (the unmatched gap is ~20 dB)."""
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    synth.sine(997.0, 1.2, amplitude=0.5).stereo() \
+        .write_wav(str(tmp_path / "loud.wav"))
+    synth.sine(997.0, 1.2, amplitude=0.05).stereo() \
+        .write_wav(str(tmp_path / "quiet.wav"))
+    lib = MusicLibrary()
+    assert lib.scan(str(tmp_path)) == 2
+    loud = lib.search("loud")[0]
+    quiet = lib.search("quiet")[0]
+    assert loud.lufs is None                 # scan stays headers-only
+    loud = lib.measure_loudness(loud.track_id)
+    quiet = lib.measure_loudness(quiet.track_id)
+    # a 997 Hz stereo sine at amplitude A reads 20*log10(A) LUFS (the
+    # EBU-3341 anchor convention: -23 dBFS sine == -23 LUFS)
+    assert abs(loud.lufs - -6.02) < 0.3, loud.lufs
+    assert abs(quiet.lufs - -26.02) < 0.3, quiet.lufs
+    assert loud.peak == pytest.approx(0.5, abs=0.01)
+    # cached: a second get() returns the stored values
+    assert lib.get(loud.track_id).lufs == loud.lufs
+
+    box = Jukebox(lib, crossfade=0.05, frames_per_chunk=4410,
+                  level_match=True, target_lufs=-18.0)
+    t_loud = box._trim_for(loud)
+    t_quiet = box._trim_for(quiet)
+    assert t_loud == pytest.approx(10 ** ((-18.0 - loud.lufs) / 20), rel=1e-6)
+    assert t_quiet > 1.0 > t_loud
+    # peak-cap: an absurd target can never push the peak past full scale
+    box_hot = Jukebox(lib, level_match=True, target_lufs=6.0)
+    assert box_hot._trim_for(loud) == pytest.approx(1.0 / loud.peak,
+                                                    rel=1e-6)
+
+    box.enqueue(loud)
+    box.enqueue(quiet)
+    out = np.concatenate([c.get_frame_array() for c in box.chunks()])
+
+    def rms_db(x):
+        return 10 * np.log10(np.mean(np.square(x.astype(np.float64)))
+                             + 1e-12)
+    head = rms_db(out[: int(0.8 * SR)])             # loud track, trimmed
+    tail = rms_db(out[-int(0.8 * SR):])             # quiet track, boosted
+    assert abs(head - tail) < 2.0, (head, tail)
+    # and without level matching the same two tracks differ by ~20 dB
+    box2 = Jukebox(lib, crossfade=0.05, frames_per_chunk=4410)
+    box2.enqueue(lib.get(loud.track_id))
+    box2.enqueue(lib.get(quiet.track_id))
+    out2 = np.concatenate([c.get_frame_array() for c in box2.chunks()])
+    gap = abs(rms_db(out2[: int(0.8 * SR)]) - rms_db(out2[-int(0.8 * SR):]))
+    assert gap > 15.0, gap
+    lib.close()
+
+
+def test_jukebox_level_match_enqueue_path(tmp_path):
+    """enqueue_path tracks (no library row) still level-match via an
+    ad-hoc measurement."""
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    p = tmp_path / "adhoc.wav"
+    synth.sine(440.0, 0.8, amplitude=0.4).stereo().write_wav(str(p))
+    box = Jukebox(level_match=True, target_lufs=-18.0)
+    box.enqueue_path(str(p))
+    track = box.playlist[0]
+    trim = box._trim_for(track)
+    assert 0.1 < trim < 1.0                  # -11ish LUFS -> cut to -18
+    chunks = list(box.chunks())
+    assert sum(c.nframes for c in chunks) >= int(0.7 * SR)
+
+
+def test_library_migrates_old_schema(tmp_path):
+    """A pre-loudness database gains the lufs/peak columns in place."""
+    import sqlite3
+    db = tmp_path / "old.db"
+    con = sqlite3.connect(str(db))
+    con.execute("""CREATE TABLE tracks (
+        id INTEGER PRIMARY KEY, path TEXT UNIQUE NOT NULL,
+        title TEXT NOT NULL, duration REAL NOT NULL DEFAULT 0,
+        samplerate INTEGER NOT NULL DEFAULT 0,
+        nchannels INTEGER NOT NULL DEFAULT 0)""")
+    con.execute("INSERT INTO tracks(path, title, duration, samplerate, "
+                "nchannels) VALUES ('x.wav', 'x', 1.0, 44100, 2)")
+    con.commit()
+    con.close()
+    lib = MusicLibrary(str(db))
+    t = lib.search("x")[0]
+    assert t.lufs is None and t.peak is None
+    lib.close()
