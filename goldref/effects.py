@@ -610,6 +610,33 @@ def eq_swept(frames: np.ndarray, width: int, samplerate: int, kind: str,
     return _to_int(out.astype(np.float32), width)
 
 
+def filter_swept_freq(frames: np.ndarray, width: int, samplerate: int,
+                      kind: str, q: float, gain_db: float,
+                      freqs: np.ndarray, grids_dtype=None) -> np.ndarray:
+    """A gain-kind biquad whose corner/center FREQUENCY follows a
+    per-frame curve (fx.filter.cutoff on shelving/peaking kinds): the
+    sequential-f64 recurrence driven by the shared frequency-varying
+    grids (goldref.spec.eq_freqs_coeff_grids)."""
+    from .spec import eq_freqs_coeff_grids
+    b0, b1, b2, a1, a2 = (np.asarray(g, np.float64) for g in
+                          eq_freqs_coeff_grids(kind, freqs, gain_db, q,
+                                               samplerate,
+                                               dtype=grids_dtype))
+    s = _norm(frames, width).astype(np.float64)
+    n, nch = s.shape
+    out = np.empty_like(s)
+    for ch in range(nch):
+        x1 = x2 = y1 = y2 = 0.0
+        x = s[:, ch]
+        for i in range(n):
+            y = (b0[i] * x[i] + b1[i] * x1 + b2[i] * x2
+                 - a1[i] * y1 - a2[i] * y2)
+            x2, x1 = x1, x[i]
+            y2, y1 = y1, y
+            out[i, ch] = y
+    return _to_int(out.astype(np.float32), width)
+
+
 def eq(frames: np.ndarray, width: int, samplerate: int,
        bands) -> np.ndarray:
     """Parametric-EQ oracle: each ``(kind, freq, gain_db, q)`` band runs

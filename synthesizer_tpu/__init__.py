@@ -13,6 +13,7 @@ __version__ = "0.1.0"
 
 from . import params  # noqa: F401
 from .sample import Sample, LevelMeter  # noqa: F401
+from .ops.loudness import StreamingLoudness  # noqa: F401
 from .synth import WaveSynth, key_freq, note_freq  # noqa: F401
 from . import oscillators  # noqa: F401
 from .playback import Output, RealTimeMixer  # noqa: F401

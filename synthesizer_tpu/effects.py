@@ -350,36 +350,91 @@ class SweptEQBand:
         self.tail_frames = 0
 
     def process(self, x: jax.Array) -> jax.Array:
-        from .ops.coeffs import curve_grid, eq_coeff_grids, ff_split
+        from .ops.coeffs import curve_grid, eq_coeff_grids
         n = int(x.shape[0])
         g = curve_grid(self.curve, self._n0, n, self.tickf)
-        key = ("swept_eq", self._ff, x.shape, str(x.dtype))
-        ff = self._ff
+        grids = eq_coeff_grids(self.kind, self.freq, g, self.q,
+                               self.samplerate,
+                               dtype=np.float64 if self._ff
+                               else np.float32)
+        y, self._state = _apply_swept_grids(x, self._state, self._ff,
+                                            grids)
+        self._n0 += n
+        return y
 
-        def build():
-            @jax.jit
-            def fn(x, state, *coefs):
-                width = dpcm.width_of(x)
-                s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
-                if ff:
-                    pairs = tuple((coefs[2 * i], coefs[2 * i + 1])
-                                  for i in range(5))
-                    y, state = dfx.biquad_apply_ff(s, pairs, state)
-                else:
-                    y, state = dfx.biquad_apply(s, coefs, state)
-                return dfx.to_int_samples(y, width), state
-            return fn
 
-        if ff:
-            grids = eq_coeff_grids(self.kind, self.freq, g, self.q,
-                                   self.samplerate, dtype=np.float64)
-            coefs = [jnp.asarray(part) for gr in grids
-                     for part in ff_split(gr)]
-        else:
-            grids = eq_coeff_grids(self.kind, self.freq, g, self.q,
-                                   self.samplerate)
-            coefs = [jnp.asarray(gr) for gr in grids]
-        y, self._state = _cached(key, build)(x, self._state, *coefs)
+def _apply_swept_grids(x, state, ff, grids):
+    """Shared per-chunk applier for host-derived per-frame coefficient
+    grids: the plain companion scan on f32 grids, or the compensated
+    float-float scan on f64-split (hi, lo) pairs.  One cached jit per
+    (ff, shape, dtype)."""
+    from .ops.coeffs import ff_split
+    key = ("swept_grids", ff, x.shape, str(x.dtype))
+
+    def build():
+        @jax.jit
+        def fn(x, state, *coefs):
+            width = dpcm.width_of(x)
+            s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
+            if ff:
+                pairs = tuple((coefs[2 * i], coefs[2 * i + 1])
+                              for i in range(5))
+                y, state = dfx.biquad_apply_ff(s, pairs, state)
+            else:
+                y, state = dfx.biquad_apply(s, coefs, state)
+            return dfx.to_int_samples(y, width), state
+        return fn
+
+    if ff:
+        coefs = [jnp.asarray(part) for gr in grids
+                 for part in ff_split(gr)]
+    else:
+        coefs = [jnp.asarray(gr) for gr in grids]
+    return _cached(key, build)(x, state, *coefs)
+
+
+class SweptGainKindBiquad:
+    """``fx.filter.cutoff`` automation for the GAIN kinds (lowshelf/
+    highshelf/peaking): the per-frame corner/center-frequency grid
+    derives the full five-coefficient RBJ set on host in f64
+    (ops.coeffs.eq_freqs_coeff_grids) — the sweep carries the gain
+    coefficient that the device-computed lowpass/highpass/bandpass
+    sweep cannot — and badly-conditioned corners (low shelves) route
+    through the compensated float-float scan.  A constant curve
+    reproduces the static filter's coefficients bit-exactly.  Spec:
+    goldref.effects.filter_swept_freq."""
+
+    def __init__(self, samplerate: int, nchannels: int, kind: str,
+                 q: float, gain_db: float, curve, tickf: float,
+                 start_frame: int = 0):
+        from .ops.coeffs import eq_band_coeffs, wants_ff_scan
+        _require_tickf(tickf, curve)
+        self.kind, self.q = kind, float(q)
+        self.gain_db = float(gain_db)
+        self.curve = curve
+        self.tickf = float(tickf)
+        self.samplerate = samplerate
+        self._ff = any(
+            wants_ff_scan(eq_band_coeffs(
+                kind, float(np.clip(f, 10.0, samplerate * 0.49)),
+                gain_db, q, samplerate))
+            for _, f in curve)
+        z = jnp.zeros(nchannels, jnp.float32)
+        self._state = (z, z, z, z, z, z) if self._ff else (z, z, z, z)
+        self._n0 = int(start_frame)
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        from .ops.coeffs import curve_grid, eq_freqs_coeff_grids
+        n = int(x.shape[0])
+        f = np.clip(curve_grid(self.curve, self._n0, n, self.tickf),
+                    10.0, self.samplerate * 0.49)
+        grids = eq_freqs_coeff_grids(self.kind, f, self.gain_db, self.q,
+                                     self.samplerate,
+                                     dtype=np.float64 if self._ff
+                                     else np.float32)
+        y, self._state = _apply_swept_grids(x, self._state, self._ff,
+                                            grids)
         self._n0 += n
         return y
 
@@ -959,11 +1014,18 @@ class FxChain:
             elif name == "filter":
                 if cutoff_curve is not None:
                     # fx.filter.cutoff automation: the curve replaces the
-                    # entry's static cutoff
-                    proc = SweptStreamingBiquad(
-                        samplerate, nchannels, p["kind"],
-                        p.get("q", 0.7071), cutoff_curve, tickf,
-                        start_frame)
+                    # entry's static cutoff; gain kinds ride host-derived
+                    # frequency-varying grids (they carry gain_db)
+                    if p["kind"] in ("lowshelf", "highshelf", "peaking"):
+                        proc = SweptGainKindBiquad(
+                            samplerate, nchannels, p["kind"],
+                            p.get("q", 0.7071), p.get("gain_db", 0.0),
+                            cutoff_curve, tickf, start_frame)
+                    else:
+                        proc = SweptStreamingBiquad(
+                            samplerate, nchannels, p["kind"],
+                            p.get("q", 0.7071), cutoff_curve, tickf,
+                            start_frame)
                 else:
                     proc = StreamingBiquad(samplerate, nchannels, **p)
             elif name == "eq":
@@ -1151,12 +1213,21 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
                                start_frame=0, **p)
             sample._replace_frames(proc.process(sample.jax_frames))
         elif name == "filter" and cutoff_curve is not None:
-            xs = jnp.asarray([t for t, _ in cutoff_curve], jnp.float32)
-            vs = jnp.asarray([v for _, v in cutoff_curve], jnp.float32)
-            y, _ = swept_biquad_chunk(
-                sample.jax_frames, 0, p["kind"], p.get("q", 0.7071),
-                xs, vs, tickf, sample.samplerate)
-            sample._replace_frames(y)
+            if p["kind"] in ("lowshelf", "highshelf", "peaking"):
+                proc = SweptGainKindBiquad(
+                    sample.samplerate, sample.nchannels, p["kind"],
+                    p.get("q", 0.7071), p.get("gain_db", 0.0),
+                    cutoff_curve, tickf, start_frame=0)
+                sample._replace_frames(proc.process(sample.jax_frames))
+            else:
+                xs = jnp.asarray([t for t, _ in cutoff_curve],
+                                 jnp.float32)
+                vs = jnp.asarray([v for _, v in cutoff_curve],
+                                 jnp.float32)
+                y, _ = swept_biquad_chunk(
+                    sample.jax_frames, 0, p["kind"], p.get("q", 0.7071),
+                    xs, vs, tickf, sample.samplerate)
+                sample._replace_frames(y)
         else:
             getattr(sample, name)(**p)
     return sample

@@ -221,6 +221,44 @@ def eq_coeff_grids(kind: str, freq: float, gains_db: np.ndarray, q: float,
                  for c in (b0, b1, b2, a1, a2))
 
 
+def eq_freqs_coeff_grids(kind: str, freqs: np.ndarray, gain_db: float,
+                         q: float, samplerate: int, dtype=np.float64):
+    """Per-frame (b0, b1, b2, a1, a2) grids from a per-frame FREQUENCY
+    array at a static gain — :func:`eq_band_coeffs` vectorized over the
+    corner/center frequency (host f64, same formulas), for
+    ``fx.filter.cutoff`` automation on the gain kinds (shelves/peaking).
+    A constant freqs array reproduces the static coefficients
+    bit-exactly."""
+    A = 10.0 ** (gain_db / 40.0)
+    f = np.minimum(np.asarray(freqs, np.float64), samplerate * 0.49)
+    w0 = 2.0 * math.pi * f / samplerate
+    alpha = np.sin(w0) / (2.0 * q)
+    cw = np.cos(w0)
+    if kind == "peaking":
+        b0, b1, b2 = 1 + alpha * A, -2 * cw, 1 - alpha * A
+        a0, a1, a2 = 1 + alpha / A, -2 * cw, 1 - alpha / A
+    elif kind == "lowshelf":
+        sa = 2.0 * math.sqrt(A) * alpha
+        b0 = A * ((A + 1) - (A - 1) * cw + sa)
+        b1 = 2 * A * ((A - 1) - (A + 1) * cw)
+        b2 = A * ((A + 1) - (A - 1) * cw - sa)
+        a0 = (A + 1) + (A - 1) * cw + sa
+        a1 = -2 * ((A - 1) + (A + 1) * cw)
+        a2 = (A + 1) + (A - 1) * cw - sa
+    elif kind == "highshelf":
+        sa = 2.0 * math.sqrt(A) * alpha
+        b0 = A * ((A + 1) + (A - 1) * cw + sa)
+        b1 = -2 * A * ((A - 1) + (A + 1) * cw)
+        b2 = A * ((A + 1) + (A - 1) * cw - sa)
+        a0 = (A + 1) - (A - 1) * cw + sa
+        a1 = 2 * ((A - 1) - (A + 1) * cw)
+        a2 = (A + 1) - (A - 1) * cw - sa
+    else:
+        raise ValueError(f"unknown eq band kind {kind!r}")
+    return tuple(np.asarray(c / a0, dtype)
+                 for c in (b0, b1, b2, a1, a2))
+
+
 # ---------------------------------------------------------------------------
 # Compensated-scan routing: which coefficient sets need float-float
 # ---------------------------------------------------------------------------

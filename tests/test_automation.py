@@ -881,3 +881,50 @@ def test_fx_eq_lowshelf_automation_ff_scan():
                         grids_dtype=np.float64)
     d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
     assert d <= 2, d
+
+
+def test_fx_filter_cutoff_shelf_kind_vs_goldref():
+    """fx.filter.cutoff on a gain kind: host frequency-varying grids
+    (the full RBJ set including gain_db) vs the sequential-f64 oracle;
+    a low-shelf corner sweep routes through the float-float scan."""
+    import goldref.effects as gfx
+    import jax.numpy as jnp
+    from synthesizer_tpu.effects import SweptGainKindBiquad
+    from synthesizer_tpu.ops.coeffs import curve_grid
+    rng = np.random.default_rng(0x5EEB)
+    n = 9000
+    x = rng.integers(-26000, 26000, size=(n, 2)).astype(np.int16)
+    tickf = 44100 / 8.0
+    fc = [(0.0, 80.0), (8.0, 500.0)]
+    proc = SweptGainKindBiquad(44100, 2, "lowshelf", 0.7071, 6.0, fc,
+                               tickf)
+    assert proc._ff
+    got = np.asarray(proc.process(jnp.asarray(x)))
+    f = np.clip(curve_grid(fc, 0, n, tickf), 10.0, 44100 * 0.49)
+    want = gfx.filter_swept_freq(x, 2, 44100, "lowshelf", 0.7071, 6.0,
+                                 f, grids_dtype=np.float64)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 2, d
+    # constant curve == the static filter (same routing, same coeffs)
+    from synthesizer_tpu.effects import StreamingBiquad
+    pc = SweptGainKindBiquad(44100, 2, "highshelf", 0.7071, 4.0,
+                             [(0.0, 5000.0)], tickf)
+    ps = StreamingBiquad(44100, 2, "highshelf", 5000.0, 0.7071,
+                         gain_db=4.0)
+    yc = np.asarray(pc.process(jnp.asarray(x)))
+    ys = np.asarray(ps.process(jnp.asarray(x)))
+    dc = np.abs(yc.astype(np.int64) - ys.astype(np.int64)).max()
+    assert dc <= 1, dc
+
+
+@pytest.mark.parametrize("chunk", [1000, 4096])
+def test_fx_filter_cutoff_shelf_streaming_equals_offline(chunk):
+    song = bright_song()
+    song.add_fx("filter", kind="highshelf", cutoff=2000.0, gain_db=-9.0)
+    song.add_automation("fx.filter.cutoff", "0:400 16:8000")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d

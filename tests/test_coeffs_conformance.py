@@ -187,3 +187,25 @@ def test_eq_coeff_grids_match():
             assert np.all(gr == np.float32(s))
     with pytest.raises(ValueError):
         C.eq_coeff_grids("notch", 1000.0, g, 1.0, 44100)
+
+
+def test_eq_freqs_coeff_grids_match():
+    f = np.geomspace(20.0, 20000.0, 257)
+    for sr in (8000, 44100):
+        for kind in ("lowshelf", "highshelf", "peaking"):
+            for gain in (-9.0, 6.0):
+                for q in (0.7071, 2.0):
+                    a = C.eq_freqs_coeff_grids(kind, f, gain, q, sr)
+                    b = goldspec.eq_freqs_coeff_grids(kind, f, gain, q,
+                                                      sr)
+                    for x, y in zip(a, b):
+                        np.testing.assert_array_equal(x, y)
+    # constant frequency grid == the scalar coefficients bit-exactly
+    for kind in ("lowshelf", "highshelf", "peaking"):
+        grids = C.eq_freqs_coeff_grids(kind, np.full(8, 700.0), 5.0, 1.0,
+                                       44100, dtype=np.float64)
+        scal = C.eq_band_coeffs(kind, 700.0, 5.0, 1.0, 44100)
+        for gr, s in zip(grids, scal):
+            assert np.all(gr == s)
+    with pytest.raises(ValueError):
+        C.eq_freqs_coeff_grids("notch", f, 3.0, 1.0, 44100)

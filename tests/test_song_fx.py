@@ -731,8 +731,21 @@ def test_filter_fx_gain_kinds_parse():
         parse_fx_items([("filter", "kind=notch cutoff=1000")])
 
 
-def test_eq_cutoff_automation_rejects_shelf_kinds():
-    from synthesizer_tpu.effects import SweptStreamingBiquad
+def test_cutoff_automation_shelf_kinds_use_host_grids():
+    """The device-grid sweep still rejects gain kinds (it cannot carry
+    gain_db), but the song layer routes them to SweptGainKindBiquad
+    (host-derived frequency-varying grids) instead — shelf/peaking
+    cutoff sweeps are supported end to end (test_automation pins the
+    numerics)."""
+    from synthesizer_tpu.effects import (SweptGainKindBiquad,
+                                         SweptStreamingBiquad)
     with pytest.raises(ValueError, match="lowpass/highpass/bandpass"):
         SweptStreamingBiquad(SR, 2, "highshelf", 0.7071,
                              [(0, 500.0), (4, 2000.0)], tickf=5512.5)
+    proc = SweptGainKindBiquad(SR, 2, "highshelf", 0.7071, 6.0,
+                               [(0, 500.0), (4, 2000.0)], tickf=5512.5)
+    import jax.numpy as jnp
+    rng2 = np.random.default_rng(5)
+    x = rng2.integers(-20000, 20000, size=(3000, 2)).astype(np.int16)
+    y = np.asarray(proc.process(jnp.asarray(x)))
+    assert y.shape == x.shape and np.abs(y).max() > 0
