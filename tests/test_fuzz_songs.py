@@ -168,6 +168,101 @@ def test_random_song_with_automation(seed):
                                       err_msg=f"seed {seed} seek {seek}")
 
 
+def _curve_str(rng, lo, hi):
+    npts = int(rng.integers(2, 4))
+    ticks = np.sort(rng.choice(np.arange(0, 48), npts, replace=False))
+    vals = rng.uniform(lo, hi, npts)
+    return " ".join(f"{t}:{v:.4f}" for t, v in zip(ticks, vals))
+
+
+# Master-chain fx pool: (fx name, ctor params, automatable keys with ranges).
+# Reverb is exercised separately (its offline path compiles per song length
+# on CPU — tens of seconds cold — so one dedicated seed keeps the fuzz fast).
+_FX_POOL = [
+    ("filter", dict(kind="lowpass", cutoff=1500.0, q=0.9),
+     {"fx.filter.cutoff": (250.0, 7000.0)}),
+    ("filter", dict(kind="lowshelf", cutoff=220.0, q=0.7071, gain_db=4.0),
+     {"fx.filter.cutoff": (80.0, 500.0)}),
+    ("eq", dict(low_db=0.0, mid_db=0.0, high_db=0.0),
+     {"fx.eq.low_db": (-9.0, 9.0), "fx.eq.mid_db": (-9.0, 9.0),
+      "fx.eq.high_db": (-9.0, 9.0)}),
+    ("compress", dict(threshold_db=-18.0, ratio=4.0, attack=0.005,
+                      release=0.08),
+     {"fx.compress.threshold_db": (-35.0, -8.0),
+      "fx.compress.ratio": (1.5, 10.0),
+      "fx.compress.makeup_db": (-6.0, 6.0),
+      "fx.compress.attack": (0.0005, 0.05),
+      "fx.compress.release": (0.02, 0.4)}),
+    ("gate", dict(threshold_db=-55.0, range_db=-35.0),
+     {"fx.gate.threshold_db": (-70.0, -30.0)}),
+    ("chorus", dict(rate=1.2, depth=0.0015, delay=0.012, wet=0.35, dry=0.9),
+     {"fx.chorus.wet": (0.0, 0.8), "fx.chorus.dry": (0.4, 1.0),
+      "fx.chorus.rate": (0.2, 5.0), "fx.chorus.depth": (0.0005, 0.004)}),
+]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_song_with_fx_automation(seed):
+    """Random master [fx] chains with random fx.* automation curves on
+    every automatable key: streaming == offline within the composed
+    budgets at a random chunk size.  Covers cross-key interactions the
+    per-key tests in test_automation.py don't (e.g. a swept shelf feeding
+    an attack/release-automated compressor)."""
+    rng = np.random.default_rng(seed + 6300)
+    song = rand_song(rng)
+    if not song.pattern_sequence:
+        pytest.skip("empty song")
+    picks = rng.permutation(len(_FX_POOL))[: int(rng.integers(1, 4))]
+    used_names = set()
+    nkeys = 0
+    for pi in picks:
+        name, params, keys = _FX_POOL[pi]
+        if name in used_names:      # one automatable entry per fx kind
+            continue
+        used_names.add(name)
+        song.add_fx(name, **params)
+        for key, (lo, hi) in keys.items():
+            if rng.random() < 0.7:
+                song.add_automation(key, _curve_str(rng, lo, hi))
+                nkeys += 1
+    if nkeys == 0:
+        song.add_automation("master.volume", _curve_str(rng, 0.3, 1.0))
+    add_rand_automation(song, rng)
+    offline = song.mix(normalize=False, tail_seconds=0.0)
+    if offline.nframes == 0:
+        return
+    off = offline.get_frame_array()
+    cf = int(rng.choice([997, 1536, 3001]))
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=cf)])
+    assert len(got) == len(off), f"seed {seed}"
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    # composed per-fx budgets (<=8 each, <=3 fx) — 16 covers every draw
+    assert d <= 16, f"seed {seed}: {d} (fx={[n for n, _ in song.fx]}, " \
+                    f"auto={sorted(song.automation)})"
+
+
+def test_random_song_reverb_roomsize_automation():
+    """One reverb draw (kept out of the seed loop: the offline Freeverb
+    compiles per song length on CPU) — roomsize/wet/dry curves stay within
+    budget between streaming and offline on a random song."""
+    rng = np.random.default_rng(6399)
+    song = rand_song(rng)
+    assert song.pattern_sequence
+    song.add_fx("reverb", roomsize=0.6, damping=0.4, wet=0.3, dry=0.8,
+                tail=0.15)
+    song.add_automation("fx.reverb.roomsize", "0:0.2 24:0.9")
+    song.add_automation("fx.reverb.wet", _curve_str(rng, 0.05, 0.6))
+    song.add_automation("fx.reverb.dry", _curve_str(rng, 0.5, 1.0))
+    add_rand_automation(song, rng)
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1536)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_random_song_with_synth_fx(seed):
     """Random tail-less per-synth-track chains stay within the composed
