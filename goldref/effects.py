@@ -893,3 +893,228 @@ def granulate(frames: np.ndarray, width: int, samplerate: int,
             continue
         out[p:p + m] += (s[q:q + m] * win[:m, None]).astype(np.float64)
     return _to_int(out.astype(np.float32), width)
+
+
+# ---------------------------------------------------------------------------
+# Feedback echo ([fx] echo / Sample.feedback_echo)
+# ---------------------------------------------------------------------------
+
+def feedback_echo(frames: np.ndarray, width: int, samplerate: int,
+                  delay: float, feedback: float = 0.4, wet: float = 0.5,
+                  dry: float = 1.0, tail_frames: int = 0,
+                  feedback_curve: "np.ndarray" = None,
+                  wet_curve: "np.ndarray" = None,
+                  dry_curve: "np.ndarray" = None) -> np.ndarray:
+    """Feedback delay line (the chain generalization of the reference's
+    feed-forward ``Sample.echo`` — an infinite geometric echo train).  With
+    D = int(delay*samplerate) >= 1 (the house frames spec) and the input
+    zero-padded by ``tail_frames``:
+
+        d_n = s_n + fb_n * d_{n-D}        (f32; d_{n<0} = 0)
+        e_n = d_{n-D}                     (first echo at D, k-th at k*D
+                                           with amplitude fb^{k-1})
+        out = dry_n * s_n + wet_n * e_n   (f32)
+
+    Output = clip(rint(out * maxval)), length n + tail_frames.  Channels
+    are independent.  ``feedback_curve``/``wet_curve``/``dry_curve`` are
+    optional per-frame f32 grids (fx.echo.* automation) replacing the
+    static knobs.  Device twin: the same recurrence evaluated blockwise
+    (a lax.scan over length-D blocks — identical arithmetic order per
+    element, no regrouping); agreed budget <= 1 LSB at 16-bit (the FMA
+    contraction class on s + fb*d)."""
+    D = max(1, int(delay * samplerate))
+    n, nch = frames.shape
+    total = n + int(tail_frames)
+    s = np.zeros((total, nch), np.float32)
+    s[:n] = _norm(frames, width)
+    fb = np.broadcast_to(np.asarray(
+        feedback_curve if feedback_curve is not None else feedback,
+        np.float32), (total,))
+    wetv = np.broadcast_to(np.asarray(
+        wet_curve if wet_curve is not None else wet, np.float32), (total,))
+    dryv = np.broadcast_to(np.asarray(
+        dry_curve if dry_curve is not None else dry, np.float32), (total,))
+    d = np.zeros((total, nch), np.float32)
+    for i in range(total):
+        prev = d[i - D] if i >= D else np.zeros(nch, np.float32)
+        d[i] = (s[i] + fb[i] * prev).astype(np.float32)
+    e = np.zeros((total, nch), np.float32)
+    e[D:] = d[:-D] if total > D else e[D:]
+    out = dryv[:, None] * s + wetv[:, None] * e
+    return _to_int(out.astype(np.float32), width)
+
+
+def echo_tail_frames(samplerate: int, delay: float, feedback: float,
+                     wet: float, tail: float = None) -> int:
+    """The chain's decay-room rule for the feedback echo: an explicit
+    ``tail`` wins; otherwise enough whole echo periods for the echo train
+    to fall below 1 LSB at 16-bit (wet * fb^{k-1} < 1/32768), capped at
+    10 s.  Shared verbatim by goldref and the product
+    (synthesizer_tpu.ops.coeffs.echo_tail_frames — conformance-pinned)."""
+    D = max(1, int(delay * samplerate))
+    if tail is not None:
+        return int(tail * samplerate)
+    w = max(abs(wet), 1e-9)
+    fb = min(abs(feedback), 0.98)
+    if w * 32768.0 <= 1.0:
+        return 0
+    if fb <= 1e-9:
+        k = 1
+    else:
+        k = 1 + int(math.ceil(math.log(1.0 / (w * 32768.0))
+                              / math.log(fb)))
+    return min(k * D, 10 * samplerate)
+
+
+# ---------------------------------------------------------------------------
+# Stereo width ([fx] width / Sample.stereo_width)
+# ---------------------------------------------------------------------------
+
+def stereo_width(frames: np.ndarray, width: int, amount) -> np.ndarray:
+    """Mid/side stereo-width control on a STEREO signal:
+
+        m_n = 0.5*(L_n + R_n);  sd_n = 0.5*(L_n - R_n)      (f32)
+        L'_n = m_n + amount_n * sd_n;  R'_n = m_n - amount_n * sd_n
+
+    amount 0 collapses to mono, 1 is unity, >1 widens.  ``amount`` may be
+    a scalar or a per-frame f32 grid (fx.width.amount automation).
+    Output = clip(rint(out * maxval)).  Device twin budget <= 1 LSB at
+    16-bit (FMA contraction on m + a*sd)."""
+    if frames.shape[1] != 2:
+        raise ValueError("stereo_width needs a stereo signal")
+    s = _norm(frames, width)
+    a = np.broadcast_to(np.asarray(amount, np.float32),
+                        (frames.shape[0],)).astype(np.float32)
+    m = (np.float32(0.5) * (s[:, 0] + s[:, 1])).astype(np.float32)
+    sd = (np.float32(0.5) * (s[:, 0] - s[:, 1])).astype(np.float32)
+    out = np.stack([m + a * sd, m - a * sd], axis=1)
+    return _to_int(out.astype(np.float32), width)
+
+
+# ---------------------------------------------------------------------------
+# Lookahead brickwall limiter ([fx] limiter / Sample.limit)
+# ---------------------------------------------------------------------------
+
+def limiter_gains(frames: np.ndarray, width: int, samplerate: int,
+                  ceiling_db, release: float,
+                  lookahead: float) -> np.ndarray:
+    """Per-sample gain curve of the lookahead brickwall limiter.  Spec
+    (all per-sample math float32, channels linked):
+
+    * detector        a_n = max over channels of |s_n|;
+    * overshoot (dB)  need_n = max(0, 20*log10(max(a_n, 1e-10)) - ceil_db)
+      (``ceiling_db`` may be a per-frame grid — fx.limiter.ceiling_db);
+    * lookahead max   w_n = max(need_n .. need_{n+L}) with
+      L = max(1, int(lookahead*samplerate)) — the gain starts dipping L
+      frames BEFORE a peak arrives (need past the end is 0);
+    * release         R_n = max(w_n, R_{n-1} * decay), R_{-1} = 0, with
+      decay = exp(-1/(release*sr)) (release <= 0 -> 0): the reduction
+      decays exponentially in dB — an associative decaying max, which is
+      what makes the device twin a parallel scan;
+    * gain            g_n = exp2(-R_n / 6.0206);
+    * attack ramp     gs_n = mean(g_{n-L} .. g_n) (g_{k<0} = 1) — a box
+      FIR whose window equals the lookahead, so gs reaches the full
+      reduction exactly when the peak arrives.
+
+    Device twin budget: |gain| <= 2e-6 absolute (f32 log/exp ulp + scan
+    regrouping), <= 2 LSB after application at 16-bit."""
+    L = max(1, int(lookahead * samplerate))
+    decay = np.float32(0.0 if release <= 0
+                       else math.exp(-1.0 / (release * samplerate)))
+    n = frames.shape[0]
+    a = np.max(np.abs(_norm(frames, width)), axis=1).astype(np.float32)
+    ceil_v = np.broadcast_to(np.asarray(ceiling_db, np.float32), (n,))
+    level_db = (np.float32(20.0)
+                * np.log10(np.maximum(a, np.float32(1e-10)))).astype(
+                    np.float32)
+    need = np.maximum(np.float32(0.0), level_db - ceil_v).astype(np.float32)
+    padded = np.concatenate([need, np.zeros(L, np.float32)])
+    w = np.empty(n, np.float32)
+    for i in range(n):
+        w[i] = padded[i:i + L + 1].max()
+    R = np.empty(n, np.float32)
+    r = np.float32(0.0)
+    for i in range(n):
+        r = max(w[i], np.float32(r * decay))
+        R[i] = r
+    g = np.exp2((-R * np.float32(1.0 / 6.0206)).astype(np.float32)) \
+        .astype(np.float32)
+    gpad = np.concatenate([np.ones(L, np.float32), g])
+    gs = np.empty(n, np.float32)
+    inv = np.float32(1.0 / (L + 1))
+    for i in range(n):
+        gs[i] = np.float32(np.sum(gpad[i:i + L + 1], dtype=np.float32)
+                           * inv)
+    return gs
+
+
+def limiter(frames: np.ndarray, width: int, samplerate: int,
+            ceiling_db=-1.0, release: float = 0.05,
+            lookahead: float = 0.005) -> np.ndarray:
+    """Apply the limiter: the house gain rule floor(f32(x) * f32(gs)),
+    then a hard integer clamp at C = rint(exp2(ceil_db/6.0206) * maxval)
+    (per-frame when ``ceiling_db`` is a grid) — true brickwall even where
+    the box ramp is still converging.  Length preserved."""
+    gs = limiter_gains(frames, width, samplerate, ceiling_db, release,
+                       lookahead)
+    y = _gain_floor(frames, gs[:, None], width).astype(np.int64)
+    ceil_v = np.broadcast_to(np.asarray(ceiling_db, np.float32),
+                             (frames.shape[0],))
+    c = np.rint(np.exp2((ceil_v * np.float32(1.0 / 6.0206)).astype(
+        np.float32)).astype(np.float64) * MAXVAL[width]).astype(np.int64)
+    out = np.clip(y, -c[:, None], c[:, None])
+    return out.astype(_DTYPES[width])
+
+
+# ---------------------------------------------------------------------------
+# Phaser ([fx] phaser / Sample.phaser)
+# ---------------------------------------------------------------------------
+
+def phaser(frames: np.ndarray, width: int, samplerate: int,
+           rate: float = 0.5, depth: float = 1.0, min_freq: float = 300.0,
+           max_freq: float = 3000.0, stages: int = 4, q: float = 0.7071,
+           wet: float = 0.5, dry: float = 1.0,
+           wet_curve: "np.ndarray" = None,
+           dry_curve: "np.ndarray" = None, n0: int = 0,
+           grids_dtype=None) -> np.ndarray:
+    """LFO-swept allpass cascade: ``stages`` identical second-order RBJ
+    allpass filters whose center frequency sweeps exponentially between
+    ``min_freq`` and ``max_freq`` under the house integer-DDS LFO
+    (goldref.spec.phaser_coeff_grids — the grids are host-derived and
+    shared by BOTH evaluators at absolute frames, so offline == streaming
+    by construction).  The cascade runs in float end to end (ONE int
+    quantization at the output):
+
+        y^(0) = s;  y^(k) = allpass(y^(k-1), coeffs_n)   k = 1..stages
+        out_n = dry_n * s_n + wet_n * y^(stages)_n
+
+    Oracle recurrences in f64 over the f32 grids; device twin runs
+    ``stages`` chained companion scans (f32) in one program.  Agreed
+    budget <= 2 + 2*stages LSB at 16-bit at q <= 1 and min_freq >= 50
+    (per-stage scan drift compounds through the unity-gain cascade)."""
+    from .spec import phaser_coeff_grids
+    n, nch = frames.shape
+    grids = phaser_coeff_grids(n0, n, samplerate, rate, depth, min_freq,
+                               max_freq, q,
+                               dtype=grids_dtype or np.float32)
+    b0, b1, b2, a1, a2 = (np.asarray(g, np.float64) for g in grids)
+    s = _norm(frames, width).astype(np.float64)
+    y = s
+    for _ in range(int(stages)):
+        nxt = np.empty_like(y)
+        for ch in range(nch):
+            x1 = x2 = y1 = y2 = 0.0
+            x = y[:, ch]
+            for i in range(n):
+                v = (b0[i] * x[i] + b1[i] * x1 + b2[i] * x2
+                     - a1[i] * y1 - a2[i] * y2)
+                x2, x1 = x1, x[i]
+                y2, y1 = y1, v
+                nxt[i, ch] = v
+        y = nxt
+    wetv = np.broadcast_to(np.asarray(
+        wet_curve if wet_curve is not None else wet, np.float64), (n,))
+    dryv = np.broadcast_to(np.asarray(
+        dry_curve if dry_curve is not None else dry, np.float64), (n,))
+    out = dryv[:, None] * s + wetv[:, None] * y
+    return _to_int(out.astype(np.float32), width)

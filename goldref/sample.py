@@ -393,6 +393,50 @@ class Sample:
                                    attack, release)
         return self
 
+    def feedback_echo(self, delay: float, feedback: float = 0.4,
+                      wet: float = 0.5, dry: float = 1.0,
+                      tail: float = None) -> "Sample":
+        """Feedback delay; spec: goldref.effects.feedback_echo (extends
+        by the echo_tail_frames decay-room rule)."""
+        from . import effects
+        tf = effects.echo_tail_frames(self.samplerate, delay, feedback,
+                                      wet, tail)
+        self.frames = effects.feedback_echo(
+            self.frames, self.samplewidth, self.samplerate, delay,
+            feedback, wet, dry, tf)
+        return self
+
+    def stereo_width(self, amount: float) -> "Sample":
+        """Mid/side width; spec: goldref.effects.stereo_width."""
+        from . import effects
+        self.frames = effects.stereo_width(self.frames, self.samplewidth,
+                                           amount)
+        return self
+
+    def limit(self, ceiling_db: float = -1.0, release: float = 0.05,
+              lookahead: float = 0.005) -> "Sample":
+        """Lookahead brickwall limiter; spec:
+        goldref.effects.limiter_gains."""
+        from . import effects
+        self.frames = effects.limiter(self.frames, self.samplewidth,
+                                      self.samplerate, ceiling_db, release,
+                                      lookahead)
+        return self
+
+    def phaser(self, rate: float = 0.5, depth: float = 1.0,
+               min_freq: float = 300.0, max_freq: float = 3000.0,
+               stages: int = 4, q: float = 0.7071, wet: float = 0.5,
+               dry: float = 1.0, grids_dtype=None) -> "Sample":
+        """Swept allpass cascade; spec: goldref.effects.phaser
+        (``grids_dtype`` matches the evaluator under test — f32 plain
+        scan, f64 for the compensated float-float path)."""
+        from . import effects
+        self.frames = effects.phaser(self.frames, self.samplewidth,
+                                     self.samplerate, rate, depth,
+                                     min_freq, max_freq, stages, q, wet,
+                                     dry, grids_dtype=grids_dtype)
+        return self
+
     def convolve(self, ir: "Sample", wet: float = 1.0,
                  dry: float = 0.0) -> "Sample":
         """Convolve with an impulse-response sample (mono IR applies to all

@@ -389,3 +389,42 @@ def phase_increment(frequency: float, samplerate: int) -> int:
 
 def phase_offset(phase_turns: float) -> int:
     return int(round((phase_turns % 1.0) * 4294967296.0)) & 0xFFFFFFFF
+
+
+def phaser_coeff_grids(n0: int, n: int, samplerate: int, rate: float,
+                       depth: float, min_freq: float, max_freq: float,
+                       q: float, dtype=None):
+    """Per-frame RBJ ALLPASS (b0, b1, b2, a1, a2) grids for the phaser's
+    LFO sweep, evaluated at absolute frames [n0, n0+n) — host f64 over
+    the house integer-DDS LFO phase (phase0 = 0):
+
+        inc   = round(rate/sr * 2^32) (wrapped u32)
+        p_k   = (n0+k) * inc mod 2^32 ;  x = f32(p_k) * 2^-32
+        lfo   = 0.5 + 0.5*sin(2*pi*x)                    (f64)
+        pos   = 0.5 + depth*(lfo - 0.5)
+        f_k   = min_freq * (max_freq/min_freq)^pos       (exponential sweep)
+        w0 = 2*pi*f_k/sr; alpha = sin(w0)/(2q); a0 = 1+alpha
+        b = [(1-alpha), -2*cos(w0), (1+alpha)] / a0;  a1 = b1;  a2 = b0
+
+    Copied verbatim into synthesizer_tpu.ops.coeffs (the oracle may not
+    import the product); tests/test_coeffs_conformance.py pins the two
+    copies equal."""
+    import numpy as np
+    if dtype is None:
+        dtype = np.float32
+    inc = int(round(rate / samplerate * 4294967296.0)) & 0xFFFFFFFF
+    idx = np.arange(n0, n0 + n, dtype=np.uint64)
+    p = (idx * np.uint64(inc)) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    lfo = 0.5 + 0.5 * np.sin(2.0 * np.pi * x.astype(np.float64))
+    pos = 0.5 + float(depth) * (lfo - 0.5)
+    f = float(min_freq) * (float(max_freq) / float(min_freq)) ** pos
+    w0 = 2.0 * np.pi * np.minimum(f, samplerate * 0.49) / samplerate
+    alpha = np.sin(w0) / (2.0 * float(q))
+    cw = np.cos(w0)
+    a0 = 1.0 + alpha
+    b0 = (1.0 - alpha) / a0
+    b1 = (-2.0 * cw) / a0
+    b2 = (1.0 + alpha) / a0
+    return (b0.astype(dtype), b1.astype(dtype), b2.astype(dtype),
+            b1.astype(dtype), b0.astype(dtype))

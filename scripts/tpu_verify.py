@@ -521,6 +521,66 @@ def section_effects(SR):
           len(got2) == len(off2) and d2 <= 8,
           f"max {d2} LSB over {len(got2)} frames")
 
+    # round-3 continuation strip: feedback echo (blocked lax.scan), stereo
+    # width, lookahead limiter (reduce_window + decaying-max scan), and the
+    # swept-allpass phaser (companion scans over host DDS grids) — each vs
+    # its goldref oracle ON THE CHIP, plus the chained master agreement
+    gold, dev = pair()
+    kw = dict(delay=0.02, feedback=0.55, wet=0.6, dry=0.9)
+    d = np.abs(dev.feedback_echo(**kw).get_frame_array().astype(np.int64)
+               - gold.feedback_echo(**kw).frames.astype(np.int64)).max()
+    check("fx/feedback_echo", d <= 1, f"max {d} LSB")
+
+    gold, dev = pair()
+    d = np.abs(dev.stereo_width(1.7).get_frame_array().astype(np.int64)
+               - gold.stereo_width(1.7).frames.astype(np.int64)).max()
+    check("fx/stereo_width", d <= 1, f"max {d} LSB")
+
+    gold, dev = pair()
+    kw = dict(ceiling_db=-6.0, release=0.05, lookahead=0.003)
+    d = np.abs(dev.limit(**kw).get_frame_array().astype(np.int64)
+               - gold.limit(**kw).frames.astype(np.int64)).max()
+    from synthesizer_tpu.ops.coeffs import limiter_ceiling
+    peak = np.abs(dev.get_frame_array().astype(np.int64)).max()
+    check("fx/limiter", d <= 2 and peak <= limiter_ceiling(-6.0, 2),
+          f"max {d} LSB, peak {peak}")
+
+    gold, dev = pair()
+    kw = dict(rate=0.8, depth=1.0, min_freq=300.0, max_freq=3000.0,
+              stages=4)
+    d = np.abs(dev.phaser(**kw).get_frame_array().astype(np.int64)
+               - gold.phaser(**kw).frames.astype(np.int64)).max()
+    check("fx/phaser", d <= 10, f"max {d} LSB (budget 2+2*stages)")
+
+    gold, dev = pair()
+    kw = dict(rate=0.8, depth=1.0, min_freq=60.0, max_freq=2000.0,
+              stages=4, q=1.0)
+    d = np.abs(dev.phaser(**kw).get_frame_array().astype(np.int64)
+               - gold.phaser(grids_dtype=np.float64, **kw).frames
+               .astype(np.int64)).max()
+    check("fx/phaser_ff_low_floor", d <= 2, f"max {d} LSB (ff scan)")
+
+    song_n = Song()
+    song_n.bpm = 240
+    song_n.ticks = 4
+    song_n.add_instrument("kick", ws.sine(60, 0.1, amplitude=0.9)
+                          .fadeout(0.08).stereo())
+    song_n.add_pattern("a", {"kick": "x.x. x..."})
+    song_n.pattern_sequence = ["a", "a"]
+    song_n.add_fx("echo", delay=0.09, feedback=0.45, wet=0.4)
+    song_n.add_fx("phaser", rate=0.9, depth=1.0, wet=0.5)
+    song_n.add_fx("width", amount=1.4)
+    song_n.add_fx("limiter", ceiling_db=-2.0, lookahead=0.004)
+    song_n.add_automation("fx.echo.wet", "0:0.1 8:0.6")
+    song_n.add_automation("fx.limiter.ceiling_db", "0:-1 8:-8")
+    offn = song_n.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    gotn = np.concatenate([c.get_frame_array()
+                           for c in song_n.mix_generator(chunk_frames=1470)])
+    dn = np.abs(gotn.astype(np.int64) - offn.astype(np.int64)).max()
+    check("fx/new_strip_stream_eq_offline",
+          len(gotn) == len(offn) and dn <= 12,
+          f"max {dn} LSB over {len(gotn)} frames")
+
     # automation curves: per-hit velocity must be rint-exact on the chip
     # and the continuous master fade bit-equal between paths
     song3 = Song()

@@ -862,6 +862,280 @@ class StreamingConvolver:
 # ---------------------------------------------------------------------------
 
 #: effect name -> (allowed params, params that are not plain floats)
+class StreamingFeedbackEcho:
+    """Chunked twin of ``Sample.feedback_echo``: the delay line's d-value
+    history (the last D frames of the recurrence) carries across chunks,
+    so streaming == offline bit-exactly at any chunk size.  Curves
+    (fx.echo.feedback/.wet/.dry automation) are host-derived absolute-
+    frame grids (ops.coeffs.curve_grid), the recurrence-internal-
+    automation rule.  Spec/budget: goldref.effects.feedback_echo."""
+
+    def __init__(self, samplerate: int, nchannels: int, delay: float = None,
+                 feedback: float = 0.4, wet: float = 0.5, dry: float = 1.0,
+                 tail: float = None, feedback_curve=None, wet_curve=None,
+                 dry_curve=None, tickf: float = 0.0, start_frame: int = 0):
+        from .ops.coeffs import echo_tail_frames
+        if delay is None:
+            raise ValueError("[fx] echo needs delay= seconds (or beats= "
+                             "inside a song)")
+        if not 0.0 <= feedback <= 0.95:
+            raise ValueError("echo feedback must be in [0, 0.95]")
+        self._D = max(1, int(delay * samplerate))
+        self.tail_frames = echo_tail_frames(samplerate, delay, feedback,
+                                            wet, tail)
+        self._hist = jnp.zeros((self._D, nchannels), jnp.float32)
+        self._knobs = np.asarray([feedback, wet, dry], np.float32)
+        _require_tickf(tickf, feedback_curve, wet_curve, dry_curve)
+        self._curves = (feedback_curve, wet_curve, dry_curve)
+        self._swept = any(c is not None for c in self._curves)
+        if self._swept:
+            self._tickf = float(tickf)
+            self._n0 = int(start_frame)
+
+    def process(self, x: jax.Array) -> jax.Array:
+        D = self._D
+        swept = self._swept
+        width = dpcm.width_of(x)
+        key = ("fb_echo", swept, x.shape, str(x.dtype), D)
+
+        def build():
+            @jax.jit
+            def fn(x, hist, knobs, *grids):
+                s = dfx._norm(x)
+                if swept:
+                    fb, wet, dry = (g[:, None] for g in grids)
+                    fb = fb[:, 0]
+                else:
+                    fb, wet, dry = (knobs[i] for i in range(3))
+                e, hist = dfx.feedback_echo_core(s, D, fb, hist)
+                out = dry * s + wet * e
+                return dfx.to_int_samples(out, width), hist
+            return fn
+
+        if swept:
+            from .ops.coeffs import curve_grid
+            n = int(x.shape[0])
+            grids = []
+            for c, k in zip(self._curves, self._knobs):
+                g = curve_grid(c, self._n0, n, self._tickf) \
+                    if c is not None else np.full(n, k, np.float64)
+                grids.append(jnp.asarray(g.astype(np.float32)))
+            y, self._hist = _cached(key, build)(x, self._hist,
+                                                self._knobs, *grids)
+            self._n0 += n
+        else:
+            y, self._hist = _cached(key, build)(x, self._hist, self._knobs)
+        return y
+
+
+class StreamingWidth:
+    """Chunked twin of ``Sample.stereo_width`` — stateless mid/side
+    width; ``amount_curve`` (fx.width.amount automation) is a host
+    absolute-frame grid.  Spec/budget: goldref.effects.stereo_width."""
+
+    def __init__(self, samplerate: int, nchannels: int,
+                 amount: float = None, amount_curve=None,
+                 tickf: float = 0.0, start_frame: int = 0):
+        if nchannels != 2:
+            raise ValueError("[fx] width needs a stereo song")
+        if amount is None and amount_curve is None:
+            raise ValueError("[fx] width needs amount=")
+        if amount is not None and not 0.0 <= amount <= 4.0:
+            raise ValueError("width amount must be in [0, 4]")
+        self._amount = float(amount if amount is not None else 1.0)
+        _require_tickf(tickf, amount_curve)
+        self._curve = amount_curve
+        if amount_curve is not None:
+            self._tickf = float(tickf)
+            self._n0 = int(start_frame)
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        swept = self._curve is not None
+        width = dpcm.width_of(x)
+        key = ("width", swept, x.shape, str(x.dtype))
+
+        def build():
+            @jax.jit
+            def fn(x, a):
+                return dfx.stereo_width(x, a)
+            return fn
+
+        if swept:
+            from .ops.coeffs import curve_grid
+            n = int(x.shape[0])
+            g = curve_grid(self._curve, self._n0, n, self._tickf)
+            self._n0 += n
+            return _cached(key, build)(x, jnp.asarray(g.astype(np.float32)))
+        return _cached(key, build)(x, jnp.float32(self._amount))
+
+
+class StreamingLimiter:
+    """Chunked twin of ``Sample.limit`` — a HOLDBACK processor: it
+    withholds the lookahead window (L frames) of input until the future
+    it needs has arrived, so ``process`` may return FEWER frames than it
+    was fed (the first chunk is L short; ``flush_frames`` more input at
+    the end pushes the remainder out).  Master-chain only — a fixed-size
+    track bus cannot ride a holdback (Song.add_track_fx rejects it).
+    State: the pending input frames, the release level, and the trailing
+    gains of the box attack ramp — streaming == offline exactly (the
+    offline path pads by ``flush_frames`` and truncates back).
+    Spec/budget: goldref.effects.limiter_gains."""
+
+    def __init__(self, samplerate: int, nchannels: int,
+                 ceiling_db: float = -1.0, release: float = 0.05,
+                 lookahead: float = 0.005, ceiling_curve=None,
+                 tickf: float = 0.0, start_frame: int = 0):
+        from .ops.coeffs import compressor_coeffs
+        if not -60.0 <= ceiling_db <= 0.0:
+            raise ValueError("limiter ceiling_db must be in [-60, 0]")
+        self._L = max(1, int(lookahead * samplerate))
+        self._decay = float(compressor_coeffs(samplerate, 0.0, release)[1])
+        self._ceil = float(ceiling_db)
+        self.tail_frames = 0
+        self.flush_frames = self._L
+        self._pend = None                       # [k<=L, ch] int, lazy dtype
+        self._r = jnp.float32(0.0)
+        self._gpad = jnp.ones((self._L,), jnp.float32)
+        _require_tickf(tickf, ceiling_curve)
+        self._curve = ceiling_curve
+        self._n0 = int(start_frame)
+        self._tickf = float(tickf)
+
+    def process(self, x: jax.Array) -> jax.Array:
+        L = self._L
+        buf = x if self._pend is None or self._pend.shape[0] == 0 \
+            else jnp.concatenate([self._pend, x])
+        m = int(buf.shape[0])
+        if m <= L:
+            self._pend = buf
+            return x[:0]
+        emit = m - L
+        width = dpcm.width_of(x)
+        maxval = dpcm.MAXVAL[width]
+        swept = self._curve is not None
+        key = ("limiter", swept, (m, emit), str(x.dtype), L)
+
+        def build():
+            @jax.jit
+            def fn(buf, r, gpad, ceil_db, decay, cint):
+                a = jnp.max(jnp.abs(dfx._norm(buf)), axis=1)
+                gs, r, gpad = dfx.limiter_gains_core(a, ceil_db, decay, L,
+                                                     r, gpad)
+                y = dpcm.gain_apply(buf[:emit], gs[:, None])
+                if cint.ndim:
+                    c = cint[:, None].astype(buf.dtype)
+                else:
+                    c = cint.astype(buf.dtype)
+                return jnp.clip(y, -c, c), r, gpad
+            return fn
+
+        if swept:
+            from .ops.coeffs import curve_grid
+            g = curve_grid(self._curve, self._n0, m, self._tickf)
+            ceil_db = jnp.asarray(g.astype(np.float32))
+            cexp = np.exp2(g[:emit].astype(np.float32)
+                           * np.float32(1.0 / 6.0206)).astype(np.float64)
+            cint = jnp.asarray(np.rint(cexp * maxval).astype(np.int32))
+        else:
+            from .ops.coeffs import limiter_ceiling
+            ceil_db = jnp.float32(self._ceil)
+            cint = jnp.asarray(limiter_ceiling(self._ceil, width))
+        y, self._r, self._gpad = _cached(key, build)(
+            buf, self._r, self._gpad, ceil_db,
+            jnp.float32(self._decay), cint)
+        self._pend = buf[emit:]
+        self._n0 += emit
+        return y
+
+
+class StreamingPhaser:
+    """Chunked twin of ``Sample.phaser``: per-stage biquad states carry
+    across chunks; the coefficient grids come from the SAME host
+    absolute-frame derivation (ops.coeffs.phaser_coeff_grids), so the
+    sweep stays aligned at any chunk size or seek.  Sweep floors below
+    ~120 Hz route through the compensated float-float scan
+    (ops.coeffs.phaser_wants_ff — same decision as the staged op).
+    Curves (fx.phaser.wet/.dry) are host grids on the output stage.
+    Spec/budget: goldref.effects.phaser."""
+
+    def __init__(self, samplerate: int, nchannels: int, rate: float = 0.5,
+                 depth: float = 1.0, min_freq: float = 300.0,
+                 max_freq: float = 3000.0, stages: int = 4,
+                 q: float = 0.7071, wet: float = 0.5, dry: float = 1.0,
+                 wet_curve=None, dry_curve=None, tickf: float = 0.0,
+                 start_frame: int = 0):
+        from .ops.coeffs import phaser_wants_ff
+        if not 1 <= int(stages) <= 12:
+            raise ValueError("phaser stages must be in [1, 12]")
+        if min_freq < 30.0 or max_freq <= min_freq:
+            raise ValueError("phaser needs 30 <= min_freq < max_freq")
+        self._sr = samplerate
+        self._params = (float(rate), float(depth), float(min_freq),
+                        float(max_freq), float(q))
+        self._stages = int(stages)
+        self._ff = phaser_wants_ff(min_freq)
+        z = jnp.zeros(nchannels, jnp.float32)
+        st = (z, z, z, z, z, z) if self._ff else (z, z, z, z)
+        self._states = tuple(st for _ in range(self._stages))
+        self._wet, self._dry = float(wet), float(dry)
+        _require_tickf(tickf, wet_curve, dry_curve)
+        self._curves = (wet_curve, dry_curve)
+        self._swept = any(c is not None for c in self._curves)
+        self._n0 = int(start_frame)
+        self._tickf = float(tickf)
+        self.tail_frames = 0
+
+    def process(self, x: jax.Array) -> jax.Array:
+        from .ops.coeffs import curve_grid, ff_split, phaser_coeff_grids
+        ff = self._ff
+        stages = self._stages
+        swept = self._swept
+        width = dpcm.width_of(x)
+        n = int(x.shape[0])
+        key = ("phaser", ff, stages, swept, x.shape, str(x.dtype))
+
+        def build():
+            @jax.jit
+            def fn(x, states, wet, dry, *coefs):
+                s = dfx._norm(x)
+                if ff:
+                    grids = tuple((coefs[2 * i], coefs[2 * i + 1])
+                                  for i in range(5))
+                else:
+                    grids = tuple(coefs)
+                y, states = dfx.phaser_apply(s, grids, states, ff)
+                if wet.ndim:
+                    wet, dry = wet[:, None], dry[:, None]
+                out = dry * s + wet * y
+                return dfx.to_int_samples(out, width), states
+            return fn
+
+        rate, depth, fmin, fmax, q = self._params
+        grids = phaser_coeff_grids(self._n0, n, self._sr, rate, depth,
+                                   fmin, fmax, q,
+                                   dtype=np.float64 if ff else np.float32)
+        if ff:
+            coefs = [jnp.asarray(part) for g in grids
+                     for part in ff_split(g)]
+        else:
+            coefs = [jnp.asarray(g) for g in grids]
+        if swept:
+            wc, dc = self._curves
+            wet = curve_grid(wc, self._n0, n, self._tickf) \
+                if wc is not None else np.full(n, self._wet, np.float64)
+            dry = curve_grid(dc, self._n0, n, self._tickf) \
+                if dc is not None else np.full(n, self._dry, np.float64)
+            wet = jnp.asarray(wet.astype(np.float32))
+            dry = jnp.asarray(dry.astype(np.float32))
+        else:
+            wet, dry = jnp.float32(self._wet), jnp.float32(self._dry)
+        y, self._states = _cached(key, build)(x, self._states, wet, dry,
+                                              *coefs)
+        self._n0 += n
+        return y
+
+
 FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
     "compress": (("threshold_db", "ratio", "attack", "release", "makeup_db",
                   "sidechain"),
@@ -874,7 +1148,16 @@ FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
     "eq": (("low_db", "mid_db", "high_db", "low_freq", "mid_freq",
             "mid_q", "high_freq"), {}),
     "gate": (("threshold_db", "range_db", "attack", "release"), {}),
+    "echo": (("delay", "beats", "feedback", "wet", "dry", "tail"), {}),
+    "width": (("amount",), {}),
+    "limiter": (("ceiling_db", "release", "lookahead"), {}),
+    "phaser": (("rate", "depth", "min_freq", "max_freq", "stages", "q",
+                "wet", "dry"), {"stages": int}),
 }
+
+# effects whose streaming twin withholds lookahead frames (variable-length
+# process() output) — master-chain only, rejected on fixed-size track buses
+HOLDBACK_FX = ("limiter",)
 
 FILTER_KINDS = ("lowpass", "highpass", "bandpass",
                 "lowshelf", "highshelf", "peaking")
@@ -902,6 +1185,12 @@ def validate_fx_params(name: str, params: dict) -> dict:
             raise ValueError("[fx] filter needs kind= and cutoff=")
         if out["kind"] not in FILTER_KINDS:
             raise ValueError(f"[fx] filter: unknown kind {out['kind']!r}")
+    if name == "echo":
+        if ("delay" in out) == ("beats" in out):
+            raise ValueError("[fx] echo needs exactly one of delay= "
+                             "(seconds) or beats= (tempo-synced)")
+    if name == "width" and "amount" not in out:
+        raise ValueError("[fx] width needs amount=")
     return out
 
 
@@ -949,6 +1238,13 @@ def _fx_curves(automation):
         eq_low=auto.get("fx.eq.low_db"),
         eq_mid=auto.get("fx.eq.mid_db"),
         eq_high=auto.get("fx.eq.high_db"),
+        echo_fb=auto.get("fx.echo.feedback"),
+        echo_wet=auto.get("fx.echo.wet"),
+        echo_dry=auto.get("fx.echo.dry"),
+        width_amt=auto.get("fx.width.amount"),
+        lim_ceil=auto.get("fx.limiter.ceiling_db"),
+        pha_wet=auto.get("fx.phaser.wet"),
+        pha_dry=auto.get("fx.phaser.dry"),
     )
 
 
@@ -1069,6 +1365,40 @@ class FxChain:
                                            start_frame=start_frame, **p)
                 else:
                     proc = StreamingChorus(samplerate, nchannels, **p)
+            elif name == "echo":
+                ec = (cv["echo_fb"], cv["echo_wet"], cv["echo_dry"])
+                if any(c is not None for c in ec):
+                    proc = StreamingFeedbackEcho(
+                        samplerate, nchannels, feedback_curve=ec[0],
+                        wet_curve=ec[1], dry_curve=ec[2], tickf=tickf,
+                        start_frame=start_frame, **p)
+                else:
+                    proc = StreamingFeedbackEcho(samplerate, nchannels, **p)
+            elif name == "width":
+                wa = cv["width_amt"]
+                if wa is not None:
+                    proc = StreamingWidth(samplerate, nchannels,
+                                          amount_curve=wa, tickf=tickf,
+                                          start_frame=start_frame, **p)
+                else:
+                    proc = StreamingWidth(samplerate, nchannels, **p)
+            elif name == "limiter":
+                lc = cv["lim_ceil"]
+                if lc is not None:
+                    proc = StreamingLimiter(samplerate, nchannels,
+                                            ceiling_curve=lc, tickf=tickf,
+                                            start_frame=start_frame, **p)
+                else:
+                    proc = StreamingLimiter(samplerate, nchannels, **p)
+            elif name == "phaser":
+                pc = (cv["pha_wet"], cv["pha_dry"])
+                if any(c is not None for c in pc):
+                    proc = StreamingPhaser(samplerate, nchannels,
+                                           wet_curve=pc[0], dry_curve=pc[1],
+                                           tickf=tickf,
+                                           start_frame=start_frame, **p)
+                else:
+                    proc = StreamingPhaser(samplerate, nchannels, **p)
             elif name == "convolve":
                 q = dict(p)
                 ir = (ir_samples or {})[q.pop("ir")]
@@ -1084,8 +1414,9 @@ class FxChain:
             else:                                   # pragma: no cover
                 raise ValueError(name)
             self.processors.append(proc)
-        # the ONE tail authority, shared with the offline apply_fx_sample
+        # the ONE tail/flush authority, shared with apply_fx_sample
         self.tail_frames = chain_tail_frames(fx, samplerate, ir_samples)
+        self.flush_frames = chain_flush_frames(fx, samplerate)
         self.samplerate = samplerate
         self.nchannels = nchannels
 
@@ -1097,13 +1428,35 @@ class FxChain:
 
 def chain_tail_frames(fx: Sequence[Tuple[str, dict]], samplerate: int,
                       ir_samples: Optional[Dict[str, "object"]] = None) -> int:
-    """Total decay tail of the chain: reverb tails + convolution IR tails."""
+    """Total decay tail of the chain: reverb tails + echo trains +
+    convolution IR tails."""
+    from .ops.coeffs import echo_tail_frames
     total = 0
     for name, p in fx:
         if name == "reverb":
             total += int(p.get("tail", DEFAULT_REVERB_TAIL) * samplerate)
+        elif name == "echo":
+            if "delay" not in p:
+                raise ValueError("[fx] echo beats= needs a song tempo to "
+                                 "resolve — use delay= seconds here")
+            total += echo_tail_frames(samplerate, p["delay"],
+                                      p.get("feedback", 0.4),
+                                      p.get("wet", 0.5), p.get("tail"))
         elif name == "convolve":
             total += (ir_samples or {})[p["ir"]].nframes - 1
+    return total
+
+
+def chain_flush_frames(fx: Sequence[Tuple[str, dict]],
+                       samplerate: int) -> int:
+    """Total lookahead holdback of the chain (HOLDBACK_FX entries): the
+    EXTRA silence to feed past the decay tail so holdback processors
+    emit their final frames; the offline path pads by the same amount
+    and truncates back, so streaming == offline exactly."""
+    total = 0
+    for name, p in fx:
+        if name == "limiter":
+            total += max(1, int(p.get("lookahead", 0.005) * samplerate))
     return total
 
 
@@ -1120,9 +1473,13 @@ def apply_fx_sample(sample, fx: Sequence[Tuple[str, dict]],
     rings through the effects after it, exactly as a streamed signal
     would.  Length-extending ops are therefore applied tail-less here
     (reverb with tail=0; convolve truncated back), the shared pad having
-    already reserved their decay room."""
+    already reserved their decay room.  HOLDBACK_FX entries (the limiter)
+    get ``chain_flush_frames`` of extra pad so their lookahead reads the
+    same upstream decay the stream feeds them, and truncate it back —
+    streaming == offline exactly."""
     tail = chain_tail_frames(fx, sample.samplerate, ir_samples)
-    sample.pad_frames(tail)
+    flush = chain_flush_frames(fx, sample.samplerate)
+    sample.pad_frames(tail + flush)
     return run_fx_chain_ops(sample, fx, ir_samples,
                             automation=automation, tickf=tickf,
                             sidechain_keys=sidechain_keys)
@@ -1228,6 +1585,48 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
                     sample.jax_frames, 0, p["kind"], p.get("q", 0.7071),
                     xs, vs, tickf, sample.samplerate)
                 sample._replace_frames(y)
+        elif name == "echo":
+            ec = (cv["echo_fb"], cv["echo_wet"], cv["echo_dry"])
+            if any(c is not None for c in ec):
+                proc = StreamingFeedbackEcho(
+                    sample.samplerate, sample.nchannels,
+                    feedback_curve=ec[0], wet_curve=ec[1],
+                    dry_curve=ec[2], tickf=tickf, start_frame=0, **p)
+                sample._replace_frames(proc.process(sample.jax_frames))
+            else:
+                q = dict(p)
+                q.pop("tail", None)
+                # the shared pad already reserved the echo's decay room
+                sample.feedback_echo(q.pop("delay"), tail=0.0, **q)
+        elif name == "width":
+            wa = cv["width_amt"]
+            if wa is not None:
+                proc = StreamingWidth(sample.samplerate, sample.nchannels,
+                                      amount_curve=wa, tickf=tickf,
+                                      start_frame=0, **p)
+                sample._replace_frames(proc.process(sample.jax_frames))
+            else:
+                sample.stereo_width(p["amount"])
+        elif name == "limiter":
+            # run the STREAMING holdback processor over the whole signal
+            # (apply_fx_sample padded the flush room): emits len-L frames,
+            # truncating the pad back — identical to the streamed chain
+            lc = cv["lim_ceil"]
+            proc = StreamingLimiter(sample.samplerate, sample.nchannels,
+                                    ceiling_curve=lc, tickf=tickf,
+                                    start_frame=0, **p) \
+                if lc is not None else \
+                StreamingLimiter(sample.samplerate, sample.nchannels, **p)
+            sample._replace_frames(proc.process(sample.jax_frames))
+        elif name == "phaser":
+            pc = (cv["pha_wet"], cv["pha_dry"])
+            if any(c is not None for c in pc):
+                proc = StreamingPhaser(sample.samplerate, sample.nchannels,
+                                       wet_curve=pc[0], dry_curve=pc[1],
+                                       tickf=tickf, start_frame=0, **p)
+                sample._replace_frames(proc.process(sample.jax_frames))
+            else:
+                sample.phaser(**p)
         else:
             getattr(sample, name)(**p)
     return sample

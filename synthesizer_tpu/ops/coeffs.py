@@ -29,6 +29,7 @@ __all__ = [
     "stretch_grid", "grain_grid", "noise_u32",
     "curve_grid", "compressor_coeff_grids", "reverb_feedback_grid",
     "chorus_inc_grid", "chorus_phase_grid",
+    "phaser_coeff_grids", "echo_tail_frames",
 ]
 
 
@@ -460,3 +461,104 @@ def grain_grid(n_in: int, samplerate: int, duration: float, grain: float,
     j = (h.astype(np.float64) / 2147483648.0 - 1.0) * jitter * samplerate
     in_pos = np.clip(prog + np.rint(j).astype(np.int64), 0, span)
     return in_pos, out_pos, L, out_len
+
+
+def phaser_coeff_grids(n0: int, n: int, samplerate: int, rate: float,
+                       depth: float, min_freq: float, max_freq: float,
+                       q: float, dtype=None):
+    """Per-frame RBJ ALLPASS (b0, b1, b2, a1, a2) grids for the phaser's
+    LFO sweep, evaluated at absolute frames [n0, n0+n) — host f64 over
+    the house integer-DDS LFO phase (phase0 = 0):
+
+        inc   = round(rate/sr * 2^32) (wrapped u32)
+        p_k   = (n0+k) * inc mod 2^32 ;  x = f32(p_k) * 2^-32
+        lfo   = 0.5 + 0.5*sin(2*pi*x)                    (f64)
+        pos   = 0.5 + depth*(lfo - 0.5)
+        f_k   = min_freq * (max_freq/min_freq)^pos       (exponential sweep)
+        w0 = 2*pi*f_k/sr; alpha = sin(w0)/(2q); a0 = 1+alpha
+        b = [(1-alpha), -2*cos(w0), (1+alpha)] / a0;  a1 = b1;  a2 = b0
+
+    Verbatim copy of goldref.spec.phaser_coeff_grids (conformance-pinned
+    in tests/test_coeffs_conformance.py)."""
+    if dtype is None:
+        dtype = np.float32
+    inc = int(round(rate / samplerate * 4294967296.0)) & 0xFFFFFFFF
+    idx = np.arange(n0, n0 + n, dtype=np.uint64)
+    p = (idx * np.uint64(inc)) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    lfo = 0.5 + 0.5 * np.sin(2.0 * np.pi * x.astype(np.float64))
+    pos = 0.5 + float(depth) * (lfo - 0.5)
+    f = float(min_freq) * (float(max_freq) / float(min_freq)) ** pos
+    w0 = 2.0 * np.pi * np.minimum(f, samplerate * 0.49) / samplerate
+    alpha = np.sin(w0) / (2.0 * float(q))
+    cw = np.cos(w0)
+    a0 = 1.0 + alpha
+    b0 = (1.0 - alpha) / a0
+    b1 = (-2.0 * cw) / a0
+    b2 = (1.0 + alpha) / a0
+    return (b0.astype(dtype), b1.astype(dtype), b2.astype(dtype),
+            b1.astype(dtype), b0.astype(dtype))
+
+
+def echo_tail_frames(samplerate: int, delay: float, feedback: float,
+                     wet: float, tail: float = None) -> int:
+    """The chain's decay-room rule for the feedback echo: an explicit
+    ``tail`` wins; otherwise enough whole echo periods for the echo train
+    to fall below 1 LSB at 16-bit (wet * fb^{k-1} < 1/32768), capped at
+    10 s.  Verbatim copy of goldref.effects.echo_tail_frames
+    (conformance-pinned)."""
+    D = max(1, int(delay * samplerate))
+    if tail is not None:
+        return int(tail * samplerate)
+    w = max(abs(wet), 1e-9)
+    fb = min(abs(feedback), 0.98)
+    if w * 32768.0 <= 1.0:
+        return 0
+    if fb <= 1e-9:
+        k = 1
+    else:
+        k = 1 + int(math.ceil(math.log(1.0 / (w * 32768.0))
+                              / math.log(fb)))
+    return min(k * D, 10 * samplerate)
+
+
+def allpass_coeffs(freq: float, q: float,
+                   samplerate: int) -> Tuple[float, float, float, float,
+                                             float]:
+    """RBJ second-order ALLPASS (b0, b1, b2, a1, a2), normalized by a0,
+    host f64 — the scalar row of :func:`phaser_coeff_grids` (used for the
+    phaser's conditioning routing at its lowest sweep frequency)."""
+    w0 = 2.0 * math.pi * min(freq, samplerate * 0.49) / samplerate
+    alpha = math.sin(w0) / (2.0 * q)
+    cw = math.cos(w0)
+    a0 = 1.0 + alpha
+    return ((1.0 - alpha) / a0, (-2.0 * cw) / a0, (1.0 + alpha) / a0,
+            (-2.0 * cw) / a0, (1.0 - alpha) / a0)
+
+
+def limiter_ceiling(ceiling_db: float, width: int) -> int:
+    """Integer brickwall clamp for the limiter:
+    rint(f64(f32(exp2(f32(ceiling_db/6.0206)))) * maxval) — the exact
+    inline rule of goldref.effects.limiter (f32 exp2, f64 product, so
+    width-4 ceilings stay exact past the f32 mantissa)."""
+    maxval = {1: 127, 2: 32767, 4: 2147483647}[width]
+    c = np.exp2(np.float32(ceiling_db)
+                * np.float32(1.0 / 6.0206)).astype(np.float64)
+    return int(np.rint(c * maxval))
+
+
+PHASER_FF_MIN_FREQ = 120.0
+
+
+def phaser_wants_ff(min_freq: float) -> bool:
+    """Conditioning routing for the phaser's swept allpass cascade.  The
+    static pole bound (predicted_scan_error_lsb) over-predicts for a
+    SWEPT filter — the LFO spends only a fraction of its period near the
+    sweep floor, so the worst-case pole never accumulates its full
+    random walk.  Measured on white noise (6 stages, q <= 1, depth 1):
+    plain-scan drift vs the f64 oracle is 1-4 LSB for floors >= 200 Hz,
+    11-13 at 100 Hz, 31-57 at 50 Hz — crossing the 2 + 2*stages budget
+    near 120 Hz.  Below that the cascade runs the compensated
+    float-float scan (1 LSB measured at 50 Hz).  Shared by the staged
+    Sample.phaser op and the streaming twin."""
+    return float(min_freq) < PHASER_FF_MIN_FREQ

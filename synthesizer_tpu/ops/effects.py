@@ -888,3 +888,151 @@ def granulate(frames: jax.Array, samplerate: int, duration: float,
     out = jnp.zeros((out_len, nch), jnp.float32)
     out = out.at[oi.reshape(-1)].add(grains.reshape(-1, nch), mode="drop")
     return to_int_samples(out, width)
+
+
+# ---------------------------------------------------------------------------
+# Feedback echo
+# ---------------------------------------------------------------------------
+
+def feedback_echo_core(s: jax.Array, D: int, fb, hist: jax.Array):
+    """The feedback-delay recurrence d_n = s_n + fb_n * d_{n-D} evaluated
+    blockwise (spec: goldref.effects.feedback_echo): a ``lax.scan`` over
+    length-D blocks whose carry is the previous d block — each element's
+    arithmetic order is IDENTICAL to the per-sample oracle (element i of
+    block j depends only on element i of block j-1), so the only device
+    deviation is FMA contraction of ``s + fb*d`` (<= 1 LSB applied).
+
+    ``s`` [n, ch] normalized f32; ``fb`` scalar or [n] grid; ``hist``
+    [D, ch] = d values for the D frames before s (zeros at a cold start).
+    Returns (e, new_hist) with e_n = d_{n-D} (the wet tap)."""
+    n, nch = s.shape
+    nb = -(-n // D)
+    pad = nb * D - n
+    sp = jnp.concatenate([s, jnp.zeros((pad, nch), jnp.float32)]) \
+        .reshape(nb, D, nch)
+    fbv = jnp.broadcast_to(jnp.asarray(fb, jnp.float32), (n,))
+    fbp = jnp.concatenate([fbv, jnp.zeros(pad, jnp.float32)]) \
+        .reshape(nb, D, 1)
+
+    def step(prev, xs):
+        sb, fbb = xs
+        d = sb + fbb * prev
+        return d, d
+
+    _, dblocks = jax.lax.scan(step, hist, (sp, fbp))
+    d = dblocks.reshape(nb * D, nch)[:n]
+    e = jnp.concatenate([hist, d])[:n]
+    new_hist = jnp.concatenate([hist, d])[n:n + D] if n < D \
+        else d[n - D:n]
+    return e, new_hist
+
+
+def feedback_echo(frames: jax.Array, D: int, fb, wet, dry,
+                  tail_frames: int) -> jax.Array:
+    """Whole-signal feedback echo (the staged Sample op): zero-pads by
+    ``tail_frames``, runs the blocked recurrence cold, mixes
+    dry*s + wet*e, house synthesis quantization.  Spec/budget:
+    goldref.effects.feedback_echo."""
+    width = dpcm.width_of(frames)
+    n, nch = frames.shape
+    total = n + int(tail_frames)
+    s = jnp.concatenate([_norm(frames),
+                         jnp.zeros((total - n, nch), jnp.float32)])
+    e, _ = feedback_echo_core(s, D, fb, jnp.zeros((D, nch), jnp.float32))
+    out = (jnp.asarray(dry, jnp.float32) * s
+           + jnp.asarray(wet, jnp.float32) * e)
+    return to_int_samples(out, width)
+
+
+# ---------------------------------------------------------------------------
+# Stereo width
+# ---------------------------------------------------------------------------
+
+def stereo_width(frames: jax.Array, amount) -> jax.Array:
+    """Mid/side width control; spec: goldref.effects.stereo_width.
+    ``amount`` scalar or [n] grid; budget <= 1 LSB (FMA contraction)."""
+    width = dpcm.width_of(frames)
+    s = _norm(frames)
+    a = jnp.broadcast_to(jnp.asarray(amount, jnp.float32),
+                         (frames.shape[0],))
+    m = jnp.float32(0.5) * (s[:, 0] + s[:, 1])
+    sd = jnp.float32(0.5) * (s[:, 0] - s[:, 1])
+    out = jnp.stack([m + a * sd, m - a * sd], axis=1)
+    return to_int_samples(out, width)
+
+
+# ---------------------------------------------------------------------------
+# Lookahead brickwall limiter
+# ---------------------------------------------------------------------------
+
+def limiter_gains_core(a: jax.Array, ceil_db, decay, L: int,
+                       r0=jnp.float32(0.0), gpad0=None):
+    """Per-sample limiter gains from the linked detector level ``a`` [n]
+    (spec: goldref.effects.limiter_gains).  TPU shape: the lookahead
+    window max and the box attack ramp are ``reduce_window`` ops, the
+    release is the associative decaying-max scan — no sequential loops.
+
+    ``a`` must already INCLUDE the L frames of lookahead context past the
+    emission range (the whole-signal caller pads with zeros; the
+    streaming caller appends the held-back frames), i.e. gains are
+    returned for the first n-L positions... whole-signal: pass a padded
+    by L zeros, get n gains back.  ``r0`` carries the release state;
+    ``gpad0`` [L] carries the previous chunk's trailing gains for the box
+    ramp (ones at a cold start).  Returns (gs, new_r, new_gpad)."""
+    n_em = a.shape[0] - L
+    level_db = jnp.float32(20.0) * jnp.log10(
+        jnp.maximum(a, jnp.float32(1e-10)))
+    need = jnp.maximum(jnp.float32(0.0),
+                       level_db - jnp.asarray(ceil_db, jnp.float32))
+    w = jax.lax.reduce_window(need, -jnp.inf, jax.lax.max,
+                              (L + 1,), (1,), "valid")          # [n_em]
+    R = decaying_max_scan(w, decay, init=r0)
+    g = jnp.exp2(-R * jnp.float32(1.0 / 6.0206))
+    if gpad0 is None:
+        gpad0 = jnp.ones((L,), jnp.float32)
+    gp = jnp.concatenate([gpad0, g])
+    gs = jax.lax.reduce_window(gp, jnp.float32(0.0), jax.lax.add,
+                               (L + 1,), (1,), "valid") \
+        * jnp.float32(1.0 / (L + 1))
+    new_r = R[-1] if n_em > 0 else r0
+    new_gpad = gp[n_em:n_em + L]
+    return gs, new_r, new_gpad
+
+
+def limiter(frames: jax.Array, ceil_db, decay, L: int,
+            ceil_int) -> jax.Array:
+    """Whole-signal lookahead limiter (the staged Sample op): gains via
+    the padded window (need past the end is 0), applied with the house
+    gain rule, then the hard integer clamp at ``ceil_int`` (host-derived
+    rint(exp2(ceil_db/6.0206)*maxval)).  Length preserved.  Spec:
+    goldref.effects.limiter."""
+    a = jnp.max(jnp.abs(_norm(frames)), axis=1)
+    ap = jnp.concatenate([a, jnp.zeros((L,), jnp.float32)])
+    gs, _, _ = limiter_gains_core(ap, ceil_db, decay, L)
+    y = dpcm.gain_apply(frames, gs[:, None])
+    c = jnp.asarray(ceil_int, frames.dtype)
+    return jnp.clip(y, -c, c)
+
+
+# ---------------------------------------------------------------------------
+# Phaser (LFO-swept allpass cascade)
+# ---------------------------------------------------------------------------
+
+def phaser_apply(s: jax.Array, grids, states, ff: bool):
+    """Run the phaser's allpass cascade on a normalized f32 signal: every
+    stage shares the SAME per-frame coefficient grids (host-derived,
+    ops.coeffs.phaser_coeff_grids) and keeps its own carried biquad
+    state; the cascade stays in float end to end (one quantization at the
+    caller's output).  ``states`` is a tuple of per-stage biquad states
+    (len == stages); ``ff`` routes badly-conditioned sweeps (low
+    min_freq) through the compensated float-float scan.  Returns
+    (y, new_states).  Spec/budget: goldref.effects.phaser."""
+    new_states = []
+    y = s
+    for st in states:
+        if ff:
+            y, ns = biquad_apply_ff(y, grids, st)
+        else:
+            y, ns = biquad_apply(y, grids, st)
+        new_states.append(ns)
+    return y, tuple(new_states)

@@ -347,6 +347,41 @@ def _x_stretch(x, st, dyn, leaves):
     return dfx.stretch(x, factor, frame, hop)
 
 
+def _x_fb_echo(x, st, dyn, leaves):
+    D, tail_frames = st
+    from .ops import effects as dfx
+    return dfx.feedback_echo(x, D, dyn[0], dyn[1], dyn[2], tail_frames)
+
+
+def _x_width(x, st, dyn, leaves):
+    from .ops import effects as dfx
+    return dfx.stereo_width(x, dyn[0])
+
+
+def _x_limit(x, st, dyn, leaves):
+    samplerate, L, cint = st
+    from .ops import effects as dfx
+    return dfx.limiter(x, dyn[0], dyn[1], L, cint)
+
+
+def _x_phaser(x, st, dyn, leaves):
+    stages, ff = st
+    from .ops import effects as dfx
+    w = dpcm.width_of(x)
+    s = x.astype(jnp.float32) / jnp.float32(MAXVAL[w])
+    if ff:
+        grids = tuple((leaves[2 * i], leaves[2 * i + 1]) for i in range(5))
+        z = jnp.zeros(x.shape[1], jnp.float32)
+        states = tuple((z, z, z, z, z, z) for _ in range(stages))
+    else:
+        grids = tuple(leaves)
+        z = jnp.zeros(x.shape[1], jnp.float32)
+        states = tuple((z, z, z, z) for _ in range(stages))
+    y, _ = dfx.phaser_apply(s, grids, states, ff)
+    out = dyn[1] * s + dyn[0] * y
+    return dfx.to_int_samples(out, w)
+
+
 def _x_ratecv(x, st, dyn, leaves):
     inr, outr, nout = st
     nch = x.shape[1]
@@ -372,6 +407,8 @@ _EXEC = {
     "biquad": _x_biquad, "biquad_ff": _x_biquad_ff,
     "gate": _x_gate, "compress_sc": _x_compress_sc,
     "granulate": _x_granulate,
+    "fb_echo": _x_fb_echo, "width": _x_width, "limit": _x_limit,
+    "phaser": _x_phaser,
 }
 
 _program_cache: dict = {}
@@ -1060,6 +1097,88 @@ class Sample:
         alpha, decay, floor_gain = gate_coeffs(self._samplerate, attack,
                                                release, range_db)
         self._stage("gate", dyn=(threshold_db, floor_gain, alpha, decay))
+        return self
+
+    def feedback_echo(self, delay: float, feedback: float = 0.4,
+                      wet: float = 0.5, dry: float = 1.0,
+                      tail: Optional[float] = None) -> "Sample":
+        """Feedback delay line — the chain generalization of the
+        reference's feed-forward :meth:`echo` (an infinite geometric echo
+        train: first echo at ``delay`` seconds with amplitude ``wet``,
+        k-th at k*delay with wet*feedback^(k-1)).  Extends the sample by
+        the decay room (``tail`` seconds, or the 1-LSB rule of
+        ops.coeffs.echo_tail_frames).  The recurrence runs blockwise on
+        device (ops.effects.feedback_echo_core — identical per-element
+        arithmetic to the oracle); spec/budget:
+        goldref.effects.feedback_echo."""
+        from .ops.coeffs import echo_tail_frames
+        if not 0.0 <= feedback <= 0.95:
+            raise ValueError("feedback must be in [0, 0.95]")
+        D = max(1, self._n(delay))
+        tail_frames = echo_tail_frames(self._samplerate, delay, feedback,
+                                       wet, tail)
+        self._stage("fb_echo", static=(D, tail_frames),
+                    dyn=(feedback, wet, dry))
+        self._nframes += tail_frames
+        return self
+
+    def stereo_width(self, amount: float) -> "Sample":
+        """Mid/side stereo-width control (0 = mono, 1 = unity,
+        up to 4 = wider).  Spec/budget: goldref.effects.stereo_width."""
+        if self._nchannels != 2:
+            raise ValueError("stereo_width needs a stereo sample")
+        if not 0.0 <= amount <= 4.0:
+            raise ValueError("width amount must be in [0, 4]")
+        self._stage("width", dyn=(amount,))
+        return self
+
+    def limit(self, ceiling_db: float = -1.0, release: float = 0.05,
+              lookahead: float = 0.005) -> "Sample":
+        """Lookahead brickwall limiter: the gain starts dipping
+        ``lookahead`` seconds before a peak (sliding window max +
+        box attack ramp, both reduce_window ops), releases as an
+        associative decaying max in dB, and a hard integer clamp at the
+        ceiling guarantees true brickwall.  Length preserved.
+        Spec/tolerance: goldref.effects.limiter_gains."""
+        from .ops.coeffs import compressor_coeffs, limiter_ceiling
+        if not -60.0 <= ceiling_db <= 0.0:
+            raise ValueError("limiter ceiling_db must be in [-60, 0]")
+        L = max(1, self._n(lookahead))
+        decay = compressor_coeffs(self._samplerate, 0.0, release)[1]
+        cint = limiter_ceiling(ceiling_db, self._samplewidth)
+        self._stage("limit", static=(self._samplerate, L, cint),
+                    dyn=(ceiling_db, decay))
+        return self
+
+    def phaser(self, rate: float = 0.5, depth: float = 1.0,
+               min_freq: float = 300.0, max_freq: float = 3000.0,
+               stages: int = 4, q: float = 0.7071, wet: float = 0.5,
+               dry: float = 1.0) -> "Sample":
+        """LFO-swept allpass cascade: ``stages`` identical RBJ allpasses
+        sweep exponentially between ``min_freq`` and ``max_freq`` under
+        the house integer-DDS LFO; the per-frame coefficient grids are
+        host-derived at absolute frames (ops.coeffs.phaser_coeff_grids)
+        so offline == streaming by construction.  Sweep floors below
+        ~120 Hz route through the compensated float-float scan
+        (ops.coeffs.phaser_wants_ff).  Spec/budget:
+        goldref.effects.phaser."""
+        from .ops.coeffs import (ff_split, phaser_coeff_grids,
+                                 phaser_wants_ff)
+        if not 1 <= int(stages) <= 12:
+            raise ValueError("phaser stages must be in [1, 12]")
+        if min_freq < 30.0 or max_freq <= min_freq:
+            raise ValueError("phaser needs 30 <= min_freq < max_freq")
+        ff = phaser_wants_ff(min_freq)
+        grids = phaser_coeff_grids(
+            0, self._nframes, self._samplerate, rate, depth, min_freq,
+            max_freq, q, dtype=np.float64 if ff else np.float32)
+        if ff:
+            leaves = tuple(jnp.asarray(part) for g in grids
+                           for part in ff_split(g))
+        else:
+            leaves = tuple(jnp.asarray(g) for g in grids)
+        self._stage("phaser", static=(int(stages), ff), dyn=(wet, dry),
+                    leaves=leaves)
         return self
 
     def convolve(self, ir: "Sample", wet: float = 1.0,

@@ -532,6 +532,7 @@ class Song:
             for name, p in self.fx:
                 if name == "convolve":
                     self._load_fx_ir(p["ir"], base)
+                self._resolve_fx_tempo(name, p)
         for section in cp.sections():
             if section.startswith("fx."):
                 inst = section[len("fx."):]
@@ -552,6 +553,14 @@ class Song:
             ir.mono()
         return ir
 
+    def _resolve_fx_tempo(self, name: str, p: dict) -> None:
+        """Resolve tempo-synced effect knobs against the song's bpm:
+        ``echo beats=`` becomes ``delay=`` seconds (beats are quarter
+        notes — delay = beats * 60/bpm), so every downstream consumer
+        (FxChain, the offline ops, tail accounting) sees plain seconds."""
+        if name == "echo" and "beats" in p:
+            p["delay"] = float(p.pop("beats")) * 60.0 / float(self.bpm)
+
     def add_track_fx(self, instrument: str, items, base: str = "") -> None:
         """Per-track effects ([fx.NAME] ini sections).
 
@@ -571,10 +580,17 @@ class Song:
                              f"[sampler.{instrument}] first)")
         fx = parse_fx_items(list(items))
         irs = {}
+        from .effects import HOLDBACK_FX
         for name, p in fx:
+            if name in HOLDBACK_FX:
+                raise ValueError(
+                    f"[fx.{instrument}]: {name} is master-chain only (its "
+                    f"lookahead holdback cannot ride a fixed-size track "
+                    f"bus — put it in [fx])")
             if name == "convolve":
                 self._load_fx_ir(p["ir"], base)
                 irs[p["ir"]] = self.fx_irs[p["ir"]]
+            self._resolve_fx_tempo(name, p)
         if instrument in self.synths:
             self.synth_fx[instrument] = fx
         elif instrument in self.samplers:
@@ -615,6 +631,7 @@ class Song:
                                  f"ascending (got {t0} then {t1})")
         neg_ok = (key.endswith(".pan") or key.endswith(".makeup_db")
                   or key.endswith(".threshold_db")
+                  or key.endswith(".ceiling_db")
                   or key.startswith("fx.eq."))
         for t, v in pts:
             if (not (np.isfinite(t) and np.isfinite(v))
@@ -631,7 +648,10 @@ class Song:
                      "fx.compress.makeup_db", "fx.compress.threshold_db",
                      "fx.compress.ratio", "fx.compress.attack",
                      "fx.compress.release", "fx.gate.threshold_db",
-                     "fx.eq.low_db", "fx.eq.mid_db", "fx.eq.high_db"):
+                     "fx.eq.low_db", "fx.eq.mid_db", "fx.eq.high_db",
+                     "fx.echo.feedback", "fx.echo.wet", "fx.echo.dry",
+                     "fx.width.amount", "fx.limiter.ceiling_db",
+                     "fx.phaser.wet", "fx.phaser.dry"):
             target = key.split(".")[1]
             nfx = sum(1 for n, _ in self.fx if n == target)
             if nfx == 0:
@@ -646,6 +666,22 @@ class Song:
                     if not 0.0 <= v <= 1.0:
                         raise ValueError(f"automation {key}: roomsize "
                                          f"must be in [0, 1] (got {v})")
+            if key == "fx.echo.feedback":
+                for t, v in pts:
+                    if not 0.0 <= v <= 0.95:
+                        raise ValueError(f"automation {key}: feedback "
+                                         f"must be in [0, 0.95] (got {v})")
+            if key == "fx.width.amount":
+                for t, v in pts:
+                    if not 0.0 <= v <= 4.0:
+                        raise ValueError(f"automation {key}: width amount "
+                                         f"must be in [0, 4] (got {v})")
+            if key == "fx.limiter.ceiling_db":
+                for t, v in pts:
+                    if not -60.0 <= v <= 0.0:
+                        raise ValueError(f"automation {key}: ceiling "
+                                         f"must be in [-60, 0] dB "
+                                         f"(got {v})")
         elif (len(parts) == 3 and parts[0] == "track"
               and parts[2] in ("volume", "pan")):
             name = parts[1]
@@ -669,8 +705,11 @@ class Song:
                              f"fx.chorus.wet/.dry/.rate/.depth, "
                              f"fx.compress.makeup_db/.threshold_db/"
                              f".ratio/.attack/.release, "
-                             f"fx.gate.threshold_db, or "
-                             f"fx.eq.low_db/.mid_db/.high_db)")
+                             f"fx.gate.threshold_db, "
+                             f"fx.eq.low_db/.mid_db/.high_db, "
+                             f"fx.echo.feedback/.wet/.dry, "
+                             f"fx.width.amount, fx.limiter.ceiling_db, or "
+                             f"fx.phaser.wet/.dry)")
         self.automation[key] = pts
 
     def _track_gain_at(self, name: str, tick: float) -> float:
@@ -721,7 +760,9 @@ class Song:
             key = f"__ir{len(self.fx_irs)}__"
             self.fx_irs[key] = self._prep_fx_ir(ir)
             params["ir"] = key
-        self.fx.append((name, validate_fx_params(name, params)))
+        params = validate_fx_params(name, params)
+        self._resolve_fx_tempo(name, params)
+        self.fx.append((name, params))
 
     def _check_format(self, name: str, sample: Sample) -> None:
         """All instruments AND samplers must agree on rate/channels — a
@@ -1743,7 +1784,7 @@ class Song:
             ck += 1
             yield Sample.from_jax(chain.process(chunk.jax_frames),
                                   self.samplerate, 2, name=chunk.name)
-        left = chain.tail_frames
+        left = chain.tail_frames + chain.flush_frames
         zeros_full = None
         while left > 0:
             n = min(cf, left)

@@ -247,6 +247,17 @@ class _Handler(BaseHTTPRequestHandler):
                     files.append((f"[{sec}] {fxname} ir", p["ir"]))
                 elif fxname == "reverb":
                     total_tail += p.get("tail", DEFAULT_REVERB_TAIL)
+                elif fxname == "echo":
+                    # echo trains extend renders like reverb tails; beats
+                    # resolve against the song's own bpm
+                    from .ops.coeffs import echo_tail_frames
+                    delay = p.get("delay")
+                    if delay is None:
+                        bpm = cp.getint("song", "bpm", fallback=128)
+                        delay = float(p["beats"]) * 60.0 / max(bpm, 1)
+                    total_tail += echo_tail_frames(
+                        44100, delay, p.get("feedback", 0.4),
+                        p.get("wet", 0.5), p.get("tail")) / 44100.0
         # reverb tails extend renders (and per-track tails pad instrument
         # banks at LOAD time, before mix()'s max_frames bound can see
         # them): cap the requested decay like any other render length

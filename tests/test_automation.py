@@ -928,3 +928,105 @@ def test_fx_filter_cutoff_shelf_streaming_equals_offline(chunk):
     assert len(got) == len(off)
     d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
     assert d <= 8, d
+
+
+# ---------------------------------------------------------------------------
+# Round-3 continuation keys: fx.echo.*, fx.width.amount,
+# fx.limiter.ceiling_db, fx.phaser.wet/.dry
+# ---------------------------------------------------------------------------
+
+def test_new_fx_automation_validation():
+    song = bright_song()
+    with pytest.raises(ValueError, match="no echo"):
+        song.add_automation("fx.echo.wet", "0:0.5")
+    song.add_fx("echo", delay=0.1, feedback=0.3)
+    song.add_automation("fx.echo.wet", "0:0.1 16:0.6")
+    with pytest.raises(ValueError, match="feedback"):
+        song.add_automation("fx.echo.feedback", "0:0.99")
+    song.add_fx("width", amount=1.0)
+    with pytest.raises(ValueError, match="width amount"):
+        song.add_automation("fx.width.amount", "0:5.0")
+    song.add_fx("limiter", ceiling_db=-1.0)
+    with pytest.raises(ValueError, match="ceiling"):
+        song.add_automation("fx.limiter.ceiling_db", "0:2.0")
+    song.add_automation("fx.limiter.ceiling_db", "0:-1 16:-12")
+
+
+def test_echo_automation_streaming_equals_offline():
+    song = bright_song()
+    song.add_fx("echo", delay=0.09, feedback=0.4, wet=0.3)
+    song.add_automation("fx.echo.feedback", "0:0.1 16:0.8")
+    song.add_automation("fx.echo.wet", "0:0.6 16:0.1")
+    song.add_automation("fx.echo.dry", "0:1.0 16:0.7")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    for cf in (977, 4096):
+        got = np.concatenate([c.get_frame_array()
+                              for c in song.mix_generator(chunk_frames=cf)])
+        assert got.shape == off.shape
+        d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+        assert d <= 1, (cf, d)   # host grids both sides; FMA class only
+
+
+def test_echo_feedback_curve_audibly_grows_the_train():
+    song = bright_song()
+    # explicit tail so both renders share a length; compare the LATE tail
+    # where the static fb=0.1 train (k >= 8 echoes) has fully decayed
+    song.add_fx("echo", delay=0.05, feedback=0.1, wet=0.8, tail=0.5)
+    base = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    song.add_automation("fx.echo.feedback", "0:0.9")
+    hot = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    assert hot.shape == base.shape
+    seg = slice(len(base) - int(0.1 * SR), len(base))
+    assert np.abs(hot[seg]).max() > 4 * max(np.abs(base[seg]).max(), 1)
+
+
+def test_width_automation_streaming_equals_offline():
+    song = bright_song()
+    song.synths["saw"].pan = 0.7          # give the sides real energy
+    song.add_fx("width", amount=1.0)
+    song.add_automation("fx.width.amount", "0:0.0 16:2.0")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1209)])
+    assert got.shape == off.shape
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 1, d
+    # the sweep audibly widens over the song: the side (L-R) energy of
+    # the last fifth dwarfs the first fifth's
+    side = off[:, 0].astype(np.float64) - off[:, 1].astype(np.float64)
+    n5 = len(side) // 5
+    rms = lambda x: np.sqrt(np.mean(x * x) + 1e-9)
+    assert rms(side[-n5:]) > 4 * rms(side[:n5])
+
+
+def test_limiter_ceiling_automation():
+    song = bright_song()
+    song.synths["saw"].amplitude = 0.9
+    song.add_fx("limiter", ceiling_db=-1.0, lookahead=0.003)
+    song.add_automation("fx.limiter.ceiling_db", "0:-1 16:-18")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1536)])
+    assert got.shape == off.shape
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 2, d
+    # the ramped ceiling audibly ducks the end vs the head: the last
+    # 0.05 s sits past tick 15.2 where the curve has reached <= -17 dB
+    from synthesizer_tpu.ops.coeffs import limiter_ceiling
+    tail_peak = np.abs(off[-int(0.05 * SR):].astype(np.int64)).max()
+    assert tail_peak <= limiter_ceiling(-17.0, 2)
+    head_peak = np.abs(off[: int(0.2 * SR)].astype(np.int64)).max()
+    assert head_peak > 2 * tail_peak
+
+
+def test_phaser_wet_automation_streaming_equals_offline():
+    song = bright_song()
+    song.add_fx("phaser", rate=1.2, depth=1.0, wet=0.5)
+    song.add_automation("fx.phaser.wet", "0:0.0 16:0.9")
+    song.add_automation("fx.phaser.dry", "0:1.0 16:0.6")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=977)])
+    assert got.shape == off.shape
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 10, d     # per-stage scan regroup across chunk boundaries

@@ -209,3 +209,58 @@ def test_eq_freqs_coeff_grids_match():
             assert np.all(gr == s)
     with pytest.raises(ValueError):
         C.eq_freqs_coeff_grids("notch", f, 3.0, 1.0, 44100)
+
+
+def test_phaser_coeff_grids_match():
+    for n0 in (0, 44100, 10 ** 7):
+        for rate in (0.2, 0.5, 3.0):
+            for depth in (0.0, 0.5, 1.0):
+                for fmin, fmax, q in ((300.0, 3000.0, 0.7071),
+                                      (50.0, 2000.0, 1.0),
+                                      (120.0, 8000.0, 0.5)):
+                    for dtype in (np.float32, np.float64):
+                        a = C.phaser_coeff_grids(n0, 64, 44100, rate,
+                                                 depth, fmin, fmax, q,
+                                                 dtype=dtype)
+                        b = goldspec.phaser_coeff_grids(n0, 64, 44100,
+                                                        rate, depth, fmin,
+                                                        fmax, q,
+                                                        dtype=dtype)
+                        for x, y in zip(a, b):
+                            np.testing.assert_array_equal(x, y)
+
+
+def test_echo_tail_frames_match():
+    for sr in (22050, 44100, 48000):
+        for delay in (0.01, 0.25, 1.0):
+            for fb in (0.0, 0.3, 0.7, 0.95):
+                for wet in (0.0, 1e-6, 0.4, 1.0):
+                    for tail in (None, 0.0, 0.5):
+                        assert C.echo_tail_frames(sr, delay, fb, wet,
+                                                  tail) \
+                            == goldfx.echo_tail_frames(sr, delay, fb, wet,
+                                                       tail)
+
+
+def test_phaser_allpass_anchor():
+    # RBJ allpass: |H(e^jw)| == 1 at every frequency; at w0 the phase is
+    # -pi (the notch point of the wet/dry sum).  First-principles check
+    # of the allpass_coeffs row.
+    b0, b1, b2, a1, a2 = C.allpass_coeffs(1000.0, 0.7071, 44100)
+    for w in (0.01, 0.1423, 0.5, 1.0, 2.0):
+        z = np.exp(1j * w)
+        h = (b0 + b1 / z + b2 / z ** 2) / (1 + a1 / z + a2 / z ** 2)
+        assert abs(abs(h) - 1.0) < 1e-12
+    w0 = 2 * math.pi * 1000.0 / 44100
+    z = np.exp(1j * w0)
+    h = (b0 + b1 / z + b2 / z ** 2) / (1 + a1 / z + a2 / z ** 2)
+    assert abs(np.angle(h) - (-math.pi)) < 1e-9 or \
+        abs(np.angle(h) - math.pi) < 1e-9
+
+
+def test_limiter_ceiling_anchor():
+    # 0 dB = full scale exactly; -6.0206 dB = half scale (the house
+    # exp2(db/6.0206) convention); width 4 stays exact past f32
+    assert C.limiter_ceiling(0.0, 2) == 32767
+    assert C.limiter_ceiling(0.0, 4) == 2147483647
+    assert abs(C.limiter_ceiling(-6.0206, 2) - 16384) <= 1

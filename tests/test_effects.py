@@ -541,3 +541,146 @@ def test_streaming_eq_chunk_invariance(rng):
     # follows the conditioning model (measured ~90 LSB on full-scale
     # noise, -51 dB relative)
     assert np.abs(a.astype(np.int64) - b.astype(np.int64)).max() <= 192
+
+
+# ---------------------------------------------------------------------------
+# Feedback echo / stereo width / limiter / phaser (round-3 continuation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_feedback_echo_matches_oracle(rng, nch):
+    gold, dev = make_pair(rng, n=4000, nch=nch)
+    kw = dict(delay=0.02, feedback=0.55, wet=0.6, dry=0.9)
+    check_lsb(gold.feedback_echo(**kw), dev.feedback_echo(**kw), 1)
+
+
+def test_feedback_echo_tail_rings_and_decays(rng):
+    gold, dev = make_pair(rng, n=2000)
+    n0 = 2000
+    dev.feedback_echo(0.01, feedback=0.5, wet=0.5)
+    got = dev.get_frame_array()
+    assert got.shape[0] > n0                      # decay room appended
+    D = int(0.01 * SR)
+    tail = got[n0:]
+    assert np.abs(tail[:2 * D]).max() > 0         # the train actually rings
+    assert np.abs(tail[-D:]).max() <= 1           # and has decayed below 1 LSB
+
+
+def test_feedback_echo_explicit_tail_and_validation(rng):
+    _, dev = make_pair(rng, n=1000)
+    n0 = dev.nframes
+    dev.feedback_echo(0.01, feedback=0.5, wet=0.5, tail=0.1)
+    assert dev.nframes == n0 + int(0.1 * SR)
+    with pytest.raises(ValueError, match="feedback"):
+        make_pair(np.random.default_rng(0))[1].feedback_echo(0.01,
+                                                             feedback=0.99)
+
+
+def test_feedback_echo_core_chunk_invariance(rng):
+    import jax.numpy as jnp
+    n, D = 6000, 700
+    s = jnp.asarray(rng.normal(0, 0.3, (n, 2)).astype(np.float32))
+    whole, _ = dfx.feedback_echo_core(s, D, 0.55,
+                                      jnp.zeros((D, 2), jnp.float32))
+    hist = jnp.zeros((D, 2), jnp.float32)
+    outs, i = [], 0
+    for cf in (977, 1536, 300, 2048, 3000):
+        c = s[i:i + cf]
+        if c.shape[0] == 0:
+            break
+        e, hist = dfx.feedback_echo_core(c, D, 0.55, hist)
+        outs.append(np.asarray(e))
+        i += int(c.shape[0])
+    got = np.concatenate(outs)
+    np.testing.assert_array_equal(got, np.asarray(whole)[:len(got)])
+
+
+@pytest.mark.parametrize("amount", [0.0, 0.7, 1.0, 2.5])
+def test_stereo_width_matches_oracle(rng, amount):
+    gold, dev = make_pair(rng, n=3000)
+    check_lsb(gold.stereo_width(amount), dev.stereo_width(amount), 1)
+
+
+def test_stereo_width_semantics(rng):
+    # amount=0 collapses to mono; amount=1 is (near-)identity
+    _, dev = make_pair(rng, n=1000)
+    a = dev.get_frame_array()
+    mono = Sample.from_raw_frames(a.tobytes(), 2, SR, 2).stereo_width(0.0) \
+        .get_frame_array()
+    assert np.abs(mono[:, 0].astype(np.int64)
+                  - mono[:, 1].astype(np.int64)).max() == 0
+    unity = Sample.from_raw_frames(a.tobytes(), 2, SR, 2) \
+        .stereo_width(1.0).get_frame_array()
+    assert np.abs(unity.astype(np.int64) - a.astype(np.int64)).max() <= 1
+    with pytest.raises(ValueError, match="stereo"):
+        Sample.from_raw_frames(a[:, :1].tobytes(), 2, SR, 1) \
+            .stereo_width(1.0)
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_limiter_matches_oracle(rng, nch):
+    gold, dev = make_pair(rng, n=4000, nch=nch)
+    kw = dict(ceiling_db=-3.0, release=0.05, lookahead=0.003)
+    check_lsb(gold.limit(**kw), dev.limit(**kw), 2)
+
+
+def test_limiter_is_brickwall_and_transparent(rng):
+    from synthesizer_tpu.ops.coeffs import limiter_ceiling
+    _, dev = make_pair(rng, n=4000)
+    ceil_int = limiter_ceiling(-1.0, 2)
+    out = dev.limit(ceiling_db=-1.0).get_frame_array()
+    assert np.abs(out.astype(np.int64)).max() <= ceil_int
+    # quiet audio passes ~untouched (gain pinned at 1)
+    _, quiet = make_pair(np.random.default_rng(7), n=2000, quiet=True)
+    a = quiet.get_frame_array()
+    out = quiet.limit(ceiling_db=-1.0).get_frame_array()
+    assert np.abs(out.astype(np.int64) - a.astype(np.int64)).max() <= 1
+
+
+def test_limiter_lookahead_predips():
+    # silence, then a full-scale spike: the gain must dip BEFORE the spike
+    a = np.zeros((3000, 1), np.int16)
+    a[2000] = 30000
+    g = gfx.limiter_gains(a, 2, SR, -6.0, 0.05, 0.002)
+    L = int(0.002 * SR)
+    assert g[2000 - L] < 1.0          # dipping a full window early
+    assert g[2000] < 0.6              # full reduction at the peak
+    assert g[:2000 - L - 1].min() == 1.0
+
+
+def test_phaser_matches_oracle(rng):
+    gold, dev = make_pair(rng, n=4000)
+    kw = dict(rate=0.8, depth=1.0, min_freq=300.0, max_freq=3000.0,
+              stages=4, q=0.7071, wet=0.5, dry=1.0)
+    check_lsb(gold.phaser(**kw), dev.phaser(**kw), 2 + 2 * 4)
+
+
+def test_phaser_ff_routing_low_floor(rng):
+    # sweep floors below ~120 Hz route through the float-float scan
+    # (ops.coeffs.phaser_wants_ff) and hold ~1 LSB of the f64 oracle
+    from synthesizer_tpu.ops.coeffs import phaser_wants_ff
+    assert phaser_wants_ff(60.0) and not phaser_wants_ff(300.0)
+    gold, dev = make_pair(rng, n=4000)
+    kw = dict(rate=0.8, depth=1.0, min_freq=60.0, max_freq=2000.0,
+              stages=4, q=1.0, wet=0.5, dry=1.0)
+    check_lsb(gold.phaser(grids_dtype=np.float64, **kw), dev.phaser(**kw),
+              2)
+
+
+def test_phaser_validation(rng):
+    _, dev = make_pair(rng, n=100)
+    with pytest.raises(ValueError, match="stages"):
+        dev.phaser(stages=0)
+    with pytest.raises(ValueError, match="min_freq"):
+        Sample.from_raw_frames(b"\0\0\0\0", 2, SR, 2).phaser(min_freq=20.0)
+
+
+def test_new_fx_stage_lazily(rng):
+    # the whole strip fuses into one program (echo/width/phaser/limit are
+    # staged IR ops like the rest of the rack)
+    _, dev = make_pair(rng, n=2000)
+    with profiling.count_program_launches() as n:
+        dev.feedback_echo(0.01, 0.4, 0.4, tail=0.05) \
+           .phaser(rate=1.0).stereo_width(1.3).limit(-2.0)
+        dev.get_frame_array()
+    assert n[0] == 1

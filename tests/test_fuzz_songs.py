@@ -198,6 +198,15 @@ _FX_POOL = [
     ("chorus", dict(rate=1.2, depth=0.0015, delay=0.012, wet=0.35, dry=0.9),
      {"fx.chorus.wet": (0.0, 0.8), "fx.chorus.dry": (0.4, 1.0),
       "fx.chorus.rate": (0.2, 5.0), "fx.chorus.depth": (0.0005, 0.004)}),
+    ("echo", dict(delay=0.07, feedback=0.4, wet=0.4),
+     {"fx.echo.feedback": (0.05, 0.8), "fx.echo.wet": (0.0, 0.7),
+      "fx.echo.dry": (0.5, 1.0)}),
+    ("width", dict(amount=1.2),
+     {"fx.width.amount": (0.0, 2.5)}),
+    ("limiter", dict(ceiling_db=-2.0, lookahead=0.004),
+     {"fx.limiter.ceiling_db": (-15.0, -0.5)}),
+    ("phaser", dict(rate=1.0, depth=1.0, wet=0.4),
+     {"fx.phaser.wet": (0.0, 0.8), "fx.phaser.dry": (0.5, 1.0)}),
 ]
 
 
@@ -237,8 +246,8 @@ def test_random_song_with_fx_automation(seed):
                           for c in song.mix_generator(chunk_frames=cf)])
     assert len(got) == len(off), f"seed {seed}"
     d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
-    # composed per-fx budgets (<=8 each, <=3 fx) — 16 covers every draw
-    assert d <= 16, f"seed {seed}: {d} (fx={[n for n, _ in song.fx]}, " \
+    # composed per-fx budgets (<=10 each, <=3 fx) — 24 covers every draw
+    assert d <= 24, f"seed {seed}: {d} (fx={[n for n, _ in song.fx]}, " \
                     f"auto={sorted(song.automation)})"
 
 

@@ -749,3 +749,105 @@ def test_cutoff_automation_shelf_kinds_use_host_grids():
     x = rng2.integers(-20000, 20000, size=(3000, 2)).astype(np.int16)
     y = np.asarray(proc.process(jnp.asarray(x)))
     assert y.shape == x.shape and np.abs(y).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-3 continuation fx: echo / width / limiter / phaser
+# ---------------------------------------------------------------------------
+
+def test_parse_new_fx_and_validation():
+    fx = parse_fx_items([("echo", "delay=0.3 feedback=0.4 wet=0.5"),
+                         ("width", "amount=1.5"),
+                         ("limiter", "ceiling_db=-1 lookahead=0.004"),
+                         ("phaser", "rate=0.5 stages=6 wet=0.6")])
+    assert [n for n, _ in fx] == ["echo", "width", "limiter", "phaser"]
+    assert fx[3][1]["stages"] == 6
+    with pytest.raises(ValueError, match="delay"):
+        parse_fx_items([("echo", "feedback=0.4")])
+    with pytest.raises(ValueError, match="exactly one"):
+        parse_fx_items([("echo", "delay=0.3 beats=1")])
+    with pytest.raises(ValueError, match="amount"):
+        parse_fx_items([("width", "")])
+
+
+def test_echo_beats_resolves_against_bpm():
+    song = make_song()
+    song.add_fx("echo", beats=1.0, feedback=0.3)
+    name, p = song.fx[0]
+    assert name == "echo" and "beats" not in p
+    assert p["delay"] == pytest.approx(60.0 / 240.0)
+    ini = """
+[song]
+bpm = 120
+ticks = 4
+patterns = a
+
+[synth.s]
+wave = sine
+amplitude = 0.3
+
+[pattern.a]
+s = C4 . . .
+
+[fx]
+echo = beats=0.5 feedback=0.4 wet=0.4
+"""
+    s2 = Song.from_string(ini)
+    assert dict(s2.fx)["echo"]["delay"] == pytest.approx(0.25)
+
+
+def test_new_fx_streaming_equals_offline():
+    fx = [("echo", dict(delay=0.11, feedback=0.5, wet=0.45)),
+          ("phaser", dict(rate=0.9, depth=1.0, wet=0.5)),
+          ("width", dict(amount=1.5)),
+          ("limiter", dict(ceiling_db=-2.0, lookahead=0.004))]
+    song = make_song(fx)
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1333)])
+    # the limiter's holdback flushes through the tail feed: EXACT length
+    assert got.shape == off.shape
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    # echo exact + phaser scan regroup + width FMA + limiter gain budget
+    assert d <= 12, d
+
+
+def test_echo_tail_rings_past_programme():
+    song = make_song([("echo", dict(delay=0.15, feedback=0.5, wet=0.6))])
+    from synthesizer_tpu.ops.coeffs import echo_tail_frames
+    tail = echo_tail_frames(SR, 0.15, 0.5, 0.6, None)
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=2000)])
+    prog = song.duration_frames()
+    assert len(got) == prog + tail
+    D = int(0.15 * SR)
+    assert np.abs(got[prog:prog + D]).max() > 0
+
+
+def test_limiter_rejected_on_track_bus():
+    song = make_song()
+    with pytest.raises(ValueError, match="master-chain only"):
+        song.add_track_fx("kick", [("limiter", "ceiling_db=-1")])
+
+
+def test_width_needs_stereo_chain():
+    # a Song's instruments normalize to stereo, so the mono case can only
+    # reach the chain from an ini-loaded mono song — pin the constructor
+    with pytest.raises(ValueError, match="stereo"):
+        FxChain([("width", {"amount": 1.2})], SR, 1)
+    with pytest.raises(ValueError, match="amount"):
+        FxChain([("width", {})], SR, 2)
+
+
+def test_limiter_caps_hot_master():
+    from synthesizer_tpu.ops.coeffs import limiter_ceiling
+    song = make_song()
+    # stack the kick hot enough to clip, then limit at -3 dB
+    song.instruments["kick"].amplify(3.0)
+    unlimited = song.mix(normalize=False, tail_seconds=0.0) \
+        .get_frame_array()
+    assert np.abs(unlimited.astype(np.int64)).max() > limiter_ceiling(-3.0, 2)
+    song.add_fx("limiter", ceiling_db=-3.0)
+    out = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    assert np.abs(out.astype(np.int64)).max() <= limiter_ceiling(-3.0, 2)
+    assert np.abs(out).max() > 0
