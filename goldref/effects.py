@@ -1007,10 +1007,12 @@ def limiter_gains(frames: np.ndarray, width: int, samplerate: int,
     * lookahead max   w_n = max(need_n .. need_{n+L}) with
       L = max(1, int(lookahead*samplerate)) — the gain starts dipping L
       frames BEFORE a peak arrives (need past the end is 0);
-    * release         R_n = max(w_n, R_{n-1} * decay), R_{-1} = 0, with
-      decay = exp(-1/(release*sr)) (release <= 0 -> 0): the reduction
+    * release         R_n = max(w_n, R_{n-1} * decay_n), R_{-1} = 0, with
+      decay_n = exp(-1/(release_n*sr)) (release <= 0 -> 0): the reduction
       decays exponentially in dB — an associative decaying max, which is
-      what makes the device twin a parallel scan;
+      what makes the device twin a parallel scan (``release`` may be a
+      per-frame grid — fx.limiter.release automation; the decay mapping
+      is the compressor's, host f64);
     * gain            g_n = exp2(-R_n / 6.0206);
     * attack ramp     gs_n = mean(g_{n-L} .. g_n) (g_{k<0} = 1) — a box
       FIR whose window equals the lookahead, so gs reaches the full
@@ -1019,9 +1021,17 @@ def limiter_gains(frames: np.ndarray, width: int, samplerate: int,
     Device twin budget: |gain| <= 2e-6 absolute (f32 log/exp ulp + scan
     regrouping), <= 2 LSB after application at 16-bit."""
     L = max(1, int(lookahead * samplerate))
-    decay = np.float32(0.0 if release <= 0
-                       else math.exp(-1.0 / (release * samplerate)))
     n = frames.shape[0]
+    if np.ndim(release) == 0:
+        decay = np.full(n, np.float32(
+            0.0 if release <= 0
+            else math.exp(-1.0 / (release * samplerate))), np.float32)
+    else:
+        # per-frame grid: the compressor's vectorized decay mapping
+        rel = np.asarray(release, np.float64)
+        decay = np.where(rel <= 0, 0.0,
+                         np.exp(-1.0 / (np.maximum(rel, 1e-300)
+                                        * samplerate))).astype(np.float32)
     a = np.max(np.abs(_norm(frames, width)), axis=1).astype(np.float32)
     ceil_v = np.broadcast_to(np.asarray(ceiling_db, np.float32), (n,))
     level_db = (np.float32(20.0)
@@ -1035,7 +1045,7 @@ def limiter_gains(frames: np.ndarray, width: int, samplerate: int,
     R = np.empty(n, np.float32)
     r = np.float32(0.0)
     for i in range(n):
-        r = max(w[i], np.float32(r * decay))
+        r = max(w[i], np.float32(r * decay[i]))
         R[i] = r
     g = np.exp2((-R * np.float32(1.0 / 6.0206)).astype(np.float32)) \
         .astype(np.float32)
@@ -1076,7 +1086,8 @@ def phaser(frames: np.ndarray, width: int, samplerate: int,
            wet: float = 0.5, dry: float = 1.0,
            wet_curve: "np.ndarray" = None,
            dry_curve: "np.ndarray" = None, n0: int = 0,
-           grids_dtype=None) -> np.ndarray:
+           grids_dtype=None, P: "np.ndarray" = None,
+           depth_curve: "np.ndarray" = None) -> np.ndarray:
     """LFO-swept allpass cascade: ``stages`` identical second-order RBJ
     allpass filters whose center frequency sweeps exponentially between
     ``min_freq`` and ``max_freq`` under the house integer-DDS LFO
@@ -1092,11 +1103,24 @@ def phaser(frames: np.ndarray, width: int, samplerate: int,
     ``stages`` chained companion scans (f32) in one program.  Agreed
     budget <= 2 + 2*stages LSB at 16-bit at q <= 1 and min_freq >= 50
     (per-stage scan drift compounds through the unity-gain cascade)."""
-    from .spec import phaser_coeff_grids
+    from .spec import phaser_coeff_grids, phaser_coeff_grids_swept
     n, nch = frames.shape
-    grids = phaser_coeff_grids(n0, n, samplerate, rate, depth, min_freq,
-                               max_freq, q,
-                               dtype=grids_dtype or np.float32)
+    if P is not None or depth_curve is not None:
+        # rate/depth automation (fx.phaser.rate/.depth): shared cumulative
+        # u32 phase + per-frame depth grid — the chorus_swept rule
+        if P is None:
+            inc = int(round(rate / samplerate * 4294967296.0)) & 0xFFFFFFFF
+            P = (np.arange(n0, n0 + n, dtype=np.uint64) * np.uint64(inc)) \
+                & np.uint64(0xFFFFFFFF)
+        dg = (np.asarray(depth_curve, np.float64)
+              if depth_curve is not None else np.full(n, float(depth)))
+        grids = phaser_coeff_grids_swept(P, dg, min_freq, max_freq, q,
+                                         samplerate,
+                                         dtype=grids_dtype or np.float32)
+    else:
+        grids = phaser_coeff_grids(n0, n, samplerate, rate, depth,
+                                   min_freq, max_freq, q,
+                                   dtype=grids_dtype or np.float32)
     b0, b1, b2, a1, a2 = (np.asarray(g, np.float64) for g in grids)
     s = _norm(frames, width).astype(np.float64)
     y = s

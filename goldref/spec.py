@@ -428,3 +428,32 @@ def phaser_coeff_grids(n0: int, n: int, samplerate: int, rate: float,
     b2 = (1.0 + alpha) / a0
     return (b0.astype(dtype), b1.astype(dtype), b2.astype(dtype),
             b1.astype(dtype), b0.astype(dtype))
+
+
+def phaser_coeff_grids_swept(P, depth, min_freq: float, max_freq: float,
+                             q: float, samplerate: int, dtype=None):
+    """RATE/DEPTH-automated row of :func:`phaser_coeff_grids`
+    (fx.phaser.rate/.depth spec): the LFO phase comes from a shared
+    CUMULATIVE u32 phase ``P`` [n] (P_n = sum_{m<n} inc_m mod 2^32, with
+    per-frame increments inc_m = round(rate_m/sr * 2^32) derived on host
+    f64 from the breakpoint curve — the chorus-rate rule), and ``depth``
+    is a per-frame f64 grid.  A constant rate reproduces P_n = n*inc, so
+    the grids are bit-identical to the static function's.  Copied
+    verbatim into synthesizer_tpu.ops.coeffs; conformance-pinned."""
+    import numpy as np
+    if dtype is None:
+        dtype = np.float32
+    p = np.asarray(P, np.uint64) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    lfo = 0.5 + 0.5 * np.sin(2.0 * np.pi * x.astype(np.float64))
+    pos = 0.5 + np.asarray(depth, np.float64) * (lfo - 0.5)
+    f = float(min_freq) * (float(max_freq) / float(min_freq)) ** pos
+    w0 = 2.0 * np.pi * np.minimum(f, samplerate * 0.49) / samplerate
+    alpha = np.sin(w0) / (2.0 * float(q))
+    cw = np.cos(w0)
+    a0 = 1.0 + alpha
+    b0 = (1.0 - alpha) / a0
+    b1 = (-2.0 * cw) / a0
+    b2 = (1.0 + alpha) / a0
+    return (b0.astype(dtype), b1.astype(dtype), b2.astype(dtype),
+            b1.astype(dtype), b0.astype(dtype))

@@ -560,6 +560,48 @@ def section_effects(SR):
                .astype(np.int64)).max()
     check("fx/phaser_ff_low_floor", d <= 2, f"max {d} LSB (ff scan)")
 
+    # rate/depth-swept phaser (fx.phaser.rate/.depth): host-mirrored
+    # cumulative u32 phase + per-frame depth grid vs the per-sample oracle
+    import jax.numpy as jnp
+    from synthesizer_tpu.effects import StreamingPhaser
+    from synthesizer_tpu.ops.coeffs import (chorus_inc_grid,
+                                            chorus_phase_grid, curve_grid)
+    gold, dev = pair()
+    x = dev.get_frame_array()
+    npts = len(x)
+    tickf = SR / 8.0
+    rate_c = [(0.0, 0.3), (8.0, 5.0)]
+    depth_c = [(0.0, 0.2), (8.0, 1.0)]
+    kw = dict(rate=0.5, depth=1.0, min_freq=300.0, max_freq=3000.0,
+              stages=3, q=0.7071, wet=0.6, dry=0.9)
+    proc = StreamingPhaser(SR, 2, rate_curve=rate_c, depth_curve=depth_c,
+                           tickf=tickf, **kw)
+    got = np.asarray(proc.process(jnp.asarray(x)))
+    inc = chorus_inc_grid(curve_grid(rate_c, 0, npts, tickf), SR)
+    P, _ = chorus_phase_grid(inc, 0)
+    dg = curve_grid(depth_c, 0, npts, tickf)
+    import goldref.effects as _gfx
+    want = _gfx.phaser(x, 2, SR, P=P, depth_curve=dg, **kw)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    check("fx/phaser_rate_depth_swept", d <= 8, f"max {d} LSB")
+
+    # release-swept limiter (fx.limiter.release): per-element decay
+    # coefficients through the decaying-max scan vs the oracle
+    from synthesizer_tpu.effects import StreamingLimiter
+    gold, dev = pair()
+    x = dev.get_frame_array()
+    rel_c = [(0.0, 0.004), (8.0, 0.4)]
+    Lh = max(1, int(0.003 * SR))
+    proc = StreamingLimiter(SR, 2, ceiling_db=-6.0, lookahead=0.003,
+                            release_curve=rel_c, tickf=tickf)
+    fed = np.concatenate([x, np.zeros((Lh, 2), x.dtype)])
+    got = np.asarray(proc.process(jnp.asarray(fed)))
+    rel = curve_grid(rel_c, 0, len(x), tickf)
+    want = _gfx.limiter(x, 2, SR, ceiling_db=-6.0, release=rel,
+                        lookahead=0.003)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    check("fx/limiter_release_swept", d <= 2, f"max {d} LSB")
+
     song_n = Song()
     song_n.bpm = 240
     song_n.ticks = 4

@@ -985,10 +985,12 @@ class StreamingLimiter:
     def __init__(self, samplerate: int, nchannels: int,
                  ceiling_db: float = -1.0, release: float = 0.05,
                  lookahead: float = 0.005, ceiling_curve=None,
-                 tickf: float = 0.0, start_frame: int = 0):
+                 release_curve=None, tickf: float = 0.0,
+                 start_frame: int = 0):
         from .ops.coeffs import compressor_coeffs
         if not -60.0 <= ceiling_db <= 0.0:
             raise ValueError("limiter ceiling_db must be in [-60, 0]")
+        self._sr = samplerate
         self._L = max(1, int(lookahead * samplerate))
         self._decay = float(compressor_coeffs(samplerate, 0.0, release)[1])
         self._ceil = float(ceiling_db)
@@ -997,8 +999,11 @@ class StreamingLimiter:
         self._pend = None                       # [k<=L, ch] int, lazy dtype
         self._r = jnp.float32(0.0)
         self._gpad = jnp.ones((self._L,), jnp.float32)
-        _require_tickf(tickf, ceiling_curve)
+        _require_tickf(tickf, ceiling_curve, release_curve)
         self._curve = ceiling_curve
+        #: fx.limiter.release automation — per-frame decay grid at the
+        #: EMISSION positions (the release recurrence's absolute frames)
+        self._rel_curve = release_curve
         self._n0 = int(start_frame)
         self._tickf = float(tickf)
 
@@ -1014,7 +1019,8 @@ class StreamingLimiter:
         width = dpcm.width_of(x)
         maxval = dpcm.MAXVAL[width]
         swept = self._curve is not None
-        key = ("limiter", swept, (m, emit), str(x.dtype), L)
+        rel_swept = self._rel_curve is not None
+        key = ("limiter", swept, rel_swept, (m, emit), str(x.dtype), L)
 
         def build():
             @jax.jit
@@ -1041,9 +1047,15 @@ class StreamingLimiter:
             from .ops.coeffs import limiter_ceiling
             ceil_db = jnp.float32(self._ceil)
             cint = jnp.asarray(limiter_ceiling(self._ceil, width))
+        if rel_swept:
+            from .ops.coeffs import compressor_coeff_grids, curve_grid
+            rg = curve_grid(self._rel_curve, self._n0, emit, self._tickf)
+            decay = jnp.asarray(compressor_coeff_grids(
+                np.zeros(emit), rg, self._sr)[1])
+        else:
+            decay = jnp.float32(self._decay)
         y, self._r, self._gpad = _cached(key, build)(
-            buf, self._r, self._gpad, ceil_db,
-            jnp.float32(self._decay), cint)
+            buf, self._r, self._gpad, ceil_db, decay, cint)
         self._pend = buf[emit:]
         self._n0 += emit
         return y
@@ -1056,14 +1068,21 @@ class StreamingPhaser:
     sweep stays aligned at any chunk size or seek.  Sweep floors below
     ~120 Hz route through the compensated float-float scan
     (ops.coeffs.phaser_wants_ff — same decision as the staged op).
-    Curves (fx.phaser.wet/.dry) are host grids on the output stage.
-    Spec/budget: goldref.effects.phaser."""
+    Curves (fx.phaser.wet/.dry) are host grids on the output stage;
+    ``rate_curve``/``depth_curve`` (fx.phaser.rate/.depth) automate the
+    LFO itself — the rate curve becomes per-frame u32 DDS increments
+    whose cumulative phase is mirrored EXACTLY on host (the chorus-rate
+    rule: ops.coeffs.chorus_inc_grid/chorus_phase_grid into
+    phaser_coeff_grids_swept; a constant curve reproduces the static
+    phase n*inc bit-exactly), the depth curve a per-frame f64 grid in
+    the sweep-position formula.  Spec/budget: goldref.effects.phaser."""
 
     def __init__(self, samplerate: int, nchannels: int, rate: float = 0.5,
                  depth: float = 1.0, min_freq: float = 300.0,
                  max_freq: float = 3000.0, stages: int = 4,
                  q: float = 0.7071, wet: float = 0.5, dry: float = 1.0,
-                 wet_curve=None, dry_curve=None, tickf: float = 0.0,
+                 wet_curve=None, dry_curve=None, rate_curve=None,
+                 depth_curve=None, tickf: float = 0.0,
                  start_frame: int = 0):
         from .ops.coeffs import phaser_wants_ff
         if not 1 <= int(stages) <= 12:
@@ -1079,11 +1098,29 @@ class StreamingPhaser:
         st = (z, z, z, z, z, z) if self._ff else (z, z, z, z)
         self._states = tuple(st for _ in range(self._stages))
         self._wet, self._dry = float(wet), float(dry)
-        _require_tickf(tickf, wet_curve, dry_curve)
+        _require_tickf(tickf, wet_curve, dry_curve, rate_curve,
+                       depth_curve)
         self._curves = (wet_curve, dry_curve)
         self._swept = any(c is not None for c in self._curves)
+        self._rate_curve = rate_curve
+        self._depth_curve = depth_curve
         self._n0 = int(start_frame)
         self._tickf = float(tickf)
+        #: host-mirrored cumulative LFO phase (rate automation)
+        self._p_carry = 0
+        if rate_curve is not None and start_frame:
+            # seek: replay the exact phase sum over [0, start_frame) in
+            # bounded slabs (the chorus-rate rule)
+            from .ops.coeffs import chorus_inc_grid, curve_grid
+            carry = 0
+            SLAB = 1 << 20
+            for s0 in range(0, int(start_frame), SLAB):
+                k = min(SLAB, int(start_frame) - s0)
+                inc = chorus_inc_grid(
+                    curve_grid(rate_curve, s0, k, tickf), samplerate)
+                carry = (carry + int(inc.astype(np.uint64).sum())) \
+                    & 0xFFFFFFFF
+            self._p_carry = carry
         self.tail_frames = 0
 
     def process(self, x: jax.Array) -> jax.Array:
@@ -1112,9 +1149,30 @@ class StreamingPhaser:
             return fn
 
         rate, depth, fmin, fmax, q = self._params
-        grids = phaser_coeff_grids(self._n0, n, self._sr, rate, depth,
-                                   fmin, fmax, q,
-                                   dtype=np.float64 if ff else np.float32)
+        gd = np.float64 if ff else np.float32
+        if self._rate_curve is not None or self._depth_curve is not None:
+            from .ops.coeffs import (chorus_inc_grid, chorus_phase_grid,
+                                     phaser_coeff_grids_swept)
+            if self._rate_curve is not None:
+                inc = chorus_inc_grid(
+                    curve_grid(self._rate_curve, self._n0, n,
+                               self._tickf), self._sr)
+                P, self._p_carry = chorus_phase_grid(inc, self._p_carry)
+            else:
+                # static rate: the absolute-phase formula (stateless)
+                inc0 = int(round(rate / self._sr * 4294967296.0)) \
+                    & 0xFFFFFFFF
+                P = (np.arange(self._n0, self._n0 + n, dtype=np.uint64)
+                     * np.uint64(inc0)) & np.uint64(0xFFFFFFFF)
+            dgrid = (curve_grid(self._depth_curve, self._n0, n,
+                                self._tickf)
+                     if self._depth_curve is not None
+                     else np.full(n, depth, np.float64))
+            grids = phaser_coeff_grids_swept(P, dgrid, fmin, fmax, q,
+                                             self._sr, dtype=gd)
+        else:
+            grids = phaser_coeff_grids(self._n0, n, self._sr, rate, depth,
+                                       fmin, fmax, q, dtype=gd)
         if ff:
             coefs = [jnp.asarray(part) for g in grids
                      for part in ff_split(g)]
@@ -1141,7 +1199,8 @@ FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
                   "sidechain"),
                  {"sidechain": str}),
     "reverb": (("roomsize", "damping", "wet", "dry", "width", "tail"), {}),
-    "chorus": (("rate", "depth", "delay", "voices", "wet", "dry"),
+    "chorus": (("rate", "rate_beats", "depth", "delay", "voices", "wet",
+                "dry"),
                {"voices": int}),
     "convolve": (("ir", "wet", "dry"), {"ir": str}),
     "filter": (("kind", "cutoff", "q", "gain_db"), {"kind": str}),
@@ -1151,8 +1210,8 @@ FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
     "echo": (("delay", "beats", "feedback", "wet", "dry", "tail"), {}),
     "width": (("amount",), {}),
     "limiter": (("ceiling_db", "release", "lookahead"), {}),
-    "phaser": (("rate", "depth", "min_freq", "max_freq", "stages", "q",
-                "wet", "dry"), {"stages": int}),
+    "phaser": (("rate", "rate_beats", "depth", "min_freq", "max_freq",
+                "stages", "q", "wet", "dry"), {"stages": int}),
 }
 
 # effects whose streaming twin withholds lookahead frames (variable-length
@@ -1191,6 +1250,10 @@ def validate_fx_params(name: str, params: dict) -> dict:
                              "(seconds) or beats= (tempo-synced)")
     if name == "width" and "amount" not in out:
         raise ValueError("[fx] width needs amount=")
+    if name in ("chorus", "phaser") and "rate" in out and \
+            "rate_beats" in out:
+        raise ValueError(f"[fx] {name}: give rate= Hz or rate_beats= "
+                         f"(tempo-synced), not both")
     return out
 
 
@@ -1243,8 +1306,11 @@ def _fx_curves(automation):
         echo_dry=auto.get("fx.echo.dry"),
         width_amt=auto.get("fx.width.amount"),
         lim_ceil=auto.get("fx.limiter.ceiling_db"),
+        lim_rel=auto.get("fx.limiter.release"),
         pha_wet=auto.get("fx.phaser.wet"),
         pha_dry=auto.get("fx.phaser.dry"),
+        pha_rate=auto.get("fx.phaser.rate"),
+        pha_depth=auto.get("fx.phaser.depth"),
     )
 
 
@@ -1383,18 +1449,22 @@ class FxChain:
                 else:
                     proc = StreamingWidth(samplerate, nchannels, **p)
             elif name == "limiter":
-                lc = cv["lim_ceil"]
-                if lc is not None:
+                lc, lr = cv["lim_ceil"], cv["lim_rel"]
+                if lc is not None or lr is not None:
                     proc = StreamingLimiter(samplerate, nchannels,
-                                            ceiling_curve=lc, tickf=tickf,
+                                            ceiling_curve=lc,
+                                            release_curve=lr, tickf=tickf,
                                             start_frame=start_frame, **p)
                 else:
                     proc = StreamingLimiter(samplerate, nchannels, **p)
             elif name == "phaser":
-                pc = (cv["pha_wet"], cv["pha_dry"])
+                pc = (cv["pha_wet"], cv["pha_dry"], cv["pha_rate"],
+                      cv["pha_depth"])
                 if any(c is not None for c in pc):
                     proc = StreamingPhaser(samplerate, nchannels,
                                            wet_curve=pc[0], dry_curve=pc[1],
+                                           rate_curve=pc[2],
+                                           depth_curve=pc[3],
                                            tickf=tickf,
                                            start_frame=start_frame, **p)
                 else:
@@ -1611,18 +1681,21 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
             # run the STREAMING holdback processor over the whole signal
             # (apply_fx_sample padded the flush room): emits len-L frames,
             # truncating the pad back — identical to the streamed chain
-            lc = cv["lim_ceil"]
+            lc, lr = cv["lim_ceil"], cv["lim_rel"]
             proc = StreamingLimiter(sample.samplerate, sample.nchannels,
-                                    ceiling_curve=lc, tickf=tickf,
-                                    start_frame=0, **p) \
-                if lc is not None else \
+                                    ceiling_curve=lc, release_curve=lr,
+                                    tickf=tickf, start_frame=0, **p) \
+                if (lc is not None or lr is not None) else \
                 StreamingLimiter(sample.samplerate, sample.nchannels, **p)
             sample._replace_frames(proc.process(sample.jax_frames))
         elif name == "phaser":
-            pc = (cv["pha_wet"], cv["pha_dry"])
+            pc = (cv["pha_wet"], cv["pha_dry"], cv["pha_rate"],
+                  cv["pha_depth"])
             if any(c is not None for c in pc):
                 proc = StreamingPhaser(sample.samplerate, sample.nchannels,
                                        wet_curve=pc[0], dry_curve=pc[1],
+                                       rate_curve=pc[2],
+                                       depth_curve=pc[3],
                                        tickf=tickf, start_frame=0, **p)
                 sample._replace_frames(proc.process(sample.jax_frames))
             else:

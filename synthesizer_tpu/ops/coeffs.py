@@ -29,7 +29,7 @@ __all__ = [
     "stretch_grid", "grain_grid", "noise_u32",
     "curve_grid", "compressor_coeff_grids", "reverb_feedback_grid",
     "chorus_inc_grid", "chorus_phase_grid",
-    "phaser_coeff_grids", "echo_tail_frames",
+    "phaser_coeff_grids", "phaser_coeff_grids_swept", "echo_tail_frames",
 ]
 
 
@@ -488,6 +488,34 @@ def phaser_coeff_grids(n0: int, n: int, samplerate: int, rate: float,
     x = p.astype(np.float32) * np.float32(2.0 ** -32)
     lfo = 0.5 + 0.5 * np.sin(2.0 * np.pi * x.astype(np.float64))
     pos = 0.5 + float(depth) * (lfo - 0.5)
+    f = float(min_freq) * (float(max_freq) / float(min_freq)) ** pos
+    w0 = 2.0 * np.pi * np.minimum(f, samplerate * 0.49) / samplerate
+    alpha = np.sin(w0) / (2.0 * float(q))
+    cw = np.cos(w0)
+    a0 = 1.0 + alpha
+    b0 = (1.0 - alpha) / a0
+    b1 = (-2.0 * cw) / a0
+    b2 = (1.0 + alpha) / a0
+    return (b0.astype(dtype), b1.astype(dtype), b2.astype(dtype),
+            b1.astype(dtype), b0.astype(dtype))
+
+
+def phaser_coeff_grids_swept(P, depth, min_freq: float, max_freq: float,
+                             q: float, samplerate: int, dtype=None):
+    """RATE/DEPTH-automated row of :func:`phaser_coeff_grids`
+    (fx.phaser.rate/.depth): the LFO phase comes from a shared CUMULATIVE
+    u32 phase ``P`` [n] (P_n = sum_{m<n} inc_m mod 2^32, per-frame
+    increments from :func:`chorus_inc_grid` — the chorus-rate rule), and
+    ``depth`` is a per-frame f64 grid.  A constant rate reproduces
+    P_n = n*inc, so the grids are bit-identical to the static function's.
+    Verbatim copy of goldref.spec.phaser_coeff_grids_swept
+    (conformance-pinned in tests/test_coeffs_conformance.py)."""
+    if dtype is None:
+        dtype = np.float32
+    p = np.asarray(P, np.uint64) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    lfo = 0.5 + 0.5 * np.sin(2.0 * np.pi * x.astype(np.float64))
+    pos = 0.5 + np.asarray(depth, np.float64) * (lfo - 0.5)
     f = float(min_freq) * (float(max_freq) / float(min_freq)) ** pos
     w0 = 2.0 * np.pi * np.minimum(f, samplerate * 0.49) / samplerate
     alpha = np.sin(w0) / (2.0 * float(q))

@@ -89,8 +89,14 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     ; (also automatable: fx.reverb.dry/.roomsize, fx.chorus.wet/.dry,
     ;  fx.chorus.rate/.depth, fx.compress.makeup_db/.threshold_db/.ratio,
     ;  fx.compress.attack/.release, fx.gate.threshold_db,
-    ;  fx.eq.low_db/.mid_db/.high_db — the recurrence-internal ones
+    ;  fx.eq.low_db/.mid_db/.high_db, fx.echo.feedback/.wet/.dry,
+    ;  fx.width.amount, fx.limiter.ceiling_db/.release,
+    ;  fx.phaser.wet/.dry/.rate/.depth — the recurrence-internal ones
     ;  ride host-derived coefficient grids)
+
+Tempo-synced knobs resolve against [song] bpm at parse: ``echo beats=``
+(delay in quarter notes) and ``chorus``/``phaser`` ``rate_beats=`` (LFO
+period in beats).  The complete schema reference is docs/SONGS.md.
 """
 
 from __future__ import annotations
@@ -556,10 +562,18 @@ class Song:
     def _resolve_fx_tempo(self, name: str, p: dict) -> None:
         """Resolve tempo-synced effect knobs against the song's bpm:
         ``echo beats=`` becomes ``delay=`` seconds (beats are quarter
-        notes — delay = beats * 60/bpm), so every downstream consumer
-        (FxChain, the offline ops, tail accounting) sees plain seconds."""
+        notes — delay = beats * 60/bpm), and ``chorus``/``phaser``
+        ``rate_beats=`` (LFO period in beats) becomes ``rate=`` Hz
+        (rate = bpm / (60 * rate_beats)), so every downstream consumer
+        (FxChain, the offline ops, tail accounting) sees plain
+        seconds/Hz."""
         if name == "echo" and "beats" in p:
             p["delay"] = float(p.pop("beats")) * 60.0 / float(self.bpm)
+        if name in ("chorus", "phaser") and "rate_beats" in p:
+            b = float(p.pop("rate_beats"))
+            if b <= 0:
+                raise ValueError(f"[fx] {name}: rate_beats must be > 0")
+            p["rate"] = float(self.bpm) / (60.0 * b)
 
     def add_track_fx(self, instrument: str, items, base: str = "") -> None:
         """Per-track effects ([fx.NAME] ini sections).
@@ -651,7 +665,9 @@ class Song:
                      "fx.eq.low_db", "fx.eq.mid_db", "fx.eq.high_db",
                      "fx.echo.feedback", "fx.echo.wet", "fx.echo.dry",
                      "fx.width.amount", "fx.limiter.ceiling_db",
-                     "fx.phaser.wet", "fx.phaser.dry"):
+                     "fx.limiter.release", "fx.phaser.wet",
+                     "fx.phaser.dry", "fx.phaser.rate",
+                     "fx.phaser.depth"):
             target = key.split(".")[1]
             nfx = sum(1 for n, _ in self.fx if n == target)
             if nfx == 0:
@@ -682,6 +698,21 @@ class Song:
                         raise ValueError(f"automation {key}: ceiling "
                                          f"must be in [-60, 0] dB "
                                          f"(got {v})")
+            if key == "fx.limiter.release":
+                for t, v in pts:
+                    if not 0.0 < v <= 5.0:
+                        raise ValueError(f"automation {key}: release "
+                                         f"must be in (0, 5] s (got {v})")
+            if key == "fx.phaser.rate":
+                for t, v in pts:
+                    if not 0.0 < v <= 20.0:
+                        raise ValueError(f"automation {key}: rate must "
+                                         f"be in (0, 20] Hz (got {v})")
+            if key == "fx.phaser.depth":
+                for t, v in pts:
+                    if not 0.0 <= v <= 1.0:
+                        raise ValueError(f"automation {key}: depth must "
+                                         f"be in [0, 1] (got {v})")
         elif (len(parts) == 3 and parts[0] == "track"
               and parts[2] in ("volume", "pan")):
             name = parts[1]
@@ -708,8 +739,9 @@ class Song:
                              f"fx.gate.threshold_db, "
                              f"fx.eq.low_db/.mid_db/.high_db, "
                              f"fx.echo.feedback/.wet/.dry, "
-                             f"fx.width.amount, fx.limiter.ceiling_db, or "
-                             f"fx.phaser.wet/.dry)")
+                             f"fx.width.amount, "
+                             f"fx.limiter.ceiling_db/.release, or "
+                             f"fx.phaser.wet/.dry/.rate/.depth)")
         self.automation[key] = pts
 
     def _track_gain_at(self, name: str, tick: float) -> float:

@@ -950,6 +950,16 @@ def test_new_fx_automation_validation():
     with pytest.raises(ValueError, match="ceiling"):
         song.add_automation("fx.limiter.ceiling_db", "0:2.0")
     song.add_automation("fx.limiter.ceiling_db", "0:-1 16:-12")
+    with pytest.raises(ValueError, match="release"):
+        song.add_automation("fx.limiter.release", "0:0.0")
+    song.add_automation("fx.limiter.release", "0:0.01 16:0.4")
+    song.add_fx("phaser", rate=1.0)
+    with pytest.raises(ValueError, match="rate"):
+        song.add_automation("fx.phaser.rate", "0:25.0")
+    with pytest.raises(ValueError, match="depth"):
+        song.add_automation("fx.phaser.depth", "0:1.5")
+    song.add_automation("fx.phaser.rate", "0:0.2 16:5.0")
+    song.add_automation("fx.phaser.depth", "0:0.1 16:1.0")
 
 
 def test_echo_automation_streaming_equals_offline():
@@ -1030,3 +1040,97 @@ def test_phaser_wet_automation_streaming_equals_offline():
     assert got.shape == off.shape
     d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
     assert d <= 10, d     # per-stage scan regroup across chunk boundaries
+
+
+@pytest.mark.parametrize("chunk", [850, 2048])
+def test_fx_phaser_rate_depth_automation_streaming(chunk):
+    song = bright_song()
+    song.add_fx("phaser", rate=0.8, depth=0.6, stages=3, wet=0.6)
+    song.add_automation("fx.phaser.rate", "0:0.2 16:6.0")
+    song.add_automation("fx.phaser.depth", "0:0.2 16:1.0")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert got.shape == off.shape
+    # the phase mirror is integer math and the grids are host-derived at
+    # absolute frames: only per-stage scan regrouping differs per chunk
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 8, d      # 2 + 2*stages
+
+
+def test_fx_phaser_rate_automation_vs_goldref():
+    """Device swept phaser vs goldref.effects.phaser with the same
+    cumulative phase / depth grids (<= 2+2*stages LSB, the static
+    budget); a CONSTANT rate curve reproduces the static phaser exactly
+    (P_n == n*inc by integer math)."""
+    import goldref.effects as gfx
+    from synthesizer_tpu.effects import StreamingPhaser
+    from synthesizer_tpu.ops.coeffs import (chorus_inc_grid,
+                                            chorus_phase_grid, curve_grid)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0xFA5E)
+    n = 5000
+    x = (rng.integers(-20000, 20000, size=(n, 2))).astype(np.int16)
+    tickf = 44100 / 8.0
+    rate_c = [(0.0, 0.3), (8.0, 5.0)]
+    depth_c = [(0.0, 0.2), (8.0, 1.0)]
+    kw = dict(rate=0.5, depth=1.0, min_freq=300.0, max_freq=3000.0,
+              stages=3, q=0.7071, wet=0.6, dry=0.9)
+    proc = StreamingPhaser(44100, 2, rate_curve=rate_c,
+                           depth_curve=depth_c, tickf=tickf, **kw)
+    got = np.asarray(proc.process(jnp.asarray(x)))
+    inc = chorus_inc_grid(curve_grid(rate_c, 0, n, tickf), 44100)
+    P, _ = chorus_phase_grid(inc, 0)
+    depth = curve_grid(depth_c, 0, n, tickf)
+    want = gfx.phaser(x, 2, 44100, P=P, depth_curve=depth, **kw)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 8, d
+    # constant-rate/depth curves == static phaser (identical grids)
+    proc_c = StreamingPhaser(44100, 2, rate_curve=[(0.0, 1.5)],
+                             depth_curve=[(0.0, 0.8)], tickf=tickf,
+                             **{**kw, "rate": 1.5, "depth": 0.8})
+    proc_s = StreamingPhaser(44100, 2, **{**kw, "rate": 1.5,
+                                          "depth": 0.8})
+    yc = np.asarray(proc_c.process(jnp.asarray(x)))
+    ys = np.asarray(proc_s.process(jnp.asarray(x)))
+    np.testing.assert_array_equal(yc, ys)
+
+
+@pytest.mark.parametrize("chunk", [900, 3000])
+def test_fx_limiter_release_automation_streaming(chunk):
+    song = bright_song()
+    song.synths["saw"].amplitude = 0.9
+    song.add_fx("limiter", ceiling_db=-6.0, lookahead=0.003)
+    song.add_automation("fx.limiter.release", "0:0.005 16:0.5")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert got.shape == off.shape
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 2, d
+
+
+def test_fx_limiter_release_automation_vs_goldref():
+    """Device swept-release limiter vs goldref.effects.limiter with the
+    same per-frame release grid (the decaying-max scan runs per-element
+    decay coefficients)."""
+    import goldref.effects as gfx
+    from synthesizer_tpu.effects import StreamingLimiter
+    from synthesizer_tpu.ops.coeffs import curve_grid
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0x11A1)
+    n = 4000
+    x = (rng.integers(-32000, 32000, size=(n, 2))).astype(np.int16)
+    tickf = 44100 / 8.0
+    rel_c = [(0.0, 0.004), (8.0, 0.4)]
+    L = max(1, int(0.003 * 44100))
+    proc = StreamingLimiter(44100, 2, ceiling_db=-6.0, lookahead=0.003,
+                            release_curve=rel_c, tickf=tickf)
+    fed = np.concatenate([x, np.zeros((L, 2), np.int16)])
+    got = np.asarray(proc.process(jnp.asarray(fed)))
+    assert got.shape == (n, 2)
+    rel = curve_grid(rel_c, 0, n, tickf)
+    want = gfx.limiter(x, 2, 44100, ceiling_db=-6.0, release=rel,
+                       lookahead=0.003)
+    d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
+    assert d <= 2, d

@@ -230,6 +230,30 @@ def test_phaser_coeff_grids_match():
                             np.testing.assert_array_equal(x, y)
 
 
+def test_phaser_coeff_grids_swept_match():
+    rng = np.random.default_rng(7)
+    P = rng.integers(0, 1 << 32, size=64, dtype=np.uint64)
+    depth = rng.uniform(0.0, 1.0, size=64)
+    for fmin, fmax, q in ((300.0, 3000.0, 0.7071), (50.0, 2000.0, 1.0)):
+        for dtype in (np.float32, np.float64):
+            a = C.phaser_coeff_grids_swept(P, depth, fmin, fmax, q,
+                                           44100, dtype=dtype)
+            b = goldspec.phaser_coeff_grids_swept(P, depth, fmin, fmax,
+                                                  q, 44100, dtype=dtype)
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(x, y)
+    # constant rate reproduces the static function's grids bit-exactly
+    inc = int(round(1.5 / 44100 * 4294967296.0)) & 0xFFFFFFFF
+    Pc = (np.arange(1000, 1064, dtype=np.uint64) * np.uint64(inc)) \
+        & np.uint64(0xFFFFFFFF)
+    a = C.phaser_coeff_grids_swept(Pc, np.full(64, 0.7), 300.0, 3000.0,
+                                   0.7071, 44100)
+    b = C.phaser_coeff_grids(1000, 64, 44100, 1.5, 0.7, 300.0, 3000.0,
+                             0.7071)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_echo_tail_frames_match():
     for sr in (22050, 44100, 48000):
         for delay in (0.01, 0.25, 1.0):

@@ -204,9 +204,11 @@ _FX_POOL = [
     ("width", dict(amount=1.2),
      {"fx.width.amount": (0.0, 2.5)}),
     ("limiter", dict(ceiling_db=-2.0, lookahead=0.004),
-     {"fx.limiter.ceiling_db": (-15.0, -0.5)}),
+     {"fx.limiter.ceiling_db": (-15.0, -0.5),
+      "fx.limiter.release": (0.005, 0.4)}),
     ("phaser", dict(rate=1.0, depth=1.0, wet=0.4),
-     {"fx.phaser.wet": (0.0, 0.8), "fx.phaser.dry": (0.5, 1.0)}),
+     {"fx.phaser.wet": (0.0, 0.8), "fx.phaser.dry": (0.5, 1.0),
+      "fx.phaser.rate": (0.2, 6.0), "fx.phaser.depth": (0.1, 1.0)}),
 ]
 
 

@@ -796,6 +796,22 @@ echo = beats=0.5 feedback=0.4 wet=0.4
     assert dict(s2.fx)["echo"]["delay"] == pytest.approx(0.25)
 
 
+def test_lfo_rate_beats_resolves_against_bpm():
+    # rate_beats = LFO period in beats: rate = bpm / (60 * beats)
+    song = make_song()                       # bpm 240
+    song.add_fx("phaser", rate_beats=2.0, depth=0.8)
+    song.add_fx("chorus", rate_beats=4.0)
+    p = dict(song.fx)
+    assert "rate_beats" not in p["phaser"] and "rate_beats" not in \
+        p["chorus"]
+    assert p["phaser"]["rate"] == pytest.approx(240.0 / 120.0)
+    assert p["chorus"]["rate"] == pytest.approx(240.0 / 240.0)
+    with pytest.raises(ValueError, match="not both"):
+        song.add_fx("phaser", rate=1.0, rate_beats=1.0)
+    with pytest.raises(ValueError, match="> 0"):
+        song.add_fx("phaser", rate_beats=0.0)
+
+
 def test_new_fx_streaming_equals_offline():
     fx = [("echo", dict(delay=0.11, feedback=0.5, wet=0.45)),
           ("phaser", dict(rate=0.9, depth=1.0, wet=0.5)),
