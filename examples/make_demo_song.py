@@ -126,9 +126,12 @@ release = 0.06
 pan = -0.1
 
 [fx]
-; master bus: gentle glue compression + a small room (beyond-reference)
+; master bus: gentle glue compression + a small room, a tempo-synced
+; slapback, and a safety brickwall (all beyond-reference)
 compress = threshold_db=-10 ratio=3 attack=0.004 release=0.12 makeup_db=1.5
 reverb = roomsize=0.45 damping=0.6 wet=0.14 dry=0.95 tail=0.6
+echo = beats=0.75 feedback=0.25 wet=0.12
+limiter = ceiling_db=-0.5 lookahead=0.004
 
 [fx.lead]
 ; per-synth-track chain: the lead gets its own chorus bus
@@ -138,6 +141,7 @@ chorus = rate=1.2 depth=0.002 delay=0.014 wet=0.35
 ; hats ride up across the song; the whole mix fades over the outro
 track.hat.volume = 0:0.6 48:1.0
 fx.reverb.wet = 0:0.10 64:0.22
+fx.echo.wet = 0:0.06 64:0.16
 master.volume = 0:1 96:1 112:0
 
 [pattern.intro]

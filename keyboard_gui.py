@@ -85,6 +85,17 @@ class ReverbSettings:
 
 
 @dataclasses.dataclass
+class LimiterSettings:
+    """Beyond-reference: lookahead brickwall limiter at the END of the
+    master bus — keeps many held keys (or a hot reverb) from clipping
+    the output sink.  Rides the same FxChain as the reverb."""
+    enabled: bool = False
+    ceiling_db: float = -1.0
+    release: float = 0.05
+    lookahead: float = 0.005
+
+
+@dataclasses.dataclass
 class EchoSettings:
     enabled: bool = False
     after: float = 0.05
@@ -117,6 +128,7 @@ class SynthController:
         self.echo = EchoSettings()
         self.filter = FilterSettings()
         self.reverb = ReverbSettings()
+        self.limiter = LimiterSettings()
         self.arp = ArpSettings()
         self.a4 = 440.0
         #: blocks rendered per device round trip (None = pick by platform)
@@ -370,17 +382,26 @@ class SynthController:
             voice.release()
 
     def apply_reverb(self) -> None:
-        """(Re)install the master reverb chain on the output's mixed bus
-        according to the current ReverbSettings (no-op headless)."""
+        """(Re)install the master chain on the output's mixed bus from
+        the current ReverbSettings + LimiterSettings (reverb first, the
+        brickwall last — console order; no-op headless)."""
         if self.output is None:
             return
+        fx = []
         if self.reverb.enabled:
-            from synthesizer_tpu.effects import FxChain
             r = self.reverb
-            self.output.fx = FxChain(
-                [("reverb", dict(roomsize=r.roomsize, damping=r.damping,
-                                 wet=r.wet, dry=r.dry, tail=r.tail))],
-                self.samplerate, self.output.nchannels)
+            fx.append(("reverb", dict(roomsize=r.roomsize,
+                                      damping=r.damping, wet=r.wet,
+                                      dry=r.dry, tail=r.tail)))
+        if self.limiter.enabled:
+            lm = self.limiter
+            fx.append(("limiter", dict(ceiling_db=lm.ceiling_db,
+                                       release=lm.release,
+                                       lookahead=lm.lookahead)))
+        if fx:
+            from synthesizer_tpu.effects import FxChain
+            self.output.fx = FxChain(fx, self.samplerate,
+                                     self.output.nchannels)
             # superblock the bus (round 3): one device round trip per 4
             # chunks — what lets the master reverb clear realtime on the
             # link-attached relay (the realtime-voice lookahead trick);
@@ -401,6 +422,7 @@ class SynthController:
         cp["echo"] = {k: str(v) for k, v in dataclasses.asdict(self.echo).items()}
         cp["filter"] = {k: str(v) for k, v in dataclasses.asdict(self.filter).items()}
         cp["reverb"] = {k: str(v) for k, v in dataclasses.asdict(self.reverb).items()}
+        cp["limiter"] = {k: str(v) for k, v in dataclasses.asdict(self.limiter).items()}
         cp["arpeggio"] = {"enabled": str(self.arp.enabled),
                           "intervals": " ".join(str(i) for i in self.arp.intervals),
                           "rate": str(self.arp.rate)}
@@ -445,6 +467,14 @@ class SynthController:
             self.reverb.enabled = g.getboolean("enabled", self.reverb.enabled)
             for f in ("roomsize", "damping", "wet", "dry", "tail"):
                 setattr(self.reverb, f, g.getfloat(f, getattr(self.reverb, f)))
+            self.apply_reverb()
+        if "limiter" in cp:
+            g = cp["limiter"]
+            self.limiter.enabled = g.getboolean("enabled",
+                                                self.limiter.enabled)
+            for f in ("ceiling_db", "release", "lookahead"):
+                setattr(self.limiter, f,
+                        g.getfloat(f, getattr(self.limiter, f)))
             self.apply_reverb()
         if "echo" in cp:
             g = cp["echo"]
@@ -570,6 +600,21 @@ class SynthGUI:
         tk.Scale(rev, from_=0.0, to=1.0, resolution=0.05,
                  orient=tk.HORIZONTAL, label="wet",
                  command=lambda v: _set_reverb("wet", float(v))).pack()
+
+        lim = ttk.LabelFrame(panel, text="limiter")
+        lim.pack(side=tk.LEFT, padx=4)
+        self.limiter_var = tk.BooleanVar(value=False)
+
+        def _set_limiter(field, value):
+            setattr(self.ctrl.limiter, field, value)
+            self.ctrl.apply_reverb()
+        ttk.Checkbutton(lim, text="enabled", variable=self.limiter_var,
+                        command=lambda: _set_limiter(
+                            "enabled", self.limiter_var.get())).pack()
+        tk.Scale(lim, from_=-24.0, to=0.0, resolution=0.5,
+                 orient=tk.HORIZONTAL, label="ceiling dB",
+                 command=lambda v: _set_limiter("ceiling_db",
+                                                float(v))).pack()
         ttk.Button(echo, text="save preset", command=self._save).pack()
         ttk.Button(echo, text="load preset", command=self._load).pack()
         ttk.Button(echo, text="sampler wav", command=self._load_sampler).pack()

@@ -9,9 +9,16 @@ for tests and for exporting sequencer songs.
     sample = render_midi("song.mid")                    # default instrument
     sample = render_midi("song.mid", instruments={0: SynthDef(wave="sine")})
 
+Controllers honored: CC64 sustain pedal (note-offs while the pedal is
+down are deferred to the pedal release — the gap that audibly truncates
+piano files), CC7 channel volume / CC11 expression (sampled at note-on,
+scaling amplitude as (vol/127)*(expr/127)), CC10 pan (sampled at
+note-on, mapped to the voice's constant-power pan).
+
 Limitations (deliberate, documented): notes map to the bank's gate-ADSR
 voices (no per-note velocity curves beyond linear amplitude), SMPTE
-divisions are unsupported, pitch bend / CCs are ignored, and a retriggered
+divisions are unsupported, pitch bend and continuous mid-note CC curves
+are ignored (controllers are sampled at note-on), and a retriggered
 note (note-on while the same note is already sounding on the channel)
 replaces the open note rather than layering.
 """
@@ -40,6 +47,9 @@ class MidiNote(NamedTuple):
     velocity: int       # 1..127
     channel: int        # 0..15
     program: int = 0    # GM program active at note-on
+    volume: float = 1.0         # (CC7/127)*(CC11/127) at note-on
+    pan: Optional[float] = None  # CC10 at note-on mapped to [-1, 1];
+    #                              None = channel never sent CC10
 
 
 def note_to_freq(note: int, a4: float = 440.0) -> float:
@@ -58,10 +68,10 @@ def _read_vlq(data: bytes, pos: int) -> Tuple[int, int]:
 
 class _Event(NamedTuple):
     tick: int
-    kind: str           # "on" | "off" | "tempo" | "program"
+    kind: str           # "on" | "off" | "tempo" | "program" | "cc"
     channel: int
-    a: int              # note / tempo µs-per-quarter / program number
-    b: int              # velocity
+    a: int              # note / tempo µs-per-quarter / program / controller
+    b: int              # velocity / controller value
 
 
 def _parse_track(data: bytes) -> List[_Event]:
@@ -105,7 +115,11 @@ def _parse_track(data: bytes) -> List[_Event]:
                 note, vel = data[pos], data[pos + 1]
                 pos += 2
                 events.append(_Event(tick, "off", ch, note, vel))
-            elif kind in (0xA0, 0xB0, 0xE0):       # 2-byte channel events
+            elif kind == 0xB0:                     # control change
+                events.append(_Event(tick, "cc", ch, data[pos],
+                                     data[pos + 1]))
+                pos += 2
+            elif kind in (0xA0, 0xE0):             # aftertouch / pitch bend
                 pos += 2
             elif kind == 0xC0:                     # program change
                 events.append(_Event(tick, "program", ch, data[pos], 0))
@@ -137,11 +151,28 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
 
     # tick -> seconds with the tempo map (default 120 bpm)
     notes: List[MidiNote] = []
-    open_notes: Dict[Tuple[int, int], Tuple[float, int, int]] = {}
+    #: (ch, note) -> (t0, vel, prog, volume, pan)
+    open_notes: Dict[Tuple[int, int], tuple] = {}
+    #: notes whose note-off arrived while CC64 was down: they keep
+    #: sounding until the pedal releases (the GM sustain rule)
+    sustained: Dict[Tuple[int, int], tuple] = {}
     programs = [0] * 16
+    # neutral defaults (a file that never sends CC7/CC11 renders exactly
+    # as before CC support); files that DO send them get the relative
+    # channel balance they encode
+    cc7 = [127] * 16            # channel volume
+    cc11 = [127] * 16           # expression
+    cc10: List[Optional[int]] = [None] * 16   # pan (None = never sent)
+    pedal = [False] * 16
     sec = 0.0
     last_tick = 0
     us_per_quarter = 500_000
+
+    def _close(key, started, t1):
+        t0, vel, prog, vol, pan = started
+        notes.append(MidiNote(t0, max(t1 - t0, 1e-3), key[1], vel,
+                              key[0], prog, vol, pan))
+
     for ev in events:
         sec += (ev.tick - last_tick) * us_per_quarter / 1e6 / division
         last_tick = ev.tick
@@ -149,14 +180,49 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
             us_per_quarter = ev.a
         elif ev.kind == "program":
             programs[ev.channel] = ev.a
+        elif ev.kind == "cc":
+            ch = ev.channel
+            if ev.a == 64:                         # sustain pedal
+                down = ev.b >= 64
+                if pedal[ch] and not down:
+                    # release: close every note held only by the pedal
+                    for key in [k for k in sustained if k[0] == ch]:
+                        _close(key, sustained.pop(key), sec)
+                pedal[ch] = down
+            elif ev.a == 7:
+                cc7[ch] = ev.b
+            elif ev.a == 11:
+                cc11[ch] = ev.b
+            elif ev.a == 10:
+                cc10[ch] = ev.b
+            elif ev.a in (120, 123):               # all sound/notes off
+                for key in [k for k in open_notes if k[0] == ch]:
+                    _close(key, open_notes.pop(key), sec)
+                for key in [k for k in sustained if k[0] == ch]:
+                    _close(key, sustained.pop(key), sec)
+                pedal[ch] = False
         elif ev.kind == "on":
-            open_notes[(ev.channel, ev.a)] = (sec, ev.b, programs[ev.channel])
+            key = (ev.channel, ev.a)
+            held = sustained.pop(key, None)
+            if held is not None:                   # pedal retrigger
+                _close(key, held, sec)
+            pan = cc10[ev.channel]
+            notes_pan = None if pan is None \
+                else max(-1.0, min(1.0, (pan - 64) / 63.0))
+            vol = (cc7[ev.channel] / 127.0) * (cc11[ev.channel] / 127.0)
+            open_notes[key] = (sec, ev.b, programs[ev.channel], vol,
+                               notes_pan)
         elif ev.kind == "off":
-            started = open_notes.pop((ev.channel, ev.a), None)
+            key = (ev.channel, ev.a)
+            started = open_notes.pop(key, None)
             if started is not None:
-                t0, vel, prog = started
-                notes.append(MidiNote(t0, max(sec - t0, 1e-3), ev.a, vel,
-                                      ev.channel, prog))
+                if pedal[ev.channel]:
+                    sustained[key] = started       # ring until pedal up
+                else:
+                    _close(key, started, sec)
+    # a pedal still down at end of file: close what it was holding
+    for key in list(sustained):
+        _close(key, sustained.pop(key), sec)
     notes.sort(key=lambda n: n.start)
     return notes
 
@@ -220,8 +286,8 @@ def midi_to_voices(notes: Sequence[MidiNote],
             wave=sd.wave,
             frequency=freq,
             seed=n.note,
-            amplitude=sd.amplitude * (n.velocity / 127.0),
-            pan=sd.pan,
+            amplitude=sd.amplitude * (n.velocity / 127.0) * n.volume,
+            pan=sd.pan if n.pan is None else n.pan,
             start=n.start,
             duration=n.duration,
             attack=sd.attack, decay=sd.decay,

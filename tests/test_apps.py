@@ -568,3 +568,62 @@ def test_library_migrates_old_schema(tmp_path):
     t = lib.search("x")[0]
     assert t.lufs is None and t.peak is None
     lib.close()
+
+
+def test_controller_master_limiter(tmp_path):
+    """The keyboard's master limiter caps the output bus at its ceiling
+    (reverb -> limiter console order) and round-trips through presets."""
+    import io
+    import time as _t
+    from synthesizer_tpu import Output
+    from synthesizer_tpu.ops.coeffs import limiter_ceiling
+    from keyboard_gui import SynthController
+
+    wav = str(tmp_path / "kb_lim.wav")
+    out = Output(samplerate=44100, nchannels=2, frames_per_chunk=2000,
+                 mixing="mixed", wav_file=wav)
+    try:
+        ctrl = SynthController(output=out)
+        ctrl.oscs[0].amplitude = 0.9
+        ctrl.limiter.enabled = True
+        ctrl.limiter.ceiling_db = -6.0
+        ctrl.apply_reverb()
+        assert out.fx is not None and out.fx.flush_frames > 0
+        for key in (40, 44, 47):                # a loud chord
+            ctrl.key_down(key)
+        _t.sleep(0.2)
+        for key in (40, 44, 47):
+            ctrl.key_up(key)
+        # gate voices are tracked by mixer.active_count (still_playing
+        # only covers play_sample ids); generous deadline — the voice
+        # AND limiter-chain first-jit compiles land inside it on a
+        # loaded CI box
+        deadline = _t.time() + 120.0
+        while out.mixer.active_count and _t.time() < deadline:
+            _t.sleep(0.02)
+        assert out.mixer.active_count == 0
+        _t.sleep(0.5)       # let the pump drain the holdback/fx tail
+        # preset round trip carries the limiter section
+        buf = io.StringIO()
+        ctrl.save_preset(buf)
+        buf.seek(0)
+        ctrl2 = SynthController(output=out)
+        ctrl2.load_preset(buf)
+        assert ctrl2.limiter.enabled
+        assert ctrl2.limiter.ceiling_db == pytest.approx(-6.0)
+        # reverb + limiter both enabled -> chain of two, limiter last
+        ctrl2.reverb.enabled = True
+        ctrl2.apply_reverb()
+        assert out.fx is not None and len(out.fx.processors) == 2
+        ctrl2.limiter.enabled = False
+        ctrl2.reverb.enabled = False
+        ctrl2.apply_reverb()
+        assert out.fx is None
+    finally:
+        out.close()
+    import wave as wavemod
+    w = wavemod.open(wav)
+    a = np.frombuffer(w.readframes(w.getnframes()),
+                      np.int16).reshape(-1, 2)
+    assert np.abs(a).max() > 1000               # something played
+    assert np.abs(a.astype(np.int64)).max() <= limiter_ceiling(-6.0, 2)

@@ -176,3 +176,24 @@ def test_jukebox_gui_buttons_drive_engine(faketk, tmp_path):
             gui._thread.join(timeout=20.0)
     finally:
         gui.root.destroy()
+
+
+def test_synth_gui_limiter_toggle_installs_fx(faketk):
+    _tk, gui = _make_synth_gui()
+    try:
+        lim = fake_tk.find(fake_tk.LabelFrame, text="limiter")
+        toggle = [w for w in lim.children
+                  if isinstance(w, fake_tk.Checkbutton)][0]
+        toggle.invoke()
+        assert gui.ctrl.limiter.enabled is True
+        assert gui.output.fx is not None
+        for w in lim.children:
+            if isinstance(w, fake_tk.Scale) \
+                    and w.kw.get("label") == "ceiling dB":
+                w.drive(-12.0)
+        assert gui.ctrl.limiter.ceiling_db == pytest.approx(-12.0)
+        toggle.invoke()
+        assert gui.output.fx is None
+    finally:
+        gui.output.close()
+        gui.root.destroy()

@@ -206,3 +206,77 @@ def test_export_midi_velocity_automation():
     notes = parse_midi(song.export_midi())
     vels = [n.velocity for n in sorted(notes, key=lambda n: n.start)]
     assert vels == [100, 75, 50, 25]
+
+
+def _smf1(ev: bytes) -> bytes:
+    import struct
+    ev += b"\x00" + bytes([0xFF, 0x2F, 0x00])
+    return (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+            + b"MTrk" + struct.pack(">I", len(ev)) + ev)
+
+
+def test_sustain_pedal_extends_notes():
+    from synthesizer_tpu.midi import _vlq
+    # pedal down, note on, note off at 240 ticks (0.25 s at 120 bpm),
+    # pedal up at 960 ticks (1.0 s): the note rings to the pedal release
+    ev = b""
+    ev += _vlq(0) + bytes([0xB0, 64, 127])             # CC64 down
+    ev += _vlq(0) + bytes([0x90, 60, 100])             # note on
+    ev += _vlq(240) + bytes([0x80, 60, 0])             # note off (held)
+    ev += _vlq(720) + bytes([0xB0, 64, 0])             # CC64 up @960
+    notes = parse_midi(_smf1(ev))
+    assert len(notes) == 1
+    assert notes[0].duration == pytest.approx(1.0, abs=1e-6)
+    # without the pedal the same file stops at 0.25 s
+    ev2 = b""
+    ev2 += _vlq(0) + bytes([0x90, 60, 100])
+    ev2 += _vlq(240) + bytes([0x80, 60, 0])
+    assert parse_midi(_smf1(ev2))[0].duration == pytest.approx(
+        0.25, abs=1e-6)
+
+
+def test_sustain_pedal_retrigger_and_eof():
+    from synthesizer_tpu.midi import _vlq
+    # a retriggered note closes the pedal-held instance at the retrigger;
+    # a pedal still down at EOF closes held notes at the last event
+    ev = b""
+    ev += _vlq(0) + bytes([0xB0, 64, 127])
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(240) + bytes([0x80, 60, 0])             # held by pedal
+    ev += _vlq(240) + bytes([0x90, 60, 90])            # retrigger @480
+    ev += _vlq(480) + bytes([0x80, 60, 0])             # off @960, held
+    notes = sorted(parse_midi(_smf1(ev)), key=lambda n: n.start)
+    assert len(notes) == 2
+    assert notes[0].duration == pytest.approx(0.5, abs=1e-6)   # to retrig
+    assert notes[1].duration == pytest.approx(0.5, abs=1e-6)   # to EOF
+
+
+def test_cc_volume_expression_pan():
+    from synthesizer_tpu.midi import _vlq, midi_to_voices
+    ev = b""
+    ev += _vlq(0) + bytes([0xB0, 7, 64])               # half volume
+    ev += _vlq(0) + bytes([0xB0, 11, 64])              # half expression
+    ev += _vlq(0) + bytes([0xB0, 10, 127])             # hard right
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(240) + bytes([0x80, 60, 0])
+    ev += _vlq(0) + bytes([0x91, 60, 100])             # ch1: no CCs
+    ev += _vlq(240) + bytes([0x81, 60, 0])
+    notes = sorted(parse_midi(_smf1(ev)), key=lambda n: n.channel)
+    assert notes[0].volume == pytest.approx((64 / 127.0) ** 2)
+    assert notes[0].pan == pytest.approx(1.0)
+    assert notes[1].volume == 1.0 and notes[1].pan is None
+    v0, v1 = midi_to_voices(notes)
+    assert v0.amplitude == pytest.approx(v1.amplitude * (64 / 127.0) ** 2)
+    assert v0.pan == pytest.approx(1.0)
+    assert v1.pan == 0.0                               # SynthDef default
+
+
+def test_cc_all_notes_off():
+    from synthesizer_tpu.midi import _vlq
+    ev = b""
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(0) + bytes([0x90, 64, 100])
+    ev += _vlq(480) + bytes([0xB0, 123, 0])            # all notes off @0.5s
+    notes = parse_midi(_smf1(ev))
+    assert len(notes) == 2
+    assert all(n.duration == pytest.approx(0.5, abs=1e-6) for n in notes)
