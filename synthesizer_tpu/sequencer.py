@@ -92,7 +92,10 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     ;  fx.eq.low_db/.mid_db/.high_db, fx.echo.feedback/.wet/.dry,
     ;  fx.width.amount, fx.limiter.ceiling_db/.release,
     ;  fx.phaser.wet/.dry/.rate/.depth — the recurrence-internal ones
-    ;  ride host-derived coefficient grids)
+    ;  ride host-derived coefficient grids; every knob also works
+    ;  TRACK-SCOPED as fx.TRACK.EFFECT.KNOB on a [fx.TRACK] chain,
+    ;  e.g. fx.lead.filter.cutoff — automated drum chains route to a
+    ;  mix-time bus instead of baking into the WAV)
 
 Tempo-synced knobs resolve against [song] bpm at parse: ``echo beats=``
 (delay in quarter notes) and ``chorus``/``phaser`` ``rate_beats=`` (LFO
@@ -117,6 +120,19 @@ from .synth import note_freq
 from .models.voicebank import Voice, VoiceBank, pack_voices
 
 __all__ = ["Song", "HitSchedule", "SynthDef"]
+
+#: every automatable EFFECT.KNOB — valid as fx.EFFECT.KNOB on the master
+#: [fx] chain AND as fx.TRACK.EFFECT.KNOB on a per-track chain
+_FX_AUTO_SUBKEYS = frozenset((
+    "filter.cutoff", "reverb.wet", "reverb.dry", "reverb.roomsize",
+    "chorus.wet", "chorus.dry", "chorus.rate", "chorus.depth",
+    "compress.makeup_db", "compress.threshold_db", "compress.ratio",
+    "compress.attack", "compress.release", "gate.threshold_db",
+    "eq.low_db", "eq.mid_db", "eq.high_db",
+    "echo.feedback", "echo.wet", "echo.dry",
+    "width.amount", "limiter.ceiling_db", "limiter.release",
+    "phaser.wet", "phaser.dry", "phaser.rate", "phaser.depth",
+))
 
 
 @dataclasses.dataclass
@@ -433,6 +449,14 @@ class Song:
         #: processes it at mix time — what makes "duck the hat by the
         #: kick" expressible
         self.drum_fx_bus: Dict[str, List[Tuple[str, dict]]] = {}
+        #: drum chains that were BAKED into the banked WAV at
+        #: add_track_fx time (no timeline): automation can no longer
+        #: reach them — add_automation raises with guidance
+        self._baked_fx: set = set()
+        #: tracks whose [fx.NAME] knobs will be automated (pre-scanned
+        #: from [automation] in from_ini): their drum chains route to a
+        #: bus instead of baking, like sidechain chains
+        self._auto_fx_tracks: set = set()
         #: automation curves ([automation] ini section): breakpoint lists
         #: of (tick, value) pairs, linearly interpolated, ends held.
         #: ``track.NAME.volume`` scales each hit/note by the curve at its
@@ -539,6 +563,13 @@ class Song:
                 if name == "convolve":
                     self._load_fx_ir(p["ir"], base)
                 self._resolve_fx_tempo(name, p)
+        if cp.has_section("automation"):
+            # pre-scan BEFORE [fx.X] processing: a drum chain whose knobs
+            # will be automated needs the bus route, not the baked WAV
+            for key in cp.options("automation"):
+                parts = key.split(".")
+                if len(parts) == 4 and parts[0] == "fx":
+                    self._auto_fx_tracks.add(parts[1])
         for section in cp.sections():
             if section.startswith("fx."):
                 inst = section[len("fx."):]
@@ -575,7 +606,8 @@ class Song:
                 raise ValueError(f"[fx] {name}: rate_beats must be > 0")
             p["rate"] = float(self.bpm) / (60.0 * b)
 
-    def add_track_fx(self, instrument: str, items, base: str = "") -> None:
+    def add_track_fx(self, instrument: str, items, base: str = "",
+                     bus: bool = False) -> None:
         """Per-track effects ([fx.NAME] ini sections).
 
         A sample instrument's chain is applied to its sample once at load,
@@ -583,7 +615,10 @@ class Song:
         through the hit bank (a reverb/convolve tail simply lengthens the
         banked sample).  A synth track's chain is stored and processes the
         track's own stereo bus at mix time (synths shadow same-named
-        sample instruments here, matching pattern-track resolution)."""
+        sample instruments here, matching pattern-track resolution).
+        ``bus=True`` forces a drum instrument's chain onto a mix-time bus
+        even without a timeline-dependent entry — required when its knobs
+        will be automated programmatically (fx.NAME.EFFECT.KNOB)."""
         from .effects import apply_fx_sample, parse_fx_items
         if (instrument not in self.instruments
                 and instrument not in self.synths
@@ -610,13 +645,16 @@ class Song:
         elif instrument in self.samplers:
             self.sampler_fx[instrument] = fx
         else:
-            if any(n == "compress" and p.get("sidechain")
-                   for n, p in fx):
-                # a timeline-dependent chain cannot bake into the WAV:
-                # the instrument's hits get their own bus at mix time
+            if (bus or any(n == "compress" and p.get("sidechain")
+                           for n, p in fx)
+                    or instrument in self._auto_fx_tracks):
+                # a timeline-dependent chain (sidechain ducking, or knob
+                # automation) cannot bake into the WAV: the instrument's
+                # hits get their own bus at mix time
                 self.drum_fx_bus[instrument] = fx
             else:
                 apply_fx_sample(self.instruments[instrument], fx, irs)
+                self._baked_fx.add(instrument)
 
     def add_automation(self, key: str, points) -> None:
         """Attach an automation curve (the [automation] ini section).
@@ -643,76 +681,50 @@ class Song:
             if t1 <= t0:
                 raise ValueError(f"automation {key}: ticks must be strictly "
                                  f"ascending (got {t0} then {t1})")
+        parts = key.split(".")
+        subkey = None
+        if parts[0] == "fx" and len(parts) == 3 \
+                and ".".join(parts[1:]) in _FX_AUTO_SUBKEYS:
+            subkey = ".".join(parts[1:])
+        elif parts[0] == "fx" and len(parts) == 4 \
+                and ".".join(parts[2:]) in _FX_AUTO_SUBKEYS:
+            subkey = ".".join(parts[2:])
         neg_ok = (key.endswith(".pan") or key.endswith(".makeup_db")
                   or key.endswith(".threshold_db")
                   or key.endswith(".ceiling_db")
-                  or key.startswith("fx.eq."))
+                  or (subkey is not None and subkey.startswith("eq.")))
         for t, v in pts:
             if (not (np.isfinite(t) and np.isfinite(v))
                     or (v < 0 and not neg_ok)):
                 raise ValueError(f"automation {key}: bad breakpoint "
                                  f"({t}, {v})")
-        parts = key.split(".")
         if key == "master.volume":
             pass
-        elif key in ("fx.filter.cutoff", "fx.reverb.wet", "fx.reverb.dry",
-                     "fx.reverb.roomsize",
-                     "fx.chorus.wet", "fx.chorus.dry",
-                     "fx.chorus.rate", "fx.chorus.depth",
-                     "fx.compress.makeup_db", "fx.compress.threshold_db",
-                     "fx.compress.ratio", "fx.compress.attack",
-                     "fx.compress.release", "fx.gate.threshold_db",
-                     "fx.eq.low_db", "fx.eq.mid_db", "fx.eq.high_db",
-                     "fx.echo.feedback", "fx.echo.wet", "fx.echo.dry",
-                     "fx.width.amount", "fx.limiter.ceiling_db",
-                     "fx.limiter.release", "fx.phaser.wet",
-                     "fx.phaser.dry", "fx.phaser.rate",
-                     "fx.phaser.depth"):
-            target = key.split(".")[1]
-            nfx = sum(1 for n, _ in self.fx if n == target)
-            if nfx == 0:
-                raise ValueError(f"automation {key}: the [fx] chain has "
-                                 f"no {target} entry (add it first)")
-            if nfx > 1:
-                raise ValueError(f"automation {key}: the [fx] chain has "
-                                 f"several {target} entries — only one "
-                                 f"can be automated")
-            if key == "fx.reverb.roomsize":
-                for t, v in pts:
-                    if not 0.0 <= v <= 1.0:
-                        raise ValueError(f"automation {key}: roomsize "
-                                         f"must be in [0, 1] (got {v})")
-            if key == "fx.echo.feedback":
-                for t, v in pts:
-                    if not 0.0 <= v <= 0.95:
-                        raise ValueError(f"automation {key}: feedback "
-                                         f"must be in [0, 0.95] (got {v})")
-            if key == "fx.width.amount":
-                for t, v in pts:
-                    if not 0.0 <= v <= 4.0:
-                        raise ValueError(f"automation {key}: width amount "
-                                         f"must be in [0, 4] (got {v})")
-            if key == "fx.limiter.ceiling_db":
-                for t, v in pts:
-                    if not -60.0 <= v <= 0.0:
-                        raise ValueError(f"automation {key}: ceiling "
-                                         f"must be in [-60, 0] dB "
-                                         f"(got {v})")
-            if key == "fx.limiter.release":
-                for t, v in pts:
-                    if not 0.0 < v <= 5.0:
-                        raise ValueError(f"automation {key}: release "
-                                         f"must be in (0, 5] s (got {v})")
-            if key == "fx.phaser.rate":
-                for t, v in pts:
-                    if not 0.0 < v <= 20.0:
-                        raise ValueError(f"automation {key}: rate must "
-                                         f"be in (0, 20] Hz (got {v})")
-            if key == "fx.phaser.depth":
-                for t, v in pts:
-                    if not 0.0 <= v <= 1.0:
-                        raise ValueError(f"automation {key}: depth must "
-                                         f"be in [0, 1] (got {v})")
+        elif subkey is not None and len(parts) == 3:
+            self._check_fx_automation(key, subkey, self.fx, "[fx]", pts)
+        elif subkey is not None:
+            # per-track chain knob (fx.TRACK.EFFECT.KNOB): the same
+            # validation against the TRACK's own chain
+            tname = parts[1]
+            if tname in self.synth_fx:
+                chain = self.synth_fx[tname]
+            elif tname in self.sampler_fx:
+                chain = self.sampler_fx[tname]
+            elif tname in self.drum_fx_bus:
+                chain = self.drum_fx_bus[tname]
+            elif tname in self._baked_fx:
+                raise ValueError(
+                    f"automation {key}: the [fx.{tname}] chain was baked "
+                    f"into the instrument sample at load (no timeline to "
+                    f"automate against) — in a song file this routes to a "
+                    f"bus automatically (the [automation] section is "
+                    f"pre-scanned); programmatically pass bus=True to "
+                    f"add_track_fx")
+            else:
+                raise ValueError(f"automation {key}: no [fx.{tname}] "
+                                 f"chain (add it first)")
+            self._check_fx_automation(key, subkey, chain,
+                                      f"[fx.{tname}]", pts)
         elif (len(parts) == 3 and parts[0] == "track"
               and parts[2] in ("volume", "pan")):
             name = parts[1]
@@ -740,9 +752,64 @@ class Song:
                              f"fx.eq.low_db/.mid_db/.high_db, "
                              f"fx.echo.feedback/.wet/.dry, "
                              f"fx.width.amount, "
-                             f"fx.limiter.ceiling_db/.release, or "
-                             f"fx.phaser.wet/.dry/.rate/.depth)")
+                             f"fx.limiter.ceiling_db/.release, "
+                             f"fx.phaser.wet/.dry/.rate/.depth, or any "
+                             f"of those fx knobs track-scoped as "
+                             f"fx.TRACK.EFFECT.KNOB)")
         self.automation[key] = pts
+
+    def _check_fx_automation(self, key: str, subkey: str, chain,
+                             where: str, pts) -> None:
+        """Validate an EFFECT.KNOB curve against a chain (the master [fx]
+        or a track's [fx.NAME]): the effect must appear exactly once, and
+        knob values must sit in the effect's legal range."""
+        target = subkey.split(".")[0]
+        nfx = sum(1 for n, _ in chain if n == target)
+        if nfx == 0:
+            raise ValueError(f"automation {key}: the {where} chain has "
+                             f"no {target} entry (add it first)")
+        if nfx > 1:
+            raise ValueError(f"automation {key}: the {where} chain has "
+                             f"several {target} entries — only one "
+                             f"can be automated")
+        _RANGES = {
+            "reverb.roomsize": (0.0, 1.0, "roomsize", "[0, 1]"),
+            "echo.feedback": (0.0, 0.95, "feedback", "[0, 0.95]"),
+            "width.amount": (0.0, 4.0, "width amount", "[0, 4]"),
+            "limiter.ceiling_db": (-60.0, 0.0, "ceiling", "[-60, 0] dB"),
+            "phaser.depth": (0.0, 1.0, "depth", "[0, 1]"),
+        }
+        _OPEN_RANGES = {
+            "limiter.release": (0.0, 5.0, "release", "(0, 5] s"),
+            "phaser.rate": (0.0, 20.0, "rate", "(0, 20] Hz"),
+        }
+        if subkey in _RANGES:
+            lo, hi, what, rng = _RANGES[subkey]
+            for t, v in pts:
+                if not lo <= v <= hi:
+                    raise ValueError(f"automation {key}: {what} must be "
+                                     f"in {rng} (got {v})")
+        if subkey in _OPEN_RANGES:
+            lo, hi, what, rng = _OPEN_RANGES[subkey]
+            for t, v in pts:
+                if not lo < v <= hi:
+                    raise ValueError(f"automation {key}: {what} must be "
+                                     f"in {rng} (got {v})")
+
+    def _fx_tickf(self) -> float:
+        return self.tick_duration * self.samplerate
+
+    def _track_fx_automation(self, name: str):
+        """The track's fx.NAME.EFFECT.KNOB curves, with the track prefix
+        stripped to the master-key form the FxChain machinery reads
+        (fx.EFFECT.KNOB) — None when the track has no fx automation."""
+        pre = f"fx.{name}."
+        out = {}
+        for k, pts in self.automation.items():
+            parts = k.split(".")
+            if len(parts) == 4 and k.startswith(pre):
+                out[f"fx.{parts[2]}.{parts[3]}"] = pts
+        return out or None
 
     def _track_gain_at(self, name: str, tick: float) -> float:
         pts = self.automation.get(f"track.{name}.volume")
@@ -1474,6 +1541,8 @@ class Song:
             ts = Sample.from_jax(t16, self.samplerate, 2,
                                  name=f"track:{tname}")
             run_fx_chain_ops(ts, self.synth_fx[tname], self.fx_irs,
+                             automation=self._track_fx_automation(tname),
+                             tickf=self._fx_tickf(),
                              sidechain_keys=sidechain_keys)
             out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
         return out32
@@ -1573,6 +1642,9 @@ class Song:
                 ts = Sample.from_jax(t16, self.samplerate, 2,
                                      name=f"strack:{tname}")
                 run_fx_chain_ops(ts, self.sampler_fx[tname], self.fx_irs,
+                                 automation=self._track_fx_automation(
+                                     tname),
+                                 tickf=self._fx_tickf(),
                                  sidechain_keys=sc_keys)
                 out32 = out32 + ts.jax_frames[:total].astype(jnp.int32)
         if len(sched.hits):
@@ -1602,6 +1674,9 @@ class Song:
                     jnp.clip(acc, -32768, 32767).astype(jnp.int16),
                     self.samplerate, 2, name=f"dbus:{name}")
                 run_fx_chain_ops(ds, self.drum_fx_bus[name], self.fx_irs,
+                                 automation=self._track_fx_automation(
+                                     name),
+                                 tickf=self._fx_tickf(),
                                  sidechain_keys=sc_keys)
                 out32 = out32 + ds.jax_frames[:total].astype(jnp.int32)
         if voices:
@@ -1730,7 +1805,11 @@ class Song:
                 # timeline-dependent drum chain: the stem is post-chain,
                 # exactly what this track contributes to mix()
                 run_fx_chain_ops(smp, self.drum_fx_bus[name],
-                                 self.fx_irs, sidechain_keys=sc_keys)
+                                 self.fx_irs,
+                                 automation=self._track_fx_automation(
+                                     name),
+                                 tickf=self._fx_tickf(),
+                                 sidechain_keys=sc_keys)
                 smp.truncate_frames(total)
             stems[name] = smp
 
@@ -1748,6 +1827,9 @@ class Song:
                 self.samplerate, 2, name=f"stem:{name}")
             if name in self.sampler_fx:
                 run_fx_chain_ops(smp, self.sampler_fx[name], self.fx_irs,
+                                 automation=self._track_fx_automation(
+                                     name),
+                                 tickf=self._fx_tickf(),
                                  sidechain_keys=sc_keys)
                 smp.truncate_frames(total)
             stems[name] = smp
@@ -1776,7 +1858,11 @@ class Song:
                                       name=f"stem:{name}")
                 if name in self.synth_fx:
                     run_fx_chain_ops(smp, self.synth_fx[name],
-                                     self.fx_irs, sidechain_keys=sc_keys)
+                                     self.fx_irs,
+                                     automation=self._track_fx_automation(
+                                         name),
+                                     tickf=self._fx_tickf(),
+                                     sidechain_keys=sc_keys)
                     smp.truncate_frames(total)
                 stems[name] = smp
         return stems
@@ -1923,7 +2009,10 @@ class Song:
                           else self._sidechain_key_fns())
                 track_chains = {
                     n: FxChain(self.synth_fx[n], self.samplerate, 2,
-                               self.fx_irs, start_frame=start_frame,
+                               self.fx_irs,
+                               automation=self._track_fx_automation(n),
+                               tickf=self._fx_tickf(),
+                               start_frame=start_frame,
                                sidechain_keys=sc_fns)
                     for n in fx_tracks}
             elif mesh is not None:
@@ -1975,6 +2064,8 @@ class Song:
                     chain = FxChain(
                         self.sampler_fx[tname], self.samplerate,
                         self.nchannels, self.fx_irs,
+                        automation=self._track_fx_automation(tname),
+                        tickf=self._fx_tickf(),
                         start_frame=start_frame,
                         sidechain_keys=(sidechain_keys
                                         if sidechain_keys is not None
@@ -2012,6 +2103,8 @@ class Song:
                 drum_chains[bname] = FxChain(
                     self.drum_fx_bus[bname], self.samplerate,
                     self.nchannels, self.fx_irs,
+                    automation=self._track_fx_automation(bname),
+                    tickf=self._fx_tickf(),
                     start_frame=start_frame, sidechain_keys=sc)
                 kb = max((len(h) for h in bus_chunks[bname]),
                          default=1) or 1

@@ -1134,3 +1134,116 @@ def test_fx_limiter_release_automation_vs_goldref():
                        lookahead=0.003)
     d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
     assert d <= 2, d
+
+
+# ---------------------------------------------------------------------------
+# Per-track fx automation (fx.TRACK.EFFECT.KNOB)
+# ---------------------------------------------------------------------------
+
+def _track_fx_song():
+    from synthesizer_tpu.sequencer import SynthDef
+    song = Song()
+    song.bpm = 240
+    song.ticks = 4
+    song.add_synth("saw", SynthDef(wave="sawtooth_bl", amplitude=0.5,
+                                   attack=0.002, release=0.05))
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    song.add_instrument("kick", ws.sine(60, 0.1, amplitude=0.8)
+                        .fadeout(0.08).stereo())
+    song.add_pattern("a", {"saw": "C3 - - - C3 - - - C3 - - - C3 - - -",
+                           "kick": "x... x... x... x..."})
+    song.pattern_sequence = ["a"]
+    return song
+
+
+@pytest.mark.parametrize("chunk", [977, 3001])
+def test_track_fx_automation_streaming_equals_offline(chunk):
+    song = _track_fx_song()
+    song.add_track_fx("saw", [("filter", "kind=lowpass cutoff=2000")])
+    song.add_track_fx("kick", [("echo", "delay=0.06 feedback=0.4 wet=0.4")],
+                      bus=True)
+    song.add_automation("fx.saw.filter.cutoff", "0:300 16:8000")
+    song.add_automation("fx.kick.echo.wet", "0:0.0 16:0.7")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert got.shape == off.shape
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 12, d
+    # the swept track audibly brightens
+    def hf(seg):
+        f = np.abs(np.fft.rfft(seg[:, 0].astype(np.float64)))
+        fr = np.fft.rfftfreq(len(seg), 1 / SR)
+        return f[fr > 3000].sum() / max(f.sum(), 1e-9)
+    n = len(off) // 4
+    assert hf(off[-n:]) > 2 * hf(off[:n])
+
+
+def test_track_fx_automation_from_ini_prescan(tmp_path):
+    """A drum [fx.NAME] chain whose knobs appear in [automation] routes
+    to a mix-time bus (the pre-scan), not the baked WAV — the curve is
+    audible and streaming == offline."""
+    from synthesizer_tpu import WaveSynth
+    ws = WaveSynth(samplerate=SR, samplewidth=2)
+    ws.sine(60, 0.1, amplitude=0.8).fadeout(0.08).stereo() \
+        .write_wav(str(tmp_path / "kick.wav"))
+    ini = tmp_path / "t.ini"
+    ini.write_text("""
+[song]
+bpm = 240
+ticks = 4
+patterns = a
+
+[paths]
+samples = .
+
+[instruments]
+kick = kick.wav
+
+[pattern.a]
+kick = x... x... x... x...
+
+[fx.kick]
+echo = delay=0.06 feedback=0.4 wet=0.1
+
+[automation]
+fx.kick.echo.wet = 0:0.0 16:0.7
+""")
+    song = Song.from_ini(str(ini))
+    assert "kick" in song.drum_fx_bus          # bus route, not baked
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=1470)])
+    assert len(got) == len(off)
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 2, d
+    # the echo send rides up: the echo-only window after the LAST hit
+    # (wet ~0.6) carries far more energy than after the FIRST (wet ~0).
+    # Kick = 0.1 s (4410 fr), delay = 0.06 s (2646 fr): frames
+    # [5292, 7000) past a hit hold only echo copies, no dry kick.
+    beat = int(60.0 / 240 * SR)
+    first, last = 0, 3 * beat                  # hits at ticks 0 and 12
+    w = slice(5292, 7000)
+    r_first = float(np.sqrt(np.mean(
+        off[first + w.start:first + w.stop].astype(np.float64) ** 2)))
+    r_last = float(np.sqrt(np.mean(
+        off[last + w.start:last + w.stop].astype(np.float64) ** 2)))
+    assert r_last > 3 * max(r_first, 1.0), (r_first, r_last)
+
+
+def test_track_fx_automation_validation():
+    song = _track_fx_song()
+    song.add_track_fx("saw", [("filter", "kind=lowpass cutoff=2000")])
+    with pytest.raises(ValueError, match="no echo"):
+        song.add_automation("fx.saw.echo.wet", "0:0.5")
+    with pytest.raises(ValueError, match="no \\[fx.ghost\\]"):
+        song.add_automation("fx.ghost.filter.cutoff", "0:500")
+    # a BAKED drum chain cannot be automated after the fact
+    song.add_track_fx("kick", [("filter", "kind=lowpass cutoff=900")])
+    with pytest.raises(ValueError, match="baked"):
+        song.add_automation("fx.kick.filter.cutoff", "0:300 8:4000")
+    # range checks apply to track-scoped knobs too
+    song.add_track_fx("saw", [("filter", "kind=lowpass cutoff=2000"),
+                              ("echo", "delay=0.05")])
+    with pytest.raises(ValueError, match="feedback"):
+        song.add_automation("fx.saw.echo.feedback", "0:0.99")

@@ -111,3 +111,28 @@ def test_graft_entry_compiles():
 
 def test_graft_dryrun_multichip():
     graft.dryrun_multichip(8)
+
+
+def test_track_fx_automation_sharded_matches_single_device():
+    """Per-track fx automation under mesh=: the lead's swept filter and
+    the kick's bus echo curve process identically on the gathered
+    post-psum buses (<= the synth bus's 1-LSB f32-psum class, amplified
+    through the filter — budget 4)."""
+    song = _make_song()
+    song.add_track_fx("lead", [("filter", "kind=lowpass cutoff=2000")])
+    song.add_track_fx("kick", [("echo", "delay=0.03 feedback=0.4 wet=0.1")],
+                      bus=True)
+    song.add_automation("fx.lead.filter.cutoff", "0:300 16:8000")
+    song.add_automation("fx.kick.echo.wet", "0:0.0 16:0.7")
+    mesh = voice_mesh(8)
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False, mesh=mesh).get_frame_array()
+    assert sharded.shape == single.shape
+    d = np.abs(sharded.astype(np.int64) - single.astype(np.int64)).max()
+    assert d <= 4, f"max {d} LSB"
+    # streaming twin on the mesh agrees with the sharded offline mix
+    got = np.concatenate([c.get_frame_array() for c in
+                          song.mix_generator(chunk_frames=1000, mesh=mesh)])
+    d2 = np.abs(got.astype(np.int64)
+                - sharded[:len(got)].astype(np.int64)).max()
+    assert d2 <= 4, f"max {d2} LSB"
