@@ -66,18 +66,24 @@ class Jukebox:
 
     def __init__(self, library: Optional[MusicLibrary] = None,
                  crossfade: float = 3.0, frames_per_chunk: int = 0,
-                 level_match: bool = False, target_lufs: float = -18.0):
+                 level_match: bool = False, target_lufs: float = -18.0,
+                 limiter_db: Optional[float] = None):
         """``level_match=True`` plays every track at ``target_lufs``
         (EBU R128 loudness normalization, the streaming-player
         convention): each deck loads with a static trim gain of
         target - integrated LUFS, capped so the track's sample peak
         never exceeds full scale.  Unmeasured library tracks are
-        measured (and cached in the sqlite index) on first load."""
+        measured (and cached in the sqlite index) on first load.
+        ``limiter_db`` adds the standard companion brickwall: a
+        lookahead limiter (effects.StreamingLimiter) on the mixed
+        output, so crossfade overlaps of two hot tracks can never
+        clip past the ceiling."""
         self.library = library or MusicLibrary()
         self.crossfade = crossfade
         self.frames_per_chunk = frames_per_chunk or params.norm_frames_per_chunk
         self.level_match = bool(level_match)
         self.target_lufs = float(target_lufs)
+        self.limiter_db = limiter_db
         self.playlist: List[Track] = []
         self.decks: List[Optional[Deck]] = [None, None]
         self.active_deck = 0
@@ -153,6 +159,30 @@ class Jukebox:
             self._fade_left = self.crossfade
 
     def chunks(self) -> Iterator:
+        """Yield mixed Samples until the playlist and decks run dry
+        (through the output limiter when ``limiter_db`` is set — a
+        HOLDBACK processor: the first chunk is its lookahead shorter,
+        and the held-back frames flush after the last deck ends, so
+        total output length is preserved)."""
+        if self.limiter_db is None:
+            yield from self._chunks_raw()
+            return
+        import jax.numpy as _jnp
+        import numpy as _np
+        from synthesizer_tpu.effects import StreamingLimiter
+        from synthesizer_tpu.sample import Sample as _Sample
+        sr = params.norm_samplerate
+        lim = StreamingLimiter(sr, 2, ceiling_db=float(self.limiter_db))
+        for raw in self._chunks_raw():
+            out = lim.process(raw.jax_frames)
+            if int(out.shape[0]):
+                yield _Sample.from_jax(out, sr, 2, name=raw.name)
+        z = _jnp.zeros((lim.flush_frames, 2), _jnp.int16)
+        out = lim.process(z)
+        if int(out.shape[0]):
+            yield _Sample.from_jax(out, sr, 2, name="limiter-flush")
+
+    def _chunks_raw(self) -> Iterator:
         """Yield mixed Samples until the playlist and decks run dry."""
         chunk_dur = self.frames_per_chunk / params.norm_samplerate
         if self.decks[self.active_deck] is None and not self._load_next(self.active_deck):
@@ -285,13 +315,17 @@ def main() -> None:
                     help="R128 loudness normalization across tracks")
     ap.add_argument("--target-lufs", type=float, default=-18.0,
                     help="level-match target (default -18 LUFS)")
+    ap.add_argument("--limit", type=float, default=None, metavar="DB",
+                    help="brickwall-limit the output at DB dBFS "
+                         "(e.g. --limit -1)")
     args = ap.parse_args()
     lib = MusicLibrary()
     for d in args.dirs:
         print(f"indexed {lib.scan(d)} tracks from {d}")
     if args.play:
         box = Jukebox(lib, crossfade=1.0, level_match=args.level_match,
-                      target_lufs=args.target_lufs)
+                      target_lufs=args.target_lufs,
+                      limiter_db=args.limit)
         for t in lib.search(""):
             box.enqueue(t)
             print(f"queued: {t.title} ({t.duration:.1f}s)")

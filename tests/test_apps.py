@@ -627,3 +627,38 @@ def test_controller_master_limiter(tmp_path):
                       np.int16).reshape(-1, 2)
     assert np.abs(a).max() > 1000               # something played
     assert np.abs(a.astype(np.int64)).max() <= limiter_ceiling(-6.0, 2)
+
+
+def test_jukebox_output_limiter(tmp_path):
+    """Jukebox(limiter_db=): two hot tracks crossfading (their overlap
+    would clip) stay under the brickwall ceiling, and the holdback's
+    flush preserves the total output length."""
+    from synthesizer_tpu.ops.coeffs import limiter_ceiling
+    synth = WaveSynth(samplerate=SR, samplewidth=2)
+    synth.sine(440.0, 1.0, amplitude=0.95).stereo() \
+        .write_wav(str(tmp_path / "a.wav"))
+    synth.sine(445.0, 1.0, amplitude=0.95).stereo() \
+        .write_wav(str(tmp_path / "b.wav"))
+    lib = MusicLibrary()
+    lib.scan(str(tmp_path))
+    tracks = lib.search("")
+
+    def run(limiter_db):
+        box = Jukebox(lib, crossfade=0.4, frames_per_chunk=4410,
+                      limiter_db=limiter_db)
+        for t in tracks:
+            box.enqueue(t)
+        chunks = [c.get_frame_array() for c in box.chunks()]
+        return np.concatenate(chunks)
+
+    raw = run(None)
+    limited = run(-3.0)
+    assert len(limited) == len(raw)            # flush preserved length
+    # the raw 0.95-amplitude tones exceed the -3 dB ceiling (the fade
+    # ramps keep the overlap itself below full scale)
+    assert np.abs(raw.astype(np.int64)).max() > limiter_ceiling(-3.0, 2)
+    assert np.abs(limited.astype(np.int64)).max() \
+        <= limiter_ceiling(-3.0, 2)
+    # outside the overlap the tracks are untouched by more than the
+    # gain ramp: the head still carries full-level audio
+    assert np.abs(limited[: SR // 4].astype(np.int64)).max() > 20000
