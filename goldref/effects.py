@@ -67,9 +67,28 @@ def compressor_coeffs(samplerate: int, attack: float,
     return alpha, decay
 
 
+def _static_curve_db_f32(level_db, thr, slope, knee):
+    """Per-sample static curve (f32): hard knee is
+    min(0, (thr - level)*slope); a soft knee of width W dB replaces the
+    corner with the quadratic -slope*(level - thr + W/2)^2 / (2W) for
+    |level - thr| <= W/2 (value + first derivative continuous at both
+    edges — the textbook second-order knee)."""
+    hard = min(np.float32(0.0), np.float32((thr - level_db) * slope))
+    if knee is None:
+        return hard
+    half = np.float32(knee * np.float32(0.5))
+    t = np.float32(level_db - thr + half)
+    if t <= np.float32(0.0):
+        return np.float32(0.0)
+    if level_db > np.float32(thr + half):
+        return hard
+    return np.float32(-(np.float32(slope * np.float32(t * t)))
+                      / np.float32(np.float32(2.0) * knee))
+
+
 def compressor_gains(frames: np.ndarray, width: int, samplerate: int,
                      threshold_db: float, ratio: float, attack: float,
-                     release: float) -> np.ndarray:
+                     release: float, knee_db: float = 0.0) -> np.ndarray:
     """Per-sample gain curve of the feed-forward peak compressor.  Spec:
 
     * detector input  a_n = max over channels of |s_n| (normalized f32);
@@ -79,7 +98,11 @@ def compressor_gains(frames: np.ndarray, width: int, samplerate: int,
     * static curve    g_db = min(0, (threshold_db - level_db) * (1 - 1/ratio))
       with level_db = 20*log10(max(e_n, 1e-10)); ratio = inf is a limiter;
     * attack smoothing on the LINEAR gain:
-      y_n = y_{n-1} + alpha * (g_n - y_{n-1}),  y_{-1} = 1.
+      y_n = y_{n-1} + alpha * (g_n - y_{n-1}),  y_{-1} = 1;
+    * soft knee (``knee_db`` = width W > 0): the static curve's corner is
+      replaced by -slope*(level - thr + W/2)^2 / (2W) over
+      |level - thr| <= W/2 (:func:`_static_curve_db_f32`) — knee 0 keeps
+      the hard-knee arithmetic bit-identical.
 
     All per-sample math is float32 (log10/exp2 included).  The device twin
     evaluates the same recurrences as parallel scans whose f32 rounding
@@ -90,17 +113,19 @@ def compressor_gains(frames: np.ndarray, width: int, samplerate: int,
     """
     a = np.max(np.abs(_norm(frames, width)), axis=1).astype(np.float32)
     return compressor_gains_from_level(a, samplerate, threshold_db, ratio,
-                                       attack, release)
+                                       attack, release, knee_db=knee_db)
 
 
 def compressor_gains_from_level(a: np.ndarray, samplerate: int,
                                 threshold_db: float, ratio: float,
-                                attack: float, release: float) -> np.ndarray:
+                                attack: float, release: float,
+                                knee_db: float = 0.0) -> np.ndarray:
     """The gain recurrences from a precomputed f32 detector level ``a``
     (also the sidechain entry point — the device twin mirrors the split)."""
     alpha, decay = compressor_coeffs(samplerate, attack, release)
     slope = np.float32(1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio)
     thr = np.float32(threshold_db)
+    knee = np.float32(knee_db) if knee_db and knee_db > 0 else None
     n = a.shape[0]
     gains = np.empty(n, np.float32)
     e = np.float32(0.0)
@@ -111,7 +136,7 @@ def compressor_gains_from_level(a: np.ndarray, samplerate: int,
         e = max(a[i], np.float32(e * dec))
         level_db = np.float32(20.0) * np.float32(
             np.log10(max(e, np.float32(1e-10))))
-        g_db = min(np.float32(0.0), np.float32((thr - level_db) * slope))
+        g_db = _static_curve_db_f32(level_db, thr, slope, knee)
         g = np.float32(np.exp2(np.float32(g_db * np.float32(1.0 / 6.0206))))
         y = np.float32(y + al * np.float32(g - y))
         gains[i] = y
@@ -120,7 +145,7 @@ def compressor_gains_from_level(a: np.ndarray, samplerate: int,
 
 def compressor_gains_swept(a: np.ndarray, alpha: np.ndarray,
                            decay: np.ndarray, threshold_db,
-                           slope) -> np.ndarray:
+                           slope, knee=None) -> np.ndarray:
     """Per-sample-coefficient twin of :func:`compressor_gains_from_level`
     — the [automation] ``fx.compress.attack``/``.release`` spec: ``alpha``
     and ``decay`` are per-sample f32 COEFFICIENT GRIDS (derived on host
@@ -135,12 +160,16 @@ def compressor_gains_swept(a: np.ndarray, alpha: np.ndarray,
     associative scans (the decaying max still composes:
     (x1,d1)∘(x2,d2) = (max(x2, x1 d2), d1 d2) with per-element d); same
     budget as the static compressor (<= 2e-6 on gains, <= 2 LSB applied).
-    ``threshold_db``/``slope`` may be scalars or per-sample arrays."""
+    ``threshold_db``/``slope``/``knee`` may be scalars or per-sample
+    arrays (knee: dB width grid — fx.compress.knee_db automation; None
+    or 0 = hard knee)."""
     n = a.shape[0]
     alpha = np.broadcast_to(np.asarray(alpha, np.float32), (n,))
     decay = np.broadcast_to(np.asarray(decay, np.float32), (n,))
     thr = np.broadcast_to(np.asarray(threshold_db, np.float32), (n,))
     slope = np.broadcast_to(np.asarray(slope, np.float32), (n,))
+    kneev = (np.broadcast_to(np.asarray(knee, np.float32), (n,))
+             if knee is not None else None)
     gains = np.empty(n, np.float32)
     e = np.float32(0.0)
     y = np.float32(1.0)
@@ -148,8 +177,8 @@ def compressor_gains_swept(a: np.ndarray, alpha: np.ndarray,
         e = max(a[i], np.float32(e * decay[i]))
         level_db = np.float32(20.0) * np.float32(
             np.log10(max(e, np.float32(1e-10))))
-        g_db = min(np.float32(0.0), np.float32((thr[i] - level_db)
-                                               * slope[i]))
+        kn = None if kneev is None or kneev[i] <= 0 else kneev[i]
+        g_db = _static_curve_db_f32(level_db, thr[i], slope[i], kn)
         g = np.float32(np.exp2(np.float32(g_db * np.float32(1.0 / 6.0206))))
         y = np.float32(y + alpha[i] * np.float32(g - y))
         gains[i] = y
@@ -170,7 +199,8 @@ def sidechain_level(key_frames: np.ndarray, key_width: int,
 def compress(frames: np.ndarray, width: int, samplerate: int,
              threshold_db: float = -20.0, ratio: float = 4.0,
              attack: float = 0.005, release: float = 0.1,
-             makeup_db: float = 0.0, sidechain: "np.ndarray" = None,
+             makeup_db: float = 0.0, knee_db: float = 0.0,
+             sidechain: "np.ndarray" = None,
              sidechain_width: int = 2) -> np.ndarray:
     """Apply the compressor: house gain rule with gain_n * makeup.  With
     ``sidechain`` (key frames [m, ch]) the detector listens to the KEY
@@ -178,10 +208,11 @@ def compress(frames: np.ndarray, width: int, samplerate: int,
     if sidechain is not None:
         det = sidechain_level(sidechain, sidechain_width, frames.shape[0])
         gains = compressor_gains_from_level(det, samplerate, threshold_db,
-                                            ratio, attack, release)
+                                            ratio, attack, release,
+                                            knee_db=knee_db)
     else:
         gains = compressor_gains(frames, width, samplerate, threshold_db,
-                                 ratio, attack, release)
+                                 ratio, attack, release, knee_db=knee_db)
     makeup = np.float32(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))
     return _gain_floor(frames, (gains * makeup)[:, None], width)
 

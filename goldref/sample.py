@@ -297,7 +297,7 @@ class Sample:
 
     def compress(self, threshold_db: float = -20.0, ratio: float = 4.0,
                  attack: float = 0.005, release: float = 0.1,
-                 makeup_db: float = 0.0,
+                 makeup_db: float = 0.0, knee_db: float = 0.0,
                  sidechain: "Sample" = None) -> "Sample":
         """Peak compressor / limiter (ratio=inf); with ``sidechain`` the
         detector listens to the key sample (ducking).  Spec:
@@ -305,7 +305,7 @@ class Sample:
         from . import effects
         self.frames = effects.compress(
             self.frames, self.samplewidth, self.samplerate, threshold_db,
-            ratio, attack, release, makeup_db,
+            ratio, attack, release, makeup_db, knee_db,
             sidechain=None if sidechain is None else sidechain.frames,
             sidechain_width=2 if sidechain is None else sidechain.samplewidth)
         return self

@@ -378,6 +378,20 @@ def section_effects(SR):
                - gold.compress(**kw).frames.astype(np.int64)).max()
     check("fx/compress", d <= 2, f"max {d} LSB")
 
+    # soft knee: a level ramp THROUGH the knee region (the random pair()
+    # signal pegs the detector above it, where soft == hard)
+    ramp_amp = 10 ** (np.linspace(-40, -2, 8000) / 20.0)
+    ramp = (np.sin(2 * np.pi * 220 * np.arange(8000) / SR)
+            * ramp_amp * 32767.0).astype(np.int16)
+    ramp2 = np.stack([ramp, ramp], axis=1)
+    kw = dict(threshold_db=-15.0, ratio=4.0, attack=0.003, release=0.08,
+              knee_db=12.0)
+    gk = gs.Sample(ramp2.copy(), SR, 2, 2).compress(**kw).frames
+    dk = Sample.from_raw_frames(ramp2.tobytes(), 2, SR, 2) \
+        .compress(**kw).get_frame_array()
+    d = np.abs(dk.astype(np.int64) - gk.astype(np.int64)).max()
+    check("fx/compress_soft_knee", d <= 2, f"max {d} LSB")
+
     gold, dev = pair()
     kw = dict(roomsize=0.8, damping=0.4, wet=0.3, dry=0.6, tail=0.1)
     d = np.abs(dev.reverb(**kw).get_frame_array().astype(np.int64)

@@ -69,8 +69,9 @@ class StreamingCompressor:
     def __init__(self, samplerate: int, threshold_db: float = -20.0,
                  ratio: float = 4.0, attack: float = 0.005,
                  release: float = 0.1, makeup_db: float = 0.0,
+                 knee_db: float = 0.0,
                  makeup_curve=None, threshold_curve=None, ratio_curve=None,
-                 attack_curve=None, release_curve=None,
+                 attack_curve=None, release_curve=None, knee_curve=None,
                  key_fn=None,
                  tickf: float = 0.0, start_frame: int = 0):
         """Automation curves (fx.compress.*): ``makeup_curve`` (post-gain
@@ -95,20 +96,27 @@ class StreamingCompressor:
         from .ops.coeffs import compressor_coeffs
         alpha, decay = compressor_coeffs(samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
+        if not 0.0 <= knee_db <= 24.0:
+            raise ValueError("compress knee_db must be in [0, 24]")
+        #: STATIC soft-knee flag (the hard-knee program's arithmetic is
+        #: untouched when off); the knee VALUE stays a knob
+        self._has_knee = knee_db > 0.0 or knee_curve is not None
         self._knobs = np.asarray(
             [threshold_db, slope, alpha, decay,
-             float(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))],
+             float(np.exp2(np.float32(makeup_db) / np.float32(6.0206))),
+             knee_db],
             np.float32)
         self._sr = samplerate
         self._env = jnp.float32(0.0)     # e_{-1}
         self._zdev = jnp.float32(0.0)    # z_{-1} = 1 - y_{-1}
         self.tail_frames = 0
         _require_tickf(tickf, makeup_curve, threshold_curve, ratio_curve,
-                       attack_curve, release_curve)
+                       attack_curve, release_curve, knee_curve)
         self._curves = {}
         for name, curve in (("makeup", makeup_curve),
                             ("thr", threshold_curve),
-                            ("ratio", ratio_curve)):
+                            ("ratio", ratio_curve),
+                            ("knee", knee_curve)):
             if curve is not None:
                 self._curves[name] = (
                     jnp.asarray([t for t, _ in curve], jnp.float32),
@@ -144,13 +152,16 @@ class StreamingCompressor:
         which = tuple(sorted(curves))
         has_grids = bool(self._grid_curves)
         has_key = self._key_fn is not None
-        key = ("comp", which, has_grids, has_key, x.shape, str(x.dtype),
+        has_knee = self._has_knee
+        key = ("comp", which, has_grids, has_key, has_knee, x.shape,
+               str(x.dtype),
                tuple(int(curves[k][0].shape[0]) for k in which))
 
         def build():
             @jax.jit
             def fn(x, knobs, e0, z0, *extra):
                 thr, slope, alpha, decay, makeup = (knobs[i] for i in range(5))
+                knee = knobs[5] if has_knee else None
                 off = 0
                 key_arr = None
                 if has_key:
@@ -175,16 +186,21 @@ class StreamingCompressor:
                                  - jnp.float32(1.0)
                                  / jnp.maximum(vals["ratio"],
                                                jnp.float32(1.0)))
+                    if "knee" in vals:
+                        # keep the grid strictly positive: the soft form
+                        # divides by the knee width
+                        knee = jnp.maximum(vals["knee"],
+                                           jnp.float32(1e-3))
                 if has_key:
                     # ducking: the detector listens to the KEY level
                     a = jnp.max(jnp.abs(dfx._norm(key_arr)), axis=1)
                     gains, e, z = dfx.compressor_gains_from_level(
                         a, thr, slope, alpha, decay, e0=e0, z0=z0,
-                        with_state=True)
+                        with_state=True, knee=knee)
                 else:
                     gains, e, z = dfx.compressor_gains_from_coeffs(
                         x, thr, slope, alpha, decay, e0=e0, z0=z0,
-                        with_state=True)
+                        with_state=True, knee=knee)
                 y = dpcm.gain_apply(x, (gains * makeup)[:, None])
                 return y, e, z
             return fn
@@ -1196,7 +1212,7 @@ class StreamingPhaser:
 
 FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
     "compress": (("threshold_db", "ratio", "attack", "release", "makeup_db",
-                  "sidechain"),
+                  "knee_db", "sidechain"),
                  {"sidechain": str}),
     "reverb": (("roomsize", "damping", "wet", "dry", "width", "tail"), {}),
     "chorus": (("rate", "rate_beats", "depth", "delay", "voices", "wet",
@@ -1296,7 +1312,8 @@ def _fx_curves(automation):
             threshold_curve=auto.get("fx.compress.threshold_db"),
             ratio_curve=auto.get("fx.compress.ratio"),
             attack_curve=auto.get("fx.compress.attack"),
-            release_curve=auto.get("fx.compress.release")),
+            release_curve=auto.get("fx.compress.release"),
+            knee_curve=auto.get("fx.compress.knee_db")),
         gate_thr=auto.get("fx.gate.threshold_db"),
         eq_low=auto.get("fx.eq.low_db"),
         eq_mid=auto.get("fx.eq.mid_db"),

@@ -385,14 +385,14 @@ def compressor_gains(frames: jax.Array, samplerate: int, threshold_db: float,
 
 def compressor_gains_from_level(a: jax.Array, threshold_db, slope, alpha,
                                 decay, e0=0.0, z0=0.0,
-                                with_state: bool = False):
+                                with_state: bool = False, knee=None):
     """Gain curve from a precomputed detector level ``a`` [n] (normalized
-    |signal|) — the sidechain entry point; formulas as below."""
+    |signal|) — the sidechain entry point; formulas as below.  ``knee``
+    (dB width, scalar or [n] grid) switches the static curve to the
+    soft-knee form — None keeps the hard-knee arithmetic untouched."""
     e = decaying_max_scan(a, decay, init=e0)
     level_db = jnp.float32(20.0) * jnp.log10(jnp.maximum(e, jnp.float32(1e-10)))
-    g_db = jnp.minimum(jnp.float32(0.0),
-                       (jnp.asarray(threshold_db, jnp.float32) - level_db)
-                       * jnp.asarray(slope, jnp.float32))
+    g_db = _static_curve_db(level_db, threshold_db, slope, knee)
     g = jnp.exp2(g_db * jnp.float32(1.0 / 6.0206))
     # attack smoother in deviation-from-1 form: z = 1-y, z_n = (1-a) z_{n-1}
     # + a (1-g_n), z_{-1} = 0 — algebraically the oracle's recurrence, but
@@ -407,9 +407,30 @@ def compressor_gains_from_level(a: jax.Array, threshold_db, slope, alpha,
     return gains
 
 
+def _static_curve_db(level_db: jax.Array, threshold_db, slope, knee):
+    """The compressor's static curve in dB.  Hard knee (knee=None):
+    g_db = min(0, (thr - level)*slope) — unchanged arithmetic.  Soft
+    knee (width W dB, spec goldref.effects.compressor_gains): below
+    thr - W/2 no reduction, above thr + W/2 the hard line, inside the
+    quadratic interpolation -slope*(level - thr + W/2)^2 / (2W) (the
+    textbook second-order knee: value and first derivative continuous
+    at both edges)."""
+    thr = jnp.asarray(threshold_db, jnp.float32)
+    sl = jnp.asarray(slope, jnp.float32)
+    hard = jnp.minimum(jnp.float32(0.0), (thr - level_db) * sl)
+    if knee is None:
+        return hard
+    kn = jnp.asarray(knee, jnp.float32)
+    half = kn * jnp.float32(0.5)
+    t = level_db - thr + half
+    soft = -(sl * (t * t)) / (jnp.float32(2.0) * kn)
+    return jnp.where(t <= jnp.float32(0.0), jnp.float32(0.0),
+                     jnp.where(level_db > thr + half, hard, soft))
+
+
 def compressor_gains_from_coeffs(frames: jax.Array, threshold_db, slope,
                                  alpha, decay, e0=0.0, z0=0.0,
-                                 with_state: bool = False):
+                                 with_state: bool = False, knee=None):
     """Same as :func:`compressor_gains` with the host-derived coefficients
     passed explicitly (scalars may be tracers — the staged-IR path feeds
     them from the Sample's dyn vector so knob changes don't recompile).
@@ -421,9 +442,7 @@ def compressor_gains_from_coeffs(frames: jax.Array, threshold_db, slope,
     a = jnp.max(jnp.abs(_norm(frames)), axis=1)
     e = decaying_max_scan(a, decay, init=e0)
     level_db = jnp.float32(20.0) * jnp.log10(jnp.maximum(e, jnp.float32(1e-10)))
-    g_db = jnp.minimum(jnp.float32(0.0),
-                       (jnp.asarray(threshold_db, jnp.float32) - level_db)
-                       * jnp.asarray(slope, jnp.float32))
+    g_db = _static_curve_db(level_db, threshold_db, slope, knee)
     g = jnp.exp2(g_db * jnp.float32(1.0 / 6.0206))
     # attack smoother in deviation-from-1 form: z = 1-y, z_n = (1-a) z_{n-1}
     # + a (1-g_n), z_{-1} = 0 — algebraically the oracle's recurrence, but

@@ -265,15 +265,21 @@ def _x_pan_sample(x, st, dyn, leaves):
 
 def _x_compress(x, st, dyn, leaves):
     from .ops import effects as dfx
-    g = dfx.compressor_gains_from_coeffs(x, dyn[0], dyn[1], dyn[2], dyn[3])
+    # st = (has_knee,) — a STATIC flag so the hard-knee program's
+    # arithmetic is untouched when knee_db == 0 (the knee value itself
+    # stays dyn: tweaking a nonzero knee does not recompile)
+    knee = dyn[5] if st and st[0] else None
+    g = dfx.compressor_gains_from_coeffs(x, dyn[0], dyn[1], dyn[2], dyn[3],
+                                         knee=knee)
     return dpcm.gain_apply(x, (g * dyn[4])[:, None])
 
 
 def _x_compress_sc(x, st, dyn, leaves):
     """Sidechain compression: the detector listens to the fused key
     sub-program; the gain applies to x (goldref.effects.sidechain_level)."""
-    key_maxval, sub_ops = st
-    key = _run_ops(leaves[0], sub_ops, dyn[5:], leaves[1:])
+    key_maxval, sub_ops, has_knee = st
+    nk = 6 if has_knee else 5
+    key = _run_ops(leaves[0], sub_ops, dyn[nk:], leaves[1:])
     from .ops import effects as dfx
     a = jnp.max(jnp.abs(key.astype(jnp.float32)
                         / jnp.float32(key_maxval)), axis=1)
@@ -282,7 +288,8 @@ def _x_compress_sc(x, st, dyn, leaves):
         a = a[:n]
     else:
         a = jnp.concatenate([a, jnp.zeros(n - a.shape[0], jnp.float32)])
-    g = dfx.compressor_gains_from_level(a, dyn[0], dyn[1], dyn[2], dyn[3])
+    g = dfx.compressor_gains_from_level(a, dyn[0], dyn[1], dyn[2], dyn[3],
+                                        knee=dyn[5] if has_knee else None)
     return dpcm.gain_apply(x, (g * dyn[4])[:, None])
 
 
@@ -936,13 +943,19 @@ class Sample:
 
     def compress(self, threshold_db: float = -20.0, ratio: float = 4.0,
                  attack: float = 0.005, release: float = 0.1,
-                 makeup_db: float = 0.0,
+                 makeup_db: float = 0.0, knee_db: float = 0.0,
                  sidechain: Optional["Sample"] = None) -> "Sample":
         """Peak compressor / limiter (``ratio=math.inf``).  The detector and
         attack smoother run as log-depth associative scans on device
         (ops.effects); spec/tolerance: goldref.effects.compressor_gains.
         Knobs travel in the dyn vector, so tweaking them reuses the compiled
         program.
+
+        ``knee_db`` > 0 softens the static curve's corner over a
+        knee_db-wide dB window (second-order knee, value+slope continuous
+        — goldref.effects._static_curve_db_f32); 0 keeps the hard knee
+        bit-identically (a static program flag, so toggling recompiles
+        but tweaking a nonzero knee does not).
 
         With ``sidechain`` the detector listens to the KEY sample (classic
         ducking — a kick keyed against a bass); the key's own staged chain
@@ -952,15 +965,21 @@ class Sample:
         alpha, decay = compressor_coeffs(self._samplerate, attack, release)
         slope = 1.0 if math.isinf(ratio) else 1.0 - 1.0 / ratio
         makeup = float(np.exp2(np.float32(makeup_db) / np.float32(6.0206)))
+        if not 0.0 <= knee_db <= 24.0:
+            raise ValueError("compress knee_db must be in [0, 24]")
+        has_knee = knee_db > 0.0
         knobs = (threshold_db, slope, alpha, decay, makeup)
+        if has_knee:
+            knobs = knobs + (knee_db,)
         if sidechain is None:
-            self._stage("compress", dyn=knobs)
+            self._stage("compress", static=(has_knee,), dyn=knobs)
             return self
         if sidechain._samplerate != self._samplerate:
             raise ValueError("sidechain samplerate mismatch")
         sub_ops, dyn, leaves = sidechain._as_subprogram()
         self._stage("compress_sc",
-                    static=(MAXVAL[sidechain._samplewidth], sub_ops),
+                    static=(MAXVAL[sidechain._samplewidth], sub_ops,
+                            has_knee),
                     dyn=knobs + dyn, leaves=leaves)
         return self
 

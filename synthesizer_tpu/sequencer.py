@@ -88,7 +88,7 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     fx.reverb.wet = 0:0 32:0.4         ; reverb send rides up
     ; (also automatable: fx.reverb.dry/.roomsize, fx.chorus.wet/.dry,
     ;  fx.chorus.rate/.depth, fx.compress.makeup_db/.threshold_db/.ratio,
-    ;  fx.compress.attack/.release, fx.gate.threshold_db,
+    ;  fx.compress.attack/.release/.knee_db, fx.gate.threshold_db,
     ;  fx.eq.low_db/.mid_db/.high_db, fx.echo.feedback/.wet/.dry,
     ;  fx.width.amount, fx.limiter.ceiling_db/.release,
     ;  fx.phaser.wet/.dry/.rate/.depth — the recurrence-internal ones
@@ -127,7 +127,8 @@ _FX_AUTO_SUBKEYS = frozenset((
     "filter.cutoff", "reverb.wet", "reverb.dry", "reverb.roomsize",
     "chorus.wet", "chorus.dry", "chorus.rate", "chorus.depth",
     "compress.makeup_db", "compress.threshold_db", "compress.ratio",
-    "compress.attack", "compress.release", "gate.threshold_db",
+    "compress.attack", "compress.release", "compress.knee_db",
+    "gate.threshold_db",
     "eq.low_db", "eq.mid_db", "eq.high_db",
     "echo.feedback", "echo.wet", "echo.dry",
     "width.amount", "limiter.ceiling_db", "limiter.release",
@@ -782,6 +783,8 @@ class Song:
         _OPEN_RANGES = {
             "limiter.release": (0.0, 5.0, "release", "(0, 5] s"),
             "phaser.rate": (0.0, 20.0, "rate", "(0, 20] Hz"),
+            # strictly positive: the soft-knee form divides by the width
+            "compress.knee_db": (0.0, 24.0, "knee", "(0, 24] dB"),
         }
         if subkey in _RANGES:
             lo, hi, what, rng = _RANGES[subkey]

@@ -1247,3 +1247,18 @@ def test_track_fx_automation_validation():
                               ("echo", "delay=0.05")])
     with pytest.raises(ValueError, match="feedback"):
         song.add_automation("fx.saw.echo.feedback", "0:0.99")
+
+
+def test_fx_compress_knee_automation():
+    song = bright_song()
+    song.synths["saw"].amplitude = 0.8
+    song.add_fx("compress", threshold_db=-18.0, ratio=6.0, knee_db=6.0)
+    with pytest.raises(ValueError, match="knee"):
+        song.add_automation("fx.compress.knee_db", "0:0.0")
+    song.add_automation("fx.compress.knee_db", "0:0.5 16:18")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=977)])
+    assert got.shape == off.shape
+    d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
+    assert d <= 2, d

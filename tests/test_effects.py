@@ -684,3 +684,58 @@ def test_new_fx_stage_lazily(rng):
            .phaser(rate=1.0).stereo_width(1.3).limit(-2.0)
         dev.get_frame_array()
     assert n[0] == 1
+
+
+def test_compressor_soft_knee_matches_oracle():
+    """knee_db > 0: the static curve's corner softens (second-order
+    knee); a level ramp THROUGH the knee region pins the device twin to
+    the oracle, and knee 0 keeps the hard-knee output bit-identical."""
+    n = 8000
+    t = np.arange(n) / SR
+    amp = 10 ** (np.linspace(-40, -2, n) / 20.0)
+    a = (np.sin(2 * np.pi * 220 * t) * amp * 32767.0).astype(np.int16)
+    a = np.stack([a, a], axis=1)
+    kw = dict(threshold_db=-15.0, ratio=4.0, attack=0.003, release=0.08,
+              knee_db=12.0)
+    gold = gs.Sample(a.copy(), SR, 2, 2).compress(**kw).frames
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 2).compress(
+        **kw).get_frame_array()
+    assert np.abs(dev.astype(np.int64) - gold.astype(np.int64)).max() <= 2
+    # the knee is audible vs the hard corner on the same signal
+    hard = Sample.from_raw_frames(a.tobytes(), 2, SR, 2).compress(
+        threshold_db=-15.0, ratio=4.0, attack=0.003,
+        release=0.08).get_frame_array()
+    assert np.abs(dev.astype(np.int64) - hard.astype(np.int64)).max() > 8
+    # knee 0 IS the hard path (same program, untouched arithmetic)
+    zero = Sample.from_raw_frames(a.tobytes(), 2, SR, 2).compress(
+        threshold_db=-15.0, ratio=4.0, attack=0.003, release=0.08,
+        knee_db=0.0).get_frame_array()
+    np.testing.assert_array_equal(zero, hard)
+    with pytest.raises(ValueError, match="knee_db"):
+        Sample.from_raw_frames(a.tobytes(), 2, SR, 2).compress(knee_db=30.0)
+
+
+def test_compressor_soft_knee_sidechain_and_streaming(rng):
+    """The knee composes with ducking (sidechain detector) and the
+    streaming twin carries it across chunks identically."""
+    from synthesizer_tpu.effects import StreamingCompressor
+    a = rng.integers(-20000, 20000, size=(6000, 2)).astype(np.int16)
+    n = 6000
+    t = np.arange(n) / SR
+    kamp = 10 ** (np.linspace(-35, -3, n) / 20.0)
+    key = (np.sin(2 * np.pi * 80 * t) * kamp * 32767.0).astype(np.int16)
+    key = np.stack([key, key], axis=1)
+    kw = dict(threshold_db=-12.0, ratio=8.0, knee_db=9.0)
+    gold = gs.Sample(a.copy(), SR, 2, 2).compress(
+        sidechain=gs.Sample(key.copy(), SR, 2, 2), **kw).frames
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 2).compress(
+        sidechain=Sample.from_raw_frames(key.tobytes(), 2, SR, 2),
+        **kw).get_frame_array()
+    assert np.abs(dev.astype(np.int64) - gold.astype(np.int64)).max() <= 2
+    # streaming chunk invariance with the knee on (scan regrouping
+    # budget, same as the hard-knee compressor: <= 2 LSB)
+    whole = _chunked(lambda: StreamingCompressor(SR, **kw), a, [6000])
+    parts = _chunked(lambda: StreamingCompressor(SR, **kw), a,
+                     [977, 1536, 333])
+    assert np.abs(whole.astype(np.int64)
+                  - parts.astype(np.int64)).max() <= 2
