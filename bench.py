@@ -47,15 +47,40 @@ def build_song(nvoices: int, duration: float, samplerate: int):
     return voices
 
 
+def _relay_alive(timeout: float = 3.0) -> bool:
+    """Fast probe of the axon remote-compile relay (127.0.0.1:8083).
+    The jax client retries a dead relay for ~50 minutes before erroring
+    (measured during the 2026-08-17 outage) — a 3 s TCP connect tells us
+    the same thing immediately."""
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
 def main() -> None:
     import functools
+    import os
+
+    # if the environment forces the axon platform but its relay tunnel is
+    # down, fail FAST and honestly instead of stalling the round gate
+    # (sitecustomize imports `axon` at interpreter start, so its presence
+    # in sys.modules == the axon platform will be used)
+    if "axon" in sys.modules and not _relay_alive():
+        print(json.dumps({
+            "metric": "mixdown_64voice_x_realtime", "value": 0,
+            "unit": "x_realtime", "vs_baseline": 0,
+            "error": "axon relay down (127.0.0.1:8083 connection "
+                     "refused) — TPU unreachable, no measurement"}))
+        raise SystemExit(1)
 
     import jax
 
     try:
         jax.devices()
     except Exception as e:   # axon is experimental: degrade rather than crash
-        import sys
         print(f"WARNING: default platform failed ({e}); benching on CPU",
               file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
