@@ -217,6 +217,25 @@ def compress(frames: np.ndarray, width: int, samplerate: int,
     return _gain_floor(frames, (gains * makeup)[:, None], width)
 
 
+def tremolo(frames: np.ndarray, width: int, g: np.ndarray) -> np.ndarray:
+    """Apply a per-frame tremolo gain grid (spec.tremolo_gain_grid):
+    the house gain rule floor(f32(x) * f32(g)), clamp.  Stateless in the
+    absolute frame index — streaming == offline == seek by construction;
+    device budget <= 1 LSB (FMA contraction class)."""
+    return _gain_floor(frames, np.asarray(g, np.float32)[:, None], width)
+
+
+def autopan(frames: np.ndarray, width: int, pan: np.ndarray) -> np.ndarray:
+    """Apply a per-frame pan-position grid (spec.autopan_pan_grid)
+    through the house equal-gain pan law lg = min(1, 1-pan),
+    rg = min(1, 1+pan) (the voice-bank/hit-pan law), house gain rule.
+    Stereo only; same statelessness/budget as :func:`tremolo`."""
+    p = np.asarray(pan, np.float32)
+    lg = np.minimum(np.float32(1.0), np.float32(1.0) - p)
+    rg = np.minimum(np.float32(1.0), np.float32(1.0) + p)
+    return _gain_floor(frames, np.stack([lg, rg], axis=1), width)
+
+
 # ---------------------------------------------------------------------------
 # Freeverb-style reverb
 # ---------------------------------------------------------------------------

@@ -413,6 +413,32 @@ class Sample:
                                            amount)
         return self
 
+    def tremolo(self, rate: float = 5.0, depth: float = 0.5,
+                start_frame: int = 0) -> "Sample":
+        """LFO amplitude modulation; spec: spec.tremolo_gain_grid +
+        effects.tremolo (the house gain rule)."""
+        from . import effects, spec
+        inc = spec.phase_increment(rate, self.samplerate)
+        P = (np.arange(start_frame, start_frame + self.nframes,
+                       dtype=np.uint64) * np.uint64(inc)) \
+            & np.uint64(0xFFFFFFFF)
+        g = spec.tremolo_gain_grid(P, depth)
+        self.frames = effects.tremolo(self.frames, self.samplewidth, g)
+        return self
+
+    def autopan(self, rate: float = 0.5, depth: float = 1.0,
+                start_frame: int = 0) -> "Sample":
+        """LFO auto-panner; spec: spec.autopan_pan_grid +
+        effects.autopan (equal-gain pan law)."""
+        from . import effects, spec
+        inc = spec.phase_increment(rate, self.samplerate)
+        P = (np.arange(start_frame, start_frame + self.nframes,
+                       dtype=np.uint64) * np.uint64(inc)) \
+            & np.uint64(0xFFFFFFFF)
+        pan = spec.autopan_pan_grid(P, depth)
+        self.frames = effects.autopan(self.frames, self.samplewidth, pan)
+        return self
+
     def limit(self, ceiling_db: float = -1.0, release: float = 0.05,
               lookahead: float = 0.005) -> "Sample":
         """Lookahead brickwall limiter; spec:

@@ -430,6 +430,38 @@ def phaser_coeff_grids(n0: int, n: int, samplerate: int, rate: float,
             b1.astype(dtype), b0.astype(dtype))
 
 
+def tremolo_gain_grid(P, depth):
+    """Per-frame tremolo gain grid from a cumulative u32 LFO phase ``P``
+    [n] (the chorus/phaser phase rule — P_n = sum inc mod 2^32, constant
+    rate == n*inc) and a per-frame (or scalar) depth in [0, 1]:
+
+        x   = f32(P_n) * 2^-32
+        lfo = 0.5 + 0.5*sin(2*pi*x)              (host f64 -> f32)
+        g_n = f32(1 - depth_n * lfo_n)           (gain in [1-depth, 1])
+
+    Copied verbatim into synthesizer_tpu.ops.coeffs; conformance-pinned
+    in tests/test_coeffs_conformance.py."""
+    import numpy as np
+    p = np.asarray(P, np.uint64) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    lfo = (np.float32(0.5) + np.float32(0.5)
+           * np.sin(2.0 * np.pi * x.astype(np.float64)).astype(np.float32))
+    d = np.asarray(depth, np.float32)
+    return (np.float32(1.0) - d * lfo).astype(np.float32)
+
+
+def autopan_pan_grid(P, depth):
+    """Per-frame pan-position grid for the autopanner: pan_n =
+    f32(depth_n * sin(2*pi*x)) in [-depth, depth]; applied through the
+    house equal-gain pan law lg = min(1, 1-pan), rg = min(1, 1+pan).
+    Same phase rule as :func:`tremolo_gain_grid`; conformance-pinned."""
+    import numpy as np
+    p = np.asarray(P, np.uint64) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    s = np.sin(2.0 * np.pi * x.astype(np.float64)).astype(np.float32)
+    return (np.asarray(depth, np.float32) * s).astype(np.float32)
+
+
 def phaser_coeff_grids_swept(P, depth, min_freq: float, max_freq: float,
                              q: float, samplerate: int, dtype=None):
     """RATE/DEPTH-automated row of :func:`phaser_coeff_grids`

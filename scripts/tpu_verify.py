@@ -616,6 +616,19 @@ def section_effects(SR):
     d = np.abs(got.astype(np.int64) - want.astype(np.int64)).max()
     check("fx/limiter_release_swept", d <= 2, f"max {d} LSB")
 
+    # LFO gain fx (tremolo/autopan): host grids through the house gain
+    # rule — must be BIT-exact on chip (same grid arrays both sides)
+    gold, dev = pair()
+    kw = dict(rate=5.0, depth=0.7)
+    eq = np.array_equal(dev.tremolo(**kw).get_frame_array(),
+                        gold.tremolo(**kw).frames)
+    check("fx/tremolo", eq, "bit-exact")
+    gold, dev = pair()
+    kw = dict(rate=2.0, depth=0.9)
+    eq = np.array_equal(dev.autopan(**kw).get_frame_array(),
+                        gold.autopan(**kw).frames)
+    check("fx/autopan", eq, "bit-exact")
+
     song_n = Song()
     song_n.bpm = 240
     song_n.ticks = 4

@@ -39,6 +39,8 @@ from .ops import pcm as dpcm
 
 __all__ = ["StreamingCompressor", "StreamingReverb", "StreamingChorus",
            "StreamingConvolver", "StreamingBiquad", "StreamingGate",
+           "StreamingFeedbackEcho", "StreamingWidth", "StreamingLimiter",
+           "StreamingPhaser", "StreamingTremolo", "StreamingAutopan",
            "FxChain", "parse_fx_items", "validate_fx_params", "FX_PARAMS"]
 
 #: default reverb decay tail (seconds) — the single source for the
@@ -1210,6 +1212,106 @@ class StreamingPhaser:
         return y
 
 
+class _StreamingLFOGain:
+    """Shared chunked twin for the host-grid LFO gain fx (tremolo /
+    autopan): the grid derives at absolute frames (static rate — fully
+    stateless, seek-exact) or from a host-mirrored cumulative u32 phase
+    (rate automation — the chorus-rate rule with slab seek replay);
+    depth curves are per-frame grids.  Subclasses pick the grid fn and
+    the device applier."""
+
+    _GRID = None      # (P, depth) -> grid
+    _APPLY = None     # staticmethod(x, grid) -> y
+
+    def __init__(self, samplerate: int, nchannels: int, rate: float,
+                 depth: float, rate_curve=None, depth_curve=None,
+                 tickf: float = 0.0, start_frame: int = 0):
+        if not 0.0 <= depth <= 1.0:
+            raise ValueError("depth must be in [0, 1]")
+        if not 0.0 < rate <= 20.0:
+            raise ValueError("rate must be in (0, 20] Hz")
+        self._sr = samplerate
+        self._rate, self._depth = float(rate), float(depth)
+        _require_tickf(tickf, rate_curve, depth_curve)
+        self._rate_curve = rate_curve
+        self._depth_curve = depth_curve
+        self._tickf = float(tickf)
+        self._n0 = int(start_frame)
+        self._p_carry = 0
+        self.tail_frames = 0
+        if rate_curve is not None and start_frame:
+            from .ops.coeffs import chorus_inc_grid, curve_grid
+            carry = 0
+            SLAB = 1 << 20
+            for s0 in range(0, int(start_frame), SLAB):
+                k = min(SLAB, int(start_frame) - s0)
+                inc = chorus_inc_grid(
+                    curve_grid(rate_curve, s0, k, tickf), samplerate)
+                carry = (carry + int(inc.astype(np.uint64).sum())) \
+                    & 0xFFFFFFFF
+            self._p_carry = carry
+
+    def process(self, x: jax.Array) -> jax.Array:
+        from .ops.coeffs import (chorus_inc_grid, chorus_phase_grid,
+                                 curve_grid, static_phase)
+        n = int(x.shape[0])
+        if self._rate_curve is not None:
+            inc = chorus_inc_grid(
+                curve_grid(self._rate_curve, self._n0, n, self._tickf),
+                self._sr)
+            P, self._p_carry = chorus_phase_grid(inc, self._p_carry)
+        else:
+            P = static_phase(self._n0, n, self._sr, self._rate)
+        depth = (curve_grid(self._depth_curve, self._n0, n, self._tickf)
+                 .astype(np.float32)
+                 if self._depth_curve is not None else self._depth)
+        grid = jnp.asarray(type(self)._GRID(P, depth))
+        self._n0 += n
+        key = (type(self).__name__, x.shape, str(x.dtype))
+
+        def build():
+            apply = type(self)._APPLY
+
+            @jax.jit
+            def fn(x, grid):
+                return apply(x, grid)
+            return fn
+
+        return _cached(key, build)(x, grid)
+
+
+class StreamingTremolo(_StreamingLFOGain):
+    """Chunked twin of ``Sample.tremolo`` (fx.tremolo.rate/.depth
+    automation; spec goldref.effects.tremolo)."""
+
+    def __init__(self, samplerate: int, nchannels: int, rate: float = 5.0,
+                 depth: float = 0.5, **kw):
+        super().__init__(samplerate, nchannels, rate, depth, **kw)
+
+
+class StreamingAutopan(_StreamingLFOGain):
+    """Chunked twin of ``Sample.autopan`` (fx.autopan.rate/.depth
+    automation; spec goldref.effects.autopan)."""
+
+    def __init__(self, samplerate: int, nchannels: int, rate: float = 0.5,
+                 depth: float = 1.0, **kw):
+        if nchannels != 2:
+            raise ValueError("[fx] autopan needs a stereo song")
+        super().__init__(samplerate, nchannels, rate, depth, **kw)
+
+
+def _init_lfo_grids():
+    from .ops import effects as _dfx
+    from .ops.coeffs import autopan_pan_grid, tremolo_gain_grid
+    StreamingTremolo._GRID = staticmethod(tremolo_gain_grid)
+    StreamingTremolo._APPLY = staticmethod(_dfx.tremolo)
+    StreamingAutopan._GRID = staticmethod(autopan_pan_grid)
+    StreamingAutopan._APPLY = staticmethod(_dfx.autopan)
+
+
+_init_lfo_grids()
+
+
 FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
     "compress": (("threshold_db", "ratio", "attack", "release", "makeup_db",
                   "knee_db", "sidechain"),
@@ -1228,6 +1330,8 @@ FX_PARAMS: Dict[str, Tuple[Tuple[str, ...], Dict[str, type]]] = {
     "limiter": (("ceiling_db", "release", "lookahead"), {}),
     "phaser": (("rate", "rate_beats", "depth", "min_freq", "max_freq",
                 "stages", "q", "wet", "dry"), {"stages": int}),
+    "tremolo": (("rate", "rate_beats", "depth"), {}),
+    "autopan": (("rate", "rate_beats", "depth"), {}),
 }
 
 # effects whose streaming twin withholds lookahead frames (variable-length
@@ -1266,8 +1370,8 @@ def validate_fx_params(name: str, params: dict) -> dict:
                              "(seconds) or beats= (tempo-synced)")
     if name == "width" and "amount" not in out:
         raise ValueError("[fx] width needs amount=")
-    if name in ("chorus", "phaser") and "rate" in out and \
-            "rate_beats" in out:
+    if name in ("chorus", "phaser", "tremolo", "autopan") \
+            and "rate" in out and "rate_beats" in out:
         raise ValueError(f"[fx] {name}: give rate= Hz or rate_beats= "
                          f"(tempo-synced), not both")
     return out
@@ -1328,6 +1432,10 @@ def _fx_curves(automation):
         pha_dry=auto.get("fx.phaser.dry"),
         pha_rate=auto.get("fx.phaser.rate"),
         pha_depth=auto.get("fx.phaser.depth"),
+        trem_rate=auto.get("fx.tremolo.rate"),
+        trem_depth=auto.get("fx.tremolo.depth"),
+        ap_rate=auto.get("fx.autopan.rate"),
+        ap_depth=auto.get("fx.autopan.depth"),
     )
 
 
@@ -1486,6 +1594,19 @@ class FxChain:
                                            start_frame=start_frame, **p)
                 else:
                     proc = StreamingPhaser(samplerate, nchannels, **p)
+            elif name in ("tremolo", "autopan"):
+                cls = (StreamingTremolo if name == "tremolo"
+                       else StreamingAutopan)
+                rc = cv[("trem_rate" if name == "tremolo" else "ap_rate")]
+                dc = cv[("trem_depth" if name == "tremolo"
+                         else "ap_depth")]
+                if rc is not None or dc is not None:
+                    proc = cls(samplerate, nchannels, rate_curve=rc,
+                               depth_curve=dc, tickf=tickf,
+                               start_frame=start_frame, **p)
+                else:
+                    proc = cls(samplerate, nchannels,
+                               start_frame=start_frame, **p)
             elif name == "convolve":
                 q = dict(p)
                 ir = (ir_samples or {})[q.pop("ir")]
@@ -1717,6 +1838,18 @@ def run_fx_chain_ops(sample, fx: Sequence[Tuple[str, dict]],
                 sample._replace_frames(proc.process(sample.jax_frames))
             else:
                 sample.phaser(**p)
+        elif name in ("tremolo", "autopan"):
+            rc = cv[("trem_rate" if name == "tremolo" else "ap_rate")]
+            dc = cv[("trem_depth" if name == "tremolo" else "ap_depth")]
+            if rc is not None or dc is not None:
+                cls = (StreamingTremolo if name == "tremolo"
+                       else StreamingAutopan)
+                proc = cls(sample.samplerate, sample.nchannels,
+                           rate_curve=rc, depth_curve=dc, tickf=tickf,
+                           start_frame=0, **p)
+                sample._replace_frames(proc.process(sample.jax_frames))
+            else:
+                getattr(sample, name)(**p)
         else:
             getattr(sample, name)(**p)
     return sample

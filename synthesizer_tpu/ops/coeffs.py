@@ -30,6 +30,7 @@ __all__ = [
     "curve_grid", "compressor_coeff_grids", "reverb_feedback_grid",
     "chorus_inc_grid", "chorus_phase_grid",
     "phaser_coeff_grids", "phaser_coeff_grids_swept", "echo_tail_frames",
+    "tremolo_gain_grid", "autopan_pan_grid", "static_phase",
 ]
 
 
@@ -498,6 +499,39 @@ def phaser_coeff_grids(n0: int, n: int, samplerate: int, rate: float,
     b2 = (1.0 + alpha) / a0
     return (b0.astype(dtype), b1.astype(dtype), b2.astype(dtype),
             b1.astype(dtype), b0.astype(dtype))
+
+
+def tremolo_gain_grid(P, depth):
+    """Per-frame tremolo gain grid from a cumulative u32 LFO phase ``P``
+    [n] and per-frame/scalar depth: g_n = f32(1 - depth_n * lfo_n) with
+    lfo = 0.5 + 0.5*sin(2*pi*f32(P)*2^-32).  Verbatim copy of
+    goldref.spec.tremolo_gain_grid (conformance-pinned)."""
+    p = np.asarray(P, np.uint64) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    lfo = (np.float32(0.5) + np.float32(0.5)
+           * np.sin(2.0 * np.pi * x.astype(np.float64)).astype(np.float32))
+    d = np.asarray(depth, np.float32)
+    return (np.float32(1.0) - d * lfo).astype(np.float32)
+
+
+def autopan_pan_grid(P, depth):
+    """Per-frame autopan position grid: pan_n = f32(depth_n *
+    sin(2*pi*f32(P)*2^-32)) — applied through the house equal-gain pan
+    law.  Verbatim copy of goldref.spec.autopan_pan_grid
+    (conformance-pinned)."""
+    p = np.asarray(P, np.uint64) & np.uint64(0xFFFFFFFF)
+    x = p.astype(np.float32) * np.float32(2.0 ** -32)
+    s = np.sin(2.0 * np.pi * x.astype(np.float64)).astype(np.float32)
+    return (np.asarray(depth, np.float32) * s).astype(np.float32)
+
+
+def static_phase(n0: int, n: int, samplerate: int, rate: float) -> np.ndarray:
+    """u32 phase P_n = (n0+k)*inc mod 2^32 for a CONSTANT LFO rate — the
+    stateless absolute-frame form all the LFO fx share (identical to the
+    cumulative sum of a constant inc grid)."""
+    inc = int(round(rate / samplerate * 4294967296.0)) & 0xFFFFFFFF
+    return (np.arange(n0, n0 + n, dtype=np.uint64) * np.uint64(inc)) \
+        & np.uint64(0xFFFFFFFF)
 
 
 def phaser_coeff_grids_swept(P, depth, min_freq: float, max_freq: float,

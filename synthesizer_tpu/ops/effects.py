@@ -909,6 +909,21 @@ def granulate(frames: jax.Array, samplerate: int, duration: float,
     return to_int_samples(out, width)
 
 
+def tremolo(frames: jax.Array, g: jax.Array) -> jax.Array:
+    """Per-frame tremolo gain grid (host-derived,
+    ops.coeffs.tremolo_gain_grid) through the house gain rule.  Spec:
+    goldref.effects.tremolo; <= 1 LSB (FMA class)."""
+    return dpcm.gain_apply(frames, g[:, None])
+
+
+def autopan(frames: jax.Array, pan: jax.Array) -> jax.Array:
+    """Per-frame pan grid (host-derived, ops.coeffs.autopan_pan_grid)
+    through the equal-gain pan law.  Spec: goldref.effects.autopan."""
+    lg = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - pan)
+    rg = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + pan)
+    return dpcm.gain_apply(frames, jnp.stack([lg, rg], axis=1))
+
+
 # ---------------------------------------------------------------------------
 # Feedback echo
 # ---------------------------------------------------------------------------

@@ -263,6 +263,16 @@ def _x_pan_sample(x, st, dyn, leaves):
     return dpcm.gain_apply(x, jnp.stack([la, ra], axis=-1))
 
 
+def _x_tremolo(x, st, dyn, leaves):
+    from .ops import effects as dfx
+    return dfx.tremolo(x, leaves[0])
+
+
+def _x_autopan(x, st, dyn, leaves):
+    from .ops import effects as dfx
+    return dfx.autopan(x, leaves[0])
+
+
 def _x_compress(x, st, dyn, leaves):
     from .ops import effects as dfx
     # st = (has_knee,) — a STATIC flag so the hard-knee program's
@@ -415,7 +425,7 @@ _EXEC = {
     "gate": _x_gate, "compress_sc": _x_compress_sc,
     "granulate": _x_granulate,
     "fb_echo": _x_fb_echo, "width": _x_width, "limit": _x_limit,
-    "phaser": _x_phaser,
+    "phaser": _x_phaser, "tremolo": _x_tremolo, "autopan": _x_autopan,
 }
 
 _program_cache: dict = {}
@@ -1139,6 +1149,43 @@ class Sample:
         self._stage("fb_echo", static=(D, tail_frames),
                     dyn=(feedback, wet, dry))
         self._nframes += tail_frames
+        return self
+
+    def tremolo(self, rate: float = 5.0, depth: float = 0.5,
+                start_frame: int = 0) -> "Sample":
+        """LFO amplitude modulation: per-frame gains in [1-depth, 1]
+        from the house integer-DDS sine LFO, derived on host at absolute
+        frames [start_frame, ...) (ops.coeffs.tremolo_gain_grid), so
+        offline == streaming == seek by construction.  Spec/budget:
+        goldref.effects.tremolo (<= 1 LSB)."""
+        from .ops.coeffs import static_phase, tremolo_gain_grid
+        if not 0.0 <= depth <= 1.0:
+            raise ValueError("tremolo depth must be in [0, 1]")
+        if not 0.0 < rate <= 20.0:
+            raise ValueError("tremolo rate must be in (0, 20] Hz")
+        P = static_phase(int(start_frame), self._nframes,
+                         self._samplerate, rate)
+        g = jnp.asarray(tremolo_gain_grid(P, depth))
+        self._stage("tremolo", leaves=(g,))
+        return self
+
+    def autopan(self, rate: float = 0.5, depth: float = 1.0,
+                start_frame: int = 0) -> "Sample":
+        """LFO auto-panner: per-frame pan positions depth*sin through
+        the house equal-gain pan law (the voice-bank law), host-derived
+        at absolute frames (ops.coeffs.autopan_pan_grid).  Stereo only.
+        Spec/budget: goldref.effects.autopan (<= 1 LSB)."""
+        from .ops.coeffs import autopan_pan_grid, static_phase
+        if self._nchannels != 2:
+            raise ValueError("autopan needs a stereo sample")
+        if not 0.0 <= depth <= 1.0:
+            raise ValueError("autopan depth must be in [0, 1]")
+        if not 0.0 < rate <= 20.0:
+            raise ValueError("autopan rate must be in (0, 20] Hz")
+        P = static_phase(int(start_frame), self._nframes,
+                         self._samplerate, rate)
+        pan = jnp.asarray(autopan_pan_grid(P, depth))
+        self._stage("autopan", leaves=(pan,))
         return self
 
     def stereo_width(self, amount: float) -> "Sample":

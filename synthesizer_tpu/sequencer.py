@@ -91,7 +91,9 @@ bit-identical; under ``mesh=`` the note rows shard with an int32 psum.
     ;  fx.compress.attack/.release/.knee_db, fx.gate.threshold_db,
     ;  fx.eq.low_db/.mid_db/.high_db, fx.echo.feedback/.wet/.dry,
     ;  fx.width.amount, fx.limiter.ceiling_db/.release,
-    ;  fx.phaser.wet/.dry/.rate/.depth — the recurrence-internal ones
+    ;  fx.phaser.wet/.dry/.rate/.depth,
+    ;  fx.tremolo.rate/.depth, fx.autopan.rate/.depth
+    ;  — the recurrence-internal ones
     ;  ride host-derived coefficient grids; every knob also works
     ;  TRACK-SCOPED as fx.TRACK.EFFECT.KNOB on a [fx.TRACK] chain,
     ;  e.g. fx.lead.filter.cutoff — automated drum chains route to a
@@ -133,6 +135,7 @@ _FX_AUTO_SUBKEYS = frozenset((
     "echo.feedback", "echo.wet", "echo.dry",
     "width.amount", "limiter.ceiling_db", "limiter.release",
     "phaser.wet", "phaser.dry", "phaser.rate", "phaser.depth",
+    "tremolo.rate", "tremolo.depth", "autopan.rate", "autopan.depth",
 ))
 
 
@@ -601,7 +604,8 @@ class Song:
         seconds/Hz."""
         if name == "echo" and "beats" in p:
             p["delay"] = float(p.pop("beats")) * 60.0 / float(self.bpm)
-        if name in ("chorus", "phaser") and "rate_beats" in p:
+        if name in ("chorus", "phaser", "tremolo", "autopan") \
+                and "rate_beats" in p:
             b = float(p.pop("rate_beats"))
             if b <= 0:
                 raise ValueError(f"[fx] {name}: rate_beats must be > 0")
@@ -779,10 +783,14 @@ class Song:
             "width.amount": (0.0, 4.0, "width amount", "[0, 4]"),
             "limiter.ceiling_db": (-60.0, 0.0, "ceiling", "[-60, 0] dB"),
             "phaser.depth": (0.0, 1.0, "depth", "[0, 1]"),
+            "tremolo.depth": (0.0, 1.0, "depth", "[0, 1]"),
+            "autopan.depth": (0.0, 1.0, "depth", "[0, 1]"),
         }
         _OPEN_RANGES = {
             "limiter.release": (0.0, 5.0, "release", "(0, 5] s"),
             "phaser.rate": (0.0, 20.0, "rate", "(0, 20] Hz"),
+            "tremolo.rate": (0.0, 20.0, "rate", "(0, 20] Hz"),
+            "autopan.rate": (0.0, 20.0, "rate", "(0, 20] Hz"),
             # strictly positive: the soft-knee form divides by the width
             "compress.knee_db": (0.0, 24.0, "knee", "(0, 24] dB"),
         }

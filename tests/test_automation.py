@@ -1262,3 +1262,32 @@ def test_fx_compress_knee_automation():
     assert got.shape == off.shape
     d = np.abs(got.astype(np.int64) - off.astype(np.int64)).max()
     assert d <= 2, d
+
+
+@pytest.mark.parametrize("chunk", [977, 4096])
+def test_fx_tremolo_autopan_automation(chunk):
+    """LFO-gain fx automation (rate via the host-mirrored cumulative
+    phase, depth as per-frame grids): streaming == offline bit-exactly
+    (the grids are identical host arrays on both paths) at any chunk
+    size, seek included."""
+    song = bright_song()
+    song.add_fx("tremolo", rate_beats=1.0, depth=0.6)
+    song.add_fx("autopan", rate=0.8, depth=0.8)
+    song.add_automation("fx.tremolo.depth", "0:0.1 16:0.9")
+    song.add_automation("fx.tremolo.rate", "0:1.0 16:8.0")
+    song.add_automation("fx.autopan.rate", "0:0.3 16:4.0")
+    song.add_automation("fx.autopan.depth", "0:0.2 16:1.0")
+    off = song.mix(normalize=False, tail_seconds=0.0).get_frame_array()
+    got = np.concatenate([c.get_frame_array()
+                          for c in song.mix_generator(chunk_frames=chunk)])
+    assert got.shape == off.shape
+    np.testing.assert_array_equal(got, off)
+    k = 9431
+    got2 = np.concatenate([c.get_frame_array() for c in
+                           song.mix_generator(chunk_frames=chunk,
+                                              start_frame=k)])
+    np.testing.assert_array_equal(got2, off[k:k + len(got2)])
+    with pytest.raises(ValueError, match="rate"):
+        song.add_automation("fx.tremolo.rate", "0:30.0")
+    with pytest.raises(ValueError, match="depth"):
+        song.add_automation("fx.autopan.depth", "0:1.5")

@@ -288,3 +288,15 @@ def test_limiter_ceiling_anchor():
     assert C.limiter_ceiling(0.0, 2) == 32767
     assert C.limiter_ceiling(0.0, 4) == 2147483647
     assert abs(C.limiter_ceiling(-6.0206, 2) - 16384) <= 1
+
+
+def test_lfo_gain_grids_match():
+    rng = np.random.default_rng(11)
+    P = rng.integers(0, 1 << 32, size=64, dtype=np.uint64)
+    for depth in (0.0, 0.5, np.full(64, 0.8)):
+        np.testing.assert_array_equal(
+            C.tremolo_gain_grid(P, depth),
+            goldspec.tremolo_gain_grid(P, depth))
+        np.testing.assert_array_equal(
+            C.autopan_pan_grid(P, depth),
+            goldspec.autopan_pan_grid(P, depth))

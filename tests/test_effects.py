@@ -739,3 +739,35 @@ def test_compressor_soft_knee_sidechain_and_streaming(rng):
                      [977, 1536, 333])
     assert np.abs(whole.astype(np.int64)
                   - parts.astype(np.int64)).max() <= 2
+
+
+@pytest.mark.parametrize("meth,kw", [
+    ("tremolo", dict(rate=5.0, depth=0.7)),
+    ("autopan", dict(rate=2.0, depth=0.9)),
+])
+def test_lfo_gain_fx_match_oracle(rng, meth, kw):
+    """Tremolo / autopan: host-derived LFO grids through the house gain
+    rule — bit-exact vs the oracle (same grid both sides), and the
+    streaming twin is stateless in the absolute frame (chunk/seek
+    invariant)."""
+    from synthesizer_tpu import effects as fxmod
+    a = rng.integers(-20000, 20000, size=(5000, 2)).astype(np.int16)
+    gold = getattr(gs.Sample(a.copy(), SR, 2, 2), meth)(**kw).frames
+    dev = getattr(Sample.from_raw_frames(a.tobytes(), 2, SR, 2),
+                  meth)(**kw).get_frame_array()
+    np.testing.assert_array_equal(dev, gold)
+    cls = (fxmod.StreamingTremolo if meth == "tremolo"
+           else fxmod.StreamingAutopan)
+    whole = _chunked(lambda: cls(SR, 2, **kw), a, [5000])
+    parts = _chunked(lambda: cls(SR, 2, **kw), a, [977, 333, 2048])
+    np.testing.assert_array_equal(whole, parts)
+    np.testing.assert_array_equal(whole, gold)
+    with pytest.raises(ValueError, match="depth"):
+        getattr(Sample.from_raw_frames(a.tobytes(), 2, SR, 2),
+                meth)(depth=1.5)
+
+
+def test_autopan_needs_stereo(rng):
+    a = rng.integers(-1000, 1000, size=(100, 1)).astype(np.int16)
+    with pytest.raises(ValueError, match="stereo"):
+        Sample.from_raw_frames(a.tobytes(), 2, SR, 1).autopan()

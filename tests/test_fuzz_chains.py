@@ -26,9 +26,11 @@ ECHO_GAIN = 3       # 1 + amount taps (amount=2 below)
 # effects (beyond-reference): budget from goldref.effects plus a small
 # multiplier for how they propagate an existing input error (dry+wet paths)
 FX_MULT = {"chorus": 2, "compress": 2, "compress_sc": 2, "reverb": 2,
-           "convolve": 2, "filter": 2, "gate": 2}
+           "convolve": 2, "filter": 2, "gate": 2, "compress_knee": 2,
+           "tremolo": 1, "autopan": 1}
 FX_COST = {"chorus": 2, "compress": 2, "compress_sc": 2, "reverb": 4,
-           "convolve": 8, "filter": 4, "gate": 2}
+           "convolve": 8, "filter": 4, "gate": 2, "compress_knee": 2,
+           "tremolo": 0, "autopan": 0}
 # (stretch is deliberately NOT in the pool: the phase vocoder is nonlinear
 # in the signal — a tiny accumulated input difference flips princarg wrap
 # branches at near-zero bins and diverges arbitrarily; it gets its own
@@ -88,6 +90,10 @@ OPS = [
     ("convolve", _fuzz_convolve, 0),
     ("filter", lambda s: s.filter("lowpass", 1200.0, q=1.2), 0),
     ("gate", lambda s: s.gate(threshold_db=-30.0, range_db=40.0), 0),
+    ("compress_knee", lambda s: s.compress(threshold_db=-20.0, ratio=5.0,
+                                           knee_db=9.0), 0),
+    ("tremolo", lambda s: s.tremolo(rate=4.0, depth=0.6), 0),
+    ("autopan", lambda s: s.autopan(rate=1.5, depth=0.8), 0),
 ]
 
 

@@ -209,6 +209,10 @@ _FX_POOL = [
     ("phaser", dict(rate=1.0, depth=1.0, wet=0.4),
      {"fx.phaser.wet": (0.0, 0.8), "fx.phaser.dry": (0.5, 1.0),
       "fx.phaser.rate": (0.2, 6.0), "fx.phaser.depth": (0.1, 1.0)}),
+    ("tremolo", dict(rate=4.0, depth=0.5),
+     {"fx.tremolo.rate": (0.3, 8.0), "fx.tremolo.depth": (0.1, 1.0)}),
+    ("autopan", dict(rate=0.7, depth=0.8),
+     {"fx.autopan.rate": (0.2, 4.0), "fx.autopan.depth": (0.1, 1.0)}),
 ]
 
 
