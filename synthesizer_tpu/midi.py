@@ -13,13 +13,16 @@ Controllers honored: CC64 sustain pedal (note-offs while the pedal is
 down are deferred to the pedal release — the gap that audibly truncates
 piano files), CC7 channel volume / CC11 expression (sampled at note-on,
 scaling amplitude as (vol/127)*(expr/127)), CC10 pan (sampled at
-note-on, mapped to the voice's constant-power pan).
+note-on, mapped to the voice's constant-power pan), and pitch bend
+(0xE0, sampled at note-on and applied as a frequency ratio
+2^(semitones/12); the bend RANGE honors RPN 0,0 — CC101/100 select,
+CC6/CC38 set semitones+cents — with the GM default of ±2 semitones).
 
 Limitations (deliberate, documented): notes map to the bank's gate-ADSR
 voices (no per-note velocity curves beyond linear amplitude), SMPTE
-divisions are unsupported, pitch bend and continuous mid-note CC curves
-are ignored (controllers are sampled at note-on), and a retriggered
-note (note-on while the same note is already sounding on the channel)
+divisions are unsupported, continuous mid-note controller/bend curves
+are ignored (both are sampled at note-on), and a retriggered note
+(note-on while the same note is already sounding on the channel)
 replaces the open note rather than layering.
 """
 
@@ -50,6 +53,7 @@ class MidiNote(NamedTuple):
     volume: float = 1.0         # (CC7/127)*(CC11/127) at note-on
     pan: Optional[float] = None  # CC10 at note-on mapped to [-1, 1];
     #                              None = channel never sent CC10
+    bend: float = 0.0           # pitch bend at note-on, in semitones
 
 
 def note_to_freq(note: int, a4: float = 440.0) -> float:
@@ -68,10 +72,10 @@ def _read_vlq(data: bytes, pos: int) -> Tuple[int, int]:
 
 class _Event(NamedTuple):
     tick: int
-    kind: str           # "on" | "off" | "tempo" | "program" | "cc"
+    kind: str           # "on" | "off" | "tempo" | "program" | "cc" | "bend"
     channel: int
     a: int              # note / tempo µs-per-quarter / program / controller
-    b: int              # velocity / controller value
+    b: int              # velocity / controller value / signed 14-bit bend
 
 
 def _parse_track(data: bytes) -> List[_Event]:
@@ -119,7 +123,11 @@ def _parse_track(data: bytes) -> List[_Event]:
                 events.append(_Event(tick, "cc", ch, data[pos],
                                      data[pos + 1]))
                 pos += 2
-            elif kind in (0xA0, 0xE0):             # aftertouch / pitch bend
+            elif kind == 0xE0:                     # pitch bend (14-bit)
+                value = (data[pos] | (data[pos + 1] << 7)) - 8192
+                pos += 2
+                events.append(_Event(tick, "bend", ch, 0, value))
+            elif kind == 0xA0:                     # poly aftertouch
                 pos += 2
             elif kind == 0xC0:                     # program change
                 events.append(_Event(tick, "program", ch, data[pos], 0))
@@ -164,14 +172,20 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
     cc11 = [127] * 16           # expression
     cc10: List[Optional[int]] = [None] * 16   # pan (None = never sent)
     pedal = [False] * 16
+    bend14 = [0] * 16           # signed 14-bit wheel position (-8192..8191)
+    # RPN 0,0 (pitch-bend sensitivity): GM default ±2 semitones; CC6/CC38
+    # are semitones/cents, honored only while RPN 0,0 is selected
+    rpn = [(0x7F, 0x7F)] * 16   # selected RPN (127,127 = null)
+    range_msb = [2] * 16
+    range_lsb = [0] * 16
     sec = 0.0
     last_tick = 0
     us_per_quarter = 500_000
 
     def _close(key, started, t1):
-        t0, vel, prog, vol, pan = started
+        t0, vel, prog, vol, pan, bend = started
         notes.append(MidiNote(t0, max(t1 - t0, 1e-3), key[1], vel,
-                              key[0], prog, vol, pan))
+                              key[0], prog, vol, pan, bend))
 
     for ev in events:
         sec += (ev.tick - last_tick) * us_per_quarter / 1e6 / division
@@ -195,12 +209,22 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
                 cc11[ch] = ev.b
             elif ev.a == 10:
                 cc10[ch] = ev.b
+            elif ev.a == 101:                      # RPN select MSB
+                rpn[ch] = (ev.b, rpn[ch][1])
+            elif ev.a == 100:                      # RPN select LSB
+                rpn[ch] = (rpn[ch][0], ev.b)
+            elif ev.a == 6 and rpn[ch] == (0, 0):  # bend range semitones
+                range_msb[ch] = ev.b
+            elif ev.a == 38 and rpn[ch] == (0, 0):  # bend range cents
+                range_lsb[ch] = ev.b
             elif ev.a in (120, 123):               # all sound/notes off
                 for key in [k for k in open_notes if k[0] == ch]:
                     _close(key, open_notes.pop(key), sec)
                 for key in [k for k in sustained if k[0] == ch]:
                     _close(key, sustained.pop(key), sec)
                 pedal[ch] = False
+        elif ev.kind == "bend":
+            bend14[ev.channel] = ev.b
         elif ev.kind == "on":
             key = (ev.channel, ev.a)
             held = sustained.pop(key, None)
@@ -210,8 +234,10 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
             notes_pan = None if pan is None \
                 else max(-1.0, min(1.0, (pan - 64) / 63.0))
             vol = (cc7[ev.channel] / 127.0) * (cc11[ev.channel] / 127.0)
+            semis = range_msb[ev.channel] + range_lsb[ev.channel] / 100.0
+            bend = bend14[ev.channel] / 8192.0 * semis
             open_notes[key] = (sec, ev.b, programs[ev.channel], vol,
-                               notes_pan)
+                               notes_pan, bend)
         elif ev.kind == "off":
             key = (ev.channel, ev.a)
             started = open_notes.pop(key, None)
@@ -281,7 +307,10 @@ def midi_to_voices(notes: Sequence[MidiNote],
             sd = _KICK_DEF if n.note in (35, 36) else _PERC_DEF
         else:
             sd = _gm_instrument(n.program)
-        freq = (60.0 if n.note in (35, 36) else 180.0 + 40.0 * (n.note % 12))             if n.channel == 9 and n.channel not in instruments             else note_to_freq(n.note, a4)
+        if n.channel == 9 and n.channel not in instruments:
+            freq = 60.0 if n.note in (35, 36) else 180.0 + 40.0 * (n.note % 12)
+        else:
+            freq = note_to_freq(n.note, a4) * 2.0 ** (n.bend / 12.0)
         voices.append(Voice(
             wave=sd.wave,
             frequency=freq,

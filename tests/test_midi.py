@@ -280,3 +280,54 @@ def test_cc_all_notes_off():
     notes = parse_midi(_smf1(ev))
     assert len(notes) == 2
     assert all(n.duration == pytest.approx(0.5, abs=1e-6) for n in notes)
+
+
+def test_pitch_bend_sampled_at_note_on():
+    from synthesizer_tpu.midi import _vlq, midi_to_voices, note_to_freq
+    # full-up wheel (8191/8192 of the default ±2 semitone range) before
+    # the note-on; a second note after re-centering is unbent
+    ev = b""
+    ev += _vlq(0) + bytes([0xE0, 0x7F, 0x7F])          # wheel max
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(240) + bytes([0x80, 60, 0])
+    ev += _vlq(0) + bytes([0xE0, 0x00, 0x40])          # center (8192)
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(240) + bytes([0x80, 60, 0])
+    notes = sorted(parse_midi(_smf1(ev)), key=lambda n: n.start)
+    assert notes[0].bend == pytest.approx(8191 / 8192 * 2.0)
+    assert notes[1].bend == 0.0
+    v0, v1 = midi_to_voices(notes)
+    assert v0.frequency == pytest.approx(
+        note_to_freq(60) * 2.0 ** (notes[0].bend / 12.0))
+    assert v1.frequency == pytest.approx(note_to_freq(60))
+
+
+def test_pitch_bend_rpn_range():
+    from synthesizer_tpu.midi import _vlq, parse_midi
+    # RPN 0,0 sets the bend range to 12.50 semitones (CC6=12, CC38=50);
+    # a half-up wheel then bends by half of that
+    ev = b""
+    ev += _vlq(0) + bytes([0xB0, 101, 0])              # RPN MSB 0
+    ev += _vlq(0) + bytes([0xB0, 100, 0])              # RPN LSB 0
+    ev += _vlq(0) + bytes([0xB0, 6, 12])               # 12 semitones
+    ev += _vlq(0) + bytes([0xB0, 38, 50])              # + 50 cents
+    ev += _vlq(0) + bytes([0xE0, 0x00, 0x60])          # +4096 (half up)
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(240) + bytes([0x80, 60, 0])
+    notes = parse_midi(_smf1(ev))
+    assert notes[0].bend == pytest.approx(0.5 * 12.5)
+
+
+def test_pitch_bend_rpn_null_guard():
+    from synthesizer_tpu.midi import _vlq, parse_midi
+    # CC6 with a non-bend RPN selected (or the null RPN) must NOT change
+    # the bend range — the GM default ±2 stays in force
+    ev = b""
+    ev += _vlq(0) + bytes([0xB0, 101, 0])              # RPN 0,1 = fine tune
+    ev += _vlq(0) + bytes([0xB0, 100, 1])
+    ev += _vlq(0) + bytes([0xB0, 6, 12])               # fine tune data
+    ev += _vlq(0) + bytes([0xE0, 0x7F, 0x7F])
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(240) + bytes([0x80, 60, 0])
+    notes = parse_midi(_smf1(ev))
+    assert notes[0].bend == pytest.approx(8191 / 8192 * 2.0)
