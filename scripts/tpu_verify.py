@@ -166,6 +166,29 @@ def section_bank(SR, n):
         check(f"bank/{wave}/vs_oracle", (d > tol).mean() < 1e-4,
               f"max {d.max():.0f} LSB, frac>tol {(d > tol).mean():.1e}")
 
+    # portamento: the integer-chirp glide phase must match the exact
+    # Python-int twin on hardware in BOTH engines (the tri(m) halving
+    # trick relies on modular int32 multiply semantics — a compiler that
+    # widened or reassociated it would break the closed form)
+    gv = [Voice(wave="sine", frequency=880.0, glide_from=220.0,
+                glide_time=0.05, start=0.01, duration=0.3, amplitude=0.5,
+                attack=0.0, decay=0.0, sustain_level=1.0, release=0.01)]
+    gvp, glayout = pack_voices(gv, SR, num_harmonics=4, sort_by_wave=True)
+    gbank = VoiceBank.for_voices(gv, SR, chunk_frames=1024,
+                                 num_harmonics=4, layout=glayout,
+                                 nvoices=glayout.nvoices)
+    total = int(0.35 * SR)
+    gout = np.asarray(gbank.render_song(gvp, total))[:, 0]
+    gpal = np.asarray(gbank.render_song(gvp, total, engine="pallas"))[:, 0]
+    ph = T._glide_phase_twin(880.0, 220.0, 0.05, 0.01, SR, total)
+    ref = 0.5 * np.sin(2 * np.pi * ph / 2 ** 32)
+    s0 = int(0.01 * SR)
+    lo, hi = s0 + 100, s0 + int(0.29 * SR)
+    dx = np.max(np.abs(gout[lo:hi] - ref[lo:hi]))
+    dp = np.max(np.abs(gpal[lo:hi] - ref[lo:hi]))
+    check("bank/glide/xla_vs_int_twin", dx < 1e-6, f"max {dx:.2e}")
+    check("bank/glide/pallas_vs_int_twin", dp < 1e-6, f"max {dp:.2e}")
+
     _wavetable_gather_probe()
 
 

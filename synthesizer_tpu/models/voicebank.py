@@ -113,6 +113,9 @@ class VoiceParams(NamedTuple):
     harm_amps: jax.Array   # f32 [V, H] partial amplitudes (wave id 8)
     table: jax.Array       # f32 [V, BANK_TABLE_LEN] wavetable (wave id 11)
     damping: jax.Array     # f32 pluck loop-loss exponent scale (wave 12)
+    glide_inc0: jax.Array  # u32 glide start increment (== base_inc: none)
+    glide_d: jax.Array     # u32 per-frame increment step (two's complement)
+    glide_frames: jax.Array  # i32 glide length in frames (0 = no glide)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,6 +141,13 @@ class Voice:
     table: Sequence[float] = ()       # wave="wavetable": one cycle
     harmonics: Sequence[float] = ()   # partial amps for wave="harmonics"
     damping: float = 1.0              # wave="pluck": loop-loss scale
+    # Portamento: slide from ``glide_from`` Hz to ``frequency`` over
+    # ``glide_time`` seconds from note start (0 on either = no glide).
+    # Exact integer-DDS chirp — see _phases for the closed form.  Applies
+    # to the phase-based waveform families; pluck (closed spectral form)
+    # and noise (index-hashed) ignore the swept phase by construction.
+    glide_from: float = 0.0
+    glide_time: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -247,6 +257,22 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
     for i, vc in enumerate(voices):
         if vc.wave == "wavetable":
             tables[i] = bank_table(vc.table)
+
+    # portamento constants (exact Python-int arithmetic mod 2^32):
+    # per-frame increment step d = floor((inc1 - inc0) / G) — the landing
+    # increment inc0 + d*G undershoots the target by (inc1-inc0) mod G
+    # phase units (< G units; at 44.1 kHz one unit is ~1e-5 Hz)
+    g_inc0 = np.zeros(V, np.uint32)
+    g_d = np.zeros(V, np.uint32)
+    g_frames = np.zeros(V, np.int32)
+    for i, vc in enumerate(voices):
+        if vc.glide_from > 0.0 and vc.glide_time > 0.0 and vc.frequency > 0.0:
+            inc0 = int(S.phase_increment(vc.glide_from, samplerate))
+            inc1 = int(S.phase_increment(vc.frequency, samplerate))
+            G = max(1, int(vc.glide_time * samplerate))
+            g_inc0[i] = np.uint32(inc0)
+            g_d[i] = np.uint32(((inc1 - inc0) // G) & 0xFFFFFFFF)
+            g_frames[i] = G
     return VoiceParams(
         wave=arr(lambda x: WAVE_IDS[x.wave], np.int32),
         base_inc=arr(lambda x: S.phase_increment(x.frequency, samplerate), np.uint32),
@@ -274,6 +300,9 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
         harm_amps=jnp.asarray(harm),
         table=jnp.asarray(tables),
         damping=arr(lambda x: x.damping, np.float32),
+        glide_inc0=jnp.asarray(g_inc0),
+        glide_d=jnp.asarray(g_d),
+        glide_frames=jnp.asarray(g_frames),
     )
 
 
@@ -422,10 +451,42 @@ def _wave_select(p, vp: VoiceParams, n, num_harmonics: int,
     return out if out is not None else jnp.zeros(p.shape, jnp.float32)
 
 
-def _phases(vp: VoiceParams, n, use_fm: bool):
-    """Closed-form DDS phases [v, N] for absolute frames n [N]."""
+def _tri_u32(m):
+    """Triangular number m*(m-1)/2 mod 2^32 (u32 in, u32 out).
+
+    Halve the EVEN factor before the wrapped multiply — dividing a
+    wrapped product by 2 would need mod 2^33.  Exact for m >= 0; values
+    for wrapped negative m are garbage but always envelope-masked."""
+    even = (m & jnp.uint32(1)) == 0
+    a = jnp.where(even, m >> 1, m)
+    b = jnp.where(even, m - jnp.uint32(1), (m - jnp.uint32(1)) >> 1)
+    return a * b
+
+
+def _phases(vp: VoiceParams, n, use_fm: bool, use_glide: bool = False):
+    """Closed-form DDS phases [v, N] for absolute frames n [N].
+
+    Portamento (use_glide): a linear-in-increment integer chirp, still
+    closed-form — for note-relative frame m, inc_m = inc0 + m*d, so
+    phase_m = phase0 + m*inc0 + d*m(m-1)/2 (mod 2^32) during the glide
+    and phase_G + (m-G)*incG after it (incG = inc0 + G*d).  All integer,
+    elementwise, no scan; a glide voice's phase is relative to its note
+    START (a plain voice's is relative to frame 0 — both are exact DDS)."""
     nu = n[None, :].astype(jnp.uint32)
     p = vp.phase0[:, None] + nu * vp.base_inc[:, None]
+    if use_glide:
+        m = n[None, :] - vp.start[:, None]             # i32, note-relative
+        mu = m.astype(jnp.uint32)
+        inc0 = vp.glide_inc0[:, None]
+        d = vp.glide_d[:, None]
+        G = vp.glide_frames[:, None]
+        Gu = G.astype(jnp.uint32)
+        during = inc0 * mu + d * _tri_u32(mu)
+        phase_g = inc0 * Gu + d * _tri_u32(Gu)         # phase at m == G
+        inc_g = inc0 + d * Gu
+        after = phase_g + (mu - Gu) * inc_g
+        pg = vp.phase0[:, None] + jnp.where(m < G, during, after)
+        p = jnp.where(G > 0, pg, p)
     if not use_fm:
         return p
     # exact discrete FM integral (module docstring): delta = inc*d*S_n
@@ -484,7 +545,8 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
                  samplerate: int, num_harmonics: int,
                  layout: Optional[BankLayout] = None,
                  used_waves: tuple = ALL_WAVES, use_fm: bool = True,
-                 seg: Optional[jax.Array] = None, nseg: int = 0):
+                 seg: Optional[jax.Array] = None, nseg: int = 0,
+                 use_glide: bool = False):
     """Render one block -> stereo f32 [blocksize, 2] (stateless, pure in n0).
 
     With a grouped ``layout`` each (waveform, fm) group evaluates only its
@@ -499,7 +561,7 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
     gains = []
     for (wid, has_fm, start, count) in layout.groups:
         sub = _slice_params(vp, start, count)
-        p = _phases(sub, n, has_fm)
+        p = _phases(sub, n, has_fm, use_glide)
         if wid < 0:
             w = _wave_select(p, sub, n, num_harmonics, used_waves)
         else:
@@ -537,18 +599,19 @@ _bank_fn_cache: dict = {}
 
 
 def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
-              ly: Optional[BankLayout]):
-    key = (cf, sr, H, uw, uf, ly)
+              ly: Optional[BankLayout], ug: bool = False):
+    key = (cf, sr, H, uw, uf, ly, ug)
     fns = _bank_fn_cache.get(key)
     if fns is None:
         @jax.jit
         def chunk_fn(vp: VoiceParams, n0):
-            return render_block(vp, n0, cf, sr, H, ly, uw, uf)
+            return render_block(vp, n0, cf, sr, H, ly, uw, uf, use_glide=ug)
 
         @functools.partial(jax.jit, static_argnames=("nchunks",))
         def song_fn(vp: VoiceParams, nchunks: int):
             def body(_, i):
-                return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf)
+                return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf,
+                                       use_glide=ug)
             _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, 2)
 
@@ -558,15 +621,15 @@ def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
 
 
 def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
-                     ly: Optional[BankLayout], nseg: int):
-    key = ("grouped", cf, sr, H, uw, uf, ly, nseg)
+                     ly: Optional[BankLayout], nseg: int, ug: bool = False):
+    key = ("grouped", cf, sr, H, uw, uf, ly, nseg, ug)
     fn = _bank_fn_cache.get(key)
     if fn is None:
         @functools.partial(jax.jit, static_argnames=("nchunks",))
         def fn(vp: VoiceParams, seg, nchunks: int):
             def body(_, i):
                 return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf,
-                                       seg=seg, nseg=nseg)
+                                       seg=seg, nseg=nseg, use_glide=ug)
             _, out = jax.lax.scan(body, 0,
                                   jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, nseg, 2)
@@ -575,14 +638,15 @@ def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
 
 
 def _bank_grouped_chunk_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
-                           ly: Optional[BankLayout], nseg: int):
-    key = ("grouped_chunk", cf, sr, H, uw, uf, ly, nseg)
+                           ly: Optional[BankLayout], nseg: int,
+                           ug: bool = False):
+    key = ("grouped_chunk", cf, sr, H, uw, uf, ly, nseg, ug)
     fn = _bank_fn_cache.get(key)
     if fn is None:
         @jax.jit
         def fn(vp: VoiceParams, seg, n0):
             return render_block(vp, n0, cf, sr, H, ly, uw, uf,
-                                seg=seg, nseg=nseg)
+                                seg=seg, nseg=nseg, use_glide=ug)
         _bank_fn_cache[key] = fn
     return fn
 
@@ -593,17 +657,19 @@ class VoiceBank:
     def __init__(self, nvoices: int, samplerate: int = 44100,
                  chunk_frames: int = 8192, num_harmonics: int = 8,
                  used_waves: tuple = ALL_WAVES, use_fm: bool = True,
-                 layout: Optional[BankLayout] = None):
+                 layout: Optional[BankLayout] = None,
+                 use_glide: bool = False):
         self.nvoices = nvoices
         self.samplerate = samplerate
         self.chunk_frames = chunk_frames
         self.num_harmonics = num_harmonics
         self.used_waves = tuple(sorted(used_waves))
         self.use_fm = use_fm
+        self.use_glide = use_glide
         self.layout = layout
         self._chunk_fn, self._song_fn = _bank_fns(
             chunk_frames, samplerate, num_harmonics, self.used_waves,
-            use_fm, layout)
+            use_fm, layout, use_glide)
 
     @classmethod
     def for_voices(cls, voices: Sequence[Voice], samplerate: int = 44100,
@@ -613,10 +679,13 @@ class VoiceBank:
         """Bank statically specialized to the waveforms/FM these voices use."""
         used = tuple(sorted({WAVE_IDS[v.wave] for v in voices})) or (0,)
         use_fm = any(v.fm_depth != 0.0 for v in voices)
+        use_glide = any(v.glide_from > 0.0 and v.glide_time > 0.0
+                        and v.frequency > 0.0 for v in voices)
         if 8 not in used and 12 not in used:
             num_harmonics = 0
         return cls(nvoices or len(voices), samplerate, chunk_frames,
-                   num_harmonics, used_waves=used, use_fm=use_fm, layout=layout)
+                   num_harmonics, used_waves=used, use_fm=use_fm,
+                   layout=layout, use_glide=use_glide)
 
     def render_chunk(self, vp: VoiceParams, n0: int,
                      engine: str = "xla") -> jax.Array:
@@ -625,7 +694,8 @@ class VoiceBank:
             from ..ops.kernels import render_stereo_pallas
             return render_stereo_pallas(vp, n0, nframes=self.chunk_frames,
                                         samplerate=self.samplerate,
-                                        layout=self._pallas_layout())
+                                        layout=self._pallas_layout(),
+                                        use_glide=self.use_glide)
         return self._chunk_fn(vp, jnp.int32(n0))
 
     def render_song(self, vp: VoiceParams, total_frames: int,
@@ -642,7 +712,8 @@ class VoiceBank:
             return render_stereo_pallas(vp, 0, nframes=total_frames,
                                         samplerate=self.samplerate,
                                         layout=self._pallas_layout(),
-                                        tile=min(self.chunk_frames, 8192))
+                                        tile=min(self.chunk_frames, 8192),
+                                        use_glide=self.use_glide)
         nchunks = -(-total_frames // self.chunk_frames)
         out = self._song_fn(vp, nchunks)
         return out[:total_frames]
@@ -657,7 +728,8 @@ class VoiceBank:
         order may differ between the [V_all] and [V_i] matmul shapes)."""
         fn = _bank_grouped_fn(self.chunk_frames, self.samplerate,
                               self.num_harmonics, self.used_waves,
-                              self.use_fm, self.layout, int(nseg))
+                              self.use_fm, self.layout, int(nseg),
+                              self.use_glide)
         nchunks = -(-total_frames // self.chunk_frames)
         out = fn(vp, jnp.asarray(seg, jnp.int32), nchunks)
         return out[:total_frames]
@@ -670,7 +742,8 @@ class VoiceBank:
         path, where each fx'd track needs its own bus per chunk."""
         fn = _bank_grouped_chunk_fn(self.chunk_frames, self.samplerate,
                                     self.num_harmonics, self.used_waves,
-                                    self.use_fm, self.layout, int(nseg))
+                                    self.use_fm, self.layout, int(nseg),
+                                    self.use_glide)
         return fn(vp, jnp.asarray(seg, jnp.int32), jnp.int32(n0))
 
     def _pallas_layout(self) -> BankLayout:

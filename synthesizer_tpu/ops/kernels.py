@@ -61,8 +61,10 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
             attack, decay, sustain_level, release,
             fm_inc, fm_phase0, fm_depth, fm_r, fm_c0,
             pulse_width, seed, noise_hold, harm_amps, damping,
+            glide_inc0, glide_d, glide_frames,
             out_ref,                     # [2, TILE]
-            *, tile: int, samplerate: int, layout: BankLayout):
+            *, tile: int, samplerate: int, layout: BankLayout,
+            use_glide: bool = False):
     t = pl.program_id(0)
     n = (n0_ref[0] + t * tile
          + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1))   # [1, T]
@@ -86,6 +88,29 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
         sl = slice(gstart, gstart + gcount)
         inc = base_inc[sl]              # [g, 1] i32
         p = phase0[sl] + n * inc        # [g, T] i32 wrap == u32 mod 2^32
+
+        if use_glide:
+            # portamento: linear-in-increment integer chirp, closed form
+            # (voicebank._phases docstring) in the i32 wrap domain.  tri(m)
+            # halves the even factor BEFORE the wrapped multiply; negative
+            # note-relative m is envelope-masked garbage, same as XLA.
+            m = n - start[sl]                          # [g, T] i32
+            even = (m & jnp.int32(1)) == 0
+            a = jnp.where(even, jax.lax.shift_right_logical(m, 1), m)
+            b = jnp.where(even, m - jnp.int32(1),
+                          jax.lax.shift_right_logical(m - jnp.int32(1), 1))
+            gi0, gd = glide_inc0[sl], glide_d[sl]      # [g, 1] i32
+            G = glide_frames[sl]
+            Ge = (G & jnp.int32(1)) == 0
+            Ga = jnp.where(Ge, jax.lax.shift_right_logical(G, 1), G)
+            Gb = jnp.where(Ge, G - jnp.int32(1),
+                           jax.lax.shift_right_logical(G - jnp.int32(1), 1))
+            during = gi0 * m + gd * (a * b)
+            phase_g = gi0 * G + gd * (Ga * Gb)
+            inc_g = gi0 + gd * G
+            after = phase_g + (m - G) * inc_g
+            pg = phase0[sl] + jnp.where(m < G, during, after)
+            p = jnp.where(G > 0, pg, p)
 
         if has_fm:
             fi = fm_inc[sl]
@@ -252,10 +277,11 @@ def _col_f32(x) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("nframes", "samplerate",
-                                             "layout", "tile"))
+                                             "layout", "tile", "use_glide"))
 def render_stereo_pallas(vp: VoiceParams, n0: jax.Array, *, nframes: int,
                          samplerate: int, layout: BankLayout,
-                         tile: int = 8192) -> jax.Array:
+                         tile: int = 8192,
+                         use_glide: bool = False) -> jax.Array:
     """Render [nframes, 2] f32 starting at absolute frame n0 (one kernel)."""
     padded = -(-nframes // tile) * tile
     ntiles = padded // tile
@@ -273,9 +299,11 @@ def render_stereo_pallas(vp: VoiceParams, n0: jax.Array, *, nframes: int,
         _col_i32(vp.noise_hold),
         vp.harm_amps.astype(jnp.float32),
         _col_f32(vp.damping),
+        _col_i32(vp.glide_inc0), _col_i32(vp.glide_d),
+        _col_i32(vp.glide_frames),
     ]
     kernel = functools.partial(_kernel, tile=tile, samplerate=samplerate,
-                               layout=layout)
+                               layout=layout, use_glide=use_glide)
     out = pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -304,7 +332,8 @@ def render_stereo_pallas(vp: VoiceParams, n0: jax.Array, *, nframes: int,
                                         layout.num_harmonics)
                 acc = acc + render_block(sub, n0_i + i * tile, tile,
                                          samplerate, layout.num_harmonics,
-                                         layout=sub_layout)
+                                         layout=sub_layout,
+                                         use_glide=use_glide)
             return 0, acc
 
         _, wt = jax.lax.scan(wt_tile, 0, jnp.arange(ntiles, dtype=jnp.int32))

@@ -85,23 +85,30 @@ def stream_chunk_sharded_fn(mesh: Mesh, cf: int, lmax: int):
     return fn
 
 
+def _any_glide(voices) -> bool:
+    return any(v.glide_from > 0.0 and v.glide_time > 0.0
+               and v.frequency > 0.0 for v in voices)
+
+
 def song_synth_shards(voices, samplerate: int, mesh: Mesh,
                       num_harmonics: int = 8):
     """Pack a song's synth voices for the mesh: (sharded VoiceParams,
-    used_waves, use_fm).  One place owns the padding rule and the
+    used_waves, use_fm, use_glide).  One place owns the padding rule and the
     compiled-waveform-set derivation for every sharded song path."""
     from ..models.voicebank import WAVE_IDS, pack_voices
     vp = pack_voices(voices, samplerate, num_harmonics=num_harmonics,
                      pad_to=int(mesh.devices.size))
     used = tuple(sorted({WAVE_IDS[v.wave] for v in voices}))
     use_fm = any(v.fm_depth != 0.0 for v in voices)
-    return shard_voice_params(vp, mesh), used, use_fm
+    use_glide = _any_glide(voices)
+    return shard_voice_params(vp, mesh), used, use_fm, use_glide
 
 
 def song_synth_shards_grouped(voices, vtracks, fx_tracks, samplerate: int,
                               mesh: Mesh, num_harmonics: int = 8):
     """Pack a song's synth voices WITH per-track segment tags for the mesh:
-    (sharded VoiceParams, sharded seg [V] i32, used_waves, use_fm).
+    (sharded VoiceParams, sharded seg [V] i32, used_waves, use_fm,
+    use_glide).
 
     Segment 0 is the shared clean bus; segment i+1 is ``fx_tracks[i]``'s own
     stereo bus (the per-synth-track fx path).  Tags shard over the same
@@ -116,16 +123,18 @@ def song_synth_shards_grouped(voices, vtracks, fx_tracks, samplerate: int,
     seg = jnp.asarray(np.asarray(tags + [0] * (V - len(tags)), np.int32))
     used = tuple(sorted({WAVE_IDS[v.wave] for v in voices}))
     use_fm = any(v.fm_depth != 0.0 for v in voices)
+    use_glide = _any_glide(voices)
     sh = NamedSharding(mesh, P(AXIS))
     return (shard_voice_params(vp, mesh), jax.device_put(seg, sh), used,
-            use_fm)
+            use_fm, use_glide)
 
 
 def render_song_grouped_sharded(vp: VoiceParams, seg: jax.Array, nseg: int,
                                 total_frames: int, samplerate: int,
                                 chunk_frames: int, num_harmonics: int,
                                 mesh: Mesh, used_waves: tuple,
-                                use_fm: bool) -> jax.Array:
+                                use_fm: bool,
+                                use_glide: bool = False) -> jax.Array:
     """Offline GROUPED mixdown over the mesh: each device scans the song's
     chunks over its local voice shard, scattering every local voice into
     its segment's stereo bus (the grouped pan matmul of
@@ -135,7 +144,7 @@ def render_song_grouped_sharded(vp: VoiceParams, seg: jax.Array, nseg: int,
     render after int16 quantization (cross-shard summation order)."""
     nchunks = -(-total_frames // chunk_frames)
     key = ("song_grouped", mesh, nchunks, chunk_frames, samplerate,
-           num_harmonics, used_waves, use_fm, int(nseg))
+           num_harmonics, used_waves, use_fm, int(nseg), use_glide)
     run = _sharded_fn_cache.get(key)
     if run is None:
         @jax.jit
@@ -148,7 +157,7 @@ def render_song_grouped_sharded(vp: VoiceParams, seg: jax.Array, nseg: int,
                                      chunk_frames, samplerate,
                                      num_harmonics, used_waves=used_waves,
                                      use_fm=use_fm, seg=seg_shard,
-                                     nseg=nseg)
+                                     nseg=nseg, use_glide=use_glide)
                 return 0, jax.lax.psum(buses, AXIS)
             _, out = jax.lax.scan(body, 0,
                                   jnp.arange(nchunks, dtype=jnp.int32))
@@ -160,12 +169,12 @@ def render_song_grouped_sharded(vp: VoiceParams, seg: jax.Array, nseg: int,
 def render_chunk_grouped_sharded_fn(mesh: Mesh, chunk_frames: int,
                                     samplerate: int, num_harmonics: int,
                                     used_waves: tuple, use_fm: bool,
-                                    nseg: int):
+                                    nseg: int, use_glide: bool = False):
     """Jitted (vp_shard, seg_shard, c0) -> psum'ed [chunk, nseg, 2] bus
     stack (the streaming counterpart of
     :func:`render_song_grouped_sharded`'s scan body)."""
     key = ("chunk_grouped", mesh, chunk_frames, samplerate, num_harmonics,
-           used_waves, use_fm, int(nseg))
+           used_waves, use_fm, int(nseg), use_glide)
     fn = _sharded_fn_cache.get(key)
     if fn is None:
         @jax.jit
@@ -174,7 +183,8 @@ def render_chunk_grouped_sharded_fn(mesh: Mesh, chunk_frames: int,
         def fn(vp_shard: VoiceParams, seg_shard, c0) -> jax.Array:
             buses = render_block(vp_shard, c0, chunk_frames, samplerate,
                                  num_harmonics, used_waves=used_waves,
-                                 use_fm=use_fm, seg=seg_shard, nseg=nseg)
+                                 use_fm=use_fm, seg=seg_shard, nseg=nseg,
+                                 use_glide=use_glide)
             return jax.lax.psum(buses, AXIS)
         _sharded_fn_cache[key] = fn
     return fn
@@ -182,11 +192,11 @@ def render_chunk_grouped_sharded_fn(mesh: Mesh, chunk_frames: int,
 
 def render_chunk_sharded_fn(mesh: Mesh, chunk_frames: int, samplerate: int,
                             num_harmonics: int, used_waves: tuple,
-                            use_fm: bool):
+                            use_fm: bool, use_glide: bool = False):
     """Jitted (vp_shard, c0) -> psum'ed stereo chunk over the mesh (the
     streaming counterpart of :func:`render_song_sharded`'s scan body)."""
     key = ("chunk", mesh, chunk_frames, samplerate, num_harmonics,
-           used_waves, use_fm)
+           used_waves, use_fm, use_glide)
     fn = _sharded_fn_cache.get(key)
     if fn is None:
         @jax.jit
@@ -195,7 +205,7 @@ def render_chunk_sharded_fn(mesh: Mesh, chunk_frames: int, samplerate: int,
         def fn(vp_shard: VoiceParams, c0) -> jax.Array:
             stereo = render_block(vp_shard, c0, chunk_frames, samplerate,
                                   num_harmonics, used_waves=used_waves,
-                                  use_fm=use_fm)
+                                  use_fm=use_fm, use_glide=use_glide)
             return jax.lax.psum(stereo, AXIS)
         _sharded_fn_cache[key] = fn
     return fn
@@ -206,7 +216,8 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
                         num_harmonics: int = 8,
                         mesh: Optional[Mesh] = None,
                         used_waves: tuple = ALL_WAVES,
-                        use_fm: bool = True) -> jax.Array:
+                        use_fm: bool = True,
+                        use_glide: bool = False) -> jax.Array:
     """Offline mixdown with the voice axis sharded over the mesh.
 
     Each device scans the song's chunks over its local voice shard; the
@@ -226,7 +237,7 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
     vp = shard_voice_params(vp, mesh)
 
     key = ("song", mesh, nchunks, chunk_frames, samplerate, num_harmonics,
-           used_waves, use_fm)
+           used_waves, use_fm, use_glide)
     run = _sharded_fn_cache.get(key)
     if run is None:
         @jax.jit
@@ -237,7 +248,8 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
             def body(_, i):
                 stereo = render_block(vp_shard, i * chunk_frames, chunk_frames,
                                       samplerate, num_harmonics,
-                                      used_waves=used_waves, use_fm=use_fm)
+                                      used_waves=used_waves, use_fm=use_fm,
+                                      use_glide=use_glide)
                 return 0, jax.lax.psum(stereo, AXIS)
             _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, 2)

@@ -176,6 +176,8 @@ class SynthDef:
     table: tuple = ()            # wave="wavetable": one cycle of samples
     damping: float = 1.0         # wave="pluck": loop-loss exponent scale
     seed: int = 0                # wave="pluck"/"white_noise" excitation
+    glide: float = 0.0           # portamento seconds: each note slides
+    #                              from the track's PREVIOUS note's pitch
 
 
 class HitSchedule:
@@ -545,6 +547,7 @@ class Song:
                     table=tuple(float(x) for x in g.get("table", "").split()),
                     damping=g.getfloat("damping", 1.0),
                     seed=g.getint("seed", 0),
+                    glide=g.getfloat("glide", 0.0),
                 )
         for section in cp.sections():
             if section.startswith("sampler."):
@@ -1037,9 +1040,16 @@ class Song:
         (extend the gate); '.'-only tokens are rests.  With
         ``return_tracks`` also returns the aligned list of synth-track
         names (one per voice — the per-track fx path groups on it).
+
+        Portamento (``glide =`` on the [synth.*] section): every note
+        after a track's first slides from the PREVIOUS note's pitch over
+        the configured seconds (mono-synth always-glide, across rests) —
+        the bank renders it as an exact integer-DDS chirp, so offline,
+        streaming, and mesh paths inherit it from this ONE compile.
         """
         voices: List[Voice] = []
         tracks: List[str] = []
+        last_freq: Dict[str, float] = {}
         tick = self.tick_duration
         bar_start = 0
         for pname in self.pattern_sequence:
@@ -1062,9 +1072,14 @@ class Song:
                     tracks.append(inst)
                     note_pan = self._track_pan_at(inst, bar_start + t)
                     note, vel = self._split_note_token(tok)
+                    freq = note_freq(note)
+                    prev = last_freq.get(inst)
+                    glide_from = (prev if sd.glide > 0.0 and prev is not None
+                                  and prev != freq else 0.0)
+                    last_freq[inst] = freq
                     voices.append(Voice(
                         wave=sd.wave,
-                        frequency=note_freq(note),
+                        frequency=freq,
                         amplitude=sd.amplitude * vel
                         * self._track_gain_at(inst, bar_start + t),
                         pan=sd.pan if note_pan is None else note_pan,
@@ -1078,6 +1093,8 @@ class Song:
                         table=sd.table,
                         damping=sd.damping,
                         seed=sd.seed,
+                        glide_from=glide_from,
+                        glide_time=sd.glide if glide_from else 0.0,
                     ))
                     t += held
             bar_start += nticks
@@ -1700,21 +1717,23 @@ class Song:
                 # cross-shard summation order)
                 from .parallel.mesh import (render_song_grouped_sharded,
                                             song_synth_shards_grouped)
-                vp, seg, uw, ufm = song_synth_shards_grouped(
+                vp, seg, uw, ufm, ugl = song_synth_shards_grouped(
                     voices, vtracks, fx_tracks, self.samplerate, mesh)
                 buses = render_song_grouped_sharded(
                     vp, seg, len(fx_tracks) + 1, total, self.samplerate,
                     chunk_frames=32768, num_harmonics=8, mesh=mesh,
-                    used_waves=uw, use_fm=ufm)
+                    used_waves=uw, use_fm=ufm, use_glide=ugl)
                 out32 = self._add_synth_buses(out32, buses, fx_tracks,
                                               total, sc_keys)
             elif mesh is not None:
                 from .parallel.mesh import (render_song_sharded,
                                             song_synth_shards)
-                vp, uw, ufm = song_synth_shards(voices, self.samplerate, mesh)
+                vp, uw, ufm, ugl = song_synth_shards(
+                    voices, self.samplerate, mesh)
                 stereo = render_song_sharded(
                     vp, total, self.samplerate, chunk_frames=32768,
-                    num_harmonics=8, mesh=mesh, used_waves=uw, use_fm=ufm)
+                    num_harmonics=8, mesh=mesh, used_waves=uw, use_fm=ufm,
+                    use_glide=ugl)
                 out32 = out32 + jnp.rint(
                     stereo * jnp.float32(32767.0)).astype(jnp.int32)
             elif fx_tracks:
@@ -2001,10 +2020,11 @@ class Song:
                     from .parallel.mesh import (
                         render_chunk_grouped_sharded_fn,
                         song_synth_shards_grouped)
-                    gvp, gseg, uw, ufm = song_synth_shards_grouped(
+                    gvp, gseg, uw, ufm, ugl = song_synth_shards_grouped(
                         voices, vtracks, fx_tracks, self.samplerate, mesh)
                     gfn = render_chunk_grouped_sharded_fn(
-                        mesh, cf, self.samplerate, 8, uw, ufm, nseg)
+                        mesh, cf, self.samplerate, 8, uw, ufm, nseg,
+                        use_glide=ugl)
 
                     def grouped_chunk_fn(c0):
                         return gfn(gvp, gseg, jnp.int32(c0))
@@ -2029,9 +2049,10 @@ class Song:
             elif mesh is not None:
                 from .parallel.mesh import (render_chunk_sharded_fn,
                                             song_synth_shards)
-                svp, uw, ufm = song_synth_shards(voices, self.samplerate, mesh)
+                svp, uw, ufm, ugl = song_synth_shards(
+                    voices, self.samplerate, mesh)
                 synth_chunk_fn = render_chunk_sharded_fn(
-                    mesh, cf, self.samplerate, 8, uw, ufm)
+                    mesh, cf, self.samplerate, 8, uw, ufm, use_glide=ugl)
             else:
                 sbank, svp = self._synth_bank(voices, chunk_frames=cf)
                 synth_chunk_fn = None

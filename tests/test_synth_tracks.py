@@ -139,3 +139,108 @@ def test_wavetable_synth_track_end_to_end():
     song2 = Song.from_string(text)
     np.testing.assert_array_equal(song2.mix(normalize=False).get_frame_array(),
                                   got)
+
+
+# ---------------------------------------------------------------------------
+# Portamento ([synth.*] glide =)
+# ---------------------------------------------------------------------------
+
+def _glide_song():
+    song = Song()
+    song.bpm = 120
+    song.ticks = 2
+    song.add_synth("mono", SynthDef(wave="sine", amplitude=0.5,
+                                    attack=0.0, decay=0.0,
+                                    sustain_level=1.0, release=0.02,
+                                    glide=0.08))
+    song.add_pattern("a", {"mono": "C3 -  G3 -  C4 -  .. .."})
+    song.pattern_sequence = ["a"]
+    return song
+
+
+def test_glide_voice_compilation():
+    song = _glide_song()
+    voices = song.compile_synth_voices()
+    assert len(voices) == 3
+    v1, v2, v3 = sorted(voices, key=lambda v: v.start)
+    # the track's first note never glides; later notes slide from the
+    # previous pitch over the configured seconds (across any rests)
+    assert v1.glide_time == 0.0 and v1.glide_from == 0.0
+    assert v2.glide_from == pytest.approx(note_freq("C3"))
+    assert v2.glide_time == pytest.approx(0.08)
+    assert v3.glide_from == pytest.approx(note_freq("G3"))
+
+
+def test_glide_repeated_note_does_not_glide():
+    song = _glide_song()
+    song.patterns["a"]["mono"] = "A3 -  A3 -  .. .. .. .."
+    voices = sorted(song.compile_synth_voices(), key=lambda v: v.start)
+    assert voices[1].glide_time == 0.0     # same pitch: nothing to slide
+
+
+def test_glide_streaming_equals_offline():
+    song = _glide_song()
+    offline = song.mix(normalize=False).get_frame_array()
+    chunks = [c.get_frame_array()
+              for c in song.mix_generator(chunk_frames=1000)]
+    got = np.concatenate(chunks)
+    np.testing.assert_array_equal(got, offline[:len(got)])
+
+
+def test_glide_audibly_sweeps():
+    # the middle of the C3->G3 slide must sit strictly between the two
+    # pitches (zero-crossing estimate), and the note must land on target
+    song = _glide_song()
+    a = song.mix(normalize=False).get_frame_array()[:, 0].astype(np.float64)
+    sr = song.samplerate
+    tick = song.tick_duration
+    g3_start = int(2 * tick * sr)          # G3 note starts at tick 2
+
+    def f_est(seg):
+        zc = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        return sr / np.mean(np.diff(zc))
+
+    mid = f_est(a[g3_start + int(0.02 * sr): g3_start + int(0.06 * sr)])
+    end = f_est(a[g3_start + int(0.12 * sr): g3_start + int(0.24 * sr)])
+    assert note_freq("C3") + 5 < mid < note_freq("G3") - 5
+    assert abs(end - note_freq("G3")) < 1.5
+
+
+def test_glide_ini_roundtrip(tmp_path):
+    ini = tmp_path / "glide.ini"
+    ini.write_text("""
+[song]
+bpm = 120
+ticks = 2
+patterns = a
+
+[synth.mono]
+wave = sine
+amplitude = 0.5
+attack = 0.0
+decay = 0.0
+sustain_level = 1.0
+release = 0.02
+glide = 0.08
+
+[pattern.a]
+mono = C3 -  G3 -  C4 -  .. ..
+""")
+    song = Song.from_ini(str(ini))
+    assert song.synths["mono"].glide == pytest.approx(0.08)
+    ref = _glide_song().mix(normalize=False).get_frame_array()
+    got = song.mix(normalize=False).get_frame_array()
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_glide_mesh_matches_single_device():
+    import jax
+    from synthesizer_tpu.parallel.mesh import voice_mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    song = _glide_song()
+    single = song.mix(normalize=False).get_frame_array()
+    sharded = song.mix(normalize=False,
+                       mesh=voice_mesh()).get_frame_array()
+    assert np.max(np.abs(single.astype(np.int64)
+                         - sharded.astype(np.int64))) <= 1

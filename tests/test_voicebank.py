@@ -327,3 +327,88 @@ def test_short_gate_envelope():
     g16 = np.clip(np.rint(got * 32767), -32768, 32767)
     w16 = np.clip(np.rint(want * 32767), -32768, 32767)
     assert np.abs(g16 - w16).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# Portamento (glide) — exact integer-DDS chirp
+# ---------------------------------------------------------------------------
+
+def _glide_phase_twin(freq, glide_from, glide_time, start, sr, total):
+    """Exact Python-int twin of _phases' glide closed form (mod 2^32)."""
+    inc0 = int(S.phase_increment(glide_from, sr))
+    inc1 = int(S.phase_increment(freq, sr))
+    G = max(1, int(glide_time * sr))
+    d = (inc1 - inc0) // G
+    n = np.arange(total, dtype=object)
+    m = n - int(start * sr)
+    tri = [(int(x) * (int(x) - 1)) // 2 for x in m]
+    triG = (G * (G - 1)) // 2
+    ph = [
+        (inc0 * int(mm) + d * tt) if mm < G
+        else (inc0 * G + d * triG + (int(mm) - G) * (inc0 + d * G))
+        for mm, tt in zip(m, tri)]
+    return np.asarray([p % (2 ** 32) for p in ph], np.float64)
+
+
+def test_glide_matches_integer_twin():
+    sr = 44100
+    v = Voice(wave="sine", frequency=880.0, glide_from=220.0,
+              glide_time=0.05, start=0.01, duration=0.3, amplitude=0.5,
+              attack=0.0, decay=0.0, sustain_level=1.0, release=0.01)
+    vp, layout = pack_voices([v], sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], sr, layout=layout,
+                                nvoices=layout.nvoices)
+    assert bank.use_glide
+    total = int(0.35 * sr)
+    out = np.asarray(bank.render_song(vp, total))[:, 0]
+    ph = _glide_phase_twin(880.0, 220.0, 0.05, 0.01, sr, total)
+    ref = 0.5 * np.sin(2 * np.pi * ph / 2 ** 32)
+    start = int(0.01 * sr)
+    lo, hi = start + 100, start + int(0.29 * sr)   # inside the sustain
+    # f32 sine evaluation is the only error source (phase is exact)
+    assert np.max(np.abs(out[lo:hi] - ref[lo:hi])) < 1e-6
+
+
+def test_glide_downward_and_landing_increment():
+    # downward glide (negative step, floor division) must land within
+    # G phase units of the target increment and hold steady after
+    sr = 44100
+    v = Voice(wave="sine", frequency=110.0, glide_from=440.0,
+              glide_time=0.02, start=0.0, duration=0.5, amplitude=0.5,
+              attack=0.0, decay=0.0, sustain_level=1.0, release=0.01)
+    vp, layout = pack_voices([v], sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], sr, layout=layout,
+                                nvoices=layout.nvoices)
+    out = np.asarray(bank.render_song(vp, int(0.5 * sr)))[:, 0]
+    seg = out[int(0.2 * sr):int(0.45 * sr)]
+    zc = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+    f = sr / np.mean(np.diff(zc))
+    assert abs(f - 110.0) < 0.5
+
+
+def test_glide_pallas_parity():
+    sr = 44100
+    voices = [Voice(wave=w, frequency=660.0, glide_from=330.0,
+                    glide_time=0.04, start=0.005, duration=0.2,
+                    amplitude=0.4)
+              for w in ("sine", "sawtooth", "square", "triangle")]
+    voices.append(Voice(wave="sine", frequency=440.0, amplitude=0.3))
+    vp, layout = pack_voices(voices, sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices(voices, sr, layout=layout,
+                                nvoices=layout.nvoices)
+    a = np.asarray(bank.render_song(vp, 11025))
+    b = np.asarray(bank.render_song(vp, 11025, engine="pallas"))
+    assert np.max(np.abs(a - b)) < 2e-6
+
+
+def test_no_glide_banks_untouched():
+    # a glide-free bank must compile WITHOUT the glide formula and render
+    # exactly as before (use_glide=False is the static default)
+    sr = 44100
+    v = Voice(wave="sine", frequency=440.0, duration=0.1)
+    vp, layout = pack_voices([v], sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], sr, layout=layout,
+                                nvoices=layout.nvoices)
+    assert not bank.use_glide
+    out = np.asarray(bank.render_song(vp, 4410))
+    assert np.abs(out).max() > 0.1
