@@ -11,19 +11,28 @@ for tests and for exporting sequencer songs.
 
 Controllers honored: CC64 sustain pedal (note-offs while the pedal is
 down are deferred to the pedal release — the gap that audibly truncates
-piano files), CC7 channel volume / CC11 expression (sampled at note-on,
-scaling amplitude as (vol/127)*(expr/127)), CC10 pan (sampled at
-note-on, mapped to the voice's constant-power pan), and pitch bend
-(0xE0, sampled at note-on and applied as a frequency ratio
-2^(semitones/12); the bend RANGE honors RPN 0,0 — CC101/100 select,
-CC6/CC38 set semitones+cents — with the GM default of ±2 semitones).
+piano files), CC7 channel volume / CC11 expression (continuous: mid-note
+changes become per-voice amplitude-curve segments scaling
+(vol/127)*(expr/127); a channel with no mid-note changes keeps the
+note-on-sampled factor, bit-identical to the curve-free renderer), CC10
+pan (sampled at note-on, mapped to the voice's constant-power pan), and
+pitch bend (0xE0, CONTINUOUS: mid-note wheel events become piecewise
+exact integer-DDS chirp segments — the portamento closed form per
+segment, linearly ramping the frequency between events and holding after
+the last, so a bend sweep renders as a sweep, not stairs; the bend RANGE
+honors RPN 0,0 — CC101/100 select, CC6/CC38 set semitones+cents, a
+CC98/99 NRPN select nulls the RPN — with the GM default of ±2
+semitones, evaluated at each event's time).
 
 Limitations (deliberate, documented): notes map to the bank's gate-ADSR
 voices (no per-note velocity curves beyond linear amplitude), SMPTE
-divisions are unsupported, continuous mid-note controller/bend curves
-are ignored (both are sampled at note-on), and a retriggered note
-(note-on while the same note is already sounding on the channel)
-replaces the open note rather than layering.
+divisions are unsupported, bend/CC events after a note's note-off do not
+affect its release tail, CC1 mod-wheel vibrato is not synthesized (the
+bank's FM depth is a per-note constant in the closed-form integral), a
+percussion-channel (10) bend keeps note-on sampling (its drum pitches
+are synthetic, not note-derived), and a retriggered note (note-on while
+the same note is already sounding on the channel) replaces the open note
+rather than layering.
 """
 
 from __future__ import annotations
@@ -54,6 +63,12 @@ class MidiNote(NamedTuple):
     pan: Optional[float] = None  # CC10 at note-on mapped to [-1, 1];
     #                              None = channel never sent CC10
     bend: float = 0.0           # pitch bend at note-on, in semitones
+    # mid-note wheel/controller curves: ((t_rel_seconds, value), ...)
+    # starting with the note-on value at t=0; None = no mid-note events
+    # (the scalar fields above fully describe the note — bit-identical
+    # to the pre-curve renderer)
+    bend_curve: Optional[Tuple[Tuple[float, float], ...]] = None  # semitones
+    gain_curve: Optional[Tuple[Tuple[float, float], ...]] = None  # abs gain
 
 
 def note_to_freq(note: int, a4: float = 440.0) -> float:
@@ -183,9 +198,12 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
     us_per_quarter = 500_000
 
     def _close(key, started, t1):
-        t0, vel, prog, vol, pan, bend = started
-        notes.append(MidiNote(t0, max(t1 - t0, 1e-3), key[1], vel,
-                              key[0], prog, vol, pan, bend))
+        t0, vel, prog, vol, pan, bend, bcurve, gcurve = started
+        notes.append(MidiNote(
+            t0, max(t1 - t0, 1e-3), key[1], vel, key[0], prog, vol, pan,
+            bend,
+            tuple([(0.0, bend)] + bcurve) if bcurve else None,
+            tuple([(0.0, vol)] + gcurve) if gcurve else None))
 
     for ev in events:
         sec += (ev.tick - last_tick) * us_per_quarter / 1e6 / division
@@ -203,16 +221,23 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
                     for key in [k for k in sustained if k[0] == ch]:
                         _close(key, sustained.pop(key), sec)
                 pedal[ch] = down
-            elif ev.a == 7:
-                cc7[ch] = ev.b
-            elif ev.a == 11:
-                cc11[ch] = ev.b
+            elif ev.a in (7, 11):
+                (cc7 if ev.a == 7 else cc11)[ch] = ev.b
+                gain = (cc7[ch] / 127.0) * (cc11[ch] / 127.0)
+                for k, st in list(open_notes.items()) + list(sustained.items()):
+                    if k[0] == ch:
+                        st[7].append((sec - st[0], gain))
             elif ev.a == 10:
                 cc10[ch] = ev.b
             elif ev.a == 101:                      # RPN select MSB
                 rpn[ch] = (ev.b, rpn[ch][1])
             elif ev.a == 100:                      # RPN select LSB
                 rpn[ch] = (rpn[ch][0], ev.b)
+            elif ev.a in (98, 99):                 # NRPN select: null the RPN
+                # so a later CC6/CC38 data entry addressed at the NRPN is
+                # not misread as a bend-range change (GS/XG files select
+                # RPN 0,0, then edit drum NRPNs with the same data CCs)
+                rpn[ch] = (0x7F, 0x7F)
             elif ev.a == 6 and rpn[ch] == (0, 0):  # bend range semitones
                 range_msb[ch] = ev.b
             elif ev.a == 38 and rpn[ch] == (0, 0):  # bend range cents
@@ -224,7 +249,16 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
                     _close(key, sustained.pop(key), sec)
                 pedal[ch] = False
         elif ev.kind == "bend":
-            bend14[ev.channel] = ev.b
+            ch = ev.channel
+            bend14[ch] = ev.b
+            # mid-note wheel movement: record on every sounding note of
+            # the channel (pedal-sustained ones too — the wheel bends
+            # whatever rings), with the RPN bend range in effect NOW
+            semis_now = (range_msb[ch] + range_lsb[ch] / 100.0)
+            val = ev.b / 8192.0 * semis_now
+            for k, st in list(open_notes.items()) + list(sustained.items()):
+                if k[0] == ch:
+                    st[6].append((sec - st[0], val))
         elif ev.kind == "on":
             key = (ev.channel, ev.a)
             held = sustained.pop(key, None)
@@ -237,7 +271,7 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
             semis = range_msb[ev.channel] + range_lsb[ev.channel] / 100.0
             bend = bend14[ev.channel] / 8192.0 * semis
             open_notes[key] = (sec, ev.b, programs[ev.channel], vol,
-                               notes_pan, bend)
+                               notes_pan, bend, [], [])
         elif ev.kind == "off":
             key = (ev.channel, ev.a)
             started = open_notes.pop(key, None)
@@ -307,15 +341,32 @@ def midi_to_voices(notes: Sequence[MidiNote],
             sd = _KICK_DEF if n.note in (35, 36) else _PERC_DEF
         else:
             sd = _gm_instrument(n.program)
-        if n.channel == 9 and n.channel not in instruments:
+        percussion = n.channel == 9 and n.channel not in instruments
+        pitch_curve: tuple = ()
+        amp_curve: tuple = ()
+        if percussion:
             freq = 60.0 if n.note in (35, 36) else 180.0 + 40.0 * (n.note % 12)
+        elif n.bend_curve is not None:
+            # continuous bend: the curve carries the absolute wheel value
+            # (semitones, note-on value at t=0) — the voice's base
+            # frequency stays the unbent note and each point becomes a
+            # frequency ratio (exact chirp segments in the bank)
+            freq = note_to_freq(n.note, a4)
+            pitch_curve = tuple((t, 2.0 ** (s / 12.0)) for t, s in n.bend_curve)
         else:
             freq = note_to_freq(n.note, a4) * 2.0 ** (n.bend / 12.0)
+        if n.gain_curve is not None and not percussion:
+            # continuous CC7/CC11: absolute gains in the curve, so the
+            # note-on factor moves OUT of the scalar amplitude
+            amp_curve = tuple(n.gain_curve)
+            vol_factor = 1.0
+        else:
+            vol_factor = n.volume
         voices.append(Voice(
             wave=sd.wave,
             frequency=freq,
             seed=n.note,
-            amplitude=sd.amplitude * (n.velocity / 127.0) * n.volume,
+            amplitude=sd.amplitude * (n.velocity / 127.0) * vol_factor,
             pan=sd.pan if n.pan is None else n.pan,
             start=n.start,
             duration=n.duration,
@@ -325,6 +376,8 @@ def midi_to_voices(notes: Sequence[MidiNote],
             pulse_width=sd.pulse_width,
             harmonics=sd.harmonics,
             table=sd.table,
+            pitch_curve=pitch_curve,
+            amp_curve=amp_curve,
         ))
     return voices
 
@@ -371,29 +424,49 @@ def _vlq(value: int) -> bytes:
 
 
 def write_midi(notes: Sequence[MidiNote], division: int = 480,
-               bpm: float = 120.0) -> bytes:
-    """Serialize note events to a format-0 SMF byte string."""
+               bpm: float = 120.0,
+               bends: Sequence[Tuple[float, int, int]] = (),
+               controls: Sequence[Tuple[float, int, int, int]] = ()) -> bytes:
+    """Serialize note events to a format-0 SMF byte string.
+
+    ``bends``: (seconds, channel, signed 14-bit value -8192..8191) wheel
+    events; ``controls``: (seconds, channel, controller, value) CC events.
+    Controller/bend events at the same tick as a note-on are written
+    BEFORE it (they describe the state the note starts in)."""
     us_per_quarter = int(round(60e6 / bpm))
     sec_per_tick = us_per_quarter / 1e6 / division
 
-    moments: List[Tuple[int, int, str, int, int]] = []   # (tick, order, kind...)
+    moments: List[tuple] = []                 # (tick, order, kind, payload)
     for n in notes:
         t0 = int(round(n.start / sec_per_tick))
         t1 = int(round((n.start + n.duration) / sec_per_tick))
-        moments.append((t0, 1, "on", n))
+        moments.append((t0, 2, "on", n))
         moments.append((max(t1, t0 + 1), 0, "off", n))
+    for sec, ch, value in bends:
+        moments.append((int(round(sec / sec_per_tick)), 1, "bend", (ch, value)))
+    for sec, ch, cc, value in controls:
+        moments.append((int(round(sec / sec_per_tick)), 1, "cc", (ch, cc, value)))
     moments.sort(key=lambda m: (m[0], m[1]))
 
     track = io.BytesIO()
     track.write(_vlq(0) + bytes([0xFF, 0x51, 0x03]) +
                 us_per_quarter.to_bytes(3, "big"))
     last = 0
-    for tick, _, kind, n in moments:
+    for tick, _, kind, payload in moments:
         track.write(_vlq(tick - last))
         last = tick
-        status = (0x90 if kind == "on" else 0x80) | (n.channel & 0x0F)
-        vel = n.velocity if kind == "on" else 0
-        track.write(bytes([status, n.note & 0x7F, vel & 0x7F]))
+        if kind in ("on", "off"):
+            n = payload
+            status = (0x90 if kind == "on" else 0x80) | (n.channel & 0x0F)
+            vel = n.velocity if kind == "on" else 0
+            track.write(bytes([status, n.note & 0x7F, vel & 0x7F]))
+        elif kind == "bend":
+            ch, value = payload
+            u = (int(value) + 8192) & 0x3FFF
+            track.write(bytes([0xE0 | (ch & 0x0F), u & 0x7F, (u >> 7) & 0x7F]))
+        else:
+            ch, cc, value = payload
+            track.write(bytes([0xB0 | (ch & 0x0F), cc & 0x7F, value & 0x7F]))
     track.write(_vlq(0) + bytes([0xFF, 0x2F, 0x00]))
     tdata = track.getvalue()
     return (b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)

@@ -116,6 +116,17 @@ class VoiceParams(NamedTuple):
     glide_inc0: jax.Array  # u32 glide start increment (== base_inc: none)
     glide_d: jax.Array     # u32 per-frame increment step (two's complement)
     glide_frames: jax.Array  # i32 glide length in frames (0 = no glide)
+    # pitch-curve (MIDI bend) chirp segments, [V, S] each; slot 0 starts at
+    # note-relative frame 0 for curve voices, INT32_MAX rows = no curve
+    bend_start: jax.Array  # i32 [V, S] segment start (note-relative frames)
+    bend_phase: jax.Array  # u32 [V, S] exact phase accumulated at start
+    bend_inc: jax.Array    # u32 [V, S] DDS increment at segment start
+    bend_d: jax.Array      # u32 [V, S] per-frame increment step (2's compl)
+    # amplitude-curve (MIDI CC7/CC11) gain segments, [V, K] each; same
+    # slot-0 convention (INT32_MAX rows = no curve, gain 1.0)
+    acurve_start: jax.Array  # i32 [V, K] segment start (note-rel frames)
+    acurve_g0: jax.Array     # f32 [V, K] gain at segment start
+    acurve_dg: jax.Array     # f32 [V, K] per-frame gain slope
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,10 +155,25 @@ class Voice:
     # Portamento: slide from ``glide_from`` Hz to ``frequency`` over
     # ``glide_time`` seconds from note start (0 on either = no glide).
     # Exact integer-DDS chirp — see _phases for the closed form.  Applies
-    # to the phase-based waveform families; pluck (closed spectral form)
-    # and noise (index-hashed) ignore the swept phase by construction.
+    # to the phase-based waveform families; pluck (wave 12: its closed
+    # spectral form ties each partial's decay to ONE pitch, so its phase
+    # is deliberately NOT swept) and noise (index-hashed) are excluded.
     glide_from: float = 0.0
     glide_time: float = 0.0
+    # Pitch curve (continuous MIDI bend): ((t_rel_seconds, freq_ratio),
+    # ...) control points relative to note start, multiplying
+    # ``frequency``.  The DDS increment ramps LINEARLY (in Hz) between
+    # consecutive points and holds after the last — each span compiles to
+    # an exact integer chirp segment (compile_pitch_segments), so phase
+    # is exact mod 2^32 and streaming == offline by construction.  A
+    # first point later than t=0 is preceded by a hold at its ratio.
+    # Mutually exclusive with glide_from/glide_time; pluck is excluded
+    # exactly like glide.
+    pitch_curve: Sequence[Tuple[float, float]] = ()
+    # Amplitude curve (continuous MIDI CC7*CC11): ((t_rel_seconds, gain),
+    # ...) control points, linear ramps between points, held after the
+    # last; multiplies the ADSR envelope (f32).
+    amp_curve: Sequence[Tuple[float, float]] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,6 +199,88 @@ def _fm_constants(fm_inc: int, fm_phase0: int) -> Tuple[float, float]:
     r = 1.0 / (2.0 * math.sin(math.pi * b))
     c0 = math.cos(2.0 * math.pi * phi - math.pi * b)
     return r, c0
+
+
+_I32_MAX = 2 ** 31 - 1
+#: pitch/amp curves denser than this are decimated (evenly, keeping the
+#: first and last points) at pack time — bounds the static segment dim
+MAX_CURVE_SEGS = 128
+
+
+def _decimate_points(pts: list, cap: int) -> list:
+    if len(pts) <= cap:
+        return pts
+    idx = np.unique(np.round(np.linspace(0, len(pts) - 1, cap)).astype(int))
+    return [pts[i] for i in idx]
+
+
+def compile_pitch_segments(curve, frequency: float, samplerate: int):
+    """(t_rel, freq_ratio) control points -> exact integer chirp segments.
+
+    Returns (starts, phases, incs, ds): per-segment note-relative start
+    frame, phase accumulated at that frame (mod 2^32, exact Python-int
+    arithmetic — the device closed form reproduces it bit-exactly), DDS
+    increment at the start, and per-frame increment step (u32 two's
+    complement, floor-division toward the next point's increment; the
+    same convention as the single-segment glide in ``_pack_flat``).  The
+    last segment has d=0 and holds forever.
+    """
+    pts = sorted((float(t), float(r)) for t, r in curve)
+    if not pts:
+        return [0], [0], [int(S.phase_increment(frequency, samplerate))], [0]
+    if pts[0][0] > 0.0:
+        pts.insert(0, (0.0, pts[0][1]))            # hold before first point
+    pts = _decimate_points(pts, MAX_CURVE_SEGS)
+    # frame-count spec (CLAUDE.md): int(seconds * samplerate) at point of
+    # use; same-frame duplicates keep the LAST event (later event wins)
+    framed: list = []
+    for t, r in pts:
+        f = int(t * samplerate)
+        if framed and framed[-1][0] == f:
+            framed[-1] = (f, r)
+        else:
+            framed.append((f, r))
+    incs = [int(S.phase_increment(frequency * r, samplerate)) for _, r in framed]
+    starts, phases, segincs, ds = [], [], [], []
+    phase = 0
+    for j, (f, _) in enumerate(framed):
+        starts.append(f)
+        phases.append(phase)
+        segincs.append(incs[j])
+        if j + 1 < len(framed):
+            L = framed[j + 1][0] - f
+            d = ((incs[j + 1] - incs[j]) // L) & 0xFFFFFFFF
+            phase = (phase + L * incs[j] + d * (L * (L - 1) // 2)) % (2 ** 32)
+        else:
+            d = 0
+        ds.append(d)
+    return starts, phases, segincs, ds
+
+
+def compile_amp_segments(curve, samplerate: int):
+    """(t_rel, gain) control points -> (starts, g0s, dgs) linear-ramp
+    segments (f32 per-frame slope; last segment holds, dg=0)."""
+    pts = sorted((float(t), float(g)) for t, g in curve)
+    if pts[0][0] > 0.0:
+        pts.insert(0, (0.0, pts[0][1]))
+    pts = _decimate_points(pts, MAX_CURVE_SEGS)
+    framed: list = []
+    for t, g in pts:
+        f = int(t * samplerate)
+        if framed and framed[-1][0] == f:
+            framed[-1] = (f, g)
+        else:
+            framed.append((f, g))
+    starts, g0s, dgs = [], [], []
+    for j, (f, g) in enumerate(framed):
+        starts.append(f)
+        g0s.append(g)
+        if j + 1 < len(framed):
+            L = framed[j + 1][0] - f
+            dgs.append((framed[j + 1][1] - g) / L)
+        else:
+            dgs.append(0.0)
+    return starts, g0s, dgs
 
 
 def pack_voices(voices: Sequence[Voice], samplerate: int,
@@ -260,19 +368,57 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
 
     # portamento constants (exact Python-int arithmetic mod 2^32):
     # per-frame increment step d = floor((inc1 - inc0) / G) — the landing
-    # increment inc0 + d*G undershoots the target by (inc1-inc0) mod G
-    # phase units (< G units; at 44.1 kHz one unit is ~1e-5 Hz)
+    # increment inc0 + d*G sits within G phase units BELOW inc1 in the
+    # floor-division direction (for upward glides an undershoot, for
+    # downward glides a slight overshoot past the target; < G units
+    # either way — at 44.1 kHz one unit is ~1e-5 Hz)
     g_inc0 = np.zeros(V, np.uint32)
     g_d = np.zeros(V, np.uint32)
     g_frames = np.zeros(V, np.int32)
     for i, vc in enumerate(voices):
         if vc.glide_from > 0.0 and vc.glide_time > 0.0 and vc.frequency > 0.0:
+            if vc.pitch_curve:
+                raise ValueError(
+                    "glide_from/glide_time and pitch_curve are mutually "
+                    "exclusive on one voice (both sweep the DDS increment)")
             inc0 = int(S.phase_increment(vc.glide_from, samplerate))
             inc1 = int(S.phase_increment(vc.frequency, samplerate))
             G = max(1, int(vc.glide_time * samplerate))
             g_inc0[i] = np.uint32(inc0)
             g_d[i] = np.uint32(((inc1 - inc0) // G) & 0xFFFFFFFF)
             g_frames[i] = G
+
+    # pitch/amp curve segments (static [V, S]/[V, K] dims sized to the
+    # densest curve in the bank; no-curve rows are INT32_MAX-start
+    # sentinels so the device gate bend_start[:, 0] == 0 skips them)
+    bsegs = {i: compile_pitch_segments(vc.pitch_curve, vc.frequency,
+                                       samplerate)
+             for i, vc in enumerate(voices) if vc.pitch_curve}
+    asegs = {i: compile_amp_segments(vc.amp_curve, samplerate)
+             for i, vc in enumerate(voices) if vc.amp_curve}
+    SB = max([len(s[0]) for s in bsegs.values()], default=0) or 1
+    KA = max([len(s[0]) for s in asegs.values()], default=0) or 1
+    b_start = np.full((V, SB), _I32_MAX, np.int32)
+    b_phase = np.zeros((V, SB), np.uint32)
+    b_inc = np.zeros((V, SB), np.uint32)
+    b_d = np.zeros((V, SB), np.uint32)
+    for i, (st, ph, inc, d) in bsegs.items():
+        k = len(st)
+        b_start[i, :k] = st
+        b_phase[i, :k] = np.asarray(ph, np.uint64).astype(np.uint32)
+        b_inc[i, :k] = np.asarray(inc, np.uint64).astype(np.uint32)
+        b_d[i, :k] = np.asarray(d, np.uint64).astype(np.uint32)
+    a_start = np.full((V, KA), _I32_MAX, np.int32)
+    a_g0 = np.ones((V, KA), np.float32)
+    a_dg = np.zeros((V, KA), np.float32)
+    for i, (st, g0, dg) in asegs.items():
+        k = len(st)
+        a_start[i, :k] = st
+        a_g0[i, :k] = g0
+        a_dg[i, :k] = dg
+        if k < KA:            # pad by replicating the hold segment (never
+            a_start[i, k:] = _I32_MAX      # selected: starts at I32_MAX)
+            a_g0[i, k:] = g0[-1]
     return VoiceParams(
         wave=arr(lambda x: WAVE_IDS[x.wave], np.int32),
         base_inc=arr(lambda x: S.phase_increment(x.frequency, samplerate), np.uint32),
@@ -303,6 +449,13 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
         glide_inc0=jnp.asarray(g_inc0),
         glide_d=jnp.asarray(g_d),
         glide_frames=jnp.asarray(g_frames),
+        bend_start=jnp.asarray(b_start),
+        bend_phase=jnp.asarray(b_phase),
+        bend_inc=jnp.asarray(b_inc),
+        bend_d=jnp.asarray(b_d),
+        acurve_start=jnp.asarray(a_start),
+        acurve_g0=jnp.asarray(a_g0),
+        acurve_dg=jnp.asarray(a_dg),
     )
 
 
@@ -336,8 +489,16 @@ def _noise(idx, seed):
     return (x >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -23) - jnp.float32(1.0)
 
 
-def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
-    """Evaluate a single statically-known waveform at phases p [v, N]."""
+def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int,
+              inst_inc=None):
+    """Evaluate a single statically-known waveform at phases p [v, N].
+
+    ``inst_inc`` (u32 [v, N], optional): the instantaneous DDS increment
+    for voices whose pitch sweeps (glide/bend) — the polyBLEP waveforms
+    place their antialiasing residual at the CURRENT chirp pitch from it
+    instead of the landing ``base_inc`` (audible aliasing otherwise on
+    long upward glides).  None = constant-pitch bank, identical HLO to
+    the pre-glide formula."""
     x = _phase_x(p)
     one = jnp.float32(1.0)
     if wid == 0:
@@ -373,7 +534,10 @@ def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
         # polyBLEP bandlimited saw/square: per-voice dt = f/sr = inc * 2^-32
         # (residual formula: goldref.osc.poly_blep)
         x = _phase_x(p)
-        dt = vp.base_inc.astype(jnp.float32)[:, None] * _TWO_NEG32
+        if inst_inc is None:
+            dt = vp.base_inc.astype(jnp.float32)[:, None] * _TWO_NEG32
+        else:
+            dt = inst_inc.astype(jnp.float32) * _TWO_NEG32
         dt = jnp.maximum(dt, jnp.float32(1e-9))
         u0 = x / dt
         lo = (u0 + u0) - u0 * u0 - one
@@ -439,14 +603,14 @@ def _one_wave(wid: int, p, vp: VoiceParams, n, num_harmonics: int):
 
 
 def _wave_select(p, vp: VoiceParams, n, num_harmonics: int,
-                 used_waves: tuple = ALL_WAVES):
+                 used_waves: tuple = ALL_WAVES, inst_inc=None):
     """Per-voice waveform select (mixed group): computes every used family."""
     used = tuple(w for w in used_waves
                  if w not in (8, 12) or num_harmonics > 0)
     wid = vp.wave[:, None]
     out = None
     for w in used:
-        vals = _one_wave(w, p, vp, n, num_harmonics)
+        vals = _one_wave(w, p, vp, n, num_harmonics, inst_inc)
         out = vals if out is None else jnp.where(wid == w, vals, out)
     return out if out is not None else jnp.zeros(p.shape, jnp.float32)
 
@@ -463,7 +627,17 @@ def _tri_u32(m):
     return a * b
 
 
-def _phases(vp: VoiceParams, n, use_fm: bool, use_glide: bool = False):
+def _bend_idx(vp: VoiceParams, m):
+    """Active pitch-curve segment index per (voice, frame): the largest s
+    with m >= bend_start[s] (clamped to 0; pre-note frames are envelope-
+    masked garbage, like glide)."""
+    cnt = jnp.sum((m[:, None, :] >= vp.bend_start[:, :, None])
+                  .astype(jnp.int32), axis=1)
+    return jnp.clip(cnt - 1, 0, vp.bend_start.shape[1] - 1)
+
+
+def _phases(vp: VoiceParams, n, use_fm: bool, use_glide: bool = False,
+            use_bend: bool = False):
     """Closed-form DDS phases [v, N] for absolute frames n [N].
 
     Portamento (use_glide): a linear-in-increment integer chirp, still
@@ -471,9 +645,26 @@ def _phases(vp: VoiceParams, n, use_fm: bool, use_glide: bool = False):
     phase_m = phase0 + m*inc0 + d*m(m-1)/2 (mod 2^32) during the glide
     and phase_G + (m-G)*incG after it (incG = inc0 + G*d).  All integer,
     elementwise, no scan; a glide voice's phase is relative to its note
-    START (a plain voice's is relative to frame 0 — both are exact DDS)."""
+    START (a plain voice's is relative to frame 0 — both are exact DDS).
+
+    Pitch curves (use_bend): the same chirp closed form applied per
+    segment — the active segment is found by counting starts <= m and its
+    host-precomputed boundary phase anchors the chirp, so the piecewise
+    phase is exact mod 2^32 with no scan (compile_pitch_segments)."""
     nu = n[None, :].astype(jnp.uint32)
     p = vp.phase0[:, None] + nu * vp.base_inc[:, None]
+    if use_bend:
+        m = n[None, :] - vp.start[:, None]             # i32, note-relative
+        idx = _bend_idx(vp, m)
+        st = jnp.take_along_axis(vp.bend_start, idx, axis=1)
+        ph = jnp.take_along_axis(vp.bend_phase, idx, axis=1)
+        bi = jnp.take_along_axis(vp.bend_inc, idx, axis=1)
+        bd = jnp.take_along_axis(vp.bend_d, idx, axis=1)
+        mrel = (m - st).astype(jnp.uint32)
+        pb = vp.phase0[:, None] + ph + mrel * bi + bd * _tri_u32(mrel)
+        has_bend = ((vp.bend_start[:, 0] == 0)
+                    & (vp.wave != jnp.int32(12)))[:, None]  # pluck: as glide
+        p = jnp.where(has_bend, pb, p)
     if use_glide:
         m = n[None, :] - vp.start[:, None]             # i32, note-relative
         mu = m.astype(jnp.uint32)
@@ -486,7 +677,12 @@ def _phases(vp: VoiceParams, n, use_fm: bool, use_glide: bool = False):
         inc_g = inc0 + d * Gu
         after = phase_g + (mu - Gu) * inc_g
         pg = vp.phase0[:, None] + jnp.where(m < G, during, after)
-        p = jnp.where(G > 0, pg, p)
+        # pluck (wave 12) is excluded by construction: its closed spectral
+        # form ties each harmonic's decay rate to ONE pitch, so a swept
+        # phase would chirp the partials while their decays stay at the
+        # target — a glide on a pluck voice renders at the target pitch
+        # (pinned by test_glide_pluck_excluded, both engines)
+        p = jnp.where((G > 0) & (vp.wave[:, None] != jnp.int32(12)), pg, p)
     if not use_fm:
         return p
     # exact discrete FM integral (module docstring): delta = inc*d*S_n
@@ -500,6 +696,50 @@ def _phases(vp: VoiceParams, n, use_fm: bool, use_glide: bool = False):
     dunits = (frac * jnp.float32(4294967296.0)).astype(jnp.int32).astype(jnp.uint32)
     has_fm = ((vp.fm_depth != 0.0) & (vp.fm_inc != 0))[:, None]
     return jnp.where(has_fm, p + dunits, p)
+
+
+def _inst_inc(vp: VoiceParams, n, use_glide: bool, use_bend: bool):
+    """Instantaneous DDS increment (u32 [v, N]) under glide/bend — feeds
+    the polyBLEP dt so the antialiasing residual tracks the chirp pitch.
+    None when the bank has no pitch sweeps (BLEP dt = base_inc, the
+    pre-sweep HLO)."""
+    if not (use_glide or use_bend):
+        return None
+    inc = jnp.broadcast_to(vp.base_inc[:, None],
+                           (vp.base_inc.shape[0], n.shape[0]))
+    m = n[None, :] - vp.start[:, None]
+    if use_bend:
+        idx = _bend_idx(vp, m)
+        st = jnp.take_along_axis(vp.bend_start, idx, axis=1)
+        bi = jnp.take_along_axis(vp.bend_inc, idx, axis=1)
+        bd = jnp.take_along_axis(vp.bend_d, idx, axis=1)
+        mrel = jnp.maximum(m - st, 0).astype(jnp.uint32)
+        has_bend = (vp.bend_start[:, 0] == 0)[:, None]
+        inc = jnp.where(has_bend, bi + mrel * bd, inc)
+    if use_glide:
+        G = vp.glide_frames[:, None]
+        mcl = jnp.clip(m, 0, G).astype(jnp.uint32)
+        gi = vp.glide_inc0[:, None] + mcl * vp.glide_d[:, None]
+        inc = jnp.where(G > 0, gi, inc)
+    return inc
+
+
+def _amp_curve_gain(vp: VoiceParams, n) -> jax.Array:
+    """Per-voice amplitude-curve gain [v, N]: linear ramps between control
+    points, held after the last; 1.0 for rows without a curve."""
+    m = n[None, :] - vp.start[:, None]                 # i32, note-relative
+    cnt = jnp.sum((m[:, None, :] >= vp.acurve_start[:, :, None])
+                  .astype(jnp.int32), axis=1)
+    idx = jnp.clip(cnt - 1, 0, vp.acurve_start.shape[1] - 1)
+    st = jnp.take_along_axis(vp.acurve_start, idx, axis=1)
+    g0 = jnp.take_along_axis(vp.acurve_g0, idx, axis=1)
+    dg = jnp.take_along_axis(vp.acurve_dg, idx, axis=1)
+    # f32 frame offsets: exact below 2^24 note-relative frames (~380 s);
+    # beyond that the <=2-frame rounding times the per-frame slope is far
+    # below 1 LSB of int16 audio
+    g = g0 + jnp.maximum(m - st, 0).astype(jnp.float32) * dg
+    has = (vp.acurve_start[:, 0] == 0)[:, None]
+    return jnp.where(has, g, jnp.float32(1.0))
 
 
 def _adsr(n: jax.Array, vp: VoiceParams, samplerate: int) -> jax.Array:
@@ -546,13 +786,17 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
                  layout: Optional[BankLayout] = None,
                  used_waves: tuple = ALL_WAVES, use_fm: bool = True,
                  seg: Optional[jax.Array] = None, nseg: int = 0,
-                 use_glide: bool = False):
+                 use_glide: bool = False, use_bend: bool = False,
+                 use_amp: bool = False):
     """Render one block -> stereo f32 [blocksize, 2] (stateless, pure in n0).
 
     With a grouped ``layout`` each (waveform, fm) group evaluates only its
     own waveform; otherwise the mixed-group select path is used.  With
     ``seg`` (per-voice segment ids [V]) the mixdown is grouped into
     ``nseg`` independent stereo buses -> [blocksize, nseg, 2].
+    ``use_bend``/``use_amp`` enable the per-voice pitch/amplitude curve
+    segments (continuous MIDI bend and CC7/CC11) — static flags like
+    ``use_glide`` so curve-free banks keep their exact pre-curve HLO.
     """
     n = n0 + jnp.arange(blocksize, dtype=jnp.int32)
     if layout is None:
@@ -561,13 +805,19 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
     gains = []
     for (wid, has_fm, start, count) in layout.groups:
         sub = _slice_params(vp, start, count)
-        p = _phases(sub, n, has_fm, use_glide)
+        p = _phases(sub, n, has_fm, use_glide, use_bend)
+        blep_here = wid in (9, 10) or (
+            wid < 0 and any(w in (9, 10) for w in used_waves))
+        inst = (_inst_inc(sub, n, use_glide, use_bend)
+                if blep_here else None)
         if wid < 0:
-            w = _wave_select(p, sub, n, num_harmonics, used_waves)
+            w = _wave_select(p, sub, n, num_harmonics, used_waves, inst)
         else:
-            w = _one_wave(wid, p, sub, n, num_harmonics)
+            w = _one_wave(wid, p, sub, n, num_harmonics, inst)
         v = sub.bias[:, None] + sub.amp[:, None] * w
         env = _adsr(n, sub, samplerate)
+        if use_amp:
+            env = env * _amp_curve_gain(sub, n)
         sigs.append(v * env)
         lg = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) - sub.pan)
         rg = jnp.minimum(jnp.float32(1.0), jnp.float32(1.0) + sub.pan)
@@ -599,19 +849,21 @@ _bank_fn_cache: dict = {}
 
 
 def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
-              ly: Optional[BankLayout], ug: bool = False):
-    key = (cf, sr, H, uw, uf, ly, ug)
+              ly: Optional[BankLayout], ug: bool = False,
+              ub: bool = False, ua: bool = False):
+    key = (cf, sr, H, uw, uf, ly, ug, ub, ua)
     fns = _bank_fn_cache.get(key)
     if fns is None:
         @jax.jit
         def chunk_fn(vp: VoiceParams, n0):
-            return render_block(vp, n0, cf, sr, H, ly, uw, uf, use_glide=ug)
+            return render_block(vp, n0, cf, sr, H, ly, uw, uf, use_glide=ug,
+                                use_bend=ub, use_amp=ua)
 
         @functools.partial(jax.jit, static_argnames=("nchunks",))
         def song_fn(vp: VoiceParams, nchunks: int):
             def body(_, i):
                 return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf,
-                                       use_glide=ug)
+                                       use_glide=ug, use_bend=ub, use_amp=ua)
             _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, 2)
 
@@ -621,15 +873,17 @@ def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
 
 
 def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
-                     ly: Optional[BankLayout], nseg: int, ug: bool = False):
-    key = ("grouped", cf, sr, H, uw, uf, ly, nseg, ug)
+                     ly: Optional[BankLayout], nseg: int, ug: bool = False,
+                     ub: bool = False, ua: bool = False):
+    key = ("grouped", cf, sr, H, uw, uf, ly, nseg, ug, ub, ua)
     fn = _bank_fn_cache.get(key)
     if fn is None:
         @functools.partial(jax.jit, static_argnames=("nchunks",))
         def fn(vp: VoiceParams, seg, nchunks: int):
             def body(_, i):
                 return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf,
-                                       seg=seg, nseg=nseg, use_glide=ug)
+                                       seg=seg, nseg=nseg, use_glide=ug,
+                                       use_bend=ub, use_amp=ua)
             _, out = jax.lax.scan(body, 0,
                                   jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, nseg, 2)
@@ -639,14 +893,16 @@ def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
 
 def _bank_grouped_chunk_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
                            ly: Optional[BankLayout], nseg: int,
-                           ug: bool = False):
-    key = ("grouped_chunk", cf, sr, H, uw, uf, ly, nseg, ug)
+                           ug: bool = False, ub: bool = False,
+                           ua: bool = False):
+    key = ("grouped_chunk", cf, sr, H, uw, uf, ly, nseg, ug, ub, ua)
     fn = _bank_fn_cache.get(key)
     if fn is None:
         @jax.jit
         def fn(vp: VoiceParams, seg, n0):
             return render_block(vp, n0, cf, sr, H, ly, uw, uf,
-                                seg=seg, nseg=nseg, use_glide=ug)
+                                seg=seg, nseg=nseg, use_glide=ug,
+                                use_bend=ub, use_amp=ua)
         _bank_fn_cache[key] = fn
     return fn
 
@@ -658,7 +914,8 @@ class VoiceBank:
                  chunk_frames: int = 8192, num_harmonics: int = 8,
                  used_waves: tuple = ALL_WAVES, use_fm: bool = True,
                  layout: Optional[BankLayout] = None,
-                 use_glide: bool = False):
+                 use_glide: bool = False, use_bend: bool = False,
+                 use_amp: bool = False):
         self.nvoices = nvoices
         self.samplerate = samplerate
         self.chunk_frames = chunk_frames
@@ -666,10 +923,12 @@ class VoiceBank:
         self.used_waves = tuple(sorted(used_waves))
         self.use_fm = use_fm
         self.use_glide = use_glide
+        self.use_bend = use_bend
+        self.use_amp = use_amp
         self.layout = layout
         self._chunk_fn, self._song_fn = _bank_fns(
             chunk_frames, samplerate, num_harmonics, self.used_waves,
-            use_fm, layout, use_glide)
+            use_fm, layout, use_glide, use_bend, use_amp)
 
     @classmethod
     def for_voices(cls, voices: Sequence[Voice], samplerate: int = 44100,
@@ -681,16 +940,26 @@ class VoiceBank:
         use_fm = any(v.fm_depth != 0.0 for v in voices)
         use_glide = any(v.glide_from > 0.0 and v.glide_time > 0.0
                         and v.frequency > 0.0 for v in voices)
+        use_bend = any(v.pitch_curve for v in voices)
+        use_amp = any(v.amp_curve for v in voices)
         if 8 not in used and 12 not in used:
             num_harmonics = 0
         return cls(nvoices or len(voices), samplerate, chunk_frames,
                    num_harmonics, used_waves=used, use_fm=use_fm,
-                   layout=layout, use_glide=use_glide)
+                   layout=layout, use_glide=use_glide, use_bend=use_bend,
+                   use_amp=use_amp)
+
+    def _check_pallas_curves(self):
+        if self.use_bend or self.use_amp:
+            raise ValueError(
+                "the pallas engine does not support pitch/amp curves "
+                "(continuous MIDI bend / CC): render with the XLA engine")
 
     def render_chunk(self, vp: VoiceParams, n0: int,
                      engine: str = "xla") -> jax.Array:
         """One streaming chunk: stereo f32 [chunk, 2] (stateless)."""
         if engine == "pallas":
+            self._check_pallas_curves()
             from ..ops.kernels import render_stereo_pallas
             return render_stereo_pallas(vp, n0, nframes=self.chunk_frames,
                                         samplerate=self.samplerate,
@@ -708,6 +977,7 @@ class VoiceBank:
         layout (pack_voices(sort_by_wave=True)).
         """
         if engine == "pallas":
+            self._check_pallas_curves()
             from ..ops.kernels import render_stereo_pallas
             return render_stereo_pallas(vp, 0, nframes=total_frames,
                                         samplerate=self.samplerate,
@@ -729,7 +999,7 @@ class VoiceBank:
         fn = _bank_grouped_fn(self.chunk_frames, self.samplerate,
                               self.num_harmonics, self.used_waves,
                               self.use_fm, self.layout, int(nseg),
-                              self.use_glide)
+                              self.use_glide, self.use_bend, self.use_amp)
         nchunks = -(-total_frames // self.chunk_frames)
         out = fn(vp, jnp.asarray(seg, jnp.int32), nchunks)
         return out[:total_frames]
@@ -743,7 +1013,8 @@ class VoiceBank:
         fn = _bank_grouped_chunk_fn(self.chunk_frames, self.samplerate,
                                     self.num_harmonics, self.used_waves,
                                     self.use_fm, self.layout, int(nseg),
-                                    self.use_glide)
+                                    self.use_glide, self.use_bend,
+                                    self.use_amp)
         return fn(vp, jnp.asarray(seg, jnp.int32), jnp.int32(n0))
 
     def _pallas_layout(self) -> BankLayout:

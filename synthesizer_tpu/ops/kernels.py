@@ -89,11 +89,14 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
         inc = base_inc[sl]              # [g, 1] i32
         p = phase0[sl] + n * inc        # [g, T] i32 wrap == u32 mod 2^32
 
-        if use_glide:
+        if use_glide and wid != 12:
             # portamento: linear-in-increment integer chirp, closed form
             # (voicebank._phases docstring) in the i32 wrap domain.  tri(m)
             # halves the even factor BEFORE the wrapped multiply; negative
             # note-relative m is envelope-masked garbage, same as XLA.
+            # pluck (wid 12) is excluded exactly like the XLA engine: its
+            # spectral decay rates are tied to ONE pitch, so glide voices
+            # render at the target pitch (voicebank._phases).
             m = n - start[sl]                          # [g, T] i32
             even = (m & jnp.int32(1)) == 0
             a = jnp.where(even, jax.lax.shift_right_logical(m, 1), m)
@@ -170,9 +173,19 @@ def _kernel(n0_ref,                      # SMEM [1] i32: absolute frame offset
         elif wid in (9, 10):                           # polyBLEP saw/square
             v = _phase_v(p)
             x = v + jnp.where(v < 0, one, jnp.float32(0.0))   # t in [0, 1)
-            dt = jnp.maximum(base_inc[sl].astype(jnp.float32) * _TWO_NEG32
-                             + jnp.where(base_inc[sl] < 0,
-                                         one, jnp.float32(0.0)),
+            # dt tracks the INSTANTANEOUS chirp increment during a glide
+            # (residual placed at the current pitch, not the landing one);
+            # u32-in-i32 bitcast: a negative i32 view means u32 >= 2^31,
+            # corrected by +1.0 after the 2^-32 scale
+            if use_glide:
+                mg = n - start[sl]
+                mcl = jnp.clip(mg, 0, glide_frames[sl])
+                ii = glide_inc0[sl] + mcl * glide_d[sl]        # i32 wrap
+                ii = jnp.where(glide_frames[sl] > 0, ii, base_inc[sl])
+            else:
+                ii = base_inc[sl]
+            dt = jnp.maximum(ii.astype(jnp.float32) * _TWO_NEG32
+                             + jnp.where(ii < 0, one, jnp.float32(0.0)),
                              jnp.float32(1e-9))
 
             def blep(t):

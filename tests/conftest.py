@@ -51,19 +51,50 @@ def pytest_configure(config):
 #: full suite compiles thousands of programs in ONE process and marches
 #: into the kernel's vm.max_map_count (65530 default) — at ~65k maps the
 #: next LLVM mmap fails and the process SEGFAULTS mid-compile (measured:
-#: maps grow ~linearly to 65.1k right before the crash).  Dropping the
-#: jit caches every few hundred tests unmaps retired executables; the
-#: handful of cross-module programs recompile (~seconds), keeping the
-#: map count bounded far below the limit.
-_TESTS_PER_CACHE_CLEAR = 150
+#: maps grow ~linearly to 65.1k right before the crash).  A fixed
+#: every-N-tests clear is NOT safe: compile density varies wildly per
+#: test file (swept automation grids compile hundreds of programs per
+#: test, so round 3's every-150 policy segfaulted ~90 tests in).
+#: Instead we read the live mapping count from /proc/self/maps after
+#: every test (~0.5 ms) and drop the jit caches whenever we cross a
+#: safety threshold well below the kernel limit; retired executables
+#: unmap, the handful of cross-module programs recompile (~seconds),
+#: and the count stays bounded regardless of per-test compile density.
+def _map_count_limit():
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read())
+    except OSError:
+        return 65530
+
+
+#: Clear at 55% of the kernel limit: a single swept-grid test has been
+#: observed to add a few thousand maps, so the headroom must absorb the
+#: largest single-test burst BETWEEN teardown checks (worst measured
+#: burst ~5k maps << the ~29k headroom this leaves on a 65530 box).
+_MAP_CLEAR_THRESHOLD = int(_map_count_limit() * 0.55)
+
+
+def _live_map_count():
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return f.read().count(b"\n")
+    except OSError:
+        return 0  # non-Linux: fall back to the periodic clear below
+
+
 _test_counter = 0
 
 
 def pytest_runtest_teardown(item, nextitem):
     global _test_counter
     _test_counter += 1
-    if _test_counter % _TESTS_PER_CACHE_CLEAR == 0:
+    n = _live_map_count()
+    if n > _MAP_CLEAR_THRESHOLD or (n == 0 and _test_counter % 150 == 0):
         jax.clear_caches()
+        import gc
+
+        gc.collect()  # drop executables kept alive only by cycles
 
 
 @pytest.fixture

@@ -331,3 +331,166 @@ def test_pitch_bend_rpn_null_guard():
     ev += _vlq(240) + bytes([0x80, 60, 0])
     notes = parse_midi(_smf1(ev))
     assert notes[0].bend == pytest.approx(8191 / 8192 * 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Continuous (mid-note) pitch bend and CC curves — round 4
+# ---------------------------------------------------------------------------
+
+def test_nrpn_select_nulls_rpn():
+    from synthesizer_tpu.midi import _vlq, parse_midi
+    # select RPN 0,0 and set range 12; then address an NRPN — its CC6
+    # data entry must NOT be misread as another bend-range change
+    ev = b""
+    ev += _vlq(0) + bytes([0xB0, 101, 0])              # RPN 0,0
+    ev += _vlq(0) + bytes([0xB0, 100, 0])
+    ev += _vlq(0) + bytes([0xB0, 6, 12])               # range = 12 semis
+    ev += _vlq(0) + bytes([0xB0, 99, 1])               # NRPN select MSB
+    ev += _vlq(0) + bytes([0xB0, 98, 8])               # NRPN select LSB
+    ev += _vlq(0) + bytes([0xB0, 6, 64])               # NRPN data entry
+    ev += _vlq(0) + bytes([0xE0, 0x00, 0x60])          # +half wheel
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(240) + bytes([0x80, 60, 0])
+    notes = parse_midi(_smf1(ev))
+    assert notes[0].bend == pytest.approx(0.5 * 12.0)  # not 0.5 * 64
+
+
+def test_mid_note_bend_becomes_curve():
+    # wheel movement DURING a note -> bend_curve with the note-on value
+    # at t=0 and each event at its note-relative time; notes without
+    # mid-note events keep bend_curve=None (the pre-curve fast path)
+    note = MidiNote(0.25, 1.0, 60, 100, 0)
+    bends = [(0.5, 0, 2048), (0.75, 0, 4096), (1.0, 0, 8191)]
+    notes = parse_midi(write_midi([note], bends=bends))
+    n = notes[0]
+    assert n.bend == 0.0
+    assert n.bend_curve is not None
+    ts = [t for t, _ in n.bend_curve]
+    vs = [v for _, v in n.bend_curve]
+    assert ts[0] == 0.0 and vs[0] == 0.0
+    assert ts[1] == pytest.approx(0.25, abs=2e-3)
+    assert vs[-1] == pytest.approx(8191 / 8192 * 2.0)
+    # a second identical note with no wheel movement: no curve
+    n2 = parse_midi(write_midi([note]))[0]
+    assert n2.bend_curve is None and n2.gain_curve is None
+    v2 = midi_to_voices([n2])[0]
+    assert v2.pitch_curve == () and v2.amp_curve == ()
+
+
+def test_bend_sweep_renders_sweep_not_stairs():
+    # a +2 semitone wheel sweep over an A3: the rendered pitch must climb
+    # monotonically through the note (zero-crossing estimate), ending at
+    # ~the full bend — the note-on-only sampling of round 3 rendered a
+    # constant 220 Hz here
+    note = MidiNote(0.1, 1.0, 57, 100, 0)
+    bends = [(0.1 + 0.8 * i / 16, 0, int(8191 * i / 16)) for i in range(17)]
+    s = render_midi(write_midi([note], bends=bends))
+    sr = s.samplerate
+    x = np.frombuffer(s.view_frame_data(), np.int16).reshape(-1, 2)[:, 0]
+    x = x.astype(np.float64)
+
+    def freq_at(t0, t1):
+        seg = x[int(t0 * sr):int(t1 * sr)]
+        zc = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        return sr / np.mean(np.diff(zc))
+
+    f1, f2, f3 = freq_at(0.15, 0.25), freq_at(0.45, 0.55), freq_at(0.92, 1.02)
+    assert f1 < f2 < f3
+    assert f1 == pytest.approx(222.0, abs=4.0)        # just past onset
+    assert f3 == pytest.approx(220.0 * 2 ** (2 / 12), abs=4.0)  # landed
+
+
+def test_bend_curve_voice_matches_integer_twin():
+    # the packed chirp segments must reproduce an independent per-frame
+    # iterative integer DDS (inc_m accumulated frame by frame in exact
+    # Python ints) — phase exact, sample error = f32 sine eval only
+    from synthesizer_tpu.models.voicebank import (VoiceBank, pack_voices,
+                                                  compile_pitch_segments)
+    note = MidiNote(0.01, 0.4, 69, 100, 0)            # A4
+    bends = [(0.01 + 0.3 * i / 8, 0, int(-8192 + 16383 * i / 8))
+             for i in range(9)]                        # -2 .. +2 semis
+    notes = parse_midi(write_midi([note], bends=bends))
+    v = notes[0]
+    assert v.bend_curve is not None
+    voice = midi_to_voices(notes)[0]
+    import dataclasses
+    voice = dataclasses.replace(voice, attack=0.0, decay=0.0,
+                                sustain_level=1.0, release=0.01, bias=0.0,
+                                wave="sine", amplitude=0.5, harmonics=())
+    vp, layout = pack_voices([voice], SR, sort_by_wave=True)
+    bank = VoiceBank.for_voices([voice], SR, layout=layout,
+                                nvoices=layout.nvoices)
+    assert bank.use_bend
+    total = int(0.45 * SR)
+    out = np.asarray(bank.render_song(vp, total))[:, 0]
+
+    starts, phases, incs, ds = compile_pitch_segments(
+        voice.pitch_curve, voice.frequency, SR)
+    start_f = int(voice.start * SR)
+    ph, phs = 0, {}
+    maxm = total - start_f
+    for m in range(maxm + 1):
+        phs[m] = ph
+        cur = 0
+        while cur + 1 < len(starts) and m >= starts[cur + 1]:
+            cur += 1
+        inc_m = (incs[cur] + (m - starts[cur]) * ds[cur]) % (2 ** 32)
+        ph = (ph + inc_m) % (2 ** 32)
+    lo, hi = start_f + 10, start_f + int(0.39 * SR)
+    ref = 0.5 * np.sin(2 * np.pi * np.array(
+        [phs[m - start_f] for m in range(lo, hi)], np.float64) / 2 ** 32)
+    assert np.max(np.abs(out[lo:hi] - ref)) < 1e-6
+
+
+def test_mid_note_cc_expression_fade():
+    # CC11 ramp 127 -> 0 during the note: amplitude follows (linear-ramp
+    # segments between events); mid-fade level ~= gain * sustain relative
+    # to the pre-fade level
+    note = MidiNote(0.0, 1.0, 69, 100, 0)
+    ccs = [(0.2 + 0.6 * i / 8, 0, 11, 127 - int(127 * i / 8))
+           for i in range(9)]
+    data = write_midi([note], controls=ccs)
+    n = parse_midi(data)[0]
+    assert n.gain_curve is not None and n.gain_curve[0] == (0.0, 1.0)
+    voice = midi_to_voices([n])[0]
+    assert voice.amp_curve and not voice.pitch_curve
+    s = render_midi(data)
+    sr = s.samplerate
+    x = np.frombuffer(s.view_frame_data(), np.int16).reshape(-1, 2)[:, 0]
+    x = np.abs(x.astype(np.float64))
+    a_pre = x[int(0.1 * sr):int(0.18 * sr)].max()
+    a_mid = x[int(0.48 * sr):int(0.52 * sr)].max()
+    a_end = x[int(0.78 * sr):int(0.85 * sr)].max()
+    assert a_pre > a_mid > a_end
+    assert a_end < 0.05 * a_pre                       # faded to ~silence
+    # pedal-sustained notes keep collecting curve points too
+    from synthesizer_tpu.midi import _vlq
+    ev = b""
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(0) + bytes([0xB0, 64, 127])            # pedal down
+    ev += _vlq(240) + bytes([0x80, 60, 0])            # off @0.25s (held)
+    ev += _vlq(240) + bytes([0xB0, 11, 32])           # expr drop @0.5s
+    ev += _vlq(240) + bytes([0xB0, 64, 0])            # pedal up @0.75s
+    nn = parse_midi(_smf1(ev))[0]
+    assert nn.duration == pytest.approx(0.75, abs=1e-6)
+    assert nn.gain_curve is not None
+    assert nn.gain_curve[-1][0] == pytest.approx(0.5, abs=2e-3)
+    assert nn.gain_curve[-1][1] == pytest.approx(32 / 127.0)
+
+
+def test_bend_free_render_identical_to_r3_path():
+    # files without mid-note events must take the EXACT pre-curve path:
+    # the packed bank carries no curve flags and renders bit-identically
+    # to voices constructed the round-3 way (scalar bend ratio)
+    from synthesizer_tpu.models.voicebank import VoiceBank, pack_voices
+    from synthesizer_tpu.midi import render_notes
+    notes = [MidiNote(0.05 * i, 0.2, 57 + 2 * i, 90, 0) for i in range(4)]
+    parsed = parse_midi(write_midi(notes))
+    voices = midi_to_voices(parsed)
+    assert all(not v.pitch_curve and not v.amp_curve for v in voices)
+    vp, layout = pack_voices(voices, SR, num_harmonics=8, sort_by_wave=True)
+    bank = VoiceBank.for_voices(voices, SR, num_harmonics=8, layout=layout,
+                                nvoices=layout.nvoices)
+    assert not bank.use_bend and not bank.use_amp
+    s = render_notes(parsed)
+    assert len(s.view_frame_data()) > 0

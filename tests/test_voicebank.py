@@ -412,3 +412,203 @@ def test_no_glide_banks_untouched():
     assert not bank.use_glide
     out = np.asarray(bank.render_song(vp, 4410))
     assert np.abs(out).max() > 0.1
+
+
+# ---------------------------------------------------------------------------
+# Pitch/amp curves (continuous MIDI bend / CC) + glide refinements — round 4
+# ---------------------------------------------------------------------------
+
+def test_glide_pluck_excluded():
+    # pluck's spectral decay rates are tied to ONE pitch, so glide is
+    # excluded by construction: a glided pluck renders EXACTLY as the
+    # same voice without glide (target pitch), in both engines
+    sr = 44100
+    base = dict(wave="pluck", frequency=440.0, start=0.005, duration=0.3,
+                amplitude=0.5, seed=7)
+    vg = Voice(glide_from=110.0, glide_time=0.05, **base)
+    vn = Voice(**base)
+    vpg, lyg = pack_voices([vg], sr, sort_by_wave=True)
+    vpn, lyn = pack_voices([vn], sr, sort_by_wave=True)
+    bg = VoiceBank.for_voices([vg], sr, layout=lyg, nvoices=lyg.nvoices)
+    bn = VoiceBank.for_voices([vn], sr, layout=lyn, nvoices=lyn.nvoices)
+    assert bg.use_glide and not bn.use_glide
+    a = np.asarray(bg.render_song(vpg, 8192))
+    b = np.asarray(bn.render_song(vpn, 8192))
+    assert np.array_equal(a, b)
+    ap = np.asarray(bg.render_song(vpg, 8192, engine="pallas"))
+    bp = np.asarray(bn.render_song(vpn, 8192, engine="pallas"))
+    assert np.max(np.abs(ap - bp)) == 0.0
+
+
+def test_glide_blep_pallas_parity():
+    # bandlimited saw/square under glide: the BLEP dt now tracks the
+    # instantaneous chirp increment — both engines must agree (ADVICE r3:
+    # the old parity test only covered naive waveforms)
+    sr = 44100
+    voices = [Voice(wave=w, frequency=1760.0, glide_from=110.0,
+                    glide_time=0.15, start=0.005, duration=0.2,
+                    amplitude=0.4)
+              for w in ("sawtooth_bl", "square_bl")]
+    vp, layout = pack_voices(voices, sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices(voices, sr, layout=layout,
+                                nvoices=layout.nvoices)
+    a = np.asarray(bank.render_song(vp, 11025))
+    b = np.asarray(bank.render_song(vp, 11025, engine="pallas"))
+    # the engines' phase representations differ by <= 2^-24 turn (kernel
+    # docstring); the BLEP residual amplifies that by ~2/dt (dt = 0.0025
+    # at the 110 Hz glide start), so assert the int16 1-LSB contract
+    # rather than the naive-wave 2e-6
+    a16 = np.clip(np.rint(a * 32767), -32768, 32767)
+    b16 = np.clip(np.rint(b * 32767), -32768, 32767)
+    assert np.abs(a16 - b16).max() <= 1
+
+
+def test_glide_blep_dt_tracks_instantaneous_pitch():
+    # long upward glide on sawtooth_bl: with dt from base_inc (the old
+    # behavior) the BLEP window early in the glide is ~16x too wide; the
+    # fixed engine must match an f64 twin that uses the instantaneous
+    # increment.  Compare early in the glide where the discrepancy is
+    # largest; a few isolated samples may still flip the BLEP branch
+    # (f32 vs f64 boundary compare), so assert on the 99.9th percentile.
+    sr = 44100
+    v = Voice(wave="sawtooth_bl", frequency=1760.0, glide_from=110.0,
+              glide_time=0.2, start=0.0, duration=0.4, amplitude=0.5,
+              attack=0.0, decay=0.0, sustain_level=1.0, release=0.01)
+    vp, layout = pack_voices([v], sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], sr, layout=layout,
+                                nvoices=layout.nvoices)
+    total = int(0.1 * sr)
+    out = np.asarray(bank.render_song(vp, total))[:, 0]
+
+    ph = _glide_phase_twin(1760.0, 110.0, 0.2, 0.0, sr, total)
+    inc0 = int(S.phase_increment(110.0, sr))
+    inc1 = int(S.phase_increment(1760.0, sr))
+    G = int(0.2 * sr)
+    d = (inc1 - inc0) // G
+    m = np.arange(total)
+    inc_inst = (inc0 + np.minimum(m, G) * d) % 2 ** 32
+
+    x = ph / 2 ** 32
+    dt = np.maximum(inc_inst / 2 ** 32, 1e-9)
+    u0 = x / dt
+    lo = 2 * u0 - u0 * u0 - 1
+    u1 = (x - 1) / dt
+    hi = u1 * u1 + 2 * u1 + 1
+    blep = np.where(x < dt, lo, np.where(x > 1 - dt, hi, 0.0))
+    ref = 0.5 * ((2 * x - 1) - blep)
+    err = np.abs(out - ref)
+    assert np.quantile(err, 0.999) < 1e-5
+    # and the OLD dt (base_inc) twin must clearly NOT match — proves the
+    # test discriminates
+    dt_old = np.full(total, inc1 / 2 ** 32)
+    u0o = x / dt_old
+    lo_o = 2 * u0o - u0o * u0o - 1
+    u1o = (x - 1) / dt_old
+    hi_o = u1o * u1o + 2 * u1o + 1
+    blep_o = np.where(x < dt_old, lo_o, np.where(x > 1 - dt_old, hi_o, 0.0))
+    ref_old = 0.5 * ((2 * x - 1) - blep_o)
+    assert np.quantile(np.abs(out - ref_old), 0.999) > 1e-3
+
+
+def test_pitch_curve_matches_integer_twin():
+    # piecewise chirp segments vs an independent per-frame iterative
+    # integer DDS (ground truth) — phase exact, f32 sine eval only
+    from synthesizer_tpu.models.voicebank import compile_pitch_segments
+    sr = 44100
+    curve = ((0.0, 1.0), (0.05, 1.5), (0.09, 1.5), (0.14, 0.75))
+    v = Voice(wave="sine", frequency=440.0, pitch_curve=curve, start=0.01,
+              duration=0.3, amplitude=0.5, attack=0.0, decay=0.0,
+              sustain_level=1.0, release=0.01)
+    vp, layout = pack_voices([v], sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], sr, layout=layout,
+                                nvoices=layout.nvoices)
+    assert bank.use_bend and not bank.use_glide
+    total = int(0.35 * sr)
+    out = np.asarray(bank.render_song(vp, total))[:, 0]
+
+    starts, phases, incs, ds = compile_pitch_segments(curve, 440.0, sr)
+    start_f = int(0.01 * sr)
+    ph, phs = 0, {}
+    for m in range(total - start_f + 1):
+        phs[m] = ph
+        cur = 0
+        while cur + 1 < len(starts) and m >= starts[cur + 1]:
+            cur += 1
+        ph = (ph + incs[cur] + (m - starts[cur]) * ds[cur]) % (2 ** 32)
+    lo, hi = start_f + 10, start_f + int(0.29 * sr)
+    ref = 0.5 * np.sin(2 * np.pi * np.array(
+        [phs[m - start_f] for m in range(lo, hi)], np.float64) / 2 ** 32)
+    assert np.max(np.abs(out[lo:hi] - ref)) < 1e-6
+
+
+def test_pitch_curve_streaming_equals_offline():
+    # statelessness: chunked renders at arbitrary n0 == offline slices
+    sr = 44100
+    v = Voice(wave="triangle", frequency=220.0,
+              pitch_curve=((0.0, 1.0), (0.1, 2.0)), start=0.0,
+              duration=0.25, amplitude=0.5)
+    vp, layout = pack_voices([v], sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], sr, chunk_frames=1024, layout=layout,
+                                nvoices=layout.nvoices)
+    song = np.asarray(bank.render_song(vp, 8192))
+    for n0 in (0, 1024, 3072, 7168):
+        chunk = np.asarray(bank.render_chunk(vp, n0))
+        assert np.array_equal(chunk, song[n0:n0 + 1024])
+
+
+def test_amp_curve_matches_f64_twin():
+    sr = 44100
+    curve = ((0.0, 1.0), (0.05, 0.2), (0.1, 0.6))
+    v = Voice(wave="sine", frequency=440.0, amp_curve=curve, start=0.01,
+              duration=0.25, amplitude=0.5, attack=0.0, decay=0.0,
+              sustain_level=1.0, release=0.01)
+    vp, layout = pack_voices([v], sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], sr, layout=layout,
+                                nvoices=layout.nvoices)
+    assert bank.use_amp and not bank.use_bend
+    total = int(0.3 * sr)
+    out = np.asarray(bank.render_song(vp, total))[:, 0]
+    start_f = int(0.01 * sr)
+    inc = int(S.phase_increment(440.0, sr))
+    n = np.arange(total, dtype=np.uint64)
+    ph = (n * inc) % 2 ** 32
+    m = np.arange(total) - start_f
+    pts = [(int(t * sr), g) for t, g in curve]
+    g = np.ones(total)
+    for j, (f0, g0) in enumerate(pts):
+        if j + 1 < len(pts):
+            f1, g1 = pts[j + 1]
+            sel = (m >= f0) & (m < f1)
+            g[sel] = g0 + (m[sel] - f0) * (g1 - g0) / (f1 - f0)
+        else:
+            g[m >= f0] = g0
+    ref = 0.5 * np.sin(2 * np.pi * ph / 2 ** 32) * g
+    lo, hi = start_f + 10, start_f + int(0.24 * sr)
+    g16 = np.clip(np.rint(out[lo:hi] * 32767), -32768, 32767)
+    w16 = np.clip(np.rint(ref[lo:hi] * 32767), -32768, 32767)
+    assert np.abs(g16 - w16).max() <= 1
+
+
+def test_curves_reject_pallas_and_glide_mix():
+    sr = 44100
+    v = Voice(wave="sine", frequency=440.0,
+              pitch_curve=((0.0, 1.0), (0.1, 2.0)), duration=0.2)
+    vp, layout = pack_voices([v], sr, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], sr, layout=layout,
+                                nvoices=layout.nvoices)
+    with pytest.raises(ValueError, match="pallas engine does not support"):
+        bank.render_song(vp, 4096, engine="pallas")
+    bad = Voice(wave="sine", frequency=440.0, glide_from=220.0,
+                glide_time=0.05, pitch_curve=((0.0, 1.0), (0.1, 2.0)))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pack_voices([bad], sr)
+
+
+def test_curve_decimation_caps_segments():
+    from synthesizer_tpu.models.voicebank import (MAX_CURVE_SEGS,
+                                                  compile_pitch_segments)
+    sr = 44100
+    curve = [(i * 0.001, 1.0 + 0.0001 * i) for i in range(1000)]
+    starts, phases, incs, ds = compile_pitch_segments(curve, 440.0, sr)
+    assert len(starts) <= MAX_CURVE_SEGS
+    assert starts[0] == 0 and starts[-1] == int(0.999 * sr)
