@@ -174,14 +174,13 @@ def main() -> None:
     # scaling gates (VERDICT r2 #10: the flat-throughput claim is checked
     # by every round, not a one-off): 1024 simultaneous voices, and a
     # 10-minute render — both via the same slope methodology
-    def scaled_rtf(nv, dur, k_hi=5):
-        v2 = build_song(nv, dur, samplerate)
-        vp2, ly2 = pack_voices(v2, samplerate, num_harmonics=nharm,
+    def bank_rtf(v2, dur, k_hi=5, nh=nharm, ck=chunk):
+        vp2, ly2 = pack_voices(v2, samplerate, num_harmonics=nh,
                                sort_by_wave=True)
-        bank2 = VoiceBank.for_voices(v2, samplerate, chunk_frames=chunk,
-                                     num_harmonics=nharm, layout=ly2,
+        bank2 = VoiceBank.for_voices(v2, samplerate, chunk_frames=ck,
+                                     num_harmonics=nh, layout=ly2,
                                      nvoices=ly2.nvoices)
-        nck = -(-int(dur * samplerate) // chunk)
+        nck = -(-int(dur * samplerate) // ck)
 
         @functools.partial(jax.jit, static_argnames=("k", "nchunks"))
         def rep2(vp, k, nchunks):
@@ -208,8 +207,82 @@ def main() -> None:
         return (dur / el,
                 ly2.nvoices * int(dur * samplerate) / el / 1e6)
 
+    def scaled_rtf(nv, dur, k_hi=5):
+        return bank_rtf(build_song(nv, dur, samplerate), dur, k_hi)
+
     scale_rtf, scale_vms = scaled_rtf(1024, 10.0)
     long_rtf, _ = scaled_rtf(64, 600.0, k_hi=3)
+
+    # configs 1/2/4 (VERDICT r3 #4: all five BASELINE.json configs gated
+    # by every driver capture, same amortized-sync slope methodology).
+    # Graph patches have no perturbable input array, so the anti-CSE data
+    # dependence threads the checksum into the block offset as
+    # (c*0).astype(i32) — symbolically data-dependent, numerically zero.
+    from synthesizer_tpu.models import graph as G
+    from synthesizer_tpu.models import spec as Spec
+
+    def patch_rtf(node, total, block, k_hi=9):
+        st0, step = G.lower(node, samplerate, block)
+        nblocks = -(-total // block)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def rep(k):
+            def body(c, _):
+                off = (c * jnp.float32(0)).astype(jnp.int32)
+
+                def inner(carry, i):
+                    st, acc = carry
+                    vals, st = step(st, i * block + off)
+                    return (st, acc + jnp.sum(jnp.abs(vals))), None
+
+                (_, acc), _ = jax.lax.scan(
+                    inner, (st0, jnp.float32(0)),
+                    jnp.arange(nblocks, dtype=jnp.int32))
+                return acc % jnp.float32(1), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return c
+
+        float(np.asarray(rep(k=1)))
+        float(np.asarray(rep(k=k_hi)))
+
+        def bestp(k):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(rep(k=k))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        el = max((bestp(k_hi) - bestp(1)) / (k_hi - 1), 1e-9)
+        return (total / samplerate) / el
+
+    # config 1: 2 s 440 Hz sine -> mono (battery fidelity twin:
+    # scripts/tpu_verify.py config1/sine_2s)
+    config1_rtf = patch_rtf(Spec.Osc("sine", 440.0, 0.9999),
+                            2 * samplerate, 32768)
+    # config 4: LFO-modulated graph + echo chain at the 1470-frame
+    # streaming chunk size (battery twin: config4/lfo_echo_chunks)
+    patch4 = Spec.Echo(
+        Spec.AmpMod(Spec.Osc("sawtooth", 330.0, 0.7,
+                             fm_lfo=Spec.Osc("sine", 5.0, 0.01)),
+                    Spec.Osc("sine", 2.0, amplitude=0.4, bias=0.6)),
+        0.05, 4, 0.07, 0.6)
+    config4_rtf = patch_rtf(patch4, 1470 * 30, 1470, k_hi=5)
+    # config 2: 8-voice FM + harmonics + ADSR bank -> stereo, 2 s
+    # (battery twin: config2/fm_bank_8v)
+    from synthesizer_tpu.models.voicebank import Voice as BankVoice
+    c2_voices = []
+    for i in range(8):
+        fm = i % 2 == 0
+        c2_voices.append(BankVoice(
+            wave="harmonics" if i % 4 == 3 else "sine",
+            frequency=220.0 * 2 ** (i / 12), amplitude=0.1,
+            pan=(i - 3.5) / 4, start=0.01 * i, duration=1.6,
+            attack=0.01, decay=0.05, sustain_level=0.7, release=0.1,
+            fm_frequency=5.0 if fm else 0.0, fm_depth=0.02 if fm else 0.0,
+            harmonics=(1.0, 0.5, 0.33) if i % 4 == 3 else ()))
+    config2_rtf, _ = bank_rtf(c2_voices, 2.0, k_hi=9, nh=4, ck=16384)
 
     dev = jax.devices()[0]
     peak = int(np.abs(np.asarray(out)).max())
@@ -236,6 +309,9 @@ def main() -> None:
         "scale_1024voice_x_realtime": round(scale_rtf, 1),
         "scale_1024voice_voice_msamples": round(scale_vms, 1),
         "long_render_600s_x_realtime": round(long_rtf, 1),
+        "config1_rtf": round(config1_rtf, 1),
+        "config2_rtf": round(config2_rtf, 1),
+        "config4_rtf": round(config4_rtf, 1),
     }))
 
 

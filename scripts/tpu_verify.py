@@ -189,6 +189,99 @@ def section_bank(SR, n):
     check("bank/glide/xla_vs_int_twin", dx < 1e-6, f"max {dx:.2e}")
     check("bank/glide/pallas_vs_int_twin", dp < 1e-6, f"max {dp:.2e}")
 
+    # glide + polyBLEP (round 4): the antialiasing dt tracks the
+    # INSTANTANEOUS chirp increment in both engines — parity within the
+    # 1-LSB contract (phase representations differ by <= 2^-24 turn,
+    # amplified ~2/dt through the BLEP residual)
+    bv = [Voice(wave=w, frequency=1760.0, glide_from=110.0,
+                glide_time=0.15, start=0.005, duration=0.2, amplitude=0.4)
+          for w in ("sawtooth_bl", "square_bl")]
+    bvp, blayout = pack_voices(bv, SR, num_harmonics=0, sort_by_wave=True)
+    bbank = VoiceBank.for_voices(bv, SR, chunk_frames=1024, layout=blayout,
+                                 nvoices=blayout.nvoices)
+    ba = np.asarray(bbank.render_song(bvp, SR // 4))
+    bb = np.asarray(bbank.render_song(bvp, SR // 4, engine="pallas"))
+    dblep = max_lsb(ba, bb).max()
+    check("bank/glide/blep_inst_dt_parity", dblep <= 1, f"max {dblep:.0f} LSB")
+
+    # glide excludes pluck in both engines (its spectral decay is pinned
+    # to one pitch): glided pluck == plain pluck bit-exactly
+    pv = dict(wave="pluck", frequency=440.0, start=0.005, duration=0.3,
+              amplitude=0.5, seed=7)
+    pg = [Voice(glide_from=110.0, glide_time=0.05, **pv)]
+    pn = [Voice(**pv)]
+    pgp, ply = pack_voices(pg, SR, num_harmonics=8, sort_by_wave=True)
+    pnp, nly = pack_voices(pn, SR, num_harmonics=8, sort_by_wave=True)
+    gb = VoiceBank.for_voices(pg, SR, chunk_frames=1024, num_harmonics=8,
+                              layout=ply, nvoices=ply.nvoices)
+    nb = VoiceBank.for_voices(pn, SR, chunk_frames=1024, num_harmonics=8,
+                              layout=nly, nvoices=nly.nvoices)
+    eq_x = np.array_equal(np.asarray(gb.render_song(pgp, 8192)),
+                          np.asarray(nb.render_song(pnp, 8192)))
+    eq_p = np.array_equal(np.asarray(gb.render_song(pgp, 8192,
+                                                    engine="pallas")),
+                          np.asarray(nb.render_song(pnp, 8192,
+                                                    engine="pallas")))
+    check("bank/glide/pluck_excluded", eq_x and eq_p,
+          f"xla=={eq_x} pallas=={eq_p}")
+
+    # continuous MIDI pitch bend (round 4): piecewise integer chirp
+    # segments vs the exact per-frame iterative integer DDS twin — phase
+    # exact mod 2^32 on hardware, f32 sine eval is the only error source
+    from synthesizer_tpu.models.voicebank import compile_pitch_segments
+    curve = ((0.0, 1.0), (0.05, 2.0 ** (2 / 12)), (0.12, 2.0 ** (-1 / 12)))
+    cv = [Voice(wave="sine", frequency=440.0, pitch_curve=curve,
+                start=0.01, duration=0.3, amplitude=0.5, attack=0.0,
+                decay=0.0, sustain_level=1.0, release=0.01)]
+    cvp, clayout = pack_voices(cv, SR, num_harmonics=0, sort_by_wave=True)
+    cbank = VoiceBank.for_voices(cv, SR, chunk_frames=2048, layout=clayout,
+                                 nvoices=clayout.nvoices)
+    ctotal = int(0.35 * SR)
+    cout = np.asarray(cbank.render_song(cvp, ctotal))[:, 0]
+    starts, phases, incs, ds = compile_pitch_segments(curve, 440.0, SR)
+    s0 = int(0.01 * SR)
+    phi, phs = 0, []
+    for m in range(ctotal - s0 + 1):
+        phs.append(phi)
+        cur = 0
+        while cur + 1 < len(starts) and m >= starts[cur + 1]:
+            cur += 1
+        phi = (phi + incs[cur] + (m - starts[cur]) * ds[cur]) % (2 ** 32)
+    lo, hi = s0 + 10, s0 + int(0.29 * SR)
+    cref = 0.5 * np.sin(2 * np.pi * np.asarray(
+        phs[lo - s0:hi - s0], np.float64) / 2 ** 32)
+    dc = np.max(np.abs(cout[lo:hi] - cref))
+    check("midi/bend_curve_vs_int_twin", dc < 1e-6, f"max {dc:.2e}")
+
+    # continuous CC7/CC11 amplitude curve vs the f64 linear-ramp twin
+    acurve = ((0.0, 1.0), (0.05, 0.2), (0.1, 0.6))
+    av = [Voice(wave="sine", frequency=440.0, amp_curve=acurve, start=0.01,
+                duration=0.25, amplitude=0.5, attack=0.0, decay=0.0,
+                sustain_level=1.0, release=0.01)]
+    avp, alayout = pack_voices(av, SR, num_harmonics=0, sort_by_wave=True)
+    abank = VoiceBank.for_voices(av, SR, chunk_frames=2048, layout=alayout,
+                                 nvoices=alayout.nvoices)
+    atotal = int(0.3 * SR)
+    aout = np.asarray(abank.render_song(avp, atotal))[:, 0]
+    from synthesizer_tpu.models import spec as Spec
+    inc = int(Spec.phase_increment(440.0, SR))
+    nn = np.arange(atotal, dtype=np.uint64)
+    aph = (nn * inc) % 2 ** 32
+    mm = np.arange(atotal) - s0
+    apts = [(int(t * SR), g) for t, g in acurve]
+    gain = np.ones(atotal)
+    for j, (f0, g0) in enumerate(apts):
+        if j + 1 < len(apts):
+            f1, g1 = apts[j + 1]
+            sel = (mm >= f0) & (mm < f1)
+            gain[sel] = g0 + (mm[sel] - f0) * (g1 - g0) / (f1 - f0)
+        else:
+            gain[mm >= f0] = g0
+    aref = 0.5 * np.sin(2 * np.pi * aph / 2 ** 32) * gain
+    alo, ahi = s0 + 10, s0 + int(0.24 * SR)
+    da = max_lsb(aout[alo:ahi], aref[alo:ahi]).max()
+    check("midi/amp_curve_vs_f64_twin", da <= 1, f"max {da:.0f} LSB")
+
     _wavetable_gather_probe()
 
 

@@ -200,9 +200,54 @@ def _wave_values(node: S.Osc, p: jax.Array, sr: int, n_abs: jax.Array,
     raise ValueError(f"unknown waveform {k}")
 
 
+@jax.tree_util.register_pytree_node_class
+class HostBuf:
+    """State leaf for a HostSource node: the per-block staging buffer the
+    stream driver refills from the host pull before every step.  A custom
+    pytree node so the driver can find/replace these leaves robustly in
+    the composed patch state (``slot`` rides the static treedef)."""
+
+    def __init__(self, slot: int, data):
+        self.slot = slot
+        self.data = data
+
+    def tree_flatten(self):
+        return (self.data,), self.slot
+
+    @classmethod
+    def tree_unflatten(cls, slot, children):
+        return cls(slot, children[0])
+
+
+#: HostSource key -> pull FACTORY (zero-arg callable returning a fresh
+#: ``pull(n0, nframes) -> np.float32[<=nframes] | None`` for one stream).
+#: Registered by oscillators.UserOscillator; entries are removed by its
+#: weakref finalizer when the wrapper is garbage-collected.
+_HOST_PULLS: dict = {}
+_host_key_counter = [0]
+
+
+def new_host_key() -> int:
+    _host_key_counter[0] += 1
+    return _host_key_counter[0]
+
+
+def register_host_source(key: int, pull_factory) -> None:
+    _HOST_PULLS[key] = pull_factory
+
+
+def unregister_host_source(key: int) -> None:
+    _HOST_PULLS.pop(key, None)
+
+
 def lower(node: S.Node, samplerate: int, blocksize: int) -> Tuple[State, StepFn]:
     """Recursively lower a spec tree to (init_state, step)."""
     B = blocksize
+
+    if isinstance(node, S.HostSource):
+        def step(state, n0):
+            return state.data, state
+        return HostBuf(node.key, jnp.zeros((B,), jnp.float32)), step
 
     if isinstance(node, S.Const):
         def step(state, n0):
@@ -443,6 +488,11 @@ def patch_values(node: S.Node, nsamples: int, samplerate: int,
     Pure jax (scan over fixed-size blocks), so it can run standalone under
     ``render_patch``'s jit OR inline inside a larger fused program (the
     ``Sample`` lazy-IR stages it to keep whole chains one dispatch)."""
+    if S.has_host_source(node):
+        raise ValueError(
+            "host-source patches cannot inline into one scan (the host "
+            "cannot inject blocks mid-scan) — render via render_patch / "
+            "block_stream, which run the per-block hybrid loop")
     nblocks = -(-nsamples // blocksize)
     init, step = lower(node, samplerate, blocksize)
 
@@ -458,8 +508,24 @@ def render_patch(node: S.Node, nsamples: int, samplerate: int,
     """Render samples [0, nsamples) of a patch on device -> f32[nsamples].
 
     One jitted scan over fixed-size blocks; compiled once per
-    (patch structure, nsamples, samplerate, blocksize).
+    (patch structure, nsamples, samplerate, blocksize).  Host-source
+    patches (user oscillators) run the per-block hybrid loop instead —
+    one staged transfer + dispatch per block (S.HostSource docstring).
     """
+    if S.has_host_source(node):
+        out = []
+        got = 0
+        for blk in block_stream(node, samplerate, blocksize):
+            out.append(blk)
+            got += len(blk)
+            if got >= nsamples:
+                break
+        if not out:
+            return jnp.zeros((nsamples,), jnp.float32)
+        vals = np.concatenate(out)[:nsamples]
+        if len(vals) < nsamples:            # source exhausted early: pad
+            vals = np.pad(vals, (0, nsamples - len(vals)))
+        return jnp.asarray(vals)
     key = (node, nsamples, samplerate, blocksize)
     fn = _render_cache.get(key)
     if fn is None:
@@ -503,7 +569,18 @@ def block_stream(node: S.Node, samplerate: int, blocksize: int = 512,
 
     With ``samplewidth`` the int quantization fuses into the same
     per-block device program.  Programs are cached per patch structure, so
-    replaying a sound never recompiles."""
+    replaying a sound never recompiles.
+
+    Host-source patches (user oscillators) run the hybrid loop: the whole
+    downstream patch is ONE compiled step, and each HostBuf state leaf is
+    refilled from its registered pull before the step — one host->device
+    staging per block.  The stream ends when a host source is exhausted
+    (the reference's semantics: a finite custom generator ends the
+    sound); its final short block is zero-padded and emitted."""
+    if S.has_host_source(node):
+        yield from _host_block_stream(node, samplerate, blocksize,
+                                      samplewidth)
+        return
     state, jstep = _stream_step(node, samplerate, blocksize, samplewidth)
     n0 = 0
     pending = None
@@ -513,6 +590,48 @@ def block_stream(node: S.Node, samplerate: int, blocksize: int = 512,
         if pending is not None:
             yield np.asarray(pending)
         pending = vals
+
+
+def _host_block_stream(node: S.Node, samplerate: int, blocksize: int,
+                       samplewidth: Optional[int]) -> Iterator[np.ndarray]:
+    canon, keys = S.canonical_host_patch(node)
+    pulls = {}
+    for slot, key in enumerate(keys):
+        factory = _HOST_PULLS.get(key)
+        if factory is None:
+            raise ValueError(
+                "host source not registered (was the UserOscillator "
+                "garbage-collected while its patch was still in use?)")
+        pulls[slot] = factory()
+    state, jstep = _stream_step(canon, samplerate, blocksize, samplewidth)
+    is_buf = lambda x: isinstance(x, HostBuf)
+    n0 = 0
+    while True:
+        stop_before = False          # a source returned None: emit nothing
+        stop_after = False           # a source returned a short final block
+
+        def refill(x):
+            nonlocal stop_before, stop_after
+            if not isinstance(x, HostBuf):
+                return x
+            blk = pulls[x.slot](n0, blocksize)
+            if blk is None or (blk := np.asarray(blk, np.float32)
+                               .reshape(-1)).size == 0:
+                stop_before = True
+                return x
+            if len(blk) < blocksize:
+                stop_after = True
+                blk = np.pad(blk, (0, blocksize - len(blk)))
+            return HostBuf(x.slot, jnp.asarray(blk[:blocksize]))
+
+        state = jax.tree_util.tree_map(refill, state, is_leaf=is_buf)
+        if stop_before:
+            return
+        vals, state = jstep(state, jnp.int32(n0))
+        yield np.asarray(vals)
+        n0 += blocksize
+        if stop_after:
+            return
 
 
 def int_block_stream(node: S.Node, samplerate: int, blocksize: int,

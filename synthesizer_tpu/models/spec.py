@@ -33,7 +33,7 @@ from typing import Optional, Tuple, Union
 
 Node = Union[
     "Osc", "Linear", "Envelope", "Mix", "AmpMod", "Delay", "Echo",
-    "Clip", "Abs", "Null", "Const", "Biquad",
+    "Clip", "Abs", "Null", "Const", "Biquad", "HostSource",
 ]
 
 #: waveform kinds for Osc.  The *_bl variants are polyBLEP-bandlimited
@@ -201,6 +201,85 @@ class Abs:
 @dataclasses.dataclass(frozen=True)
 class Null:
     source: Node
+
+
+@dataclasses.dataclass(frozen=True)
+class HostSource:
+    """A host-produced f32 sample stream — the graph's USER EXTENSION
+    point (the reference's open pull model: any object with ``blocks()``
+    composes into a patch; SURVEY §3.1 row 4).  The node itself is pure
+    identity: ``key`` refers to a pull function registered with the graph
+    engine (``models.graph.register_host_source``); before lowering, keys
+    are canonicalized to per-patch slots so structurally-equal patches
+    share one compiled program regardless of instance identity.
+
+    Evaluation is a HYBRID: the device program for the whole downstream
+    patch (envelopes, echos, filters, mixes…) compiles once and runs per
+    block; the host source's block is staged into device memory each
+    step (one host->device transfer per block — the documented boundary
+    cost, ~30 ms/sync on the axon relay, negligible on local backends).
+    Host-source patches stream block-by-block; they cannot inline into a
+    single offline ``lax.scan`` (the host cannot inject data mid-scan),
+    so ``render_patch`` falls back to the per-block loop for them."""
+    key: int
+
+
+#: node child attributes that may hold a single sub-node
+_CHILD_ATTRS = ("source", "modulator", "fm_lfo", "pwm_lfo", "cutoff_lfo")
+
+
+def map_children(node: Node, fn) -> Node:
+    """Rebuild ``node`` with ``fn`` applied to each direct child node
+    (identity-preserving: returns ``node`` itself when nothing changed)."""
+    changes = {}
+    for name in _CHILD_ATTRS:
+        v = getattr(node, name, None)
+        if v is not None and dataclasses.is_dataclass(v):
+            nv = fn(v)
+            if nv is not v:
+                changes[name] = nv
+    if isinstance(node, Mix):
+        new = tuple(fn(s) for s in node.sources)
+        if any(a is not b for a, b in zip(new, node.sources)):
+            changes["sources"] = new
+    return dataclasses.replace(node, **changes) if changes else node
+
+
+def has_host_source(node: Node) -> bool:
+    if isinstance(node, HostSource):
+        return True
+    found = False
+
+    def walk(nd):
+        nonlocal found
+        if isinstance(nd, HostSource):
+            found = True
+        else:
+            map_children(nd, walk)
+        return nd
+
+    map_children(node, walk)
+    return found
+
+
+def canonical_host_patch(node: Node):
+    """Renumber HostSource keys to per-patch slots in traversal order ->
+    (canonical_node, [original keys by slot]).  Two patches with the same
+    structure then share one compiled program; the stream driver maps
+    slots back to the registered pulls."""
+    keys: list = []
+
+    def walk(nd):
+        if isinstance(nd, HostSource):
+            if nd.key in keys:
+                slot = keys.index(nd.key)
+            else:
+                slot = len(keys)
+                keys.append(nd.key)
+            return HostSource(slot) if nd.key != slot else nd
+        return map_children(nd, walk)
+
+    return walk(node), keys
 
 
 def phase_increment(frequency: float, samplerate: int) -> int:

@@ -311,6 +311,71 @@ def wants_ff_scan(coeffs) -> bool:
     return predicted_scan_error_lsb(coeffs) > FF_SCAN_THRESHOLD_LSB
 
 
+def biquad_peak_gain(coeffs, ngrid: int = 4096) -> float:
+    """max |H(e^jw)| of a biquad over the frequency axis (f64) — the
+    steady-state amplification any input perturbation can see through
+    the filter.  For swept bands this is the frozen-coefficient bound:
+    evaluate at the sweep extremes and take the max."""
+    b0, b1, b2, a1, a2 = (float(c) for c in coeffs)
+    w = np.linspace(0.0, np.pi, ngrid)
+    z = np.exp(-1j * w)
+    h = (b0 + b1 * z + b2 * z * z) / (1.0 + a1 * z + a2 * z * z)
+    return float(np.abs(h).max())
+
+
+def master_chain_error_bound(stages, samplerate: int,
+                             e_in_lsb: float) -> float:
+    """Derived LSB error bound for an input perturbation of ``e_in_lsb``
+    (16-bit LSB) through a master fx chain — the mesh swept-chain budget
+    (VERDICT r3 #7), composed the way the scan-conditioning model is:
+    per-stage worst-case gain bounds from the ACTUAL parameters, not an
+    observed constant.
+
+    ``stages``: ordered (kind, params) pairs; params carry the chain's
+    knob EXTREMES (automation endpoints included):
+
+      ("eq_band",  {kind, freq, q, gains_db: [..extremes..]})
+      ("echo",     {feedback, wet, dry})        # maxima
+      ("phaser",   {stages, q, min_freq, max_freq, wet, dry})  # wet max
+      ("width",    {amount})                    # max
+      ("limiter",  {})
+
+    Per-stage gains (all steady-state / Lipschitz bounds):
+      eq band   max over gain extremes of biquad_peak_gain (peaking tops
+                out at 10^(db/20), shelves likewise)
+      echo      dry + wet/(1-fb): the feedback resonance's geometric sum
+      phaser    dry + wet * 1^stages (allpass |H| == 1); the sweep only
+                moves the phase response
+      width     max(1, amount): the M/S matrix row-L1 norm
+      limiter   2: y = g(p)*x with g = min(1, c/p) gives
+                |dy| <= g|dx| + |dg||x|, and |dg||x| <= (c/p^2)|dp|*p
+                = g|dp| <= |dx| — box-attack smoothing and the release
+                decay are convex combinations, preserving the bound
+
+    Stages re-quantize to int PCM between them (the staged-op
+    semantics), so the composition is e := e*g + 0.5 per stage.
+    """
+    e = float(e_in_lsb)
+    for kind, p in stages:
+        if kind == "eq_band":
+            g = max(biquad_peak_gain(
+                eq_band_coeffs(p["kind"], p["freq"], gdb, p["q"],
+                               samplerate))
+                for gdb in p["gains_db"])
+        elif kind == "echo":
+            g = p.get("dry", 1.0) + p["wet"] / (1.0 - p["feedback"])
+        elif kind == "phaser":
+            g = p.get("dry", 1.0) + p["wet"]
+        elif kind == "width":
+            g = max(1.0, p["amount"])
+        elif kind == "limiter":
+            g = 2.0
+        else:
+            raise ValueError(f"unknown master-chain stage {kind!r}")
+        e = e * g + 0.5
+    return e
+
+
 # ---------------------------------------------------------------------------
 # BS.1770-4 loudness (K-weighting) and true peak
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ __all__ = [
     "Oscillator", "Sine", "Triangle", "Square", "SquareH", "Sawtooth",
     "SawtoothH", "Pulse", "Harmonics", "WhiteNoise", "Linear", "Semicircle",
     "Pointy", "BandlimitedSawtooth", "BandlimitedSquare", "Wavetable",
-    "Pluck",
+    "Pluck", "UserOscillator",
     "FastSine", "FastTriangle", "FastSquare", "FastSawtooth",
     "FastPulse", "FastSemicircle", "FastPointy", "EnvelopeFilter",
     "MixingFilter", "AmpModulationFilter", "DelayFilter", "EchoFilter",
@@ -262,6 +262,135 @@ class Linear(Oscillator):
                  samplerate: Optional[int] = None):
         super().__init__(S.Linear(start, increase, min_value, max_value),
                          _sr(samplerate))
+
+
+def _seq_pull(make_iter, replayable: bool):
+    """Adapter: a block iterator -> pull(n0, nframes).  Sequential only
+    (the classic generator contract); a fresh stream restarts via
+    ``make_iter`` when the source is replayable (has .blocks())."""
+    state = {"it": None, "pos": 0, "buf": np.zeros(0, np.float32),
+             "done": False, "used": False}
+
+    def pull(n0, nframes):
+        if state["it"] is None:
+            if state["used"] and not replayable:
+                raise RuntimeError(
+                    "iterator source already consumed — pass an object "
+                    "with blocks() or a callable (n0, nframes) for "
+                    "replayable/seekable user oscillators")
+            state["it"] = make_iter()
+            state["used"] = True
+        if n0 != state["pos"]:
+            if not replayable:
+                raise RuntimeError(
+                    "sequential user oscillator cannot seek (wanted frame "
+                    f"{n0}, stream is at {state['pos']}) — pass a callable "
+                    "(n0, nframes) for random access")
+            # restart and skip forward (replayable source)
+            state["it"] = make_iter()
+            state["pos"] = 0
+            state["buf"] = np.zeros(0, np.float32)
+            state["done"] = False
+            while state["pos"] < n0:
+                skip = pull(state["pos"], min(nframes, n0 - state["pos"]))
+                if skip is None or len(skip) < min(nframes, n0 - state["pos"]):
+                    return None
+        buf = state["buf"]
+        while len(buf) < nframes and not state["done"]:
+            try:
+                blk = np.asarray(next(state["it"]), np.float32).reshape(-1)
+            except StopIteration:
+                state["done"] = True
+                break
+            buf = np.concatenate([buf, blk]) if len(buf) else blk
+        out, state["buf"] = buf[:nframes], buf[nframes:]
+        state["pos"] = n0 + len(out)
+        if len(out) == 0 and state["done"]:
+            return None
+        return out
+
+    return pull
+
+
+class UserOscillator(Oscillator):
+    """Wrap ANY reference-style user oscillator as a graph source node —
+    the open extension point (SURVEY §3.1 row 4: in the reference, any
+    object with ``blocks()`` composes into a patch).  Accepts:
+
+    * an object with ``blocks()`` yielding float blocks/lists (the
+      reference's contract — replayable: each stream calls blocks()
+      afresh, which also makes seeking work by skip-forward),
+    * an iterator/iterable of float blocks (single pass, no seek),
+    * a callable ``f(n0, nframes) -> array`` (random access — the
+      stateless ideal: seek/replay are exact and free).
+
+    The wrapped source composes with EnvelopeFilter / EchoFilter /
+    MixingFilter / the biquad filters / ``Sample.modulate_amp`` — the
+    downstream patch compiles to ONE device program per block while the
+    user source's block is staged host->device each step (the documented
+    hybrid boundary: one transfer+dispatch per block, ~30 ms/sync on the
+    axon relay, microseconds on local backends).  A finite source ends
+    the stream (short final block zero-padded).
+    """
+
+    def __init__(self, source, samplerate: Optional[int] = None):
+        import weakref
+
+        key = G.new_host_key()
+        if hasattr(source, "blocks"):
+            factory = lambda: _seq_pull(source.blocks, replayable=True)
+        elif hasattr(source, "__next__"):
+            it = source
+            consumed = [False]
+
+            def factory():
+                if consumed[0]:
+                    raise RuntimeError(
+                        "iterator source already consumed — pass an object "
+                        "with blocks() or a callable (n0, nframes) for "
+                        "replayable user oscillators")
+                consumed[0] = True
+                return _seq_pull(lambda: it, replayable=False)
+        elif callable(source):
+            def factory():
+                def pull(n0, nframes):
+                    blk = source(n0, nframes)
+                    if blk is None:
+                        return None
+                    return np.asarray(blk, np.float32).reshape(-1)
+                return pull
+        elif hasattr(source, "__iter__"):
+            it2 = iter(source)
+            consumed2 = [False]
+
+            def factory():
+                if consumed2[0]:
+                    raise RuntimeError(
+                        "iterable source already consumed — pass an object "
+                        "with blocks() or a callable (n0, nframes) for "
+                        "replayable user oscillators")
+                consumed2[0] = True
+                return _seq_pull(lambda: it2, replayable=False)
+        else:
+            raise TypeError(
+                "UserOscillator needs an object with blocks(), an "
+                "iterator/iterable of blocks, or a callable (n0, nframes)")
+        G.register_host_source(key, factory)
+        node = S.HostSource(key)
+        # the registry entry lives as long as the NODE (not this wrapper):
+        # `MixingFilter(UserOscillator(gen), ...)` drops the wrapper
+        # immediately but the patch keeps the node alive
+        self._finalizer = weakref.finalize(node, G.unregister_host_source,
+                                           key)
+        super().__init__(node, _sr(samplerate))
+
+
+def from_blocks(source, samplerate: Optional[int] = None) -> UserOscillator:
+    """``Oscillator.from_blocks``: alias constructor for UserOscillator."""
+    return UserOscillator(source, samplerate)
+
+
+Oscillator.from_blocks = staticmethod(from_blocks)
 
 
 # Fast* variants: in the reference these are the non-modulatable fast paths;

@@ -900,6 +900,16 @@ class Sample:
                         dyn=dyn, leaves=leaves)
             return self
         if hasattr(modulator, "spec"):   # Oscillator: stage the patch render
+            from .models import spec as _spec
+            if _spec.has_host_source(modulator.spec):
+                # user-oscillator LFO: the host source cannot inline into
+                # the fused scan — materialize its gains NOW via the
+                # hybrid per-block loop and stage the array (one staged
+                # buffer; the rest of the chain still fuses)
+                g = np.asarray(modulator.gains(self._nframes),
+                               np.float32)
+                self._stage("modulate", leaves=(jnp.asarray(g),))
+                return self
             self._stage("modulate_patch",
                         static=(modulator.spec, self._nframes,
                                 modulator.samplerate))

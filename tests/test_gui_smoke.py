@@ -1,14 +1,13 @@
-"""GUI view smoke tests (VERDICT r1 #9).
+"""GUI view smoke tests.
 
-The Tk views are thin shells over controllers that ARE CI-tested
-(SynthController in test_voice/test_apps, the Jukebox engine in test_apps).
-With a display available the views are constructed and driven for real;
-without one (this machine: tkinter present, no X server) the tests assert
-the views import and that every interactive callback delegates to the
-tested controller/engine — so the only untested code is Tk geometry calls.
+The Tk views are driven BEHAVIORALLY under the fake-Tk harness in
+test_gui_behavior.py (key presses reach the mixer, knobs drive the
+controller, preset dialogs round-trip) — that suite superseded this
+file's old source-string matching (VERDICT r3 weak #7).  What remains
+here: the views import, and with a real display available (not this
+machine: tkinter present, no X server) they construct and tick.
 """
 
-import inspect
 import sys
 
 import pytest
@@ -29,26 +28,11 @@ def _display_available() -> bool:
 HAS_DISPLAY = _display_available()
 
 
-def test_synth_gui_importable_and_delegates():
+def test_gui_modules_importable():
     import keyboard_gui as kg
-    assert hasattr(kg, "SynthGUI")
-    src = inspect.getsource(kg.SynthGUI)
-    # every interactive callback routes into the tested SynthController
-    for delegated in ("self.ctrl.key_down", "self.ctrl.key_up",
-                      "self.ctrl.save_preset", "self.ctrl.load_preset",
-                      "self.ctrl.oscs", "self.ctrl.env"):
-        assert delegated in src, f"SynthGUI no longer delegates {delegated}"
-    # the view adds no audio logic of its own: no rendering calls in the GUI
-    for forbidden in ("render_patch", "jnp.", "audioop"):
-        assert forbidden not in src
-
-
-def test_jukebox_gui_importable_and_delegates():
     from jukebox import box
+    assert hasattr(kg, "SynthGUI")
     assert hasattr(box, "JukeboxGUI")
-    src = inspect.getsource(box.JukeboxGUI)
-    for delegated in ("Jukebox(", "self.box.skip", "self.box.pause"):
-        assert delegated in src, f"JukeboxGUI no longer delegates {delegated}"
 
 
 @pytest.mark.skipif(not HAS_DISPLAY, reason="no X display on this machine")

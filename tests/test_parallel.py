@@ -136,3 +136,59 @@ def test_track_fx_automation_sharded_matches_single_device():
     d2 = np.abs(got.astype(np.int64)
                 - sharded[:len(got)].astype(np.int64)).max()
     assert d2 <= 4, f"max {d2} LSB"
+
+
+def test_master_chain_budget_formula_tracks():
+    """The mesh swept-chain budget is DERIVED (VERDICT r3 #7):
+    ops.coeffs.master_chain_error_bound composes the pre-master bus
+    error through each stage's gain bound.  Vary the chain and check the
+    formula tracks — measured error stays under the bound for each
+    variant, and the bound itself responds to the knobs."""
+    from synthesizer_tpu.ops.coeffs import master_chain_error_bound
+
+    def mixes(fx_lines, autos):
+        song = _make_song()
+        for name, params in fx_lines:
+            song.add_fx(name, **params)
+        for target, curve in autos:
+            song.add_automation(target, curve)
+        single = song.mix(normalize=False).get_frame_array()
+        sharded = song.mix(normalize=False,
+                           mesh=voice_mesh(8)).get_frame_array()
+        return np.abs(sharded.astype(np.int64)
+                      - single.astype(np.int64)).max()
+
+    sr = 44100
+    light = [
+        ("eq_band", {"kind": "peaking", "freq": 1200.0, "q": 1.0,
+                     "gains_db": [2.0]}),
+        ("echo", {"feedback": 0.2, "wet": 0.2, "dry": 1.0}),
+        ("width", {"amount": 1.1}),
+    ]
+    heavy = [
+        ("eq_band", {"kind": "peaking", "freq": 1200.0, "q": 1.0,
+                     "gains_db": [-9.0, 6.0]}),
+        ("echo", {"feedback": 0.6, "wet": 0.5, "dry": 1.0}),
+        ("phaser", {"stages": 4, "q": 0.7071, "min_freq": 300.0,
+                    "max_freq": 3000.0, "wet": 0.7, "dry": 1.0}),
+        ("width", {"amount": 2.0}),
+        ("limiter", {}),
+    ]
+    b_light = master_chain_error_bound(light, sr, e_in_lsb=2.0)
+    b_heavy = master_chain_error_bound(heavy, sr, e_in_lsb=2.0)
+    assert b_heavy > b_light > 2.0          # the formula responds to knobs
+
+    d_light = mixes(
+        [("eq", dict(mid_db=2, mid_freq=1200)),
+         ("echo", dict(delay=0.05, feedback=0.2, wet=0.2)),
+         ("width", dict(amount=1.1))], [])
+    assert d_light <= b_light, (d_light, b_light)
+
+    d_heavy = mixes(
+        [("eq", dict(mid_db=6, mid_freq=1200)),
+         ("echo", dict(delay=0.05, feedback=0.6, wet=0.5)),
+         ("phaser", dict(rate=0.8, depth=1.0, stages=4, wet=0.7)),
+         ("width", dict(amount=2.0)),
+         ("limiter", dict(ceiling_db=-2, lookahead=0.003))],
+        [("fx.eq.mid_db", "0:-9 2:6")])
+    assert d_heavy <= b_heavy, (d_heavy, b_heavy)
