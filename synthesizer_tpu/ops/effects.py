@@ -461,6 +461,11 @@ def compressor_gains_from_coeffs(frames: jax.Array, threshold_db, slope,
 # Freeverb-style reverb (blocked scan)
 # ---------------------------------------------------------------------------
 
+# Whole-signal lag-aligned comb packing cap: beyond this many bytes of
+# packed [M, L, Dmax] input+output the offline path routes through the
+# chunked streaming twin instead (tests shrink this to force the fallback).
+COMB_PACK_BYTES_CAP = 1_500_000_000
+
 def reverb_zero_state(combs: Tuple[int, ...], aps: Tuple[int, ...]):
     """Fresh (comb ring buffers, damping states, allpass ring buffers,
     write position) carry for one channel's network."""
@@ -552,42 +557,55 @@ def reverb_network_apply(state, mono_in: jax.Array, combs: Tuple[int, ...],
 
 def _comb_stage_whole(mono_in: jax.Array, comb_sets, fb, d1,
                       d2) -> jax.Array:
-    """Whole-signal parallel comb banks, offline-optimized: the block size
-    is comb-limited only (min comb delay ≈ 1116 at 44.1 kHz vs the 225
-    that the allpasses force on the combined network — 8x fewer scan
-    steps), and ALL lanes — the 8 combs of EVERY channel network in
-    ``comb_sets`` — batch into ONE gather / ONE in-block affine scan /
-    ONE scatter per step (per-lane delay lengths).  Returns [n, len(sets)]
-    (each network's comb sum)."""
-    total = mono_in.shape[0]
+    """Whole-signal parallel comb banks with NO gather and NO scatter
+    (round 4): each comb's block size is its OWN delay D, so the lag-D
+    ring-buffer read is exactly the previous scan row of that lane — the
+    write head never has to be indexed.  Every lane (the 8 combs of EVERY
+    channel network in ``comb_sets``) pads its [ceil(n/D), D] row view of
+    the input to a common [M, Dmax] with identity-affine padding columns
+    (a=1, b=0 keeps the damping state flowing past the pad), so ONE
+    lax.scan of M = ceil(n/Dmin) steps serves all lanes with one in-row
+    affine scan per step.  This replaced the gather/scatter blocked scan
+    that sat at the measured ~102 M rows/s gather roofline (BASELINE.md
+    "Gather-tier roofline"); same goldref recurrence, f32 scan regrouping
+    within the documented <=4 LSB budget (goldref.effects.reverb).
+    Returns [n, len(comb_sets)] (each network's comb sum)."""
+    total = int(mono_in.shape[0])
     all_ds = tuple(D for cs in comb_sets for D in cs)
-    block = min(1024, min(all_ds))
-    nb = -(-total // block)
-    xpad = jnp.concatenate(
-        [mono_in, jnp.zeros(nb * block - total, jnp.float32)])
-    xb = xpad.reshape(nb, block)
     dmax = max(all_ds)
+    M = -(-total // min(all_ds))
+    xl = []
+    for D in all_ds:
+        mk = -(-total // D)
+        rows = jnp.concatenate(
+            [mono_in, jnp.zeros(mk * D - total, jnp.float32)]).reshape(mk, D)
+        xl.append(jnp.pad(rows, ((0, M - mk), (0, dmax - D))))
+    xl = jnp.stack(xl, axis=1)                              # [M, L, Dmax]
     nlanes = len(all_ds)
-    lanes = jnp.arange(nlanes, dtype=jnp.int32)[:, None]
-    ds = jnp.asarray(all_ds, jnp.int32)[:, None]            # [L, 1]
-    arange_b = jnp.arange(block, dtype=jnp.int32)[None, :]
-    coeff = jnp.broadcast_to(d1, (nlanes, block))
-    nsets = len(comb_sets)
-    percomb = len(comb_sets[0])
+    mask = (jnp.arange(dmax, dtype=jnp.int32)[None, :]
+            < jnp.asarray(all_ds, jnp.int32)[:, None])      # [L, Dmax]
+    coeff = jnp.where(mask, jnp.asarray(d1, jnp.float32), jnp.float32(1.0))
+    fbv = jnp.asarray(fb, jnp.float32)
 
-    def step(carry, xblk):
-        buf, fstores, n0 = carry
-        idx = (n0 + arange_b) % ds                          # [L, B]
-        y = buf[lanes, idx]
-        fs = affine_scan(coeff, d2 * y, fstores[:, None], axis=1)
-        buf = buf.at[lanes, idx].set(xblk[None, :] + fs * fb)
-        sums = y.reshape(nsets, percomb, block).sum(axis=1)  # [sets, B]
-        return (buf, fs[:, -1], n0 + jnp.int32(block)), sums
+    def step(carry, xrow):
+        brow, fstores = carry                               # [L, Dmax], [L]
+        y = brow
+        fs = affine_scan(coeff, jnp.where(mask, d2 * y, jnp.float32(0.0)),
+                         fstores[:, None], axis=1)
+        return (xrow + fs * fbv, fs[:, -1]), y
 
     carry0 = (jnp.zeros((nlanes, dmax), jnp.float32),
-              jnp.zeros(nlanes, jnp.float32), jnp.int32(0))
-    _, outs = jax.lax.scan(step, carry0, xb)                 # [nb, sets, B]
-    return outs.transpose(0, 2, 1).reshape(-1, nsets)[:total]
+              jnp.zeros(nlanes, jnp.float32))
+    _, ys = jax.lax.scan(step, carry0, xl)                  # [M, L, Dmax]
+    outs, lane = [], 0
+    for cs in comb_sets:
+        acc = jnp.zeros(total, jnp.float32)
+        for D in cs:
+            mk = -(-total // D)
+            acc = acc + ys[:mk, lane, :D].reshape(-1)[:total]
+            lane += 1
+        outs.append(acc)
+    return jnp.stack(outs, axis=1)
 
 
 def _allpass_whole(x: jax.Array, D: int, g=jnp.float32(0.5)) -> jax.Array:
@@ -616,12 +634,27 @@ def _reverb_networks_whole(mono_in: jax.Array, nets, feedback,
     fb = jnp.asarray(feedback, jnp.float32)
     d1 = jnp.asarray(damp, jnp.float32)
     d2 = jnp.float32(1.0) - d1
+    total = int(mono_in.shape[0])
+    all_ds = tuple(D for combs, _ in nets for D in combs)
+    # the lag-aligned comb stage materializes [M, L, Dmax] packed input +
+    # output (~2 * ceil(n/Dmin) * L * Dmax f32); past the byte cap fall
+    # back to the chunked streaming twin (identical recurrences, carried
+    # state — same goldref budget class)
+    packed = 2 * (-(-total // min(all_ds))) * len(all_ds) * max(all_ds) * 4
+    if packed > COMB_PACK_BYTES_CAP:
+        outs = []
+        for combs, aps in nets:
+            _, out = reverb_network_apply(
+                reverb_zero_state(combs, aps), mono_in, combs, aps, fb, d1)
+            outs.append(out)
+        return outs
+    # ONE batched comb scan over every network's lanes (no gathers, so
+    # extra lanes are nearly free — unlike the round-3 gather/scatter form
+    # where per-lane row cost made batching networks a measured loss)
+    comb_sums = _comb_stage_whole(mono_in, [c for c, _ in nets], fb, d1, d2)
     outs = []
-    # one comb scan per network: batching both channels' lanes into one
-    # scan was measured slightly SLOWER on the chip (the [lanes, Dmax]
-    # gather/scatter cost scales with lanes and dominates the step)
-    for combs, aps in nets:
-        out = _comb_stage_whole(mono_in, [combs], fb, d1, d2)[:, 0]
+    for i, (_, aps) in enumerate(nets):
+        out = comb_sums[:, i]
         for D in aps:
             out = _allpass_whole(out, D)
         outs.append(out)

@@ -108,6 +108,22 @@ def test_reverb_of_silence_is_silence():
     assert np.abs(out).max() == 0
 
 
+def test_reverb_long_signal_fallback_matches_packed(rng, monkeypatch):
+    # past COMB_PACK_BYTES_CAP the whole-signal path routes through the
+    # chunked streaming twin; both evaluate the same goldref recurrences,
+    # so against the oracle each stays within the documented 4-LSB budget
+    from synthesizer_tpu.ops import effects as dfx
+    gold, dev = make_pair(rng, n=4000, nch=2)
+    kw = dict(roomsize=0.75, damping=0.5, wet=0.35, dry=0.6, tail=0.1)
+    g = gold.reverb(**kw)
+    packed = dev.reverb(**kw)
+    check_lsb(g, packed, 4)
+    monkeypatch.setattr(dfx, "COMB_PACK_BYTES_CAP", 0)
+    gold2, dev2 = make_pair(rng, n=4000, nch=2)
+    fallback = dev2.reverb(**kw)
+    check_lsb(gold2.reverb(**kw), fallback, 4)
+
+
 # ---------------------------------------------------------------------------
 # Chorus
 # ---------------------------------------------------------------------------
