@@ -752,7 +752,17 @@ def chorus_core(s: jax.Array, n0, hist: jax.Array, samplerate: int, rate,
     ``n0``, reading past input from ``hist`` [H, ch] (the H frames before
     n0; zeros at stream start).  Pure gathers + lerp — no recurrence.
     ``P``/per-frame ``depth`` thread through to the LFO (rate/depth
-    automation); ``wet``/``dry`` may be per-frame arrays."""
+    automation); ``wet``/``dry`` may be per-frame arrays.
+
+    Round 4 measured (and rejected) a grouped-row alternative to the
+    per-frame gather — G consecutive frames sharing one W-wide row with
+    one-hot in-row extraction, the trick that paid off for the
+    host-known stretch windows: vmap(dynamic_slice) rows gathered at
+    ~0.7 M rows/s (100x below the plain gather's measured rate) and a
+    device-built shifted-copies row gather landed at parity with the
+    pair gather at best (0.039 s vs 0.034 s per 60 s voice-channel), so
+    the data-dependent per-frame pair gather below IS the roofline form
+    on this hardware (BASELINE.md "Gather-tier roofline")."""
     n, nch = s.shape
     H = hist.shape[0]
     ext = jnp.concatenate([hist, s], axis=0)    # position j maps to ext[H+j]
@@ -854,13 +864,50 @@ def convolve_chunk(frames: jax.Array, ir_norm: jax.Array, wet, dry,
 # Phase-vocoder time stretch
 # ---------------------------------------------------------------------------
 
+#: Lane width for the row-packed analysis-window gather below.  The TPU
+#: serializes gathers per index ROW (BASELINE.md "Gather-tier roofline",
+#: ~102 M rows/s), so gathering W elements per row costs the same as one —
+#: W shifted copies of the signal turn the [T, frame] element gather into
+#: a [T, frame/W]-row gather, W x fewer rows for W x the staging memory
+#: (W * n * 4 bytes).
+FRAME_GATHER_WIDTH = 16
+
+
+def _framed_rows(s1: jax.Array, starts_np: np.ndarray,
+                 frame: int) -> jax.Array:
+    """All [T, frame] analysis windows of the 1-D signal ``s1`` at the
+    host-known ``starts_np`` — bit-identical to ``s1[starts[:,None] +
+    arange(frame)]`` but gathered as frame/W rows of W lanes per window:
+    start = W*q + r lands the window on rows q..q+frame/W-1 of the r-th
+    shifted copy (each copy reshaped [rows, W]), so the lag never crosses
+    a row.  ``s1`` must already be padded past starts[-1] + frame."""
+    W = FRAME_GATHER_WIDTH
+    T = len(starts_np)
+    if frame % W:                                   # exotic frame sizes
+        idx = jnp.asarray(starts_np[:, None] + np.arange(frame)[None, :])
+        return s1[idx]
+    nrows = -(-int(s1.shape[0]) // W) + 1
+    base = nrows * W
+    spad = jnp.concatenate(
+        [s1, jnp.zeros(base + W - int(s1.shape[0]), jnp.float32)])
+    copies = jnp.stack(
+        [spad[r:r + base].reshape(nrows, W) for r in range(W)])
+    scall = copies.reshape(W * nrows, W)
+    q = (starts_np // W).astype(np.int64)
+    r = (starts_np % W).astype(np.int64)
+    m = np.arange(frame // W, dtype=np.int64)
+    ridx = jnp.asarray(r[:, None] * nrows + q[:, None] + m[None, :])
+    return scall[ridx].reshape(T, frame)
+
+
 def stretch(frames: jax.Array, factor: float, frame: int = 2048,
             hop: int = 512) -> jax.Array:
     """Phase-vocoder time stretch; spec, grid, and tolerance:
-    goldref.effects.stretch.  TPU shape: ONE gather builds all [T, frame]
-    windows, batched rfft/irfft over the frame axis, the per-bin phase
-    accumulation is a cumsum (parallel prefix), and the overlap-add is a
-    scatter-add — no per-frame host loop."""
+    goldref.effects.stretch.  TPU shape: ONE row-packed gather builds all
+    [T, frame] windows (_framed_rows), batched rfft/irfft over the frame
+    axis, the per-bin phase accumulation is a cumsum (parallel prefix),
+    and the overlap-add is R contiguous slice-adds — no per-frame host
+    loop and no element-granularity gather/scatter."""
     from .coeffs import stretch_grid
     width = dpcm.width_of(frames)
     n, nch = frames.shape
@@ -876,7 +923,6 @@ def stretch(frames: jax.Array, factor: float, frame: int = 2048,
     # host-precomputed per-step constants (exact f64, cast once)
     om_hops = jnp.asarray(omega[None, :] * hops[:, None], jnp.float32)
     hop_scale = jnp.asarray((hop / hops), jnp.float32)
-    idx = jnp.asarray(starts_np[:, None] + np.arange(frame)[None, :])  # [T,F]
     two_pi = jnp.float32(2.0 * np.pi)
 
     out_len = (T - 1) * hop + frame
@@ -893,19 +939,32 @@ def stretch(frames: jax.Array, factor: float, frame: int = 2048,
         if not oa_ratio:
             acc = jnp.zeros(out_len, jnp.float32)
             return acc.at[oa_idx.reshape(-1)].add(seg_s.reshape(-1))
-        # frame = R*hop: segments j ≡ r (mod R) tile EXACTLY adjacently
-        # (spacing R*hop = frame), so the overlap-add is R contiguous
-        # slice-adds instead of a T*frame-row scatter
-        acc = jnp.zeros(out_len, jnp.float32)
-        for r in range(oa_ratio):
-            grp = seg_s[r::oa_ratio]
-            flat = grp.reshape(-1)
-            acc = acc.at[r * hop:r * hop + flat.shape[0]].add(flat)
-        return acc
+        # frame = R*hop: group R consecutive windows j = b*R + r — window
+        # (b, r) starts at b*frame + r*hop, so each group fits a 2*frame
+        # canvas row at column r*hop (max (R-1)*hop + frame < 2*frame) and
+        # row b occupies absolute [b*frame, (b+2)*frame).  R static
+        # column-slice adds place the windows, then the half-overlapped
+        # rows land with TWO contiguous slice-adds.  (The earlier
+        # r::R-strided grouping fused with the irfft into a measured ~10x
+        # slower program — the major-axis stride broke the batched FFT's
+        # preferred layout; this grouping keeps rows consecutive.)
+        R = oa_ratio
+        B = -(-T // R)
+        segp = jnp.concatenate(
+            [seg_s, jnp.zeros((B * R - T, frame), jnp.float32)]
+        ).reshape(B, R, frame)
+        canvas = jnp.zeros((B, 2 * frame), jnp.float32)
+        for r in range(R):
+            canvas = canvas.at[:, r * hop:r * hop + frame].add(segp[:, r])
+        acc = jnp.zeros(B * frame + frame, jnp.float32)
+        acc = acc.at[:B * frame].add(canvas[:, :frame].reshape(-1))
+        acc = acc.at[frame:].add(canvas[:, frame:].reshape(-1))
+        return acc[:out_len]
 
     cols = []
     for ch in range(nch):
-        seg = s[idx, ch] * win[None, :]                      # [T, frame]
+        seg = _framed_rows(s[:, ch], starts_np, frame) \
+            * win[None, :]                                   # [T, frame]
         spec = jnp.fft.rfft(seg, axis=1)                     # [T, K] c64
         mag = jnp.abs(spec).astype(jnp.float32)
         phi = jnp.arctan2(spec.imag, spec.real).astype(jnp.float32)

@@ -313,6 +313,34 @@ def test_pitch_shift_moves_pitch_keeps_duration():
     assert diff <= 64, diff
 
 
+def test_framed_rows_bit_identical():
+    # the round-4 row-packed analysis-window gather is a pure load
+    # rearrangement: must equal the direct element gather bitwise for
+    # packed (frame % W == 0) and fallback (frame % W != 0) shapes
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    s1 = jnp.asarray(rng.random(30000, dtype=np.float32))
+    for frame in (2048, 1024, 1000):       # 1000 % 16 != 0 -> fallback
+        starts = np.sort(rng.integers(0, 30000 - frame, size=63))
+        direct = np.asarray(s1)[starts[:, None] + np.arange(frame)[None, :]]
+        packed = np.asarray(dfx._framed_rows(s1, starts, frame))
+        assert (direct == packed).all(), frame
+
+
+def test_stretch_non_divisible_hop_matches_oracle():
+    # frame % hop != 0 routes the overlap-add through the scatter-add
+    # fallback (oa_ratio == 0) — same goldref budget as the canvas path
+    a = _tone_mix(9000, 2)
+    gold = gs.Sample(a.copy(), SR, 2, 2)
+    dev = Sample.from_raw_frames(a.tobytes(), 2, SR, 2)
+    g = gold.stretch(1.4, frame=1024, hop=300)
+    d = dev.stretch(1.4, frame=1024, hop=300)
+    assert d.nframes == g.nframes
+    diff = np.abs(d.get_frame_array().astype(np.int64)
+                  - g.frames.astype(np.int64)).max()
+    assert diff <= 64, diff
+
+
 def test_stretch_short_input_no_nan():
     # inputs shorter than one FFT frame: the grid floors hops at 1 frame
     # (a zero analysis hop used to emit NaN audio on both sides)
