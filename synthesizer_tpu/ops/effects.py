@@ -9,11 +9,12 @@ deliberately *not* a per-sample loop:
   (``e_n = max(a_n, e_{n-1} d)`` composes as
   ``(x1,d1)∘(x2,d2) = (max(x2, x1 d2), d1 d2)``) and its attack smoother is
   a scalar **affine associative scan** — both log-depth on the VPU;
-* the reverb is a **blocked scan**: with block size B ≤ the shortest delay
-  line, every comb/allpass read in a block lands ≥ B frames in the past, so
-  the whole block evaluates in parallel from the carried ring buffers; the
-  only true per-sample recurrence (comb damping) is an affine scan inside
-  the block.  One ``lax.scan`` step processes B frames;
+* the offline reverb is a **lag-aligned gather-free scan**: each comb's
+  scan row is its own delay length D, so the lag-D ring read is exactly the
+  previous row of that lane — all lanes of both channel networks batch into
+  ONE scan with no gather/scatter; the only true per-sample recurrence
+  (comb damping) is an affine scan inside the row.  The streaming twin
+  keeps the carried-ring blocked form (block ≤ the shortest delay line);
 * the chorus is pure gather + lerp (no recurrence);
 * convolution runs as an f32 FFT product (``jnp.fft``).
 

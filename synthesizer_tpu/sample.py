@@ -1006,10 +1006,10 @@ class Sample:
     def reverb(self, roomsize: float = 0.7, damping: float = 0.5,
                wet: float = 0.33, dry: float = 0.7, width: float = 1.0,
                tail: float = 1.5) -> "Sample":
-        """Freeverb-style reverb (blocked-scan network on device, see
-        ops.effects); extends the sample by ``tail`` seconds of decay.
-        Spec/tolerance: goldref.effects.reverb.  Knobs are dyn — no
-        recompile on tweak."""
+        """Freeverb-style reverb (gather-free lag-aligned comb scan on
+        device, see ops.effects); extends the sample by ``tail`` seconds
+        of decay.  Spec/tolerance: goldref.effects.reverb.  Knobs are dyn
+        — no recompile on tweak."""
         from .ops.coeffs import reverb_params
         feedback, damp, wet1, wet2 = reverb_params(roomsize, damping, wet,
                                                    width)
