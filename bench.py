@@ -113,9 +113,28 @@ def main() -> None:
     #     not compute-bound.  The render time is therefore measured by
     #     chaining K data-dependent full-song renders inside ONE jit call
     #     (phase perturbed by the previous checksum so XLA cannot CSE them)
-    #     and fitting the slope between K=1 and K=9.  Both numbers are
+    #     and fitting the slope between two K values.  Both numbers are
     #     reported: "value" is the per-render (compute) realtime factor,
     #     "single_call_x_realtime" includes the relay sync.
+    #   * the min-of-N relay floor is reproducible to ~1 ms (measured with a
+    #     null-body scan: k=1 and k=4000 both time 25.7-26.5 ms), so a slope
+    #     is trustworthy only once its K-delta clears that jitter by ~20x.
+    #     slope_fit() below escalates K until it does — without this, the
+    #     fast configs (config 1 renders in ~5 us) measure pure noise and
+    #     can even come out <= 0.
+
+    def slope_fit(timed, k_lo, k_hi, min_delta=0.02, escalations=4):
+        """Two-point slope of timed(k) (min wall seconds of the compiled
+        k-repeat chain), escalating (k_lo, k_hi) x4 until the delta clears
+        min_delta (20 ms >> the ~1 ms relay jitter floor).  Outer-scan
+        iteration overhead is nil (null-body scan: k=4000 == k=1), so the
+        slope is the per-repeat compute time."""
+        for _ in range(escalations + 1):
+            lo, hi = timed(k_lo), timed(k_hi)
+            if hi - lo >= min_delta:
+                break
+            k_lo, k_hi = k_lo * 4, k_hi * 4
+        return max((hi - lo) / (k_hi - k_lo), 1e-9)
     @functools.partial(jax.jit, static_argnames=("k", "nchunks"))
     def rep_render(vp, k, nchunks):
         def body(c, _):
@@ -134,16 +153,16 @@ def main() -> None:
     float(np.asarray(rep_render(vp, k=9, nchunks=nchunks)))  # compile k=9
 
     def best(k):
+        float(np.asarray(rep_render(vp, k=k, nchunks=nchunks)))  # compile
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             np.asarray(rep_render(vp, k=k, nchunks=nchunks))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t1, t9 = best(1), best(9)
-    elapsed = max((t9 - t1) / 8.0, 1e-9)      # per-render compute time
-    single_call = t1
+    single_call = best(1)
+    elapsed = slope_fit(best, 1, 9)           # per-render compute time
     out = bank.to_int16(bank.render_song(vp, total_frames))
 
     rtf = duration / elapsed
@@ -192,18 +211,16 @@ def main() -> None:
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
             return c
 
-        float(np.asarray(rep2(vp2, k=1, nchunks=nck)))      # compile
-        float(np.asarray(rep2(vp2, k=k_hi, nchunks=nck)))
-
         def best2(k):
+            float(np.asarray(rep2(vp2, k=k, nchunks=nck)))  # compile
             ts = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 np.asarray(rep2(vp2, k=k, nchunks=nck))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        el = max((best2(k_hi) - best2(1)) / (k_hi - 1), 1e-9)
+        el = slope_fit(best2, max(k_hi // 2, 1), k_hi)
         return (dur / el,
                 ly2.nvoices * int(dur * samplerate) / el / 1e6)
 
@@ -243,24 +260,22 @@ def main() -> None:
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
             return c
 
-        float(np.asarray(rep(k=1)))
-        float(np.asarray(rep(k=k_hi)))
-
         def bestp(k):
+            float(np.asarray(rep(k=k)))                     # compile
             ts = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 np.asarray(rep(k=k))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        el = max((bestp(k_hi) - bestp(1)) / (k_hi - 1), 1e-9)
+        el = slope_fit(bestp, max(k_hi // 2, 1), k_hi)
         return (total / samplerate) / el
 
     # config 1: 2 s 440 Hz sine -> mono (battery fidelity twin:
     # scripts/tpu_verify.py config1/sine_2s)
     config1_rtf = patch_rtf(Spec.Osc("sine", 440.0, 0.9999),
-                            2 * samplerate, 32768)
+                            2 * samplerate, 32768, k_hi=8192)
     # config 4: LFO-modulated graph + echo chain at the 1470-frame
     # streaming chunk size (battery twin: config4/lfo_echo_chunks)
     patch4 = Spec.Echo(
@@ -268,7 +283,7 @@ def main() -> None:
                              fm_lfo=Spec.Osc("sine", 5.0, 0.01)),
                     Spec.Osc("sine", 2.0, amplitude=0.4, bias=0.6)),
         0.05, 4, 0.07, 0.6)
-    config4_rtf = patch_rtf(patch4, 1470 * 30, 1470, k_hi=5)
+    config4_rtf = patch_rtf(patch4, 1470 * 30, 1470, k_hi=400)
     # config 2: 8-voice FM + harmonics + ADSR bank -> stereo, 2 s
     # (battery twin: config2/fm_bank_8v)
     from synthesizer_tpu.models.voicebank import Voice as BankVoice
@@ -282,7 +297,46 @@ def main() -> None:
             attack=0.01, decay=0.05, sustain_level=0.7, release=0.1,
             fm_frequency=5.0 if fm else 0.0, fm_depth=0.02 if fm else 0.0,
             harmonics=(1.0, 0.5, 0.33) if i % 4 == 3 else ()))
-    config2_rtf, _ = bank_rtf(c2_voices, 2.0, k_hi=9, nh=4, ck=16384)
+    config2_rtf, _ = bank_rtf(c2_voices, 2.0, k_hi=512, nh=4, ck=16384)
+
+    # round-4 master-fx gates: the gather-free Freeverb comb scan and the
+    # row-packed/group-canvas phase-vocoder stretch (BASELINE.md round-4
+    # entries) — same chained-repeat slope methodology over a 20 s stereo
+    # programme; scalar reduction keeps the per-call sync payload tiny
+    from synthesizer_tpu.ops import effects as dfx
+    fx_n = 20 * samplerate
+    fx_sig = jnp.asarray(
+        ((np.random.default_rng(7).random((fx_n, 2)) * 2 - 1) * 12000)
+        .astype(np.int32))
+
+    def fx_rtf(op, k_hi=4):
+        # the op keeps [fx_n, 2] int32 shape (tails sliced off), so the
+        # k-repeat chain is a scan whose carry IS the audio — inherently
+        # data-dependent, no anti-CSE trick needed
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def rep(frames, k):
+            def body(c, _):
+                return op(c)[:fx_n], None
+            out, _ = jax.lax.scan(body, frames, None, length=k)
+            return jnp.sum(jnp.abs(out.astype(jnp.float32)))
+
+        def best(k):
+            float(np.asarray(rep(fx_sig, k=k)))             # compile
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(np.asarray(rep(fx_sig, k=k)))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        el = slope_fit(best, max(k_hi // 2, 1), k_hi)
+        return (fx_n / samplerate) / el
+
+    reverb_rtf = fx_rtf(lambda f: dfx.reverb(
+        f, samplerate, 0.85, 0.4, 0.35, 0.6, 1.0, samplerate // 2))
+    stretch_rtf = fx_rtf(lambda f: dfx.stretch(f, 1.5))
+    chorus_rtf = fx_rtf(lambda f: dfx.chorus(
+        f, samplerate, 0.5, 0.002, 0.02, 3, 0.4, 1.0))
 
     dev = jax.devices()[0]
     peak = int(np.abs(np.asarray(out)).max())
@@ -312,6 +366,9 @@ def main() -> None:
         "config1_rtf": round(config1_rtf, 1),
         "config2_rtf": round(config2_rtf, 1),
         "config4_rtf": round(config4_rtf, 1),
+        "reverb_rtf": round(reverb_rtf, 1),
+        "stretch_rtf": round(stretch_rtf, 1),
+        "chorus_rtf": round(chorus_rtf, 1),
     }))
 
 
