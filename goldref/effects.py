@@ -1192,3 +1192,56 @@ def phaser(frames: np.ndarray, width: int, samplerate: int,
         dry_curve if dry_curve is not None else dry, np.float64), (n,))
     out = dryv[:, None] * s + wetv[:, None] * y
     return _to_int(out.astype(np.float32), width)
+
+
+# ---------------------------------------------------------------------------
+# High-quality polyphase resampler (oracle)
+# ---------------------------------------------------------------------------
+
+def hq_resample(frames: np.ndarray, width: int, inrate: int,
+                outrate: int) -> np.ndarray:
+    """Windowed-sinc polyphase rational resampler, sequential f64 oracle.
+
+    Spec (shared with the device twin ops.resample.hq_resample, which is
+    ONE strided f32 convolution on the MXU):
+
+    * reduce the ratio: L = outrate/g, M = inrate/g (g = gcd) — the
+      signal is conceptually zero-stuffed by L, filtered by the
+      spec.hq_resample_filter prototype h (length N = T*L', centered at
+      C = (N-1)//2, per-leg unit DC gain), and decimated by M;
+    * output length matches the linear ratecv path exactly:
+      nframes_out(n, M, L) = (n-1)*L//M + 1 (n >= 1), so swapping
+      quality never changes a Sample's frame count;
+    * output j reads phase leg phi = (j*M + C) % L at input anchor
+      k0 = (j*M + C) // L:  y[j] = sum_t h[phi + t*L] * s[k0 - t]
+      (out-of-range input = 0);
+    * the working signal is the house-normalized f32 value promoted to
+      f64; the result converts back with the house synthesis rule
+      _to_int(f32(y)).
+
+    Tolerance for the device twin (f32 conv, precision=HIGHEST, XLA
+    reduction order): <= 1 LSB at width 2 (measured; the per-output dot
+    is <= N/L taps of an f32 kernel against |s| <= 1).
+    """
+    g = math.gcd(int(inrate), int(outrate))
+    M, L = int(inrate) // g, int(outrate) // g
+    from . import spec as _spec
+    h = _spec.hq_resample_filter(L, M)
+    n = frames.shape[0]
+    if n == 0:
+        return frames[:0]
+    out_n = (n - 1) * L // M + 1
+    C = (len(h) - 1) // 2
+    T = len(h) // L
+    s = _norm(frames, width).astype(np.float64)
+    j = np.arange(out_n, dtype=np.int64)
+    phi = (j * M + C) % L
+    k0 = (j * M + C) // L
+    acc = np.zeros((out_n, frames.shape[1]), np.float64)
+    for t in range(T):
+        idx = k0 - t
+        valid = (idx >= 0) & (idx < n)
+        acc += np.where(valid[:, None],
+                        h[phi + t * L, None] * s[np.clip(idx, 0, n - 1)],
+                        0.0)
+    return _to_int(acc.astype(np.float32), width)

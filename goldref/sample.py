@@ -530,25 +530,46 @@ class Sample:
             self.samplewidth = 2
         return self
 
-    def resample(self, samplerate: int) -> "Sample":
-        """Exact ratecv resample to a new rate (pitch preserved)."""
+    def resample(self, samplerate: int, quality: str = "linear") -> "Sample":
+        """Resample to a new rate (pitch preserved).  quality='linear' is
+        the exact audioop ratecv interpolator; quality='hq' is the
+        windowed-sinc polyphase resampler (effects.hq_resample) with the
+        SAME output length."""
         if samplerate == self.samplerate:
             return self
-        frag, _ = pcm.ratecv(self.view_frame_data(), self.samplewidth,
-                             self.nchannels, self.samplerate, samplerate, None)
-        self.frames = pcm.frombytes(frag, self.samplewidth).reshape(-1, self.nchannels)
+        if quality == "hq":
+            from . import effects
+            self.frames = effects.hq_resample(self.frames, self.samplewidth,
+                                              self.samplerate, samplerate)
+        elif quality == "linear":
+            frag, _ = pcm.ratecv(self.view_frame_data(), self.samplewidth,
+                                 self.nchannels, self.samplerate, samplerate,
+                                 None)
+            self.frames = pcm.frombytes(frag, self.samplewidth) \
+                .reshape(-1, self.nchannels)
+        else:
+            raise ValueError(f"unknown resample quality {quality!r}")
         self.samplerate = samplerate
         return self
 
-    def speed(self, speed: float) -> "Sample":
-        """Change playback speed (and pitch): ratecv from rate*speed to rate,
-        keeping the sample's samplerate metadata."""
+    def speed(self, speed: float, quality: str = "linear") -> "Sample":
+        """Change playback speed (and pitch): resample from rate*speed to
+        rate, keeping the sample's samplerate metadata."""
         if speed == 1.0:
             return self
-        frag, _ = pcm.ratecv(self.view_frame_data(), self.samplewidth,
-                             self.nchannels, int(self.samplerate * speed),
-                             self.samplerate, None)
-        self.frames = pcm.frombytes(frag, self.samplewidth).reshape(-1, self.nchannels)
+        if quality == "hq":
+            from . import effects
+            self.frames = effects.hq_resample(self.frames, self.samplewidth,
+                                              int(self.samplerate * speed),
+                                              self.samplerate)
+        elif quality == "linear":
+            frag, _ = pcm.ratecv(self.view_frame_data(), self.samplewidth,
+                                 self.nchannels, int(self.samplerate * speed),
+                                 self.samplerate, None)
+            self.frames = pcm.frombytes(frag, self.samplewidth) \
+                .reshape(-1, self.nchannels)
+        else:
+            raise ValueError(f"unknown resample quality {quality!r}")
         return self
 
     def mono(self, left_factor: float = 1.0, right_factor: float = 1.0) -> "Sample":

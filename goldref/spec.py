@@ -365,6 +365,30 @@ def true_peak_filter():
     return h
 
 
+_HQ_TAPS_PER_PHASE = 32
+_HQ_BETA = 9.0
+
+
+def hq_resample_filter(up, down, taps_per_phase=_HQ_TAPS_PER_PHASE,
+                       beta=_HQ_BETA):
+    """Prototype lowpass for the hq polyphase resampler (the oracle's own
+    copy; conformance-pinned against ops.coeffs.hq_resample_filter):
+    Kaiser-windowed sinc at the up-times-oversampled rate, cutoff at the
+    lower Nyquist, length taps_per_phase * max(up, down) rounded up to a
+    multiple of up, per-leg unit-DC normalization, f64."""
+    import numpy as np
+    L = int(up)
+    N = int(taps_per_phase) * max(int(up), int(down))
+    N = -(-N // L) * L
+    c = min(1.0 / up, 1.0 / down)
+    n = np.arange(N, dtype=np.float64)
+    x = (n - (N - 1) / 2.0) * c
+    h = np.sinc(x) * np.kaiser(N, beta)
+    for p in range(L):
+        h[p::L] /= h[p::L].sum()
+    return h
+
+
 @dataclasses.dataclass(frozen=True)
 class Clip:
     source: Node

@@ -514,6 +514,17 @@ def section_effects(SR):
                - gold.reverb(**kw).frames.astype(np.int64)).max()
     check("fx/reverb", d <= 4, f"max {d} LSB")
 
+    # hq polyphase resampler: ONE strided f32 conv (precision=HIGHEST —
+    # the MXU bf16 default is exactly the true-peak bug class this
+    # battery exists to catch) vs the f64 oracle, up and down
+    for outr in (48000, 8000):
+        gold, dev = pair()
+        d = np.abs(dev.resample(outr, quality="hq").get_frame_array()
+                   .astype(np.int64)
+                   - gold.resample(outr, quality="hq").frames
+                   .astype(np.int64)).max()
+        check(f"fx/hq_resample_{outr}", d <= 1, f"max {d} LSB")
+
     gold, dev = pair()
     kw = dict(rate=1.5, depth=0.003, delay=0.015)
     d = np.abs(dev.chorus(**kw).get_frame_array().astype(np.int64)

@@ -23,7 +23,7 @@ import numpy as np
 
 __all__ = [
     "compressor_coeffs", "gate_coeffs", "biquad_coeffs", "eq_band_coeffs",
-    "kweight_coeffs", "true_peak_filter",
+    "kweight_coeffs", "true_peak_filter", "hq_resample_filter",
     "reverb_delays", "reverb_params", "FIXED_GAIN", "ALLPASS_FEEDBACK",
     "COMB_TUNING", "ALLPASS_TUNING", "STEREO_SPREAD",
     "stretch_grid", "grain_grid", "noise_u32",
@@ -427,6 +427,37 @@ def true_peak_filter() -> np.ndarray:
     n = np.arange(N, dtype=np.float64)
     x = (n - (N - 1) / 2.0) / L
     h = np.sinc(x) * np.kaiser(N, 8.0)
+    for p in range(L):
+        h[p::L] /= h[p::L].sum()
+    return h
+
+
+_HQ_TAPS_PER_PHASE = 32
+_HQ_BETA = 9.0
+
+
+def hq_resample_filter(up: int, down: int,
+                       taps_per_phase: int = _HQ_TAPS_PER_PHASE,
+                       beta: float = _HQ_BETA) -> np.ndarray:
+    """Prototype lowpass for the high-quality polyphase resampler
+    (``Sample.resample(quality='hq')``): Kaiser(beta)-windowed sinc of
+    ``taps_per_phase * up`` taps at the ``up``-times-oversampled rate,
+    cutoff at the lower of the input/output Nyquists
+    (``min(1/up, 1/down)`` cycles per oversampled sample), each of the
+    ``up`` polyphase legs normalized to unit DC gain, f64.  The length
+    scales with ``max(up, down)`` (rounded up to a multiple of ``up``) so
+    the sinc always spans ``taps_per_phase`` zero crossings of the
+    NARROWER Nyquist — a decimator keeps its stopband, not just an
+    interpolator.  The oracle keeps its own copy
+    (``goldref.spec.hq_resample_filter``, conformance-pinned) — the same
+    per-leg-normalization recipe as the BS.1770 true-peak FIR above."""
+    L = int(up)
+    N = int(taps_per_phase) * max(int(up), int(down))
+    N = -(-N // L) * L
+    c = min(1.0 / up, 1.0 / down)
+    n = np.arange(N, dtype=np.float64)
+    x = (n - (N - 1) / 2.0) * c
+    h = np.sinc(x) * np.kaiser(N, beta)
     for p in range(L):
         h[p::L] /= h[p::L].sum()
     return h

@@ -385,3 +385,72 @@ class StreamingResampler:
             inr=self.inr, outr=self.outr, max_out=self.max_out(L))
         self.d = self.d + L * self.outr - nout * self.inr
         return y, nout
+
+
+# ---------------------------------------------------------------------------
+# High-quality polyphase resampler (windowed sinc, one strided conv)
+# ---------------------------------------------------------------------------
+
+#: Largest reduced up-factor the hq path accepts.  The conv kernel embeds
+#: one feature row per polyphase leg, so its size is O(L * (taps + M));
+#: every standard audio-rate pair (8k/11025/16k/22050/24k/32k/44.1k/48k/
+#: 88.2k/96k/192k in any combination) reduces to L, M <= 640.  A
+#: pathological coprime pair (e.g. 44100 -> 44101) would need a ~2 GB
+#: kernel — reject it honestly instead.
+HQ_MAX_FACTOR = 2048
+
+
+@functools.lru_cache(maxsize=32)
+def _hq_kernel(L: int, M: int) -> Tuple[np.ndarray, int, int]:
+    """Phase-embedded conv kernel for hq_resample.
+
+    Output j of the resampler reads phase leg ``phi_j = (j*M + C) % L`` at
+    input anchor ``k0_j = (j*M + C) // L`` (goldref.effects.hq_resample is
+    the spec).  Outputs j and j+L share the phase and their anchors differ
+    by exactly M, so the first L output indices j0 define L conv FEATURES:
+    feature j0's kernel row carries leg phi(j0) placed at offset k0(j0),
+    and a single stride-M cross-correlation then yields
+    ``out[j0, m] == y[j0 + m*L]`` — the interleave is one transpose+
+    reshape, no gather.  Returns (K [L, 1, Kw] f32, PL, Kw) where PL is
+    the left input padding (= taps-1) baked into the row offsets.
+    """
+    from .coeffs import hq_resample_filter
+    h = hq_resample_filter(L, M)
+    N = len(h)
+    T = N // L
+    C = (N - 1) // 2
+    k0 = [(j * M + C) // L for j in range(L)]
+    phi = [(j * M + C) % L for j in range(L)]
+    PL = T - 1
+    Kw = PL + max(k0) + 1
+    K = np.zeros((L, 1, Kw), np.float64)
+    for j in range(L):
+        for t in range(T):
+            K[j, 0, PL + k0[j] - t] = h[phi[j] + t * L]
+    return K.astype(np.float32), PL, Kw
+
+
+def hq_resample(x: jax.Array, L: int, M: int, nout: int) -> jax.Array:
+    """Windowed-sinc polyphase resample by the reduced ratio L/M as ONE
+    strided f32 convolution (precision=HIGHEST — the MXU's bf16 default is
+    the round-1 true-peak bug class).  Spec, output-length rule, and the
+    <= 1 LSB (width 2) device budget: goldref.effects.hq_resample."""
+    if max(L, M) > HQ_MAX_FACTOR:
+        raise ValueError(
+            f"quality='hq' supports rational rate ratios up to "
+            f"{HQ_MAX_FACTOR} after gcd reduction; got {L}/{M}")
+    width = dpcm.width_of(x)
+    n, nch = x.shape
+    if n == 0 or nout == 0:
+        return x[:0]
+    K, PL, Kw = _hq_kernel(L, M)
+    t_count = -(-nout // L)
+    PR = max(0, (t_count - 1) * M + Kw - PL - n)
+    s = x.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
+    y = jax.lax.conv_general_dilated(
+        s.T[:, None, :], jnp.asarray(K), window_strides=(M,),
+        padding=[(PL, PR)], precision=jax.lax.Precision.HIGHEST)
+    y = y[:, :, :t_count]                        # [ch, L, t_count]
+    y = y.transpose(0, 2, 1).reshape(nch, -1)[:, :nout].T
+    from .effects import to_int_samples
+    return to_int_samples(y, width)

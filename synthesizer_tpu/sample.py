@@ -408,6 +408,11 @@ def _x_ratecv(x, st, dyn, leaves):
     return y
 
 
+def _x_hq_resample(x, st, dyn, leaves):
+    L, M, nout = st
+    return dresample.hq_resample(x, L, M, nout)
+
+
 _EXEC = {
     "amplify": _x_amplify, "amplify_max": _x_amplify_max, "bias": _x_bias,
     "slice": _x_slice, "cut": _x_cut, "pad": _x_pad, "join": _x_join,
@@ -417,6 +422,7 @@ _EXEC = {
     "echo": _x_echo, "lin2lin": _x_lin2lin, "astype_i32": _x_astype_i32,
     "tomono": _x_tomono, "tostereo": _x_tostereo, "stereo_mix": _x_stereo_mix,
     "pan_const": _x_pan_const, "pan_lfo": _x_pan_lfo, "ratecv": _x_ratecv,
+    "hq_resample": _x_hq_resample,
     "gen_patch": _x_gen_patch, "modulate_patch": _x_modulate_patch,
     "pan_patch": _x_pan_patch, "pan_sample": _x_pan_sample,
     "compress": _x_compress, "reverb": _x_reverb, "chorus": _x_chorus,
@@ -1330,19 +1336,51 @@ class Sample:
             self._samplewidth = 2
         return self
 
-    def resample(self, samplerate: int) -> "Sample":
+    def resample(self, samplerate: int, quality: str = "linear") -> "Sample":
+        """Resample to a new rate (pitch preserved).
+
+        quality='linear' (default) is the reference's exact audioop
+        ratecv interpolator, bit-exact; quality='hq' is the windowed-sinc
+        polyphase resampler — ONE strided MXU convolution on device
+        (ops.resample.hq_resample; spec + <=1 LSB budget vs the f64
+        oracle: goldref.effects.hq_resample) with the SAME output length,
+        ~80 dB stopband instead of linear interpolation's -6 dB/oct
+        image rolloff."""
         if samplerate == self._samplerate:
             return self
-        self._ratecv(self._samplerate, samplerate)
+        if quality == "hq":
+            self._hq_resample(self._samplerate, samplerate)
+        elif quality == "linear":
+            self._ratecv(self._samplerate, samplerate)
+        else:
+            raise ValueError(f"unknown resample quality {quality!r}")
         self._samplerate = samplerate
         return self
 
-    def speed(self, speed: float) -> "Sample":
+    def speed(self, speed: float, quality: str = "linear") -> "Sample":
         """Change playback speed (and pitch), keeping the samplerate meta."""
         if speed == 1.0:
             return self
-        self._ratecv(int(self._samplerate * speed), self._samplerate)
+        if quality == "hq":
+            self._hq_resample(int(self._samplerate * speed),
+                              self._samplerate)
+        elif quality == "linear":
+            self._ratecv(int(self._samplerate * speed), self._samplerate)
+        else:
+            raise ValueError(f"unknown resample quality {quality!r}")
         return self
+
+    def _hq_resample(self, inrate: int, outrate: int) -> None:
+        g = math.gcd(inrate, outrate)
+        M, L = inrate // g, outrate // g
+        if max(L, M) > dresample.HQ_MAX_FACTOR:
+            raise ValueError(
+                f"quality='hq' supports rational rate ratios up to "
+                f"{dresample.HQ_MAX_FACTOR} after gcd reduction; "
+                f"got {L}/{M}")
+        nout = dresample.nframes_out(self._nframes, M, L)
+        self._stage("hq_resample", static=(L, M, nout))
+        self._nframes = nout
 
     def _ratecv(self, inrate: int, outrate: int) -> None:
         g = math.gcd(inrate, outrate)

@@ -27,10 +27,13 @@ ECHO_GAIN = 3       # 1 + amount taps (amount=2 below)
 # multiplier for how they propagate an existing input error (dry+wet paths)
 FX_MULT = {"chorus": 2, "compress": 2, "compress_sc": 2, "reverb": 2,
            "convolve": 2, "filter": 2, "gate": 2, "compress_knee": 2,
-           "tremolo": 1, "autopan": 1}
+           "tremolo": 1, "autopan": 1,
+           # windowed-sinc FIR: existing error scales by the leg L1 norm
+           # (~1.5 for the Kaiser sinc), own device budget 1 LSB
+           "hq_resample": 2, "hq_speed": 2}
 FX_COST = {"chorus": 2, "compress": 2, "compress_sc": 2, "reverb": 4,
            "convolve": 8, "filter": 4, "gate": 2, "compress_knee": 2,
-           "tremolo": 0, "autopan": 0}
+           "tremolo": 0, "autopan": 0, "hq_resample": 1, "hq_speed": 1}
 # (stretch is deliberately NOT in the pool: the phase vocoder is nonlinear
 # in the signal — a tiny accumulated input difference flips princarg wrap
 # branches at near-zero bins and diverges arbitrarily; it gets its own
@@ -80,6 +83,8 @@ OPS = [
     ("resample_up", lambda s: s.resample(48000), 0),
     ("resample_down", lambda s: s.resample(22050), 0),
     ("speed", lambda s: s.speed(1.25), 0),
+    ("hq_resample", lambda s: s.resample(48000, quality="hq"), 0),
+    ("hq_speed", lambda s: s.speed(0.8, quality="hq"), 0),
     ("chorus", lambda s: s.chorus(rate=2.0, depth=0.002, delay=0.01,
                                   wet=0.4), 0),
     ("compress", lambda s: s.compress(threshold_db=-18.0, ratio=3.0,
