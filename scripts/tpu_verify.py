@@ -282,6 +282,44 @@ def section_bank(SR, n):
     da = max_lsb(aout[alo:ahi], aref[alo:ahi]).max()
     check("midi/amp_curve_vs_f64_twin", da <= 1, f"max {da:.0f} LSB")
 
+    # CC1 mod-wheel vibrato (round-4 continuation): the per-segment
+    # weighted-trig-sum closed form (time-varying FM depth) vs the f64
+    # per-frame accumulation twin — budget ~0.2 LSB at full scale, so
+    # 8e-6 at amp 0.5 (the trig-poly error composition derived in
+    # models/voicebank._dmod_delta)
+    dcurve = ((0.0, 0.0), (0.04, 0.02), (0.1, 0.005), (0.18, 0.029))
+    dv = [Voice(wave="sine", frequency=440.0, fm_frequency=5.5,
+                fm_depth_curve=dcurve, start=0.01, duration=0.25,
+                amplitude=0.5, attack=0.0, decay=0.0, sustain_level=1.0,
+                release=0.01)]
+    dvp, dlayout = pack_voices(dv, SR, num_harmonics=0, sort_by_wave=True)
+    dbank = VoiceBank.for_voices(dv, SR, chunk_frames=2048, layout=dlayout,
+                                 nvoices=dlayout.nvoices)
+    dtotal = int(0.3 * SR)
+    dout = np.asarray(dbank.render_song(dvp, dtotal))[:, 0]
+    fm_inc = int(Spec.phase_increment(5.5, SR))
+    dpts = [(int(t * SR), d) for t, d in dcurve]
+
+    def _depth_at(u):
+        for j in range(len(dpts) - 1):
+            if u < dpts[j + 1][0]:
+                f0, d0 = dpts[j]
+                f1, d1 = dpts[j + 1]
+                return d0 + (d1 - d0) * (u - f0) / (f1 - f0)
+        return dpts[-1][1]
+
+    dhi = s0 + int(0.24 * SR)
+    dref = np.zeros(dtotal)
+    acc = 0.0
+    for n_ in range(s0, dhi):
+        m = n_ - s0
+        p = ((n_ * inc) % 2 ** 32 + inc * acc) / 2 ** 32
+        dref[n_] = 0.5 * np.sin(2 * np.pi * (p % 1.0))
+        lfo = ((s0 + m) * fm_inc) % 2 ** 32
+        acc += _depth_at(m) * np.sin(2 * np.pi * lfo / 2 ** 32)
+    dd = np.max(np.abs(dout[s0 + 1:dhi] - dref[s0 + 1:dhi]))
+    check("midi/vibrato_cc1_vs_f64_twin", dd < 8e-6, f"max {dd:.2e}")
+
     _wavetable_gather_probe()
 
 

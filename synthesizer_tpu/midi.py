@@ -22,17 +22,29 @@ segment, linearly ramping the frequency between events and holding after
 the last, so a bend sweep renders as a sweep, not stairs; the bend RANGE
 honors RPN 0,0 — CC101/100 select, CC6/CC38 set semitones+cents, a
 CC98/99 NRPN select nulls the RPN — with the GM default of ±2
-semitones, evaluated at each event's time).
+semitones, evaluated at each event's time), and CC1 mod-wheel vibrato
+(CONTINUOUS: the wheel curve becomes a TIME-VARYING FM depth on the
+voice — a sinusoidal LFO at ``VIBRATO_RATE_HZ`` whose depth ramps
+linearly between wheel events, rendered by the bank's per-segment
+weighted-trig-sum closed form (``fm_depth_curve``); full wheel =
+``VIBRATO_SEMITONES`` of peak deviation; a wheel that never moves
+mid-note maps to the constant ``fm_depth`` path, and instruments that
+define their own FM (``fm_depth`` != 0) keep it — their CC1 is ignored
+rather than silently replacing the patch's modulator).
+
+Bend/CC events keep reaching a note for ``_RELEASE_GRACE`` seconds after
+its note-off (the release tail keeps sounding, and a GM synth bends it),
+so a wheel sweep through a chord's release renders correctly.
 
 Limitations (deliberate, documented): notes map to the bank's gate-ADSR
 voices (no per-note velocity curves beyond linear amplitude), SMPTE
-divisions are unsupported, bend/CC events after a note's note-off do not
-affect its release tail, CC1 mod-wheel vibrato is not synthesized (the
-bank's FM depth is a per-note constant in the closed-form integral), a
-percussion-channel (10) bend keeps note-on sampling (its drum pitches
-are synthetic, not note-derived), and a retriggered note (note-on while
-the same note is already sounding on the channel) replaces the open note
-rather than layering.
+divisions are unsupported, release tails longer than ``_RELEASE_GRACE``
+stop receiving events after the grace, a percussion-channel (10) bend
+keeps note-on sampling (its drum pitches are synthetic, not
+note-derived), CC1 is ignored on percussion and on instruments with
+their own FM, and a retriggered note (note-on while the same note is
+already sounding on the channel) replaces the open note rather than
+layering.
 """
 
 from __future__ import annotations
@@ -50,6 +62,10 @@ __all__ = ["MidiNote", "parse_midi", "midi_to_voices", "render_midi",
            "render_notes", "write_midi"]
 
 _A4_KEY = 69  # MIDI note number of A4
+
+#: how long after its note-off a note still receives bend/controller
+#: events (the release tail keeps sounding; see parse_midi._sounding)
+_RELEASE_GRACE = 2.0
 
 
 class MidiNote(NamedTuple):
@@ -69,6 +85,8 @@ class MidiNote(NamedTuple):
     # to the pre-curve renderer)
     bend_curve: Optional[Tuple[Tuple[float, float], ...]] = None  # semitones
     gain_curve: Optional[Tuple[Tuple[float, float], ...]] = None  # abs gain
+    mod: float = 0.0            # CC1/127 mod wheel at note-on
+    mod_curve: Optional[Tuple[Tuple[float, float], ...]] = None  # CC1/127
 
 
 def note_to_freq(note: int, a4: float = 440.0) -> float:
@@ -186,6 +204,7 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
     cc7 = [127] * 16            # channel volume
     cc11 = [127] * 16           # expression
     cc10: List[Optional[int]] = [None] * 16   # pan (None = never sent)
+    cc1 = [0] * 16              # mod wheel (vibrato)
     pedal = [False] * 16
     bend14 = [0] * 16           # signed 14-bit wheel position (-8192..8191)
     # RPN 0,0 (pitch-bend sensitivity): GM default ±2 semitones; CC6/CC38
@@ -197,13 +216,61 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
     last_tick = 0
     us_per_quarter = 500_000
 
+    # notes whose note-off has passed but whose release tail may still be
+    # sounding: controller/bend events within _RELEASE_GRACE seconds of
+    # the off keep appending to their curves (the wheel bends whatever
+    # rings — a GM synth bends release tails too); the actual audible
+    # horizon is the instrument's release, unknown at parse time, so the
+    # grace is a generous fixed bound and points past envelope-zero are
+    # acoustically inert
+    ringing: List[tuple] = []        # (key, started, t1)
+
     def _close(key, started, t1):
-        t0, vel, prog, vol, pan, bend, bcurve, gcurve = started
+        ringing.append((key, started, t1))
+
+    def _materialize(key, started, t1):
+        t0, vel, prog, vol, pan, bend, mod, bcurve, gcurve, mcurve = started
         notes.append(MidiNote(
             t0, max(t1 - t0, 1e-3), key[1], vel, key[0], prog, vol, pan,
             bend,
             tuple([(0.0, bend)] + bcurve) if bcurve else None,
-            tuple([(0.0, vol)] + gcurve) if gcurve else None))
+            tuple([(0.0, vol)] + gcurve) if gcurve else None,
+            mod,
+            tuple([(0.0, mod)] + mcurve) if mcurve else None))
+
+    def _sounding(ch):
+        # every note the channel's wheel/controllers reach RIGHT NOW:
+        # open, pedal-held, and recently-released (ringing) ones; expired
+        # ringing notes materialize here (events arrive time-ordered, so
+        # this keeps the scan bounded by the polyphony inside the grace
+        # window, not the whole song).  Yields (started, t_off_or_None).
+        keep = []
+        for rec in ringing:
+            if sec < rec[2] + _RELEASE_GRACE:
+                keep.append(rec)
+            else:
+                _materialize(*rec)
+        ringing[:] = keep
+        return ([(st, None) for k, st in list(open_notes.items())
+                 + list(sustained.items()) if k[0] == ch]
+                + [(st, t1) for k, st, t1 in ringing if k[0] == ch])
+
+    def _record(st, t1, idx, val, base_idx):
+        # append a curve sample.  For a RINGING note's first post-off
+        # event, first anchor the curve at the off time with the last
+        # in-note value: curve points are samples of continuous wheel
+        # motion and ramp linearly between, so without the anchor a
+        # recenter-at-note-off (ubiquitous in real files) would
+        # retro-sweep the WHOLE note instead of just the release tail.
+        lst = st[idx]
+        trel = sec - st[0]
+        if t1 is not None:
+            anchor = t1 - st[0]
+            if not lst or lst[-1][0] < anchor:
+                lst.append((anchor, lst[-1][1] if lst else st[base_idx]))
+            if trel <= anchor:
+                trel = anchor + 1e-3   # off-tick event: 1 ms into the tail
+        lst.append((trel, val))
 
     for ev in events:
         sec += (ev.tick - last_tick) * us_per_quarter / 1e6 / division
@@ -224,9 +291,12 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
             elif ev.a in (7, 11):
                 (cc7 if ev.a == 7 else cc11)[ch] = ev.b
                 gain = (cc7[ch] / 127.0) * (cc11[ch] / 127.0)
-                for k, st in list(open_notes.items()) + list(sustained.items()):
-                    if k[0] == ch:
-                        st[7].append((sec - st[0], gain))
+                for st, t1 in _sounding(ch):
+                    _record(st, t1, 8, gain, 3)
+            elif ev.a == 1:                        # mod wheel (vibrato)
+                cc1[ch] = ev.b
+                for st, t1 in _sounding(ch):
+                    _record(st, t1, 9, ev.b / 127.0, 6)
             elif ev.a == 10:
                 cc10[ch] = ev.b
             elif ev.a == 101:                      # RPN select MSB
@@ -256,9 +326,8 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
             # whatever rings), with the RPN bend range in effect NOW
             semis_now = (range_msb[ch] + range_lsb[ch] / 100.0)
             val = ev.b / 8192.0 * semis_now
-            for k, st in list(open_notes.items()) + list(sustained.items()):
-                if k[0] == ch:
-                    st[6].append((sec - st[0], val))
+            for st, t1 in _sounding(ch):
+                _record(st, t1, 7, val, 5)
         elif ev.kind == "on":
             key = (ev.channel, ev.a)
             held = sustained.pop(key, None)
@@ -271,7 +340,8 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
             semis = range_msb[ev.channel] + range_lsb[ev.channel] / 100.0
             bend = bend14[ev.channel] / 8192.0 * semis
             open_notes[key] = (sec, ev.b, programs[ev.channel], vol,
-                               notes_pan, bend, [], [])
+                               notes_pan, bend, cc1[ev.channel] / 127.0,
+                               [], [], [])
         elif ev.kind == "off":
             key = (ev.channel, ev.a)
             started = open_notes.pop(key, None)
@@ -283,12 +353,21 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
     # a pedal still down at end of file: close what it was holding
     for key in list(sustained):
         _close(key, sustained.pop(key), sec)
+    for rec in ringing:
+        _materialize(*rec)
     notes.sort(key=lambda n: n.start)
     return notes
 
 
 _DEFAULT_DEF = SynthDef(wave="sawtooth_bl", amplitude=0.3, attack=0.005,
                         decay=0.05, sustain_level=0.7, release=0.15)
+
+#: CC1 mod-wheel vibrato: LFO rate and the peak pitch deviation at a
+#: fully-raised wheel (CC1 = 127).  The deviation maps to the bank's FM
+#: depth as the frequency RATIO excursion 2^(semis/12) - 1, so the
+#: rendered vibrato peaks exactly VIBRATO_SEMITONES sharp.
+VIBRATO_RATE_HZ = 5.5
+VIBRATO_SEMITONES = 0.5
 
 #: coarse General-MIDI program-family mapping onto bank waveforms
 _GM_FAMILIES = (
@@ -330,8 +409,15 @@ def _gm_instrument(program: int) -> SynthDef:
 
 def midi_to_voices(notes: Sequence[MidiNote],
                    instruments: Optional[Dict[int, SynthDef]] = None,
-                   a4: float = 440.0) -> List[Voice]:
-    """Note events -> bank voices; velocity scales amplitude linearly."""
+                   a4: float = 440.0,
+                   vibrato_rate: float = VIBRATO_RATE_HZ,
+                   vibrato_semitones: float = VIBRATO_SEMITONES) -> List[Voice]:
+    """Note events -> bank voices; velocity scales amplitude linearly.
+
+    ``vibrato_rate``/``vibrato_semitones`` set the CC1 mod-wheel vibrato
+    LFO (rate in Hz, peak deviation at a full wheel); an instrument's own
+    ``fm_frequency`` (with ``fm_depth`` 0) overrides the rate.
+    """
     instruments = instruments or {}
     voices = []
     for n in notes:
@@ -362,6 +448,24 @@ def midi_to_voices(notes: Sequence[MidiNote],
             vol_factor = 1.0
         else:
             vol_factor = n.volume
+        # CC1 mod-wheel vibrato -> FM depth (never on percussion; never on
+        # instruments that define their own FM — CC1 would silently
+        # replace the patch's modulator)
+        fm_frequency, fm_depth = sd.fm_frequency, sd.fm_depth
+        depth_curve: tuple = ()
+        if not percussion and sd.fm_depth == 0.0:
+            unit = 2.0 ** (vibrato_semitones / 12.0) - 1.0
+            rate = sd.fm_frequency if sd.fm_frequency > 0.0 else vibrato_rate
+            if n.mod_curve is not None and \
+                    len({v for _, v in n.mod_curve}) > 1:
+                fm_frequency = rate
+                depth_curve = tuple((t, v * unit) for t, v in n.mod_curve)
+            else:
+                static = (n.mod_curve[0][1] if n.mod_curve is not None
+                          else n.mod)
+                if static > 0.0:
+                    fm_frequency = rate
+                    fm_depth = static * unit
         voices.append(Voice(
             wave=sd.wave,
             frequency=freq,
@@ -372,12 +476,13 @@ def midi_to_voices(notes: Sequence[MidiNote],
             duration=n.duration,
             attack=sd.attack, decay=sd.decay,
             sustain_level=sd.sustain_level, release=sd.release,
-            fm_frequency=sd.fm_frequency, fm_depth=sd.fm_depth,
+            fm_frequency=fm_frequency, fm_depth=fm_depth,
             pulse_width=sd.pulse_width,
             harmonics=sd.harmonics,
             table=sd.table,
             pitch_curve=pitch_curve,
             amp_curve=amp_curve,
+            fm_depth_curve=depth_curve,
         ))
     return voices
 

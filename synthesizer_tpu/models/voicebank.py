@@ -127,6 +127,12 @@ class VoiceParams(NamedTuple):
     acurve_start: jax.Array  # i32 [V, K] segment start (note-rel frames)
     acurve_g0: jax.Array     # f32 [V, K] gain at segment start
     acurve_dg: jax.Array     # f32 [V, K] per-frame gain slope
+    # FM-depth-curve (MIDI CC1 mod-wheel vibrato) segments, [V, D] each;
+    # same slot-0 convention (INT32_MAX rows = no curve)
+    dcurve_start: jax.Array  # i32 [V, D] segment start (note-rel frames)
+    dcurve_c: jax.Array      # f32 [V, D] depth-weighted LFO sum at start
+    dcurve_a: jax.Array      # f32 [V, D] depth at segment start
+    dcurve_b: jax.Array      # f32 [V, D] per-frame depth slope
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +180,18 @@ class Voice:
     # ...) control points, linear ramps between points, held after the
     # last; multiplies the ADSR envelope (f32).
     amp_curve: Sequence[Tuple[float, float]] = ()
+    # FM depth curve (continuous MIDI CC1 mod-wheel vibrato):
+    # ((t_rel_seconds, depth), ...) control points for a TIME-VARYING
+    # ``fm_depth`` — the instantaneous frequency is
+    # f0 * (1 + D(m) * sin(2*pi*(fm_phase + m*b))) with D piecewise-linear
+    # between points and held after the last.  The phase contribution is
+    # the exact discrete sum  inc * sum_{u<m} D(u) sin(...), evaluated
+    # closed-form per segment (compile_depth_segments / _dmod_delta — the
+    # Lagrange weighted trig sums; no scan, stateless in the absolute
+    # frame, so streaming == offline by construction).  Requires
+    # ``fm_frequency`` > 0; mutually exclusive with a non-zero constant
+    # ``fm_depth``.  XLA engine only (like pitch/amp curves).
+    fm_depth_curve: Sequence[Tuple[float, float]] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -281,6 +299,80 @@ def compile_amp_segments(curve, samplerate: int):
         else:
             dgs.append(0.0)
     return starts, g0s, dgs
+
+
+def compile_depth_segments(curve, fm_frequency: float, fm_phase: float,
+                           start_frame: int, samplerate: int):
+    """(t_rel, depth) control points -> FM-depth-curve segments.
+
+    Returns (starts, cs, a0s, bs): per-segment note-relative start frame,
+    the depth-weighted LFO sum accumulated at that frame
+    (C_j = sum_{u<S_j} D(u) sin(2*pi*(phi_s + u*b)), f64 closed form),
+    depth at the segment start, and per-frame depth slope (0 on the final
+    hold segment).  The device completes the sum within the active segment
+    with the same closed forms in f32 (``_dmod_delta``); the phase
+    contribution is inc * (C_j + a_j*S1 + b_j*S2).
+
+    Closed forms (b = LFO increment in turns, alpha = 2*pi*b,
+    r1 = 1/(2 sin(pi b)), r2 = r1^2, theta_j = LFO phase at the segment's
+    first frame, K = L-1):
+
+        S1(L) = [cos(theta_j - alpha/2) - cos(theta_j + L*alpha - alpha/2)] * r1
+        A(K)  = sum_{u=1..K} u sin(u alpha) = sin(K alpha) r2 - K cos((K+1/2) alpha) r1
+        B(K)  = sum_{u=1..K} u cos(u alpha) = K sin((K+1/2) alpha) r1 - (1 - cos(K alpha)) r2
+        S2(L) = sin(theta_j) B(K) + cos(theta_j) A(K)
+
+    (verified against direct f64 summation in tests).  LFO phases are
+    exact u32 DDS values — the host mirror here uses the same integer
+    phases mod 2^32, so host C_j and the device's within-segment sums
+    describe one identical real-valued series.
+    """
+    inc = int(S.phase_increment(fm_frequency, samplerate))
+    if inc == 0:
+        raise ValueError("fm_depth_curve requires fm_frequency > 0")
+    ph0 = int(S.phase_offset(fm_phase))
+    b = inc / 4294967296.0
+    alpha = 2.0 * math.pi * b
+    r1 = 1.0 / (2.0 * math.sin(math.pi * b))
+    r2 = r1 * r1
+    pts = sorted((float(t), float(d)) for t, d in curve)
+    if pts[0][0] > 0.0:
+        pts.insert(0, (0.0, pts[0][1]))
+    pts = _decimate_points(pts, MAX_CURVE_SEGS)
+    framed: list = []
+    for t, d in pts:
+        f = int(t * samplerate)
+        if framed and framed[-1][0] == f:
+            framed[-1] = (f, d)
+        else:
+            framed.append((f, d))
+
+    def _theta(m_rel: int) -> float:
+        return ((ph0 + (start_frame + m_rel) * inc) % 2 ** 32) \
+            / 4294967296.0 * 2.0 * math.pi
+
+    starts, cs, a0s, bs = [], [], [], []
+    C = 0.0
+    for j, (f, d) in enumerate(framed):
+        starts.append(f)
+        cs.append(C)
+        a0s.append(d)
+        if j + 1 < len(framed):
+            L = framed[j + 1][0] - f
+            slope = (framed[j + 1][1] - d) / L
+            th = _theta(f)
+            s1 = (math.cos(th - alpha / 2.0)
+                  - math.cos(_theta(f + L) - alpha / 2.0)) * r1
+            K = L - 1
+            A = math.sin(alpha * K) * r2 - K * math.cos(alpha * (K + 0.5)) * r1
+            B = (K * math.sin(alpha * (K + 0.5)) * r1
+                 - (1.0 - math.cos(alpha * K)) * r2)
+            s2 = math.sin(th) * B + math.cos(th) * A
+            C += d * s1 + slope * s2
+        else:
+            slope = 0.0
+        bs.append(slope)
+    return starts, cs, a0s, bs
 
 
 def pack_voices(voices: Sequence[Voice], samplerate: int,
@@ -396,6 +488,15 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
              for i, vc in enumerate(voices) if vc.pitch_curve}
     asegs = {i: compile_amp_segments(vc.amp_curve, samplerate)
              for i, vc in enumerate(voices) if vc.amp_curve}
+    for vc in voices:
+        if vc.fm_depth_curve and vc.fm_depth != 0.0:
+            raise ValueError(
+                "fm_depth_curve and a non-zero constant fm_depth are "
+                "mutually exclusive on one voice (the curve IS the depth)")
+    dsegs = {i: compile_depth_segments(vc.fm_depth_curve, vc.fm_frequency,
+                                       vc.fm_phase,
+                                       int(vc.start * samplerate), samplerate)
+             for i, vc in enumerate(voices) if vc.fm_depth_curve}
     SB = max([len(s[0]) for s in bsegs.values()], default=0) or 1
     KA = max([len(s[0]) for s in asegs.values()], default=0) or 1
     b_start = np.full((V, SB), _I32_MAX, np.int32)
@@ -419,6 +520,17 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
         if k < KA:            # pad by replicating the hold segment (never
             a_start[i, k:] = _I32_MAX      # selected: starts at I32_MAX)
             a_g0[i, k:] = g0[-1]
+    KD = max([len(s[0]) for s in dsegs.values()], default=0) or 1
+    d_start = np.full((V, KD), _I32_MAX, np.int32)
+    d_c = np.zeros((V, KD), np.float32)
+    d_a = np.zeros((V, KD), np.float32)
+    d_b = np.zeros((V, KD), np.float32)
+    for i, (st, cs, a0, bsl) in dsegs.items():
+        k = len(st)
+        d_start[i, :k] = st
+        d_c[i, :k] = cs
+        d_a[i, :k] = a0
+        d_b[i, :k] = bsl
     return VoiceParams(
         wave=arr(lambda x: WAVE_IDS[x.wave], np.int32),
         base_inc=arr(lambda x: S.phase_increment(x.frequency, samplerate), np.uint32),
@@ -456,6 +568,10 @@ def _pack_flat(voices: Sequence[Voice], samplerate: int,
         acurve_start=jnp.asarray(a_start),
         acurve_g0=jnp.asarray(a_g0),
         acurve_dg=jnp.asarray(a_dg),
+        dcurve_start=jnp.asarray(d_start),
+        dcurve_c=jnp.asarray(d_c),
+        dcurve_a=jnp.asarray(d_a),
+        dcurve_b=jnp.asarray(d_b),
     )
 
 
@@ -636,8 +752,53 @@ def _bend_idx(vp: VoiceParams, m):
     return jnp.clip(cnt - 1, 0, vp.bend_start.shape[1] - 1)
 
 
+def _dmod_delta(vp: VoiceParams, n) -> jax.Array:
+    """FM phase contribution for depth-curve voices, f32 [v, N]:
+    inc * sum_{u<m} D(u) sin(2*pi*(phi_s + u*b)) with D the piecewise-
+    linear depth — C_j (host f64, exact u32 LFO phases) plus the within-
+    segment weighted trig sums of compile_depth_segments' docstring,
+    all elementwise (no scan).
+
+    Budget (composed, worst case CC1 full-swell at depth_max ~ 0.03 and a
+    5.5 Hz LFO, r1 ~ 1.3e3): the trig-poly error (7.8e-7 abs) enters the
+    slope term as depth_delta*r1*eps ~ 3e-5 and the a*S1 term as
+    2*depth*r1*eps ~ 6e-5 — phase error <= inc * 1e-4 units
+    = (f0/sr) * 1e-4 turns ~ 1e-6 turns at 440 Hz, i.e. ~0.2 LSB at
+    16-bit full scale (pinned against the f64 per-sample twin in
+    tests/test_midi.py).  Pre-note frames (m < 0) produce finite
+    envelope-masked garbage, like the bend segments."""
+    m = n[None, :] - vp.start[:, None]                 # i32, note-relative
+    cnt = jnp.sum((m[:, None, :] >= vp.dcurve_start[:, :, None])
+                  .astype(jnp.int32), axis=1)
+    idx = jnp.clip(cnt - 1, 0, vp.dcurve_start.shape[1] - 1)
+    st = jnp.take_along_axis(vp.dcurve_start, idx, axis=1)
+    c = jnp.take_along_axis(vp.dcurve_c, idx, axis=1)
+    a = jnp.take_along_axis(vp.dcurve_a, idx, axis=1)
+    b = jnp.take_along_axis(vp.dcurve_b, idx, axis=1)
+    inc = vp.fm_inc[:, None]
+    half = inc >> 1
+    # exact u32 LFO phases at the current frame and the segment start
+    ph_n = vp.fm_phase0[:, None] + n[None, :].astype(jnp.uint32) * inc
+    ph_j = (vp.fm_phase0[:, None]
+            + (vp.start[:, None] + st).astype(jnp.uint32) * inc)
+    r1 = vp.fm_r[:, None]
+    r2 = r1 * r1
+    s1 = (cos_turns(_phase_x(ph_j - half))
+          - cos_turns(_phase_x(ph_n - half))) * r1
+    K = jnp.maximum(m - st - 1, 0)                     # L-1, clamped
+    Ku = K.astype(jnp.uint32)
+    xK = _phase_x(Ku * inc)                            # K*b mod 1 (exact)
+    xKh = _phase_x(Ku * inc + half)                    # (K+1/2)*b mod 1
+    Kf = K.astype(jnp.float32)
+    A = sin_turns(xK) * r2 - Kf * cos_turns(xKh) * r1
+    B = Kf * sin_turns(xKh) * r1 - (jnp.float32(1.0) - cos_turns(xK)) * r2
+    xj = _phase_x(ph_j)
+    s2 = sin_turns(xj) * B + cos_turns(xj) * A
+    return vp.base_inc.astype(jnp.float32)[:, None] * (c + a * s1 + b * s2)
+
+
 def _phases(vp: VoiceParams, n, use_fm: bool, use_glide: bool = False,
-            use_bend: bool = False):
+            use_bend: bool = False, use_dmod: bool = False):
     """Closed-form DDS phases [v, N] for absolute frames n [N].
 
     Portamento (use_glide): a linear-in-increment integer chirp, still
@@ -683,18 +844,25 @@ def _phases(vp: VoiceParams, n, use_fm: bool, use_glide: bool = False,
         # target — a glide on a pluck voice renders at the target pitch
         # (pinned by test_glide_pluck_excluded, both engines)
         p = jnp.where((G > 0) & (vp.wave[:, None] != jnp.int32(12)), pg, p)
-    if not use_fm:
+    if not (use_fm or use_dmod):
         return p
     # exact discrete FM integral (module docstring): delta = inc*d*S_n
     fm_phase = vp.fm_phase0[:, None] + nu * vp.fm_inc[:, None]
     x_half = _phase_x(fm_phase - (vp.fm_inc[:, None] >> 1))
     s_n = (vp.fm_c0[:, None] - cos_turns(x_half)) * vp.fm_r[:, None]
     delta = vp.base_inc.astype(jnp.float32)[:, None] * vp.fm_depth[:, None] * s_n
+    has_fm = ((vp.fm_depth != 0.0) & (vp.fm_inc != 0))[:, None]
+    if use_dmod:
+        # CC1 mod-wheel vibrato: time-varying depth replaces the constant
+        # integral for curve voices (static flag — curve-free banks keep
+        # the exact pre-curve HLO)
+        has_dc = (vp.dcurve_start[:, 0] == 0)[:, None] & (vp.fm_inc != 0)[:, None]
+        delta = jnp.where(has_dc, _dmod_delta(vp, n), delta)
+        has_fm = has_fm | has_dc
     # wrap to [-2^31, 2^31) before the integer cast (phase is modular)
     q = delta * jnp.float32(2.0 ** -32)
     frac = q - jnp.rint(q)
     dunits = (frac * jnp.float32(4294967296.0)).astype(jnp.int32).astype(jnp.uint32)
-    has_fm = ((vp.fm_depth != 0.0) & (vp.fm_inc != 0))[:, None]
     return jnp.where(has_fm, p + dunits, p)
 
 
@@ -787,7 +955,7 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
                  used_waves: tuple = ALL_WAVES, use_fm: bool = True,
                  seg: Optional[jax.Array] = None, nseg: int = 0,
                  use_glide: bool = False, use_bend: bool = False,
-                 use_amp: bool = False):
+                 use_amp: bool = False, use_dmod: bool = False):
     """Render one block -> stereo f32 [blocksize, 2] (stateless, pure in n0).
 
     With a grouped ``layout`` each (waveform, fm) group evaluates only its
@@ -805,7 +973,7 @@ def render_block(vp: VoiceParams, n0: jax.Array, blocksize: int,
     gains = []
     for (wid, has_fm, start, count) in layout.groups:
         sub = _slice_params(vp, start, count)
-        p = _phases(sub, n, has_fm, use_glide, use_bend)
+        p = _phases(sub, n, has_fm, use_glide, use_bend, use_dmod)
         blep_here = wid in (9, 10) or (
             wid < 0 and any(w in (9, 10) for w in used_waves))
         inst = (_inst_inc(sub, n, use_glide, use_bend)
@@ -850,20 +1018,21 @@ _bank_fn_cache: dict = {}
 
 def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
               ly: Optional[BankLayout], ug: bool = False,
-              ub: bool = False, ua: bool = False):
-    key = (cf, sr, H, uw, uf, ly, ug, ub, ua)
+              ub: bool = False, ua: bool = False, ud: bool = False):
+    key = (cf, sr, H, uw, uf, ly, ug, ub, ua, ud)
     fns = _bank_fn_cache.get(key)
     if fns is None:
         @jax.jit
         def chunk_fn(vp: VoiceParams, n0):
             return render_block(vp, n0, cf, sr, H, ly, uw, uf, use_glide=ug,
-                                use_bend=ub, use_amp=ua)
+                                use_bend=ub, use_amp=ua, use_dmod=ud)
 
         @functools.partial(jax.jit, static_argnames=("nchunks",))
         def song_fn(vp: VoiceParams, nchunks: int):
             def body(_, i):
                 return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf,
-                                       use_glide=ug, use_bend=ub, use_amp=ua)
+                                       use_glide=ug, use_bend=ub, use_amp=ua,
+                                       use_dmod=ud)
             _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, 2)
 
@@ -874,8 +1043,8 @@ def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
 
 def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
                      ly: Optional[BankLayout], nseg: int, ug: bool = False,
-                     ub: bool = False, ua: bool = False):
-    key = ("grouped", cf, sr, H, uw, uf, ly, nseg, ug, ub, ua)
+                     ub: bool = False, ua: bool = False, ud: bool = False):
+    key = ("grouped", cf, sr, H, uw, uf, ly, nseg, ug, ub, ua, ud)
     fn = _bank_fn_cache.get(key)
     if fn is None:
         @functools.partial(jax.jit, static_argnames=("nchunks",))
@@ -883,7 +1052,7 @@ def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
             def body(_, i):
                 return 0, render_block(vp, i * cf, cf, sr, H, ly, uw, uf,
                                        seg=seg, nseg=nseg, use_glide=ug,
-                                       use_bend=ub, use_amp=ua)
+                                       use_bend=ub, use_amp=ua, use_dmod=ud)
             _, out = jax.lax.scan(body, 0,
                                   jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, nseg, 2)
@@ -894,15 +1063,15 @@ def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
 def _bank_grouped_chunk_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
                            ly: Optional[BankLayout], nseg: int,
                            ug: bool = False, ub: bool = False,
-                           ua: bool = False):
-    key = ("grouped_chunk", cf, sr, H, uw, uf, ly, nseg, ug, ub, ua)
+                           ua: bool = False, ud: bool = False):
+    key = ("grouped_chunk", cf, sr, H, uw, uf, ly, nseg, ug, ub, ua, ud)
     fn = _bank_fn_cache.get(key)
     if fn is None:
         @jax.jit
         def fn(vp: VoiceParams, seg, n0):
             return render_block(vp, n0, cf, sr, H, ly, uw, uf,
                                 seg=seg, nseg=nseg, use_glide=ug,
-                                use_bend=ub, use_amp=ua)
+                                use_bend=ub, use_amp=ua, use_dmod=ud)
         _bank_fn_cache[key] = fn
     return fn
 
@@ -915,7 +1084,7 @@ class VoiceBank:
                  used_waves: tuple = ALL_WAVES, use_fm: bool = True,
                  layout: Optional[BankLayout] = None,
                  use_glide: bool = False, use_bend: bool = False,
-                 use_amp: bool = False):
+                 use_amp: bool = False, use_dmod: bool = False):
         self.nvoices = nvoices
         self.samplerate = samplerate
         self.chunk_frames = chunk_frames
@@ -925,10 +1094,11 @@ class VoiceBank:
         self.use_glide = use_glide
         self.use_bend = use_bend
         self.use_amp = use_amp
+        self.use_dmod = use_dmod
         self.layout = layout
         self._chunk_fn, self._song_fn = _bank_fns(
             chunk_frames, samplerate, num_harmonics, self.used_waves,
-            use_fm, layout, use_glide, use_bend, use_amp)
+            use_fm, layout, use_glide, use_bend, use_amp, use_dmod)
 
     @classmethod
     def for_voices(cls, voices: Sequence[Voice], samplerate: int = 44100,
@@ -942,18 +1112,20 @@ class VoiceBank:
                         and v.frequency > 0.0 for v in voices)
         use_bend = any(v.pitch_curve for v in voices)
         use_amp = any(v.amp_curve for v in voices)
+        use_dmod = any(v.fm_depth_curve for v in voices)
         if 8 not in used and 12 not in used:
             num_harmonics = 0
         return cls(nvoices or len(voices), samplerate, chunk_frames,
                    num_harmonics, used_waves=used, use_fm=use_fm,
                    layout=layout, use_glide=use_glide, use_bend=use_bend,
-                   use_amp=use_amp)
+                   use_amp=use_amp, use_dmod=use_dmod)
 
     def _check_pallas_curves(self):
-        if self.use_bend or self.use_amp:
+        if self.use_bend or self.use_amp or self.use_dmod:
             raise ValueError(
-                "the pallas engine does not support pitch/amp curves "
-                "(continuous MIDI bend / CC): render with the XLA engine")
+                "the pallas engine does not support pitch/amp/FM-depth "
+                "curves (continuous MIDI bend / CC): render with the XLA "
+                "engine")
 
     def render_chunk(self, vp: VoiceParams, n0: int,
                      engine: str = "xla") -> jax.Array:
@@ -999,7 +1171,8 @@ class VoiceBank:
         fn = _bank_grouped_fn(self.chunk_frames, self.samplerate,
                               self.num_harmonics, self.used_waves,
                               self.use_fm, self.layout, int(nseg),
-                              self.use_glide, self.use_bend, self.use_amp)
+                              self.use_glide, self.use_bend, self.use_amp,
+                              self.use_dmod)
         nchunks = -(-total_frames // self.chunk_frames)
         out = fn(vp, jnp.asarray(seg, jnp.int32), nchunks)
         return out[:total_frames]
@@ -1014,7 +1187,7 @@ class VoiceBank:
                                     self.num_harmonics, self.used_waves,
                                     self.use_fm, self.layout, int(nseg),
                                     self.use_glide, self.use_bend,
-                                    self.use_amp)
+                                    self.use_amp, self.use_dmod)
         return fn(vp, jnp.asarray(seg, jnp.int32), jnp.int32(n0))
 
     def _pallas_layout(self) -> BankLayout:

@@ -297,9 +297,18 @@ def test_pitch_bend_sampled_at_note_on():
     assert notes[0].bend == pytest.approx(8191 / 8192 * 2.0)
     assert notes[1].bend == 0.0
     v0, v1 = midi_to_voices(notes)
-    assert v0.frequency == pytest.approx(
-        note_to_freq(60) * 2.0 ** (notes[0].bend / 12.0))
+    # the recenter at note 0's off reaches its RELEASE TAIL (round-4
+    # grace window): the note renders as a curve that holds the note-on
+    # bend through the whole gate (the anchor) and recenters 1 ms into
+    # the tail — the audible gate pitch is unchanged vs note-on sampling
+    ratio = 2.0 ** (notes[0].bend / 12.0)
+    assert v0.frequency == pytest.approx(note_to_freq(60))
+    assert v0.pitch_curve[0] == (0.0, pytest.approx(ratio))
+    assert v0.pitch_curve[1] == (pytest.approx(0.25, abs=2e-3),
+                                 pytest.approx(ratio))
+    assert v0.pitch_curve[2][1] == pytest.approx(1.0)
     assert v1.frequency == pytest.approx(note_to_freq(60))
+    assert v1.pitch_curve == ()
 
 
 def test_pitch_bend_rpn_range():
@@ -494,3 +503,244 @@ def test_bend_free_render_identical_to_r3_path():
     assert not bank.use_bend and not bank.use_amp
     s = render_notes(parsed)
     assert len(s.view_frame_data()) > 0
+
+
+# ---------------------------------------------------------------------------
+# CC1 mod-wheel vibrato (continuous FM depth curves) — round-4 continuation
+# ---------------------------------------------------------------------------
+
+def test_cc1_mod_wheel_curve_recorded():
+    # wheel movement DURING a note -> mod_curve with the note-on value at
+    # t=0; a CC1-free file keeps mod_curve=None (the pre-curve fast path)
+    note = MidiNote(0.0, 1.0, 69, 100, 0)
+    ccs = [(0.25, 0, 1, 40), (0.5, 0, 1, 90), (0.75, 0, 1, 127)]
+    n = parse_midi(write_midi([note], controls=ccs))[0]
+    assert n.mod == 0.0
+    assert n.mod_curve is not None and n.mod_curve[0] == (0.0, 0.0)
+    assert [round(v * 127) for _, v in n.mod_curve] == [0, 40, 90, 127]
+    assert n.mod_curve[1][0] == pytest.approx(0.25, abs=2e-3)
+    n2 = parse_midi(write_midi([note]))[0]
+    assert n2.mod == 0.0 and n2.mod_curve is None
+    v2 = midi_to_voices([n2])[0]
+    assert not v2.fm_depth_curve and v2.fm_depth == 0.0
+
+
+def test_cc1_curve_becomes_fm_depth_curve():
+    from synthesizer_tpu.midi import VIBRATO_SEMITONES, VIBRATO_RATE_HZ
+    note = MidiNote(0.0, 1.0, 69, 100, 0)
+    ccs = [(0.25, 0, 1, 64), (0.5, 0, 1, 127)]
+    n = parse_midi(write_midi([note], controls=ccs))[0]
+    v = midi_to_voices([n])[0]
+    assert v.fm_depth == 0.0 and v.fm_frequency == VIBRATO_RATE_HZ
+    unit = 2.0 ** (VIBRATO_SEMITONES / 12.0) - 1.0
+    assert v.fm_depth_curve[0] == (0.0, 0.0)
+    assert v.fm_depth_curve[-1][1] == pytest.approx(unit)
+    # the bank compiles with the dmod flag; the pallas engine refuses
+    from synthesizer_tpu.models.voicebank import VoiceBank, pack_voices
+    vp, layout = pack_voices([v], SR, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], SR, layout=layout, nvoices=layout.nvoices)
+    assert bank.use_dmod
+    with pytest.raises(ValueError, match="pallas engine"):
+        bank.render_song(vp, 1024, engine="pallas")
+
+
+def test_cc1_static_wheel_maps_to_constant_fm():
+    # a wheel that never moves mid-note: the constant fm_depth path (no
+    # curve, no dmod flag — the exact pre-curve HLO)
+    from synthesizer_tpu.midi import VIBRATO_SEMITONES
+    from synthesizer_tpu.models.voicebank import VoiceBank, pack_voices
+    note = MidiNote(0.1, 0.5, 69, 100, 0)
+    n = parse_midi(write_midi([note], controls=[(0.0, 0, 1, 64)]))[0]
+    assert n.mod == pytest.approx(64 / 127.0)
+    v = midi_to_voices([n])[0]
+    unit = 2.0 ** (VIBRATO_SEMITONES / 12.0) - 1.0
+    assert not v.fm_depth_curve
+    assert v.fm_depth == pytest.approx((64 / 127.0) * unit)
+    vp, layout = pack_voices([v], SR, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], SR, layout=layout, nvoices=layout.nvoices)
+    assert bank.use_fm and not bank.use_dmod
+
+
+def test_cc1_ignored_on_percussion_and_fm_instruments():
+    # percussion channel: no vibrato; an instrument with its own FM keeps
+    # its patch modulator (CC1 must not silently replace it)
+    note9 = MidiNote(0.0, 0.3, 36, 100, 9)
+    ccs = [(0.1, 9, 1, 127)]
+    n9 = parse_midi(write_midi([note9], controls=ccs))[0]
+    v9 = midi_to_voices([n9])[0]
+    assert not v9.fm_depth_curve
+    fmdef = SynthDef(wave="sine", fm_frequency=3.0, fm_depth=0.02)
+    note0 = MidiNote(0.0, 0.3, 60, 100, 0)
+    n0 = parse_midi(write_midi([note0], controls=[(0.1, 0, 1, 127)]))[0]
+    v0 = midi_to_voices([n0], instruments={0: fmdef})[0]
+    assert not v0.fm_depth_curve
+    assert v0.fm_frequency == 3.0 and v0.fm_depth == 0.02
+
+
+def test_vibrato_voice_matches_f64_twin():
+    # the per-segment weighted-trig-sum closed form must reproduce the
+    # per-frame f64 accumulation  inc * sum_{u<m} D(u) sin(2*pi*lfo(u))
+    # within the derived budget (~0.2 LSB at full scale; amp 0.5 here)
+    import math
+    from synthesizer_tpu.models import spec as S
+    from synthesizer_tpu.models.voicebank import (Voice, VoiceBank,
+                                                  pack_voices)
+    curve = ((0.0, 0.0), (0.1, 0.005), (0.3, 0.03), (0.35, 0.02),
+             (0.8, 0.028))
+    v = Voice(wave="sine", frequency=440.0, amplitude=0.5, start=0.01,
+              duration=1.0, attack=0.0, decay=0.0, sustain_level=1.0,
+              release=0.01, fm_frequency=5.5, fm_depth_curve=curve)
+    vp, layout = pack_voices([v], SR, sort_by_wave=True)
+    bank = VoiceBank.for_voices([v], SR, layout=layout,
+                                nvoices=layout.nvoices)
+    assert bank.use_dmod
+    total = SR
+    out = np.asarray(bank.render_song(vp, total))[:, 0]
+
+    inc = int(S.phase_increment(440.0, SR))
+    fm_inc = int(S.phase_increment(5.5, SR))
+    start = int(0.01 * SR)
+    pts = [(int(t * SR), d) for t, d in curve]
+
+    def depth(u):
+        if u <= pts[0][0]:
+            return pts[0][1]
+        for j in range(len(pts) - 1):
+            f0, d0 = pts[j]
+            f1, d1 = pts[j + 1]
+            if u < f1:
+                return d0 + (d1 - d0) * (u - f0) / (f1 - f0)
+        return pts[-1][1]
+
+    hi = total - 600                     # stop before the release ramp
+    acc = 0.0
+    ref = np.zeros(total)
+    for n in range(start, hi):
+        m = n - start
+        p = ((n * inc) % 2 ** 32 + inc * acc) / 2 ** 32
+        ref[n] = 0.5 * math.sin(2 * math.pi * (p % 1.0))
+        lfo = ((start + m) * fm_inc) % 2 ** 32
+        acc += depth(m) * math.sin(2 * math.pi * lfo / 2 ** 32)
+    err = np.max(np.abs(out[start + 1:hi] - ref[start + 1:hi]))
+    assert err < 8e-6                    # ~0.5 LSB at 16-bit, amp 0.5
+
+
+def test_compile_depth_segments_closed_form_matches_direct_sum():
+    import math
+    from synthesizer_tpu.models import spec as S
+    from synthesizer_tpu.models.voicebank import compile_depth_segments
+    curve = ((0.0, 0.01), (0.05, 0.0), (0.21, 0.03), (0.6, 0.004))
+    start = 777
+    starts, cs, a0s, bs = compile_depth_segments(curve, 6.25, 0.1,
+                                                 start, SR)
+    fm_inc = int(S.phase_increment(6.25, SR))
+    ph0 = int(S.phase_offset(0.1))
+    pts = [(int(t * SR), d) for t, d in curve]
+
+    def depth(u):
+        for j in range(len(pts) - 1):
+            if u < pts[j + 1][0]:
+                f0, d0 = pts[j]
+                f1, d1 = pts[j + 1]
+                return d0 + (d1 - d0) * (u - f0) / (f1 - f0)
+        return pts[-1][1]
+
+    acc, k = 0.0, 0
+    for m in range(max(starts) + 1):
+        if k < len(starts) and m == starts[k]:
+            assert abs(acc - cs[k]) < 1e-9
+            k += 1
+        lfo = (ph0 + (start + m) * fm_inc) % 2 ** 32
+        acc += depth(m) * math.sin(2 * math.pi * lfo / 2 ** 32)
+    assert k == len(starts)
+    assert bs[-1] == 0.0                 # final hold segment
+
+
+def test_vibrato_swell_renders_growing_wobble():
+    # CC1 swell 0 -> 127 during a note: the instantaneous frequency
+    # wobble (interpolated zero crossings) must grow to ~2 * f0 *
+    # (2^(semis/12) - 1) peak-to-peak and start near zero
+    from synthesizer_tpu.midi import VIBRATO_SEMITONES
+    note = MidiNote(0.0, 1.5, 69, 100, 0)
+    ccs = [(0.2 + 1.0 * i / 8, 0, 1, int(127 * i / 8)) for i in range(9)]
+    s = render_midi(write_midi([note], controls=ccs))
+    sr = s.samplerate
+    x = np.frombuffer(s.view_frame_data(), np.int16).reshape(-1, 2)[:, 0]
+    x = x.astype(np.float64)
+
+    def wobble(t0, t1):
+        seg = x[int(t0 * sr):int(t1 * sr)]
+        i = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        frac = seg[i] / (seg[i] - seg[i + 1])      # linear interp crossing
+        t = i + frac
+        f = sr / np.diff(t)
+        return f.max() - f.min()
+
+    w_early = wobble(0.05, 0.2)          # wheel still at 0
+    w_late = wobble(1.0, 1.45)           # full wheel
+    full = 2.0 * 440.0 * (2.0 ** (VIBRATO_SEMITONES / 12.0) - 1.0)
+    assert w_early < 0.15 * full
+    assert w_late == pytest.approx(full, rel=0.25)
+
+
+def test_bend_after_note_off_bends_release_tail():
+    # the wheel moves right after note-off: the release tail (0.4 s) must
+    # bend — round 4 closed the "events after note-off are dropped"
+    # limitation with a grace window
+    sd = SynthDef(wave="sine", amplitude=0.4, attack=0.0, decay=0.0,
+                  sustain_level=1.0, release=0.4)
+    note = MidiNote(0.0, 0.5, 69, 100, 0)
+    # wheel still centered at the off, then sweeps +2 semis during the
+    # tail (events are SAMPLES of continuous wheel motion — the curve
+    # ramps between them, hence the 0.5 anchor)
+    bends = [(0.5, 0, 0), (0.52, 0, 4096), (0.6, 0, 8191)]
+    data = write_midi([note], bends=bends)
+    n = parse_midi(data)[0]
+    assert n.bend_curve is not None
+    assert n.bend_curve[-1][0] == pytest.approx(0.6, abs=2e-3)
+    from synthesizer_tpu.midi import render_notes
+    s = render_notes([n], instruments={0: sd})
+    sr = s.samplerate
+    x = np.frombuffer(s.view_frame_data(), np.int16).reshape(-1, 2)[:, 0]
+    x = x.astype(np.float64)
+
+    def freq(t0, t1):
+        seg = x[int(t0 * sr):int(t1 * sr)]
+        i = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        t = i + seg[i] / (seg[i] - seg[i + 1])
+        return sr / np.mean(np.diff(t))
+
+    assert freq(0.2, 0.4) == pytest.approx(440.0, abs=1.5)   # in-note
+    assert freq(0.7, 0.85) == pytest.approx(440.0 * 2 ** (2 / 12), abs=2.5)
+
+
+def test_events_past_release_grace_are_dropped():
+    from synthesizer_tpu.midi import _RELEASE_GRACE
+    note = MidiNote(0.0, 0.3, 60, 100, 0)
+    late = 0.3 + _RELEASE_GRACE + 0.5
+    data = write_midi([note], bends=[(late, 0, 8191)],
+                      controls=[(late, 0, 11, 5)])
+    n = parse_midi(data)[0]
+    assert n.bend_curve is None and n.gain_curve is None
+
+
+def test_cc11_after_note_off_fades_release_tail():
+    sd = SynthDef(wave="sine", amplitude=0.4, attack=0.0, decay=0.0,
+                  sustain_level=1.0, release=0.6)
+    note = MidiNote(0.0, 0.3, 69, 100, 0)
+    # expression chop right after the off: the tail must go near-silent
+    # well before the 0.6 s release would have decayed it (0.3 anchor:
+    # full expression until the off, then the chop)
+    data = write_midi([note], controls=[(0.3, 0, 11, 127), (0.33, 0, 11, 2)])
+    n = parse_midi(data)[0]
+    assert n.gain_curve is not None
+    from synthesizer_tpu.midi import render_notes
+    s = render_notes([n], instruments={0: sd})
+    sr = s.samplerate
+    x = np.abs(np.frombuffer(s.view_frame_data(), np.int16)
+               .reshape(-1, 2)[:, 0].astype(np.float64))
+    a_tail = x[int(0.4 * sr):int(0.5 * sr)].max()
+    # without the post-off event the tail at 0.45 s is ~half the gate
+    # level; with CC11=2 it must sit at ~2/127 of it
+    a_gate = x[int(0.1 * sr):int(0.25 * sr)].max()
+    assert a_tail < 0.05 * a_gate
