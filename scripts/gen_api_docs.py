@@ -47,7 +47,9 @@ SAMPLE_BUDGETS = {
     "mix": (B_INT, ""), "mix_at": (B_INT, ""), "stereo_mix": (B_INT, ""),
     "echo": (B_FMA, ""),
     "make_16bit": (B_INT, ""), "make_32bit": (B_INT, ""),
-    "resample": (B_INT, "streaming.RateConvertFilter"),
+    "resample": (B_INT,
+                 "streaming.RateConvertFilter (quality='hq': "
+                 "ops.resample.StreamingHQResampler)"),
     "speed": (B_INT, ""),
     "mono": (B_FMA, ""), "stereo": (B_INT, ""), "pan": (B_FMA, ""),
     "normalize": (B_INT, ""),

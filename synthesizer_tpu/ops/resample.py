@@ -454,3 +454,130 @@ def hq_resample(x: jax.Array, L: int, M: int, nout: int) -> jax.Array:
     y = y.transpose(0, 2, 1).reshape(nch, -1)[:, :nout].T
     from .effects import to_int_samples
     return to_int_samples(y, width)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "M", "mcount", "width", "hmax"))
+def _hq_stream_kernel(hist: jax.Array, chunk: jax.Array, start: jax.Array,
+                      *, L: int, M: int, mcount: int, width: int, hmax: int):
+    """One streaming hq block: the SAME conv kernel row and Kw-wide
+    window per output as the offline ``hq_resample``, so every emitted
+    output is the same f32 dot — up to XLA's window-reduction order,
+    which may regroup with the conv input length (measured: bit-identical
+    at practical chunk sizes; 1 LSB on heavy downsampling at chunk size
+    1).  The pinned contract is therefore the offline op's own budget:
+    <= 1 LSB (width 2) of the f64 oracle at ANY chunking
+    (tests/test_hq_streaming.py).
+
+    ``hist`` is the fixed-size device history ring (global input frames
+    ``[n0-hmax, n0)``, zero rows for negative indices), ``chunk`` the new
+    frames ``[n0, n0+Lc)``, ``start`` the traced offset of the block's
+    conv window inside the zero-flanked concat (host-computed — the DDA
+    phase is mirrored in exact host integers, no device->host sync).
+    Returns ([mcount*L, ch] int outputs for global j = jA + row, new
+    history ring).
+    """
+    K, PL, Kw = _hq_kernel(L, M)
+    W = (mcount - 1) * M + Kw
+    nch = hist.shape[1]
+    buf = jnp.concatenate([hist, chunk], axis=0)
+    zpad = jnp.zeros((W, nch), buf.dtype)
+    # left flank covers pre-stream zeros, the double right flank covers
+    # the flush tail (reads up to ~C/L past the final input frame)
+    zbuf = jnp.concatenate([zpad, buf, zpad, zpad], axis=0)
+    xin = jax.lax.dynamic_slice(zbuf, (start, jnp.int32(0)), (W, nch))
+    s = xin.astype(jnp.float32) / jnp.float32(dpcm.MAXVAL[width])
+    y = jax.lax.conv_general_dilated(
+        s.T[:, None, :], jnp.asarray(K), window_strides=(M,),
+        padding=[(0, 0)], precision=jax.lax.Precision.HIGHEST)
+    y = y[:, :, :mcount].transpose(0, 2, 1).reshape(nch, -1).T
+    from .effects import to_int_samples
+    return to_int_samples(y, width), buf[buf.shape[0] - hmax:]
+
+
+class StreamingHQResampler:
+    """Chunked twin of ``hq_resample``: push arbitrary-size chunks, get
+    windowed-sinc resampled output within the offline op's own <= 1 LSB
+    (width 2) oracle budget at any chunking — same conv kernel, same
+    per-output window (see ``_hq_stream_kernel``) — with the signal
+    staying on device.
+
+    The output phase is a pure function of the global output index
+    (``y[j]`` reads input anchor ``k0_j = (j*M + C) // L`` back through
+    ``T`` taps — goldref.effects.hq_resample is the spec), so the host
+    mirrors everything in exact integers: ``j`` (next output), ``n``
+    (inputs fed).  A fixed ``hmax = (T-1) + M + C//L + 2`` device history
+    ring bounds the carry — the derivation: the first un-emittable output
+    has ``k0 >= n``, hence ``(j//L)*M >= n - C/L - M``, so the earliest
+    input the next block can touch is ``(j//L)*M - (T-1) >= n - hmax``.
+
+    Offline emits ``nframes_out`` rows, the last ~``C/(L*M)`` of which
+    read zero-padded FUTURE input — call :meth:`flush` at end-of-stream
+    to get that tail.
+
+    >>> rs = StreamingHQResampler(44100, 48000, nchannels=2)
+    >>> y, n = rs.push(chunk)     # y: [n, ch] device rows, globally contiguous
+    >>> y, n = rs.flush()         # the zero-padded tail
+    """
+
+    def __init__(self, inrate: int, outrate: int, nchannels: int = 2,
+                 dtype=jnp.int16):
+        g = math.gcd(int(inrate), int(outrate))
+        self.M, self.L = int(inrate) // g, int(outrate) // g
+        if max(self.L, self.M) > HQ_MAX_FACTOR:
+            raise ValueError(
+                f"quality='hq' supports rational rate ratios up to "
+                f"{HQ_MAX_FACTOR} after gcd reduction; "
+                f"got {self.L}/{self.M}")
+        _, PL, Kw = _hq_kernel(self.L, self.M)
+        self._pl, self._kw = PL, Kw
+        self._t = PL + 1                       # taps per leg
+        self._c = (self._t * self.L - 1) // 2  # filter center
+        self.hmax = PL + self.M + self._c // self.L + 2
+        self.width = {jnp.dtype(jnp.int8): 1, jnp.dtype(jnp.int16): 2,
+                      jnp.dtype(jnp.int32): 4}[jnp.dtype(dtype)]
+        self.hist = jnp.zeros((self.hmax, nchannels), dtype)
+        self.j = 0      # next global output index to emit
+        self.n = 0      # global input frames consumed
+
+    def _emittable(self, n_in: int) -> int:
+        """Outputs [0, j_end) whose full window is inside the first
+        ``n_in`` input frames: k0_j <= n_in - 1."""
+        num = n_in * self.L - 1 - self._c
+        return 0 if num < 0 else num // self.M + 1
+
+    def total_out(self, n_in: int) -> int:
+        """The offline output-length rule (nframes_out: (n-1)*L//M + 1)."""
+        return nframes_out(n_in, self.M, self.L)
+
+    def _block(self, chunk: jax.Array, j_end: int):
+        jA = (self.j // self.L) * self.L       # leg-aligned block start
+        mcount = -(-(j_end - jA) // self.L)
+        n0 = self.n - int(chunk.shape[0])
+        if mcount <= 0:
+            # nothing to emit; still roll the history ring
+            buf = jnp.concatenate([self.hist, chunk], axis=0)
+            self.hist = buf[buf.shape[0] - self.hmax:]
+            return self.hist[:0], 0
+        istart = (jA // self.L) * self.M - self._pl
+        assert istart >= n0 - self.hmax, "history ring bound violated"
+        W = (mcount - 1) * self.M + self._kw
+        start = istart - (n0 - self.hmax - W)
+        y, self.hist = _hq_stream_kernel(
+            self.hist, chunk, jnp.int32(start), L=self.L, M=self.M,
+            mcount=mcount, width=self.width, hmax=self.hmax)
+        off, cnt = self.j - jA, j_end - self.j
+        self.j = j_end
+        return y[off:off + cnt], cnt
+
+    def push(self, x: jax.Array):
+        """x: [Lc, ch] device int array -> ([n, ch] device rows, n).
+        Rows continue exactly where the previous push/flush ended."""
+        self.n += int(x.shape[0])
+        return self._block(x, max(self.j, self._emittable(self.n)))
+
+    def flush(self):
+        """Emit the zero-padded tail so the total row count equals the
+        offline ``nframes_out`` rule.  Idempotent once drained."""
+        empty = self.hist[:0]
+        return self._block(empty, max(self.j, self.total_out(self.n)))

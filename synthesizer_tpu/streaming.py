@@ -130,6 +130,7 @@ class AudiofileToWavStream(io.RawIOBase):
             frames, rate, width, nch = decode_audio_file(self.filename)
         except DecodeError as e:
             raise StreamingError(str(e)) from e
+        hq_pending = False
         if (self.hqresample and rate != self.samplerate and width == 2
                 and self._lossy_source()):
             # the reference's hqresample flag (ffmpeg swr quality) maps
@@ -141,9 +142,18 @@ class AudiofileToWavStream(io.RawIOBase):
                     frames = soxr_resample(frames, rate, self.samplerate)
                     rate = self.samplerate
                 except SoxrError:
-                    pass               # fall back to the exact ratecv
+                    pass               # fall back to the device paths
+            if rate != self.samplerate:
+                # no libsoxr on this host: our own windowed-sinc device
+                # resampler is the hq rung (same ~80 dB stopband class)
+                hq_pending = True
         smp = Sample.from_raw_frames(
             np.ascontiguousarray(frames).tobytes(), width, rate, nch)
+        if hq_pending:
+            try:
+                smp.resample(self.samplerate, quality="hq")
+            except ValueError:
+                pass           # pathological ratio: exact linear ratecv
         self._stream = self._normalized_wav(smp)
 
     def _lossy_source(self) -> bool:
@@ -343,35 +353,68 @@ class VolumeFilter:
 class RateConvertFilter:
     """Live rate conversion of a sample stream, device-resident.
 
-    Wraps a chunked stream and emits the same audio at ``target_rate`` via
-    the exact stateful ratecv (``ops.resample.StreamingResampler``): the
-    carry stays on device and the host tracks only the integer DDA phase,
-    so no per-chunk host<->device sync is introduced.  Output chunk sizes
-    vary (ratecv emits what the rate ratio dictates).
+    Wraps a chunked stream and emits the same audio at ``target_rate``:
+    quality='linear' (default) is the exact stateful ratecv
+    (``ops.resample.StreamingResampler``, bit-exact to audioop);
+    quality='hq' is the windowed-sinc polyphase twin
+    (``ops.resample.StreamingHQResampler``, <= 1 LSB of the f64 oracle at
+    any chunking — ``Sample.resample(quality='hq')``'s streaming form,
+    including the end-of-stream flush of the filter tail).  Either way
+    the carry stays on device and the host tracks only the integer
+    output phase, so no per-chunk host<->device sync is introduced.
+    Output chunk sizes vary (the rate ratio dictates what each input
+    chunk completes).
     """
 
-    def __init__(self, stream: Iterator[Sample], target_rate: int):
-        from .ops.resample import StreamingResampler
+    def __init__(self, stream: Iterator[Sample], target_rate: int,
+                 quality: str = "linear"):
+        from .ops.resample import StreamingHQResampler, StreamingResampler
+        if quality not in ("linear", "hq"):
+            raise ValueError(f"unknown resample quality {quality!r}")
         self.stream = stream
         self.target_rate = target_rate
         self._rs: Optional[object] = None
-        self._make = StreamingResampler
+        self._make = StreamingHQResampler if quality == "hq" \
+            else StreamingResampler
+        self._hq = quality == "hq"
+        self._meta: Optional[tuple] = None
+        self._done = False
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Sample:
-        chunk = next(self.stream)
-        if chunk.samplerate == self.target_rate:
-            return chunk
-        if self._rs is None:
-            import jax.numpy as jnp
-            dt = {1: jnp.int8, 2: jnp.int16, 4: jnp.int32}[chunk.samplewidth]
-            self._rs = self._make(chunk.samplerate, self.target_rate,
-                                  nchannels=chunk.nchannels, dtype=dt)
-        y, n = self._rs.push(chunk.jax_frames)
-        return Sample.from_jax(y[:n], self.target_rate, chunk.samplewidth,
-                               chunk.name)
+        while True:
+            if self._done:
+                raise StopIteration
+            try:
+                chunk = next(self.stream)
+            except StopIteration:
+                self._done = True
+                if self._hq and self._rs is not None:
+                    y, n = self._rs.flush()       # the filter's tail rows
+                    if n:
+                        width, nch, name = self._meta
+                        return Sample.from_jax(y, self.target_rate,
+                                               width, name)
+                raise
+            if chunk.samplerate == self.target_rate:
+                return chunk
+            if self._rs is None:
+                import jax.numpy as jnp
+                dt = {1: jnp.int8, 2: jnp.int16,
+                      4: jnp.int32}[chunk.samplewidth]
+                self._rs = self._make(chunk.samplerate, self.target_rate,
+                                      nchannels=chunk.nchannels, dtype=dt)
+                self._meta = (chunk.samplewidth, chunk.nchannels, chunk.name)
+            y, n = self._rs.push(chunk.jax_frames)
+            if self._hq:
+                if n == 0:
+                    continue          # window not yet full — pull more
+                return Sample.from_jax(y, self.target_rate,
+                                       chunk.samplewidth, chunk.name)
+            return Sample.from_jax(y[:n], self.target_rate,
+                                   chunk.samplewidth, chunk.name)
 
 
 class StreamMixer:
