@@ -37,8 +37,8 @@ its note-off (the release tail keeps sounding, and a GM synth bends it),
 so a wheel sweep through a chord's release renders correctly.
 
 Limitations (deliberate, documented): notes map to the bank's gate-ADSR
-voices (no per-note velocity curves beyond linear amplitude), SMPTE
-divisions are unsupported, release tails longer than ``_RELEASE_GRACE``
+voices (no per-note velocity curves beyond linear amplitude), release
+tails longer than ``_RELEASE_GRACE``
 stop receiving events after the grace, a percussion-channel (10) bend
 keeps note-on sampling (its drum pitches are synthetic, not
 note-derived), CC1 is ignored on percussion and on instruments with
@@ -178,8 +178,17 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
     if data[:4] != b"MThd":
         raise ValueError("not a MIDI file (missing MThd)")
     hlen, fmt, ntrks, division = struct.unpack(">IHHH", data[4:14])
+    smpte_sec_per_tick = 0.0
     if division & 0x8000:
-        raise ValueError("SMPTE time divisions are not supported")
+        # SMPTE division (SMF spec): high byte = negative two's-complement
+        # frames/second (-24, -25, -29 meaning 29.97 drop-frame, -30),
+        # low byte = ticks/frame.  Timing is absolute — tempo meta events
+        # do NOT rescale it.
+        fps = 256 - (division >> 8)
+        tpf = division & 0xFF
+        if fps not in (24, 25, 29, 30) or tpf == 0:
+            raise ValueError(f"bad SMPTE division 0x{division:04x}")
+        smpte_sec_per_tick = 1.0 / ((29.97 if fps == 29 else fps) * tpf)
     pos = 8 + hlen
     events: List[_Event] = []
     for _ in range(ntrks):
@@ -273,7 +282,10 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
         lst.append((trel, val))
 
     for ev in events:
-        sec += (ev.tick - last_tick) * us_per_quarter / 1e6 / division
+        if smpte_sec_per_tick:
+            sec += (ev.tick - last_tick) * smpte_sec_per_tick
+        else:
+            sec += (ev.tick - last_tick) * us_per_quarter / 1e6 / division
         last_tick = ev.tick
         if ev.kind == "tempo":
             us_per_quarter = ev.a

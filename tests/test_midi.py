@@ -744,3 +744,53 @@ def test_cc11_after_note_off_fades_release_tail():
     # level; with CC11=2 it must sit at ~2/127 of it
     a_gate = x[int(0.1 * sr):int(0.25 * sr)].max()
     assert a_tail < 0.05 * a_gate
+
+
+# -- SMPTE time divisions ----------------------------------------------------
+
+def _smf_smpte(track_bytes: bytes, fps: int, tpf: int) -> bytes:
+    import struct
+    division = ((256 - fps) << 8) | tpf       # negative fps, ticks/frame
+    return (b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+            + b"MTrk" + struct.pack(">I", len(track_bytes)) + track_bytes)
+
+
+def test_smpte_division_timing():
+    """25 fps x 40 ticks/frame = exactly 1 ms per tick (the common SMPTE
+    millisecond grid); a 500-tick note is 0.5 s starting at 0.25 s."""
+    eot = bytes([0x00, 0xFF, 0x2F, 0x00])
+    trk = (bytes([0x81, 0x7A, 0x90, 60, 100])     # delta 250 -> note on
+           + bytes([0x83, 0x74, 0x80, 60, 0])     # delta 500 -> note off
+           + eot)
+    (n,) = parse_midi(_smf_smpte(trk, 25, 40))
+    assert n.note == 60
+    assert abs(n.start - 0.25) < 1e-9
+    assert abs(n.duration - 0.5) < 1e-9
+
+
+def test_smpte_timing_ignores_tempo_events():
+    """SMPTE timing is absolute: a tempo meta event must NOT rescale it."""
+    eot = bytes([0x00, 0xFF, 0x2F, 0x00])
+    tempo = bytes([0x00, 0xFF, 0x51, 0x03, 0x03, 0x0D, 0x40])  # 200000 us
+    trk = (tempo + bytes([0x81, 0x7A, 0x90, 60, 100])
+           + bytes([0x83, 0x74, 0x80, 60, 0]) + eot)
+    (n,) = parse_midi(_smf_smpte(trk, 25, 40))
+    assert abs(n.start - 0.25) < 1e-9 and abs(n.duration - 0.5) < 1e-9
+
+
+def test_smpte_2997_drop_frame_rate():
+    """fps byte -29 means 29.97 fps (SMF spec), not 29."""
+    eot = bytes([0x00, 0xFF, 0x2F, 0x00])
+    trk = (bytes([0x00, 0x90, 60, 100])
+           + bytes([0x81, 0x0B, 0x80, 60, 0]) + eot)    # delta 139 ticks
+    (n,) = parse_midi(_smf_smpte(trk, 29, 4))
+    assert abs(n.duration - 139 / (29.97 * 4)) < 1e-9
+
+
+def test_smpte_bad_division_rejected():
+    eot = bytes([0x00, 0xFF, 0x2F, 0x00])
+    trk = bytes([0x00, 0x90, 60, 100, 0x10, 0x80, 60, 0]) + eot
+    with pytest.raises(ValueError, match="SMPTE"):
+        parse_midi(_smf_smpte(trk, 23, 40))    # 23 fps is not a SMPTE rate
+    with pytest.raises(ValueError, match="SMPTE"):
+        parse_midi(_smf_smpte(trk, 25, 0))     # zero ticks/frame
