@@ -188,7 +188,11 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
         tpf = division & 0xFF
         if fps not in (24, 25, 29, 30) or tpf == 0:
             raise ValueError(f"bad SMPTE division 0x{division:04x}")
-        smpte_sec_per_tick = 1.0 / ((29.97 if fps == 29 else fps) * tpf)
+        # -29 is 29.97 drop-frame; use the exact NTSC rate 30000/1001
+        # (= 29.97002997...) rather than the spec's "(29.97)" literal —
+        # the literal drifts ~1 ppm (~1 ms per 1000 s of file)
+        rate = 30000.0 / 1001.0 if fps == 29 else float(fps)
+        smpte_sec_per_tick = 1.0 / (rate * tpf)
     pos = 8 + hlen
     events: List[_Event] = []
     for _ in range(ntrks):

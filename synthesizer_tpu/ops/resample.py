@@ -534,8 +534,14 @@ class StreamingHQResampler:
         self._t = PL + 1                       # taps per leg
         self._c = (self._t * self.L - 1) // 2  # filter center
         self.hmax = PL + self.M + self._c // self.L + 2
-        self.width = {jnp.dtype(jnp.int8): 1, jnp.dtype(jnp.int16): 2,
-                      jnp.dtype(jnp.int32): 4}[jnp.dtype(dtype)]
+        widths = {jnp.dtype(jnp.int8): 1, jnp.dtype(jnp.int16): 2,
+                  jnp.dtype(jnp.int32): 4}
+        if jnp.dtype(dtype) not in widths:
+            raise ValueError(
+                f"unsupported dtype {jnp.dtype(dtype).name!r}: the hq "
+                "resampler operates on integer PCM samples "
+                "(int8/int16/int32)")
+        self.width = widths[jnp.dtype(dtype)]
         self.hist = jnp.zeros((self.hmax, nchannels), dtype)
         self.j = 0      # next global output index to emit
         self.n = 0      # global input frames consumed

@@ -150,6 +150,15 @@ class AudiofileToWavStream(io.RawIOBase):
         smp = Sample.from_raw_frames(
             np.ascontiguousarray(frames).tobytes(), width, rate, nch)
         if hq_pending:
+            # Deliberately resample BEFORE _normalized_wav's startfrom/
+            # duration clip (for soxr above likewise): clipping first
+            # would feed the windowed-sinc filter zero-padding where the
+            # clip boundary has real neighboring audio (audible edge
+            # ringing against silence instead of the true signal), and
+            # the exact clip must happen in TARGET-rate frames
+            # (int(seconds*samplerate) at the point of use — never
+            # round-trip a frame offset through seconds, CLAUDE.md).
+            # Cost: sinc work on frames outside the clip window.
             try:
                 smp.resample(self.samplerate, quality="hq")
             except ValueError:
@@ -379,26 +388,47 @@ class RateConvertFilter:
         self._hq = quality == "hq"
         self._meta: Optional[tuple] = None
         self._done = False
+        self._pending: Optional[Sample] = None
 
     def __iter__(self):
         return self
 
+    def _flush_tail(self) -> Optional[Sample]:
+        """Drain the active hq resampler's buffered filter tail (linear
+        has no buffered output — its carry never withholds rows)."""
+        if self._hq and self._rs is not None:
+            y, n = self._rs.flush()
+            if n:
+                width, nch, name = self._meta
+                return Sample.from_jax(y, self.target_rate, width, name)
+        return None
+
     def __next__(self) -> Sample:
         while True:
+            if self._pending is not None:
+                out, self._pending = self._pending, None
+                return out
             if self._done:
                 raise StopIteration
             try:
                 chunk = next(self.stream)
             except StopIteration:
                 self._done = True
-                if self._hq and self._rs is not None:
-                    y, n = self._rs.flush()       # the filter's tail rows
-                    if n:
-                        width, nch, name = self._meta
-                        return Sample.from_jax(y, self.target_rate,
-                                               width, name)
+                tail = self._flush_tail()
+                if tail is not None:
+                    return tail
                 raise
             if chunk.samplerate == self.target_rate:
+                # mid-stream rate match: flush the active resampler's
+                # buffered tail FIRST so a mixed-rate source stays
+                # temporally ordered, and retire the resampler — a later
+                # rate change starts a fresh stream segment
+                tail = self._flush_tail()
+                self._rs = None
+                self._meta = None
+                if tail is not None:
+                    self._pending = chunk
+                    return tail
                 return chunk
             if self._rs is None:
                 import jax.numpy as jnp

@@ -142,6 +142,55 @@ def test_rate_convert_filter_quality_validation():
         RateConvertFilter(iter(()), 48000, quality="best")
 
 
+def test_rate_convert_filter_dtype_validation():
+    with pytest.raises(ValueError, match="int8/int16/int32"):
+        dresample.StreamingHQResampler(44100, 48000, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("quality", ["hq", "linear"])
+def test_rate_convert_filter_mixed_rate_flushes_before_passthrough(quality):
+    """A mid-stream chunk already at the target rate must come out AFTER
+    the active resampler's buffered tail (temporal order), and the
+    resampler restarts fresh for a later rate change."""
+    from synthesizer_tpu.streaming import RateConvertFilter
+    rng = np.random.default_rng(5)
+    seg1 = rng.integers(-2000, 2000, size=(441, 2), dtype=np.int16)
+    seg2 = rng.integers(-2000, 2000, size=(320, 2), dtype=np.int16)
+    seg3 = rng.integers(-2000, 2000, size=(441, 2), dtype=np.int16)
+    src = []
+    for off in range(0, 441, 147):       # segment 1: 22050 -> 32000
+        src.append(Sample.from_raw_frames(
+            seg1[off:off + 147].tobytes(), 2, 22050, 2))
+    src.append(Sample.from_raw_frames(seg2.tobytes(), 2, 32000, 2))
+    for off in range(0, 441, 147):       # segment 3: fresh resampler
+        src.append(Sample.from_raw_frames(
+            seg3[off:off + 147].tobytes(), 2, 22050, 2))
+    out = list(RateConvertFilter(iter(src), 32000, quality=quality))
+    assert all(c.samplerate == 32000 for c in out)
+    got = np.concatenate([np.asarray(c.jax_frames) for c in out])
+    if quality == "hq":
+        n1 = dresample.nframes_out(441, 22050 // 50, 32000 // 50)
+        conv1 = np.asarray(Sample.from_raw_frames(
+            seg1.tobytes(), 2, 22050, 2).resample(
+                32000, quality="hq").jax_frames)
+        conv3 = np.asarray(Sample.from_raw_frames(
+            seg3.tobytes(), 2, 22050, 2).resample(
+                32000, quality="hq").jax_frames)
+        assert got.shape[0] == n1 + 320 + n1
+        # segment 1's rows (incl. the flushed tail) precede the
+        # passthrough chunk; segment 3 restarted from clean state
+        assert np.abs(got[:n1].astype(np.int64)
+                      - conv1.astype(np.int64)).max() <= 1
+        assert np.array_equal(got[n1:n1 + 320], seg2)
+        assert np.abs(got[n1 + 320:].astype(np.int64)
+                      - conv3.astype(np.int64)).max() <= 1
+    else:
+        # linear withholds no rows; passthrough lands between segments
+        n1 = dresample.nframes_out(441, 22050 // 50, 32000 // 50)
+        assert got.shape[0] == n1 + 320 + n1
+        assert np.array_equal(got[n1:n1 + 320], seg2)
+
+
 def test_host_decoder_hq_fallback_without_soxr(tmp_path, monkeypatch):
     """A lossy source on a host with no libsoxr takes OUR windowed-sinc
     device resampler (not the -6 dB/oct linear ratecv)."""

@@ -779,12 +779,13 @@ def test_smpte_timing_ignores_tempo_events():
 
 
 def test_smpte_2997_drop_frame_rate():
-    """fps byte -29 means 29.97 fps (SMF spec), not 29."""
+    """fps byte -29 means 29.97 drop-frame (SMF spec), not 29 — and the
+    exact NTSC rate 30000/1001, not the 29.97 literal (1 ppm drift)."""
     eot = bytes([0x00, 0xFF, 0x2F, 0x00])
     trk = (bytes([0x00, 0x90, 60, 100])
            + bytes([0x81, 0x0B, 0x80, 60, 0]) + eot)    # delta 139 ticks
     (n,) = parse_midi(_smf_smpte(trk, 29, 4))
-    assert abs(n.duration - 139 / (29.97 * 4)) < 1e-9
+    assert abs(n.duration - 139 / (30000.0 / 1001.0 * 4)) < 1e-9
 
 
 def test_smpte_bad_division_rejected():
