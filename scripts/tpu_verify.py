@@ -320,6 +320,51 @@ def section_bank(SR, n):
     dd = np.max(np.abs(dout[s0 + 1:dhi] - dref[s0 + 1:dhi]))
     check("midi/vibrato_cc1_vs_f64_twin", dd < 8e-6, f"max {dd:.2e}")
 
+    # channel-pressure aftertouch (round 5): a pressure-sweep SMF must
+    # take the SAME depth-curve engine end to end (parse -> merge-by-max
+    # -> fm_depth_curve -> closed form); rendered against the f64 twin
+    # with the curve taken from the materialized voice
+    from synthesizer_tpu.midi import (VIBRATO_RATE_HZ, MidiNote,
+                                      midi_to_voices, parse_midi,
+                                      render_notes, write_midi)
+    from synthesizer_tpu.sequencer import SynthDef
+    psd = SynthDef(wave="sine", amplitude=0.5, attack=0.0, decay=0.0,
+                   sustain_level=1.0, release=0.01)
+    pdata = write_midi([MidiNote(0.01, 0.28, 69, 127, 0)],
+                       pressures=[(0.05, 0, 20), (0.15, 0, 100),
+                                  (0.25, 0, 127)])
+    pnotes = parse_midi(pdata)
+    pv = midi_to_voices(pnotes, instruments={0: psd})[0]
+    psmp = render_notes(pnotes, instruments={0: psd}, samplerate=SR)
+    pout = np.frombuffer(psmp.view_frame_data(), np.int16)
+    pout = pout.reshape(-1, 2)[:, 0].astype(np.float64) / 32767.0
+    ps0 = int(pv.start * SR)
+    pfm_inc = int(Spec.phase_increment(VIBRATO_RATE_HZ, SR))
+    ppts = [(int(t * SR), d) for t, d in pv.fm_depth_curve]
+
+    def _pdepth(u):
+        if u <= ppts[0][0]:
+            return ppts[0][1]
+        for j in range(len(ppts) - 1):
+            if u < ppts[j + 1][0]:
+                f0, d0 = ppts[j]
+                f1, d1 = ppts[j + 1]
+                return d0 + (d1 - d0) * (u - f0) / (f1 - f0)
+        return ppts[-1][1]
+
+    phi = ps0 + int(0.26 * SR)
+    pref = np.zeros(phi)
+    acc = 0.0
+    for n_ in range(ps0, phi):
+        m = n_ - ps0
+        p = ((n_ * inc) % 2 ** 32 + inc * acc) / 2 ** 32
+        pref[n_] = 0.5 * np.sin(2 * np.pi * (p % 1.0))
+        lfo = (n_ * pfm_inc) % 2 ** 32
+        acc += _pdepth(m) * np.sin(2 * np.pi * lfo / 2 ** 32)
+    pdd = np.max(np.abs(pout[ps0 + 1:phi] - pref[ps0 + 1:phi]))
+    check("midi/aftertouch_pressure_vs_f64_twin",
+          pdd < 8e-6 + 0.5 / 32767.0, f"max {pdd:.2e}")
+
     _wavetable_gather_probe()
 
 

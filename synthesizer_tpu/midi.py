@@ -30,21 +30,29 @@ weighted-trig-sum closed form (``fm_depth_curve``); full wheel =
 ``VIBRATO_SEMITONES`` of peak deviation; a wheel that never moves
 mid-note maps to the constant ``fm_depth`` path, and instruments that
 define their own FM (``fm_depth`` != 0) keep it — their CC1 is ignored
-rather than silently replacing the patch's modulator).
+rather than silently replacing the patch's modulator), and channel
+pressure / aftertouch (0xD0, GM-style: pressure deepens the vibrato
+through the SAME CC1 depth-curve machinery; when both the wheel and
+pressure move, the stronger one wins — a max merge — and a
+pressure-free file records nothing, staying bit-identical).
 
-Bend/CC events keep reaching a note for ``_RELEASE_GRACE`` seconds after
-its note-off (the release tail keeps sounding, and a GM synth bends it),
-so a wheel sweep through a chord's release renders correctly.
+Bend/CC events keep reaching a note through its whole release tail: the
+grace window after note-off is DERIVED from the instruments' actual ADSR
+releases (``release_grace_for`` — the ``_RELEASE_GRACE`` floor extended
+past the longest release in play), so a wheel sweep through a
+long-release pad's tail renders to its end.
 
 Limitations (deliberate, documented): notes map to the bank's gate-ADSR
-voices (no per-note velocity curves beyond linear amplitude), release
-tails longer than ``_RELEASE_GRACE``
-stop receiving events after the grace, a percussion-channel (10) bend
+voices (no per-note velocity curves beyond linear amplitude), callers
+that run ``parse_midi`` themselves get the ``_RELEASE_GRACE`` default
+unless they pass the derived grace, a percussion-channel (10) bend
 keeps note-on sampling (its drum pitches are synthetic, not
-note-derived), CC1 is ignored on percussion and on instruments with
-their own FM, and a retriggered note (note-on while the same note is
-already sounding on the channel) replaces the open note rather than
-layering.
+note-derived), CC1/pressure vibrato is ignored on percussion and on
+instruments with their own FM, POLY aftertouch (0xA0) is parsed and
+dropped (per-note pressure has no GM-wide semantic — channel pressure
+is the honored form), and a retriggered note (note-on while the same
+note is already sounding on the channel) replaces the open note rather
+than layering.
 """
 
 from __future__ import annotations
@@ -59,13 +67,21 @@ from .sequencer import SynthDef
 from . import params
 
 __all__ = ["MidiNote", "parse_midi", "midi_to_voices", "render_midi",
-           "render_notes", "write_midi"]
+           "render_notes", "release_grace_for", "write_midi"]
 
 _A4_KEY = 69  # MIDI note number of A4
 
 #: how long after its note-off a note still receives bend/controller
-#: events (the release tail keeps sounding; see parse_midi._sounding)
+#: events (the release tail keeps sounding; see parse_midi._sounding).
+#: This is the FLOOR: :func:`release_grace_for` extends it past any
+#: instrument whose ADSR release outlasts it, so long-release pads keep
+#: receiving bend/wheel through their whole tail (render_midi threads
+#: the derived value into parse_midi automatically).
 _RELEASE_GRACE = 2.0
+
+#: margin added past the longest instrument release when deriving the
+#: grace (events an epsilon after envelope-zero still belong to the tail)
+_RELEASE_GRACE_MARGIN = 0.25
 
 
 class MidiNote(NamedTuple):
@@ -160,20 +176,49 @@ def _parse_track(data: bytes) -> List[_Event]:
                 value = (data[pos] | (data[pos + 1] << 7)) - 8192
                 pos += 2
                 events.append(_Event(tick, "bend", ch, 0, value))
-            elif kind == 0xA0:                     # poly aftertouch
-                pos += 2
+            elif kind == 0xA0:                     # poly aftertouch: parsed
+                pos += 2                           # and dropped (documented
+                #                                    limitation — per-NOTE
+                #                                    pressure has no GM-wide
+                #                                    semantic; channel
+                #                                    pressure below is the
+                #                                    honored form)
             elif kind == 0xC0:                     # program change
                 events.append(_Event(tick, "program", ch, data[pos], 0))
                 pos += 1
             elif kind == 0xD0:                     # channel pressure
+                events.append(_Event(tick, "press", ch, data[pos], 0))
                 pos += 1
             else:
                 raise ValueError(f"unexpected MIDI byte 0x{status:02x}")
     return events
 
 
-def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
-    """Parse an SMF file (path or bytes) into note events in seconds."""
+def release_grace_for(
+        instruments: Optional[Dict[int, "SynthDef"]] = None) -> float:
+    """The bend/controller grace window for a render with these
+    instruments: the ``_RELEASE_GRACE`` floor, extended past the longest
+    ADSR release any note could get (user instruments, every GM family
+    mapping, the default, and the percussion defs) plus a small margin —
+    so a 4 s-release pad's tail follows a post-off wheel sweep to its
+    end, while default-GM files (all releases <= 0.4 s) keep the exact
+    pre-derivation grace (bit-identical curves)."""
+    releases = [sd.release for sd in (instruments or {}).values()]
+    releases += [sd.release for _, sd in _GM_FAMILIES]
+    releases += [_DEFAULT_DEF.release, _PERC_DEF.release, _KICK_DEF.release]
+    return max(_RELEASE_GRACE, max(releases) + _RELEASE_GRACE_MARGIN)
+
+
+def parse_midi(source: Union[str, bytes],
+               release_grace: float = _RELEASE_GRACE) -> List[MidiNote]:
+    """Parse an SMF file (path or bytes) into note events in seconds.
+
+    ``release_grace``: how long after its note-off a note keeps
+    receiving bend/controller events (its release tail keeps sounding).
+    :func:`render_midi` derives this from the instruments' actual ADSR
+    releases via :func:`release_grace_for`; callers that parse
+    separately and render long-release instruments should do the same.
+    """
     data = open(source, "rb").read() if isinstance(source, str) else source
     if data[:4] != b"MThd":
         raise ValueError("not a MIDI file (missing MThd)")
@@ -218,6 +263,7 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
     cc11 = [127] * 16           # expression
     cc10: List[Optional[int]] = [None] * 16   # pan (None = never sent)
     cc1 = [0] * 16              # mod wheel (vibrato)
+    press = [0] * 16            # channel pressure (GM: vibrato, like CC1)
     pedal = [False] * 16
     bend14 = [0] * 16           # signed 14-bit wheel position (-8192..8191)
     # RPN 0,0 (pitch-bend sensitivity): GM default ±2 semitones; CC6/CC38
@@ -230,11 +276,11 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
     us_per_quarter = 500_000
 
     # notes whose note-off has passed but whose release tail may still be
-    # sounding: controller/bend events within _RELEASE_GRACE seconds of
-    # the off keep appending to their curves (the wheel bends whatever
-    # rings — a GM synth bends release tails too); the actual audible
-    # horizon is the instrument's release, unknown at parse time, so the
-    # grace is a generous fixed bound and points past envelope-zero are
+    # sounding: controller/bend events within ``release_grace`` seconds
+    # of the off keep appending to their curves (the wheel bends whatever
+    # rings — a GM synth bends release tails too); render_midi derives
+    # the grace from the instruments' actual ADSR releases
+    # (release_grace_for), and points past envelope-zero are
     # acoustically inert
     ringing: List[tuple] = []        # (key, started, t1)
 
@@ -259,7 +305,7 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
         # window, not the whole song).  Yields (started, t_off_or_None).
         keep = []
         for rec in ringing:
-            if sec < rec[2] + _RELEASE_GRACE:
+            if sec < rec[2] + release_grace:
                 keep.append(rec)
             else:
                 _materialize(*rec)
@@ -311,8 +357,10 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
                     _record(st, t1, 8, gain, 3)
             elif ev.a == 1:                        # mod wheel (vibrato)
                 cc1[ch] = ev.b
+                # CC1 and channel pressure both drive the vibrato depth;
+                # when both move, the stronger one wins (max merge rule)
                 for st, t1 in _sounding(ch):
-                    _record(st, t1, 9, ev.b / 127.0, 6)
+                    _record(st, t1, 9, max(ev.b, press[ch]) / 127.0, 6)
             elif ev.a == 10:
                 cc10[ch] = ev.b
             elif ev.a == 101:                      # RPN select MSB
@@ -334,6 +382,15 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
                 for key in [k for k in sustained if k[0] == ch]:
                     _close(key, sustained.pop(key), sec)
                 pedal[ch] = False
+        elif ev.kind == "press":                   # channel pressure (0xD0)
+            ch = ev.channel
+            press[ch] = ev.a
+            # GM-style: pressure deepens the vibrato exactly like CC1
+            # (same curve machinery, same depth mapping), merged with the
+            # wheel by max — a pressure-free file records nothing here
+            # and stays bit-identical
+            for st, t1 in _sounding(ch):
+                _record(st, t1, 9, max(cc1[ch], ev.a) / 127.0, 6)
         elif ev.kind == "bend":
             ch = ev.channel
             bend14[ch] = ev.b
@@ -356,7 +413,8 @@ def parse_midi(source: Union[str, bytes]) -> List[MidiNote]:
             semis = range_msb[ev.channel] + range_lsb[ev.channel] / 100.0
             bend = bend14[ev.channel] / 8192.0 * semis
             open_notes[key] = (sec, ev.b, programs[ev.channel], vol,
-                               notes_pan, bend, cc1[ev.channel] / 127.0,
+                               notes_pan, bend,
+                               max(cc1[ev.channel], press[ev.channel]) / 127.0,
                                [], [], [])
         elif ev.kind == "off":
             key = (ev.channel, ev.a)
@@ -507,8 +565,9 @@ def render_midi(source: Union[str, bytes],
                 instruments: Optional[Dict[int, SynthDef]] = None,
                 samplerate: int = 0, tail_seconds: float = 0.3) -> Sample:
     """Render a MIDI file to a stereo Sample in one batched bank render."""
-    return render_notes(parse_midi(source), instruments, samplerate,
-                        tail_seconds)
+    return render_notes(
+        parse_midi(source, release_grace=release_grace_for(instruments)),
+        instruments, samplerate, tail_seconds)
 
 
 def render_notes(notes: Sequence[MidiNote],
@@ -547,13 +606,16 @@ def _vlq(value: int) -> bytes:
 def write_midi(notes: Sequence[MidiNote], division: int = 480,
                bpm: float = 120.0,
                bends: Sequence[Tuple[float, int, int]] = (),
-               controls: Sequence[Tuple[float, int, int, int]] = ()) -> bytes:
+               controls: Sequence[Tuple[float, int, int, int]] = (),
+               pressures: Sequence[Tuple[float, int, int]] = ()) -> bytes:
     """Serialize note events to a format-0 SMF byte string.
 
     ``bends``: (seconds, channel, signed 14-bit value -8192..8191) wheel
-    events; ``controls``: (seconds, channel, controller, value) CC events.
-    Controller/bend events at the same tick as a note-on are written
-    BEFORE it (they describe the state the note starts in)."""
+    events; ``controls``: (seconds, channel, controller, value) CC events;
+    ``pressures``: (seconds, channel, value 0..127) channel-pressure
+    (0xD0 aftertouch) events.  Controller/bend/pressure events at the
+    same tick as a note-on are written BEFORE it (they describe the
+    state the note starts in)."""
     us_per_quarter = int(round(60e6 / bpm))
     sec_per_tick = us_per_quarter / 1e6 / division
 
@@ -567,6 +629,8 @@ def write_midi(notes: Sequence[MidiNote], division: int = 480,
         moments.append((int(round(sec / sec_per_tick)), 1, "bend", (ch, value)))
     for sec, ch, cc, value in controls:
         moments.append((int(round(sec / sec_per_tick)), 1, "cc", (ch, cc, value)))
+    for sec, ch, value in pressures:
+        moments.append((int(round(sec / sec_per_tick)), 1, "press", (ch, value)))
     moments.sort(key=lambda m: (m[0], m[1]))
 
     track = io.BytesIO()
@@ -585,6 +649,9 @@ def write_midi(notes: Sequence[MidiNote], division: int = 480,
             ch, value = payload
             u = (int(value) + 8192) & 0x3FFF
             track.write(bytes([0xE0 | (ch & 0x0F), u & 0x7F, (u >> 7) & 0x7F]))
+        elif kind == "press":
+            ch, value = payload
+            track.write(bytes([0xD0 | (ch & 0x0F), value & 0x7F]))
         else:
             ch, cc, value = payload
             track.write(bytes([0xB0 | (ch & 0x0F), cc & 0x7F, value & 0x7F]))

@@ -1311,12 +1311,16 @@ class Sample:
         return self
 
     def pitch_shift(self, semitones: float, frame: int = 2048,
-                    hop: int = 512) -> "Sample":
+                    hop: int = 512, quality: str = "linear") -> "Sample":
         """Shift pitch by equal-tempered semitones, duration preserved:
         stretch(r) + speed(r), r = 2**(semitones/12) (goldref twin is the
-        same composition)."""
+        same composition).  ``quality='hq'`` routes the speed leg through
+        the windowed-sinc polyphase resampler instead of linear
+        interpolation (the linear leg's -6 dB/oct image rolloff is
+        audible on upward shifts); default stays the exact bit-identical
+        composition."""
         r = 2.0 ** (semitones / 12.0)
-        return self.stretch(r, frame, hop).speed(r)
+        return self.stretch(r, frame, hop).speed(r, quality=quality)
 
     # -- format conversion -----------------------------------------------------------------------
 

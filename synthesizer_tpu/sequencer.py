@@ -913,7 +913,14 @@ class Song:
         back at note_freq(note)/note_freq(base_note) for each note token
         on the track (normalized like a drum instrument; must match the
         song's rate/channels).  ``loop_start``/``loop_end`` (seconds)
-        define an optional sustain loop (see SamplerDef)."""
+        define an optional sustain loop (see SamplerDef).
+
+        The per-hit repitch is DELIBERATELY the linear-interp gather
+        (reference parity: the upstream sampler repitches via ratecv's
+        linear interpolation) — per-note ratios are arbitrary reals, so
+        the windowed-sinc hq rung's bounded-rational polyphase form does
+        not apply; use ``Sample.resample(quality='hq')`` offline to
+        pre-render fixed-ratio variants when imaging matters."""
         if name in self.synths:
             raise ValueError(f"sampler {name!r}: a synth with that name "
                              f"already exists (one instrument per track "

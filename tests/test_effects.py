@@ -313,6 +313,40 @@ def test_pitch_shift_moves_pitch_keeps_duration():
     assert diff <= 64, diff
 
 
+def test_pitch_shift_hq_suppresses_speed_leg_images():
+    """quality='hq' routes pitch_shift's speed leg through the
+    windowed-sinc resampler (VERDICT r4 #5): a 15 kHz partial shifted +12
+    lands above Nyquist (30 kHz) and must be REMOVED, where the linear
+    leg folds it back as a ~14.1 kHz alias; default stays the exact
+    linear composition (bit-identical)."""
+    n = 32768
+    t = np.arange(n)
+    x = ((np.sin(2 * np.pi * 1000 * t / SR)
+          + np.sin(2 * np.pi * 15000 * t / SR)) * 12000).astype(np.int16)
+    x = x.reshape(-1, 1)
+
+    def alias_db(quality):
+        d = Sample.from_raw_frames(x.tobytes(), 2, SR, 1) \
+            .pitch_shift(12.0, quality=quality)
+        out = d.get_frame_array()[:, 0].astype(np.float64)
+        seg = out[2048:2048 + 16384] * np.hanning(16384)
+        spec = np.abs(np.fft.rfft(seg))
+        freqs = np.fft.rfftfreq(16384, 1 / SR)
+        tone = spec[(freqs > 1900) & (freqs < 2100)].max()
+        alias = spec[(freqs > 13500) & (freqs < 14700)].max()
+        return 20 * np.log10(tone / max(alias, 1e-12))
+
+    rej_linear = alias_db("linear")
+    rej_hq = alias_db("hq")
+    assert rej_hq > rej_linear + 25.0, (rej_linear, rej_hq)
+    assert rej_hq > 45.0, rej_hq
+    # default == explicit linear, bit-identical
+    a = Sample.from_raw_frames(x.tobytes(), 2, SR, 1).pitch_shift(12.0)
+    b = Sample.from_raw_frames(x.tobytes(), 2, SR, 1) \
+        .pitch_shift(12.0, quality="linear")
+    assert np.array_equal(a.get_frame_array(), b.get_frame_array())
+
+
 def test_framed_rows_bit_identical():
     # the round-4 row-packed analysis-window gather is a pure load
     # rearrangement: must equal the direct element gather bitwise for

@@ -561,6 +561,105 @@ def test_cc1_static_wheel_maps_to_constant_fm():
     assert bank.use_fm and not bank.use_dmod
 
 
+def test_channel_pressure_curve_recorded():
+    # channel pressure (0xD0) during a note -> mod_curve through the SAME
+    # machinery as CC1; a pressure-free file keeps mod_curve=None
+    note = MidiNote(0.0, 1.0, 69, 100, 0)
+    presses = [(0.25, 0, 40), (0.5, 0, 90), (0.75, 0, 127)]
+    n = parse_midi(write_midi([note], pressures=presses))[0]
+    assert n.mod == 0.0
+    assert n.mod_curve is not None and n.mod_curve[0] == (0.0, 0.0)
+    assert [round(v * 127) for _, v in n.mod_curve] == [0, 40, 90, 127]
+    assert n.mod_curve[1][0] == pytest.approx(0.25, abs=2e-3)
+    # static pressure sampled at note-on -> the constant fm_depth path
+    note2 = MidiNote(0.1, 0.5, 69, 100, 0)
+    n2 = parse_midi(write_midi([note2], pressures=[(0.0, 0, 64)]))[0]
+    assert n2.mod == pytest.approx(64 / 127.0) and n2.mod_curve is None
+    v2 = midi_to_voices([n2])[0]
+    assert not v2.fm_depth_curve and v2.fm_depth > 0.0
+
+
+def test_pressure_merges_with_cc1_by_max():
+    # when both the wheel and pressure move, the stronger one drives the
+    # vibrato (max merge rule)
+    note = MidiNote(0.0, 1.0, 69, 100, 0)
+    data = write_midi([note],
+                      controls=[(0.2, 0, 1, 80), (0.6, 0, 1, 10)],
+                      pressures=[(0.4, 0, 30), (0.8, 0, 100)])
+    n = parse_midi(write_midi([note]))[0]
+    assert n.mod_curve is None            # baseline: no events, no curve
+    n = parse_midi(data)[0]
+    # CC1=80 > press=0; press=30 < cc1=80 -> 80; cc1=10 < press=30 -> 30;
+    # press=100 > cc1=10 -> 100
+    assert [round(v * 127) for _, v in n.mod_curve] == [0, 80, 80, 30, 100]
+
+
+def test_pressure_sweep_matches_f64_twin():
+    """A pressure-sweep SMF renders the sweep through the CC1 depth-curve
+    closed form, within the CC1 budget class of the per-frame f64 twin
+    (VERDICT r4 #3 done-criterion)."""
+    import math
+    from synthesizer_tpu.midi import VIBRATO_RATE_HZ, render_midi
+    from synthesizer_tpu.models import spec as S
+    sd = SynthDef(wave="sine", amplitude=0.5, attack=0.0, decay=0.0,
+                  sustain_level=1.0, release=0.01)
+    note = MidiNote(0.01, 0.95, 69, 127, 0)
+    presses = [(0.1, 0, 10), (0.35, 0, 80), (0.8, 0, 127)]
+    data = write_midi([note], pressures=presses)
+    n = parse_midi(data)[0]
+    v = midi_to_voices([n], instruments={0: sd})[0]
+    assert v.fm_depth_curve and v.fm_frequency == VIBRATO_RATE_HZ
+    s = render_midi(data, instruments={0: sd})
+    out = np.frombuffer(s.view_frame_data(), np.int16).reshape(-1, 2)[:, 0]
+    out = out.astype(np.float64) / 32767.0
+
+    inc = int(S.phase_increment(440.0, SR))
+    fm_inc = int(S.phase_increment(VIBRATO_RATE_HZ, SR))
+    start = int(v.start * SR)            # note start is tick-quantized
+    pts = [(int(t * SR), d) for t, d in v.fm_depth_curve]
+
+    def depth(u):
+        if u <= pts[0][0]:
+            return pts[0][1]
+        for j in range(len(pts) - 1):
+            f0, d0 = pts[j]
+            f1, d1 = pts[j + 1]
+            if u < f1:
+                return d0 + (d1 - d0) * (u - f0) / (f1 - f0)
+        return pts[-1][1]
+
+    hi = start + int(0.94 * SR)          # stop before the release ramp
+    acc = 0.0
+    ref = np.zeros(hi)
+    for m in range(hi - start):
+        nf = start + m
+        p = ((nf * inc) % 2 ** 32 + inc * acc) / 2 ** 32
+        ref[nf] = 0.5 * math.sin(2 * math.pi * (p % 1.0))
+        lfo = (nf * fm_inc) % 2 ** 32
+        acc += depth(m) * math.sin(2 * math.pi * lfo / 2 ** 32)
+    # int16 quantization adds 0.5 LSB on top of the CC1 engine budget
+    err = np.max(np.abs(out[start + 1:hi] - ref[start + 1:hi]))
+    assert err < 8e-6 + 0.5 / 32767.0
+
+
+def test_pressure_free_file_bit_identical():
+    """The pressure machinery must not perturb a pressure-free render:
+    same bytes in -> same voices out as before the 0xD0 support."""
+    note = MidiNote(0.0, 0.5, 64, 90, 0)
+    ccs = [(0.2, 0, 1, 70)]
+    d_plain = write_midi([note], controls=ccs)
+    v_plain = midi_to_voices(parse_midi(d_plain))
+    # a zero-pressure event is the identity under the max merge
+    d_zero = write_midi([note], controls=ccs, pressures=[(0.3, 0, 0)])
+    v_zero = midi_to_voices(parse_midi(d_zero))
+    assert len(v_plain) == len(v_zero) == 1
+    a, b = v_plain[0], v_zero[0]
+    assert a.fm_depth == b.fm_depth
+    # the zero-pressure event adds an inert point but the same values
+    assert [x[1] for x in b.fm_depth_curve][:2] == \
+        [x[1] for x in a.fm_depth_curve][:2]
+
+
 def test_cc1_ignored_on_percussion_and_fm_instruments():
     # percussion channel: no vibrato; an instrument with its own FM keeps
     # its patch modulator (CC1 must not silently replace it)
@@ -722,6 +821,55 @@ def test_events_past_release_grace_are_dropped():
                       controls=[(late, 0, 11, 5)])
     n = parse_midi(data)[0]
     assert n.bend_curve is None and n.gain_curve is None
+
+
+def test_release_grace_derivation():
+    """release_grace_for: the 2 s floor for GM/default instruments (so
+    pre-derivation behavior is bit-identical), extended past a user
+    instrument whose release outlasts it."""
+    from synthesizer_tpu.midi import (_RELEASE_GRACE, _RELEASE_GRACE_MARGIN,
+                                      release_grace_for)
+    assert release_grace_for(None) == _RELEASE_GRACE
+    assert release_grace_for({}) == _RELEASE_GRACE
+    sd_short = SynthDef(wave="sine", release=0.3)
+    assert release_grace_for({0: sd_short}) == _RELEASE_GRACE
+    sd_long = SynthDef(wave="sine", release=4.0)
+    assert release_grace_for({0: sd_long}) == 4.0 + _RELEASE_GRACE_MARGIN
+
+
+def test_long_release_tail_follows_post_grace_bend():
+    """A 4 s-release pad's tail must follow a bend 3 s after note-off
+    (past the old fixed 2 s grace) — the grace derives from the
+    instrument's actual ADSR release (VERDICT r4 #4)."""
+    from synthesizer_tpu.midi import release_grace_for, render_midi
+    sd = SynthDef(wave="sine", amplitude=0.4, attack=0.0, decay=0.0,
+                  sustain_level=1.0, release=4.0)
+    note = MidiNote(0.0, 0.5, 69, 100, 0)
+    bends = [(0.5, 0, 0), (3.0, 0, 8191)]      # sweep to +2 over the tail
+    data = write_midi([note], bends=bends)
+    # the default (floor) grace drops the 3.0 s event ...
+    n_default = parse_midi(data)[0]
+    assert n_default.bend_curve is None or \
+        n_default.bend_curve[-1][0] < 2.6
+    # ... the derived grace keeps it
+    n = parse_midi(data, release_grace=release_grace_for({0: sd}))[0]
+    assert n.bend_curve is not None
+    assert n.bend_curve[-1][0] == pytest.approx(3.0, abs=2e-3)
+    # and render_midi wires the derivation in end to end
+    s = render_midi(data, instruments={0: sd})
+    sr = s.samplerate
+    x = np.frombuffer(s.view_frame_data(), np.int16).reshape(-1, 2)[:, 0]
+    x = x.astype(np.float64)
+
+    def freq(t0, t1):
+        seg = x[int(t0 * sr):int(t1 * sr)]
+        i = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        t = i + seg[i] / (seg[i] - seg[i + 1])
+        return sr / np.mean(np.diff(t))
+
+    assert freq(0.2, 0.4) == pytest.approx(440.0, abs=1.5)   # in-note
+    # end of tail: the wheel landed at +2 semitones at 3.0 s and holds
+    assert freq(3.2, 3.8) == pytest.approx(440.0 * 2 ** (2 / 12), abs=2.5)
 
 
 def test_cc11_after_note_off_fades_release_tail():
