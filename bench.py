@@ -337,6 +337,13 @@ def main() -> None:
     stretch_rtf = fx_rtf(lambda f: dfx.stretch(f, 1.5))
     chorus_rtf = fx_rtf(lambda f: dfx.chorus(
         f, samplerate, 0.5, 0.002, 0.02, 3, 0.4, 1.0))
+    # round-5 gate (VERDICT r4 #6): the windowed-sinc hq resample — ONE
+    # strided MXU conv, 44.1k->48k (reduced 160/147), clamped to fx_n
+    # output rows so the k-repeat carry keeps a static shape; expected
+    # roofline: the [L,1,Kw] kernel's f32 conv at HIGHEST precision
+    # (BASELINE.md round-5 entry)
+    from synthesizer_tpu.ops.resample import hq_resample as dhq
+    hq_resample_rtf = fx_rtf(lambda f: dhq(f, 160, 147, fx_n), k_hi=8)
 
     dev = jax.devices()[0]
     peak = int(np.abs(np.asarray(out)).max())
@@ -369,6 +376,7 @@ def main() -> None:
         "reverb_rtf": round(reverb_rtf, 1),
         "stretch_rtf": round(stretch_rtf, 1),
         "chorus_rtf": round(chorus_rtf, 1),
+        "hq_resample_rtf": round(hq_resample_rtf, 1),
     }))
 
 

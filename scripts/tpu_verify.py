@@ -608,6 +608,37 @@ def section_effects(SR):
                    .astype(np.int64)).max()
         check(f"fx/hq_resample_{outr}", d <= 1, f"max {d} LSB")
 
+    # the streaming hq twin must be BIT-IDENTICAL to the offline conv at
+    # any chunking (round-5 HQ_STREAM_BLOCK padding keeps the streaming
+    # conv out of the tiny-spatial regime where the backend regroups the
+    # window reduction) — proven here ON THE CHIP for the worst measured
+    # regime (heavy downsample) at a small and a practical chunk size
+    import math as _math
+
+    import jax.numpy as jnp
+
+    from synthesizer_tpu.ops import resample as _dres
+    rng_s = np.random.default_rng(23)
+    xs = rng_s.integers(-32768, 32768, size=(882, 2)).astype(np.int16)
+    g_ = _math.gcd(SR, 8000)
+    Ls, Ms = 8000 // g_, SR // g_
+    off_ = np.asarray(_dres.hq_resample(
+        jnp.asarray(xs), Ls, Ms, _dres.nframes_out(len(xs), Ms, Ls)))
+    for ck in (21, 441):
+        rs_ = _dres.StreamingHQResampler(SR, 8000, nchannels=2)
+        outs_ = []
+        for i0 in range(0, len(xs), ck):
+            y_, c_ = rs_.push(jnp.asarray(xs[i0:i0 + ck]))
+            if c_:
+                outs_.append(np.asarray(y_))
+        y_, c_ = rs_.flush()
+        if c_:
+            outs_.append(np.asarray(y_))
+        got_ = np.concatenate(outs_)
+        check(f"fx/hq_stream_bitexact_chunk{ck}",
+              got_.shape == off_.shape and np.array_equal(got_, off_),
+              f"{got_.shape[0]} rows vs offline")
+
     gold, dev = pair()
     kw = dict(rate=1.5, depth=0.003, delay=0.015)
     d = np.abs(dev.chorus(**kw).get_frame_array().astype(np.int64)

@@ -22,7 +22,7 @@ segment, linearly ramping the frequency between events and holding after
 the last, so a bend sweep renders as a sweep, not stairs; the bend RANGE
 honors RPN 0,0 — CC101/100 select, CC6/CC38 set semitones+cents, a
 CC98/99 NRPN select nulls the RPN — with the GM default of ±2
-semitones, evaluated at each event's time), and CC1 mod-wheel vibrato
+semitones, evaluated at each event's time), CC1 mod-wheel vibrato
 (CONTINUOUS: the wheel curve becomes a TIME-VARYING FM depth on the
 voice — a sinusoidal LFO at ``VIBRATO_RATE_HZ`` whose depth ramps
 linearly between wheel events, rendered by the bank's per-segment
@@ -30,11 +30,14 @@ weighted-trig-sum closed form (``fm_depth_curve``); full wheel =
 ``VIBRATO_SEMITONES`` of peak deviation; a wheel that never moves
 mid-note maps to the constant ``fm_depth`` path, and instruments that
 define their own FM (``fm_depth`` != 0) keep it — their CC1 is ignored
-rather than silently replacing the patch's modulator), and channel
+rather than silently replacing the patch's modulator), channel
 pressure / aftertouch (0xD0, GM-style: pressure deepens the vibrato
 through the SAME CC1 depth-curve machinery; when both the wheel and
 pressure move, the stronger one wins — a max merge — and a
-pressure-free file records nothing, staying bit-identical).
+pressure-free file records nothing, staying bit-identical), and POLY
+aftertouch (0xA0, per-NOTE pressure: only the keyed note's vibrato-depth
+curve moves — other notes on the channel are untouched — merged with the
+channel-wide CC1/0xD0 by the same max rule, reset at each note-on).
 
 Bend/CC events keep reaching a note through its whole release tail: the
 grace window after note-off is DERIVED from the instruments' actual ADSR
@@ -47,12 +50,10 @@ voices (no per-note velocity curves beyond linear amplitude), callers
 that run ``parse_midi`` themselves get the ``_RELEASE_GRACE`` default
 unless they pass the derived grace, a percussion-channel (10) bend
 keeps note-on sampling (its drum pitches are synthetic, not
-note-derived), CC1/pressure vibrato is ignored on percussion and on
-instruments with their own FM, POLY aftertouch (0xA0) is parsed and
-dropped (per-note pressure has no GM-wide semantic — channel pressure
-is the honored form), and a retriggered note (note-on while the same
-note is already sounding on the channel) replaces the open note rather
-than layering.
+note-derived), CC1/pressure/poly-aftertouch vibrato is ignored on
+percussion and on instruments with their own FM, and a retriggered note
+(note-on while the same note is already sounding on the channel)
+replaces the open note rather than layering.
 """
 
 from __future__ import annotations
@@ -121,7 +122,8 @@ def _read_vlq(data: bytes, pos: int) -> Tuple[int, int]:
 
 class _Event(NamedTuple):
     tick: int
-    kind: str           # "on" | "off" | "tempo" | "program" | "cc" | "bend"
+    kind: str           # "on" | "off" | "tempo" | "program" | "cc" |
+    #                     "bend" | "press" (0xD0) | "ppress" (0xA0)
     channel: int
     a: int              # note / tempo µs-per-quarter / program / controller
     b: int              # velocity / controller value / signed 14-bit bend
@@ -176,13 +178,10 @@ def _parse_track(data: bytes) -> List[_Event]:
                 value = (data[pos] | (data[pos + 1] << 7)) - 8192
                 pos += 2
                 events.append(_Event(tick, "bend", ch, 0, value))
-            elif kind == 0xA0:                     # poly aftertouch: parsed
-                pos += 2                           # and dropped (documented
-                #                                    limitation — per-NOTE
-                #                                    pressure has no GM-wide
-                #                                    semantic; channel
-                #                                    pressure below is the
-                #                                    honored form)
+            elif kind == 0xA0:                     # poly (key) aftertouch
+                events.append(_Event(tick, "ppress", ch, data[pos],
+                                     data[pos + 1]))
+                pos += 2
             elif kind == 0xC0:                     # program change
                 events.append(_Event(tick, "program", ch, data[pos], 0))
                 pos += 1
@@ -264,6 +263,11 @@ def parse_midi(source: Union[str, bytes],
     cc10: List[Optional[int]] = [None] * 16   # pan (None = never sent)
     cc1 = [0] * 16              # mod wheel (vibrato)
     press = [0] * 16            # channel pressure (GM: vibrato, like CC1)
+    #: (ch, note) -> poly aftertouch (0xA0) value: per-NOTE pressure,
+    #: merged into that note's vibrato depth alongside the channel-wide
+    #: CC1/pressure (reset at note-on — a new note instance starts
+    #: pressure-free)
+    ppress: Dict[Tuple[int, int], int] = {}
     pedal = [False] * 16
     bend14 = [0] * 16           # signed 14-bit wheel position (-8192..8191)
     # RPN 0,0 (pitch-bend sensitivity): GM default ±2 semitones; CC6/CC38
@@ -302,7 +306,7 @@ def parse_midi(source: Union[str, bytes],
         # open, pedal-held, and recently-released (ringing) ones; expired
         # ringing notes materialize here (events arrive time-ordered, so
         # this keeps the scan bounded by the polyphony inside the grace
-        # window, not the whole song).  Yields (started, t_off_or_None).
+        # window, not the whole song).  Yields (key, started, t_off_or_None).
         keep = []
         for rec in ringing:
             if sec < rec[2] + release_grace:
@@ -310,9 +314,16 @@ def parse_midi(source: Union[str, bytes],
             else:
                 _materialize(*rec)
         ringing[:] = keep
-        return ([(st, None) for k, st in list(open_notes.items())
+        return ([(k, st, None) for k, st in list(open_notes.items())
                  + list(sustained.items()) if k[0] == ch]
-                + [(st, t1) for k, st, t1 in ringing if k[0] == ch])
+                + [(k, st, t1) for k, st, t1 in ringing if k[0] == ch])
+
+    def _depth(ch, key):
+        # a note's vibrato depth merges the channel-wide wheel (CC1) and
+        # pressure (0xD0) with its OWN poly aftertouch (0xA0): all three
+        # are depth controllers, the strongest one wins (max preserves
+        # whichever is driving)
+        return max(cc1[ch], press[ch], ppress.get(key, 0)) / 127.0
 
     def _record(st, t1, idx, val, base_idx):
         # append a curve sample.  For a RINGING note's first post-off
@@ -353,14 +364,12 @@ def parse_midi(source: Union[str, bytes],
             elif ev.a in (7, 11):
                 (cc7 if ev.a == 7 else cc11)[ch] = ev.b
                 gain = (cc7[ch] / 127.0) * (cc11[ch] / 127.0)
-                for st, t1 in _sounding(ch):
+                for _k, st, t1 in _sounding(ch):
                     _record(st, t1, 8, gain, 3)
             elif ev.a == 1:                        # mod wheel (vibrato)
                 cc1[ch] = ev.b
-                # CC1 and channel pressure both drive the vibrato depth;
-                # when both move, the stronger one wins (max merge rule)
-                for st, t1 in _sounding(ch):
-                    _record(st, t1, 9, max(ev.b, press[ch]) / 127.0, 6)
+                for k, st, t1 in _sounding(ch):
+                    _record(st, t1, 9, _depth(ch, k), 6)
             elif ev.a == 10:
                 cc10[ch] = ev.b
             elif ev.a == 101:                      # RPN select MSB
@@ -387,10 +396,20 @@ def parse_midi(source: Union[str, bytes],
             press[ch] = ev.a
             # GM-style: pressure deepens the vibrato exactly like CC1
             # (same curve machinery, same depth mapping), merged with the
-            # wheel by max — a pressure-free file records nothing here
-            # and stays bit-identical
-            for st, t1 in _sounding(ch):
-                _record(st, t1, 9, max(cc1[ch], ev.a) / 127.0, 6)
+            # wheel and poly pressure by max — a pressure-free file
+            # records nothing here and stays bit-identical
+            for k, st, t1 in _sounding(ch):
+                _record(st, t1, 9, _depth(ch, k), 6)
+        elif ev.kind == "ppress":                  # poly aftertouch (0xA0)
+            ch = ev.channel
+            key = (ch, ev.a)
+            ppress[key] = ev.b
+            # per-NOTE pressure: only the keyed note's depth curve moves
+            # (open, pedal-held, or still ringing); other notes on the
+            # channel are untouched
+            for k, st, t1 in _sounding(ch):
+                if k == key:
+                    _record(st, t1, 9, _depth(ch, k), 6)
         elif ev.kind == "bend":
             ch = ev.channel
             bend14[ch] = ev.b
@@ -399,13 +418,16 @@ def parse_midi(source: Union[str, bytes],
             # whatever rings), with the RPN bend range in effect NOW
             semis_now = (range_msb[ch] + range_lsb[ch] / 100.0)
             val = ev.b / 8192.0 * semis_now
-            for st, t1 in _sounding(ch):
+            for _k, st, t1 in _sounding(ch):
                 _record(st, t1, 7, val, 5)
         elif ev.kind == "on":
             key = (ev.channel, ev.a)
             held = sustained.pop(key, None)
             if held is not None:                   # pedal retrigger
                 _close(key, held, sec)
+            # a new note instance starts poly-pressure-free (0xA0 events
+            # describe THIS key press, not the next one)
+            ppress.pop(key, None)
             pan = cc10[ev.channel]
             notes_pan = None if pan is None \
                 else max(-1.0, min(1.0, (pan - 64) / 63.0))
@@ -413,8 +435,7 @@ def parse_midi(source: Union[str, bytes],
             semis = range_msb[ev.channel] + range_lsb[ev.channel] / 100.0
             bend = bend14[ev.channel] / 8192.0 * semis
             open_notes[key] = (sec, ev.b, programs[ev.channel], vol,
-                               notes_pan, bend,
-                               max(cc1[ev.channel], press[ev.channel]) / 127.0,
+                               notes_pan, bend, _depth(ev.channel, key),
                                [], [], [])
         elif ev.kind == "off":
             key = (ev.channel, ev.a)
@@ -563,18 +584,28 @@ def midi_to_voices(notes: Sequence[MidiNote],
 
 def render_midi(source: Union[str, bytes],
                 instruments: Optional[Dict[int, SynthDef]] = None,
-                samplerate: int = 0, tail_seconds: float = 0.3) -> Sample:
-    """Render a MIDI file to a stereo Sample in one batched bank render."""
+                samplerate: int = 0, tail_seconds: float = 0.3,
+                mesh=None) -> Sample:
+    """Render a MIDI file to a stereo Sample in one batched bank render.
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``) the voice axis shards
+    over the devices like ``Song.mix(mesh=)`` — each device renders its
+    local voices (including the continuous bend / CC7+CC11 / CC1+pressure
+    curve closed forms) and one f32 ``psum`` per chunk merges the stereo
+    partials; output matches the single-device render within 1 LSB
+    (cross-shard f32 summation order, quantized once)."""
     return render_notes(
         parse_midi(source, release_grace=release_grace_for(instruments)),
-        instruments, samplerate, tail_seconds)
+        instruments, samplerate, tail_seconds, mesh=mesh)
 
 
 def render_notes(notes: Sequence[MidiNote],
                  instruments: Optional[Dict[int, SynthDef]] = None,
-                 samplerate: int = 0, tail_seconds: float = 0.3) -> Sample:
+                 samplerate: int = 0, tail_seconds: float = 0.3,
+                 mesh=None) -> Sample:
     """Render pre-parsed note events (callers that already ran
-    ``parse_midi`` — e.g. to validate duration — avoid a second parse)."""
+    ``parse_midi`` — e.g. to validate duration — avoid a second parse).
+    ``mesh``: see :func:`render_midi`."""
     sr = samplerate or params.norm_samplerate
     if not notes:
         return Sample.from_raw_frames(b"", 2, sr, 2)
@@ -583,6 +614,19 @@ def render_notes(notes: Sequence[MidiNote],
                      + max(v.duration - v.attack - v.decay, 0.0)
                      + v.release) * sr) + 1 for v in voices)
     total += int(tail_seconds * sr)
+    if mesh is not None:
+        import jax.numpy as jnp
+        from .parallel.mesh import render_song_sharded, song_synth_shards
+        vp, uw, ufm, ugl, ub, ua, ud = song_synth_shards(
+            voices, sr, mesh, num_harmonics=8)
+        stereo = render_song_sharded(
+            vp, total, sr, chunk_frames=8192, num_harmonics=8, mesh=mesh,
+            used_waves=uw, use_fm=ufm, use_glide=ugl, use_bend=ub,
+            use_amp=ua, use_dmod=ud)
+        # same quantization as VoiceBank.to_int16
+        out16 = jnp.clip(jnp.rint(stereo * jnp.float32(32767.0)),
+                         -32768, 32767).astype(jnp.int16)
+        return Sample.from_jax(out16, sr, 2, name="midi")
     vp, layout = pack_voices(voices, sr, num_harmonics=8, sort_by_wave=True)
     bank = VoiceBank.for_voices(voices, sr, num_harmonics=8, layout=layout,
                                 nvoices=layout.nvoices)
@@ -607,15 +651,18 @@ def write_midi(notes: Sequence[MidiNote], division: int = 480,
                bpm: float = 120.0,
                bends: Sequence[Tuple[float, int, int]] = (),
                controls: Sequence[Tuple[float, int, int, int]] = (),
-               pressures: Sequence[Tuple[float, int, int]] = ()) -> bytes:
+               pressures: Sequence[Tuple[float, int, int]] = (),
+               poly_pressures: Sequence[Tuple[float, int, int, int]] = ()
+               ) -> bytes:
     """Serialize note events to a format-0 SMF byte string.
 
     ``bends``: (seconds, channel, signed 14-bit value -8192..8191) wheel
     events; ``controls``: (seconds, channel, controller, value) CC events;
     ``pressures``: (seconds, channel, value 0..127) channel-pressure
-    (0xD0 aftertouch) events.  Controller/bend/pressure events at the
-    same tick as a note-on are written BEFORE it (they describe the
-    state the note starts in)."""
+    (0xD0 aftertouch) events; ``poly_pressures``: (seconds, channel,
+    note, value 0..127) per-note key-pressure (0xA0) events.
+    Controller/bend/pressure events at the same tick as a note-on are
+    written BEFORE it (they describe the state the note starts in)."""
     us_per_quarter = int(round(60e6 / bpm))
     sec_per_tick = us_per_quarter / 1e6 / division
 
@@ -631,6 +678,9 @@ def write_midi(notes: Sequence[MidiNote], division: int = 480,
         moments.append((int(round(sec / sec_per_tick)), 1, "cc", (ch, cc, value)))
     for sec, ch, value in pressures:
         moments.append((int(round(sec / sec_per_tick)), 1, "press", (ch, value)))
+    for sec, ch, note, value in poly_pressures:
+        moments.append((int(round(sec / sec_per_tick)), 1, "ppress",
+                        (ch, note, value)))
     moments.sort(key=lambda m: (m[0], m[1]))
 
     track = io.BytesIO()
@@ -652,6 +702,10 @@ def write_midi(notes: Sequence[MidiNote], division: int = 480,
         elif kind == "press":
             ch, value = payload
             track.write(bytes([0xD0 | (ch & 0x0F), value & 0x7F]))
+        elif kind == "ppress":
+            ch, note, value = payload
+            track.write(bytes([0xA0 | (ch & 0x0F), note & 0x7F,
+                               value & 0x7F]))
         else:
             ch, cc, value = payload
             track.write(bytes([0xB0 | (ch & 0x0F), cc & 0x7F, value & 0x7F]))

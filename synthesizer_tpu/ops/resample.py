@@ -456,18 +456,32 @@ def hq_resample(x: jax.Array, L: int, M: int, nout: int) -> jax.Array:
     return to_int_samples(y, width)
 
 
+#: Streaming conv blocks are padded up to a multiple of this many output
+#: rows (of L legs each).  XLA regroups a conv's window reduction when
+#: the spatial extent is tiny (measured in round 4: 1 LSB vs offline on
+#: heavy downsampling at chunk size 1, where mcount=1 made the conv
+#: input Kw-wide); padding every block to >= 32 strides keeps the
+#: streaming conv in the same large-spatial regime as the offline op, so
+#: the per-output reduction order matches and streaming == offline
+#: BIT-EXACTLY at every chunk size (tests/test_hq_streaming.py pins
+#: bit-identity at chunks {1, 7, 160, 997, 1470, 65536}).  Cost bound:
+#: <= MB-1 discarded rows per block (at most 2x work at chunk size 1 —
+#: the pathological case; steady streams with chunk >> M*MB pad < 3%).
+HQ_STREAM_BLOCK = 32
+
+
 @functools.partial(jax.jit,
                    static_argnames=("L", "M", "mcount", "width", "hmax"))
 def _hq_stream_kernel(hist: jax.Array, chunk: jax.Array, start: jax.Array,
                       *, L: int, M: int, mcount: int, width: int, hmax: int):
     """One streaming hq block: the SAME conv kernel row and Kw-wide
-    window per output as the offline ``hq_resample``, so every emitted
-    output is the same f32 dot — up to XLA's window-reduction order,
-    which may regroup with the conv input length (measured: bit-identical
-    at practical chunk sizes; 1 LSB on heavy downsampling at chunk size
-    1).  The pinned contract is therefore the offline op's own budget:
-    <= 1 LSB (width 2) of the f64 oracle at ANY chunking
-    (tests/test_hq_streaming.py).
+    window per output as the offline ``hq_resample``; callers pad
+    ``mcount`` to a multiple of ``HQ_STREAM_BLOCK`` so the conv's
+    spatial extent never enters the tiny-shape regime where XLA's
+    window-reduction grouping diverges from the offline op — making
+    every emitted output the bit-identical f32 dot (the rows past the
+    caller's valid range read zero-flank future input and are
+    discarded).
 
     ``hist`` is the fixed-size device history ring (global input frames
     ``[n0-hmax, n0)``, zero rows for negative indices), ``chunk`` the new
@@ -497,10 +511,10 @@ def _hq_stream_kernel(hist: jax.Array, chunk: jax.Array, start: jax.Array,
 
 class StreamingHQResampler:
     """Chunked twin of ``hq_resample``: push arbitrary-size chunks, get
-    windowed-sinc resampled output within the offline op's own <= 1 LSB
-    (width 2) oracle budget at any chunking — same conv kernel, same
-    per-output window (see ``_hq_stream_kernel``) — with the signal
-    staying on device.
+    windowed-sinc resampled output BIT-IDENTICAL to the offline op at
+    every chunk size — same conv kernel, same per-output window, blocks
+    padded to ``HQ_STREAM_BLOCK`` strides (see ``_hq_stream_kernel``) —
+    with the signal staying on device.
 
     The output phase is a pure function of the global output index
     (``y[j]`` reads input anchor ``k0_j = (j*M + C) // L`` back through
@@ -565,10 +579,17 @@ class StreamingHQResampler:
             buf = jnp.concatenate([self.hist, chunk], axis=0)
             self.hist = buf[buf.shape[0] - self.hmax:]
             return self.hist[:0], 0
+        # pad the block to the bit-identity floor (HQ_STREAM_BLOCK doc);
+        # the padded rows read zero-flank future input and are discarded
+        mcount = -(-mcount // HQ_STREAM_BLOCK) * HQ_STREAM_BLOCK
         istart = (jA // self.L) * self.M - self._pl
         assert istart >= n0 - self.hmax, "history ring bound violated"
         W = (mcount - 1) * self.M + self._kw
         start = istart - (n0 - self.hmax - W)
+        # dynamic_slice CLAMPS an out-of-range start silently — prove the
+        # padded window sits inside the zero-flanked concat instead
+        assert 0 <= start and start + W <= 3 * W + self.hmax + \
+            int(chunk.shape[0]), "hq stream window outside zero flanks"
         y, self.hist = _hq_stream_kernel(
             self.hist, chunk, jnp.int32(start), L=self.L, M=self.M,
             mcount=mcount, width=self.width, hmax=self.hmax)

@@ -93,15 +93,22 @@ def _any_glide(voices) -> bool:
 def song_synth_shards(voices, samplerate: int, mesh: Mesh,
                       num_harmonics: int = 8):
     """Pack a song's synth voices for the mesh: (sharded VoiceParams,
-    used_waves, use_fm, use_glide).  One place owns the padding rule and the
-    compiled-waveform-set derivation for every sharded song path."""
+    used_waves, use_fm, use_glide, use_bend, use_amp, use_dmod).  One
+    place owns the padding rule and the compiled-waveform-set/flag
+    derivation for every sharded voice path (ini songs AND MIDI renders —
+    the curve flags carry continuous MIDI bend / CC7+CC11 / CC1+pressure
+    depth curves onto the mesh)."""
     from ..models.voicebank import WAVE_IDS, pack_voices
     vp = pack_voices(voices, samplerate, num_harmonics=num_harmonics,
                      pad_to=int(mesh.devices.size))
     used = tuple(sorted({WAVE_IDS[v.wave] for v in voices}))
     use_fm = any(v.fm_depth != 0.0 for v in voices)
     use_glide = _any_glide(voices)
-    return shard_voice_params(vp, mesh), used, use_fm, use_glide
+    use_bend = any(v.pitch_curve for v in voices)
+    use_amp = any(v.amp_curve for v in voices)
+    use_dmod = any(v.fm_depth_curve for v in voices)
+    return (shard_voice_params(vp, mesh), used, use_fm, use_glide,
+            use_bend, use_amp, use_dmod)
 
 
 def song_synth_shards_grouped(voices, vtracks, fx_tracks, samplerate: int,
@@ -192,11 +199,14 @@ def render_chunk_grouped_sharded_fn(mesh: Mesh, chunk_frames: int,
 
 def render_chunk_sharded_fn(mesh: Mesh, chunk_frames: int, samplerate: int,
                             num_harmonics: int, used_waves: tuple,
-                            use_fm: bool, use_glide: bool = False):
+                            use_fm: bool, use_glide: bool = False,
+                            use_bend: bool = False, use_amp: bool = False,
+                            use_dmod: bool = False):
     """Jitted (vp_shard, c0) -> psum'ed stereo chunk over the mesh (the
-    streaming counterpart of :func:`render_song_sharded`'s scan body)."""
+    streaming counterpart of :func:`render_song_sharded`'s scan body;
+    same static curve flags — keep the two in lockstep)."""
     key = ("chunk", mesh, chunk_frames, samplerate, num_harmonics,
-           used_waves, use_fm, use_glide)
+           used_waves, use_fm, use_glide, use_bend, use_amp, use_dmod)
     fn = _sharded_fn_cache.get(key)
     if fn is None:
         @jax.jit
@@ -205,7 +215,9 @@ def render_chunk_sharded_fn(mesh: Mesh, chunk_frames: int, samplerate: int,
         def fn(vp_shard: VoiceParams, c0) -> jax.Array:
             stereo = render_block(vp_shard, c0, chunk_frames, samplerate,
                                   num_harmonics, used_waves=used_waves,
-                                  use_fm=use_fm, use_glide=use_glide)
+                                  use_fm=use_fm, use_glide=use_glide,
+                                  use_bend=use_bend, use_amp=use_amp,
+                                  use_dmod=use_dmod)
             return jax.lax.psum(stereo, AXIS)
         _sharded_fn_cache[key] = fn
     return fn
@@ -217,14 +229,21 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
                         mesh: Optional[Mesh] = None,
                         used_waves: tuple = ALL_WAVES,
                         use_fm: bool = True,
-                        use_glide: bool = False) -> jax.Array:
+                        use_glide: bool = False,
+                        use_bend: bool = False,
+                        use_amp: bool = False,
+                        use_dmod: bool = False) -> jax.Array:
     """Offline mixdown with the voice axis sharded over the mesh.
 
     Each device scans the song's chunks over its local voice shard; the
     stereo partial mixes are psum'ed across the mesh.  Output is replicated
     f32 [total_frames, 2] and matches the single-device render (up to f32
     summation order across shards).  ``used_waves``/``use_fm`` restrict the
-    compiled waveform set (compile time + per-sample work).
+    compiled waveform set (compile time + per-sample work);
+    ``use_bend``/``use_amp``/``use_dmod`` enable the per-voice pitch/
+    amplitude/FM-depth curve segments (continuous MIDI bend, CC7/CC11,
+    CC1+pressure vibrato) — static flags like the single-device bank's, so
+    curve-free songs keep their exact pre-curve HLO.
     """
     if mesh is None:
         mesh = voice_mesh()
@@ -237,7 +256,7 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
     vp = shard_voice_params(vp, mesh)
 
     key = ("song", mesh, nchunks, chunk_frames, samplerate, num_harmonics,
-           used_waves, use_fm, use_glide)
+           used_waves, use_fm, use_glide, use_bend, use_amp, use_dmod)
     run = _sharded_fn_cache.get(key)
     if run is None:
         @jax.jit
@@ -249,7 +268,8 @@ def render_song_sharded(vp: VoiceParams, total_frames: int,
                 stereo = render_block(vp_shard, i * chunk_frames, chunk_frames,
                                       samplerate, num_harmonics,
                                       used_waves=used_waves, use_fm=use_fm,
-                                      use_glide=use_glide)
+                                      use_glide=use_glide, use_bend=use_bend,
+                                      use_amp=use_amp, use_dmod=use_dmod)
                 return 0, jax.lax.psum(stereo, AXIS)
             _, out = jax.lax.scan(body, 0, jnp.arange(nchunks, dtype=jnp.int32))
             return out.reshape(-1, 2)

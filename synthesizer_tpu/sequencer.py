@@ -1735,12 +1735,12 @@ class Song:
             elif mesh is not None:
                 from .parallel.mesh import (render_song_sharded,
                                             song_synth_shards)
-                vp, uw, ufm, ugl = song_synth_shards(
+                vp, uw, ufm, ugl, ub, ua, ud = song_synth_shards(
                     voices, self.samplerate, mesh)
                 stereo = render_song_sharded(
                     vp, total, self.samplerate, chunk_frames=32768,
                     num_harmonics=8, mesh=mesh, used_waves=uw, use_fm=ufm,
-                    use_glide=ugl)
+                    use_glide=ugl, use_bend=ub, use_amp=ua, use_dmod=ud)
                 out32 = out32 + jnp.rint(
                     stereo * jnp.float32(32767.0)).astype(jnp.int32)
             elif fx_tracks:
@@ -2056,10 +2056,11 @@ class Song:
             elif mesh is not None:
                 from .parallel.mesh import (render_chunk_sharded_fn,
                                             song_synth_shards)
-                svp, uw, ufm, ugl = song_synth_shards(
+                svp, uw, ufm, ugl, ub, ua, ud = song_synth_shards(
                     voices, self.samplerate, mesh)
                 synth_chunk_fn = render_chunk_sharded_fn(
-                    mesh, cf, self.samplerate, 8, uw, ufm, use_glide=ugl)
+                    mesh, cf, self.samplerate, 8, uw, ufm, use_glide=ugl,
+                    use_bend=ub, use_amp=ua, use_dmod=ud)
             else:
                 sbank, svp = self._synth_bank(voices, chunk_frames=cf)
                 synth_chunk_fn = None

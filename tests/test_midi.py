@@ -660,6 +660,79 @@ def test_pressure_free_file_bit_identical():
         [x[1] for x in a.fm_depth_curve][:2]
 
 
+def test_poly_aftertouch_targets_only_its_note():
+    # 0xA0 is per-NOTE pressure: a sweep on one key moves only that
+    # note's depth curve; the other concurrent note on the channel is
+    # untouched (stays curve-free)
+    notes = [MidiNote(0.0, 1.0, 60, 100, 0), MidiNote(0.0, 1.0, 67, 100, 0)]
+    pps = [(0.25, 0, 60, 40), (0.5, 0, 60, 90), (0.75, 0, 60, 127)]
+    parsed = {n.note: n for n in parse_midi(write_midi(notes,
+                                                       poly_pressures=pps))}
+    n60, n67 = parsed[60], parsed[67]
+    assert n60.mod_curve is not None
+    assert [round(v * 127) for _, v in n60.mod_curve] == [0, 40, 90, 127]
+    assert n67.mod == 0.0 and n67.mod_curve is None
+    v60 = midi_to_voices([n60])[0]
+    assert v60.fm_depth_curve
+
+
+def test_poly_aftertouch_merges_with_channel_controllers():
+    # the keyed note's depth = max(CC1, channel pressure, its own 0xA0);
+    # the un-keyed note sees only the channel-wide controllers
+    notes = [MidiNote(0.0, 1.0, 60, 100, 0), MidiNote(0.0, 1.0, 67, 100, 0)]
+    data = write_midi(
+        notes,
+        controls=[(0.2, 0, 1, 50)],           # CC1 -> both notes: 50
+        poly_pressures=[(0.4, 0, 60, 90),     # key 60 only: max(50,90)=90
+                        (0.8, 0, 60, 20)],    # key 60: max(50,70,20)=70
+        pressures=[(0.6, 0, 70)])             # ch-wide: 60 records
+    #                                           max(50,70,90)=90, 67
+    #                                           records max(50,70)=70
+    parsed = {n.note: n for n in parse_midi(data)}
+    assert [round(v * 127) for _, v in parsed[60].mod_curve] == \
+        [0, 50, 90, 90, 70]
+    assert [round(v * 127) for _, v in parsed[67].mod_curve] == [0, 50, 70]
+
+
+def test_poly_aftertouch_resets_at_note_on():
+    # a new instance of the same key starts poly-pressure-free: the
+    # first note's 0xA0 must not leak into the retriggered note
+    notes = [MidiNote(0.0, 0.4, 60, 100, 0), MidiNote(0.6, 0.4, 60, 100, 0)]
+    data = write_midi(notes, poly_pressures=[(0.2, 0, 60, 120)])
+    # release grace: the 0xA0 at 0.2 reaches only the first instance
+    a, b = sorted(parse_midi(data), key=lambda n: n.start)
+    assert a.mod_curve is not None and a.mod == 0.0
+    assert b.mod == 0.0 and b.mod_curve is None
+
+
+def test_poly_aftertouch_zero_is_identity():
+    # a zero-value 0xA0 event is inert under the max merge (the analog
+    # of test_pressure_free_file_bit_identical for the poly path)
+    note = MidiNote(0.0, 0.5, 64, 90, 0)
+    ccs = [(0.2, 0, 1, 70)]
+    v_plain = midi_to_voices(parse_midi(write_midi([note], controls=ccs)))
+    v_zero = midi_to_voices(parse_midi(write_midi(
+        [note], controls=ccs, poly_pressures=[(0.3, 0, 64, 0)])))
+    a, b = v_plain[0], v_zero[0]
+    assert a.fm_depth == b.fm_depth
+    assert [x[1] for x in b.fm_depth_curve][:2] == \
+        [x[1] for x in a.fm_depth_curve][:2]
+
+
+def test_poly_aftertouch_renders():
+    # end-to-end: a poly-AT sweep renders through the per-voice depth
+    # curve engine (nonzero audio, modulated voice)
+    from synthesizer_tpu.midi import render_midi
+    sd = SynthDef(wave="sine", amplitude=0.4, attack=0.005, decay=0.02,
+                  sustain_level=0.8, release=0.05)
+    notes = [MidiNote(0.0, 0.5, 60, 100, 0), MidiNote(0.0, 0.5, 67, 100, 0)]
+    data = write_midi(notes, poly_pressures=[(0.1, 0, 60, 30),
+                                             (0.3, 0, 60, 127)])
+    s = render_midi(data, instruments={0: sd}, samplerate=SR)
+    out = np.frombuffer(s.view_frame_data(), np.int16)
+    assert np.abs(out.astype(np.int64)).max() > 1000
+
+
 def test_cc1_ignored_on_percussion_and_fm_instruments():
     # percussion channel: no vibrato; an instrument with its own FM keeps
     # its patch modulator (CC1 must not silently replace it)

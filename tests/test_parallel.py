@@ -102,6 +102,34 @@ def test_song_streaming_sharded_equals_offline():
     np.testing.assert_array_equal(got, offline[k:k + len(got)])
 
 
+def test_midi_render_sharded_matches_single_device():
+    """render_midi(mesh=) shards the voice axis — including continuous
+    bend, CC7/CC11 gain, and CC1+pressure depth curves (VERDICT r4 #7) —
+    and matches the single-device render within 1 LSB (one f32 psum,
+    quantized once)."""
+    from synthesizer_tpu.midi import MidiNote, render_midi, write_midi
+    from synthesizer_tpu.sequencer import SynthDef
+    sd = SynthDef(wave="sine", amplitude=0.4, attack=0.005, decay=0.02,
+                  sustain_level=0.8, release=0.05)
+    notes = [MidiNote(0.02 * i, 0.25, 52 + 3 * i, 90 + i, 0)
+             for i in range(10)]
+    data = write_midi(
+        notes,
+        bends=[(0.05, 0, 0), (0.15, 0, 4096), (0.25, 0, 8191)],
+        controls=[(0.1, 0, 1, 30), (0.2, 0, 1, 100),      # CC1 sweep
+                  (0.12, 0, 11, 90), (0.22, 0, 11, 40)],  # CC11 fade
+        pressures=[(0.18, 0, 80)])
+    single = render_midi(data, instruments={0: sd}, samplerate=SR)
+    mesh = voice_mesh(8)
+    sharded = render_midi(data, instruments={0: sd}, samplerate=SR,
+                          mesh=mesh)
+    a = single.get_frame_array().astype(np.int64)
+    b = sharded.get_frame_array().astype(np.int64)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 1
+    assert np.abs(a).max() > 1000       # actually rendered something
+
+
 def test_graft_entry_compiles():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
