@@ -645,6 +645,27 @@ def section_effects(SR):
                - gold.chorus(**kw).frames.astype(np.int64)).max()
     check("fx/chorus", d <= 2, f"max {d} LSB")
 
+    # round-5 banded chorus: inputs >= 16384 frames route to the
+    # host-block-planned banded form (BASELINE.md round-5 chorus escape,
+    # ops.coeffs.chorus_block_plan).  Prove ON CHIP that the banded
+    # program is bit-compatible with the pair-gather form (the identical
+    # two-term f32 lerp must survive XLA's TPU lowering of both shapes)
+    # and holds the same goldref budget.
+    from synthesizer_tpu.ops import effects as _dfx
+    ab = rng.integers(-15000, 15000, size=(SR, 2)).astype(np.int16)
+    kwb = dict(rate=1.5, depth=0.003, delay=0.015, voices=3,
+               wet=0.4, dry=1.0)
+    banded = np.asarray(_dfx.chorus(jnp.asarray(ab), SR, **kwb))
+    gathered = np.asarray(_dfx.to_int_samples(_dfx.chorus_core(
+        _dfx._norm(jnp.asarray(ab)), jnp.int32(0),
+        jnp.zeros((0, 2), jnp.float32), SR, kwb["rate"], kwb["depth"],
+        kwb["delay"], kwb["voices"], kwb["wet"], kwb["dry"]), 2))
+    dvb = np.abs(banded.astype(np.int64) - gathered.astype(np.int64)).max()
+    check("fx/chorus_banded_vs_gather", dvb == 0, f"max {dvb} LSB (1 s)")
+    gref = gs.Sample(ab.copy(), SR, 2, 2).chorus(**kwb).frames
+    dgb = np.abs(banded.astype(np.int64) - gref.astype(np.int64)).max()
+    check("fx/chorus_banded_vs_oracle", dgb <= 2, f"max {dgb} LSB")
+
     gold, dev = pair()
     ir = (rng.normal(0, 0.2, size=300)
           * np.exp(-np.arange(300) / 75.0) * 20000).astype(np.int16)[:, None]

@@ -28,7 +28,7 @@ __all__ = [
     "COMB_TUNING", "ALLPASS_TUNING", "STEREO_SPREAD",
     "stretch_grid", "grain_grid", "noise_u32",
     "curve_grid", "compressor_coeff_grids", "reverb_feedback_grid",
-    "chorus_inc_grid", "chorus_phase_grid",
+    "chorus_inc_grid", "chorus_phase_grid", "chorus_block_plan",
     "phaser_coeff_grids", "phaser_coeff_grids_swept", "echo_tail_frames",
     "tremolo_gain_grid", "autopan_pan_grid", "static_phase",
 ]
@@ -99,6 +99,73 @@ def chorus_phase_grid(inc: np.ndarray, p_carry: int):
          & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     new_carry = int((p_carry + int(inc.sum())) & 0xFFFFFFFF)
     return P, new_carry
+
+
+def chorus_block_plan(n: int, samplerate: int, rate: float, depth: float,
+                      delay: float, voices: int, nch: int,
+                      target_taps: int = 12):
+    """Host-side blocking plan for the BANDED offline chorus
+    (ops.effects.chorus): the static-knob LFO delay curve is a pure host
+    function of the absolute frame index (the same property that freed
+    the phase-vocoder windows — BASELINE.md "Gather-tier roofline"), so
+    per-block window starts are TRACE-TIME CONSTANTS and the per-frame
+    modulated gather disappears entirely.
+
+    Within a block of G frames the LFO moves the delay by at most
+    ``depth*pi*rate*G`` frames, so G is sized to keep the per-block
+    integer-delay spread near ``target_taps``; the device then reads one
+    host-anchored window per block (a ~n/G-row sliced gather — hundreds
+    of rows, far below any gather roofline) and reduces K+2 static tap
+    slices with exact one-hot lerp weights.
+
+    The host mirrors the device delay curve (goldref.effects
+    .chorus_delay_f32 spec: exact wrapped-u32 DDS phase, f32 curve
+    arithmetic) with np.sin in f64 where the device uses the turn-unit
+    minimax poly (max err 7.8e-7), so block bounds carry a conservative
+    margin that covers the poly error and every f32 rounding gap.
+
+    Returns ``(G, K, nb, pad0, padtot, starts, dfmax)`` — ``starts`` and
+    ``dfmax`` are ``[nch*voices, nb]`` i32 (row order ch-major like the
+    device loop), starts already shifted by ``pad0``; the device signal
+    must be zero-padded to ``pad0 + n + (padtot - pad0 - n)`` rows.
+    """
+    # in-block delay spread <= depth*sr * (pi*rate/sr) * G frames; size G
+    # so it stays near target_taps, pow2-clamped (small G wastes window
+    # rows, huge G re-grows the static tap count)
+    move_per_frame = depth * math.pi * max(rate, 1e-9)
+    G = 1 << int(np.clip(
+        np.log2(max(target_taps / max(move_per_frame, 1e-12), 1.0)), 9, 14))
+    nb = -(-n // G)
+    # device-vs-host curve gap: turn-unit poly error (7.8e-7 of depth*sr)
+    # + f32 rounding; 0.01 frames covers both with orders of headroom
+    margin = 0.01 + depth * samplerate * 2e-6
+    inc = int(round(rate / samplerate * 4294967296.0)) & 0xFFFFFFFF
+    idx = np.arange(nb * G, dtype=np.uint64)
+    bidx = np.arange(nb, dtype=np.int64) * G
+    starts = np.empty((nch * voices, nb), np.int64)
+    dfmax = np.empty((nch * voices, nb), np.int64)
+    K = 0
+    for ch in range(nch):
+        for v in range(voices):
+            phi = (v / voices + 0.25 * ch) % 1.0
+            phase0 = int(round(phi * 4294967296.0)) & 0xFFFFFFFF
+            p = (np.uint64(phase0) + idx * np.uint64(inc)) \
+                & np.uint64(0xFFFFFFFF)
+            x = p.astype(np.float32).astype(np.float64) * 2.0 ** -32
+            d = (np.float64(np.float32(delay))
+                 + np.float64(np.float32(depth))
+                 * (0.5 + 0.5 * np.sin(2.0 * np.pi * x))) * samplerate
+            blk = d.reshape(nb, G)
+            row = ch * voices + v
+            dfmax[row] = np.floor(blk.max(axis=1) + margin).astype(np.int64)
+            dfmin_b = np.floor(blk.min(axis=1) - margin).astype(np.int64)
+            K = max(K, int((dfmax[row] - dfmin_b).max()))
+            starts[row] = bidx - dfmax[row] - 1
+    pad0 = int(max(0, -starts.min()))
+    starts += pad0
+    padtot = int(max(pad0 + n, int(starts.max()) + G + K + 2))
+    return (G, K, nb, pad0, padtot,
+            starts.astype(np.int32), dfmax.astype(np.int32))
 
 
 # ---------------------------------------------------------------------------

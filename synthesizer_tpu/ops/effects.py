@@ -805,13 +805,72 @@ def chorus_core(s: jax.Array, n0, hist: jax.Array, samplerate: int, rate,
 def chorus(frames: jax.Array, samplerate: int, rate: float, depth: float,
            delay: float, voices: int, wet: float, dry: float) -> jax.Array:
     """Multi-voice modulated fractional delay; spec and tolerance:
-    goldref.effects.chorus."""
+    goldref.effects.chorus.
+
+    Offline knobs are STATIC, which makes the LFO delay curve a pure
+    host function of the absolute frame index — the same property that
+    freed the phase-vocoder windows from the gather tier (BASELINE.md
+    "Gather-tier roofline", round-4 stretch escape).  The round-5 banded
+    form exploits it: the host plans per-block window starts
+    (ops.coeffs.chorus_block_plan), the device reads ~n/G anchored
+    window rows (a few-hundred-row sliced gather, far below any gather
+    roofline) and reduces K+2 STATIC tap slices with exact one-hot lerp
+    weights — the per-frame modulated pair gather (15.9 M index rows per
+    60 s render, the round-4 roofline) is GONE.  Arithmetic per output
+    is the identical two-term f32 lerp in the identical order, so the
+    banded path is bit-compatible with the gather form (pinned by
+    tests/test_effects.py) and holds the same goldref budget."""
     width = dpcm.width_of(frames)
-    nch = frames.shape[1]
-    out = chorus_core(_norm(frames), jnp.int32(0),
-                      jnp.zeros((0, nch), jnp.float32), samplerate, rate,
-                      depth, delay, voices, wet, dry)
-    return to_int_samples(out, width)
+    n, nch = int(frames.shape[0]), int(frames.shape[1])
+    if (not isinstance(depth, (int, float))
+            or not isinstance(delay, (int, float))
+            or delay * samplerate < 1.0 or n < 16384):
+        # the host plan needs depth/delay as host scalars (a traced knob
+        # routes to the gather form); zero-delay edge (the banded window
+        # would read past the input; the gather path's clip defines the
+        # contract) and small inputs (plan overhead beats the gather win)
+        # keep the pair-gather form too
+        out = chorus_core(_norm(frames), jnp.int32(0),
+                          jnp.zeros((0, nch), jnp.float32), samplerate,
+                          rate, depth, delay, voices, wet, dry)
+        return to_int_samples(out, width)
+    from .coeffs import chorus_block_plan
+    G, K, nb, pad0, padtot, starts, dfmax = chorus_block_plan(
+        n, samplerate, rate, depth, delay, voices, nch)
+    s = _norm(frames)
+    dryv = jnp.asarray(dry, jnp.float32)
+    wv = jnp.asarray(wet, jnp.float32) / jnp.float32(voices)
+    W = G + K + 2
+    cols = []
+    for ch in range(nch):
+        # zero flanks: reads before frame 0 are the spec's zeros (the
+        # gather path's v0/v1 masks); reads past n-1 only feed outputs
+        # u >= n, which the final [:n] slice discards
+        sch = jnp.concatenate([
+            jnp.zeros((pad0,), jnp.float32), s[:, ch],
+            jnp.zeros((padtot - pad0 - n,), jnp.float32)])
+        acc = dryv * s[:, ch]
+        for v in range(voices):
+            d = _chorus_lfo_delay(jnp.int32(0), nb * G, samplerate, rate,
+                                  depth, delay, v, voices, ch)
+            df = jnp.floor(d)
+            fr = (d - df).reshape(nb, G)
+            one_m_fr = jnp.float32(1.0) - fr
+            # tap index of the x0 read (one frame older than x1): the
+            # window is anchored at dfmax_b + 1 frames of delay
+            k0 = (dfmax[ch * voices + v][:, None]
+                  - df.astype(jnp.int32).reshape(nb, G))
+            Z = jax.vmap(lambda s0: jax.lax.dynamic_slice(
+                sch, (s0,), (W,)))(jnp.asarray(starts[ch * voices + v]))
+            vacc = jnp.zeros((nb, G), jnp.float32)
+            for k in range(K + 2):
+                zk = jax.lax.slice(Z, (0, k), (nb, k + G))
+                w = (jnp.where(k0 == k, fr, jnp.float32(0.0))
+                     + jnp.where(k0 + 1 == k, one_m_fr, jnp.float32(0.0)))
+                vacc = vacc + w * zk
+            acc = acc + wv * vacc.reshape(-1)[:n]
+        cols.append(acc)
+    return to_int_samples(jnp.stack(cols, axis=1), width)
 
 
 # ---------------------------------------------------------------------------

@@ -311,10 +311,10 @@ def _x_reverb(x, st, dyn, leaves):
 
 
 def _x_chorus(x, st, dyn, leaves):
-    samplerate, rate, voices = st
+    samplerate, rate, depth, delay, voices = st
     from .ops import effects as dfx
-    return dfx.chorus(x, samplerate, rate, dyn[0], dyn[1], voices,
-                      dyn[2], dyn[3])
+    return dfx.chorus(x, samplerate, rate, depth, delay, voices,
+                      dyn[0], dyn[1])
 
 
 def _x_biquad(x, st, dyn, leaves):
@@ -1028,13 +1028,17 @@ class Sample:
     def chorus(self, rate: float = 0.5, depth: float = 0.002,
                delay: float = 0.02, voices: int = 3, wet: float = 0.4,
                dry: float = 1.0) -> "Sample":
-        """Multi-voice chorus (LFO-modulated fractional delays — pure
-        gathers on device).  Spec/tolerance: goldref.effects.chorus.
-        ``rate`` is static (its DDS increment needs the host's exact f64
-        round); the other knobs are dyn."""
+        """Multi-voice chorus (LFO-modulated fractional delays).
+        Spec/tolerance: goldref.effects.chorus.  ``rate`` is static (its
+        DDS increment needs the host's exact f64 round);
+        ``depth``/``delay`` are static too since round 5 — the host
+        block-plans the banded gather-free form from them
+        (ops.effects.chorus, 12x the pair-gather's throughput on chip;
+        a depth/delay tweak recompiles, wet/dry stay dyn)."""
         self._stage("chorus", static=(self._samplerate, float(rate),
+                                      float(depth), float(delay),
                                       int(voices)),
-                    dyn=(depth, delay, wet, dry))
+                    dyn=(wet, dry))
         return self
 
     def filter(self, kind: str, cutoff: float, q: float = 0.7071,

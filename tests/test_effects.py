@@ -137,6 +137,47 @@ def test_chorus_matches_oracle(rng, nch):
     check_lsb(g, d, 2)
 
 
+@pytest.mark.parametrize("nch,width", [(2, 2), (1, 2), (2, 4)])
+def test_chorus_banded_matches_oracle(rng, nch, width):
+    """Inputs >= 16384 frames route to the host-block-planned BANDED
+    form (ops.coeffs.chorus_block_plan — the round-5 gather escape):
+    same goldref budget as the gather form."""
+    gold, dev = make_pair(rng, n=30000, nch=nch, width=width)
+    kw = dict(rate=1.5, depth=0.003, delay=0.015, voices=3, wet=0.5,
+              dry=0.9)
+    check_lsb(gold.chorus(**kw), dev.chorus(**kw), 2, width=width)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(rate=0.5, depth=0.002, delay=0.02, voices=3, wet=0.4, dry=1.0),
+    dict(rate=3.0, depth=0.0005, delay=0.002, voices=2, wet=0.6, dry=0.6),
+    dict(rate=0.05, depth=0.004, delay=0.03, voices=4, wet=0.5, dry=0.8),
+])
+def test_chorus_banded_bit_compatible_with_gather(rng, kw):
+    """The banded path computes the IDENTICAL two-term f32 lerp in the
+    identical order as the pair-gather form — bit-identical output
+    (the round-5 contract; the battery re-proves it on chip)."""
+    import jax.numpy as jnp
+    n = 25000
+    x = rng.integers(-32768, 32768, size=(n, 2)).astype(np.int16)
+    banded = np.asarray(dfx.chorus(jnp.asarray(x), SR, kw["rate"],
+                                   kw["depth"], kw["delay"], kw["voices"],
+                                   kw["wet"], kw["dry"]))
+    gathered = np.asarray(dfx.to_int_samples(dfx.chorus_core(
+        dfx._norm(jnp.asarray(x)), jnp.int32(0),
+        jnp.zeros((0, 2), jnp.float32), SR, kw["rate"], kw["depth"],
+        kw["delay"], kw["voices"], kw["wet"], kw["dry"]), 2))
+    np.testing.assert_array_equal(banded, gathered)
+
+
+def test_chorus_small_and_zero_delay_route_to_gather(rng):
+    """Routing floor: tiny inputs and sub-frame delays keep the
+    pair-gather form (the clip at delay ~0 defines that contract)."""
+    gold, dev = make_pair(rng, n=4000)
+    kw = dict(rate=1.5, depth=0.003, delay=0.0, voices=2, wet=0.5, dry=0.9)
+    check_lsb(gold.chorus(**kw), dev.chorus(**kw), 2)
+
+
 def test_chorus_dry_only_is_identity(rng):
     gold, dev = make_pair(rng, n=1000, nch=1)
     out = dev.chorus(wet=0.0, dry=1.0).get_frame_array()
