@@ -37,6 +37,30 @@ def _f32(x) -> np.float32:
     return np.float32(x)
 
 
+def _bounded_ratio(outrate: int, inrate: int, maxterm: int):
+    """Best rational approximation (L, M) of outrate/inrate with both
+    terms <= maxterm (continued-fraction convergent) — the
+    speed(quality='hq') ratio-snapping spec.  If the reduced ratio
+    already fits, it is returned unchanged."""
+    from fractions import Fraction
+    if outrate < 1 or inrate < 1:
+        raise ValueError("rates must be positive")
+    g = math.gcd(int(inrate), int(outrate))
+    if max(inrate // g, outrate // g) <= maxterm:
+        return outrate // g, inrate // g
+    limit = min(maxterm, maxterm * inrate // outrate)
+    while limit >= 1:
+        f = Fraction(int(outrate), int(inrate)).limit_denominator(limit)
+        if f.numerator < 1:
+            break
+        if max(f.numerator, f.denominator) <= maxterm:
+            return f.numerator, f.denominator
+        limit -= 1
+    raise ValueError(
+        f"speed ratio {inrate}/{outrate} is beyond the {maxterm}x range "
+        f"of the quality='hq' polyphase bank")
+
+
 def _floor_clamp(v_f32: np.ndarray, width: int) -> np.ndarray:
     v = np.floor(v_f32.astype(np.float64))
     return np.clip(v, MINVAL[width], MAXVAL[width]).astype(_DTYPES[width])
@@ -554,14 +578,24 @@ class Sample:
 
     def speed(self, speed: float, quality: str = "linear") -> "Sample":
         """Change playback speed (and pitch): resample from rate*speed to
-        rate, keeping the sample's samplerate metadata."""
+        rate, keeping the sample's samplerate metadata.
+
+        quality='hq' SPEC: the int(samplerate*speed)/samplerate ratio
+        snaps to its nearest rational with both terms <= 2048
+        (continued-fraction best approximation, _bounded_ratio below) —
+        the polyphase bank is L phases of a finite sinc, so unreduced
+        semitone-style ratios (e.g. 46723/44100) must land on a bounded
+        ratio; the approximation's pitch error (micro-cents in the
+        musical range, pinned in tests/test_hq_resample.py) is orders
+        below the int() truncation this API has always applied."""
         if speed == 1.0:
             return self
         if quality == "hq":
             from . import effects
+            L, M = _bounded_ratio(self.samplerate,
+                                  int(self.samplerate * speed), 2048)
             self.frames = effects.hq_resample(self.frames, self.samplewidth,
-                                              int(self.samplerate * speed),
-                                              self.samplerate)
+                                              M, L)
         elif quality == "linear":
             frag, _ = pcm.ratecv(self.view_frame_data(), self.samplewidth,
                                  self.nchannels, int(self.samplerate * speed),

@@ -263,11 +263,14 @@ def parse_midi(source: Union[str, bytes],
     cc10: List[Optional[int]] = [None] * 16   # pan (None = never sent)
     cc1 = [0] * 16              # mod wheel (vibrato)
     press = [0] * 16            # channel pressure (GM: vibrato, like CC1)
-    #: (ch, note) -> poly aftertouch (0xA0) value: per-NOTE pressure,
-    #: merged into that note's vibrato depth alongside the channel-wide
-    #: CC1/pressure (reset at note-on — a new note instance starts
-    #: pressure-free)
-    ppress: Dict[Tuple[int, int], int] = {}
+    #: (ch, note) -> (poly aftertouch (0xA0) value, event seconds):
+    #: per-NOTE pressure, merged into that note's vibrato depth alongside
+    #: the channel-wide CC1/pressure.  Reset at note-on — a new note
+    #: instance starts pressure-free — EXCEPT a pressure event at the
+    #: note-on's own moment: write_midi orders same-tick controllers
+    #: before the on ("the state the note starts in"), so only STRICTLY
+    #: OLDER stored values are stale (the event time disambiguates)
+    ppress: Dict[Tuple[int, int], Tuple[int, float]] = {}
     pedal = [False] * 16
     bend14 = [0] * 16           # signed 14-bit wheel position (-8192..8191)
     # RPN 0,0 (pitch-bend sensitivity): GM default ±2 semitones; CC6/CC38
@@ -323,7 +326,7 @@ def parse_midi(source: Union[str, bytes],
         # pressure (0xD0) with its OWN poly aftertouch (0xA0): all three
         # are depth controllers, the strongest one wins (max preserves
         # whichever is driving)
-        return max(cc1[ch], press[ch], ppress.get(key, 0)) / 127.0
+        return max(cc1[ch], press[ch], ppress.get(key, (0, 0.0))[0]) / 127.0
 
     def _record(st, t1, idx, val, base_idx):
         # append a curve sample.  For a RINGING note's first post-off
@@ -403,7 +406,7 @@ def parse_midi(source: Union[str, bytes],
         elif ev.kind == "ppress":                  # poly aftertouch (0xA0)
             ch = ev.channel
             key = (ch, ev.a)
-            ppress[key] = ev.b
+            ppress[key] = (ev.b, sec)
             # per-NOTE pressure: only the keyed note's depth curve moves
             # (open, pedal-held, or still ringing); other notes on the
             # channel are untouched
@@ -426,8 +429,12 @@ def parse_midi(source: Union[str, bytes],
             if held is not None:                   # pedal retrigger
                 _close(key, held, sec)
             # a new note instance starts poly-pressure-free (0xA0 events
-            # describe THIS key press, not the next one)
-            ppress.pop(key, None)
+            # describe THIS key press, not the next one) — but keep a
+            # pressure event from this very moment: same-tick controllers
+            # precede the on and describe the state the note starts in
+            pp = ppress.get(key)
+            if pp is not None and pp[1] < sec:
+                del ppress[key]
             pan = cc10[ev.channel]
             notes_pan = None if pan is None \
                 else max(-1.0, min(1.0, (pan - 64) / 63.0))
@@ -615,7 +622,6 @@ def render_notes(notes: Sequence[MidiNote],
                      + v.release) * sr) + 1 for v in voices)
     total += int(tail_seconds * sr)
     if mesh is not None:
-        import jax.numpy as jnp
         from .parallel.mesh import render_song_sharded, song_synth_shards
         vp, uw, ufm, ugl, ub, ua, ud = song_synth_shards(
             voices, sr, mesh, num_harmonics=8)
@@ -623,10 +629,8 @@ def render_notes(notes: Sequence[MidiNote],
             vp, total, sr, chunk_frames=8192, num_harmonics=8, mesh=mesh,
             used_waves=uw, use_fm=ufm, use_glide=ugl, use_bend=ub,
             use_amp=ua, use_dmod=ud)
-        # same quantization as VoiceBank.to_int16
-        out16 = jnp.clip(jnp.rint(stereo * jnp.float32(32767.0)),
-                         -32768, 32767).astype(jnp.int16)
-        return Sample.from_jax(out16, sr, 2, name="midi")
+        return Sample.from_jax(VoiceBank.to_int16(stereo), sr, 2,
+                               name="midi")
     vp, layout = pack_voices(voices, sr, num_harmonics=8, sort_by_wave=True)
     bank = VoiceBank.for_voices(voices, sr, num_harmonics=8, layout=layout,
                                 nvoices=layout.nvoices)

@@ -1197,8 +1197,13 @@ class VoiceBank:
                 "with pack_voices(..., sort_by_wave=True)")
         return self.layout
 
-    def to_int16(self, stereo_f32: jax.Array,
+    @staticmethod
+    def to_int16(stereo_f32: jax.Array,
                  master_gain: float = 1.0) -> jax.Array:
-        """f32 mix -> saturating int16 (trackmixer's widen-then-narrow path)."""
+        """f32 mix -> saturating int16 (trackmixer's widen-then-narrow
+        path).  Static: the sharded render paths (parallel/mesh.py,
+        midi.render_notes(mesh=)) quantize through THIS function too, so
+        mesh output can never silently diverge from the single-device
+        rule."""
         v = jnp.rint(stereo_f32 * jnp.float32(32767.0 * master_gain))
         return jnp.clip(v, -32768, 32767).astype(jnp.int16)

@@ -136,9 +136,15 @@ def chorus_block_plan(n: int, samplerate: int, rate: float, depth: float,
     G = 1 << int(np.clip(
         np.log2(max(target_taps / max(move_per_frame, 1e-12), 1.0)), 9, 14))
     nb = -(-n // G)
-    # device-vs-host curve gap: turn-unit poly error (7.8e-7 of depth*sr)
-    # + f32 rounding; 0.01 frames covers both with orders of headroom
-    margin = 0.01 + depth * samplerate * 2e-6
+    # device-vs-host curve gap: turn-unit poly error (7.8e-7 of depth*sr,
+    # covered by the 2e-6 term with the signed-vs-unsigned phase-cast gap)
+    # + f32 rounding of the device's sum and final *sr product — each
+    # rounds at 2^-24 RELATIVE to the curve magnitude (delay + depth), so
+    # the bound must scale with delay too (a 5 s delay knob rounds by
+    # ~0.05 frames, far past any fixed constant); 4 ulps covers the
+    # three rounded f32 ops with headroom
+    margin = (0.01 + depth * samplerate * 2e-6
+              + (delay + depth) * samplerate * 4.0 * 2.0 ** -24)
     inc = int(round(rate / samplerate * 4294967296.0)) & 0xFFFFFFFF
     idx = np.arange(nb * G, dtype=np.uint64)
     bidx = np.arange(nb, dtype=np.int64) * G

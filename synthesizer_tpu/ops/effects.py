@@ -802,6 +802,14 @@ def chorus_core(s: jax.Array, n0, hist: jax.Array, samplerate: int, rate,
     return jnp.stack(cols, axis=1)
 
 
+#: Banded-chorus tap cap: the K+2 static tap slices unroll in Python, so
+#: the HLO grows as (K+2)*voices*nch full-length slice/where/fma ops.  K
+#: tracks depth*pi*rate*G (the in-block delay spread); past this bound the
+#: pair gather is the better program (compile size and wasted FLOPs beat
+#: the gather-roofline win), so chorus() routes back to it.
+CHORUS_BANDED_MAX_TAPS = 64
+
+
 def chorus(frames: jax.Array, samplerate: int, rate: float, depth: float,
            delay: float, voices: int, wet: float, dry: float) -> jax.Array:
     """Multi-voice modulated fractional delay; spec and tolerance:
@@ -822,6 +830,13 @@ def chorus(frames: jax.Array, samplerate: int, rate: float, depth: float,
     tests/test_effects.py) and holds the same goldref budget."""
     width = dpcm.width_of(frames)
     n, nch = int(frames.shape[0]), int(frames.shape[1])
+
+    def _gather_form():
+        out = chorus_core(_norm(frames), jnp.int32(0),
+                          jnp.zeros((0, nch), jnp.float32), samplerate,
+                          rate, depth, delay, voices, wet, dry)
+        return to_int_samples(out, width)
+
     if (not isinstance(depth, (int, float))
             or not isinstance(delay, (int, float))
             or delay * samplerate < 1.0 or n < 16384):
@@ -830,13 +845,17 @@ def chorus(frames: jax.Array, samplerate: int, rate: float, depth: float,
         # would read past the input; the gather path's clip defines the
         # contract) and small inputs (plan overhead beats the gather win)
         # keep the pair-gather form too
-        out = chorus_core(_norm(frames), jnp.int32(0),
-                          jnp.zeros((0, nch), jnp.float32), samplerate,
-                          rate, depth, delay, voices, wet, dry)
-        return to_int_samples(out, width)
+        return _gather_form()
     from .coeffs import chorus_block_plan
     G, K, nb, pad0, padtot, starts, dfmax = chorus_block_plan(
         n, samplerate, rate, depth, delay, voices, nch)
+    if K > CHORUS_BANDED_MAX_TAPS:
+        # fast/deep LFOs (depth*pi*rate per-frame delay motion past
+        # ~target_taps/G_min) would unroll K+2 full-length tap slices per
+        # voice per channel — hundreds of wasted O(n) ops and an HLO-size
+        # blowup; those knobs stay on the pair gather, which IS their
+        # measured roofline form (BASELINE.md "Gather-tier roofline")
+        return _gather_form()
     s = _norm(frames)
     dryv = jnp.asarray(dry, jnp.float32)
     wv = jnp.asarray(wet, jnp.float32) / jnp.float32(voices)

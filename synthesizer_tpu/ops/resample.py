@@ -400,6 +400,35 @@ class StreamingResampler:
 HQ_MAX_FACTOR = 2048
 
 
+def bounded_ratio(outrate: int, inrate: int,
+                  maxterm: int = HQ_MAX_FACTOR) -> Tuple[int, int]:
+    """Best rational approximation (L, M) of outrate/inrate with BOTH
+    terms <= ``maxterm`` (continued-fraction convergent via
+    Fraction.limit_denominator).  Used by Sample.speed(quality='hq') for
+    arbitrary-real speed ratios: micro-cents of pitch error in the
+    musical range (bounds pinned in tests/test_hq_resample.py), orders
+    below the ``int(samplerate*speed)`` truncation the speed API itself
+    applies.  Spec twin: goldref.sample._bounded_ratio.
+    Raises for ratios that cannot fit (|log2 ratio| > log2 maxterm)."""
+    from fractions import Fraction
+    if outrate < 1 or inrate < 1:
+        raise ValueError("rates must be positive")
+    # bound the denominator so the numerator lands under maxterm too
+    # (numerator ~= ratio*denominator); back off if the convergent's
+    # rounding still overshoots by one
+    limit = min(maxterm, maxterm * inrate // outrate)
+    while limit >= 1:
+        f = Fraction(outrate, inrate).limit_denominator(limit)
+        if f.numerator < 1:
+            break
+        if max(f.numerator, f.denominator) <= maxterm:
+            return f.numerator, f.denominator
+        limit -= 1
+    raise ValueError(
+        f"speed ratio {inrate}/{outrate} is beyond the {maxterm}x range "
+        f"of the quality='hq' polyphase bank")
+
+
 @functools.lru_cache(maxsize=32)
 def _hq_kernel(L: int, M: int) -> Tuple[np.ndarray, int, int]:
     """Phase-embedded conv kernel for hq_resample.

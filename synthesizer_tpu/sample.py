@@ -1366,26 +1366,41 @@ class Sample:
         return self
 
     def speed(self, speed: float, quality: str = "linear") -> "Sample":
-        """Change playback speed (and pitch), keeping the samplerate meta."""
+        """Change playback speed (and pitch), keeping the samplerate meta.
+
+        quality='hq' snaps the speed ratio to the nearest rational with
+        both terms <= ops.resample.HQ_MAX_FACTOR (continued-fraction best
+        approximation — micro-cents of pitch error in the musical range,
+        bounded in tests/test_hq_resample.py; smaller than this method's
+        own ``int(samplerate*speed)`` truncation that the linear leg has
+        always applied), because the polyphase filter bank is L phases of
+        a K-tap sinc; arbitrary-precision ratios would need an unbounded
+        bank.  Spec twin: goldref.sample.Sample.speed."""
         if speed == 1.0:
             return self
         if quality == "hq":
             self._hq_resample(int(self._samplerate * speed),
-                              self._samplerate)
+                              self._samplerate, snap=True)
         elif quality == "linear":
             self._ratecv(int(self._samplerate * speed), self._samplerate)
         else:
             raise ValueError(f"unknown resample quality {quality!r}")
         return self
 
-    def _hq_resample(self, inrate: int, outrate: int) -> None:
+    def _hq_resample(self, inrate: int, outrate: int,
+                     snap: bool = False) -> None:
         g = math.gcd(inrate, outrate)
         M, L = inrate // g, outrate // g
         if max(L, M) > dresample.HQ_MAX_FACTOR:
-            raise ValueError(
-                f"quality='hq' supports rational rate ratios up to "
-                f"{dresample.HQ_MAX_FACTOR} after gcd reduction; "
-                f"got {L}/{M}")
+            if not snap:
+                # resample(quality='hq') keeps exactness: named-rate
+                # conversions (44100<->48000 etc.) always reduce; an
+                # irreducible pair is a caller error, not a snap case
+                raise ValueError(
+                    f"quality='hq' supports rational rate ratios up to "
+                    f"{dresample.HQ_MAX_FACTOR} after gcd reduction; "
+                    f"got {L}/{M}")
+            L, M = dresample.bounded_ratio(outrate, inrate)
         nout = dresample.nframes_out(self._nframes, M, L)
         self._stage("hq_resample", static=(L, M, nout))
         self._nframes = nout

@@ -388,7 +388,9 @@ class RateConvertFilter:
         self._hq = quality == "hq"
         self._meta: Optional[tuple] = None
         self._done = False
-        self._pending: Optional[Sample] = None
+        self._pending: Optional[Sample] = None      # output queued behind a tail
+        self._pending_in: Optional[Sample] = None   # input requeued at a format change
+        self._src_sig: Optional[tuple] = None       # (rate, width, nch) of _rs
 
     def __iter__(self):
         return self
@@ -410,25 +412,34 @@ class RateConvertFilter:
                 return out
             if self._done:
                 raise StopIteration
-            try:
-                chunk = next(self.stream)
-            except StopIteration:
-                self._done = True
-                tail = self._flush_tail()
-                if tail is not None:
-                    return tail
-                raise
-            if chunk.samplerate == self.target_rate:
-                # mid-stream rate match: flush the active resampler's
-                # buffered tail FIRST so a mixed-rate source stays
-                # temporally ordered, and retire the resampler — a later
-                # rate change starts a fresh stream segment
+            if self._pending_in is not None:
+                chunk, self._pending_in = self._pending_in, None
+            else:
+                try:
+                    chunk = next(self.stream)
+                except StopIteration:
+                    self._done = True
+                    tail = self._flush_tail()
+                    if tail is not None:
+                        return tail
+                    raise
+            sig = (chunk.samplerate, chunk.samplewidth, chunk.nchannels)
+            if self._rs is not None and sig != self._src_sig:
+                # mid-stream format change (ANY new rate/width/channels,
+                # not only a change to the target rate): flush the active
+                # resampler's buffered tail FIRST so a mixed-rate source
+                # stays temporally ordered, retire the resampler, and
+                # requeue the chunk — the next pass starts a fresh stream
+                # segment built for ITS format (pushing it through the
+                # old L/M would play it at the wrong pitch)
                 tail = self._flush_tail()
                 self._rs = None
                 self._meta = None
+                self._pending_in = chunk
                 if tail is not None:
-                    self._pending = chunk
                     return tail
+                continue
+            if chunk.samplerate == self.target_rate:
                 return chunk
             if self._rs is None:
                 import jax.numpy as jnp
@@ -437,6 +448,7 @@ class RateConvertFilter:
                 self._rs = self._make(chunk.samplerate, self.target_rate,
                                       nchannels=chunk.nchannels, dtype=dt)
                 self._meta = (chunk.samplewidth, chunk.nchannels, chunk.name)
+                self._src_sig = sig
             y, n = self._rs.push(chunk.jax_frames)
             if self._hq:
                 if n == 0:

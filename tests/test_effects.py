@@ -170,6 +170,92 @@ def test_chorus_banded_bit_compatible_with_gather(rng, kw):
     np.testing.assert_array_equal(banded, gathered)
 
 
+def test_chorus_plan_band_covers_device_curve_large_delay():
+    """The plan's host/device margin must scale with the DELAY knob: the
+    device's f32 sum and final *samplerate product each round at 2^-24
+    RELATIVE to (delay + depth), so a 5 s delay rounds by ~0.05 frames —
+    past any fixed constant.  Every device floor(d) must land inside the
+    planned [dfmax-K, dfmax] band or a lerp tap is silently dropped."""
+    import jax.numpy as jnp
+    from synthesizer_tpu.ops.coeffs import chorus_block_plan
+    n, delay, voices = 30000, 5.0, 2
+    G, K, nb, pad0, padtot, starts, dfmax = chorus_block_plan(
+        n, SR, 0.5, 0.002, delay, voices, 2)
+    assert K <= dfx.CHORUS_BANDED_MAX_TAPS
+    for ch in range(2):
+        for v in range(voices):
+            d = np.asarray(dfx._chorus_lfo_delay(
+                jnp.int32(0), nb * G, SR, 0.5, 0.002, delay, v, voices, ch))
+            df = np.floor(d).astype(np.int64).reshape(nb, G)
+            k0 = dfmax[ch * voices + v][:, None].astype(np.int64) - df
+            assert k0.min() >= 0, "device curve below the planned band"
+            assert (k0 + 1).max() <= K + 1, "device curve above the band"
+
+
+def test_chorus_banded_bit_compatible_at_long_delay(rng):
+    """Long (but in-signal) delay knobs stay bit-identical to the gather
+    form — the delay-scaled margin keeps every tap in band."""
+    import jax.numpy as jnp
+    n, kw = 120000, dict(rate=0.5, depth=0.002, delay=2.2, voices=2,
+                         wet=0.5, dry=0.9)
+    x = rng.integers(-32768, 32768, size=(n, 2)).astype(np.int16)
+    banded = np.asarray(dfx.chorus(jnp.asarray(x), SR, kw["rate"],
+                                   kw["depth"], kw["delay"], kw["voices"],
+                                   kw["wet"], kw["dry"]))
+    gathered = np.asarray(dfx.to_int_samples(dfx.chorus_core(
+        dfx._norm(jnp.asarray(x)), jnp.int32(0),
+        jnp.zeros((0, 2), jnp.float32), SR, kw["rate"], kw["depth"],
+        kw["delay"], kw["voices"], kw["wet"], kw["dry"]), 2))
+    np.testing.assert_array_equal(banded, gathered)
+
+
+def test_chorus_banded_fuzz_bit_compatible(rng):
+    """Randomized static knobs across the banded plan region: every draw
+    must be BIT-identical to the pair-gather form (knobs that plan past
+    the tap cap route to the gather and are trivially identical — the
+    draw range keeps most in-plan)."""
+    import jax.numpy as jnp
+    n = 20000
+    for _ in range(8):
+        kw = dict(rate=float(rng.uniform(0.05, 3.0)),
+                  depth=float(rng.uniform(0.0002, 0.004)),
+                  delay=float(rng.uniform(0.001, 0.4)),
+                  voices=int(rng.integers(1, 5)),
+                  wet=float(rng.uniform(0.1, 1.0)),
+                  dry=float(rng.uniform(0.0, 1.0)))
+        x = rng.integers(-32768, 32768, size=(n, 2)).astype(np.int16)
+        banded = np.asarray(dfx.chorus(
+            jnp.asarray(x), SR, kw["rate"], kw["depth"], kw["delay"],
+            kw["voices"], kw["wet"], kw["dry"]))
+        gathered = np.asarray(dfx.to_int_samples(dfx.chorus_core(
+            dfx._norm(jnp.asarray(x)), jnp.int32(0),
+            jnp.zeros((0, 2), jnp.float32), SR, kw["rate"], kw["depth"],
+            kw["delay"], kw["voices"], kw["wet"], kw["dry"]), 2))
+        np.testing.assert_array_equal(banded, gathered, err_msg=str(kw))
+
+
+def test_chorus_banded_tap_cap_routes_to_gather(rng, monkeypatch):
+    """Fast/deep LFO knobs whose plan would unroll past
+    CHORUS_BANDED_MAX_TAPS static tap slices (an HLO-size blowup with
+    ~K/2 wasted full-length ops per useful tap) route back to the pair
+    gather — their measured roofline form."""
+    import jax.numpy as jnp
+    from synthesizer_tpu.ops.coeffs import chorus_block_plan
+    _, K, *_ = chorus_block_plan(25000, SR, 6.0, 0.02, 0.02, 3, 2)
+    assert K > dfx.CHORUS_BANDED_MAX_TAPS
+    hit = {}
+    orig = dfx.chorus_core
+
+    def spy(*a, **k):
+        hit["gather"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dfx, "chorus_core", spy)
+    x = rng.integers(-32768, 32768, size=(25000, 2)).astype(np.int16)
+    dfx.chorus(jnp.asarray(x), SR, 6.0, 0.02, 0.02, 3, 0.5, 0.9)
+    assert hit.get("gather"), "tap-capped knobs must use the gather form"
+
+
 def test_chorus_small_and_zero_delay_route_to_gather(rng):
     """Routing floor: tiny inputs and sub-frame delays keep the
     pair-gather form (the clip at delay ~0 defines that contract)."""

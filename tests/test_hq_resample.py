@@ -193,6 +193,55 @@ def test_speed_hq_vs_oracle():
     assert d <= 1
 
 
+def test_bounded_ratio_terms_and_error():
+    """speed(quality='hq') ratio snapping: both terms <= HQ_MAX_FACTOR and
+    the relative error stays below 1/(M*limit) for arbitrary real speeds
+    (semitones, golden ratio, extreme but sane stretches)."""
+    for speed in (2.0 ** (1 / 12.0), 2.0 ** (-7 / 12.0), 1.6180339887,
+                  0.013, 77.7):
+        inr = int(SR * speed)
+        L, M = dresample.bounded_ratio(SR, inr)
+        assert 1 <= L <= dresample.HQ_MAX_FACTOR
+        assert 1 <= M <= dresample.HQ_MAX_FACTOR
+        rel = abs(L / M - SR / inr) / (SR / inr)
+        # in the musical range (within +-1 octave) both terms can use the
+        # full bank, so the convergent error is micro-cents; extreme
+        # stretches (77x) bound one term at maxterm/ratio and still land
+        # far inside any audible threshold
+        assert rel < (1e-6 if 0.5 <= speed <= 2.0 else 1e-4)
+    with pytest.raises(ValueError, match="beyond"):
+        dresample.bounded_ratio(SR, SR * 5000)
+
+
+def test_speed_hq_semitone_vs_oracle():
+    """A one-semitone hq speed change used to raise (the 46723/44100
+    ratio never reduces below the bank cap); it now snaps to the
+    bounded best approximation — identically on device and oracle."""
+    rng = np.random.default_rng(12)
+    x = rng.integers(-20000, 20000, (4000, 2)).astype(np.int16)
+    r = 2.0 ** (1 / 12.0)
+    dev = Sample.from_raw_frames(x.tobytes(), 2, SR, 2).speed(r, quality="hq")
+    gold = gs.Sample(x.copy(), SR, 2, 2).speed(r, quality="hq")
+    assert dev.samplerate == SR
+    assert dev.nframes == gold.frames.shape[0]
+    d = np.abs(dev.get_frame_array().astype(np.int64)
+               - gold.frames.astype(np.int64)).max()
+    assert d <= 1
+
+
+@pytest.mark.parametrize("semitones", [1.0, -3.0, 7.0])
+def test_pitch_shift_hq_any_semitone(semitones):
+    """pitch_shift(quality='hq') must work for every semitone value, not
+    only octaves (the snapped speed leg); duration is preserved within
+    the stretch grid's hop quantization."""
+    rng = np.random.default_rng(13)
+    n = 8000
+    x = rng.integers(-20000, 20000, (n, 2)).astype(np.int16)
+    out = Sample.from_raw_frames(x.tobytes(), 2, SR, 2) \
+        .pitch_shift(semitones, quality="hq")
+    assert abs(out.nframes - n) <= 2048 + 512  # frame+hop grid slack
+
+
 def test_oracle_spec_properties():
     """The oracle itself: output-length rule and phase algebra hold for
     awkward n (n < taps, n == 1)."""

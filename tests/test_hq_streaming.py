@@ -196,6 +196,41 @@ def test_rate_convert_filter_mixed_rate_flushes_before_passthrough(quality):
         assert np.array_equal(got[n1:n1 + 320], seg2)
 
 
+@pytest.mark.parametrize("quality", ["hq", "linear"])
+def test_rate_convert_filter_rate_change_between_source_rates(quality):
+    """A mid-stream change between two NON-target source rates must
+    retire the old resampler (flushing its tail) and build a fresh one
+    for the new rate — pushing 48 kHz frames through a 22050->32000 L/M
+    would play them at the wrong pitch."""
+    from synthesizer_tpu.streaming import RateConvertFilter
+    rng = np.random.default_rng(6)
+    seg1 = rng.integers(-2000, 2000, size=(441, 2), dtype=np.int16)
+    seg2 = rng.integers(-2000, 2000, size=(480, 2), dtype=np.int16)
+    src = []
+    for off in range(0, 441, 147):       # segment 1 @ 22050
+        src.append(Sample.from_raw_frames(
+            seg1[off:off + 147].tobytes(), 2, 22050, 2))
+    for off in range(0, 480, 160):       # segment 2 @ 48000
+        src.append(Sample.from_raw_frames(
+            seg2[off:off + 160].tobytes(), 2, 48000, 2))
+    out = list(RateConvertFilter(iter(src), 32000, quality=quality))
+    assert all(c.samplerate == 32000 for c in out)
+    got = np.concatenate([np.asarray(c.jax_frames) for c in out])
+    conv1 = np.asarray(Sample.from_raw_frames(
+        seg1.tobytes(), 2, 22050, 2).resample(
+            32000, quality=quality).jax_frames)
+    conv2 = np.asarray(Sample.from_raw_frames(
+        seg2.tobytes(), 2, 48000, 2).resample(
+            32000, quality=quality).jax_frames)
+    n1 = conv1.shape[0]
+    assert got.shape[0] == n1 + conv2.shape[0]
+    tol = 1 if quality == "hq" else 0    # whole-signal twin budgets
+    assert np.abs(got[:n1].astype(np.int64)
+                  - conv1.astype(np.int64)).max() <= tol
+    assert np.abs(got[n1:].astype(np.int64)
+                  - conv2.astype(np.int64)).max() <= tol
+
+
 def test_host_decoder_hq_fallback_without_soxr(tmp_path, monkeypatch):
     """A lossy source on a host with no libsoxr takes OUR windowed-sinc
     device resampler (not the -6 dB/oct linear ratecv)."""

@@ -705,6 +705,19 @@ def test_poly_aftertouch_resets_at_note_on():
     assert b.mod == 0.0 and b.mod_curve is None
 
 
+def test_poly_aftertouch_at_note_start_applies_to_that_note():
+    # write_midi orders same-tick controllers BEFORE the note-on ("the
+    # state the note starts in"): the note-on pressure reset must KEEP a
+    # 0xA0 event from its own moment (only strictly-older stored values
+    # are stale) — previously the pop ate it and the note started at
+    # depth 0, losing the writer's round-trip contract
+    notes = [MidiNote(0.0, 0.4, 60, 100, 0), MidiNote(0.6, 0.4, 60, 100, 0)]
+    data = write_midi(notes, poly_pressures=[(0.0, 0, 60, 127)])
+    a, b = sorted(parse_midi(data), key=lambda n: n.start)
+    assert a.mod == 1.0                   # starts at full poly depth
+    assert b.mod == 0.0 and b.mod_curve is None   # next instance: reset
+
+
 def test_poly_aftertouch_zero_is_identity():
     # a zero-value 0xA0 event is inert under the max merge (the analog
     # of test_pressure_free_file_bit_identical for the poly path)
