@@ -666,11 +666,37 @@ def write_midi(notes: Sequence[MidiNote], division: int = 480,
     (0xD0 aftertouch) events; ``poly_pressures``: (seconds, channel,
     note, value 0..127) per-note key-pressure (0xA0) events.
     Controller/bend/pressure events at the same tick as a note-on are
-    written BEFORE it (they describe the state the note starts in)."""
+    written BEFORE it (they describe the state the note starts in).
+
+    Note ``program`` and ``pan`` fields round-trip: a program change
+    (0xC0) / CC10 pan event is emitted before any note-on whose field
+    differs from the channel's tracked state (initial state: program 0,
+    pan never-sent — files using only those defaults serialize without
+    any derived events).  Pan quantizes to the nearest 7-bit CC10 step
+    (the 64 + pan*63 inverse of the parser's mapping); because pan/
+    program are CHANNEL state, a later pan=None note on a channel that
+    already set a pan parses back with that channel pan, exactly like
+    any real SMF.  An explicit CC10 entry in ``controls`` disables pan
+    derivation on its channel (the caller owns that lane)."""
     us_per_quarter = int(round(60e6 / bpm))
     sec_per_tick = us_per_quarter / 1e6 / division
 
     moments: List[tuple] = []                 # (tick, order, kind, payload)
+    manual_pan = {c for _, c, cc, _ in controls if cc == 10}
+    prog_state = [0] * 16
+    pan_state: List[Optional[int]] = [None] * 16
+    for n in sorted(notes, key=lambda m: m.start):
+        t0 = int(round(n.start / sec_per_tick))
+        ch = n.channel & 0x0F
+        prog = n.program & 0x7F
+        if prog != prog_state[ch]:
+            prog_state[ch] = prog
+            moments.append((t0, 1, "prog", (ch, prog)))
+        if n.pan is not None and ch not in manual_pan:
+            cc = max(0, min(127, int(round(64 + n.pan * 63))))
+            if cc != pan_state[ch]:
+                pan_state[ch] = cc
+                moments.append((t0, 1, "cc", (ch, 10, cc)))
     for n in notes:
         t0 = int(round(n.start / sec_per_tick))
         t1 = int(round((n.start + n.duration) / sec_per_tick))
@@ -710,6 +736,9 @@ def write_midi(notes: Sequence[MidiNote], division: int = 480,
             ch, note, value = payload
             track.write(bytes([0xA0 | (ch & 0x0F), note & 0x7F,
                                value & 0x7F]))
+        elif kind == "prog":
+            ch, prog = payload
+            track.write(bytes([0xC0 | (ch & 0x0F), prog & 0x7F]))
         else:
             ch, cc, value = payload
             track.write(bytes([0xB0 | (ch & 0x0F), cc & 0x7F, value & 0x7F]))

@@ -1029,3 +1029,37 @@ def test_smpte_bad_division_rejected():
         parse_midi(_smf_smpte(trk, 23, 40))    # 23 fps is not a SMPTE rate
     with pytest.raises(ValueError, match="SMPTE"):
         parse_midi(_smf_smpte(trk, 25, 0))     # zero ticks/frame
+
+
+def test_write_midi_derives_pan_and_program_events():
+    """Note pan/program fields round-trip through the SMF: the writer
+    emits CC10 / 0xC0 before any note-on whose field differs from the
+    channel's tracked state, and parse_midi reads them back (pan to the
+    nearest 7-bit step); default-only files serialize without any
+    derived events."""
+    notes = [MidiNote(0.0, 0.5, 60, 100, 0, program=24, pan=-0.3),
+             MidiNote(0.5, 0.5, 64, 90, 0, program=24, pan=-0.3),
+             MidiNote(0.0, 1.0, 45, 80, 1, program=33, pan=0.5)]
+    back = sorted(parse_midi(write_midi(notes)),
+                  key=lambda n: (n.channel, n.start))
+    assert [n.program for n in back] == [24, 24, 33]
+    for orig, got in zip(notes, back):
+        assert got.pan == pytest.approx(orig.pan, abs=1 / 63)
+    # state-tracked: the repeated (program, pan) on channel 0 emits ONE
+    # CC10 and ONE program change, not one per note
+    data = write_midi(notes)
+    assert data.count(bytes([0xB0, 10])) == 1
+    assert data.count(bytes([0xC0, 24])) == 1
+    # defaults emit nothing derived (byte-level: no 0xC0/0xB0-10 events)
+    plain = write_midi([MidiNote(0.0, 0.5, 60, 100, 0)])
+    assert bytes([0xC0]) not in plain and bytes([0xB0, 10]) not in plain
+    assert parse_midi(plain)[0].pan is None
+
+
+def test_write_midi_explicit_cc10_disables_pan_derivation():
+    """A caller-provided CC10 lane owns the channel's pan: the writer
+    must not interleave derived pan events with it."""
+    notes = [MidiNote(0.1, 0.5, 60, 100, 0, pan=-1.0)]
+    data = write_midi(notes, controls=[(0.0, 0, 10, 127)])
+    assert data.count(bytes([0xB0, 10])) == 1      # only the explicit one
+    assert parse_midi(data)[0].pan == pytest.approx(1.0)
