@@ -61,6 +61,19 @@ def test_trackmixer_offline_mix(song_dir, capsys):
         assert w.getnframes() > SR // 4
     assert "x realtime" in capsys.readouterr().out
 
+def test_trackmixer_midi_export(song_dir, capsys):
+    """-o file.mid exports the song's note events as an SMF (no audio
+    render) and the exported file parses back with the drum hits on the
+    GM percussion channel."""
+    from synthesizer_tpu.midi import parse_midi
+    out = str(song_dir / "out.mid")
+    rc = trackmixer.main([str(song_dir / "song.ini"), "-o", out])
+    assert rc == 0
+    assert "exported note events" in capsys.readouterr().out
+    notes = parse_midi(out)
+    assert len(notes) == 12                     # 4 kick + 8 hat hits
+    assert {n.channel for n in notes} == {9}    # all percussion
+
 
 def test_trackmixer_repl_commands(song_dir, capsys, tmp_path):
     from synthesizer_tpu.sequencer import Song

@@ -195,7 +195,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("song", help="song .ini file (or a .mid file to render)")
     ap.add_argument("-o", "--output", help="mix offline to this file and "
-                    "exit (.wav/.flac/.mp3/.ogg by extension)")
+                    "exit (.wav/.flac/.mp3/.ogg by extension; .mid "
+                    "exports the song's note events as an SMF instead "
+                    "of rendering audio)")
     ap.add_argument("--play", action="store_true",
                     help="stream the whole song and exit")
     ap.add_argument("--start", type=float, default=0.0, metavar="SECONDS",
@@ -255,6 +257,11 @@ def main(argv=None) -> int:
                   f"-> {args.stems}/")
             return 0
         if args.output:
+            if args.output.lower().endswith((".mid", ".midi")):
+                with open(args.output, "wb") as f:
+                    f.write(song.export_midi())
+                print(f"exported note events -> {args.output}")
+                return 0
             mix_to_wav(song, args.output, normalize=not args.no_normalize,
                        lufs=args.lufs)
             return 0
