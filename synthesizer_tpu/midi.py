@@ -681,43 +681,54 @@ def write_midi(notes: Sequence[MidiNote], division: int = 480,
     us_per_quarter = int(round(60e6 / bpm))
     sec_per_tick = us_per_quarter / 1e6 / division
 
-    moments: List[tuple] = []                 # (tick, order, kind, payload)
+    notes = list(notes)              # single materialization: the loop
+    #                                  below is the only pass, so a
+    #                                  one-shot iterator input still
+    #                                  serializes every note
+    # moments: (tick, order, sub, kind, payload) — offs first (order 0),
+    # then explicit controller events (1), then note-ons (2).  A derived
+    # program/pan event shares its note-on's order-2 slot with a sub key
+    # just below it, so it lands IMMEDIATELY before that on: two
+    # same-tick notes with different programs on one channel interleave
+    # as prog-a, on-a, prog-b, on-b and both parse back correctly.
+    moments: List[tuple] = []
     manual_pan = {c for _, c, cc, _ in controls if cc == 10}
     prog_state = [0] * 16
     pan_state: List[Optional[int]] = [None] * 16
-    for n in sorted(notes, key=lambda m: m.start):
+    for i, n in enumerate(sorted(notes, key=lambda m: m.start)):
         t0 = int(round(n.start / sec_per_tick))
+        t1 = int(round((n.start + n.duration) / sec_per_tick))
         ch = n.channel & 0x0F
         prog = n.program & 0x7F
         if prog != prog_state[ch]:
             prog_state[ch] = prog
-            moments.append((t0, 1, "prog", (ch, prog)))
+            moments.append((t0, 2, 2 * i, "prog", (ch, prog)))
         if n.pan is not None and ch not in manual_pan:
             cc = max(0, min(127, int(round(64 + n.pan * 63))))
             if cc != pan_state[ch]:
                 pan_state[ch] = cc
-                moments.append((t0, 1, "cc", (ch, 10, cc)))
-    for n in notes:
-        t0 = int(round(n.start / sec_per_tick))
-        t1 = int(round((n.start + n.duration) / sec_per_tick))
-        moments.append((t0, 2, "on", n))
-        moments.append((max(t1, t0 + 1), 0, "off", n))
+                moments.append((t0, 2, 2 * i, "cc", (ch, 10, cc)))
+        moments.append((t0, 2, 2 * i + 1, "on", n))
+        moments.append((max(t1, t0 + 1), 0, 0, "off", n))
     for sec, ch, value in bends:
-        moments.append((int(round(sec / sec_per_tick)), 1, "bend", (ch, value)))
+        moments.append((int(round(sec / sec_per_tick)), 1, 0, "bend",
+                        (ch, value)))
     for sec, ch, cc, value in controls:
-        moments.append((int(round(sec / sec_per_tick)), 1, "cc", (ch, cc, value)))
+        moments.append((int(round(sec / sec_per_tick)), 1, 0, "cc",
+                        (ch, cc, value)))
     for sec, ch, value in pressures:
-        moments.append((int(round(sec / sec_per_tick)), 1, "press", (ch, value)))
+        moments.append((int(round(sec / sec_per_tick)), 1, 0, "press",
+                        (ch, value)))
     for sec, ch, note, value in poly_pressures:
-        moments.append((int(round(sec / sec_per_tick)), 1, "ppress",
+        moments.append((int(round(sec / sec_per_tick)), 1, 0, "ppress",
                         (ch, note, value)))
-    moments.sort(key=lambda m: (m[0], m[1]))
+    moments.sort(key=lambda m: (m[0], m[1], m[2]))
 
     track = io.BytesIO()
     track.write(_vlq(0) + bytes([0xFF, 0x51, 0x03]) +
                 us_per_quarter.to_bytes(3, "big"))
     last = 0
-    for tick, _, kind, payload in moments:
+    for tick, _, _, kind, payload in moments:
         track.write(_vlq(tick - last))
         last = tick
         if kind in ("on", "off"):

@@ -74,6 +74,17 @@ def test_trackmixer_midi_export(song_dir, capsys):
     assert len(notes) == 12                     # 4 kick + 8 hat hits
     assert {n.channel for n in notes} == {9}    # all percussion
 
+def test_trackmixer_midi_input_rejects_midi_output(song_dir, capsys, tmp_path):
+    """-o .mid with a .mid INPUT is refused (it would be a lossy rewrite,
+    and must never silently write WAV bytes into a .mid path)."""
+    import pytest as _pytest
+    from synthesizer_tpu.midi import MidiNote, write_midi
+    mid = tmp_path / "in.mid"
+    mid.write_bytes(write_midi([MidiNote(0.0, 0.2, 60, 100, 0)]))
+    with _pytest.raises(SystemExit):
+        trackmixer.main([str(mid), "-o", str(tmp_path / "out.mid")])
+    assert "already a MIDI file" in capsys.readouterr().err
+
 
 def test_trackmixer_repl_commands(song_dir, capsys, tmp_path):
     from synthesizer_tpu.sequencer import Song

@@ -1101,6 +1101,7 @@ def test_write_parse_fixed_point_fuzz(rng):
         # per-event deltas and the rewritten file has fewer interleaved
         # events — compare at tick resolution (1e-9 << one tick)
         p2 = parse_midi(write_midi(p1))
+        assert len(p2) == len(p1)
         key = lambda n: (round(n.start, 6), n.channel, n.note)
         for a, b in zip(sorted(p1, key=key), sorted(p2, key=key)):
             assert (a.note, a.velocity, a.channel, a.program) == \
@@ -1111,3 +1112,24 @@ def test_write_parse_fixed_point_fuzz(rng):
                 assert b.pan is None
             else:
                 assert b.pan == pytest.approx(a.pan, abs=1e-9)
+
+
+def test_write_midi_same_tick_state_changes_interleave():
+    """Two same-tick notes on one channel with different programs/pans
+    must each parse back with THEIR value: the derived channel-state
+    events interleave immediately before their own note-on instead of
+    all sorting ahead of both ons."""
+    notes = [MidiNote(0.0, 1.0, 60, 100, 0, program=5, pan=-0.5),
+             MidiNote(0.0, 1.0, 64, 100, 0, program=7, pan=0.5)]
+    back = sorted(parse_midi(write_midi(notes)), key=lambda n: n.note)
+    assert [n.program for n in back] == [5, 7]
+    assert back[0].pan == pytest.approx(-0.5, abs=1 / 63)
+    assert back[1].pan == pytest.approx(0.5, abs=1 / 63)
+
+
+def test_write_midi_accepts_iterator():
+    """A one-shot generator input serializes every note (the writer
+    materializes the sequence once)."""
+    data = write_midi(MidiNote(0.1 * i, 0.2, 60 + i, 100, 0)
+                      for i in range(5))
+    assert len(parse_midi(data)) == 5

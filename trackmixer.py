@@ -226,6 +226,14 @@ def main(argv=None) -> int:
     try:
         if args.song.lower().endswith((".mid", ".midi")):
             from synthesizer_tpu.midi import render_midi
+            if args.output and args.output.lower().endswith(
+                    (".mid", ".midi")):
+                # -o .mid means "export the song's notes as an SMF" —
+                # for a MIDI input that would be a lossy rewrite
+                # (controller curves don't re-serialize), so refuse
+                # rather than silently writing audio into a .mid path
+                ap.error("-o .mid exports an .ini song; the input is "
+                         "already a MIDI file")
             out = args.output or (args.song.rsplit(".", 1)[0] + ".wav")
             import time as _t
             t0 = _t.perf_counter()
