@@ -230,6 +230,55 @@ def main() -> None:
     scale_rtf, scale_vms = scaled_rtf(1024, 10.0)
     long_rtf, _ = scaled_rtf(64, 600.0, k_hi=3)
 
+    # round-5 gate: sparse bucketed song render (VoiceBank.sparse_plan)
+    # — a MIDI-style workload (many notes, few sounding) renders over
+    # per-chunk active-voice buckets instead of the whole bank; the gate
+    # measures the bucketed program with the same k-repeat slope
+    def sparse_rtf(nnotes, dur, k_hi=4):
+        from synthesizer_tpu.models.voicebank import Voice as BankVoice
+        rng3 = np.random.default_rng(5)
+        v3 = [BankVoice(
+            wave=("sine", "sawtooth_bl", "triangle")[i % 3],
+            frequency=float(rng3.uniform(80, 2000)), amplitude=0.08,
+            pan=float(rng3.uniform(-1, 1)),
+            start=round(float(rng3.uniform(0, dur - 1.0)), 3),
+            duration=0.4, attack=0.005, decay=0.05, sustain_level=0.7,
+            release=0.1) for i in range(nnotes)]
+        vp3, ly3 = pack_voices(v3, samplerate, num_harmonics=8,
+                               sort_by_wave=True)
+        bank3 = VoiceBank.for_voices(v3, samplerate, chunk_frames=chunk,
+                                     num_harmonics=8, layout=ly3,
+                                     nvoices=ly3.nvoices)
+        plan = bank3.sparse_plan(vp3, int(dur * samplerate))
+        assert plan is not None, "sparse workload fell back to flat"
+        fn, vp_pad, idx, nck3 = plan
+
+        @functools.partial(jax.jit, static_argnames=("k", "nchunks"))
+        def rep3(vp, k, nchunks):
+            def body(c, _):
+                vpp = vp._replace(phase0=vp.phase0
+                                  + c.astype(jnp.uint32))
+                o = fn(vpp, idx, nchunks)
+                s = jnp.mean(jnp.abs(bank3.to_int16(o)
+                                     .astype(jnp.float32)))
+                return (s * 0) + s % 1, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return c
+
+        def best3(k):
+            float(np.asarray(rep3(vp_pad, k=k, nchunks=nck3)))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(rep3(vp_pad, k=k, nchunks=nck3))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        el = slope_fit(best3, max(k_hi // 2, 1), k_hi)
+        return dur / el, ly3.nvoices, int(idx.shape[1])
+
+    sparse_midi_rtf, sparse_v, sparse_k = sparse_rtf(600, 300.0)
+
     # configs 1/2/4 (VERDICT r3 #4: all five BASELINE.json configs gated
     # by every driver capture, same amortized-sync slope methodology).
     # Graph patches have no perturbable input array, so the anti-CSE data
@@ -377,6 +426,9 @@ def main() -> None:
         "stretch_rtf": round(stretch_rtf, 1),
         "chorus_rtf": round(chorus_rtf, 1),
         "hq_resample_rtf": round(hq_resample_rtf, 1),
+        "sparse_midi_rtf": round(sparse_midi_rtf, 1),
+        "sparse_midi_voices": sparse_v,
+        "sparse_midi_bucket_rows": sparse_k,
     }))
 
 

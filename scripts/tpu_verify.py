@@ -365,6 +365,37 @@ def section_bank(SR, n):
     check("midi/aftertouch_pressure_vs_f64_twin",
           pdd < 8e-6 + 0.5 / 32767.0, f"max {pdd:.2e}")
 
+    # sparse bucketed song render (round 5): per-chunk active-voice
+    # gathers + sentinel pad row vs the flat grouped render — the ONLY
+    # difference is the [K,2]-vs-[V,2] pan matmul reduction tree, so on
+    # hardware the int16 outputs must agree within 1 LSB (and the MXU
+    # must stay at HIGHEST precision through the gathered path)
+    from synthesizer_tpu.models.voicebank import (Voice as BankVoice,
+                                                  VoiceBank, pack_voices)
+    sprng = np.random.default_rng(11)
+    spv = []
+    st = 0.0
+    for i in range(48):
+        st += float(sprng.uniform(0.02, 0.25))
+        spv.append(BankVoice(
+            wave=("sine", "sawtooth_bl", "harmonics")[i % 3],
+            frequency=float(sprng.uniform(100, 1500)),
+            amplitude=float(sprng.uniform(0.05, 0.2)),
+            pan=float(sprng.uniform(-1, 1)), start=round(st, 3),
+            duration=float(sprng.uniform(0.05, 0.4)), attack=0.005,
+            decay=0.05, sustain_level=0.7, release=0.1,
+            harmonics=(1.0, 0.5, 0.25) if i % 3 == 2 else ()))
+    svp, sly = pack_voices(spv, SR, num_harmonics=8, sort_by_wave=True)
+    sbank = VoiceBank.for_voices(spv, SR, num_harmonics=8,
+                                 chunk_frames=4096, layout=sly,
+                                 nvoices=sly.nvoices)
+    stot = int((st + 1.0) * SR)
+    sflat = np.asarray(sbank.to_int16(sbank.render_song(svp, stot)))
+    ssp = np.asarray(sbank.to_int16(sbank.render_song_sparse(svp, stot)))
+    sd = int(np.abs(sflat.astype(np.int32) - ssp.astype(np.int32)).max())
+    check("bank/sparse_bucketed_vs_flat", sd <= 1 and
+          int(np.abs(sflat).max()) > 1000, f"max {sd} LSB (budget 1)")
+
     _wavetable_gather_probe()
 
 

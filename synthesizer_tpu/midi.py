@@ -634,7 +634,12 @@ def render_notes(notes: Sequence[MidiNote],
     vp, layout = pack_voices(voices, sr, num_harmonics=8, sort_by_wave=True)
     bank = VoiceBank.for_voices(voices, sr, num_harmonics=8, layout=layout,
                                 nvoices=layout.nvoices)
-    out16 = bank.to_int16(bank.render_song(vp, total))
+    # long sparse files (many notes, few sounding at once) render over
+    # per-chunk active-voice buckets — O(K*frames) instead of
+    # O(V*frames); dense/short files keep the flat grouped render (the
+    # method self-routes).  The two differ only in the pan matmul's f32
+    # reduction tree: <= 1 LSB at int16 (VoiceBank.render_song_sparse)
+    out16 = bank.to_int16(bank.render_song_sparse(vp, total))
     return Sample.from_jax(out16, sr, 2, name="midi")
 
 

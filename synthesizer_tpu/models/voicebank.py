@@ -1041,6 +1041,69 @@ def _bank_fns(cf: int, sr: int, H: int, uw: tuple, uf: bool,
     return fns
 
 
+#: pad-slot fills for the sparse-render sentinel row (every other field
+#: is 0 of its dtype).  The row is DOUBLY silent: amp=0 AND gate=0 make
+#: _adsr exactly 0.0 at every frame (sig = v*env = v*0 = 0 exactly), and
+#: start sits past the song so t < 0 everywhere too.  Zero-increment
+#: waveform math is already guarded by the silent-pad-voice contract
+#: ("silent pad voices contribute exact zeros" — pack_voices pads every
+#: grouped bank with frequency-0 voices of each group's wave).
+_SPARSE_PAD_FILLS = {"pulse_width": 0.5, "noise_hold": 1, "damping": 1.0,
+                     "bend_start": 2147483647, "acurve_start": 2147483647,
+                     "acurve_g0": 1.0, "dcurve_start": 2147483647}
+
+
+def _append_pad_voice(vp: VoiceParams, start_frame: int) -> VoiceParams:
+    """Append ONE silent sentinel row (index V) for sparse-render pad
+    slots, preserving every field's dtype and trailing segment dims."""
+    rows = []
+    for name, a in zip(VoiceParams._fields, vp):
+        fill = _SPARSE_PAD_FILLS.get(name, 0)
+        if name == "start":
+            fill = start_frame
+        rows.append(jnp.concatenate(
+            [jnp.asarray(a),
+             jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0))
+    return VoiceParams(*rows)
+
+
+def _bank_bucketed_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
+                      ug: bool = False, ub: bool = False, ua: bool = False,
+                      ud: bool = False):
+    """Sparse song mixdown: ONE scan over chunks whose xs carry the
+    per-chunk ACTIVE voice rows (host-bucketed indices into vp, pad
+    slots -> the appended sentinel row), so each chunk renders
+    [K, chunk] instead of [V, chunk] — K = max concurrent voices.  Long
+    sparse songs (a MIDI file with thousands of notes, ~tens sounding
+    at once) drop from O(V * frames) to O(K * frames) voice-samples.
+
+    Rows render UNGROUPED (the mixed-wave select path): per-chunk
+    gathers cannot keep a static wave grouping, so every row pays each
+    used waveform once — bounded by len(used_waves), orders below the
+    V/K win.  The [K, 2] pan matmul's f32 reduction tree differs from
+    the flat [V, 2] one, so output matches the flat render within the
+    same <=1-LSB-at-int16 class as render_song_grouped/mesh renders
+    (active rows keep their packed ORDER; dropped rows are the flat
+    sum's exact zeros)."""
+    key = ("bucketed", cf, sr, H, uw, uf, ug, ub, ua, ud)
+    fn = _bank_fn_cache.get(key)
+    if fn is None:
+        @functools.partial(jax.jit, static_argnames=("nchunks",))
+        def fn(vp_pad: VoiceParams, idx, nchunks: int):
+            def body(_, xs):
+                i, idx_k = xs
+                vpk = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, idx_k, axis=0), vp_pad)
+                return 0, render_block(vpk, i * cf, cf, sr, H, None, uw,
+                                       uf, use_glide=ug, use_bend=ub,
+                                       use_amp=ua, use_dmod=ud)
+            _, out = jax.lax.scan(
+                body, 0, (jnp.arange(nchunks, dtype=jnp.int32), idx))
+            return out.reshape(-1, 2)
+        _bank_fn_cache[key] = fn
+    return fn
+
+
 def _bank_grouped_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
                      ly: Optional[BankLayout], nseg: int, ug: bool = False,
                      ub: bool = False, ua: bool = False, ud: bool = False):
@@ -1159,6 +1222,80 @@ class VoiceBank:
         nchunks = -(-total_frames // self.chunk_frames)
         out = self._song_fn(vp, nchunks)
         return out[:total_frames]
+
+    def render_song_sparse(self, vp: VoiceParams,
+                           total_frames: int) -> jax.Array:
+        """Sparse offline mixdown: stereo f32 [total_frames, 2].
+
+        Host-buckets the voices by their active frame range (start ..
+        start + gate + release, +2 frames of slack for the f32 envelope
+        edge) and renders each chunk over only its K = max-concurrent
+        active rows instead of all V — the voice-bank analog of the
+        pitched sampler's hit bucketing (sequencer._bucket_pitched).  A
+        3,000-note MIDI file with ~15 notes sounding renders ~V/K times
+        fewer voice-samples than :meth:`render_song`.
+
+        Output matches render_song within 1 LSB at int16 (the [K, 2]
+        pan matmul's f32 reduction tree vs the flat [V, 2] one — the
+        same class as render_song_grouped / the mesh psum path; active
+        rows keep their packed order and the dropped rows are exact
+        zeros in the flat sum).  Falls back to render_song when the
+        bucketed shape would not be smaller.  One compile per (chunk,
+        K) shape — callers that need the one-compile-per-bank-shape
+        guarantee (realtime/serving) should keep render_song."""
+        plan = self.sparse_plan(vp, total_frames)
+        if plan is None:
+            return self.render_song(vp, total_frames)
+        fn, vp_pad, idx, nchunks = plan
+        return fn(vp_pad, idx, nchunks)[:total_frames]
+
+    def sparse_plan(self, vp: VoiceParams, total_frames: int):
+        """Host side of :meth:`render_song_sparse`: bucket the voices'
+        active frame ranges per chunk -> (jitted_fn, vp_with_sentinel,
+        idx [nchunks, K] i32, nchunks), or None when the bucketed shape
+        would not beat the flat render (the cost model below)."""
+        starts = np.asarray(vp.start, np.int64)
+        gates = np.asarray(vp.gate, np.int64)
+        rel = np.ceil(np.asarray(vp.release, np.float64)
+                      * self.samplerate).astype(np.int64)
+        amps = np.asarray(vp.amp)
+        # _adsr's envelope runs to max(gate, attack+decay) + release: a
+        # short-gate voice still completes its attack+decay before the
+        # release leg (sustain span is clamped to >= 0, not the total)
+        ad = np.ceil((np.asarray(vp.attack, np.float64)
+                      + np.asarray(vp.decay, np.float64))
+                     * self.samplerate).astype(np.int64)
+        ends = starts + np.maximum(gates, ad) + rel + 2
+        cf = self.chunk_frames
+        nchunks = -(-total_frames // cf)
+        V = int(starts.shape[0])
+        # silent rows never contribute: sig = (bias + amp*w) * env, so a
+        # row needs amp or bias to be audible (curves only SCALE env)
+        live = (amps != 0.0) | (np.asarray(vp.bias) != 0.0)
+        first_c = np.maximum(0, starts // cf)
+        last_c = np.minimum(nchunks - 1, (ends - 1) // cf)
+        per_chunk: list = [[] for _ in range(nchunks)]
+        for v in range(V):
+            if not live[v]:
+                continue
+            for c in range(int(first_c[v]), int(last_c[v]) + 1):
+                per_chunk[c].append(v)
+        K = max((len(p) for p in per_chunk), default=1) or 1
+        K += -K % 8                                    # lane-pad
+        # cost model: bucketed rows pay every used waveform (ungrouped
+        # select) where grouped flat rows pay one — sparse wins when
+        # V > K * (1 + n_waves)/2 (waveform eval ~ half the row cost)
+        if K * (1 + len(self.used_waves)) >= 2 * V:
+            return None
+        idx = np.full((nchunks, K), V, np.int32)       # V = sentinel row
+        for c, rows in enumerate(per_chunk):
+            idx[c, :len(rows)] = rows
+        vp_pad = _append_pad_voice(vp, total_frames + cf + 8)
+        fn = _bank_bucketed_fn(cf, self.samplerate, self.num_harmonics,
+                               self.used_waves, self.use_fm,
+                               self.use_glide, self.use_bend,
+                               self.use_amp, self.use_dmod)
+        return fn, vp_pad, jnp.asarray(idx), nchunks
 
     def render_song_grouped(self, vp: VoiceParams, seg, nseg: int,
                             total_frames: int) -> jax.Array:
