@@ -251,14 +251,14 @@ def main() -> None:
                                      nvoices=ly3.nvoices)
         plan = bank3.sparse_plan(vp3, int(dur * samplerate))
         assert plan is not None, "sparse workload fell back to flat"
-        fn, vp_pad, idx, nck3 = plan
+        fn, idx, pad_start, nck3 = plan
 
         @functools.partial(jax.jit, static_argnames=("k", "nchunks"))
         def rep3(vp, k, nchunks):
             def body(c, _):
                 vpp = vp._replace(phase0=vp.phase0
                                   + c.astype(jnp.uint32))
-                o = fn(vpp, idx, nchunks)
+                o = fn(vpp, idx, pad_start, nchunks)
                 s = jnp.mean(jnp.abs(bank3.to_int16(o)
                                      .astype(jnp.float32)))
                 return (s * 0) + s % 1, None
@@ -266,11 +266,11 @@ def main() -> None:
             return c
 
         def best3(k):
-            float(np.asarray(rep3(vp_pad, k=k, nchunks=nck3)))
+            float(np.asarray(rep3(vp3, k=k, nchunks=nck3)))
             ts = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                np.asarray(rep3(vp_pad, k=k, nchunks=nck3))
+                np.asarray(rep3(vp3, k=k, nchunks=nck3))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 

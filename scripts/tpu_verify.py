@@ -390,11 +390,15 @@ def section_bank(SR, n):
                                  chunk_frames=4096, layout=sly,
                                  nvoices=sly.nvoices)
     stot = int((st + 1.0) * SR)
+    # the comparison is vacuous if the cost model routed back to flat —
+    # prove the bucketed program actually ran
+    splan = sbank.sparse_plan(svp, stot)
     sflat = np.asarray(sbank.to_int16(sbank.render_song(svp, stot)))
     ssp = np.asarray(sbank.to_int16(sbank.render_song_sparse(svp, stot)))
     sd = int(np.abs(sflat.astype(np.int32) - ssp.astype(np.int32)).max())
-    check("bank/sparse_bucketed_vs_flat", sd <= 1 and
-          int(np.abs(sflat).max()) > 1000, f"max {sd} LSB (budget 1)")
+    check("bank/sparse_bucketed_vs_flat", splan is not None and sd <= 1
+          and int(np.abs(sflat).max()) > 1000,
+          f"max {sd} LSB (budget 1), K={0 if splan is None else splan[1].shape[1]}")
 
     _wavetable_gather_probe()
 

@@ -62,6 +62,8 @@ import io
 import struct
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple, Union
 
+import numpy as np
+
 from .models.voicebank import Voice, VoiceBank, pack_voices
 from .sample import Sample
 from .sequencer import SynthDef
@@ -592,7 +594,7 @@ def midi_to_voices(notes: Sequence[MidiNote],
 def render_midi(source: Union[str, bytes],
                 instruments: Optional[Dict[int, SynthDef]] = None,
                 samplerate: int = 0, tail_seconds: float = 0.3,
-                mesh=None) -> Sample:
+                mesh=None, sparse: bool = True) -> Sample:
     """Render a MIDI file to a stereo Sample in one batched bank render.
 
     With ``mesh`` (a 1-D ``jax.sharding.Mesh``) the voice axis shards
@@ -603,16 +605,26 @@ def render_midi(source: Union[str, bytes],
     (cross-shard f32 summation order, quantized once)."""
     return render_notes(
         parse_midi(source, release_grace=release_grace_for(instruments)),
-        instruments, samplerate, tail_seconds, mesh=mesh)
+        instruments, samplerate, tail_seconds, mesh=mesh, sparse=sparse)
 
 
 def render_notes(notes: Sequence[MidiNote],
                  instruments: Optional[Dict[int, SynthDef]] = None,
                  samplerate: int = 0, tail_seconds: float = 0.3,
-                 mesh=None) -> Sample:
+                 mesh=None, sparse: bool = True) -> Sample:
     """Render pre-parsed note events (callers that already ran
     ``parse_midi`` — e.g. to validate duration — avoid a second parse).
-    ``mesh``: see :func:`render_midi`."""
+    ``mesh``: see :func:`render_midi`.
+
+    ``sparse`` (default True): long sparse files render over per-chunk
+    active-voice buckets (VoiceBank.sparse_plan — measured 20x the flat
+    bank at 600 notes on chip; <= 1 LSB difference, pan-matmul
+    reduction-tree class); the plan's host ranges come straight from
+    the note list, so no device readback.  Dense/short files keep the
+    flat grouped render via the plan's cost model.  Pass sparse=False
+    to force the flat render — it compiles once per BANK SHAPE while
+    the bucketed program compiles per (chunk, K), which serving loops
+    (server.py /render/midi) must avoid."""
     sr = samplerate or params.norm_samplerate
     if not notes:
         return Sample.from_raw_frames(b"", 2, sr, 2)
@@ -631,15 +643,36 @@ def render_notes(notes: Sequence[MidiNote],
             use_amp=ua, use_dmod=ud)
         return Sample.from_jax(VoiceBank.to_int16(stereo), sr, 2,
                                name="midi")
+    if sparse:
+        # UNSORTED pack: the bucketed program renders ungrouped anyway,
+        # and keeping the note order aligned with the vp rows lets the
+        # plan's conservative frame ranges come from the host note list
+        # (zero device->host readbacks)
+        vp_flat = pack_voices(voices, sr, num_harmonics=8)
+        V = int(vp_flat.start.shape[0])           # incl. pad rows
+        starts = np.zeros(V, np.int64)
+        ends = np.zeros(V, np.int64)
+        live = np.zeros(V, bool)
+        for i, v in enumerate(voices):
+            starts[i] = int(v.start * sr)
+            gate = int(v.duration * sr)
+            ad = int(np.ceil((v.attack + v.decay) * sr)) + 1
+            dur = max(gate, ad) + int(np.ceil(v.release * sr)) + 1
+            ends[i] = starts[i] + dur + 2 + (dur >> 20)
+            live[i] = v.amplitude != 0.0 or v.bias != 0.0
+        bank_flat = VoiceBank.for_voices(voices, sr, num_harmonics=8,
+                                         nvoices=V)
+        plan = bank_flat.sparse_plan(vp_flat, total,
+                                     ranges=(starts, ends, live))
+        if plan is not None:
+            fn, idx, pad_start, nchunks = plan
+            stereo = fn(vp_flat, idx, pad_start, nchunks)[:total]
+            return Sample.from_jax(VoiceBank.to_int16(stereo), sr, 2,
+                                   name="midi")
     vp, layout = pack_voices(voices, sr, num_harmonics=8, sort_by_wave=True)
     bank = VoiceBank.for_voices(voices, sr, num_harmonics=8, layout=layout,
                                 nvoices=layout.nvoices)
-    # long sparse files (many notes, few sounding at once) render over
-    # per-chunk active-voice buckets — O(K*frames) instead of
-    # O(V*frames); dense/short files keep the flat grouped render (the
-    # method self-routes).  The two differ only in the pan matmul's f32
-    # reduction tree: <= 1 LSB at int16 (VoiceBank.render_song_sparse)
-    out16 = bank.to_int16(bank.render_song_sparse(vp, total))
+    out16 = bank.to_int16(bank.render_song(vp, total))
     return Sample.from_jax(out16, sr, 2, name="midi")
 
 

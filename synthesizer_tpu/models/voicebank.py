@@ -1053,17 +1053,20 @@ _SPARSE_PAD_FILLS = {"pulse_width": 0.5, "noise_hold": 1, "damping": 1.0,
                      "acurve_g0": 1.0, "dcurve_start": 2147483647}
 
 
-def _append_pad_voice(vp: VoiceParams, start_frame: int) -> VoiceParams:
+def _append_pad_voice(vp: VoiceParams, start_frame) -> VoiceParams:
     """Append ONE silent sentinel row (index V) for sparse-render pad
-    slots, preserving every field's dtype and trailing segment dims."""
+    slots, preserving every field's dtype and trailing segment dims.
+    Called INSIDE the jitted bucketed program (start_frame may be a
+    traced scalar), so the 30+ per-field concatenates fuse into the
+    compiled render instead of paying host dispatches per call."""
     rows = []
     for name, a in zip(VoiceParams._fields, vp):
         fill = _SPARSE_PAD_FILLS.get(name, 0)
-        if name == "start":
-            fill = start_frame
-        rows.append(jnp.concatenate(
-            [jnp.asarray(a),
-             jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0))
+        a = jnp.asarray(a)
+        pad = (jnp.full((1,) + a.shape[1:], fill, a.dtype)
+               if name != "start"
+               else jnp.asarray(start_frame, a.dtype)[None])
+        rows.append(jnp.concatenate([a, pad], axis=0))
     return VoiceParams(*rows)
 
 
@@ -1089,7 +1092,8 @@ def _bank_bucketed_fn(cf: int, sr: int, H: int, uw: tuple, uf: bool,
     fn = _bank_fn_cache.get(key)
     if fn is None:
         @functools.partial(jax.jit, static_argnames=("nchunks",))
-        def fn(vp_pad: VoiceParams, idx, nchunks: int):
+        def fn(vp: VoiceParams, idx, pad_start, nchunks: int):
+            vp_pad = _append_pad_voice(vp, pad_start)
             def body(_, xs):
                 i, idx_k = xs
                 vpk = jax.tree_util.tree_map(
@@ -1246,41 +1250,67 @@ class VoiceBank:
         plan = self.sparse_plan(vp, total_frames)
         if plan is None:
             return self.render_song(vp, total_frames)
-        fn, vp_pad, idx, nchunks = plan
-        return fn(vp_pad, idx, nchunks)[:total_frames]
+        fn, idx, pad_start, nchunks = plan
+        return fn(vp, idx, pad_start, nchunks)[:total_frames]
 
-    def sparse_plan(self, vp: VoiceParams, total_frames: int):
+    def sparse_plan(self, vp: VoiceParams, total_frames: int,
+                    ranges=None):
         """Host side of :meth:`render_song_sparse`: bucket the voices'
-        active frame ranges per chunk -> (jitted_fn, vp_with_sentinel,
-        idx [nchunks, K] i32, nchunks), or None when the bucketed shape
-        would not beat the flat render (the cost model below)."""
-        starts = np.asarray(vp.start, np.int64)
-        gates = np.asarray(vp.gate, np.int64)
-        rel = np.ceil(np.asarray(vp.release, np.float64)
-                      * self.samplerate).astype(np.int64)
-        amps = np.asarray(vp.amp)
-        # _adsr's envelope runs to max(gate, attack+decay) + release: a
-        # short-gate voice still completes its attack+decay before the
-        # release leg (sustain span is clamped to >= 0, not the total)
-        ad = np.ceil((np.asarray(vp.attack, np.float64)
-                      + np.asarray(vp.decay, np.float64))
-                     * self.samplerate).astype(np.int64)
-        ends = starts + np.maximum(gates, ad) + rel + 2
+        active frame ranges per chunk -> (jitted_fn, idx [nchunks, K]
+        i32, pad_start, nchunks), or None when the bucketed shape would
+        not beat the flat render (the cost model below).  Call the fn
+        as ``fn(vp, idx, pad_start, nchunks)`` — the silent sentinel
+        row appends INSIDE the compiled program.
+
+        ``ranges``: optional (starts, ends, live) int64/int64/bool host
+        arrays (conservative cover: starts a lower bound, ends an upper
+        bound of each voice's audible frames; live False = never
+        audible).  Callers that still hold the host note list (e.g.
+        midi.render_notes) should pass them — deriving the ranges from
+        ``vp`` here costs several device->host transfers (~30 ms each
+        on the axon relay)."""
         cf = self.chunk_frames
         nchunks = -(-total_frames // cf)
-        V = int(starts.shape[0])
-        # silent rows never contribute: sig = (bias + amp*w) * env, so a
-        # row needs amp or bias to be audible (curves only SCALE env)
-        live = (amps != 0.0) | (np.asarray(vp.bias) != 0.0)
+        sr = self.samplerate
+        if ranges is not None:
+            starts, ends, live = ranges
+            V = int(starts.shape[0])
+        else:
+            starts = np.asarray(vp.start, np.int64)
+            gates = np.asarray(vp.gate, np.int64)
+            rel = np.ceil(np.asarray(vp.release, np.float64)
+                          * sr).astype(np.int64)
+            # _adsr's envelope runs to max(gate, attack+decay) +
+            # release: a short-gate voice still completes its
+            # attack+decay before the release leg (sustain span clamps
+            # to >= 0, not the total)
+            ad = np.ceil((np.asarray(vp.attack, np.float64)
+                          + np.asarray(vp.decay, np.float64))
+                         * sr).astype(np.int64)
+            dur = np.maximum(gates, ad) + rel
+            # slack: +2 frames for the f32 boundary compare, plus the
+            # f32 ulp of the envelope TIME SCALE — _adsr evaluates
+            # t = n_rel/sr and t4 = a+d+s+r in f32, which round at
+            # 2^-24 RELATIVE, so a 10-minute note's end can land a few
+            # frames past the f64 bound (dur >> 20 = dur * 2^-20,
+            # 16x the worst single rounding, vectorized integer shift)
+            ends = starts + dur + 2 + (dur >> 20)
+            V = int(starts.shape[0])
+            # silent rows never contribute: sig = (bias + amp*w) * env,
+            # so a row needs amp or bias to be audible (curves only
+            # SCALE env)
+            live = (np.asarray(vp.amp) != 0.0) \
+                | (np.asarray(vp.bias) != 0.0)
         first_c = np.maximum(0, starts // cf)
         last_c = np.minimum(nchunks - 1, (ends - 1) // cf)
-        per_chunk: list = [[] for _ in range(nchunks)]
-        for v in range(V):
-            if not live[v]:
-                continue
-            for c in range(int(first_c[v]), int(last_c[v]) + 1):
-                per_chunk[c].append(v)
-        K = max((len(p) for p in per_chunk), default=1) or 1
+        span_ok = live & (last_c >= first_c)
+        # K first, vectorized (difference array + cumsum), so dense
+        # songs bail out below WITHOUT paying the O(V x span) python
+        # bucket fill
+        delta = np.zeros(nchunks + 1, np.int64)
+        np.add.at(delta, first_c[span_ok], 1)
+        np.add.at(delta, last_c[span_ok] + 1, -1)
+        K = int(np.cumsum(delta)[:nchunks].max(initial=0)) or 1
         K += -K % 8                                    # lane-pad
         # cost model: bucketed rows pay every used waveform (ungrouped
         # select) where grouped flat rows pay one — sparse wins when
@@ -1288,14 +1318,16 @@ class VoiceBank:
         if K * (1 + len(self.used_waves)) >= 2 * V:
             return None
         idx = np.full((nchunks, K), V, np.int32)       # V = sentinel row
-        for c, rows in enumerate(per_chunk):
-            idx[c, :len(rows)] = rows
-        vp_pad = _append_pad_voice(vp, total_frames + cf + 8)
-        fn = _bank_bucketed_fn(cf, self.samplerate, self.num_harmonics,
+        fill = np.zeros(nchunks, np.int32)
+        for v in np.flatnonzero(span_ok):
+            for c in range(int(first_c[v]), int(last_c[v]) + 1):
+                idx[c, fill[c]] = v
+                fill[c] += 1
+        fn = _bank_bucketed_fn(cf, sr, self.num_harmonics,
                                self.used_waves, self.use_fm,
                                self.use_glide, self.use_bend,
                                self.use_amp, self.use_dmod)
-        return fn, vp_pad, jnp.asarray(idx), nchunks
+        return fn, jnp.asarray(idx), total_frames + cf + 8, nchunks
 
     def render_song_grouped(self, vp: VoiceParams, seg, nseg: int,
                             total_frames: int) -> jax.Array:

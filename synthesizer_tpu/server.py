@@ -188,7 +188,12 @@ class _Handler(BaseHTTPRequestHandler):
                     self._check_duration(max(n.start + n.duration
                                              for n in notes))
                 bio = io.BytesIO()
-                render_notes(notes).write_wav(bio)
+                # sparse=False: the serving loop needs the flat render's
+                # one-compile-per-bank-shape guarantee — the bucketed
+                # program compiles per (chunk, K) and two uploads with
+                # the same bank shape but different note timing would
+                # each pay a fresh ~1.6 s trace (midi.render_notes)
+                render_notes(notes, sparse=False).write_wav(bio)
                 wav = bio.getvalue()
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})

@@ -58,6 +58,7 @@ def test_sparse_matches_flat_within_1lsb():
     voices = _sparse_voices()
     bank, vp = _bank_and_vp(voices)
     total = _total(voices)
+    assert bank.sparse_plan(vp, total) is not None
     flat = np.asarray(bank.to_int16(bank.render_song(vp, total)))
     sparse = np.asarray(bank.to_int16(bank.render_song_sparse(vp, total)))
     assert flat.shape == sparse.shape
@@ -86,6 +87,7 @@ def test_sparse_matches_flat_with_curves():
     bank, vp = _bank_and_vp(voices)
     assert bank.use_bend and bank.use_amp and bank.use_dmod
     total = _total(voices)
+    assert bank.sparse_plan(vp, total) is not None
     flat = np.asarray(bank.to_int16(bank.render_song(vp, total)))
     sparse = np.asarray(bank.to_int16(bank.render_song_sparse(vp, total)))
     diff = np.abs(flat.astype(np.int32) - sparse.astype(np.int32))
@@ -131,6 +133,7 @@ def test_sparse_chunk_boundary_continuity():
     voices = _sparse_voices(50, seed=7)
     bank, vp = _bank_and_vp(voices, chunk=chunk)
     total = _total(voices)
+    assert bank.sparse_plan(vp, total) is not None
     flat = np.asarray(bank.to_int16(bank.render_song(vp, total)))
     sparse = np.asarray(bank.to_int16(bank.render_song_sparse(vp, total)))
     diff = np.abs(flat.astype(np.int32) - sparse.astype(np.int32))
@@ -155,6 +158,18 @@ def test_render_midi_routes_sparse(monkeypatch):
     s = M.render_notes(notes, {0: M.SynthDef(wave="sine",
                                              amplitude=0.3)})
     assert calls and np.abs(s.get_frame_array()).max() > 1000
+    # a dense chord cluster must FALL BACK to the flat grouped render
+    calls.clear()
+    dense = [M.MidiNote(0.0, 1.0, 48 + i, 100, 0) for i in range(12)]
+    s2 = M.render_notes(dense, {0: M.SynthDef(wave="sine",
+                                              amplitude=0.1)})
+    assert not calls and np.abs(s2.get_frame_array()).max() > 1000
+    # and sparse=False forces the flat render even for sparse files
+    calls.clear()
+    s3 = M.render_notes(notes, {0: M.SynthDef(wave="sine",
+                                              amplitude=0.3)},
+                        sparse=False)
+    assert not calls and np.abs(s3.get_frame_array()).max() > 1000
 
 
 def test_sparse_short_gate_long_attack_not_truncated():
@@ -170,6 +185,7 @@ def test_sparse_short_gate_long_attack_not_truncated():
                for i in range(40)]
     bank, vp = _bank_and_vp(voices, chunk=2048)
     total = int(12.0 * SR)
+    assert bank.sparse_plan(vp, total) is not None
     flat = np.asarray(bank.to_int16(bank.render_song(vp, total)))
     sparse = np.asarray(bank.to_int16(bank.render_song_sparse(vp, total)))
     diff = np.abs(flat.astype(np.int32) - sparse.astype(np.int32))
