@@ -85,6 +85,36 @@ def test_trackmixer_midi_input_rejects_midi_output(song_dir, capsys, tmp_path):
         trackmixer.main([str(mid), "-o", str(tmp_path / "out.mid")])
     assert "already a MIDI file" in capsys.readouterr().err
 
+def test_trackmixer_midi_play(song_dir, capsys, tmp_path):
+    """--play with a .mid input streams the render through the output
+    sink ladder (null sink here) instead of silently writing a WAV."""
+    from synthesizer_tpu.midi import MidiNote, write_midi
+    mid = tmp_path / "p.mid"
+    mid.write_bytes(write_midi([MidiNote(0.0, 0.2, 60, 100, 0),
+                                MidiNote(0.2, 0.2, 64, 100, 0)]))
+    rc = trackmixer.main([str(mid), "--play"])
+    assert rc == 0
+    assert "played MIDI" in capsys.readouterr().out
+    assert not (tmp_path / "p.wav").exists()
+
+def test_trackmixer_midi_stems(song_dir, capsys, tmp_path):
+    """--stems with a .mid input renders one stem per MIDI channel."""
+    import wave as _wave
+    from synthesizer_tpu.midi import MidiNote, write_midi
+    mid = tmp_path / "s.mid"
+    mid.write_bytes(write_midi([MidiNote(0.0, 0.2, 60, 100, 0),
+                                MidiNote(0.0, 0.2, 45, 100, 1),
+                                MidiNote(0.2, 0.2, 36, 110, 9)]))
+    stems = tmp_path / "stems"
+    rc = trackmixer.main([str(mid), "--stems", str(stems)])
+    assert rc == 0
+    assert "3 MIDI channel stems" in capsys.readouterr().out
+    names = sorted(p.name for p in stems.iterdir())
+    assert names == ["ch00.wav", "ch01.wav", "ch09_drums.wav"]
+    for n in names:
+        with _wave.open(str(stems / n)) as w:
+            assert w.getnframes() > 1000
+
 
 def test_trackmixer_repl_commands(song_dir, capsys, tmp_path):
     from synthesizer_tpu.sequencer import Song

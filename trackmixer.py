@@ -212,7 +212,8 @@ def main(argv=None) -> int:
     ap.add_argument("--stems", metavar="DIR",
                     help="render every track to DIR/NAME.wav (pre-master "
                          "stems: per-track fx applied, master chain and "
-                         "normalization skipped) and exit")
+                         "normalization skipped) and exit; for a .mid "
+                         "input, one stem per MIDI channel (chNN.wav)")
     ap.add_argument("--stem-format", choices=("wav", "flac", "mp3", "ogg"),
                     default="wav", help="stem file format (flac = "
                     "in-process lossless encoder; mp3/ogg = lossy via the "
@@ -234,6 +235,31 @@ def main(argv=None) -> int:
                 # rather than silently writing audio into a .mid path
                 ap.error("-o .mid exports an .ini song; the input is "
                          "already a MIDI file")
+            if args.stems:
+                # MIDI stems: one file per MIDI channel (the natural
+                # track axis of an SMF), named chNN[_drums].wav
+                import os as _os
+                import time as _t
+                from synthesizer_tpu.midi import (parse_midi,
+                                                  release_grace_for,
+                                                  render_notes)
+                _os.makedirs(args.stems, exist_ok=True)
+                t0 = _t.perf_counter()
+                notes = parse_midi(args.song,
+                                   release_grace=release_grace_for(None))
+                chans = sorted({n.channel for n in notes})
+                dur = 0.0
+                for ch in chans:
+                    part = [n for n in notes if n.channel == ch]
+                    smp = render_notes(part)
+                    tag = f"ch{ch:02d}" + ("_drums" if ch == 9 else "")
+                    smp.write_wav(_os.path.join(args.stems,
+                                                f"{tag}.wav"))
+                    dur = max(dur, smp.duration)
+                dt = _t.perf_counter() - t0
+                print(f"rendered {len(chans)} MIDI channel stems x "
+                      f"{dur:.2f}s in {dt:.3f}s -> {args.stems}/")
+                return 0
             out = args.output or (args.song.rsplit(".", 1)[0] + ".wav")
             import time as _t
             t0 = _t.perf_counter()
@@ -243,6 +269,20 @@ def main(argv=None) -> int:
                 sample.normalize_lufs(args.lufs)
                 print(f"loudness {before:.1f} LUFS -> target "
                       f"{args.lufs:.1f} LUFS")
+            if args.play:
+                # --play streams the rendered file through the output
+                # sink ladder (previously it was silently ignored for
+                # MIDI input and a WAV was written instead)
+                if args.start:
+                    sample.cut(args.start, sample.duration)
+                with Output(samplerate=sample.samplerate,
+                            nchannels=sample.nchannels,
+                            mixing="sequential") as outdev:
+                    outdev.play_sample(sample)
+                    outdev.wait_all_played(timeout=max(
+                        60.0, sample.duration + 10.0))
+                print(f"played MIDI {sample.duration:.2f}s")
+                return 0
             sample.write_wav(out)
             dt = _t.perf_counter() - t0
             print(f"rendered MIDI {sample.duration:.2f}s in {dt:.3f}s "
